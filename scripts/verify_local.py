@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs each oracle SQL in DuckDB against the sf parquet tables and compares
+with the parquet written by `graft.Verify` (which must be run first via
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify").
+
+Comparison mirrors the stated driver behavior: columns sorted by name,
+rows sorted canonically, then values hashed. Floats are compared exactly
+(our queries round on both sides, so bits should match) with a fallback
+report of max-abs-diff to distinguish fp jitter from real bugs.
+
+Dev tool only — not part of the shipped library.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(round(v, 9))
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return out
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracle_path = os.path.join(OUT_DIR, "oracle_sql.json")
+    with open(oracle_path) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_glob = glob.glob(os.path.join(OUT_DIR, name, "*.parquet"))
+        if not res_glob:
+            print(f"MISSING  {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            oc = con.execute(sql)
+            o_cols = [d[0] for d in oc.description]
+            o_rows = oc.fetchall()
+        except Exception as e:
+            print(f"ORAFAIL  {name}: {str(e).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        sc = con.execute(
+            f"SELECT * FROM read_parquet({res_glob!r})")
+        s_cols = [d[0] for d in sc.description]
+        s_rows = sc.fetchall()
+
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"SCHEMA   {name}: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            n_fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"ROWS     {name}: spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        co, cs = canon(o_rows, o_cols), canon(s_rows, s_cols)
+        if co == cs:
+            print(f"PASS     {name} ({len(s_rows)} rows)")
+            n_pass += 1
+        else:
+            diffs = [(a, b) for a, b in zip(co, cs) if a != b]
+            print(f"VALUES   {name}: {len(diffs)} differing rows; first: ")
+            for a, b in diffs[:3]:
+                print(f"  oracle: {a}")
+                print(f"  spark : {b}")
+            n_fail += 1
+
+    # queries without oracle → rows-only
+    for d in sorted(os.listdir(OUT_DIR)):
+        if os.path.isdir(os.path.join(OUT_DIR, d)) and d not in oracles:
+            n = sum(duckdb.connect().execute(
+                f"SELECT count(*) FROM read_parquet({glob.glob(os.path.join(OUT_DIR, d, '*.parquet'))!r})"
+            ).fetchone())
+            print(f"ROWSONLY {d}: {n} rows")
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.packs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * Queries are contributed by domain packs (one per SURVEY §2 section);
+  * this object only aggregates them and asserts name uniqueness.
+  */
 object SparkEntry {
+
+  /** All query packs. Order matters only for duplicate detection. */
+  private val packs: Seq[QueryPack] = Seq(
+    RelationalQueries,
+    DataflowQueries,
+    TextFeatureQueries
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextFeatureQueries.flagshipTfidf(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries.toSeq)
+    require(all.map(_._1).distinct.size == all.size,
+      s"duplicate query names across packs: ${
+        all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }.mkString(",")}")
+    all.toMap
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Keys absent here get a rows-only check.
+    */
+  val oracleSql: Map[String, String] = packs.flatMap(_.oracles.toSeq).toMap
+
+  /** Headline queries for Bench (heavier, scale-representative subset). */
+  val benchNames: Seq[String] = Seq(
+    "q1_agg", "q3_join_topk", "q5_broadcast_join", "flagship_tfidf",
+    "window_topk_per_group", "asof_join_events_orders", "sessionize_events",
+    "f1_countvec_vocab", "f5_tfidf_transform")
 }

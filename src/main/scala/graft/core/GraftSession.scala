@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * The reference (lensacom/sparkit-learn, `splearn/rdd.py` blocking model)
+  * relied on hand-managed RDD lineage; here every knob that matters at
+  * cluster scale is declared once:
+  *
+  *  - AQE on: runtime partition coalescing, skew-join splitting, and
+  *    dynamic join-strategy switches replace hand-tuned partition counts.
+  *  - Shuffle partitions sized by the caller (32 in the local harness;
+  *    thousands on a real cluster).
+  *  - Parquet filter pushdown + vectorized reads stay on (scan efficiency
+  *    is the dominant term at 100 TB).
+  */
+object GraftSession {
+
+  /** Pre-configured builder; caller may still override any conf. */
+  def builder(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(b.master)
+  }
+
+  /** Local session for tests/benchmarks. */
+  def local(cores: Int = 32): SparkSession =
+    builder(master = Some(s"local[$cores]"), shufflePartitions = cores)
+      .getOrCreate()
+}

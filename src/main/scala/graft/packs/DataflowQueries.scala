@@ -1,0 +1,165 @@
+package graft.packs
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.operators.{Blocking, Relational}
+import org.apache.spark.sql.functions._
+
+/** Core dataflow parity (SURVEY §2.1, D1–D12): the reference's
+  * `BlockRDD`/`ArrayRDD`/`DictRDD` surface (`splearn/rdd.py`) re-expressed
+  * as declarative DataFrame queries so Catalyst plans them. Blocking,
+  * slicing, counting, reductions, projection, per-column transform and
+  * positional zip each get an oracle-checked query.
+  */
+object DataflowQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // D1: block(rdd, bsize) — deterministic global blocking, verified by
+    // per-block row counts + sums. (Scale path: Blocking.withPartitionLocalBlockId.)
+    "d1_block" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Blocking
+        .withBlockId(
+          t.lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          bsize = 1000,
+          orderCols = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("block_id"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("block_id"))
+    }),
+
+    // D3: count / __len__ across tables.
+    "d3_count_rows" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.agg(count(lit(1)).as("n_lineitem"))
+        .crossJoin(t.orders.agg(count(lit(1)).as("n_orders")))
+        .crossJoin(t.documents.agg(count(lit(1)).as("n_documents")))
+        .crossJoin(t.embeddings.agg(count(lit(1)).as("n_embeddings")))
+    }),
+
+    // D4: first() — first row under a deterministic order.
+    "d4_first_row" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(1)
+    }),
+
+    // D6: ArrayRDD positional slicing ix[100:110] — row_number + range filter.
+    "d6_slice_rows" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Blocking
+        .withBlockId(
+          t.lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          bsize = 1000,
+          orderCols = Seq(col("l_orderkey"), col("l_linenumber")))
+        .where(col("row_pos").between(101, 110))
+        .select(col("row_pos").as("pos"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("pos"))
+    }),
+
+    // D7: axis-wise reductions sum()/mean() — partial+final hash agg, the
+    // pattern every reference fit() reduces to.
+    "d7_colstats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(min(col("l_discount")), 2).as("min_disc"),
+        round(max(col("l_discount")), 2).as("max_disc"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // D8: DictRDD column projection + predicate (pushed to parquet scan).
+    "d8_project_filter" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .where(col("lang") === "en" && col("n_chars") > 300)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D9: DictRDD.transform on one column, others preserved.
+    "d9_transform_column" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(log(col("value") + lit(1.0)), 6).as("log_value"),
+          upper(col("event_type")).as("event_type_uc"))
+        .orderBy(col("event_id"))
+    }),
+
+    // D10: DictRDD positional zip of two sources (deterministic row_number
+    // ids, not monotonically_increasing_id — SURVEY §7 hard-part 2).
+    "d10_zip_columns" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational
+        .zipWithPosition(
+          t.documents.select(col("doc_id"), col("lang")), Seq(col("doc_id")),
+          t.embeddings.select(col("vec_id"), col("label")), Seq(col("vec_id")))
+        .select(col("pos"), col("doc_id"), col("lang"), col("vec_id"), col("label"))
+        .orderBy(col("pos"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_block" ->
+      """WITH t AS (
+        |  SELECT l_quantity,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT CAST(floor((rn - 1) / 1000.0) AS BIGINT) AS block_id,
+        |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM t GROUP BY 1 ORDER BY block_id""".stripMargin,
+
+    "d3_count_rows" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM documents) AS n_documents,
+        |  (SELECT count(*) FROM embeddings) AS n_embeddings""".stripMargin,
+
+    "d4_first_row" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1""".stripMargin,
+
+    "d6_slice_rows" ->
+      """SELECT rn AS pos, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn BETWEEN 101 AND 110 ORDER BY pos""".stripMargin,
+
+    "d7_colstats" ->
+      """SELECT round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(min(l_discount), 2) AS min_disc,
+        |  round(max(l_discount), 2) AS max_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "d8_project_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 300 ORDER BY doc_id""".stripMargin,
+
+    "d9_transform_column" ->
+      """SELECT event_id, event_type, value,
+        |  round(ln(value + 1.0), 6) AS log_value,
+        |  upper(event_type) AS event_type_uc
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "d10_zip_columns" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |    row_number() OVER (ORDER BY doc_id) AS pos FROM documents),
+        |  b AS (SELECT vec_id, label,
+        |    row_number() OVER (ORDER BY vec_id) AS pos FROM embeddings)
+        |SELECT a.pos AS pos, doc_id, lang, vec_id, label
+        |FROM a JOIN b ON a.pos = b.pos ORDER BY pos""".stripMargin
+  )
+}

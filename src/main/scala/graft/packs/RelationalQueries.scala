@@ -1,0 +1,264 @@
+package graft.packs
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** The relational spine (SURVEY §2.8): scan → filter → join → aggregate →
+  * window → sort/limit → set ops → grouping sets. The reference never had
+  * these as first-class operators (its joins were positional zips); they are
+  * table stakes for the Spark-native engine and the backbone every other
+  * pack builds on.
+  */
+object RelationalQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped scan+aggregate: partial/final hash agg, no join.
+    "q1_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q3-shaped 3-way join + top-k. customer/orders join is shuffle; at
+    // 100 TB AQE picks broadcast for the pruned customer side.
+    "q3_join_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-shaped star join: dims are broadcast (supplier/nation/region are
+    // tiny at every scale — the explicit hint keeps the plan stable even
+    // when stats are missing).
+    "q5_broadcast_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Window top-k per group (distributed TakeOrdered per key).
+    "window_topk_per_group" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational
+        .topKPerGroup(
+          t.orders.select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice")),
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")),
+          3)
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // Set ops over nation keys: intersect + except (SURVEY §2.8 set ops).
+    "setops_nations" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+      val sup = t.supplier.select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+      val both = c.intersect(sup).withColumn("side", lit("both"))
+      val cOnly = c.except(sup).withColumn("side", lit("customer_only"))
+      val sOnly = sup.except(c).withColumn("side", lit("supplier_only"))
+      both.unionByName(cOnly).unionByName(sOnly)
+        .orderBy(col("side"), col("nationkey"))
+    }),
+
+    // Exact distinct counts (the HLL scale path is benchmarked separately:
+    // approx_count_distinct is not bit-stable across engines so the oracle
+    // pins the exact form).
+    "distinct_counts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.agg(
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+    }),
+
+    // Grouping sets: CUBE over documents (lang × source) — free in Spark,
+    // absent in the reference (SURVEY §2.8 aggregations).
+    "cube_docs" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(
+          coalesce(col("lang"), lit("*")).as("lang_g"),
+          coalesce(col("source"), lit("*")).as("source_g"),
+          col("n_docs"), col("sum_chars"))
+        .orderBy(col("lang_g"), col("source_g"))
+    }),
+
+    // As-of join events->orders (union+window single-shuffle plan; see
+    // Relational.asofJoin scale notes). Inner semantics: events with no
+    // prior order are dropped on both sides.
+    "asof_join_events_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational
+        .asofJoin(
+          t.events.select(col("event_id"), col("user_id"), col("ts")),
+          t.orders.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightOrder = "o_orderkey", payloadAlias = "asof_orderkey")
+        .where(col("asof_orderkey").isNotNull)
+        .select(col("event_id"), col("asof_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sessionization (batch twin of streaming session_window).
+    "sessionize_events" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Relational.sessionize(t.events, "user_id", "ts", "event_id", gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_trunc("second", min(col("ts"))).as("session_start"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Tumbling-window aggregation, batch form (streaming twin in
+    // graft.streaming). Spark's window() start == date_trunc('hour').
+    "window_tumbling_events" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          date_trunc("second", col("window.start")).as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT o_orderkey, c_mktsegment,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, c_mktsegment
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_broadcast_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "window_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "setops_nations" ->
+      """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+        |SELECT nationkey, side FROM (
+        |  SELECT nationkey, 'both' AS side FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |  UNION ALL
+        |  SELECT nationkey, 'customer_only' AS side FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |  UNION ALL
+        |  SELECT nationkey, 'supplier_only' AS side FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+        |) u
+        |ORDER BY side, nationkey""".stripMargin,
+
+    "distinct_counts" ->
+      """SELECT count(DISTINCT o_custkey) AS n_custkeys,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  count(*) AS n_orders
+        |FROM orders""".stripMargin,
+
+    "cube_docs" ->
+      """SELECT coalesce(lang, '*') AS lang_g, coalesce(source, '*') AS source_g,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY lang_g, source_g""".stripMargin,
+
+    "asof_join_events_orders" ->
+      """SELECT event_id, asof_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  date_trunc('second', min(ts)) AS session_start,
+        |  round(sum(value), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "window_tumbling_events" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin
+  )
+}
