@@ -14,7 +14,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     DataflowQueries,
-    TextFeatureQueries
+    TextFeatureQueries,
+    StatsQueries,
+    MLQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,92 @@
+package graft.mlops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Clustering + decomposition (SURVEY §2.6).
+  *
+  * The reference delegated k-means to mllib or ran local sklearn per block
+  * (`splearn/cluster/k_means_.py:~L10-70`) and computed truncated SVD from
+  * a tree-reduced Gramian (`splearn/decomposition/truncated_svd.py:~L10`).
+  * Same decomposition structure here: the Gramian is a long-form
+  * aggregation (SQL-checkable), the eigen/SVD step runs on `RowMatrix`
+  * (ARPACK / local Breeze — O(d²) driver state, never O(n)).
+  */
+object ClusterOps {
+
+  /** One Lloyd assignment step against fixed centers, in long form:
+    * points (id, dim, v) × centers (center_id, dim, c) joined on dim,
+    * Σ(v-c)² per (id, center), argmin per id. Shuffle cost is one
+    * hash-partition of the (small) long-form frames; centers side is
+    * broadcast. Fixed deterministic centers make this oracle-able
+    * (SURVEY C1/C2).
+    */
+  def assignToCenters(pointsLong: DataFrame, centersLong: DataFrame,
+                      idCol: String, centerCol: String): DataFrame = {
+    val dists = pointsLong
+      .join(broadcast(centersLong), "dim")
+      .groupBy(col(idCol), col(centerCol))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("dist2"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist2").asc, col(centerCol))
+    dists.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col(centerCol), col("dist2"))
+  }
+
+  /** spark.ml k-means‖ over an array column (the reference's
+    * `init='k-means||'` path, now fully in-JVM).
+    */
+  def fitKMeans(df: DataFrame, arrCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    val prepared = df.withColumn("features",
+      array_to_vector(col(arrCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(prepared)
+    model.transform(prepared)
+  }
+
+  /** Gramian entries XᵀX[i,j] as a long-form aggregation — the
+    * `treeReduce(Σ XᵀX)` of the reference as one groupBy over
+    * dim-pair-exploded rows (upper triangle only).
+    */
+  def gramian(df: DataFrame, idCol: String, arrCol: String, maxDim: Int): DataFrame = {
+    val longForm = NaiveBayesOps.toLongForm(df, Seq(idCol), arrCol, maxDim)
+    val a = longForm.select(col(idCol), col("dim").as("dim_i"), col("v").as("vi"))
+    val b = longForm.select(col(idCol), col("dim").as("dim_j"), col("v").as("vj"))
+    a.join(b, Seq(idCol))
+      .where(col("dim_i") <= col("dim_j"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(round(sum(col("vi") * col("vj")), 4).as("gram"))
+  }
+
+  /** Truncated SVD via RowMatrix (distributed ARPACK): returns the
+    * projected coordinates X·V_k per row id.
+    */
+  def svdProject(df: DataFrame, idCol: String, arrCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(arrCol).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), OldVectors.dense(r.getSeq[Double](1).toArray)))
+    rows.cache()
+    val mat = new RowMatrix(rows.values)
+    val svd = mat.computeSVD(k, computeU = false)
+    val vBcast = spark.sparkContext.broadcast(svd.V.toArray) // d*k col-major
+    val d = svd.V.numRows
+    val projected = rows.map { case (id, vec) =>
+      val arr = vec.toArray
+      val out = Array.tabulate(k) { j =>
+        var s = 0.0; var i = 0
+        while (i < d) { s += arr(i) * vBcast.value(j * d + i); i += 1 }
+        s
+      }
+      Row(id, out.toSeq)
+    }
+    spark.createDataFrame(projected, StructType(Seq(
+      StructField(idCol, LongType), StructField("proj", ArrayType(DoubleType)))))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.mlops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Naive Bayes as relational algebra (SURVEY §2.5).
+  *
+  * The reference merged per-block `class_count_`/`feature_count_` by
+  * summation and recomputed smoothed log-probabilities on the driver
+  * (`splearn/naive_bayes.py:~L10-80`). Both fit and predict are pure
+  * `groupBy().agg()` + join plans here, which means: no driver state
+  * proportional to data, partial aggregation map-side, and the model
+  * "matrix" (classes × vocab) is itself a DataFrame that Spark broadcasts
+  * into the predict join when small.
+  */
+object NaiveBayesOps {
+
+  /** Multinomial NB fit over (docCol, classCol, termCol) token rows:
+    * full smoothed log-probability matrix including zero-count (class,term)
+    * pairs — exactly sklearn's `feature_log_prob_` with Lidstone alpha.
+    */
+  def multinomialFit(tokens: DataFrame, classCol: String, termCol: String,
+                     alpha: Double = 1.0,
+                     roundDigits: Option[Int] = Some(6)): DataFrame = {
+    val counts = tokens.groupBy(col(classCol), col(termCol))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = tokens.select(col(classCol)).distinct()
+    val vocab = tokens.select(col(termCol)).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("_v"))
+    val totals = counts.groupBy(col(classCol)).agg(sum(col("cnt")).as("class_total"))
+    val raw = log((col("cnt") + lit(alpha)) /
+      (col("class_total") + lit(alpha) * col("_v")))
+    classes.crossJoin(vocab)
+      .join(counts, Seq(classCol, termCol), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(totals, Seq(classCol))
+      .crossJoin(broadcast(vsize))
+      .select(col(classCol), col(termCol), col("cnt"),
+        roundDigits.fold(raw)(d => round(raw, d)).as("log_prob"))
+  }
+
+  /** Multinomial NB predict: argmax over classes of
+    * log prior + Σ_term count·log P(term|class). Unrounded scores drive the
+    * argmax; tie-break on class name for determinism.
+    */
+  def multinomialPredict(docTokens: DataFrame, docCol: String, termCol: String,
+                         classDocs: DataFrame, classCol: String,
+                         alpha: Double = 1.0): DataFrame = {
+    // unrounded log-probs: the argmax must see full precision on both
+    // engines (rounding before argmax could flip near-ties differently).
+    val logProb = multinomialFit(
+      docTokens.join(classDocs, docCol), classCol, termCol, alpha,
+      roundDigits = None)
+      .withColumnRenamed("log_prob", "_lp")
+      .drop("cnt")
+    val counts = docTokens.groupBy(col(docCol), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = classDocs.agg(count(lit(1)).as("_n"))
+    val priors = classDocs.groupBy(col(classCol)).agg(count(lit(1)).as("_nc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(classCol), log(col("_nc") / col("_n")).as("prior"))
+    val scores = counts
+      .join(logProb, Seq(termCol))
+      .groupBy(col(docCol), col(classCol))
+      .agg(sum(col("tf") * col("_lp")).as("ll"))
+      .join(broadcast(priors), Seq(classCol))
+      .withColumn("score", col("ll") + col("prior"))
+    val w = Window.partitionBy(col(docCol))
+      .orderBy(col("score").desc, col(classCol))
+    scores.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(docCol), col(classCol).as("pred"))
+  }
+
+  /** Gaussian NB fit: per-(class, feature) mean and population variance —
+    * the count-weighted pooling the reference did on the driver
+    * (`splearn/naive_bayes.py:~L80`) is just avg/var_pop grouped by class.
+    * Input: long-form (classCol, dim, value).
+    */
+  def gaussianFit(longForm: DataFrame, classCol: String): DataFrame =
+    longForm.groupBy(col(classCol), col("dim"))
+      .agg(
+        round(avg(col("v")), 6).as("theta"),
+        round(var_pop(col("v")), 6).as("sigma2"),
+        count(lit(1)).as("n"))
+
+  /** Explode an array column to long form (1-based dim to match SQL). */
+  def toLongForm(df: DataFrame, idCols: Seq[String], arrCol: String,
+                 maxDim: Int = Int.MaxValue): DataFrame = {
+    df.select(idCols.map(col) :+ posexplode(col(arrCol)).as(Seq("_pos", "_v")): _*)
+      .where(col("_pos") < maxDim)
+      .withColumn("dim", (col("_pos") + 1).cast("int"))
+      .withColumn("v", col("_v").cast("double"))
+      .drop("_pos", "_v")
+  }
+}

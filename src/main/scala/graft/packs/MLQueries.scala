@@ -1,0 +1,242 @@
+package graft.packs
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.mlops.{ClusterOps, LinearOps, NaiveBayesOps}
+import org.apache.spark.sql.functions._
+
+/** Models-as-aggregations (SURVEY §2.4–2.6): Naive Bayes sufficient stats
+  * and argmax predict, closed-form OLS, fixed-center k-means assignment,
+  * Gramian — each with a full SQL oracle; iterative spark.ml fits
+  * (logistic, k-means‖, SVD) are rows-only checked and unit-tested on
+  * algebraic invariants instead.
+  */
+object MLQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // N1: Multinomial NB fit — smoothed log P(term|lang), full matrix.
+    "n1_multinomial_nb_fit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toksWithClass = docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      NaiveBayesOps.multinomialFit(toksWithClass, "lang", "term")
+        .orderBy(col("lang"), col("term"))
+    }),
+
+    // N3: NB predict — argmax of log prior + Σ tf·logP; engine vs oracle
+    // agree on full-precision scores.
+    "n3_nb_predict_lang" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val docTokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val classDocs = docs.select(col("doc_id"), col("lang"))
+      NaiveBayesOps.multinomialPredict(docTokens, "doc_id", "term", classDocs, "lang")
+        .join(classDocs.withColumnRenamed("lang", "actual"), "doc_id")
+        .select(col("doc_id"), col("pred"), col("actual"),
+          (col("pred") === col("actual")).cast("int").as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N2: Gaussian NB fit — per-(label, dim) mean/variance over the
+    // embedding space (first 4 dims keep the oracle output compact).
+    "n2_gaussian_nb_fit" -> ((s, dir) => {
+      val lf = NaiveBayesOps.toLongForm(
+        Tables(s, dir).embeddings, Seq("label"), "embedding", maxDim = 4)
+      NaiveBayesOps.gaussianFit(lf, "label")
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    // L3: OLS closed form from distributed moments.
+    "l3_ols_fit" -> ((s, dir) => {
+      LinearOps.olsFit(Tables(s, dir).lineitem, "l_quantity", "l_extendedprice")
+    }),
+
+    // L2: broadcast-model predict.
+    "l2_ols_predict" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val fit = LinearOps.olsFit(t.lineitem, "l_quantity", "l_extendedprice")
+      LinearOps.olsPredict(t.lineitem, fit, "l_quantity")
+        .where(col("l_orderkey") < 20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("prediction"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // C1/C2: one Lloyd assignment step against fixed deterministic centers
+    // (per-label means — also the Gaussian NB theta).
+    "c1_kmeans_assign" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding")
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("center_label"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      ClusterOps.assignToCenters(pts, centers, "vec_id", "center_label")
+        .groupBy(col("center_label"))
+        .agg(count(lit(1)).as("n_assigned"))
+        .orderBy(col("center_label"))
+    }),
+
+    // C3: Gramian XᵀX upper triangle (the reference's treeReduce(Σ XᵀX),
+    // `splearn/decomposition/truncated_svd.py:~L10`).
+    "c3_gramian" -> ((s, dir) => {
+      ClusterOps.gramian(Tables(s, dir).embeddings, "vec_id", "embedding", maxDim = 6)
+        .orderBy(col("dim_i"), col("dim_j"))
+    }),
+
+    // C5: TruncatedSVD projection via RowMatrix ARPACK (rows-only: sign of
+    // singular vectors is arbitrary; unit tests assert the invariants).
+    "c5_svd_project" -> ((s, dir) => {
+      ClusterOps.svdProject(Tables(s, dir).embeddings, "vec_id", "embedding", k = 5)
+        .select(col("vec_id"), round(abs(element_at(col("proj"), 1)), 4).as("pc1_abs"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // L4: spark.ml logistic regression (iterative — rows-only).
+    "ml_logreg_predict" -> ((s, dir) => {
+      LinearOps.fitLogistic(Tables(s, dir).embeddings, "embedding", "label", maxIter = 10)
+        .groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("prediction"))
+    }),
+
+    // spark.ml k-means‖ (seeded; cluster sizes — rows-only).
+    "ml_kmeans_sizes" -> ((s, dir) => {
+      ClusterOps.fitKMeans(Tables(s, dir).embeddings, "embedding", k = 10)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("prediction"))
+    }),
+
+    // Multi-feature linear regression via ml L-BFGS (rows-only).
+    "ml_linreg_fit" -> ((s, dir) => {
+      LinearOps.fitLinear(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+        .select(round(col("intercept"), 2).as("intercept_r"),
+          round(element_at(col("coefficients"), 1), 2).as("coef_qty"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "n1_multinomial_nb_fit" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY lang, term),
+        |classes AS (SELECT DISTINCT lang FROM toks),
+        |vocab AS (SELECT DISTINCT term FROM toks),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS class_total
+        |           FROM counts GROUP BY lang)
+        |SELECT c.lang, vo.term, CAST(coalesce(k.cnt, 0) AS BIGINT) AS cnt,
+        |  round(ln((coalesce(k.cnt, 0) + 1.0) /
+        |           (t.class_total + 1.0 * (SELECT v FROM vs))), 6) AS log_prob
+        |FROM classes c
+        |CROSS JOIN vocab vo
+        |LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |JOIN totals t ON t.lang = c.lang
+        |ORDER BY 1, 2""".stripMargin,
+
+    "n3_nb_predict_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |langs AS (SELECT doc_id, lang FROM documents),
+        |toksl AS (SELECT t.doc_id, l.lang, t.term
+        |          FROM toks t JOIN langs l ON t.doc_id = l.doc_id),
+        |counts AS (SELECT lang, term, count(*) AS cnt FROM toksl GROUP BY lang, term),
+        |classes AS (SELECT DISTINCT lang FROM langs),
+        |vocab AS (SELECT DISTINCT term FROM toksl),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ct FROM counts GROUP BY lang),
+        |lp AS (
+        |  SELECT c.lang, vo.term,
+        |    ln((coalesce(k.cnt, 0) + 1.0) / (t.ct + 1.0 * (SELECT v FROM vs))) AS lpv
+        |  FROM classes c CROSS JOIN vocab vo
+        |  LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |  JOIN totals t ON t.lang = c.lang),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |priors AS (SELECT lang, ln(count(*) * 1.0 / (SELECT nd FROM n)) AS prior
+        |           FROM langs GROUP BY lang),
+        |scores AS (
+        |  SELECT tf.doc_id, lp.lang, sum(tf.tf * lp.lpv) AS ll
+        |  FROM tf JOIN lp ON tf.term = lp.term
+        |  GROUP BY tf.doc_id, lp.lang),
+        |ranked AS (
+        |  SELECT s.doc_id, s.lang,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY s.ll + p.prior DESC, s.lang) AS rn
+        |  FROM scores s JOIN priors p ON s.lang = p.lang)
+        |SELECT r.doc_id, r.lang AS pred, l.lang AS actual,
+        |  CASE WHEN r.lang = l.lang THEN 1 ELSE 0 END AS correct
+        |FROM ranked r JOIN langs l ON r.doc_id = l.doc_id
+        |WHERE r.rn = 1
+        |ORDER BY 1""".stripMargin,
+
+    "n2_gaussian_nb_fit" ->
+      """SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 6) AS theta,
+        |  round(var_pop(v), 6) AS sigma2, count(*) AS n
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS v
+        |      FROM embeddings) t
+        |WHERE dim <= 4
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
+    "l3_ols_fit" ->
+      """SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+        |  round(avg(l_extendedprice) -
+        |    covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 6)
+        |    AS intercept
+        |FROM lineitem""".stripMargin,
+
+    "l2_ols_predict" ->
+      """WITH fit AS (
+        |  SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,
+        |    avg(l_extendedprice) -
+        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity)
+        |      AS intercept
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(fit.intercept + fit.slope * l_quantity, 4) AS prediction
+        |FROM lineitem, fit
+        |WHERE l_orderkey < 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c1_kmeans_assign" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS center_label, dim, avg(v) AS c
+        |        FROM ptsl GROUP BY label, dim),
+        |d AS (
+        |  SELECT p.vec_id, c.center_label,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN ctr c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.center_label),
+        |a AS (
+        |  SELECT vec_id, center_label,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY dist2, center_label) AS rn
+        |  FROM d)
+        |SELECT CAST(center_label AS INT) AS center_label, count(*) AS n_assigned
+        |FROM a WHERE rn = 1
+        |GROUP BY center_label
+        |ORDER BY center_label""".stripMargin,
+
+    "c3_gramian" ->
+      """WITH lf AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |)
+        |SELECT CAST(a.dim AS INT) AS dim_i, CAST(b.dim AS INT) AS dim_j,
+        |  round(sum(a.v * b.v), 4) AS gram
+        |FROM lf a JOIN lf b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |WHERE a.dim <= 6 AND b.dim <= 6
+        |GROUP BY a.dim, b.dim
+        |ORDER BY dim_i, dim_j""".stripMargin
+  )
+}
