@@ -16,7 +16,11 @@ object SparkEntry {
     DataflowQueries,
     TextFeatureQueries,
     StatsQueries,
-    MLQueries
+    MLQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextAnalysisQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines (north-star extension;
+  * SURVEY §7 phase 7). All variants are declarative DataFrame plans with
+  * engine-portable md5-based hashing (see [[graft.functions.GraftFunctions]])
+  * so every stage is oracle-checkable.
+  *
+  * 100 TB design: the only pairwise computation ever performed is on
+  * CANDIDATE pairs emitted by banding/bucketing — never a full self-join.
+  * Exact dedup is hash-groupBy (linear); minhash signatures are one
+  * explode+groupBy (linear); band candidates are an equi-join on band
+  * signature (linear in bucket sizes); verification jaccard runs only on
+  * candidates. Skewed buckets (a shingle shared by millions of docs) are
+  * handled by AQE skew-join splitting plus the `maxBucket` guard.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document. Implemented with an array
+    * lambda (no joins, stays in codegen): doc → transform(sequence) →
+    * explode → distinct.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', ${(0 until n).map(k => s"_toks[i + ${k - 1}]").mkString(", ")}))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact-duplicate statistics: total vs distinct under (a) raw text and
+    * (b) order-insensitive bag-of-words canonicalization. Hash-groupBy —
+    * the linear-scan exact-dedup path.
+    */
+  def exactStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("n_unique_text"),
+      countDistinct(md5(array_join(array_sort(split(col(textCol), " ")), " ")))
+        .as("n_unique_bow"))
+
+  /** Keep-first exact dedup: one survivor per identical text (min id). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signatures in long form (id, h, minhash): for each of
+    * `numHashes` seeded hash functions, the min over the doc's shingles.
+    * One explode (shingles × hashes) + one groupBy — linear, partial-agg
+    * friendly, no driver state.
+    */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
+    shingleDf
+      .select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
+      .groupBy(col(idCol), col("h"))
+      .agg(min(md5Long(
+        concat(lit("s"), col("h").cast("string"), lit(":"), col("shingle")), 8))
+        .as("minhash"))
+
+  /** LSH banding: group `rowsPerBand` consecutive hashes into a band
+    * signature string; docs sharing any (band, signature) are candidates.
+    * Returns distinct candidate pairs (id_a < id_b).
+    */
+  def minhashBandCandidates(signatures: DataFrame, idCol: String,
+                            rowsPerBand: Int = 2): DataFrame = {
+    val bands = signatures
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(h, minhash))), x -> cast(x.minhash as string))"),
+        "-").as("band_sig"))
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** SimHash (16-bit): per-bit majority vote over shingle hashes. Linear:
+    * explode bits × shingles, two groupBys.
+    */
+  def simhash(shingleDf: DataFrame, idCol: String, bits: Int = 16): DataFrame = {
+    val h16 = md5Long(col("shingle"), 4) // 16-bit hash space
+    shingleDf
+      .select(col(idCol), h16.as("h16"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .withColumn("vote",
+        when(floor(col("h16") / pow(lit(2.0), col("j"))).cast("long") % 2 === 1, 1)
+          .otherwise(-1))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("vote")).as("tally"))
+      .withColumn("bitval",
+        when(col("tally") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity. With `candidates` given, computes only
+    * those pairs (the 100 TB path, fed from [[minhashBandCandidates]]);
+    * without, all pairs sharing >= 1 shingle (small-scale verification).
+    */
+  def jaccardPairs(shingleDf: DataFrame, idCol: String,
+                   threshold: Double,
+                   candidates: Option[DataFrame] = None): DataFrame = {
+    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val x = shingleDf.select(col(idCol).as("id_a"), col("shingle"))
+    val y = shingleDf.select(col(idCol).as("id_b"), col("shingle"))
+    val shared = x.join(y, "shingle").where(col("id_a") < col("id_b"))
+    val scoped = candidates.fold(shared)(c => shared.join(c, Seq("id_a", "id_b")))
+    scoped
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicates above a threshold. Small-scale form
+    * is the pruned self-join; the scale path buckets by sign-LSH first
+    * (see [[graft.similarity.Similarity.signBuckets]]).
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, arrCol: String,
+                       threshold: Double): DataFrame = {
+    // normalize ONCE per vector (linear), so the quadratic stage is a
+    // single codegen'd dot product per pair (native DotProduct expression)
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val unit = emb.select(col(idCol).as("_id"), unitize(col(arrCol)).as("_u"))
+    val a = unit.select(col("_id").as("id_a"), col("_u").as("_ua"))
+    val b = unit.select(col("_id").as("id_b"), col("_u").as("_ub"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", graft.plans.GraftExpressions.dot(col("_ua"), col("_ub")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.packs
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication (north-star extension): exact, MinHash+LSH banding,
+  * SimHash, n-gram Jaccard, embedding-cosine — every stage oracle-checked
+  * via the engine-portable md5 hash family.
+  */
+object DedupQueries extends QueryPack {
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", n = 3)
+
+  // Shared oracle CTE: distinct word-trigram shingles (relational 3-way
+  // join formulation — intentionally a different algorithm than the Spark
+  // array-lambda, same semantics).
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup stats: raw text + bag-of-words canonical hash.
+    "dedup_exact_stats" -> ((s, dir) =>
+      Dedup.exactStats(Tables(s, dir).documents, "text")),
+
+    // MinHash signatures (8 hash fns) in long form.
+    "dedup_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(docShingles(s, dir), "doc_id", numHashes = 8)
+        .where(col("doc_id") < 50)
+        .orderBy(col("doc_id"), col("h"))
+    }),
+
+    // LSH banding (4 bands × 2 rows) → candidate pairs → jaccard verify.
+    // The full pipeline: only candidate pairs ever reach the pairwise step.
+    "dedup_minhash_candidates" -> ((s, dir) => {
+      val sh = docShingles(s, dir)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+      val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+      Dedup.jaccardPairs(sh, "doc_id", threshold = 0.0, candidates = Some(cand))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash 16-bit signatures (per-bit majority over shingle hashes).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(docShingles(s, dir).where(col("doc_id") < 50), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Full n-gram Jaccard above threshold (small-scale verification of the
+    // banded path; at scale candidates gate this).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(docShingles(s, dir), "doc_id", threshold = 0.05)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding cosine near-duplicates.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Dedup.embeddingNearDup(Tables(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique_text,
+        |  count(DISTINCT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')))
+        |    AS n_unique_bow
+        |FROM documents""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, CAST(g.h AS INT) AS h,
+         |  min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |    AS minhash
+         |FROM sh, generate_series(0, 7) g(h)
+         |WHERE doc_id < 50
+         |GROUP BY doc_id, g.h
+         |ORDER BY doc_id, h""".stripMargin,
+
+    "dedup_minhash_candidates" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM cand p
+         |  JOIN sh x ON x.doc_id = p.id_a
+         |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT t.id_a, t.id_b,
+         |  round(t.i * 1.0 / (sa.n + sb.n - t.i), 4) AS jaccard
+         |FROM inter t
+         |JOIN sizes sa ON sa.doc_id = t.id_a
+         |JOIN sizes sb ON sb.doc_id = t.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $shingleCte,
+         |bits AS (
+         |  SELECT doc_id, g.j AS j,
+         |    CASE WHEN CAST(floor((('0x' || substr(md5(shingle), 1, 4))::BIGINT) / pow(2, g.j)) AS BIGINT) % 2 = 1
+         |      THEN 1 ELSE -1 END AS vote
+         |  FROM sh, generate_series(0, 15) g(j)
+         |  WHERE doc_id < 50),
+         |tally AS (SELECT doc_id, j, sum(vote) AS t FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN t > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |    AS simhash
+         |FROM tally GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT t.id_a, t.id_b,
+         |  round(t.i * 1.0 / (sa.n + sb.n - t.i), 4) AS jaccard
+         |FROM inter t
+         |JOIN sizes sa ON sa.doc_id = t.id_a
+         |JOIN sizes sb ON sb.doc_id = t.id_b
+         |WHERE t.i * 1.0 / (sa.n + sb.n - t.i) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+        |    AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.packs
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text analysis (north-star extension): quality features, token stats,
+  * fingerprints. Language-ID is `n3_nb_predict_lang` in MLQueries.
+  */
+object TextAnalysisQueries extends QueryPack {
+
+  private val stopPred =
+    TextAnalysis.DefaultStopwords.map(w => s"t = '$w'").mkString(" OR ")
+
+  val queries: Map[String, Q] = Map(
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_token_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      TextAnalysis.tokenStats(docs, "lang", "text")
+        .join(TextAnalysis.distinctTermStats(docs, "lang", "text"), "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_subtokens"), col("n_distinct_terms"))
+        .orderBy(col("lang"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, length(text) AS nc,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_unique_tokens, n_stopwords,
+         |  round((nc - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_token_len,
+         |  round(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
+         |  CASE WHEN n_tokens BETWEEN 10 AND 1000
+         |        AND n_stopwords * 1.0 / n_tokens < 0.5
+         |    THEN 1 ELSE 0 END AS is_quality
+         |FROM base
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_token_stats" ->
+      """WITH base AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS nt,
+        |    len(regexp_extract_all(text, '[a-z]{1,4}')) AS ns
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(ns) AS BIGINT) AS n_subtokens
+        |  FROM base GROUP BY lang),
+        |dt AS (
+        |  SELECT lang, count(DISTINCT term) AS n_distinct_terms
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY lang)
+        |SELECT a.lang, a.n_docs, a.n_tokens, a.n_subtokens, dt.n_distinct_terms
+        |FROM agg a JOIN dt ON a.lang = dt.lang
+        |ORDER BY 1""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  list_reduce(
+        |    list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

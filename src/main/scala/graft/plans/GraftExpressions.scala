@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native expressions. */
+object GraftExpressions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, "graft_dot")
+
+  private def dotBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_dot expects exactly 2 arguments")
+    DotProduct(children.head, children(1))
+  }
+
+  /** Session-scoped registration (idempotent). Call before first use when
+    * the session was not built with [[GraftSparkExtensions]].
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", dotBuilder, "built-in")
+
+  /** Column-level accessor; requires registration on the active session. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}
+
+/** `spark.sql.extensions`-pluggable registration — the production path:
+  * `SparkSession.builder.withExtensions(new GraftSparkExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftSparkExtensions`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.similarity
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns (north-star
+  * extension).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k via pruned cross join +
+  *    windowed rank — the correctness baseline. Quadratic; only for
+  *    verification scale or when the query set is small (queries ×
+  *    corpus is fine when |queries| is bounded — that IS the common
+  *    production shape).
+  *  - [[signBuckets]] / [[lshTopK]]: deterministic sign-LSH (axis-aligned
+  *    random-projection hyperplanes): bucket on the sign pattern of the
+  *    leading dims, search within bucket. Linear build, per-bucket
+  *    quadratic bounded by bucket size; multi-probe = widen `nBits`
+  *    choice. Deterministic ⇒ SQL-oracle-able, unlike
+  *    BucketedRandomProjectionLSH's random hyperplanes.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query row. Ties broken by
+    * neighbor id; ranking happens on full-precision cosines.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     arrCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExpressions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), unitize(col(arrCol)).as("_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), unitize(col(arrCol)).as("_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_cos", graft.plans.GraftExpressions.dot(col("_q"), col("_c")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"))
+  }
+
+  /** Sign-LSH bucket id from the first `nBits` dimensions: bit j set iff
+    * dim j+1 > 0. Exact float comparison — deterministic across engines.
+    */
+  def signBucket(arrCol: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { j =>
+      when(element_at(arrCol, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def signBuckets(emb: DataFrame, idCol: String, arrCol: String,
+                  nBits: Int = 8): DataFrame =
+    emb.select(col(idCol), signBucket(col(arrCol), nBits).as("bucket"),
+      col(arrCol).as("_v"))
+
+  /** ANN top-k restricted to the query's bucket. Recall < 1 by design;
+    * the bucket join replaces the full cross join — the scale path.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+              arrCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val c = signBuckets(emb, idCol, arrCol, nBits)
+      .select(col(idCol).as("neighbor_id"), col("bucket"), unitize(col("_v")).as("_c"))
+    val q = signBuckets(queries, idCol, arrCol, nBits)
+      .select(col(idCol).as("query_id"), col("bucket"), unitize(col("_v")).as("_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    q.join(c, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_cos", graft.plans.GraftExpressions.dot(col("_q"), col("_c")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star extension):
+  * quality scoring, token statistics, fingerprinting. Language-ID ships as
+  * the Naive Bayes argmax plan in [[graft.mlops.NaiveBayesOps]] (query
+  * `n3_nb_predict_lang`).
+  *
+  * Everything is column-expression algebra — whole-stage codegen, no UDFs,
+  * linear scans. At 100 TB these are the cheapest ops in the pipeline and
+  * should be fused into the first pass over the corpus (Catalyst collapses
+  * adjacent projections automatically).
+  */
+object TextAnalysis {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality features + a binary keep flag. Token arithmetic
+    * is exact-integer (single-space corpus contract) so the oracle matches
+    * bit-for-bit.
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
+    docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("n_unique_tokens", size(array_distinct(col("_toks"))).cast("long"))
+      .withColumn("n_stopwords",
+        size(expr(s"filter(_toks, t -> array_contains($stopArr, t))")).cast("long"))
+      .withColumn("avg_token_len",
+        round((length(col(textCol)) - col("n_tokens") + 1) * lit(1.0) / col("n_tokens"), 6))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords") * lit(1.0) / col("n_tokens"), 6))
+      .withColumn("is_quality",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("n_stopwords") * lit(1.0) / col("n_tokens") < 0.5).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("n_unique_tokens"),
+        col("n_stopwords"), col("avg_token_len"), col("stopword_ratio"),
+        col("is_quality"))
+  }
+
+  /** Corpus token statistics rolled up by a grouping column, including a
+    * BPE-ish subword count (greedy `[a-z]{1,4}` chunking — a stand-in with
+    * the same plan shape as a real subword tokenizer).
+    */
+  def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_sub", expr(s"regexp_extract_all($textCol, '[a-z]{1,4}', 0)"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("_toks"))).as("n_tokens"),
+        sum(size(col("_sub"))).as("n_subtokens"))
+
+  /** Distinct terms per group needs the explode (array set-union is not a
+    * partial aggregate over arrays) — separated so callers can skip it.
+    */
+  def distinctTermStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("term")).as("n_distinct_terms"))
+
+  /** Document fingerprints: full-content md5 plus an order-sensitive
+    * polynomial rolling hash over per-token hashes (exact integer
+    * arithmetic — engine-portable).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("fp_md5"),
+      rollingHash(expr(
+        s"transform(split($textCol, ' '), " +
+          "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as long))"))
+        .as("fp_roll"))
+}
