@@ -45,5 +45,10 @@ object SparkEntry {
   val benchNames: Seq[String] = Seq(
     "q1_agg", "q3_join_topk", "q5_broadcast_join", "flagship_tfidf",
     "window_topk_per_group", "asof_join_events_orders", "sessionize_events",
-    "f1_countvec_vocab", "f5_tfidf_transform")
+    "f1_countvec_vocab", "f5_tfidf_transform",
+    "n1_multinomial_nb_fit", "n3_nb_predict_lang", "c1_kmeans_assign",
+    "dedup_minhash_candidates", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_simhash", "sim_topk_bruteforce", "sim_lsh_topk",
+    "text_quality", "text_fingerprint", "multimodal_decode_meta",
+    "window_tumbling_events")
 }

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.mlops.{ClusterOps, LinearOps, NaiveBayesOps}
+import graft.mlops.{ClusterOps, Composition, LinearOps, NaiveBayesOps}
 import org.apache.spark.sql.functions._
 
 /** Models-as-aggregations (SURVEY §2.4–2.6): Naive Bayes sufficient stats
@@ -104,6 +104,21 @@ object MLQueries extends QueryPack {
       ClusterOps.fitKMeans(Tables(s, dir).embeddings, "embedding", k = 10)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("prediction"))
+    }),
+
+    // P4: grid search / cross validation (reference SparkGridSearchCV,
+    // splearn/grid_search.py:~L10) — candidate metrics per grid point
+    // (rows-only: fold splits are seeded but optimizer paths are not
+    // bit-stable across platforms).
+    "cv_grid_search" -> ((s, dir) => {
+      val regParams = Seq(0.0, 0.5)
+      val cv = Composition.gridSearchLogistic(
+        Tables(s, dir).embeddings, "embedding", "label", regParams)
+      val rows = regParams.zip(cv.avgMetrics).zipWithIndex
+        .map { case ((rp, m), i) => (i, rp, BigDecimal(m).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      import s.implicits._
+      rows.toDF("grid_idx", "reg_param", "avg_accuracy")
     }),
 
     // Multi-feature linear regression via ml L-BFGS (rows-only).

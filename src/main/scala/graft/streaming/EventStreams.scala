@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over `events`-shaped frames (SURVEY
+  * §2.8 streaming; the reference's never-cabled `partial_fit` hook,
+  * `splearn/linear_model/stochastic_gradient.py:~L10`, becomes real
+  * incremental pipelines here).
+  *
+  * Each transform takes a STREAMING DataFrame (`spark.readStream...`) and
+  * returns a streaming result; the same code paths also accept batch
+  * frames (Structured Streaming's unified semantics), which is how the
+  * batch twins in [[graft.packs.RelationalQueries]] stay oracle-checkable
+  * while these run under watermarks in production.
+  *
+  * State design for scale: all operators below use Spark's built-in state
+  * stores (windowed agg, session_window, dropDuplicatesWithinWatermark) —
+  * bounded by the watermark horizon, partitioned by key, spill-safe. No
+  * custom mapGroupsWithState is needed for this surface, which keeps
+  * state-store compatibility across Spark upgrades.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with late-data handling. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user (gap-based), streaming twin of
+    * [[graft.operators.Relational.sessionize]].
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup bounded by the watermark (the streaming leg of
+    * the dedup suite): duplicates of (user_id, event_type, value) arriving
+    * within the horizon are dropped, state self-expires.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
+  /** Incremental multinomial NB sufficient stats: per micro-batch term
+    * counts merged into a running (class, term) count table via
+    * `foreachBatch` — the streaming model-update loop (counts are
+    * associative/commutative, so merge order never matters).
+    * Returns the merge function for callers to wire into
+    * `writeStream.foreachBatch`.
+    */
+  def nbCountsMerger(store: NbCountStore): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val counts = batch
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").count()
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      store.merge(counts)
+    }
+}
+
+/** Driver-side running count table for the incremental NB demo. In
+  * production this would be a keyed state store or an external table; the
+  * merge contract (associative + commutative addition) is what the unit
+  * tests pin down.
+  */
+final class NbCountStore {
+  private val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+  def merge(batch: Iterable[((String, String), Long)]): Unit = synchronized {
+    batch.foreach { case (k, v) => counts.update(k, counts.getOrElse(k, 0L) + v) }
+  }
+  def get(lang: String, term: String): Long = synchronized {
+    counts.getOrElse((lang, term), 0L)
+  }
+  def snapshot: Map[(String, String), Long] = synchronized { counts.toMap }
+}

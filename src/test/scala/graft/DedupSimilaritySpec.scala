@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "a b c d e f"),
+    (1L, "a b c d e f"),          // exact dup of 0
+    (2L, "a b c d e g"),          // near dup
+    (3L, "x y z w q r")           // unrelated
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word trigrams, short docs dropped") {
+    val sh = Dedup.shingles(Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = sh.as[(Long, String)].collect().toSet
+    assert(got === Set((0L, "a b c"), (0L, "b c d")))
+  }
+
+  test("exactStats counts duplicate texts once") {
+    val r = Dedup.exactStats(docs, "text").head
+    assert(r.getLong(0) === 4 && r.getLong(1) === 3)
+  }
+
+  test("dropExactDuplicates keeps the min-id survivor") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 2L, 3L))
+  }
+
+  test("minhash: identical docs share all signatures; banding finds them") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+    val sigs = sig.select("doc_id", "h", "minhash")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(sigs(0L) === sigs(1L))
+    val cand = Dedup.minhashBandCandidates(sig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)))
+    assert(!cand.contains((0L, 3L)) && !cand.contains((1L, 3L)))
+  }
+
+  test("simhash: equal docs equal, unrelated docs differ") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val hashes = Dedup.simhash(sh, "doc_id").as[(Long, Long)].collect().toMap
+    assert(hashes(0L) === hashes(1L))
+    assert(hashes(0L) !== hashes(3L))
+  }
+
+  test("jaccard: dup pair = 1.0; candidate gating restricts pairs") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val all = Dedup.jaccardPairs(sh, "doc_id", threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(all((0L, 1L)) === 1.0)
+    assert(all((0L, 2L)) > 0 && all((0L, 2L)) < 1.0)
+    val gated = Dedup.jaccardPairs(sh, "doc_id", 0.0,
+      candidates = Some(Seq((0L, 2L)).toDF("id_a", "id_b")))
+      .as[(Long, Long, Double)].collect()
+    assert(gated.length === 1 && gated.head._1 === 0L && gated.head._2 === 2L)
+  }
+
+  test("embeddingNearDup finds identical vectors with cos=1") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((0L, 1L, 1.0)))
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect()
+    assert(top.toSeq === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("sign-LSH buckets are consistent between build and query sides") {
+    val emb = Seq(
+      (0L, Seq(1.0f, -1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Seq(0.5f, -0.2f, 0.1f, 0.3f, 0.2f, 0.9f, 0.7f, 0.4f)), // same signs as 0
+      (2L, Seq(-1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = Similarity.signBuckets(emb, "vec_id", "embedding")
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(buckets(0L) === buckets(1L))
+    assert(buckets(0L) !== buckets(2L))
+    val top = Similarity.lshTopK(emb, emb.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L)) // only the same-bucket vector is reachable
+  }
+}

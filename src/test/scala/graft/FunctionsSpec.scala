@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.plans.GraftExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("md5Long matches known md5 prefix") {
+    // md5("hello") = 5d41402a... -> 0x5d41402a = 1564557354
+    val v = Seq("hello").toDF("s")
+      .select(md5Long(col("s"), 8).as("h")).head.getLong(0)
+    assert(v === 0x5d41402aL)
+  }
+
+  test("rollingHash folds left with first element as seed, mod 1e9+7") {
+    val v = Seq(Seq(5L, 7L, 11L)).toDF("a")
+      .select(rollingHash(col("a")).as("h")).head.getLong(0)
+    // ((5*31+7)%p)*31+11 = 162*31+11 = 5033
+    assert(v === 5033L)
+    val empty = Seq(Seq.empty[Long]).toDF("a")
+      .select(rollingHash(col("a")).as("h")).head
+    assert(empty.isNullAt(0))
+  }
+
+  test("dot/cosine/sqDist basic algebra") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")).as("d"),
+      sqDist(col("a"), col("b")).as("s"),
+      cosine(col("a"), col("a")).as("self")).head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 8.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("native DotProduct expression equals HOF dot, interpreted and codegen") {
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1.5, -2.0, 0.5), Seq(2.0, 1.0, -4.0))).toDF("a", "b")
+    val r = df.select(
+      GraftExpressions.dot(col("a"), col("b")).as("native"),
+      dot(col("a"), col("b")).as("hof")).head
+    assert(r.getDouble(0) === r.getDouble(1))
+    assert(r.getDouble(0) === (3.0 - 2.0 - 2.0))
+  }
+
+  test("unitize produces unit-norm vectors") {
+    val n = Seq(Seq(3.0f, 4.0f)).toDF("a")
+      .select(l2Norm(unitize(col("a"))).as("n")).head.getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+}

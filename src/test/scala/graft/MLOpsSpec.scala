@@ -1,0 +1,83 @@
+package graft
+
+import graft.mlops.{ClusterOps, LinearOps, NaiveBayesOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MLOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multinomial NB fit: smoothed log-probs match hand computation") {
+    val toks = Seq(("pos", "good"), ("pos", "good"), ("pos", "bad"),
+      ("neg", "bad")).toDF("cls", "term")
+    val lp = NaiveBayesOps.multinomialFit(toks, "cls", "term")
+      .select("cls", "term", "log_prob")
+      .as[(String, String, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    // vocab=2; pos: good cnt=2 total=3 -> ln(3/5); neg: good cnt=0 total=1 -> ln(1/3)
+    assert(math.abs(lp(("pos", "good")) - math.log(3.0 / 5.0)) < 1e-5)
+    assert(math.abs(lp(("neg", "good")) - math.log(1.0 / 3.0)) < 1e-5)
+  }
+
+  test("multinomial NB predict recovers an obvious class") {
+    val docs = Seq((1L, "spark spark spark", "tech"), (2L, "cat cat cat", "pets"),
+      (3L, "spark spark cat", "tech"), (4L, "cat dog dog", "pets"))
+      .toDF("doc_id", "text", "cls")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val pred = NaiveBayesOps.multinomialPredict(toks, "doc_id", "term",
+      docs.select("doc_id", "cls"), "cls")
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) === "tech" && pred(2L) === "pets")
+  }
+
+  test("gaussianFit: per-class moments") {
+    val lf = Seq((0, 1, 1.0), (0, 1, 3.0), (1, 1, 10.0))
+      .toDF("label", "dim", "v")
+    val fit = NaiveBayesOps.gaussianFit(lf, "label")
+      .orderBy("label").as[(Int, Int, Double, Double, Long)].collect()
+    assert(fit(0) === ((0, 1, 2.0, 1.0, 2L))) // mean 2, var_pop 1
+    assert(fit(1)._3 === 10.0 && fit(1)._4 === 0.0)
+  }
+
+  test("olsFit recovers a noiseless line") {
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val fit = LinearOps.olsFit(df, "x", "y").as[(Double, Double)].head()
+    assert(math.abs(fit._1 - 3.0) < 1e-9 && math.abs(fit._2 - 7.0) < 1e-9)
+  }
+
+  test("assignToCenters picks the nearest center") {
+    val pts = Seq((1L, 1, 0.0), (1L, 2, 0.0), (2L, 1, 10.0), (2L, 2, 10.0))
+      .toDF("id", "dim", "v")
+    val ctr = Seq((0, 1, 1.0), (0, 2, 1.0), (9, 1, 9.0), (9, 2, 9.0))
+      .toDF("center", "dim", "c")
+    val got = ClusterOps.assignToCenters(pts, ctr, "id", "center")
+      .select("id", "center").as[(Long, Int)].collect().toMap
+    assert(got(1L) === 0 && got(2L) === 9)
+  }
+
+  test("svdProject: projection energy is ordered by component") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = ClusterOps.svdProject(emb, "vec_id", "embedding", k = 3)
+    val norms = proj.select(
+      sqrt(sum(pow(element_at(col("proj"), 1), 2))).as("n1"),
+      sqrt(sum(pow(element_at(col("proj"), 2), 2))).as("n2"),
+      sqrt(sum(pow(element_at(col("proj"), 3), 2))).as("n3")).head
+    // column norms of X·V_k are the singular values: descending
+    assert(norms.getDouble(0) >= norms.getDouble(1))
+    assert(norms.getDouble(1) >= norms.getDouble(2))
+    assert(proj.count() === emb.count())
+  }
+
+  test("gramian is symmetric-diagonal consistent (upper triangle)") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val g = ClusterOps.gramian(emb, "vec_id", "embedding", 2)
+      .as[(Int, Int, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(g((1, 1)) === 10.0) // 1+9
+    assert(g((1, 2)) === 14.0) // 2+12
+    assert(g((2, 2)) === 20.0) // 4+16
+  }
+}

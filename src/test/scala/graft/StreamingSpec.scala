@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{EventStreams, NbCountStore}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  /** Write a small frame as parquet and re-read it as a file stream —
+    * exercises the real streaming source path, not test doubles.
+    */
+  private def streamOf(df: org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+
+  private def runToTable(stream: org.apache.spark.sql.DataFrame,
+                         name: String, mode: String = "append") = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 00:05:00"), "click", 1.0),
+    (2L, ts("2024-01-01 00:25:00"), "click", 2.0),
+    (3L, ts("2024-01-01 01:10:00"), "view", 3.0),
+    (4L, ts("2024-01-01 01:20:00"), "click", 4.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  test("tumbling window aggregation over a file stream") {
+    // complete mode: a single AvailableNow batch never advances the
+    // watermark past the last window, so append would emit nothing
+    val out = runToTable(EventStreams.tumblingCounts(streamOf(events)),
+      "t_tumbling", mode = "complete")
+    val got = out.select("window_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got === Set(
+      (ts("2024-01-01 00:00:00"), "click", 2L),
+      (ts("2024-01-01 01:00:00"), "view", 1L),
+      (ts("2024-01-01 01:00:00"), "click", 1L)))
+  }
+
+  test("session windows group events within the gap") {
+    val df = Seq(
+      (7L, ts("2024-01-01 00:00:00"), "click", 1.0),
+      (7L, ts("2024-01-01 00:10:00"), "click", 1.0),
+      (7L, ts("2024-01-01 03:00:00"), "click", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = runToTable(EventStreams.sessionCounts(streamOf(df)), "t_session",
+      mode = "complete")
+    val sessions = out.select("n_events").as[Long].collect().sorted
+    assert(sessions.toSeq === Seq(1L, 2L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon dups") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click", 5.0),
+      (1L, ts("2024-01-01 00:01:00"), "click", 5.0), // dup within horizon
+      (1L, ts("2024-01-01 00:02:00"), "view", 5.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = runToTable(EventStreams.dedupWithinWatermark(streamOf(df)), "t_dedup")
+    assert(out.count() === 2)
+  }
+
+  test("incremental NB counts via foreachBatch accumulate across batches") {
+    val store = new NbCountStore
+    val docs = Seq(("en", "hello world"), ("fr", "bonjour monde"),
+      ("en", "hello again")).toDF("lang", "text")
+    val q = streamOf(docs).writeStream
+      .foreachBatch(EventStreams.nbCountsMerger(store))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(store.get("en", "hello") === 2L)
+    assert(store.get("fr", "monde") === 1L)
+  }
+
+  test("NbCountStore merge is order-insensitive (associative+commutative)") {
+    val gen = Gen.listOfN(20,
+      for {
+        k <- Gen.oneOf("a", "b", "c"); t <- Gen.oneOf("x", "y")
+        v <- Gen.choose(1L, 5L)
+      } yield ((k, t), v))
+    val prop = Prop.forAll(gen) { entries =>
+      val s1 = new NbCountStore; val s2 = new NbCountStore
+      entries.foreach(e => s1.merge(Seq(e)))           // one at a time
+      scala.util.Random.shuffle(entries).grouped(7)    // shuffled batches
+        .foreach(s2.merge(_))
+      s1.snapshot == s2.snapshot
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop).passed)
+  }
+}
