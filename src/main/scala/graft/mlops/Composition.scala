@@ -23,6 +23,15 @@ object Composition {
   def pipeline(stages: PipelineStage*): Pipeline =
     new Pipeline().setStages(stages.toArray)
 
+  /** P2 FeatureUnion (`splearn/pipeline.py:~L150`): run transformers over
+    * the same input and horizontally stack outputs — `VectorAssembler` is
+    * the exact Spark equivalent of the reference's per-block `hstack`.
+    */
+  def featureUnion(inputCols: Seq[String], outputCol: String = "features")
+      : org.apache.spark.ml.feature.VectorAssembler =
+    new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(inputCols.toArray).setOutputCol(outputCol)
+
   def fitPipeline(df: DataFrame, stages: PipelineStage*): PipelineModel =
     pipeline(stages: _*).fit(df)
 

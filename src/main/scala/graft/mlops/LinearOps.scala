@@ -42,6 +42,34 @@ object LinearOps {
       .withColumn("prediction",
         round(col("intercept") + col("slope") * col(xCol), 4))
 
+  /** Reference-faithful L1 semantics (`SparkLinearModelMixin.__add__`,
+    * `splearn/linear_model/base.py:~L10-80`): fit one model per block,
+    * average the parameters. Expressed relationally — per-block closed-form
+    * OLS from block-local moments, then an unweighted average across
+    * blocks — so the one-shot approximation the reference shipped is
+    * itself oracle-checkable. `blockIdCol` rows must already carry a
+    * block id (see [[graft.operators.Blocking]]).
+    *
+    * Kept alongside [[olsFit]] deliberately: the global fit is strictly
+    * stronger; this documents (and tests) exactly what the reference's
+    * averaging computes, including its bias on heterogeneous blocks.
+    */
+  def blockAveragedOlsFit(df: DataFrame, blockIdCol: String,
+                          xCol: String, yCol: String): DataFrame =
+    df.groupBy(col(blockIdCol))
+      .agg(
+        covar_pop(col(xCol), col(yCol)).as("_cxy"),
+        var_pop(col(xCol)).as("_vx"),
+        avg(col(xCol)).as("_mx"),
+        avg(col(yCol)).as("_my"))
+      .select(
+        (col("_cxy") / col("_vx")).as("_slope"),
+        (col("_my") - col("_cxy") / col("_vx") * col("_mx")).as("_icept"))
+      .agg(
+        round(avg(col("_slope")), 6).as("slope_avg"),
+        round(avg(col("_icept")), 6).as("intercept_avg"),
+        count(lit(1)).as("n_blocks"))
+
   /** spark.ml logistic regression over an Array[Float] embedding column. */
   def fitLogistic(df: DataFrame, featuresArr: String, labelCol: String,
                   maxIter: Int = 20): DataFrame = {

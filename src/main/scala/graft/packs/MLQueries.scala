@@ -51,6 +51,18 @@ object MLQueries extends QueryPack {
       LinearOps.olsFit(Tables(s, dir).lineitem, "l_quantity", "l_extendedprice")
     }),
 
+    // L1: the reference's parameter-averaged fit (one model per block,
+    // coefficients averaged) — expressed relationally and oracle-checked.
+    "l1_block_averaged_ols" -> ((s, dir) => {
+      val blocked = graft.operators.Blocking.withBlockId(
+        Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        bsize = 10000,
+        orderCols = Seq(col("l_orderkey"), col("l_linenumber")))
+      LinearOps.blockAveragedOlsFit(blocked, "block_id",
+        "l_quantity", "l_extendedprice")
+    }),
+
     // L2: broadcast-model predict.
     "l2_ols_predict" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -194,6 +206,24 @@ object MLQueries extends QueryPack {
         |WHERE dim <= 4
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+
+    "l1_block_averaged_ols" ->
+      """WITH blocked AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+        |         / 10000.0) AS BIGINT) AS block_id
+        |  FROM lineitem),
+        |per_block AS (
+        |  SELECT block_id,
+        |    covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,
+        |    avg(l_extendedprice) -
+        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity)
+        |      AS icept
+        |  FROM blocked GROUP BY block_id)
+        |SELECT round(avg(slope), 6) AS slope_avg,
+        |  round(avg(icept), 6) AS intercept_avg,
+        |  count(*) AS n_blocks
+        |FROM per_block""".stripMargin,
 
     "l3_ols_fit" ->
       """SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,

@@ -98,6 +98,20 @@ object RelationalQueries extends QueryPack {
         count(lit(1)).as("n_orders"))
     }),
 
+    // HLL scale path: approx_count_distinct is THE 100 TB cardinality
+    // operator (fixed-size sketch vs. a shuffle of every distinct value).
+    // Sketches aren't bit-portable across engines, so the oracle pins the
+    // exact count plus the accuracy contract.
+    "hll_distinct_counts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("_n_approx"))
+        .select(col("n_exact"),
+          (abs(col("_n_approx") - col("n_exact")) / col("n_exact") <= 0.05)
+            .cast("int").as("hll_within_5pct"))
+    }),
+
     // Grouping sets: CUBE over documents (lang × source) — free in Spark,
     // absent in the reference (SURVEY §2.8 aggregations).
     "cube_docs" -> ((s, dir) => {
@@ -215,6 +229,10 @@ object RelationalQueries extends QueryPack {
         |  count(DISTINCT o_orderstatus) AS n_statuses,
         |  count(DISTINCT o_orderpriority) AS n_priorities,
         |  count(*) AS n_orders
+        |FROM orders""".stripMargin,
+
+    "hll_distinct_counts" ->
+      """SELECT count(DISTINCT o_custkey) AS n_exact, 1 AS hll_within_5pct
         |FROM orders""".stripMargin,
 
     "cube_docs" ->

@@ -29,6 +29,38 @@ class ContractSpec extends AnyFunSuite {
     assert(f.n_bytes === 5L && f.width === 69 && f.height === 99 && f.n_frames === 6)
   }
 
+  test("validation gate fails fast with precise messages (D12)") {
+    import graft.core.Validation
+    val df = Seq((1, "a")).toDF("id", "s")
+    assert(Validation.requireColumns(df, "id", "s") eq df)
+    val e = intercept[IllegalArgumentException](
+      Validation.requireColumns(df, "id", "nope"))
+    assert(e.getMessage.contains("nope"))
+    intercept[IllegalArgumentException](
+      Validation.requireColumn(df, "id",
+        org.apache.spark.sql.types.StringType))
+  }
+
+  test("block-averaged OLS equals global OLS on a noiseless line (L1)") {
+    import graft.operators.Blocking
+    import graft.mlops.LinearOps
+    val df = (1 to 100).map(i => (i, i.toDouble, 3.0 * i + 7.0))
+      .toDF("k", "x", "y")
+    val blocked = Blocking.withBlockId(df, bsize = 25, Seq(col("k")))
+    val fit = LinearOps.blockAveragedOlsFit(blocked, "block_id", "x", "y")
+      .as[(Double, Double, Long)].head()
+    assert(math.abs(fit._1 - 3.0) < 1e-6 && math.abs(fit._2 - 7.0) < 1e-6)
+    assert(fit._3 === 4L)
+  }
+
+  test("featureUnion stacks columns into one vector (P2)") {
+    val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val out = Composition.featureUnion(Seq("a", "b", "c")).transform(df)
+    val v = out.select("features").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.toArray.toSeq === Seq(1.0, 2.0, 3.0))
+  }
+
   test("composition: pipeline + grid search pick a fitted model") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("label") < 3).limit(120)
