@@ -3,6 +3,7 @@ package graft.packs
 import graft.QueryPack
 import graft.core.Tables
 import graft.operators.{Blocking, Relational}
+import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
 /** Core dataflow parity (SURVEY §2.1, D1–D12): the reference's
@@ -94,6 +95,27 @@ object DataflowQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Sources/sinks roundtrip: CSV + JSON + Hive-partitioned parquet out
+    // and back, with a partition-pruned read (SURVEY §2.8 scans). Counts
+    // pin losslessness; the oracle reads the canonical tables.
+    "io_roundtrip_formats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io"
+      Sources.writeCsv(t.nation, s"$base/nation_csv")
+      Sources.writeJson(t.nation, s"$base/nation_json")
+      Sources.writePartitioned(t.documents, s"$base/docs_part", Seq("lang"))
+      t.nation.agg(count(lit(1)).as("n_src"))
+        .crossJoin(Sources.readCsv(s, s"$base/nation_csv")
+          .agg(count(lit(1)).as("n_csv")))
+        .crossJoin(Sources.readJson(s, s"$base/nation_json")
+          .agg(count(lit(1)).as("n_json")))
+        .crossJoin(Sources.readParquet(s, s"$base/docs_part")
+          .agg(count(lit(1)).as("n_part")))
+        .crossJoin(Sources.readParquet(s, s"$base/docs_part")
+          .where(col("lang") === "en")   // directory-level partition pruning
+          .agg(count(lit(1)).as("n_part_en")))
+    }),
+
     // D10: DictRDD positional zip of two sources (deterministic row_number
     // ids, not monotonically_increasing_id — SURVEY §7 hard-part 2).
     "d10_zip_columns" -> ((s, dir) => {
@@ -153,6 +175,13 @@ object DataflowQueries extends QueryPack {
         |  round(ln(value + 1.0), 6) AS log_value,
         |  upper(event_type) AS event_type_uc
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "io_roundtrip_formats" ->
+      """SELECT (SELECT count(*) FROM nation) AS n_src,
+        |  (SELECT count(*) FROM nation) AS n_csv,
+        |  (SELECT count(*) FROM nation) AS n_json,
+        |  (SELECT count(*) FROM documents) AS n_part,
+        |  (SELECT count(*) FROM documents WHERE lang = 'en') AS n_part_en""".stripMargin,
 
     "d10_zip_columns" ->
       """WITH a AS (SELECT doc_id, lang,

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.Relational
+import graft.operators.{Relational, Skew}
 import org.apache.spark.sql.functions._
 
 /** The relational spine (SURVEY §2.8): scan → filter → join → aggregate →
@@ -96,6 +96,23 @@ object RelationalQueries extends QueryPack {
         countDistinct(col("o_orderstatus")).as("n_statuses"),
         countDistinct(col("o_orderpriority")).as("n_priorities"),
         count(lit(1)).as("n_orders"))
+    }),
+
+    // Salted two-phase aggregation: the hot-key fan-in mitigation. The
+    // oracle is the PLAIN aggregate — pinning that salting is a pure
+    // execution-strategy change (associative/commutative merge).
+    "skew_salted_agg" -> ((s, dir) => {
+      Skew.saltedAggregate(
+        Tables(s, dir).lineitem,
+        keyCols = Seq("l_returnflag"),
+        saltBuckets = 8,
+        partials = Seq(
+          "p_sum" -> sum(col("l_quantity")),
+          "p_cnt" -> count(lit(1))),
+        finals = Seq(
+          "sum_qty" -> round(sum(col("p_sum")), 2),
+          "n_rows" -> sum(col("p_cnt"))))
+        .orderBy(col("l_returnflag"))
     }),
 
     // HLL scale path: approx_count_distinct is THE 100 TB cardinality
@@ -234,6 +251,13 @@ object RelationalQueries extends QueryPack {
     "hll_distinct_counts" ->
       """SELECT count(DISTINCT o_custkey) AS n_exact, 1 AS hll_within_5pct
         |FROM orders""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "cube_docs" ->
       """SELECT coalesce(lang, '*') AS lang_g, coalesce(source, '*') AS source_g,

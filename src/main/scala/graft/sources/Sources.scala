@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sources & sinks (SURVEY §2.8 scans): the reference only ever read via
+  * `sc.parallelize`/`sc.textFile` + `block()`; the engine exposes the full
+  * DataSource V2 surface. These wrappers pin the engine's defaults, the
+  * scale-relevant ones being:
+  *
+  *  - parquet everywhere by default (vectorized, pushdown, column-pruned);
+  *  - partitioned writes (`writePartitioned`) so downstream reads prune
+  *    whole directories (partition pruning precedes even rowgroup skips);
+  *  - bucketed tables (`writeBucketed`) so repeated co-keyed joins/aggs
+  *    skip their Exchange entirely — the cheapest shuffle is the one
+  *    written once at ingest.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true")
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned layout: one directory per partition value. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed table: co-locates rows by key at write time so a
+    * later equi-join/agg on `bucketCols` needs no Exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

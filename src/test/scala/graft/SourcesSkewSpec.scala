@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Skew
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned write prunes directories on read") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    val df = Seq(("en", 1), ("en", 2), ("fr", 3)).toDF("lang", "v")
+    Sources.writePartitioned(df, dir, Seq("lang"))
+    val pruned = Sources.readParquet(spark, dir).where(col("lang") === "en")
+    assert(pruned.count() === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("lang"), s"expected partition filter in plan:\n$plan")
+  }
+
+  test("bucketed tables join without an exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      Sources.writeBucketed(a, "graft_bkt_a", Seq("k"), numBuckets = 4)
+      Sources.writeBucketed(b, "graft_bkt_b", Seq("k"), numBuckets = 4)
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      assert(joined.count() === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  test("salted aggregation equals the plain aggregate") {
+    val df = Seq.tabulate(500)(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val salted = Skew.saltedAggregate(df, Seq("key"), 8,
+      partials = Seq("p_s" -> sum(col("v")), "p_n" -> count(lit(1))),
+      finals = Seq("s" -> sum(col("p_s")), "n" -> sum(col("p_n"))))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(salted === plain)
+  }
+
+  test("salted join equals the plain join") {
+    val left = Seq.tabulate(200)(i => (i % 5, i)).toDF("k", "lv")
+    val right = Seq.tabulate(5)(i => (i, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .as[(Int, Int, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k", saltBuckets = 4)
+      .select("k", "lv", "rv").as[(Int, Int, String)].collect().sorted.toSeq
+    assert(salted === plain)
+  }
+}
