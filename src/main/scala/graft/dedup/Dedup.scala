@@ -106,6 +106,22 @@ object Dedup {
       .agg(sum(col("bitval")).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: hamming distance via `bit_count(xor)`
+    * — integer ops on the compact signatures, never on the documents. The
+    * signature join is the quadratic stage; at scale, block it by a
+    * signature prefix (same banding idea as minhash) before pairing.
+    */
+  def simhashPairs(simhashes: DataFrame, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    val a = simhashes.select(col(idCol).as("id_a"), col("simhash").as("_ha"))
+    val b = simhashes.select(col(idCol).as("id_b"), col("simhash").as("_hb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("_ha").bitwiseXOR(col("_hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** n-gram Jaccard similarity. With `candidates` given, computes only
     * those pairs (the 100 TB path, fed from [[minhashBandCandidates]]);
     * without, all pairs sharing >= 1 shingle (small-scale verification).

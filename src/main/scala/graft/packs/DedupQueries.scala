@@ -57,6 +57,13 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup pairs: hamming <= 3 over the 16-bit signatures.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sh = Dedup.simhash(docShingles(s, dir), "doc_id")
+      Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Full n-gram Jaccard above threshold (small-scale verification of the
     // banded path; at scale candidates gate this).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -134,6 +141,25 @@ object DedupQueries extends QueryPack {
          |    AS simhash
          |FROM tally GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $shingleCte,
+         |bits AS (
+         |  SELECT doc_id, g.j AS j,
+         |    CASE WHEN CAST(floor((('0x' || substr(md5(shingle), 1, 4))::BIGINT) / pow(2, g.j)) AS BIGINT) % 2 = 1
+         |      THEN 1 ELSE -1 END AS vote
+         |  FROM sh, generate_series(0, 15) g(j)),
+         |tally AS (SELECT doc_id, j, sum(vote) AS t FROM bits GROUP BY doc_id, j),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN t > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS simhash
+         |  FROM tally GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,

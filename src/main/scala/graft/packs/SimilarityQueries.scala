@@ -32,6 +32,20 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // spark.ml BucketedRandomProjectionLSH approx similarity join
+    // (seeded; rows-only — random hyperplanes aren't SQL-mirrorable).
+    "sim_ml_lsh_join" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val (transformed, model) =
+        Similarity.fitMlLsh(emb, "vec_id", "embedding")
+      model.approxSimilarityJoin(transformed, transformed, 1.0, "dist")
+        .where(col("datasetA.vec_id") < col("datasetB.vec_id"))
+        .select(col("datasetA.vec_id").as("id_a"),
+          col("datasetB.vec_id").as("id_b"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ANN top-3 within the query's bucket — the linear-cost search path.
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings

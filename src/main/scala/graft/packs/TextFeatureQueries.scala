@@ -152,6 +152,19 @@ object TextFeatureQueries extends QueryPack {
         .orderBy(col("user_id"), col("feature_idx"))
     }),
 
+    // F6b: DictVectorizer over a true MAP column — `props` JSON parsed to
+    // map<string,double>, features = exploded map entries (the reference's
+    // dict-of-number rows, splearn/feature_extraction/dict_vectorizer.py).
+    "dict_map_features" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"),
+          explode(from_json(col("props"), lit("map<string,double>")))
+            .as(Seq("feature", "fval")))
+        .groupBy(col("feature"))
+        .agg(count(lit(1)).as("n"), round(sum(col("fval")), 2).as("sum_val"))
+        .orderBy(col("feature"))
+    }),
+
     // ml-pipeline variant (rows-only check): murmur3 HashingTF + ml IDF.
     "ml_tfidf_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -231,6 +244,15 @@ object TextFeatureQueries extends QueryPack {
         |  round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS tfidf_l2
         |FROM wgt
         |ORDER BY doc_id, term""".stripMargin,
+
+    "dict_map_features" ->
+      """SELECT feature, count(*) AS n, round(sum(v), 2) AS sum_val FROM (
+        |  SELECT unnest(json_keys(props::JSON)) AS feature,
+        |    CAST(json_extract_string(props, '$.' ||
+        |           unnest(json_keys(props::JSON))) AS DOUBLE) AS v
+        |  FROM events) t
+        |GROUP BY feature
+        |ORDER BY feature""".stripMargin,
 
     "f6_dict_features" ->
       """SELECT CAST(row_number() OVER (ORDER BY feature) - 1 AS BIGINT) AS feature_idx,

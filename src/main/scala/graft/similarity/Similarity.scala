@@ -42,6 +42,23 @@ object Similarity {
         round(col("_cos"), 4).as("cos"))
   }
 
+  /** spark.ml BucketedRandomProjectionLSH wrapper — the library's
+    * general-purpose (seeded random hyperplane) LSH for euclidean ANN;
+    * `approxSimilarityJoin` / `approxNearestNeighbors` come with it. The
+    * sign-LSH below remains the oracle-checkable deterministic variant.
+    */
+  def fitMlLsh(emb: DataFrame, idCol: String, arrCol: String,
+               bucketLength: Double = 1.0, numTables: Int = 3,
+               seed: Long = 42L): (DataFrame, org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel) = {
+    val prepared = emb.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col(arrCol).cast("array<double>")))
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .fit(prepared)
+    (model.transform(prepared), model)
+  }
+
   /** Sign-LSH bucket id from the first `nBits` dimensions: bit j set iff
     * dim j+1 > 0. Exact float comparison — deterministic across engines.
     */
