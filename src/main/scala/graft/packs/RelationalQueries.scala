@@ -30,16 +30,21 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Q3-shaped 3-way join + top-k. customer/orders join is shuffle; at
-    // 100 TB AQE picks broadcast for the pruned customer side.
+    // Q3-shaped 3-way join + top-k. Revenue is pre-aggregated by orderkey
+    // BEFORE joining (the largest table shrinks from |lineitem| to
+    // |orders| rows entering the join — the single biggest shuffle saver
+    // at scale); mktsegment is functionally dependent on the order, so
+    // the result is identical to grouping after the join.
     "q3_join_topk" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.customer
-        .join(t.orders, col("c_custkey") === col("o_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+      val revenue = t.lineitem
+        .groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
+      revenue
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),

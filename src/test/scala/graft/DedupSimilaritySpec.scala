@@ -47,6 +47,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!cand.contains((0L, 3L)) && !cand.contains((1L, 3L)))
   }
 
+  test("one-pass MinHashAgg matches a local reference computation") {
+    import graft.dedup.MinHashAgg
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFast(sh, "doc_id", numHashes = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    // local oracle: same md5-prefix base hash + splitmix chain over the
+    // collected shingle set
+    val localShingles = sh.as[(Long, String)].collect().groupBy(_._1)
+    def md5Long8(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    localShingles.foreach { case (id, rows) =>
+      val expected = Array.fill(4)(Long.MaxValue)
+      rows.map(_._2).foreach { s =>
+        var h = md5Long8(s)
+        (0 until 4).foreach { i =>
+          if (h < expected(i)) expected(i) = h
+          h = MinHashAgg.mix(h)
+        }
+      }
+      assert(sigs(id).toSeq === expected.toSeq, s"doc $id")
+    }
+    assert(sigs(0L) === sigs(1L)) // identical docs, identical signatures
+  }
+
   test("simhash: equal docs equal, unrelated docs differ") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val hashes = Dedup.simhash(sh, "doc_id").as[(Long, Long)].collect().toMap
