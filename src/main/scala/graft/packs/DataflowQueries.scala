@@ -23,7 +23,9 @@ object DataflowQueries extends QueryPack {
         .withBlockId(
           t.lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
           bsize = 1000,
-          orderCols = Seq(col("l_orderkey"), col("l_linenumber")))
+          // (l_orderkey, l_linenumber) is NOT unique — sort on the full
+          // row so engines agree wherever ties fall on a block boundary
+          orderCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
         .groupBy(col("block_id"))
         .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("block_id"))
@@ -44,7 +46,8 @@ object DataflowQueries extends QueryPack {
       t.lineitem
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
         .limit(1)
     }),
 
@@ -55,7 +58,7 @@ object DataflowQueries extends QueryPack {
         .withBlockId(
           t.lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
           bsize = 1000,
-          orderCols = Seq(col("l_orderkey"), col("l_linenumber")))
+          orderCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
         .where(col("row_pos").between(101, 110))
         .select(col("row_pos").as("pos"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"))
@@ -133,7 +136,7 @@ object DataflowQueries extends QueryPack {
     "d1_block" ->
       """WITH t AS (
         |  SELECT l_quantity,
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
         |  FROM lineitem)
         |SELECT CAST(floor((rn - 1) / 1000.0) AS BIGINT) AS block_id,
         |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
@@ -147,12 +150,12 @@ object DataflowQueries extends QueryPack {
 
     "d4_first_row" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag LIMIT 1""".stripMargin,
 
     "d6_slice_rows" ->
-      """SELECT rn AS pos, l_orderkey, l_linenumber, l_quantity FROM (
+      """SELECT CAST(rn AS INT) AS pos, l_orderkey, l_linenumber, l_quantity FROM (
         |  SELECT l_orderkey, l_linenumber, l_quantity,
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
         |  FROM lineitem) t
         |WHERE rn BETWEEN 101 AND 110 ORDER BY pos""".stripMargin,
 
@@ -188,7 +191,7 @@ object DataflowQueries extends QueryPack {
         |    row_number() OVER (ORDER BY doc_id) AS pos FROM documents),
         |  b AS (SELECT vec_id, label,
         |    row_number() OVER (ORDER BY vec_id) AS pos FROM embeddings)
-        |SELECT a.pos AS pos, doc_id, lang, vec_id, label
+        |SELECT CAST(a.pos AS INT) AS pos, doc_id, lang, vec_id, label
         |FROM a JOIN b ON a.pos = b.pos ORDER BY pos""".stripMargin
   )
 }

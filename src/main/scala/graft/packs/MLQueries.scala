@@ -58,7 +58,8 @@ object MLQueries extends QueryPack {
         Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice")),
         bsize = 10000,
-        orderCols = Seq(col("l_orderkey"), col("l_linenumber")))
+        orderCols = Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")))
       LinearOps.blockAveragedOlsFit(blocked, "block_id",
         "l_quantity", "l_extendedprice")
     }),
@@ -210,7 +211,8 @@ object MLQueries extends QueryPack {
     "l1_block_averaged_ols" ->
       """WITH blocked AS (
         |  SELECT l_quantity, l_extendedprice,
-        |    CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+        |    CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+        |           l_quantity, l_extendedprice) - 1)
         |         / 10000.0) AS BIGINT) AS block_id
         |  FROM lineitem),
         |per_block AS (
@@ -234,9 +236,9 @@ object MLQueries extends QueryPack {
 
     "l2_ols_predict" ->
       """WITH fit AS (
-        |  SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,
-        |    avg(l_extendedprice) -
-        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity)
+        |  SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+        |    round(avg(l_extendedprice) -
+        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 6)
         |      AS intercept
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, l_quantity,

@@ -226,7 +226,7 @@ object RelationalQueries extends QueryPack {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "window_topk_per_group" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
