@@ -79,6 +79,41 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("o_orderpriority"), col("rnk"))
     }),
 
+    // Join-type breadth: semi (customers with orders), anti (without),
+    // outer (key union) — counted so the result is compact and exact.
+    "join_variants" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_custkey"))
+      val o = t.orders.select(col("o_custkey")).distinct()
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_semi"))
+      val anti = t.customer.select(col("c_custkey"))
+        .join(t.orders.select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_anti"))
+      val full = t.customer.select(col("c_custkey"))
+        .join(t.orders.select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_full"))
+      semi.crossJoin(anti).crossJoin(full)
+    }),
+
+    // Range join: per event, orders of the same customer within the
+    // 7 days ENDING at the event (equi key + time-range predicate). The
+    // scale plan is an equi-shuffle on the key with the range as a
+    // post-join filter; unbounded-range joins would need bucketized time.
+    "range_join_counts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events.select(col("event_id"), col("user_id"), col("ts"))
+        .join(t.orders.select(col("o_custkey"), col("o_orderdate")),
+          col("o_custkey") === col("user_id") &&
+            col("o_orderdate") <= col("ts") &&
+            col("o_orderdate") >= col("ts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_orders_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     // Set ops over nation keys: intersect + except (SURVEY §2.8 set ops).
     "setops_nations" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -233,6 +268,22 @@ object RelationalQueries extends QueryPack {
         |  FROM orders) t
         |WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "join_variants" ->
+      """WITH o AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)) AS n_semi,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o)) AS n_anti,
+        |  (SELECT count(*) FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey) AS n_full""".stripMargin,
+
+    "range_join_counts" ->
+      """SELECT e.event_id, count(*) AS n_orders_7d
+        |FROM events e
+        |JOIN orders o ON o.o_custkey = e.user_id
+        |  AND o.o_orderdate <= e.ts
+        |  AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "setops_nations" ->
       """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
