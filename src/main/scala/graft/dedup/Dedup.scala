@@ -128,6 +128,24 @@ object Dedup {
       .agg(sum(col("bitval")).as("simhash"))
   }
 
+  /** MinHash Jaccard estimation: est = fraction of hash functions whose
+    * minima agree — the estimator the signatures exist for (error
+    * O(1/√H)). Runs on signatures only: after the one linear signature
+    * pass, similarity of any pair costs O(H) integers, never a shingle
+    * set intersection.
+    */
+  def minhashEstimate(signatures: DataFrame, idCol: String,
+                      candidates: DataFrame, numHashes: Int): DataFrame = {
+    val a = signatures.select(col(idCol).as("id_a"), col("h"), col("minhash").as("_ma"))
+    val b = signatures.select(col(idCol).as("id_b"), col("h"), col("minhash").as("_mb"))
+    candidates
+      .join(a, "id_a")
+      .join(b, Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(when(col("_ma") === col("_mb"), 1).otherwise(0)) /
+        lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: hamming distance via `bit_count(xor)`
     * — integer ops on the compact signatures, never on the documents. The
     * signature join is the quadratic stage; at scale, block it by a

@@ -51,6 +51,21 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MinHash Jaccard ESTIMATE vs exact on the banded candidates — the
+    // estimator the signatures exist for, next to its ground truth.
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      val sh = docShingles(s, dir)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+      val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+      val est = Dedup.minhashEstimate(sig, "doc_id", cand, numHashes = 8)
+      val exact = Dedup.jaccardPairs(sh, "doc_id", threshold = 0.0,
+        candidates = Some(cand))
+      est.join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash 16-bit signatures (per-bit majority over shingle hashes).
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(docShingles(s, dir).where(col("doc_id") < 50), "doc_id")
@@ -126,6 +141,44 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sa ON sa.doc_id = t.id_a
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_estimate" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+         |  GROUP BY c.id_a, c.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM cand p
+         |  JOIN sh x ON x.doc_id = p.id_a
+         |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT e.id_a, e.id_b, round(e.est_jaccard, 4) AS est_jaccard,
+         |  round(t.i * 1.0 / (sa.n + sb.n - t.i), 4) AS jaccard
+         |FROM est e
+         |JOIN inter t ON t.id_a = e.id_a AND t.id_b = e.id_b
+         |JOIN sizes sa ON sa.doc_id = e.id_a
+         |JOIN sizes sb ON sb.doc_id = e.id_b
+         |ORDER BY 1, 2""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $shingleCte,

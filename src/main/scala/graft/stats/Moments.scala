@@ -43,4 +43,32 @@ object Moments {
       .withColumn(outCol, round((col(valueCol) - col("_mu")) / col("_sigma"), 6))
       .drop("_mu", "_sigma")
   }
+
+  /** spark.ml parity wrappers over a vector column assembled from numeric
+    * features — the estimator-API face of the two relational ops above
+    * (`ml.feature.VarianceThresholdSelector` / `ml.feature.StandardScaler`,
+    * both Summarizer-backed single-pass fits).
+    */
+  def mlVarianceSelector(df: DataFrame, features: Seq[String],
+                         threshold: Double): DataFrame = {
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .transform(df)
+    new org.apache.spark.ml.feature.VarianceThresholdSelector()
+      .setVarianceThreshold(threshold)
+      .setFeaturesCol("features").setOutputCol("selected")
+      .fit(assembled)
+      .transform(assembled)
+  }
+
+  def mlStandardScale(df: DataFrame, features: Seq[String]): DataFrame = {
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .transform(df)
+    new org.apache.spark.ml.feature.StandardScaler()
+      .setWithMean(true).setWithStd(true)
+      .setInputCol("features").setOutputCol("scaled")
+      .fit(assembled)
+      .transform(assembled)
+  }
 }

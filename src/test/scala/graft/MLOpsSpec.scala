@@ -70,6 +70,22 @@ class MLOpsSpec extends AnyFunSuite {
     assert(proj.count() === emb.count())
   }
 
+  test("ml variance selector and scaler agree with the relational ops") {
+    import graft.stats.Moments
+    val df = Seq((1.0, 100.0), (2.0, 100.0), (3.0, 100.0))
+      .toDF("varies", "constant")
+    // constant column (var 0) dropped at threshold 0.5
+    val sel = Moments.mlVarianceSelector(df, Seq("varies", "constant"), 0.5)
+      .select("selected").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(sel.size === 1 && sel(0) === 1.0)
+    val scaled = Moments.mlStandardScale(df, Seq("varies"))
+      .select("scaled").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)(0))
+    // ml StandardScaler uses SAMPLE stddev (n-1): values ±1, 0
+    assert(math.abs(scaled(0) + 1.0) < 1e-9 && math.abs(scaled(1)) < 1e-9)
+  }
+
   test("gramian is symmetric-diagonal consistent (upper triangle)") {
     val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
