@@ -1,0 +1,66 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Relational
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: synthesizes data well beyond sf0.1 in-memory (no testdata
+  * mutation) and drives the core operator families, printing one JSON line
+  * per stage. Not part of the driver contract — evidence that plans hold
+  * when rows grow 20-100x past the bench scale.
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(20000000L) // 20M
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"""{"stage":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+
+    // synthetic fact table: skewed key, timestamp, value
+    val fact = spark.range(rows).select(
+      col("id"),
+      pmod(hash(col("id")), lit(100000)).as("key"),
+      // 1% of rows land on a single hot key — skew stressor
+      when(pmod(col("id"), lit(100)) === 0, lit(7L)).otherwise(
+        pmod(hash(col("id") * 13), lit(100000))).as("skew_key"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"),
+      (rand(42) * 100).as("value"))
+
+    timed("agg_groupBy_100k_keys") {
+      fact.groupBy("key").agg(sum("value"), count(lit(1))).count()
+    }
+    timed("agg_skewed_hot_key") {
+      fact.groupBy("skew_key").agg(sum("value")).count()
+    }
+    timed("window_topk_per_key") {
+      Relational.topKPerGroup(
+        fact.where(col("key") < 1000), Seq(col("key")),
+        Seq(col("value").desc, col("id")), 3).count()
+    }
+    timed("distinct_hll") {
+      fact.agg(approx_count_distinct(col("key"), 0.02)).count()
+    }
+    val dim = spark.range(100000).select(col("id").as("key"),
+      concat(lit("d"), col("id")).as("attr"))
+    timed("join_fact_dim_broadcast") {
+      fact.join(broadcast(dim), "key").groupBy("attr").count().count()
+    }
+    timed("exact_dedup_hash") {
+      fact.select(md5(concat_ws(":", col("key"), col("value"))).as("h"))
+        .distinct().count()
+    }
+    spark.stop()
+  }
+}
