@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators over `events`-shaped frames (SURVEY
   * §2.8 streaming; the reference's never-cabled `partial_fit` hook,
@@ -53,6 +54,36 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
+    * (count, sum, max-seen-ts) accumulator emitted on every update — the
+    * one stateful shape the built-in operators (windows/sessions/dedup)
+    * don't cover: arbitrary user-defined state evolving across batches.
+    * State is O(1) per key and partitioned by the groupBy, so it scales
+    * with distinct users, not events; pair with a timeout in production
+    * to bound key cardinality over time.
+    */
+  def runningUserStats(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        col("ts").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double, Long)],
+         state: GroupState[UserRunning]) =>
+          var acc = state.getOption.getOrElse(UserRunning(user, 0L, 0.0, Long.MinValue))
+          rows.foreach { case (_, v, t) =>
+            acc = UserRunning(user, acc.n_events + 1,
+              acc.sum_value + v, math.max(acc.last_seen, t))
+          }
+          state.update(acc)
+          Iterator.single(acc)
+      }
+  }
+
   /** Incremental multinomial NB sufficient stats: per micro-batch term
     * counts merged into a running (class, term) count table via
     * `foreachBatch` — the streaming model-update loop (counts are
@@ -70,6 +101,10 @@ object EventStreams {
       store.merge(counts)
     }
 }
+
+/** Per-user running accumulator for [[EventStreams.runningUserStats]]. */
+final case class UserRunning(
+    user_id: Long, n_events: Long, sum_value: Double, last_seen: Long)
 
 /** Driver-side running count table for the incremental NB demo. In
   * production this would be a keyed state store or an external table; the

@@ -73,6 +73,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() === 2)
   }
 
+  test("flatMapGroupsWithState keeps running per-user custom state") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click", 2.0),
+      (1L, ts("2024-01-01 00:05:00"), "click", 3.0),
+      (2L, ts("2024-01-01 00:06:00"), "view", 7.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.runningUserStats(streamOf(df))
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("t_state")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 5.0), (2L, 1L, 7.0)))
+  }
+
   test("incremental NB counts via foreachBatch accumulate across batches") {
     val store = new NbCountStore
     val docs = Seq(("en", "hello world"), ("fr", "bonjour monde"),
