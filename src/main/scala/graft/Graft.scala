@@ -1,0 +1,108 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.mlops.{ClusterOps, Composition, LinearOps, NaiveBayesOps}
+import graft.operators.{Blocking, Relational}
+import graft.similarity.Similarity
+import graft.stats.Moments
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** One-import facade over the engine — the surface a sparkit-learn user
+  * lands on when switching. Names follow the reference's vocabulary
+  * (block/fit/transform) and delegate to the module implementations;
+  * every method returns a lazy DataFrame plan, so composition stays in
+  * Catalyst's hands.
+  *
+  * {{{
+  * import graft.Graft
+  * val docs   = spark.read.parquet(".../documents.parquet")
+  * val vocab  = Graft.countVectorizeFit(docs, "doc_id", "text")
+  * val nearDups = Graft.minhashNearDuplicates(docs, "doc_id", "text", 0.5)
+  * val topK   = Graft.cosineTopK(embeddings, queries, "vec_id", "embedding", 10)
+  * }}}
+  */
+object Graft {
+
+  // ---- dataflow (reference BlockRDD surface) ----
+  def block(df: DataFrame, bsize: Int, orderCols: Seq[Column]): DataFrame =
+    Blocking.withBlockId(df, bsize, orderCols)
+  def blockLocal(df: DataFrame, bsize: Int): DataFrame =
+    Blocking.withPartitionLocalBlockId(df, bsize)
+  def zip(a: DataFrame, aOrder: Seq[Column], b: DataFrame, bOrder: Seq[Column]): DataFrame =
+    Relational.zipWithPosition(a, aOrder, b, bOrder)
+
+  // ---- relational extensions ----
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+               rightKey: String, leftTime: String, rightTime: String,
+               rightOrder: String, as: String): DataFrame =
+    Relational.asofJoin(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightOrder, as)
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    Relational.topKPerGroup(df, part, order, k)
+  def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,
+                 gapMinutes: Int): DataFrame =
+    Relational.sessionize(df, key, ts, tieBreak, gapMinutes)
+
+  // ---- feature extraction ----
+  def tfidfPipeline(vocabSize: Int = 1 << 18): org.apache.spark.ml.Pipeline =
+    feature.TextPipeline.tfidfPipeline(vocabSize = vocabSize)
+  /** Global vocabulary with deterministic sort-based indices. */
+  def countVectorizeFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .withColumn("term_idx",
+        (row_number().over(Window.orderBy(col("term"))) - 1).cast("long"))
+  }
+
+  // ---- stats / models ----
+  def varianceThreshold(df: DataFrame, features: Seq[String], t: Double): DataFrame =
+    Moments.varianceThreshold(df, features, t)
+  def standardScale(df: DataFrame, valueCol: String, outCol: String): DataFrame =
+    Moments.standardScale(df, valueCol, outCol)
+  def olsFit(df: DataFrame, x: String, y: String): DataFrame =
+    LinearOps.olsFit(df, x, y)
+  def naiveBayesFit(tokens: DataFrame, classCol: String, termCol: String): DataFrame =
+    NaiveBayesOps.multinomialFit(tokens, classCol, termCol)
+  def naiveBayesPredict(docTokens: DataFrame, docCol: String, termCol: String,
+                        classDocs: DataFrame, classCol: String): DataFrame =
+    NaiveBayesOps.multinomialPredict(docTokens, docCol, termCol, classDocs, classCol)
+  def kmeansAssign(pointsLong: DataFrame, centersLong: DataFrame,
+                   idCol: String, centerCol: String): DataFrame =
+    ClusterOps.assignToCenters(pointsLong, centersLong, idCol, centerCol)
+  def svdProject(df: DataFrame, idCol: String, arrCol: String, k: Int): DataFrame =
+    ClusterOps.svdProject(df, idCol, arrCol, k)
+  def gridSearchLogistic(df: DataFrame, featuresArr: String, labelCol: String)
+      : org.apache.spark.ml.tuning.CrossValidatorModel =
+    Composition.gridSearchLogistic(df, featuresArr, labelCol)
+
+  // ---- training-data pipeline ----
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.dropExactDuplicates(docs, idCol, textCol)
+  /** Near-duplicate pairs above a Jaccard threshold via the banded
+    * MinHash pipeline (candidates only — the 100 TB path end to end).
+    */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol)
+    val sig = Dedup.minhashSignatures(sh, idCol)
+    val cand = Dedup.minhashBandCandidates(sig, idCol)
+    Dedup.jaccardPairs(sh, idCol, threshold, candidates = Some(cand))
+  }
+  def cosineNearDuplicates(emb: DataFrame, idCol: String, arrCol: String,
+                           threshold: Double): DataFrame =
+    Dedup.embeddingNearDup(emb, idCol, arrCol, threshold)
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 arrCol: String, k: Int): DataFrame =
+    Similarity.bruteForceTopK(corpus, queries, idCol, arrCol, k)
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              arrCol: String, k: Int): DataFrame =
+    Similarity.lshTopK(corpus, queries, idCol, arrCol, k)
+  def textQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.qualityFeatures(docs, idCol, textCol)
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.fingerprints(docs, idCol, textCol)
+}

@@ -29,6 +29,19 @@ class ContractSpec extends AnyFunSuite {
     assert(f.n_bytes === 5L && f.width === 69 && f.height === 99 && f.n_frames === 6)
   }
 
+  test("Graft facade composes an end-to-end pipeline") {
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val vocab = Graft.countVectorizeFit(docs, "doc_id", "text")
+    assert(vocab.count() === 12)
+    val dups = Graft.minhashNearDuplicates(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(dups.toSeq === Seq((0L, 1L, 1.0)))
+    assert(Graft.dedupExact(docs, "doc_id", "text").count() === 2)
+    val q = Graft.textQuality(docs, "doc_id", "text")
+    assert(q.columns.contains("is_quality") && q.count() === 3)
+  }
+
   test("validation gate fails fast with precise messages (D12)") {
     import graft.core.Validation
     val df = Seq((1, "a")).toDF("id", "s")
