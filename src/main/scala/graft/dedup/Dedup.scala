@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * engine-portable md5-based hashing (see [[graft.functions.GraftFunctions]])
   * so every stage is oracle-checkable.
   *
+  * Algorithms follow the published literature: MinHash resemblance
+  * estimation and shingling (Broder, "On the resemblance and containment
+  * of documents", SEQUENCES 1997), LSH banding (Indyk & Motwani, STOC
+  * 1998; banding analysis as in Rajaraman & Ullman, "Mining of Massive
+  * Datasets" ch. 3), and SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002; web-scale use as in
+  * Manku et al., WWW 2007).
+  *
   * 100 TB design: the only pairwise computation ever performed is on
   * CANDIDATE pairs emitted by banding/bucketing — never a full self-join.
   * Exact dedup is hash-groupBy (linear); minhash signatures are one

@@ -101,6 +101,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.get("fr", "monde") === 1L)
   }
 
+  test("streaming tumbling counts equal the batch twin on REAL events") {
+    // stream the actual events parquet (nanos ts -> µs like Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val out = runToTable(EventStreams.tumblingCounts(stream),
+      "t_real_events", mode = "complete")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val batch = graft.core.Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(out === batch)
+    assert(out.nonEmpty)
+  }
+
   test("NbCountStore merge is order-insensitive (associative+commutative)") {
     val gen = Gen.listOfN(20,
       for {
