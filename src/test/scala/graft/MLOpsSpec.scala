@@ -70,6 +70,30 @@ class MLOpsSpec extends AnyFunSuite {
     assert(proj.count() === emb.count())
   }
 
+  test("reference invariant: per-block NB stats merged == global fit") {
+    // the reference's central property (splearn tests): fit per block,
+    // merge sufficient statistics by summation, recompute — must equal
+    // the single global fit exactly.
+    val toks = Seq.tabulate(200)(i =>
+      (i % 7, if (i % 3 == 0) "pos" else "neg", s"w${i % 11}"))
+      .toDF("block_id", "cls", "term")
+    val mergedCounts = toks.groupBy("block_id", "cls", "term").count()
+      .groupBy("cls", "term").agg(sum("count").as("cnt"))
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val fit = NaiveBayesOps.multinomialFit(toks.drop("block_id"), "cls", "term")
+      .select("cls", "term", "cnt", "log_prob")
+      .as[(String, String, Long, Double)].collect()
+    val vocab = fit.map(_._2).distinct.length
+    val classTotals = fit.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    fit.foreach { case (cls, term, cnt, lp) =>
+      assert(cnt === mergedCounts.getOrElse((cls, term), 0L),
+        s"merged counts diverge at ($cls,$term)")
+      val expected = math.log((cnt + 1.0) / (classTotals(cls) + 1.0 * vocab))
+      assert(math.abs(lp - expected) < 5e-7, s"log-prob at ($cls,$term)")
+    }
+  }
+
   test("ml variance selector and scaler agree with the relational ops") {
     import graft.stats.Moments
     val df = Seq((1.0, 100.0), (2.0, 100.0), (3.0, 100.0))

@@ -123,6 +123,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("streaming parquet sink with checkpoint round-trips") {
+    val out = Files.createTempDirectory("graft_sink_").toString
+    val chk = Files.createTempDirectory("graft_chk_").toString
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val q = streamOf(df).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 1)
+  }
+
   test("NbCountStore merge is order-insensitive (associative+commutative)") {
     val gen = Gen.listOfN(20,
       for {
