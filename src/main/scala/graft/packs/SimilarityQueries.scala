@@ -2,6 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
+import graft.mlops.NaiveBayesOps
 import graft.similarity.Similarity
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,18 @@ object SimilarityQueries extends QueryPack {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("bucket"))
+    }),
+
+    // IVF ANN: per-label-mean centroids (deterministic), 2-probe search,
+    // exact cosine re-rank — the inverted-file scale path, fully oracled.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", centers, "cell", nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
     }),
 
     // spark.ml BucketedRandomProjectionLSH approx similarity join
@@ -68,6 +81,50 @@ object SimilarityQueries extends QueryPack {
         |  FROM p)
         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
         |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+        |assign AS (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |  FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |        FROM pts p JOIN ctr c ON p.dim = c.dim
+        |        GROUP BY p.vec_id, c.cell) d),
+        |cells AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          WHERE p.vec_id < 10
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE pr <= 2),
+        |cand AS (
+        |  SELECT pr.query_id, ce.neighbor_id
+        |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
+        |  WHERE pr.query_id <> ce.neighbor_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+        |  FROM cand cd
+        |  JOIN embeddings q ON q.vec_id = cd.query_id
+        |  JOIN embeddings n ON n.vec_id = cd.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cs, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 
     "sim_lsh_buckets" ->
