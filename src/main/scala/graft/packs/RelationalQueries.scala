@@ -114,6 +114,51 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Window FRAME spec: per-user moving average over the last 3 events
+    // (rows frame — the one window feature the rest of the suite
+    // didn't exercise).
+    "window_moving_avg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      t.events
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(avg(col("value")).over(w), 4).as("mov_avg3"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Correlated-subquery shape (TPC-H Q2/Q17 family): orders priced above
+    // their own customer's average. Spark expresses it as a grouped
+    // self-join; the oracle keeps the correlated form — same semantics,
+    // independent algorithms.
+    "above_avg_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val custAvg = t.orders.groupBy(col("o_custkey").as("ck"))
+        .agg(avg(col("o_totalprice")).as("cust_avg"))
+      t.orders
+        .join(custAvg, col("o_custkey") === col("ck"))
+        .where(col("o_totalprice") > col("cust_avg"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"),
+          round(avg(col("o_totalprice")), 4).as("avg_above"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Date arithmetic rollup (Q7 family): revenue by order year/month.
+    "revenue_by_month" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
     // Set ops over nation keys: intersect + except (SURVEY §2.8 set ops).
     "setops_nations" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -284,6 +329,32 @@ object RelationalQueries extends QueryPack {
         |  AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "window_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+        |    AS mov_avg3
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "above_avg_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_above,
+        |  round(avg(o_totalprice), 4) AS avg_above
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "revenue_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
 
     "setops_nations" ->
       """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
