@@ -54,6 +54,31 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Stream-stream inner join with a bounded time condition: purchases
+    * matched to the same user's clicks within the preceding hour. Both
+    * sides carry watermarks, so the join state store retains only the
+    * in-horizon window of each side — the condition's time bound is what
+    * lets Spark expire state (an unbounded stream-stream join would grow
+    * forever).
+    */
+  def purchasesAfterClicks(events: DataFrame,
+                           watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (count, sum, max-seen-ts) accumulator emitted on every update — the
     * one stateful shape the built-in operators (windows/sessions/dedup)

@@ -123,6 +123,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("stream-stream join matches purchases to in-window clicks") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (1L, ts("2024-01-01 00:30:00"), "purchase", 9.99), // within 1h of click
+      (1L, ts("2024-01-01 05:00:00"), "purchase", 5.00), // no click in window
+      (2L, ts("2024-01-01 00:10:00"), "purchase", 1.00)  // user 2 never clicked
+    ).toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", col("user_id") * 100 +
+        (unix_timestamp(col("ts")) % 10000))
+    val out = runToTable(EventStreams.purchasesAfterClicks(streamOf(df)),
+      "t_ss_join")
+    val got = out.select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(got === Set((1L, 9.99)))
+  }
+
   test("streaming parquet sink with checkpoint round-trips") {
     val out = Files.createTempDirectory("graft_sink_").toString
     val chk = Files.createTempDirectory("graft_chk_").toString
