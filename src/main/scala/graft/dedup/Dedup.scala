@@ -198,15 +198,14 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, arrCol: String,
                        threshold: Double): DataFrame = {
-    // normalize ONCE per vector (linear), so the quadratic stage is a
-    // single codegen'd dot product per pair (native DotProduct expression)
+    // fused codegen cosine straight over the raw (float) arrays — one
+    // loop per pair computes dot + both norms, no normalized copies
     graft.plans.GraftExpressions.register(emb.sparkSession)
-    val unit = emb.select(col(idCol).as("_id"), unitize(col(arrCol)).as("_u"))
-    val a = unit.select(col("_id").as("id_a"), col("_u").as("_ua"))
-    val b = unit.select(col("_id").as("id_b"), col("_u").as("_ub"))
+    val a = emb.select(col(idCol).as("id_a"), col(arrCol).as("_va"))
+    val b = emb.select(col(idCol).as("id_b"), col(arrCol).as("_vb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", graft.plans.GraftExpressions.dot(col("_ua"), col("_ub")))
+      .withColumn("cos", graft.plans.GraftExpressions.cosine(col("_va"), col("_vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

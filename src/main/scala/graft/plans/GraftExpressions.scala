@@ -16,15 +16,24 @@ object GraftExpressions {
     DotProduct(children.head, children(1))
   }
 
+  private def cosineBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_cosine expects exactly 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
   /** Session-scoped registration (idempotent). Call before first use when
     * the session was not built with [[GraftSparkExtensions]].
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", cosineBuilder, "built-in")
+  }
 
-  /** Column-level accessor; requires registration on the active session. */
+  /** Column-level accessors; require registration on the active session. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 }
 
 /** `spark.sql.extensions`-pluggable registration — the production path:
@@ -39,6 +48,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine expects exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
       }))
   }
 }

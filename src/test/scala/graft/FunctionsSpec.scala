@@ -47,6 +47,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === (3.0 - 2.0 - 2.0))
   }
 
+  test("native CosineSimilarity equals HOF cosine on float arrays") {
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f, -0.5f), Seq(0.5f, -1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      GraftExpressions.cosine(col("a"), col("b")).as("native"),
+      cosine(col("a"), col("b")).as("hof")).head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    val self = df.select(GraftExpressions.cosine(col("a"), col("a"))).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
   test("unitize produces unit-norm vectors") {
     val n = Seq(Seq(3.0f, 4.0f)).toDF("a")
       .select(l2Norm(unitize(col("a"))).as("n")).head.getDouble(0)

@@ -33,7 +33,7 @@ class PlanSpec extends AnyFunSuite {
   test("near-dup: threshold predicate executes inside the join") {
     val p = plan("dedup_embedding_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("graft_dot"), "native expression missing from plan")
+    assert(p.contains("graft_cosine"), "native expression missing from plan")
   }
 
   test("q1: partial+final hash aggregation") {
