@@ -29,13 +29,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      arrCol: String, k: Int): DataFrame = {
     graft.plans.GraftExpressions.register(corpus.sparkSession)
-    val q = queries.select(col(idCol).as("query_id"), unitize(col(arrCol)).as("_q"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), unitize(col(arrCol)).as("_c"))
+    val q = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(arrCol).as("_c"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
     q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("_cos", graft.plans.GraftExpressions.dot(col("_q"), col("_c")))
+      .withColumn("_cos", graft.plans.GraftExpressions.cosine(col("_q"), col("_c")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -76,14 +76,14 @@ object Similarity {
     // candidates: vectors in probed cells; exact cosine re-rank
     val cand = probes.join(cells, centerCol)
       .where(col("query_id") =!= col("neighbor_id"))
-    val qU = queries.select(col(idCol).as("query_id"), unitize(col(arrCol)).as("_q"))
-    val cU = emb.select(col(idCol).as("neighbor_id"), unitize(col(arrCol)).as("_c"))
+    val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
+    val cU = emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_c"))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
     cand
       .join(qU, "query_id")
       .join(cU, "neighbor_id")
-      .withColumn("_cos", graft.plans.GraftExpressions.dot(col("_q"), col("_c")))
+      .withColumn("_cos", graft.plans.GraftExpressions.cosine(col("_q"), col("_c")))
       .withColumn("rnk", row_number().over(wK))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -127,14 +127,14 @@ object Similarity {
               arrCol: String, k: Int, nBits: Int = 8): DataFrame = {
     graft.plans.GraftExpressions.register(emb.sparkSession)
     val c = signBuckets(emb, idCol, arrCol, nBits)
-      .select(col(idCol).as("neighbor_id"), col("bucket"), unitize(col("_v")).as("_c"))
+      .select(col(idCol).as("neighbor_id"), col("bucket"), col("_v").as("_c"))
     val q = signBuckets(queries, idCol, arrCol, nBits)
-      .select(col(idCol).as("query_id"), col("bucket"), unitize(col("_v")).as("_q"))
+      .select(col(idCol).as("query_id"), col("bucket"), col("_v").as("_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
     q.join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("_cos", graft.plans.GraftExpressions.dot(col("_q"), col("_c")))
+      .withColumn("_cos", graft.plans.GraftExpressions.cosine(col("_q"), col("_c")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
