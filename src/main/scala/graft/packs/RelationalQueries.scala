@@ -228,6 +228,36 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("lang_g"), col("source_g"))
     }),
 
+    // ROLLUP (hierarchical grouping sets — region > nation), completing
+    // the grouping-sets family next to cube_docs.
+    "rollup_region_nation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("*")).as("region_g"),
+          coalesce(col("n_name"), lit("*")).as("nation_g"),
+          col("n_suppliers"), col("sum_bal"))
+        .orderBy(col("region_g"), col("nation_g"))
+    }),
+
+    // Scalar-function breadth: string ops over part names (SURVEY §2.8
+    // scalar functions — the tokenize/case/substr family as one query).
+    "string_functions" -> ((s, dir) => {
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).cast("int").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          (size(split(col("p_name"), " "))).cast("int").as("name_words"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // As-of join events->orders (union+window single-shuffle plan; see
     // Relational.asofJoin scale notes). Inner semantics: events with no
     // prior order are dropped on both sides.
@@ -392,6 +422,27 @@ object RelationalQueries extends QueryPack {
         |FROM documents
         |GROUP BY CUBE (lang, source)
         |ORDER BY lang_g, source_g""".stripMargin,
+
+    "rollup_region_nation" ->
+      """SELECT coalesce(r_name, '*') AS region_g,
+        |  coalesce(n_name, '*') AS nation_g,
+        |  count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_g, nation_g""".stripMargin,
+
+    "string_functions" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_uc,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substr(p_name, 1, 5) AS name_pfx,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS name_words
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
 
     "asof_join_events_orders" ->
       """SELECT event_id, asof_orderkey FROM (

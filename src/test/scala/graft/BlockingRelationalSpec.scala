@@ -44,6 +44,23 @@ class BlockingRelationalSpec extends AnyFunSuite {
     assert(out(2).isNullAt(2))         // t=5 precedes everything
   }
 
+  test("asofJoin tie-break: equal right times pick the max rightOrder") {
+    val left = Seq((1, 20L)).toDF("k", "t")
+    val right = Seq((1, 20L, 5L), (1, 20L, 9L), (1, 20L, 2L))
+      .toDF("rk", "rt", "payload")
+    val got = Relational.asofJoin(left, right, "k", "rk", "t", "rt",
+      "payload", "got").select("got").head.getLong(0)
+    assert(got === 9L)
+  }
+
+  test("asofJoin with empty right side keeps left rows with null payload") {
+    val left = Seq((1, 10L)).toDF("k", "t")
+    val right = Seq.empty[(Int, Long, Long)].toDF("rk", "rt", "payload")
+    val out = Relational.asofJoin(left, right, "k", "rk", "t", "rt",
+      "payload", "got").collect()
+    assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("got")))
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val df = Seq(
