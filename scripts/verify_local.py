@@ -6,9 +6,9 @@ with the parquet written by `graft.Verify` (which must be run first via
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify").
 
 Comparison mirrors the stated driver behavior: columns sorted by name,
-rows sorted canonically, then values hashed. Floats are compared exactly
-(our queries round on both sides, so bits should match) with a fallback
-report of max-abs-diff to distinguish fp jitter from real bugs.
+rows sorted canonically, then values compared. Floats are compared exactly
+(our queries round on both sides, so bits should match); on mismatch the
+first few differing rows are printed for diagnosis.
 
 Dev tool only — not part of the shipped library.
 """
@@ -97,11 +97,18 @@ def main():
                 print(f"  spark : {b}")
             n_fail += 1
 
-    # queries without oracle → rows-only
+    # queries without oracle → rows-only. A query that failed in graft.Verify
+    # leaves no parquet behind; count that as a failure instead of letting
+    # an empty glob abort the remaining checks.
     for d in sorted(os.listdir(OUT_DIR)):
         if os.path.isdir(os.path.join(OUT_DIR, d)) and d not in oracles:
+            parts = glob.glob(os.path.join(OUT_DIR, d, "*.parquet"))
+            if not parts:
+                print(f"ROWSONLY {d}: NO PARQUET (query failed in Verify?)")
+                n_fail += 1
+                continue
             n = sum(duckdb.connect().execute(
-                f"SELECT count(*) FROM read_parquet({glob.glob(os.path.join(OUT_DIR, d, '*.parquet'))!r})"
+                f"SELECT count(*) FROM read_parquet({parts!r})"
             ).fetchone())
             print(f"ROWSONLY {d}: {n} rows")
 

@@ -47,7 +47,16 @@ object Graft {
   // ---- feature extraction ----
   def tfidfPipeline(vocabSize: Int = 1 << 18): org.apache.spark.ml.Pipeline =
     feature.TextPipeline.tfidfPipeline(vocabSize = vocabSize)
-  /** Global vocabulary with deterministic sort-based indices. */
+  /** Global vocabulary with deterministic sort-based indices.
+    *
+    * ⚠ Scale note: `term_idx` comes from `row_number` over an
+    * UNPARTITIONED window — a single-partition global sort over the
+    * vocabulary. Fine for verification and vocabularies that fit one
+    * executor (vocab size ≪ corpus size, typically ≤ millions of terms),
+    * but for the 100 TB path use [[tfidfPipeline]] /
+    * `feature.TextPipeline` (ml `CountVectorizer`/`HashingTF`), whose
+    * hash-based indices need no global sort.
+    */
   def countVectorizeFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

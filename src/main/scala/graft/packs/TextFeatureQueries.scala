@@ -166,10 +166,19 @@ object TextFeatureQueries extends QueryPack {
     }),
 
     // ml-pipeline variant (rows-only check): murmur3 HashingTF + ml IDF.
+    // Output is scalar columns only (the raw VectorUDT struct is not
+    // sortable by the driver's pandas-based rows-only check): per-doc
+    // non-zero count and rounded L2 norm summarize the vector.
     "ml_tfidf_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val model = TextPipeline.fitTfidf(docs, vocabSize = 4096)
-      model.transform(docs).select(col("doc_id"), col("tfidf"))
+      val toNnz = udf((v: org.apache.spark.ml.linalg.Vector) => v.numNonzeros)
+      val toNorm = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        math.sqrt(v.toArray.map(x => x * x).sum))
+      model.transform(docs)
+        .select(col("doc_id"),
+          toNnz(col("tfidf")).as("nnz"),
+          round(toNorm(col("tfidf")), 4).as("l2_norm"))
         .orderBy(col("doc_id"))
     })
   )

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -12,19 +13,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * float→double array materialization — elements widen in-register. On
   * `array<float>` embedding columns this reads the parquet floats
   * directly. Registered as SQL function `graft_cosine`.
+  *
+  * Semantics (hardened, round 2): mismatched array lengths throw — a
+  * truncated similarity is plausible-but-wrong and must fail fast; a
+  * zero-norm vector yields SQL `NULL` (cosine is undefined), never
+  * NaN/Infinity. Non-float/double element types are rejected at analysis
+  * time via [[checkInputDataTypes]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // zero-norm inputs produce NULL even when children are non-nullable
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isNumericArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (isNumericArray(left.dataType) && isNumericArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
 
   private def elementIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"graft_cosine expects array<float|double>, got ${other.simpleString}")
+    case _ => false
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -32,7 +54,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = elementIsFloat(left)
     val rf = elementIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch ($n vs ${y.numElements()})")
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -41,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -49,8 +76,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val rGet = if (elementIsFloat(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int ${ev.value}_n = $a.numElements() < $b.numElements()
-         |    ? $a.numElements() : $b.numElements();
+         |int ${ev.value}_n = $a.numElements();
+         |if ($b.numElements() != ${ev.value}_n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: array length mismatch (" + ${ev.value}_n +
+         |    " vs " + $b.numElements() + ")");
+         |}
          |double ${ev.value}_d = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
          |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
          |  double ${ev.value}_x = (double) $a.$lGet(${ev.value}_i);
@@ -59,8 +90,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.value}_na += ${ev.value}_x * ${ev.value}_x;
          |  ${ev.value}_nb += ${ev.value}_y * ${ev.value}_y;
          |}
-         |${ev.value} = ${ev.value}_d /
-         |  (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
+         |if (${ev.value}_na == 0.0 || ${ev.value}_nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_d /
+         |    (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
+         |}
        """.stripMargin)
   }
 

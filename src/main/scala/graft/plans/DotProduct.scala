@@ -34,7 +34,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch ($n vs ${y.numElements()})")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -44,8 +48,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int ${ev.value}_n = $a.numElements() < $b.numElements()
-         |    ? $a.numElements() : $b.numElements();
+         |int ${ev.value}_n = $a.numElements();
+         |if ($b.numElements() != ${ev.value}_n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + ${ev.value}_n +
+         |    " vs " + $b.numElements() + ")");
+         |}
          |double ${ev.value}_s = 0.0;
          |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
          |  ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);

@@ -40,4 +40,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
   }
+
+  test("graft_cosine/graft_dot: length mismatch throws, zero norm is null") {
+    import spark.implicits._
+    plans.GraftExpressions.register(spark)
+    // interpreted path and codegen path both enforce equal lengths
+    val mismatch = intercept[Exception] {
+      Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+        .selectExpr("graft_cosine(a, b)").collect()
+    }
+    assert(mismatch.getMessage.contains("length mismatch") ||
+      Option(mismatch.getCause).exists(_.getMessage.contains("length mismatch")))
+    val dotMismatch = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+        .selectExpr("graft_dot(a, b)").collect()
+    }
+    assert(dotMismatch.getMessage.contains("length mismatch") ||
+      Option(dotMismatch.getCause).exists(_.getMessage.contains("length mismatch")))
+    // zero-norm vector → SQL NULL, not NaN
+    val zn = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b)").collect()
+    assert(zn.head.isNullAt(0), zn.head.toString)
+    // non-numeric-array input rejected at analysis time
+    val bad = intercept[Exception] {
+      Seq((Array("x"), Array("y"))).toDF("a", "b")
+        .selectExpr("graft_cosine(a, b)").collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("array"), bad.getMessage)
+  }
 }
