@@ -79,6 +79,19 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SimHash pairs via Manku multi-block indexing — the scale path.
+    // 60-bit signatures (vs the 16-bit compact form above): with 4 blocks
+    // of 15 bits, block values are sparse enough that buckets hold only
+    // genuinely-similar prefixes; at 16 bits the 4-bit block space (16
+    // values) saturates and candidate generation degenerates toward the
+    // cross join it replaces. Recall within hamming<=3 is exact
+    // (pigeonhole); the oracle recomputes the same 60-bit pipeline.
+    "dedup_simhash_blocked" -> ((s, dir) => {
+      val sh = Dedup.simhash(docShingles(s, dir), "doc_id", bits = 60)
+      Dedup.simhashPairsBlocked(sh, "doc_id", maxHamming = 3, bits = 60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Full n-gram Jaccard above threshold (small-scale verification of the
     // banded path; at scale candidates gate this).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -93,6 +106,25 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  private val simhashPairsOracle: String =
+    s"""WITH $shingleCte,
+       |bits AS (
+       |  SELECT doc_id, g.j AS j,
+       |    CASE WHEN CAST(floor((('0x' || substr(md5(shingle), 1, 4))::BIGINT) / pow(2, g.j)) AS BIGINT) % 2 = 1
+       |      THEN 1 ELSE -1 END AS vote
+       |  FROM sh, generate_series(0, 15) g(j)),
+       |tally AS (SELECT doc_id, j, sum(vote) AS t FROM bits GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN t > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS simhash
+       |  FROM tally GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_stats" ->
@@ -195,13 +227,18 @@ object DedupQueries extends QueryPack {
          |FROM tally GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_simhash_pairs" ->
+    "dedup_simhash_pairs" -> simhashPairsOracle,
+
+    // Same pipeline at 60 bits; integer div/mod mirrors the engine's
+    // integer bit ops (double division corrupts bits past 2^53).
+    "dedup_simhash_blocked" ->
       s"""WITH $shingleCte,
          |bits AS (
          |  SELECT doc_id, g.j AS j,
-         |    CASE WHEN CAST(floor((('0x' || substr(md5(shingle), 1, 4))::BIGINT) / pow(2, g.j)) AS BIGINT) % 2 = 1
+         |    CASE WHEN (('0x' || substr(md5(shingle), 1, 15))::BIGINT
+         |               // CAST(pow(2, g.j) AS BIGINT)) % 2 = 1
          |      THEN 1 ELSE -1 END AS vote
-         |  FROM sh, generate_series(0, 15) g(j)),
+         |  FROM sh, generate_series(0, 59) g(j)),
          |tally AS (SELECT doc_id, j, sum(vote) AS t FROM bits GROUP BY doc_id, j),
          |sig AS (
          |  SELECT doc_id,

@@ -79,6 +79,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hashes(0L) !== hashes(3L))
   }
 
+  test("simhash blocked pairs equal exact cross-join pairs on real corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.simhash(Dedup.shingles(corpus, "doc_id", "text"), "doc_id")
+    val exact = Dedup.simhashPairs(sh, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val blocked = Dedup.simhashPairsBlocked(sh, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked === exact)
+    assert(exact.nonEmpty, "fixture should produce at least one near-dup pair")
+  }
+
   test("jaccard: dup pair = 1.0; candidate gating restricts pairs") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val all = Dedup.jaccardPairs(sh, "doc_id", threshold = 0.0)
