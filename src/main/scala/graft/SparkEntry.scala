@@ -13,6 +13,7 @@ object SparkEntry {
   /** All query packs. Order matters only for duplicate detection. */
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    ExtendedRelationalQueries,
     DataflowQueries,
     TextFeatureQueries,
     StatsQueries,

@@ -1,0 +1,171 @@
+package graft.packs
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.operators.Sampling
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational breadth: pivot/unpivot, exact quantiles, rank-family
+  * window functions, deterministic (hash-gated) sampling, a TPC-H
+  * Q18-shaped group-having join, higher-order array functions, and regex
+  * extraction — each hash-checked against a DuckDB oracle.
+  */
+object ExtendedRelationalQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Pivot: order counts + total price per priority, one column per
+    // status. Explicit value list (contract for deterministic schema);
+    // unpivot back is covered by the spec test (round-trip).
+    "pivot_orders_status" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Exact quantiles (continuous interpolation) — the verification twin
+    // of approx_percentile; at 100 TB the approx sketch replaces it.
+    "quantiles_lineitem" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Rank-family window functions over a keyed window; ties broken by
+    // the unique custkey so every rank is deterministic.
+    "window_rank_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, dir).customer
+        .where(col("c_nationkey") < 5)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+    }),
+
+    // Deterministic hash-gated sample — reproducible across engines,
+    // partitionings, and retries (see operators.Sampling).
+    "sample_deterministic" -> ((s, dir) => {
+      Sampling.deterministicSample(
+          Tables(s, dir).documents, col("doc_id"), pct = 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — join fact to pre-aggregated
+    // line quantities, having-filter, deterministic top-k.
+    "q18_large_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bigOrders = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      t.orders
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Higher-order array functions over the embedding vectors: HOF
+    // aggregate fold for the sum, array_min/max, element count.
+    "array_stats_embeddings" -> ((s, dir) => {
+      Tables(s, dir).embeddings
+        .where(col("vec_id") < 200)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(expr("aggregate(embedding, cast(0 as double), (acc, x) -> acc + x)"), 3)
+            .as("vsum"),
+          round(array_min(col("embedding")).cast("double"), 4).as("vmin"),
+          round(array_max(col("embedding")).cast("double"), 4).as("vmax"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Regex extraction over the text corpus: first long word and the
+    // count of long words per document.
+    "regex_extract_docs" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .where(col("doc_id") < 500)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]{8,})", 1).as("first_long"),
+          size(expr("regexp_extract_all(text, '([a-z]{8,})', 1)")).as("n_long"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pivot_orders_status" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "quantiles_lineitem" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "window_rank_functions" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+
+    "sample_deterministic" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "array_stats_embeddings" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 3) AS vsum,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax
+        |FROM embeddings WHERE vec_id < 200
+        |ORDER BY vec_id""".stripMargin,
+
+    "regex_extract_docs" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '([a-z]{8,})', 1), '') AS first_long,
+        |  CAST(len(regexp_extract_all(text, '([a-z]{8,})', 1)) AS INT) AS n_long
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedRelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("deterministic sample: stable, subset, near target rate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s1 = Sampling.deterministicSample(docs, col("doc_id"), 20)
+    val s2 = Sampling.deterministicSample(
+      docs.repartition(7), col("doc_id"), 20) // other partitioning, same sample
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = s2.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+    val n = docs.count().toDouble
+    assert(math.abs(ids1.size / n - 0.20) < 0.10, s"rate ${ids1.size / n}")
+    // widening the gate keeps the narrower sample (nested samples)
+    val wider = Sampling.deterministicSample(docs, col("doc_id"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1.forall(wider.contains))
+  }
+
+  test("stratified sample: per-stratum rates, zero-rate stratum empty") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val strat = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 100, "de" -> 0))
+    val langs = strat.select("lang").distinct().as[String].collect().toSet
+    assert(langs.contains("en") && !langs.contains("de"))
+    val enTotal = docs.where(col("lang") === "en").count()
+    assert(strat.where(col("lang") === "en").count() === enTotal)
+  }
+
+  test("pivot/unpivot round-trip recovers the long form") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val long = orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+    val wide = orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+    val back = wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("F"), col("O"), col("P")),
+      "o_orderstatus", "total")
+    assert(back.as[(String, String, Double)].collect().toSet ===
+      long.as[(String, String, Double)].collect().toSet)
+  }
+}
