@@ -101,9 +101,23 @@ object Graft {
     val cand = Dedup.minhashBandCandidates(sig, idCol)
     Dedup.jaccardPairs(sh, idCol, threshold, candidates = Some(cand))
   }
+  /** SimHash near-duplicate pairs at scale: Manku multi-block candidate
+    * index over wide signatures, exact recall within `maxHamming`.
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val sig = Dedup.simhash(Dedup.shingles(docs, idCol, textCol), idCol, bits)
+    Dedup.simhashPairsBlocked(sig, idCol, maxHamming, bits)
+  }
   def cosineNearDuplicates(emb: DataFrame, idCol: String, arrCol: String,
                            threshold: Double): DataFrame =
     Dedup.embeddingNearDup(emb, idCol, arrCol, threshold)
+  /** Deterministic hash-gated sampling (engine-portable, retry-stable). */
+  def sampleDeterministic(df: DataFrame, key: Column, pct: Int): DataFrame =
+    graft.operators.Sampling.deterministicSample(df, key, pct)
+  def sampleStratified(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Int]): DataFrame =
+    graft.operators.Sampling.stratifiedSample(df, key, stratum, rates)
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  arrCol: String, k: Int): DataFrame =
     Similarity.bruteForceTopK(corpus, queries, idCol, arrCol, k)

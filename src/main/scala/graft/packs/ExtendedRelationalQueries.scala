@@ -96,6 +96,28 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Date/time function breadth over order timestamps: calendar parts,
+    // ISO week, day-of-week (aligned to Spark's 1=Sunday), arithmetic,
+    // month boundaries, epoch seconds.
+    "time_features_orders" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_add(col("o_orderdate"), 30).cast("string").as("plus30"),
+          last_day(col("o_orderdate")).cast("string").as("month_end"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Regex extraction over the text corpus: first long word and the
     // count of long words per document.
     "regex_extract_docs" -> ((s, dir) => {
@@ -160,6 +182,24 @@ object ExtendedRelationalQueries extends QueryPack {
         |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax
         |FROM embeddings WHERE vec_id < 200
         |ORDER BY vec_id""".stripMargin,
+
+    "time_features_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+        |  CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+        |    AS days_to_98,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "regex_extract_docs" ->
       """SELECT doc_id,

@@ -36,6 +36,20 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(strat.where(col("lang") === "en").count() === enTotal)
   }
 
+  test("approx_percentile (the 100TB path) tracks exact percentiles within 1%") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val row = li.select(
+      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("exact"),
+      expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+        .as("approx"))
+      .head()
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   test("pivot/unpivot round-trip recovers the long form") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val long = orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
