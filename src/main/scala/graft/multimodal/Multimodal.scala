@@ -53,6 +53,67 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Frame sampling: one output row per sampled frame, binary frame
+    * payload attached. The frame DECODE is the stub (frame bytes = an
+    * equal slice of the payload; a real codec plugs in at the slice); the
+    * Spark shape is the real thing — a generator over a frame-index
+    * sequence, slice + hash computed per emitted row, payload untouched
+    * for skipped frames. At scale this is the row-explosion stage you
+    * size `spark.sql.shuffle.partitions` for: output rows = Σ
+    * ceil(n_frames/stride), payload bytes never duplicated per frame
+    * beyond the emitted slices.
+    */
+  def sampleFrames(media: DataFrame, nFramesCol: String,
+                   stride: Int): DataFrame = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    media
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, $nFramesCol - 1, $stride)")))
+      .withColumn("_n", length(col("payload")).cast("long"))
+      .withColumn("_start",
+        (col("frame_idx") * col("_n") / col(nFramesCol)).cast("long"))
+      .withColumn("_end",
+        ((col("frame_idx") + 1) * col("_n") / col(nFramesCol)).cast("long"))
+      .withColumn("frame_bytes",
+        expr("substring(payload, cast(_start + 1 as int), cast(_end - _start as int))"))
+      .withColumn("frame_len", (col("_end") - col("_start")).cast("long"))
+      .withColumn("frame_hash", md5(col("frame_bytes")))
+      .drop("_n", "_start", "_end")
+  }
+
+  /** Aspect-preserving resize plan: exact integer math on the decoded
+    * dimensions (the actual pixel resampling is the codec stub's job —
+    * this is the metadata transform a real `mapInPandas` resize stage
+    * would read its target geometry from).
+    */
+  def resizeFit(features: DataFrame, box: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    features
+      .withColumn("out_w",
+        greatest(lit(1), (col("width") * box / longSide).cast("int")))
+      .withColumn("out_h",
+        greatest(lit(1), (col("height") * box / longSide).cast("int")))
+  }
+
+  /** Fixed-size payload chunking (the audio/blob shape): generator over
+    * chunk indices, per-chunk slice + content hash. Chunk boundaries are
+    * byte offsets — no decode required — so the stage is exact and
+    * oracle-checkable while carrying real binary slices.
+    */
+  def chunkPayload(media: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 1, s"chunkBytes=$chunkBytes must be >= 1")
+    media
+      .withColumn("_n", length(col("payload")).cast("long"))
+      .where(col("_n") > 0)
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, cast((_n - 1) div $chunkBytes as int))")))
+      .withColumn("chunk",
+        expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .drop("_n")
+  }
+
   /** Partition-wise "decode": real iterator plumbing, fake codec.
     *
     * STUB: a real implementation would decode the payload (JPEG dims,
