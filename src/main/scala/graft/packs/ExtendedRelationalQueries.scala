@@ -118,6 +118,20 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // JSON path extraction (get_json_object family) over the raw props
+    // strings, aggregated per event type.
+    "json_extract_events" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // Regex extraction over the text corpus: first long word and the
     // count of long words per document.
     "regex_extract_docs" -> ((s, dir) => {
@@ -200,6 +214,14 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "json_extract_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "regex_extract_docs" ->
       """SELECT doc_id,

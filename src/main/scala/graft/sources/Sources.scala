@@ -61,6 +61,21 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed mirror of the orders/lineitem fact spine, both bucketed on
+    * the order key with the same bucket count: every later
+    * orders⋈lineitem join or order-keyed aggregation reads co-located
+    * buckets and skips its Exchange entirely. This is the "pay the
+    * shuffle once at ingest" layout — at 100 TB the dominant star joins
+    * should run against tables laid out like this, not re-shuffle the
+    * fact table per query.
+    */
+  def materializeBucketedStar(t: graft.core.Tables, numBuckets: Int,
+                              prefix: String = "graft_star"): BucketedStar = {
+    writeBucketed(t.orders, s"${prefix}_orders", Seq("o_orderkey"), numBuckets)
+    writeBucketed(t.lineitem, s"${prefix}_lineitem", Seq("l_orderkey"), numBuckets)
+    BucketedStar(t.spark, prefix)
+  }
+
   /** Bucketed managed table: co-locates rows by key at write time so a
     * later equi-join/agg on `bucketCols` needs no Exchange.
     */
@@ -71,4 +86,17 @@ object Sources {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+}
+
+/** Accessors over a materialized bucketed star (see
+  * [[Sources.materializeBucketedStar]]). Reads resolve through the
+  * catalog so Spark knows the bucketing and plans shuffle-free joins.
+  */
+final case class BucketedStar(spark: SparkSession, prefix: String) {
+  def orders: DataFrame   = spark.table(s"${prefix}_orders")
+  def lineitem: DataFrame = spark.table(s"${prefix}_lineitem")
+  def drop(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_orders")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_lineitem")
+  }
 }

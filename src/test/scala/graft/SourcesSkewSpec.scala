@@ -41,6 +41,30 @@ class SourcesSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed star: orders x lineitem join and order-keyed agg are shuffle-free") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val star = Sources.materializeBucketedStar(
+      graft.core.Tables(spark, "/root/testdata/sf0.001"), numBuckets = 4)
+    try {
+      val joined = star.orders
+        .join(star.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed star join+agg should be shuffle-free:\n${plan.take(2000)}")
+      // same result as the plain parquet plan
+      val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+      val plain = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      assert(joined.as[(Long, Double)].collect().toMap ===
+        plain.as[(Long, Double)].collect().toMap)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      star.drop()
+    }
+  }
+
   test("salted aggregation equals the plain aggregate") {
     val df = Seq.tabulate(500)(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
       .toDF("key", "v")

@@ -150,6 +150,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 1)
   }
 
+  test("rate-source soak: continuous micro-batches stay healthy") {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 5000).load()
+    val agg = rate.withWatermark("timestamp", "2 seconds")
+      .groupBy(window(col("timestamp"), "1 second"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("t_rate_soak")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var processed = 0L
+      while (processed < 10000 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        processed = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(q.isActive, "query died during soak")
+      assert(q.exception.isEmpty, s"streaming exception: ${q.exception}")
+      assert(processed >= 10000, s"only $processed rows in 20s soak")
+    } finally q.stop()
+  }
+
   test("NbCountStore merge is order-insensitive (associative+commutative)") {
     val gen = Gen.listOfN(20,
       for {
