@@ -61,6 +61,16 @@ object StressBench {
       fact.select(md5(concat_ws(":", col("key"), col("value"))).as("h"))
         .distinct().count()
     }
+    // one-pass minhash signatures (xxhash64 base + splitmix family) over
+    // rows shingles for rows/10 docs — the dedup throughput path
+    timed("minhash_fast_signatures") {
+      val sh = spark.range(rows).select(
+        (col("id") / 10).cast("long").as("doc_id"),
+        concat(lit("sh"), pmod(hash(col("id")), lit(10000000)).cast("string"))
+          .as("shingle"))
+      graft.dedup.Dedup.minhashSignaturesFast(sh, "doc_id", numHashes = 16)
+        .count()
+    }
     spark.stop()
   }
 }

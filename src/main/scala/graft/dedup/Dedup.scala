@@ -86,13 +86,21 @@ object Dedup {
     * multiplication, buffer = running minima, partial-agg merged. The
     * throughput path; [[minhashSignatures]] stays the oracle-checked twin
     * (different hash family, same semantics).
+    *
+    * Base hash is `xxhash64` — a native codegen expression, an order of
+    * magnitude cheaper per shingle than md5 (which runs a MessageDigest
+    * through reflection-free but still heavyweight JNI-less Java). md5
+    * belongs only where a SQL oracle must reproduce the value; the sign
+    * bit is masked off so the splitmix family derivation sees the same
+    * non-negative domain either way.
     */
   def minhashSignaturesFast(shingleDf: DataFrame, idCol: String,
                             numHashes: Int = 8): DataFrame = {
     val spark = shingleDf.sparkSession
     import spark.implicits._
     val hashed = shingleDf
-      .select(col(idCol).cast("long"), md5Long(col("shingle"), 8))
+      .select(col(idCol).cast("long"),
+        xxhash64(col("shingle")).bitwiseAND(lit(Long.MaxValue)))
       .as[(Long, Long)]
     hashed.groupByKey(_._1)
       .mapValues(_._2)

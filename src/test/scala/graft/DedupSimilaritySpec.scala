@@ -52,16 +52,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignaturesFast(sh, "doc_id", numHashes = 4)
       .as[(Long, Seq[Long])].collect().toMap
-    // local oracle: same md5-prefix base hash + splitmix chain over the
+    // local oracle: same xxhash64 base hash (via a 1-row Spark eval, so
+    // the exact engine hash is reproduced) + splitmix chain over the
     // collected shingle set
     val localShingles = sh.as[(Long, String)].collect().groupBy(_._1)
-    def md5Long8(s: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val allShingles = localShingles.values.flatten.map(_._2).toSeq.distinct
+    val baseHash: Map[String, Long] = allShingles.toDF("s")
+      .select(col("s"), xxhash64(col("s")).bitwiseAND(lit(Long.MaxValue)))
+      .as[(String, Long)].collect().toMap
     localShingles.foreach { case (id, rows) =>
       val expected = Array.fill(4)(Long.MaxValue)
       rows.map(_._2).foreach { s =>
-        var h = md5Long8(s)
+        var h = baseHash(s)
         (0 until 4).foreach { i =>
           if (h < expected(i)) expected(i) = h
           h = MinHashAgg.mix(h)
