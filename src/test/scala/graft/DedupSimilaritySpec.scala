@@ -124,6 +124,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top.toSeq === Seq((1L, 1), (2L, 2)))
   }
 
+  test("IVF recall grows monotonically with nProbe and is exact at full probe") {
+    // On these synthetic embeddings the label-mean cells carry little
+    // geometric structure (measured ~0.4 recall at 2/10 probes), so the
+    // spec pins the INVARIANTS instead of a magic recall number: recall
+    // never decreases as probes widen, beats the random-cells baseline
+    // (nProbe/nCells), and hits 1.0 when every cell is probed (IVF with
+    // full probe IS brute force).
+    import graft.mlops.NaiveBayesOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nCells = 10
+    val recalls = Seq(2, 5, nCells).map { p =>
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          centers, "cell", nProbe = p, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      p -> (exact.intersect(ivf).size.toDouble / exact.size)
+    }
+    recalls.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall dropped widening probes $p1->$p2: $r1 -> $r2")
+    }
+    recalls.foreach { case (p, r) =>
+      assert(r >= p.toDouble / nCells * 0.8,
+        s"nProbe=$p recall $r worse than 0.8x the random-cells baseline")
+    }
+    assert(recalls.last._2 === 1.0,
+      s"full probe must equal brute force, got ${recalls.last._2}")
+  }
+
   test("sign-LSH buckets are consistent between build and query sides") {
     val emb = Seq(
       (0L, Seq(1.0f, -1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
