@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,19 @@ object DedupQueries extends QueryPack {
       val sh = Dedup.simhash(docShingles(s, dir), "doc_id", bits = 60)
       Dedup.simhashPairsBlocked(sh, "doc_id", maxHamming = 3, bits = 60)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cluster resolution: candidate pairs → connected components →
+    // canonical survivor per cluster (iterative min-label propagation;
+    // the DuckDB oracle recomputes it with a recursive CTE).
+    "dedup_components" -> ((s, dir) => {
+      val sh = docShingles(s, dir)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+      val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+      Components.dedupClusters(cand, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          col("is_survivor"))
+        .orderBy(col("doc_id"))
     }),
 
     // Full n-gram Jaccard above threshold (small-scale verification of the
@@ -250,6 +263,36 @@ object DedupQueries extends QueryPack {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recursive-CTE twin of the iterative min-label propagation: cc
+    // enumerates every (node, reachable-label) pair — UNION dedups, so
+    // the recursion terminates — and the component is the min label.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |e AS (SELECT id_a AS a, id_b AS b FROM cand
+         |      UNION SELECT id_b, id_a FROM cand),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a)
+         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component,
+         |  CAST(CASE WHEN id = min(comp) THEN 1 ELSE 0 END AS INT) AS is_survivor
+         |FROM cc GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,

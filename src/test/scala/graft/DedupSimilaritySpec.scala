@@ -124,6 +124,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top.toSeq === Seq((1L, 1), (2L, 2)))
   }
 
+  test("connected components: chains merge, islands stay separate, survivors marked") {
+    import graft.dedup.Components
+    // two components: {1,2,3,4} via a chain (diameter 3), {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Components.dedupClusters(edges, "id_a", "id_b")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1)), 2L -> ((1L, 0)), 3L -> ((1L, 0)), 4L -> ((1L, 0)),
+      10L -> ((10L, 1)), 11L -> ((10L, 0))))
+  }
+
   test("IVF recall grows monotonically with nProbe and is exact at full probe") {
     // On these synthetic embeddings the label-mean cells carry little
     // geometric structure (measured ~0.4 recall at 2/10 probes), so the
