@@ -118,6 +118,24 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD2 versioning: each customer's orders become validity intervals
+    // (valid_from = order date, valid_to = next order's date, open-ended
+    // current row) — the slowly-changing-dimension shape, built from
+    // lead() over a keyed window.
+    "scd2_customer_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .where(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(
+            date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd"),
+            lit("9999-12-31")).as("valid_to"),
+          (lead(col("o_orderdate"), 1).over(w).isNull).cast("int").as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
     // JSON path extraction (get_json_object family) over the raw props
     // strings, aggregated per event type.
     "json_extract_events" -> ((s, dir) => {
@@ -214,6 +232,16 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "scd2_customer_orders" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d'), '9999-12-31')
+        |    AS valid_to,
+        |  CAST(lead(o_orderdate, 1) OVER w IS NULL AS INT) AS is_current
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "json_extract_events" ->
       """SELECT event_type, count(*) AS n,

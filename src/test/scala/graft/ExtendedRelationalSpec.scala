@@ -50,6 +50,22 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("ml pipeline save/load round-trip preserves the transform") {
+    import graft.feature.TextPipeline
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = TextPipeline.fitTfidf(docs, vocabSize = 1024)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val toNorm = udf((v: org.apache.spark.ml.linalg.Vector) =>
+      BigDecimal(math.sqrt(v.toArray.map(x => x * x).sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def norms(m: org.apache.spark.ml.PipelineModel) =
+      m.transform(docs).select(col("doc_id"), toNorm(col("tfidf")).as("n"))
+        .as[(Long, Double)].collect().toMap
+    assert(norms(loaded) === norms(model))
+  }
+
   test("pivot/unpivot round-trip recovers the long form") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val long = orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
