@@ -116,6 +116,24 @@ object EventStreams {
     * Returns the merge function for callers to wire into
     * `writeStream.foreachBatch`.
     */
+  /** Exactly-once sink contract for `foreachBatch`: Spark guarantees
+    * at-least-once invocation with a STABLE batchId per epoch — a failed
+    * micro-batch is retried under the same id. A sink that records the
+    * committed batchId (here an in-memory set; in production the id
+    * rides in the sink's own transaction, e.g. a MERGE keyed on it)
+    * makes the write idempotent, upgrading at-least-once to
+    * effectively-exactly-once. Wrap any batch body with this to get the
+    * contract; the spec replays a batch id and asserts no double-apply.
+    */
+  def idempotentForeachBatch(
+      inner: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val committed = scala.collection.mutable.Set[Long]()
+    (df: DataFrame, batchId: Long) => {
+      val first = committed.synchronized { committed.add(batchId) }
+      if (first) inner(df, batchId)
+    }
+  }
+
   def nbCountsMerger(store: NbCountStore): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
       val counts = batch

@@ -150,6 +150,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 1)
   }
 
+  test("idempotent foreachBatch: a retried batch id is not applied twice") {
+    import graft.streaming.{EventStreams, NbCountStore}
+    val store = new NbCountStore
+    val sink = EventStreams.idempotentForeachBatch(EventStreams.nbCountsMerger(store))
+    val batch = Seq(("en", "hello hello"), ("de", "welt"))
+      .toDF("lang", "text")
+    sink(batch, 7L)   // first delivery
+    sink(batch, 7L)   // simulated retry of the SAME epoch
+    sink(batch, 8L)   // next epoch applies normally
+    assert(store.get("en", "hello") === 4L) // 2 per applied batch, 2 batches
+    assert(store.get("de", "welt") === 2L)
+  }
+
   test("rate-source soak: continuous micro-batches stay healthy") {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", 5000).load()
