@@ -118,6 +118,18 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Time-series resample + forward fill: dense hourly grid per user,
+    // gaps carry the last observed value (see operators.TimeSeries).
+    "resample_gapfill_events" -> ((s, dir) => {
+      graft.operators.TimeSeries.resampleHourlyFill(
+          Tables(s, dir).events.where(col("user_id") < 40),
+          col("user_id"), col("ts"), col("value"))
+        .select(col("key").as("user_id"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour_s"),
+          col("v"), col("v_filled"), col("is_gap"))
+        .orderBy(col("user_id"), col("hour_s"))
+    }),
+
     // SCD2 versioning: each customer's orders become validity intervals
     // (valid_from = order date, valid_to = next order's date, open-ended
     // current row) — the slowly-changing-dimension shape, built from
@@ -232,6 +244,29 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "resample_gapfill_events" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    round(sum(value), 2) AS v
+        |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM spans),
+        |filled AS (
+        |  SELECT g.user_id, g.hour, h.v
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M') AS hour_s, v,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  CAST(v IS NULL AS INT) AS is_gap
+        |FROM filled
+        |ORDER BY user_id, hour_s""".stripMargin,
 
     "scd2_customer_orders" ->
       """SELECT o_custkey, o_orderkey,
