@@ -118,6 +118,33 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Sorted string aggregation (listagg semantics): deterministic via
+    // in-row sort of the collected list.
+    "string_agg_region_nations" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }),
+
+    // RANGE window frame: trailing-hour sum per user ordered by epoch
+    // seconds — value-based frame bounds (peers included), vs the
+    // row-count frame of window_moving_avg.
+    "window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600, 0)
+      Tables(s, dir).events
+        .where(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+        .withColumn("trail_1h_sum", round(sum(col("value")).over(w), 2))
+        .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+    }),
+
     // Time-series resample + forward fill: dense hourly grid per user,
     // gaps carry the last observed value (see operators.TimeSeries).
     "resample_gapfill_events" -> ((s, dir) => {
@@ -244,6 +271,23 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "string_agg_region_nations" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s, value,
+        |  round(sum(value) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trail_1h_sum
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, epoch_s, event_id""".stripMargin,
 
     "resample_gapfill_events" ->
       """WITH hourly AS (
