@@ -79,6 +79,34 @@ object EventStreams {
         col("click_id"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase emits, matched to
+    * in-window clicks when they exist, with NULL click columns once the
+    * watermark proves no match can arrive. The outer row is held in the
+    * join state store until the global watermark (min across BOTH sides)
+    * passes the purchase's join window — that eviction point is what the
+    * null-padded emission waits for, and why both sides must keep
+    * watermarking forward at 100 TB: one stalled side pins every outer
+    * row in state.
+    */
+  def purchasesWithOptionalClicks(events: DataFrame,
+                                  watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (count, sum, max-seen-ts) accumulator emitted on every update — the
     * one stateful shape the built-in operators (windows/sessions/dedup)

@@ -150,6 +150,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 1)
   }
 
+  test("left-outer stream-stream join emits null-padded rows after eviction") {
+    // two micro-batches: batch 1 holds the real events; batch 2 is a
+    // far-future flush on BOTH sides (global watermark = min across
+    // sides) that lets the join state evict and emit unmatched purchases
+    val dir = Files.createTempDirectory("graft_ssl_").toString
+    val mk = (rows: Seq[(Long, java.sql.Timestamp, String, Double)]) =>
+      rows.toDF("user_id", "ts", "event_type", "value")
+        .withColumn("event_id", col("user_id") * 1000 +
+          (unix_timestamp(col("ts")) % 100000))
+    val batch1 = mk(Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (1L, ts("2024-01-01 00:30:00"), "purchase", 9.99), // matched
+      (1L, ts("2024-01-01 05:00:00"), "purchase", 5.00), // no in-window click
+      (2L, ts("2024-01-01 00:10:00"), "purchase", 1.00)  // user 2 never clicked
+    ))
+    val batch2 = mk(Seq(
+      (9L, ts("2024-01-03 00:00:00"), "click", 0.0),
+      (9L, ts("2024-01-03 00:00:01"), "purchase", 0.01)))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source ordering is by modification time
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = runToTable(EventStreams.purchasesWithOptionalClicks(stream),
+      "t_ss_left")
+      .where(col("user_id") < 9)
+      .select(col("user_id"), col("value"), col("click_id").isNull.as("unmatched"))
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(out === Set((1L, 9.99, false), (1L, 5.00, true), (2L, 1.00, true)))
+  }
+
   test("idempotent foreachBatch: a retried batch id is not applied twice") {
     import graft.streaming.{EventStreams, NbCountStore}
     val store = new NbCountStore
