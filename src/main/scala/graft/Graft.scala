@@ -112,6 +112,24 @@ object Graft {
   def cosineNearDuplicates(emb: DataFrame, idCol: String, arrCol: String,
                            threshold: Double): DataFrame =
     Dedup.embeddingNearDup(emb, idCol, arrCol, threshold)
+  /** End-to-end corpus dedup: exact-duplicate edges ∪ banded-minhash
+    * near-dup edges → connected components → one canonical survivor per
+    * cluster. Returns (id, component, is_survivor) — filter
+    * `is_survivor = 1` for the deduplicated corpus.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("_h"))
+    val exact = hashed.select(col(idCol).as("id_a"), col("_h"))
+      .join(hashed.select(col(idCol).as("id_b"), col("_h")), "_h")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val sh = Dedup.shingles(docs, idCol, textCol)
+    val near = Dedup.minhashBandCandidates(
+      Dedup.minhashSignatures(sh, idCol), idCol)
+    graft.dedup.Components.dedupClusters(exact.union(near).distinct(),
+      "id_a", "id_b")
+  }
   /** Deterministic hash-gated sampling (engine-portable, retry-stable). */
   def sampleDeterministic(df: DataFrame, key: Column, pct: Int): DataFrame =
     graft.operators.Sampling.deterministicSample(df, key, pct)

@@ -105,6 +105,28 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The end-to-end corpus dedup pipeline in one query: exact-duplicate
+    // edges (same md5 text) UNION banded-minhash near-dup edges →
+    // connected components → survivor + cluster size. What a user runs
+    // to dedup a training corpus.
+    "dedup_pipeline_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      val exactEdges = hashed.select(col("doc_id").as("id_a"), col("_h"))
+        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val sh = docShingles(s, dir)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+      val near = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+      val wComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      Components.dedupClusters(exactEdges.union(near).distinct(), "id_a", "id_b")
+        .withColumn("cluster_size", count(lit(1)).over(wComp))
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          col("is_survivor"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Full n-gram Jaccard above threshold (small-scale verification of the
     // banded path; at scale candidates gate this).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -292,6 +314,40 @@ object DedupQueries extends QueryPack {
          |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component,
          |  CAST(CASE WHEN id = min(comp) THEN 1 ELSE 0 END AS INT) AS is_survivor
          |FROM cc GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_pipeline_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |ex AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM documents x JOIN documents y
+         |    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+         |edges0 AS (SELECT id_a, id_b FROM ex UNION SELECT id_a, id_b FROM cand),
+         |e AS (SELECT id_a AS a, id_b AS b FROM edges0
+         |      UNION SELECT id_b, id_a FROM edges0),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a),
+         |final AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         |SELECT id AS doc_id, CAST(comp AS BIGINT) AS component,
+         |  CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS INT) AS is_survivor,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+         |FROM final
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
