@@ -40,6 +40,11 @@ class ContractSpec extends AnyFunSuite {
     assert(Graft.dedupExact(docs, "doc_id", "text").count() === 2)
     val q = Graft.textQuality(docs, "doc_id", "text")
     assert(q.columns.contains("is_quality") && q.count() === 3)
+    // end-to-end corpus dedup: docs 0 and 1 cluster, 0 survives; doc 2
+    // shares no edges so it is absent (isolated = trivially unique)
+    val clusters = Graft.dedupCorpus(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(clusters === Set((0L, 0L, 1), (1L, 0L, 0)))
   }
 
   test("validation gate fails fast with precise messages (D12)") {
