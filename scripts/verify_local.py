@@ -38,7 +38,8 @@ def canon(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = repr(round(v, 9))
+                    # + 0.0 normalizes IEEE -0.0, whose repr differs from 0.0
+                    v = repr(round(v, 9) + 0.0)
             vals.append(str(v))
         out.append("\x01".join(vals))
     out.sort()

@@ -43,6 +43,29 @@ object ClusterOps {
   /** spark.ml k-means‖ over an array column (the reference's
     * `init='k-means||'` path, now fully in-JVM).
     */
+  /** Deterministic Lloyd's algorithm, `iters` fixed rounds: centers seeded
+    * from the k lowest-id points (no RNG), each round re-assigns every
+    * point to its nearest center (ties broken by center id) and recomputes
+    * centers as coordinate means. Fixed iteration count + deterministic
+    * seeding makes the whole fit SQL-mirrorable — the oracled counterpart
+    * of the RNG-seeded `fitKMeans` (ml k-means‖). Empty clusters drop out
+    * (inner join), matching the SQL twin. Each round is one broadcast
+    * join + two aggregations — linear scans, no driver-side state.
+    */
+  def lloydIterations(pointsLong: DataFrame, idCol: String, k: Int,
+                      iters: Int): DataFrame = {
+    var centers = pointsLong.where(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cid"), col("dim"), col("v").as("c"))
+    (1 to iters).foreach { _ =>
+      val assign = assignToCenters(pointsLong, centers, idCol, "cid")
+        .select(col(idCol), col("cid"))
+      centers = pointsLong.join(assign, idCol)
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+    }
+    centers
+  }
+
   def fitKMeans(df: DataFrame, arrCol: String, k: Int, seed: Long = 42L): DataFrame = {
     val prepared = df.withColumn("features",
       array_to_vector(col(arrCol).cast("array<double>")))

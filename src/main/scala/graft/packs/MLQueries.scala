@@ -89,6 +89,21 @@ object MLQueries extends QueryPack {
         .orderBy(col("center_label"))
     }),
 
+    // C2: the kmeans FIT itself, oracled — deterministic seeding (k
+    // lowest-id points) + exactly 2 Lloyd rounds, unrolled in the SQL
+    // twin. The RNG-seeded ml k-means‖ stays as the rows-only
+    // ml_kmeans_sizes; this pins the algorithm's arithmetic.
+    "c2_kmeans_lloyd" -> ((s, dir) => {
+      val pts = NaiveBayesOps.toLongForm(
+        Tables(s, dir).embeddings, Seq("vec_id"), "embedding")
+      ClusterOps.lloydIterations(pts, "vec_id", k = 8, iters = 2)
+        // + 0.0 normalizes IEEE negative zero (-0.0 -> 0.0): engines
+        // disagree on the sign of a rounded -0.00001 and the driver's
+        // string canonicalization would see two different rows
+        .select(col("cid"), col("dim"), (round(col("c"), 4) + lit(0.0)).as("c"))
+        .orderBy(col("cid"), col("dim"))
+    }),
+
     // C3: Gramian XᵀX upper triangle (the reference's treeReduce(Σ XᵀX),
     // `splearn/decomposition/truncated_svd.py:~L10`).
     "c3_gramian" -> ((s, dir) => {
@@ -246,6 +261,43 @@ object MLQueries extends QueryPack {
         |FROM lineitem, fit
         |WHERE l_orderkey < 20
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c2_kmeans_lloyd" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, v AS c
+        |       FROM pts WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT p.vec_id, c.cid, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN c0 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+        |  GROUP BY a.cid, p.dim),
+        |d2 AS (
+        |  SELECT p.vec_id, c.cid, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN c1 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+        |  GROUP BY a.cid, p.dim)
+        |SELECT cid, dim, round(c, 4) + 0.0 AS c
+        |FROM c2
+        |ORDER BY cid, dim""".stripMargin,
 
     "c1_kmeans_assign" ->
       """WITH pts AS (
