@@ -71,6 +71,37 @@ object LinearOps {
         count(lit(1)).as("n_blocks"))
 
   /** spark.ml logistic regression over an Array[Float] embedding column. */
+  /** Deterministic batch gradient descent for logistic regression:
+    * weights start at zero, `iters` full-batch steps of rate `lr`, no
+    * intercept, no RNG — so the entire fit is SQL-expressible and
+    * oracle-checkable step for step (the iterative twin of the ml
+    * L-BFGS `fitLogistic`, whose line search isn't mirrorable). Each
+    * step is two broadcast joins + two aggregations over the long-form
+    * points: margins per row, then the gradient avg((σ(m)−y)·x) per
+    * dim. Weights are O(dims) — broadcast-sized driver-free state.
+    */
+  def logisticGdIterations(pointsLong: DataFrame, labels: DataFrame,
+                           idCol: String, labelCol: String,
+                           iters: Int, lr: Double): DataFrame = {
+    var w = pointsLong.select(col("dim")).distinct()
+      .withColumn("w", lit(0.0))
+    (1 to iters).foreach { _ =>
+      val margins = pointsLong
+        .join(broadcast(w), "dim")
+        .groupBy(col(idCol))
+        .agg(sum(col("v") * col("w")).as("m"))
+      val errs = margins.join(labels, idCol)
+        .select(col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col(labelCol)).as("err"))
+      val grad = pointsLong.join(errs, idCol)
+        .groupBy(col("dim"))
+        .agg(avg(col("err") * col("v")).as("g"))
+      w = w.join(grad, "dim")
+        .select(col("dim"), (col("w") - lit(lr) * col("g")).as("w"))
+    }
+    w
+  }
+
   def fitLogistic(df: DataFrame, featuresArr: String, labelCol: String,
                   maxIter: Int = 20): DataFrame = {
     val prepared = df.withColumn("features",

@@ -89,6 +89,20 @@ object MLQueries extends QueryPack {
         .orderBy(col("center_label"))
     }),
 
+    // L4b: the logistic-regression FIT itself, oracled — zero init,
+    // 2 full-batch gradient steps, fixed rate, no intercept; the SQL
+    // twin unrolls both steps. (ml L-BFGS stays as ml_logreg_predict.)
+    "l4_logreg_gd" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding")
+      val labels = emb.select(col("vec_id"),
+        (col("label") % 2).cast("double").as("y"))
+      LinearOps.logisticGdIterations(pts, labels, "vec_id", "y",
+          iters = 2, lr = 0.1)
+        .select(col("dim"), (round(col("w"), 6) + lit(0.0)).as("w"))
+        .orderBy(col("dim"))
+    }),
+
     // C2: the kmeans FIT itself, oracled — deterministic seeding (k
     // lowest-id points) + exactly 2 Lloyd rounds, unrolled in the SQL
     // twin. The RNG-seeded ml k-means‖ stays as the rows-only
@@ -261,6 +275,33 @@ object MLQueries extends QueryPack {
         |FROM lineitem, fit
         |WHERE l_orderkey < 20
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Step 1 closed form: w=0 ⇒ margins 0 ⇒ σ=0.5 exactly, so
+    // w1 = -lr·avg((0.5−y)·x); step 2 unrolled in full.
+    "l4_logreg_gd" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+        |w1 AS (
+        |  SELECT dim, -0.1 * avg((0.5 - l.y) * p.v) AS w
+        |  FROM pts p JOIN lab l ON p.vec_id = l.vec_id
+        |  GROUP BY dim),
+        |m2 AS (
+        |  SELECT p.vec_id, sum(p.v * w1.w) AS m
+        |  FROM pts p JOIN w1 ON p.dim = w1.dim
+        |  GROUP BY p.vec_id),
+        |e2 AS (
+        |  SELECT m2.vec_id, 1.0 / (1.0 + exp(-m2.m)) - l.y AS err
+        |  FROM m2 JOIN lab l ON m2.vec_id = l.vec_id),
+        |g2 AS (
+        |  SELECT p.dim, avg(e2.err * p.v) AS g
+        |  FROM pts p JOIN e2 ON p.vec_id = e2.vec_id
+        |  GROUP BY p.dim)
+        |SELECT w1.dim AS dim, round(w1.w - 0.1 * g2.g, 6) + 0.0 AS w
+        |FROM w1 JOIN g2 ON w1.dim = g2.dim
+        |ORDER BY w1.dim""".stripMargin,
 
     "c2_kmeans_lloyd" ->
       """WITH pts AS (
