@@ -41,6 +41,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
   }
 
+  test("round-2 pipelines avoid cartesian shapes; model state broadcasts") {
+    // cluster resolution: equi-joins only, never a cross product
+    val comp = plan("dedup_pipeline_clusters")
+    assert(!comp.contains("CartesianProduct") &&
+      !comp.contains("BroadcastNestedLoopJoin"), comp.take(600))
+    // iterative fits join O(dims) model state via broadcast
+    val lloyd = plan("c2_kmeans_lloyd")
+    assert(lloyd.contains("BroadcastHashJoin"), lloyd.take(600))
+    val gd = plan("l4_logreg_gd")
+    assert(gd.contains("BroadcastHashJoin"), gd.take(600))
+    // gap fill: keyed window + generator, no cartesian
+    val rs = plan("resample_gapfill_events")
+    assert(rs.contains("Window") && !rs.contains("CartesianProduct"),
+      rs.take(600))
+  }
+
   test("graft_cosine/graft_dot: length mismatch throws, zero norm is null") {
     import spark.implicits._
     plans.GraftExpressions.register(spark)
