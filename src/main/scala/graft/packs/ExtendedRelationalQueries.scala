@@ -118,6 +118,30 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Sequential funnel: signup → click → purchase, each stage's
+    // timestamp strictly after the previous stage's. Three conditional
+    // min-aggregations per user (one pass each), then stage counts —
+    // no self-join on the raw events.
+    "funnel_events" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).as("t2"))
+      val t3 = ev.join(t2, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).as("t3"))
+      t1.join(t2, "user_id").join(t3, "user_id")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("t1").isNotNull.cast("long")).as("n_signup"),
+          sum(col("t2").isNotNull.cast("long")).as("n_signup_click"),
+          sum(col("t3").isNotNull.cast("long")).as("n_full_funnel"))
+    }),
+
     // Sorted string aggregation (listagg semantics): deterministic via
     // in-row sort of the collected list.
     "string_agg_region_nations" -> ((s, dir) => {
@@ -271,6 +295,28 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "funnel_events" ->
+      """WITH t1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  GROUP BY e.user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+        |JOIN t3 ON t2.user_id = t3.user_id""".stripMargin,
 
     "string_agg_region_nations" ->
       """SELECT r_name,
