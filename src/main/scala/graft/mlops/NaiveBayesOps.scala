@@ -85,6 +85,39 @@ object NaiveBayesOps {
         round(var_pop(col("v")), 6).as("sigma2"),
         count(lit(1)).as("n"))
 
+  /** Gaussian NB predict: argmax over classes of
+    * ln(prior) + Σ_dim [ −½·ln(2π·σ²) − (x−θ)²/(2σ²) ].
+    * Takes the ROUNDED fit (as emitted by [[gaussianFit]]) so the scores
+    * are reproducible across engines — the same rounded-params-in-predict
+    * rule the multinomial path uses. One broadcast join on dim (the fit
+    * is O(classes × dims)), one aggregation per (point, class), argmax
+    * via row_number with class-id tie-break.
+    */
+  def gaussianPredict(pointsLong: DataFrame, idCol: String,
+                      fit: DataFrame, classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPerClass = fit.where(col("dim") === 1)
+      .select(col(classCol), col("n"))
+    val total = nPerClass.agg(sum(col("n")).as("_tot"))
+    val priors = nPerClass.crossJoin(total)
+      .select(col(classCol), log(col("n") / col("_tot")).as("_logprior"))
+    val scores = pointsLong
+      .join(broadcast(fit), "dim")
+      .groupBy(col(idCol), col(classCol))
+      .agg(sum(
+        lit(-0.5) * log(lit(2.0 * math.Pi) * col("sigma2"))
+          - pow(col("v") - col("theta"), 2) / (lit(2.0) * col("sigma2")))
+        .as("_loglik"))
+      .join(broadcast(priors), classCol)
+      .withColumn("score", col("_loglik") + col("_logprior"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col(classCol))
+    scores.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col(classCol).as("pred"),
+        round(col("score"), 2).as("score"))
+  }
+
   /** Explode an array column to long form (1-based dim to match SQL). */
   def toLongForm(df: DataFrame, idCols: Seq[String], arrCol: String,
                  maxDim: Int = Int.MaxValue): DataFrame = {

@@ -46,6 +46,17 @@ object MLQueries extends QueryPack {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // N4: Gaussian NB predict — argmax log-density over the rounded fit
+    // params (reproducible across engines), 4 dims, all 10 labels.
+    "n4_gaussian_nb_predict" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val lf = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding", maxDim = 4)
+      val fit = NaiveBayesOps.gaussianFit(lf, "label")
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding", maxDim = 4)
+      NaiveBayesOps.gaussianPredict(pts, "vec_id", fit, "label")
+        .orderBy(col("vec_id"))
+    }),
+
     // L3: OLS closed form from distributed moments.
     "l3_ols_fit" -> ((s, dir) => {
       LinearOps.olsFit(Tables(s, dir).lineitem, "l_quantity", "l_extendedprice")
@@ -236,6 +247,42 @@ object MLQueries extends QueryPack {
         |WHERE dim <= 4
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+
+    "n4_gaussian_nb_predict" ->
+      """WITH lf AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |fit AS (
+        |  SELECT label, dim, round(avg(v), 6) AS theta,
+        |    round(var_pop(v), 6) AS sigma2, count(*) AS n
+        |  FROM lf WHERE dim <= 4 GROUP BY label, dim),
+        |priors AS (
+        |  SELECT label, ln(n * 1.0 / (SELECT sum(n) FROM fit WHERE dim = 1))
+        |    AS logprior
+        |  FROM fit WHERE dim = 1),
+        |pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |scores AS (
+        |  SELECT p.vec_id, f.label,
+        |    sum(-0.5 * ln(2.0 * pi() * f.sigma2)
+        |        - (p.v - f.theta) * (p.v - f.theta) / (2.0 * f.sigma2))
+        |      + any_value(pr.logprior) AS score
+        |  FROM pts p
+        |  JOIN fit f ON p.dim = f.dim
+        |  JOIN priors pr ON f.label = pr.label
+        |  WHERE p.dim <= 4
+        |  GROUP BY p.vec_id, f.label),
+        |ranked AS (
+        |  SELECT vec_id, label, score,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label)
+        |      AS rn
+        |  FROM scores)
+        |SELECT vec_id, CAST(label AS INT) AS pred, round(score, 2) AS score
+        |FROM ranked WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     "l1_block_averaged_ols" ->
       """WITH blocked AS (
