@@ -118,6 +118,23 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Equi-width histogram: 20 bins over the price range, computed from
+    // the global min/max (two aggregations, no sort, no driver state).
+    "histogram_prices" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      li.crossJoin(bounds)
+        .withColumn("bin",
+          least(lit(19), floor((col("l_extendedprice") - col("lo")) * 20.0 /
+            (col("hi") - col("lo"))).cast("int")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("bin_min"),
+          round(max(col("l_extendedprice")), 2).as("bin_max"))
+        .orderBy(col("bin"))
+    }),
+
     // Sequential funnel: signup → click → purchase, each stage's
     // timestamp strictly after the previous stage's. Three conditional
     // min-aggregations per user (one pass each), then stage counts —
@@ -295,6 +312,19 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "histogram_prices" ->
+      """WITH b AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT least(19, CAST(floor((l_extendedprice - lo) * 20.0 / (hi - lo))
+        |    AS INT)) AS bin,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS bin_min,
+        |  round(max(l_extendedprice), 2) AS bin_max
+        |FROM lineitem, b
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
 
     "funnel_events" ->
       """WITH t1 AS (
