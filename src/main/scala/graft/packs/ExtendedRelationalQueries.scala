@@ -118,6 +118,25 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL keep duplicates
+    // (count-respecting semantics), unlike the distinct set ops covered
+    // by setops_nations. Over order-priority multisets of two statuses.
+    "setops_all_orders" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val a = o.where(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      val b = o.where(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+      a.exceptAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_except_all"))
+        .join(
+          a.intersectAll(b).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_intersect_all")),
+          Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Equi-width histogram: 20 bins over the price range, computed from
     // the global min/max (two aggregations, no sort, no driver state).
     "histogram_prices" -> ((s, dir) => {
@@ -312,6 +331,23 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "setops_all_orders" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+        |ea AS (
+        |  SELECT o_orderpriority, count(*) AS n_except_all
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  GROUP BY o_orderpriority),
+        |ia AS (
+        |  SELECT o_orderpriority, count(*) AS n_intersect_all
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  GROUP BY o_orderpriority)
+        |SELECT coalesce(ea.o_orderpriority, ia.o_orderpriority) AS o_orderpriority,
+        |  coalesce(n_except_all, 0) AS n_except_all,
+        |  coalesce(n_intersect_all, 0) AS n_intersect_all
+        |FROM ea FULL OUTER JOIN ia ON ea.o_orderpriority = ia.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "histogram_prices" ->
       """WITH b AS (
