@@ -62,6 +62,13 @@ object MLQueries extends QueryPack {
       LinearOps.olsFit(Tables(s, dir).lineitem, "l_quantity", "l_extendedprice")
     }),
 
+    // L5: bivariate OLS closed form (Cramer over the 3×3 normal
+    // equations) — price ~ quantity + discount.
+    "l5_ols_bivariate" -> ((s, dir) => {
+      LinearOps.olsFit2(Tables(s, dir).lineitem,
+        "l_quantity", "l_discount", "l_extendedprice")
+    }),
+
     // L1: the reference's parameter-averaged fit (one model per block,
     // coefficients averaged) — expressed relationally and oracle-checked.
     "l1_block_averaged_ols" -> ((s, dir) => {
@@ -283,6 +290,34 @@ object MLQueries extends QueryPack {
         |SELECT vec_id, CAST(label AS INT) AS pred, round(score, 2) AS score
         |FROM ranked WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "l5_ols_bivariate" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_quantity) AS s1, sum(l_discount) AS s2,
+        |    sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS s11,
+        |    sum(l_quantity * l_discount) AS s12,
+        |    sum(l_discount * l_discount) AS s22,
+        |    sum(l_quantity * l_extendedprice) AS s1y,
+        |    sum(l_discount * l_extendedprice) AS s2y
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT *, n * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s12 - s11 * s2) AS det
+        |  FROM m)
+        |SELECT
+        |  round((sy * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1y * s22 - s12 * s2y)
+        |    + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+        |  round((n * (s1y * s22 - s12 * s2y)
+        |    - sy * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+        |  round((n * (s11 * s2y - s1y * s12)
+        |    - s1 * (s1 * s2y - s1y * s2)
+        |    + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+        |FROM d""".stripMargin,
 
     "l1_block_averaged_ols" ->
       """WITH blocked AS (

@@ -71,6 +71,18 @@ class ContractSpec extends AnyFunSuite {
     assert(fit._3 === 4L)
   }
 
+  test("bivariate OLS recovers exact coefficients on a noiseless plane (L5)") {
+    import graft.mlops.LinearOps
+    val df = (for { i <- 1 to 50; j <- 1 to 4 } yield
+      (i.toDouble, j.toDouble, 2.0 + 3.0 * i - 4.0 * j))
+      .toDF("x1", "x2", "y")
+    val fit = LinearOps.olsFit2(df, "x1", "x2", "y")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(fit._1 - 2.0) < 1e-5, s"b0=${fit._1}")
+    assert(math.abs(fit._2 - 3.0) < 1e-5, s"b1=${fit._2}")
+    assert(math.abs(fit._3 + 4.0) < 1e-5, s"b2=${fit._3}")
+  }
+
   test("featureUnion stacks columns into one vector (P2)") {
     val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
     val out = Composition.featureUnion(Seq("a", "b", "c")).transform(df)
