@@ -118,6 +118,27 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // NULL semantics parity: nulls injected via nullif, then the
+    // aggregate family over them — count(*) vs count(col), null-ignoring
+    // avg/min/max, null grouping keys, coalesce/greatest/least.
+    "null_semantics_orders" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(
+          nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+          when(col("o_totalprice") > 150000, col("o_totalprice")).as("big_price"),
+          col("o_totalprice"))
+        .groupBy(col("status_np"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("big_price")).as("n_big"),
+          round(avg(col("big_price")), 2).as("avg_big"),
+          round(min(col("big_price")), 2).as("min_big"),
+          round(coalesce(max(col("big_price")), lit(-1.0)), 2).as("max_big_c"),
+          round(sum(greatest(col("o_totalprice"), lit(100000.0))), 2).as("s_ge"),
+          round(sum(least(col("o_totalprice"), lit(100000.0))), 2).as("s_le"))
+        .orderBy(col("status_np").asc_nulls_first)
+    }),
+
     // Multiset set ops: EXCEPT ALL / INTERSECT ALL keep duplicates
     // (count-respecting semantics), unlike the distinct set ops covered
     // by setops_nations. Over order-priority multisets of two statuses.
@@ -331,6 +352,22 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "null_semantics_orders" ->
+      """SELECT nullif(o_orderstatus, 'P') AS status_np,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN o_totalprice > 150000 THEN o_totalprice END) AS n_big,
+        |  round(avg(CASE WHEN o_totalprice > 150000 THEN o_totalprice END), 2)
+        |    AS avg_big,
+        |  round(min(CASE WHEN o_totalprice > 150000 THEN o_totalprice END), 2)
+        |    AS min_big,
+        |  round(coalesce(max(CASE WHEN o_totalprice > 150000 THEN o_totalprice END),
+        |    -1.0), 2) AS max_big_c,
+        |  round(sum(greatest(o_totalprice, 100000.0)), 2) AS s_ge,
+        |  round(sum(least(o_totalprice, 100000.0)), 2) AS s_le
+        |FROM orders
+        |GROUP BY nullif(o_orderstatus, 'P')
+        |ORDER BY status_np NULLS FIRST""".stripMargin,
 
     "setops_all_orders" ->
       """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
