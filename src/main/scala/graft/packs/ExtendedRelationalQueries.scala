@@ -118,6 +118,27 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Statistical aggregate parity: correlation, both covariance and
+    // stddev/variance flavors, and the boolean aggregate family.
+    // (skewness/kurtosis are deliberately absent: Spark and DuckDB
+    // disagree on population-vs-sample definitions.)
+    "stats_agg_lineitem" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          round(stddev_pop(col("l_discount")), 6).as("sd_p"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_s"),
+          round(var_pop(col("l_discount")), 6).as("var_p"),
+          round(var_samp(col("l_discount")), 6).as("var_s"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          count_if(col("l_tax") > 0.05).as("n_taxed"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // NULL semantics parity: nulls injected via nullif, then the
     // aggregate family over them — count(*) vs count(col), null-ignoring
     // avg/min/max, null grouping keys, coalesce/greatest/least.
@@ -352,6 +373,22 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "stats_agg_lineitem" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+        |  round(stddev_pop(l_discount), 6) AS sd_p,
+        |  round(stddev_samp(l_discount), 6) AS sd_s,
+        |  round(var_pop(l_discount), 6) AS var_p,
+        |  round(var_samp(l_discount), 6) AS var_s,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_taxed
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "null_semantics_orders" ->
       """SELECT nullif(o_orderstatus, 'P') AS status_np,
