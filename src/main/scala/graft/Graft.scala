@@ -130,6 +130,15 @@ object Graft {
     graft.dedup.Components.dedupClusters(exact.union(near).distinct(),
       "id_a", "id_b")
   }
+  /** Hourly resample with dense grid + forward fill (time-series
+    * regularization; see operators.TimeSeries).
+    */
+  def resampleHourly(df: DataFrame, key: Column, ts: Column,
+                     value: Column): DataFrame =
+    graft.operators.TimeSeries.resampleHourlyFill(df, key, ts, value)
+  /** Connected components over any near-dup pair set (id_a, id_b). */
+  def dedupComponents(edges: DataFrame): DataFrame =
+    graft.dedup.Components.dedupClusters(edges, "id_a", "id_b")
   /** Deterministic hash-gated sampling (engine-portable, retry-stable). */
   def sampleDeterministic(df: DataFrame, key: Column, pct: Int): DataFrame =
     graft.operators.Sampling.deterministicSample(df, key, pct)
