@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * blocks, or cosine) become duplicate CLUSTERS, and each cluster keeps
   * one canonical survivor.
   *
-  * Algorithm: min-label propagation. Every node starts as its own
-  * component (label = own id); each round a node adopts the minimum label
-  * among itself and its neighbors; fixpoint after at most
-  * graph-diameter rounds. Deterministic — labels are ids, min is total.
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts as its own component (label = own id); each round a node first
+  * adopts the minimum label among itself and its neighbors, then
+  * shortcuts to its label's label (path halving). The shortcut makes the
+  * label graph's depth collapse geometrically, so rounds needed are
+  * O(log diameter) rather than O(diameter) — a 1M-node chain converges
+  * in ~20 rounds instead of 1M. Deterministic — labels are ids, min is
+  * total, and the fixpoint (min reachable id) is scheme-independent.
   *
   * 100 TB notes: each round is one join + one groupBy (shuffle on node
   * id); `localCheckpoint` truncates the lineage each round so plan size
@@ -26,6 +30,11 @@ object Components {
   /** Edges (aCol, bCol) → (id, component) with component = min node id
     * reachable. Nodes are the ids present in edges; isolated docs are
     * their own component and can be unioned in by the caller.
+    *
+    * Throws if `maxIter` rounds pass without a fixpoint — silently
+    * returning partially-propagated labels would split real clusters
+    * with no signal. With pointer jumping, maxIter=20 covers any graph
+    * of diameter up to ~2^20, so the throw only fires on a genuine bug.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
@@ -45,16 +54,28 @@ object Components {
         .join(comp.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src"))
         .agg(min(col("comp")).as("ncomp"))
-      val updated = comp
+      val propagated = comp
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("half"))
+      // Pointer jumping: adopt the label's own label. Labels are node
+      // ids and label(id) <= id, so the self-join always resolves; each
+      // application halves the depth of the label forest.
+      val labelOfLabel = propagated
+        .select(col("id").as("half"), col("half").as("jump"))
+      val updated = propagated
+        .join(labelOfLabel, Seq("half"))
+        .select(col("id"), col("comp"),
+          least(col("half"), col("jump")).as("next"))
         .localCheckpoint()
       val changed = updated.where(col("next") < col("comp")).count()
       comp = updated.select(col("id"), col("next").as("comp"))
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint after $maxIter rounds — " +
+        "labels would be wrong (clusters split); raise maxIter")
     comp
   }
 

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Unique suffix for `observe` metric names: two capped stages in one
+  // query plan (e.g. the dedup capstone unions several edge sources)
+  // would otherwise collide on the observation name.
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Distinct word n-gram shingles per document. Implemented with an array
     * lambda (no joins, stays in codegen): doc → transform(sequence) →
     * array_distinct → explode. Deduping INSIDE the row (`array_distinct`)
@@ -142,6 +147,16 @@ object Dedup {
       // expression interpreter runs per comparison (measured ~10× this whole
       // stage); sort_array's natural ordering stays in codegen
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      // Truncation is observable, not silent: the cap protects against a
+      // degenerate bucket going quadratic, but recall silently dropping
+      // (and the uncapped DuckDB oracles going red) must be diagnosable.
+      // `observe` rides the existing aggregation — zero extra jobs; the
+      // metrics surface via QueryExecutionListener / ObservationManager.
+      .observe(s"minhash_banding_${obsId.getAndIncrement()}",
+        sum(when(size(col("_ids")) > maxBucket, 1).otherwise(0))
+          .as("buckets_dropped"),
+        sum(when(size(col("_ids")) > maxBucket, size(col("_ids")))
+          .otherwise(0)).as("ids_in_dropped_buckets"))
       .where(size(col("_ids")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(_ids, (a, i) -> " +
@@ -233,6 +248,8 @@ object Dedup {
                           maxHamming: Int, bits: Int = 16,
                           maxBucket: Int = 1 << 16): DataFrame = {
     val nBlocks = maxHamming + 1
+    require(bits > 0 && bits <= 60,
+      s"bits=$bits out of range (1..60 — the md5-hex simhash domain)")
     require(bits % nBlocks == 0,
       s"bits=$bits must divide evenly into maxHamming+1=$nBlocks blocks")
     val blockBits = bits / nBlocks
@@ -243,10 +260,19 @@ object Dedup {
     simhashes
       .select(col(idCol).as("_id"), col("simhash"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      // shiftright + a LONG modulus: simhash is non-negative (<= 60 bits),
+      // so shiftright == div 2^k exactly. The modulus must be 1L << k —
+      // an Int shift would wrap for blockBits >= 31 (1 << 60 == 1 << 28
+      // on Int), silently corrupting block values and dropping pairs.
       .withColumn("blk_val",
-        expr(s"pmod(simhash div cast(pow(2, blk * $blockBits) as bigint), ${1 << blockBits})"))
+        expr(s"pmod(shiftright(simhash, blk * $blockBits), ${1L << blockBits})"))
       .groupBy(col("blk"), col("blk_val"))
       .agg(sort_array(collect_list(struct(col("_id"), col("simhash")))).as("_members"))
+      .observe(s"simhash_blocking_${obsId.getAndIncrement()}",
+        sum(when(size(col("_members")) > maxBucket, 1).otherwise(0))
+          .as("buckets_dropped"),
+        sum(when(size(col("_members")) > maxBucket, size(col("_members")))
+          .otherwise(0)).as("ids_in_dropped_buckets"))
       .where(size(col("_members")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(_members, (a, i) -> " +

@@ -54,8 +54,17 @@ object ClusterOps {
     */
   def lloydIterations(pointsLong: DataFrame, idCol: String, k: Int,
                       iters: Int): DataFrame = {
-    var centers = pointsLong.where(col(idCol) < k)
-      .select(col(idCol).cast("int").as("cid"), col("dim"), col("v").as("c"))
+    // Seed = the k lowest ids by RANK, not by value (`id < k` only works
+    // for dense 0-based ids; sparse/offset ids would silently seed fewer
+    // than k centers). orderBy+limit plans as TakeOrderedAndProject —
+    // O(n) scan, O(k) result, no global sort. cid = rank-1, which equals
+    // the id itself on dense 0-based ids (what the SQL oracle pins).
+    val seedIds = pointsLong.select(col(idCol)).distinct()
+      .orderBy(col(idCol)).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+    var centers = pointsLong.join(broadcast(seedIds), idCol)
+      .select(col("cid"), col("dim"), col("v").as("c"))
     (1 to iters).foreach { _ =>
       val assign = assignToCenters(pointsLong, centers, idCol, "cid")
         .select(col(idCol), col("cid"))

@@ -115,7 +115,9 @@ object NaiveBayesOps {
     scores.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(col(idCol), col(classCol).as("pred"),
-        round(col("score"), 2).as("score"))
+        // + 0.0 canonicalizes -0.0: a score rounding to negative zero
+        // hashes differently across engines (the repo-wide round rule).
+        (round(col("score"), 2) + lit(0.0)).as("score"))
   }
 
   /** Explode an array column to long form (1-based dim to match SQL). */

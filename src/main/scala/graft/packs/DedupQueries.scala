@@ -179,6 +179,12 @@ object DedupQueries extends QueryPack {
          |GROUP BY doc_id, g.h
          |ORDER BY doc_id, h""".stripMargin,
 
+    // NOTE: this oracle (and dedup_components / dedup_pipeline_clusters
+    // downstream of the same banding) models an UNCAPPED bucket self-join.
+    // The engine's maxBucket guard (default 65536) never trips at these
+    // scale factors; if a larger sf ever produces a bucket over the cap,
+    // the engine drops it (observable via the `minhash_banding_*` observe
+    // metric) and this oracle would go red — that red is the diagnostic.
     "dedup_minhash_candidates" ->
       s"""WITH $shingleCte,
          |sig AS (

@@ -287,7 +287,8 @@ object MLQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label)
         |      AS rn
         |  FROM scores)
-        |SELECT vec_id, CAST(label AS INT) AS pred, round(score, 2) AS score
+        |SELECT vec_id, CAST(label AS INT) AS pred,
+        |  round(score, 2) + 0.0 AS score
         |FROM ranked WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
 
