@@ -107,6 +107,76 @@ object LinearOps {
           .as("b2"))
   }
 
+  // --- Trivariate OLS: generated 4×4 Cramer over the normal equations ---
+  //
+  // The determinant expansions are GENERATED (recursive Laplace along the
+  // first row) as SQL text over the moment column names, and the SAME
+  // text is evaluated by Spark (`expr`) and by the DuckDB oracle — both
+  // engines parse one string into one arithmetic tree, so the FP
+  // evaluation order is pinned by construction, not by hand-keeping two
+  // 24-term expansions in sync.
+
+  /** Laplace expansion of det(m) as SQL text, m given as rows of column
+    * names / sub-expressions.
+    */
+  private[graft] def detSql(m: Vector[Vector[String]]): String =
+    if (m.length == 1) m(0)(0)
+    else m(0).indices.map { j =>
+      val minor = m.tail.map(row => row.take(j) ++ row.drop(j + 1))
+      val term = s"${m(0)(j)} * (${detSql(minor)})"
+      if (j % 2 == 0) s"+ $term" else s"- $term"
+    }.mkString(" ").stripPrefix("+ ")
+
+  /** Normal-equations matrix for y ~ 1 + x1 + x2 + x3 in moment names. */
+  private[graft] val ols3Matrix: Vector[Vector[String]] = Vector(
+    Vector("n", "s1", "s2", "s3"),
+    Vector("s1", "s11", "s12", "s13"),
+    Vector("s2", "s12", "s22", "s23"),
+    Vector("s3", "s13", "s23", "s33"))
+
+  private[graft] val ols3Rhs: Vector[String] =
+    Vector("sy", "s1y", "s2y", "s3y")
+
+  /** Cramer numerator for coefficient j (rhs replacing column j). */
+  private[graft] def ols3BetaSql(j: Int): String =
+    detSql(ols3Matrix.zipWithIndex.map { case (row, i) =>
+      row.updated(j, ols3Rhs(i))
+    })
+
+  private[graft] val ols3DetSql: String = detSql(ols3Matrix)
+
+  /** The 14 sufficient statistics of y ~ 1 + x1 + x2 + x3 as one
+    * aggregation — SELECT list shared with the oracle via the name
+    * contract (n, s1..s3, sy, s11..s33, s1y..s3y).
+    */
+  private[graft] def ols3MomentAggs(x1: Column, x2: Column, x3: Column,
+                                    y: Column): Seq[Column] = Seq(
+    count(lit(1)).cast("double").as("n"),
+    sum(x1).as("s1"), sum(x2).as("s2"), sum(x3).as("s3"), sum(y).as("sy"),
+    sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x1 * x3).as("s13"),
+    sum(x2 * x2).as("s22"), sum(x2 * x3).as("s23"), sum(x3 * x3).as("s33"),
+    sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"), sum(x3 * y).as("s3y"))
+
+  /** Trivariate OLS with intercept, closed form: one aggregation for the
+    * 14 sufficient statistics, then generated Cramer's rule on the 4×4
+    * normal equations in-row — the ≥3-feature extension of [[olsFit2]]
+    * (the reference's model averaging handled arbitrary dims;
+    * `splearn/linear_model/base.py:~L100`). Still one linear pass and
+    * O(1) result — no matrix library, no driver state.
+    */
+  def olsFit3(df: DataFrame, x1Col: String, x2Col: String, x3Col: String,
+              yCol: String): DataFrame = {
+    val betas = (0 until 4).map { j =>
+      // + 0.0 canonicalizes -0.0 (repo-wide round rule)
+      expr(s"round((${ols3BetaSql(j)}) / ($ols3DetSql), 4) + 0.0")
+        .as(s"b$j")
+    }
+    val m = ols3MomentAggs(
+      col(x1Col).cast("double"), col(x2Col).cast("double"),
+      col(x3Col).cast("double"), col(yCol).cast("double"))
+    df.agg(m.head, m.tail: _*).select(betas: _*)
+  }
+
   /** Deterministic batch gradient descent for logistic regression:
     * weights start at zero, `iters` full-batch steps of rate `lr`, no
     * intercept, no RNG — so the entire fit is SQL-expressible and

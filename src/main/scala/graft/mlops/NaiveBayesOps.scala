@@ -40,15 +40,15 @@ object NaiveBayesOps {
         roundDigits.fold(raw)(d => round(raw, d)).as("log_prob"))
   }
 
-  /** Multinomial NB predict: argmax over classes of
-    * log prior + Σ_term count·log P(term|class). Unrounded scores drive the
-    * argmax; tie-break on class name for determinism.
+  /** Full (doc, class) log-posterior scores:
+    * log prior + Σ_term count·log P(term|class) — the shared core of
+    * predict / predict_proba / score. Unrounded: the argmax and softmax
+    * must see full precision on both engines (rounding before argmax
+    * could flip near-ties differently).
     */
-  def multinomialPredict(docTokens: DataFrame, docCol: String, termCol: String,
-                         classDocs: DataFrame, classCol: String,
-                         alpha: Double = 1.0): DataFrame = {
-    // unrounded log-probs: the argmax must see full precision on both
-    // engines (rounding before argmax could flip near-ties differently).
+  def multinomialScores(docTokens: DataFrame, docCol: String, termCol: String,
+                        classDocs: DataFrame, classCol: String,
+                        alpha: Double = 1.0): DataFrame = {
     val logProb = multinomialFit(
       docTokens.join(classDocs, docCol), classCol, termCol, alpha,
       roundDigits = None)
@@ -60,17 +60,64 @@ object NaiveBayesOps {
     val priors = classDocs.groupBy(col(classCol)).agg(count(lit(1)).as("_nc"))
       .crossJoin(broadcast(nDocs))
       .select(col(classCol), log(col("_nc") / col("_n")).as("prior"))
-    val scores = counts
+    counts
       .join(logProb, Seq(termCol))
       .groupBy(col(docCol), col(classCol))
       .agg(sum(col("tf") * col("_lp")).as("ll"))
       .join(broadcast(priors), Seq(classCol))
       .withColumn("score", col("ll") + col("prior"))
+  }
+
+  /** Multinomial NB predict: argmax over classes of the log-posterior;
+    * tie-break on class name for determinism.
+    */
+  def multinomialPredict(docTokens: DataFrame, docCol: String, termCol: String,
+                         classDocs: DataFrame, classCol: String,
+                         alpha: Double = 1.0): DataFrame = {
+    val scores = multinomialScores(docTokens, docCol, termCol, classDocs,
+      classCol, alpha)
     val w = Window.partitionBy(col(docCol))
       .orderBy(col("score").desc, col(classCol))
     scores.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(col(docCol), col(classCol).as("pred"))
+  }
+
+  /** predict_proba (reference `splearn/naive_bayes.py:~L140-170`):
+    * numerically-stable softmax of the per-doc log-posteriors —
+    * exp(score − max) normalized within the doc. Two window functions
+    * over the same (doc) partitioning: one exchange, no joins.
+    */
+  def multinomialPredictProba(docTokens: DataFrame, docCol: String,
+                              termCol: String, classDocs: DataFrame,
+                              classCol: String,
+                              alpha: Double = 1.0): DataFrame = {
+    val scores = multinomialScores(docTokens, docCol, termCol, classDocs,
+      classCol, alpha)
+    val w = Window.partitionBy(col(docCol))
+    scores
+      .withColumn("_e", exp(col("score") - max(col("score")).over(w)))
+      .withColumn("proba", col("_e") / sum(col("_e")).over(w))
+      .select(col(docCol), col(classCol),
+        (round(col("proba"), 4) + lit(0.0)).as("proba"))
+  }
+
+  /** ClassifierMixin.score (`splearn/base.py:~L60`) as an aggregation:
+    * accuracy per actual class plus an overall row — the driver never
+    * sees per-row predictions, only the O(classes) summary.
+    */
+  def accuracyByClass(predictions: DataFrame, predCol: String,
+                      actualCol: String): DataFrame = {
+    val flagged = predictions.withColumn("_ok",
+      (col(predCol) === col(actualCol)).cast("long"))
+    val per = flagged.groupBy(col(actualCol).as("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_ok")).as("n_correct"))
+    val overall = flagged.agg(count(lit(1)).as("n_docs"),
+        sum(col("_ok")).as("n_correct"))
+      .select(lit("ALL").as("class"), col("n_docs"), col("n_correct"))
+    per.unionByName(overall)
+      .withColumn("accuracy",
+        round(col("n_correct") / col("n_docs"), 4) + lit(0.0))
   }
 
   /** Gaussian NB fit: per-(class, feature) mean and population variance —
