@@ -33,8 +33,12 @@ object Components {
     *
     * Throws if `maxIter` rounds pass without a fixpoint — silently
     * returning partially-propagated labels would split real clusters
-    * with no signal. With pointer jumping, maxIter=20 covers any graph
-    * of diameter up to ~2^20, so the throw only fires on a genuine bug.
+    * with no signal. Note `maxIter` INCLUDES the final zero-change
+    * confirmation round (the fixpoint is only known once a round
+    * changes nothing), so the label-improvement budget is maxIter-1
+    * rounds — with pointer jumping that still covers any graph of
+    * diameter up to ~2^(maxIter-1), so the throw only fires on a
+    * genuine bug.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {

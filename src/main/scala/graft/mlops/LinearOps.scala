@@ -3,7 +3,7 @@ package graft.mlops
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.regression.LinearRegression
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Linear models (SURVEY §2.4).
@@ -167,8 +167,10 @@ object LinearOps {
   def olsFit3(df: DataFrame, x1Col: String, x2Col: String, x3Col: String,
               yCol: String): DataFrame = {
     val betas = (0 until 4).map { j =>
-      // + 0.0 canonicalizes -0.0 (repo-wide round rule)
-      expr(s"round((${ols3BetaSql(j)}) / ($ols3DetSql), 4) + 0.0")
+      // + 0.0 canonicalizes -0.0 (repo-wide round rule); nullif guards
+      // the singular (collinear-features) case identically across
+      // engines — Spark non-ANSI x/0 is NULL, DuckDB is inf/nan.
+      expr(s"round((${ols3BetaSql(j)}) / nullif(($ols3DetSql), 0), 4) + 0.0")
         .as(s"b$j")
     }
     val m = ols3MomentAggs(

@@ -69,6 +69,14 @@ object MLQueries extends QueryPack {
         "l_quantity", "l_discount", "l_extendedprice")
     }),
 
+    // L6: trivariate OLS closed form — generated 4×4 Cramer; the oracle
+    // below interpolates the SAME generated SQL text, so both engines
+    // evaluate one arithmetic tree (see LinearOps.detSql).
+    "l6_ols_trivariate" -> ((s, dir) => {
+      LinearOps.olsFit3(Tables(s, dir).lineitem,
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    }),
+
     // L1: the reference's parameter-averaged fit (one model per block,
     // coefficients averaged) — expressed relationally and oracle-checked.
     "l1_block_averaged_ols" -> ((s, dir) => {
@@ -319,6 +327,30 @@ object MLQueries extends QueryPack {
         |    - s1 * (s1 * s2y - s1y * s2)
         |    + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
         |FROM d""".stripMargin,
+
+    "l6_ols_trivariate" -> {
+      val betas = (0 until 4).map { j =>
+        s"round((${LinearOps.ols3BetaSql(j)}) / " +
+          s"nullif((${LinearOps.ols3DetSql}), 0), 4) + 0.0 AS b$j"
+      }.mkString(",\n    ")
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         |    sum(l_tax) AS s3, sum(l_extendedprice) AS sy,
+         |    sum(l_quantity * l_quantity) AS s11,
+         |    sum(l_quantity * l_discount) AS s12,
+         |    sum(l_quantity * l_tax) AS s13,
+         |    sum(l_discount * l_discount) AS s22,
+         |    sum(l_discount * l_tax) AS s23,
+         |    sum(l_tax * l_tax) AS s33,
+         |    sum(l_quantity * l_extendedprice) AS s1y,
+         |    sum(l_discount * l_extendedprice) AS s2y,
+         |    sum(l_tax * l_extendedprice) AS s3y
+         |  FROM lineitem)
+         |SELECT
+         |    $betas
+         |FROM m""".stripMargin
+    },
 
     "l1_block_averaged_ols" ->
       """WITH blocked AS (
