@@ -3,6 +3,7 @@ package graft.packs
 import graft.QueryPack
 import graft.core.Tables
 import graft.mlops.{ClusterOps, Composition, LinearOps, NaiveBayesOps}
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.functions._
 
 /** Models-as-aggregations (SURVEY §2.4–2.6): Naive Bayes sufficient stats
@@ -35,6 +36,32 @@ object MLQueries extends QueryPack {
         .select(col("doc_id"), col("pred"), col("actual"),
           (col("pred") === col("actual")).cast("int").as("correct"))
         .orderBy(col("doc_id"))
+    }),
+
+    // N3b: predict_proba — numerically-stable softmax of the per-doc
+    // log-posteriors (reference predict_proba, splearn/naive_bayes.py).
+    "n5_nb_predict_proba" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val docTokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val classDocs = docs.select(col("doc_id"), col("lang"))
+      NaiveBayesOps.multinomialPredictProba(docTokens, "doc_id", "term",
+        classDocs, "lang")
+        .orderBy(col("doc_id"), col("lang"))
+    }),
+
+    // N3c: ClassifierMixin.score as an aggregation — per-class accuracy
+    // plus an overall row; driver sees only the O(classes) summary.
+    "n6_nb_accuracy" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val docTokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val classDocs = docs.select(col("doc_id"), col("lang"))
+      val preds = NaiveBayesOps.multinomialPredict(docTokens, "doc_id",
+        "term", classDocs, "lang")
+        .join(classDocs.withColumnRenamed("lang", "actual"), "doc_id")
+      NaiveBayesOps.accuracyByClass(preds, "pred", "actual")
+        .orderBy(col("class"))
     }),
 
     // N2: Gaussian NB fit — per-(label, dim) mean/variance over the
@@ -167,6 +194,31 @@ object MLQueries extends QueryPack {
         .orderBy(col("label"), col("prediction"))
     }),
 
+    // P2 FeatureUnion: horizontally stack per-column "transformer"
+    // outputs (VectorAssembler = the reference's hstack), then summarize
+    // each assembled vector to scalars the oracle can recompute from the
+    // raw columns — dim, nnz, L2 — so the stacking semantics (order,
+    // zero handling, width) are hash-pinned, not just spec'd.
+    "p2_feature_union" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .where(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("f_qty"),
+          col("l_discount").cast("double").as("f_disc"),
+          col("l_tax").cast("double").as("f_tax"))
+      Composition.featureUnion(Seq("f_qty", "f_disc", "f_tax"), "features")
+        .transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          vector_to_array(col("features")).as("arr"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(col("arr")).as("dim"),
+          expr("size(filter(arr, x -> x != 0D))").as("nnz"),
+          (round(sqrt(expr(
+            "aggregate(arr, 0D, (acc, x) -> acc + x * x)")), 4) + lit(0.0))
+            .as("l2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // spark.ml k-means‖ (seeded; cluster sizes — rows-only).
     "ml_kmeans_sizes" -> ((s, dir) => {
       ClusterOps.fitKMeans(Tables(s, dir).embeddings, "embedding", k = 10)
@@ -253,6 +305,93 @@ object MLQueries extends QueryPack {
         |WHERE r.rn = 1
         |ORDER BY 1""".stripMargin,
 
+    "n5_nb_predict_proba" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |langs AS (SELECT doc_id, lang FROM documents),
+        |toksl AS (SELECT t.doc_id, l.lang, t.term
+        |          FROM toks t JOIN langs l ON t.doc_id = l.doc_id),
+        |counts AS (SELECT lang, term, count(*) AS cnt FROM toksl GROUP BY lang, term),
+        |classes AS (SELECT DISTINCT lang FROM langs),
+        |vocab AS (SELECT DISTINCT term FROM toksl),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ct FROM counts GROUP BY lang),
+        |lp AS (
+        |  SELECT c.lang, vo.term,
+        |    ln((coalesce(k.cnt, 0) + 1.0) / (t.ct + 1.0 * (SELECT v FROM vs))) AS lpv
+        |  FROM classes c CROSS JOIN vocab vo
+        |  LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |  JOIN totals t ON t.lang = c.lang),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |priors AS (SELECT lang, ln(count(*) * 1.0 / (SELECT nd FROM n)) AS prior
+        |           FROM langs GROUP BY lang),
+        |scores AS (
+        |  SELECT tf.doc_id, lp.lang, sum(tf.tf * lp.lpv) AS ll
+        |  FROM tf JOIN lp ON tf.term = lp.term
+        |  GROUP BY tf.doc_id, lp.lang),
+        |full_scores AS (
+        |  SELECT s.doc_id, s.lang, s.ll + p.prior AS score
+        |  FROM scores s JOIN priors p ON s.lang = p.lang),
+        |es AS (
+        |  SELECT doc_id, lang,
+        |    exp(score - max(score) OVER (PARTITION BY doc_id)) AS e
+        |  FROM full_scores)
+        |SELECT doc_id, lang,
+        |  round(e / sum(e) OVER (PARTITION BY doc_id), 4) + 0.0 AS proba
+        |FROM es
+        |ORDER BY doc_id, lang""".stripMargin,
+
+    "n6_nb_accuracy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |langs AS (SELECT doc_id, lang FROM documents),
+        |toksl AS (SELECT t.doc_id, l.lang, t.term
+        |          FROM toks t JOIN langs l ON t.doc_id = l.doc_id),
+        |counts AS (SELECT lang, term, count(*) AS cnt FROM toksl GROUP BY lang, term),
+        |classes AS (SELECT DISTINCT lang FROM langs),
+        |vocab AS (SELECT DISTINCT term FROM toksl),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ct FROM counts GROUP BY lang),
+        |lp AS (
+        |  SELECT c.lang, vo.term,
+        |    ln((coalesce(k.cnt, 0) + 1.0) / (t.ct + 1.0 * (SELECT v FROM vs))) AS lpv
+        |  FROM classes c CROSS JOIN vocab vo
+        |  LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |  JOIN totals t ON t.lang = c.lang),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |priors AS (SELECT lang, ln(count(*) * 1.0 / (SELECT nd FROM n)) AS prior
+        |           FROM langs GROUP BY lang),
+        |scores AS (
+        |  SELECT tf.doc_id, lp.lang, sum(tf.tf * lp.lpv) AS ll
+        |  FROM tf JOIN lp ON tf.term = lp.term
+        |  GROUP BY tf.doc_id, lp.lang),
+        |ranked AS (
+        |  SELECT s.doc_id, s.lang,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY s.ll + p.prior DESC, s.lang) AS rn
+        |  FROM scores s JOIN priors p ON s.lang = p.lang),
+        |preds AS (
+        |  SELECT r.doc_id, r.lang AS pred, l.lang AS actual
+        |  FROM ranked r JOIN langs l ON r.doc_id = l.doc_id
+        |  WHERE r.rn = 1),
+        |per AS (
+        |  SELECT actual AS class, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM preds GROUP BY actual),
+        |overall AS (
+        |  SELECT 'ALL' AS class, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM preds),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM overall)
+        |SELECT class, n_docs, n_correct,
+        |  round(n_correct * 1.0 / n_docs, 4) + 0.0 AS accuracy
+        |FROM u
+        |ORDER BY class""".stripMargin,
+
     "n2_gaussian_nb_fit" ->
       """SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 6) AS theta,
         |  round(var_pop(v), 6) AS sigma2, count(*) AS n
@@ -327,6 +466,18 @@ object MLQueries extends QueryPack {
         |    - s1 * (s1 * s2y - s1y * s2)
         |    + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
         |FROM d""".stripMargin,
+
+    "p2_feature_union" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  3 AS dim,
+        |  (CASE WHEN l_quantity <> 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN l_tax <> 0 THEN 1 ELSE 0 END) AS nnz,
+        |  round(sqrt(l_quantity * l_quantity + l_discount * l_discount
+        |             + l_tax * l_tax), 4) + 0.0 AS l2
+        |FROM lineitem
+        |WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "l6_ols_trivariate" -> {
       val betas = (0 until 4).map { j =>

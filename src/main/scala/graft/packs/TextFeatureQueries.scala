@@ -58,6 +58,28 @@ object TextFeatureQueries extends QueryPack {
         .orderBy(col("term_idx"))
     }),
 
+    // F1b: CountVectorizer cap semantics (reference min_df/max_df/
+    // max_features, splearn/feature_extraction/text.py:~L30-120), pinned
+    // deterministically: keep df >= 2 and df <= 0.8·n_docs, rank by
+    // (tf desc, term asc), cap at 100. The top-k is orderBy+limit
+    // (TakeOrdered — distributed), and the index window runs over only
+    // the capped 100 rows, so no global sort over the full vocabulary.
+    "f8_countvec_caps" -> ((s, dir) => {
+      val stats = toks(s, dir)
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("_n"))
+      val top = stats.crossJoin(broadcast(nDocs))
+        .where(col("df") >= 2 && col("df") <= col("_n") * 0.8)
+        .orderBy(col("tf").desc, col("term"))
+        .limit(100)
+      top.withColumn("term_idx",
+          (row_number().over(Window.orderBy(col("tf").desc, col("term"))) - 1)
+            .cast("long"))
+        .select(col("term_idx"), col("term"), col("df"), col("tf"))
+        .orderBy(col("term_idx"))
+    }),
+
     // F2: CountVectorizer.transform — sparse (doc, term_idx, count) triples.
     "f2_countvec_transform" -> ((s, dir) => {
       val vocab = toks(s, dir).select(col("term")).distinct()
@@ -205,6 +227,24 @@ object TextFeatureQueries extends QueryPack {
         |  term, df, tf
         |FROM (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
         |      FROM toks GROUP BY term) v
+        |ORDER BY term_idx""".stripMargin,
+
+    "f8_countvec_caps" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |stats AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |  FROM toks GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |filtered AS (
+        |  SELECT * FROM stats
+        |  WHERE df >= 2 AND df <= 0.8 * (SELECT n_docs FROM n)),
+        |ranked AS (
+        |  SELECT term, df, tf,
+        |    row_number() OVER (ORDER BY tf DESC, term) - 1 AS rn
+        |  FROM filtered)
+        |SELECT CAST(rn AS BIGINT) AS term_idx, term, df, tf
+        |FROM ranked WHERE rn < 100
         |ORDER BY term_idx""".stripMargin,
 
     "f2_countvec_transform" ->
