@@ -130,6 +130,34 @@ object Graft {
     graft.dedup.Components.dedupClusters(exact.union(near).distinct(),
       "id_a", "id_b")
   }
+  /** Corpus dedup over the UNION of every near-dup detector — exact md5 ∪
+    * banded MinHash ∪ Manku-blocked SimHash ∪ embedding cosine — with
+    * per-cluster provenance: `sources` lists which detectors contributed
+    * edges to each cluster (exact is certain; cosine is a judgment call —
+    * downstream filtering needs to know). `emb` rows join the doc graph
+    * by id equality (embIdCol values must share idCol's domain).
+    */
+  def dedupCorpusProvenance(docs: DataFrame, idCol: String, textCol: String,
+                            emb: DataFrame, embIdCol: String, arrCol: String,
+                            cosineThreshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("_h"))
+    val exact = hashed.select(col(idCol).as("id_a"), col("_h"))
+      .join(hashed.select(col(idCol).as("id_b"), col("_h")), "_h")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit("exact").as("src"))
+    val sh = Dedup.shingles(docs, idCol, textCol)
+    val near = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(sh, idCol), idCol)
+      .select(col("id_a"), col("id_b"), lit("minhash").as("src"))
+    val sim = Dedup.simhashPairsBlocked(
+        Dedup.simhash(sh, idCol, bits = 60), idCol, maxHamming = 3, bits = 60)
+      .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
+    val cos = Dedup.embeddingNearDup(emb, embIdCol, arrCol, cosineThreshold)
+      .select(col("id_a"), col("id_b"), lit("cosine").as("src"))
+    graft.dedup.Components.provenanceClusters(
+      exact.unionByName(near).unionByName(sim).unionByName(cos))
+  }
   /** Hourly resample with dense grid + forward fill (time-series
     * regularization; see operators.TimeSeries).
     */

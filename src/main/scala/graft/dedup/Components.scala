@@ -90,4 +90,33 @@ object Components {
   def dedupClusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(edges, aCol, bCol)
       .withColumn("is_survivor", (col("id") === col("comp")).cast("int"))
+
+  /** Clusters over provenance-tagged edges (id_a, id_b, src): components
+    * on the distinct pair set, plus per-cluster `sources` — the sorted
+    * distinct detector tags (e.g. "exact,minhash") whose edges touch the
+    * cluster. Which detector found a duplicate matters operationally
+    * (exact is certain, cosine is a judgment call), so the tag set rides
+    * with every cluster instead of being lost in the union.
+    *
+    * Scale: provenance aggregation is one distinct + groupBy on
+    * (comp, src) — O(edges) with tiny cardinality per group — and the
+    * cluster-size window and source join both shuffle on comp, the same
+    * key the components loop already used.
+    */
+  def provenanceClusters(edgesProv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = dedupClusters(
+      edgesProv.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
+    val clusterSrc = edgesProv
+      .join(comp.select(col("id").as("id_a"), col("comp")), "id_a")
+      .select(col("comp"), col("src")).distinct()
+      .groupBy(col("comp"))
+      .agg(concat_ws(",", sort_array(collect_set(col("src")))).as("sources"))
+    comp
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .join(clusterSrc, "comp")
+      .select(col("id"), col("comp"), col("is_survivor"),
+        col("cluster_size"), col("sources"))
+  }
 }

@@ -127,6 +127,36 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Components over the UNION of ALL near-dup edge sources — exact ∪
+    // banded-minhash ∪ Manku-blocked-simhash ∪ embedding-cosine — with
+    // per-cluster provenance (which detectors fired). The full-corpus
+    // answer to "is this a duplicate, and says who".
+    "dedup_provenance_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      val exact = hashed.select(col("doc_id").as("id_a"), col("_h"))
+        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit("exact").as("src"))
+      val sh = docShingles(s, dir)
+      val near = Dedup.minhashBandCandidates(
+          Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
+          "doc_id", rowsPerBand = 2)
+        .select(col("id_a"), col("id_b"), lit("minhash").as("src"))
+      val sim = Dedup.simhashPairsBlocked(
+          Dedup.simhash(sh, "doc_id", bits = 60),
+          "doc_id", maxHamming = 3, bits = 60)
+        .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
+      val cos = Dedup.embeddingNearDup(Tables(s, dir).embeddings,
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"), lit("cosine").as("src"))
+      Components.provenanceClusters(
+          exact.unionByName(near).unionByName(sim).unionByName(cos))
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          col("is_survivor"), col("cluster_size"), col("sources"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Full n-gram Jaccard above threshold (small-scale verification of the
     // banded path; at scale candidates gate this).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -354,6 +384,76 @@ object DedupQueries extends QueryPack {
          |  CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS INT) AS is_survivor,
          |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
          |FROM final
+         |ORDER BY doc_id""".stripMargin,
+
+    // The all-sources capstone oracle: every edge CTE is the same text as
+    // its standalone oracle (minhash bands, exact md5, 60-bit simhash,
+    // list_cosine_similarity), tagged and unioned; recursive cc as in
+    // dedup_components; provenance = sorted distinct tags per component.
+    "dedup_provenance_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |ex AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM documents x JOIN documents y
+         |    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+         |sbits AS (
+         |  SELECT doc_id, g.j AS j,
+         |    CASE WHEN (('0x' || substr(md5(shingle), 1, 15))::BIGINT
+         |               // CAST(pow(2, g.j) AS BIGINT)) % 2 = 1
+         |      THEN 1 ELSE -1 END AS vote
+         |  FROM sh, generate_series(0, 59) g(j)),
+         |stally AS (SELECT doc_id, j, sum(vote) AS t FROM sbits GROUP BY doc_id, j),
+         |ssig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN t > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS simhash
+         |  FROM stally GROUP BY doc_id),
+         |simp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |cosp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+         |eprov AS (
+         |  SELECT id_a, id_b, 'exact' AS src FROM ex
+         |  UNION ALL SELECT id_a, id_b, 'minhash' FROM cand
+         |  UNION ALL SELECT id_a, id_b, 'simhash' FROM simp
+         |  UNION ALL SELECT id_a, id_b, 'cosine' FROM cosp),
+         |edges0 AS (SELECT DISTINCT id_a, id_b FROM eprov),
+         |e AS (SELECT id_a AS a, id_b AS b FROM edges0
+         |      UNION SELECT id_b, id_a FROM edges0),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a),
+         |final AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         |csrc AS (
+         |  SELECT DISTINCT f.comp, ep.src
+         |  FROM eprov ep JOIN final f ON ep.id_a = f.id),
+         |srcs AS (
+         |  SELECT comp, string_agg(src, ',' ORDER BY src) AS sources
+         |  FROM csrc GROUP BY comp)
+         |SELECT f.id AS doc_id, CAST(f.comp AS BIGINT) AS component,
+         |  CAST(CASE WHEN f.id = f.comp THEN 1 ELSE 0 END AS INT) AS is_survivor,
+         |  CAST(count(*) OVER (PARTITION BY f.comp) AS BIGINT) AS cluster_size,
+         |  s.sources
+         |FROM final f JOIN srcs s ON s.comp = f.comp
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
