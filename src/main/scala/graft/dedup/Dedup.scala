@@ -71,17 +71,21 @@ object Dedup {
 
   /** MinHash signatures in long form (id, h, minhash): for each of
     * `numHashes` seeded hash functions, the min over the doc's shingles.
-    * One explode (shingles × hashes) + one groupBy — linear, partial-agg
-    * friendly, no driver state.
+    * One posexplode + one groupBy — linear, partial-agg friendly, no
+    * driver state. The whole seed family is computed by ONE native
+    * expression eval per shingle ([[graft.plans.Md5SeedHashes]]):
+    * same oracle-pinned md5 values, none of the per-seed concat /
+    * hex-string / base-16-parse machinery of the declarative form.
     */
-  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    graft.plans.GraftExpressions.register(shingleDf.sparkSession)
     shingleDf
-      .select(col(idCol), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
+      .select(col(idCol),
+        posexplode(graft.plans.GraftExpressions.md5SeedHashes(
+          col("shingle"), lit(numHashes))).as(Seq("h", "_hv")))
       .groupBy(col(idCol), col("h"))
-      .agg(min(md5Long(
-        concat(lit("s"), col("h").cast("string"), lit(":"), col("shingle")), 8))
-        .as("minhash"))
+      .agg(min(col("_hv")).as("minhash"))
+  }
   // Note: hashing each DISTINCT shingle once and joining back was measured
   // SLOWER here (9.1s vs 5.2s at sf0.1) — the distinct+broadcast join costs
   // more than the md5 savings while partial-agg min already bounds the

@@ -21,6 +21,12 @@ object GraftExpressions {
     CosineSimilarity(children.head, children(1))
   }
 
+  private def md5SeedBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      "graft_md5_seed_hashes expects exactly 2 arguments")
+    Md5SeedHashes(children.head, children(1))
+  }
+
   /** Session-scoped registration (idempotent). Call before first use when
     * the session was not built with [[GraftSparkExtensions]].
     */
@@ -29,11 +35,15 @@ object GraftExpressions {
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
   }
 
   /** Column-level accessors; require registration on the active session. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def md5SeedHashes(c: Column, n: Column): Column =
+    call_function("graft_md5_seed_hashes", c, n)
 }
 
 /** `spark.sql.extensions`-pluggable registration — the production path:
@@ -55,6 +65,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_seed_hashes"),
+      new ExpressionInfo(classOf[Md5SeedHashes].getName,
+        "graft_md5_seed_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_md5_seed_hashes expects exactly 2 arguments")
+        Md5SeedHashes(children.head, children(1))
       }))
   }
 }

@@ -58,6 +58,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("native Md5SeedHashes equals the declarative seededHash family") {
+    GraftExpressions.register(spark)
+    val df = Seq("the quick brown fox", "a", "", "héllo wörld").toDF("s")
+    val declared = (0 until 8).map(h => seededHash(col("s"), h).as(s"d$h"))
+    val rows = df.select(
+      GraftExpressions.md5SeedHashes(col("s"), lit(8)).as("native") +:
+        declared: _*).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      (0 until 8).foreach { h => assert(native(h) === r.getLong(h + 1)) }
+    }
+  }
+
   test("unitize produces unit-norm vectors") {
     val n = Seq(Seq(3.0f, 4.0f)).toDF("a")
       .select(l2Norm(unitize(col("a"))).as("n")).head.getDouble(0)
