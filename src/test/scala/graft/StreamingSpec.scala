@@ -101,6 +101,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.get("fr", "monde") === 1L)
   }
 
+  test("distributed NB running counts accumulate in keyed state across batches") {
+    val dir = Files.createTempDirectory("graft_nbstate_").toString
+    val b1 = Seq(("en", "hello world")).toDF("lang", "text")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    Seq(("en", "hello again"), ("fr", "bonjour monde"))
+      .toDF("lang", "text").coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.nbRunningCounts(stream)
+      .writeStream.format("memory").queryName("t_nb_state")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // Counts are monotone, so max per key = the final running total;
+    // "hello" must have accumulated across the two micro-batches.
+    val finals = spark.table("t_nb_state")
+      .groupBy("lang", "term").agg(max("count").as("c"))
+      .as[(String, String, Long)].collect()
+      .map { case (l, t, c) => (l, t) -> c }.toMap
+    assert(finals(("en", "hello")) === 2L)
+    assert(finals(("en", "world")) === 1L)
+    assert(finals(("fr", "bonjour")) === 1L)
+    // And the driver never saw per-term state: result arrived via the
+    // sink, state lives in the store. (Structural assertion: two
+    // emissions for the accumulated key — one per touching batch.)
+    val helloEmissions = spark.table("t_nb_state")
+      .where(col("lang") === "en" && col("term") === "hello").count()
+    assert(helloEmissions === 2L)
+  }
+
   test("streaming tumbling counts equal the batch twin on REAL events") {
     // stream the actual events parquet (nanos ts -> µs like Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
