@@ -25,18 +25,25 @@ object Bench {
 
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.benchNames
+    // Per-query numbers swing ±0.3s run to run on local[32] (GC, JIT,
+    // scheduler); each query runs `runs` times and reports the MEDIAN, so
+    // round-over-round deltas reflect plan changes, not run variance.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // (name, seconds, succeeded). A failed query reports -1 in the JSON and
     // is EXCLUDED from the total so a fast failure can't flatter the
     // headline number the driver consumes.
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+            None }
+        }
+        if (times.size < runs) (name, -1.0, false)
+        else (name, times.sorted.apply(runs / 2), true)
       }
     }
     val qs = results.map { case (k, v, ok) =>

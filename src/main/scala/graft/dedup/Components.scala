@@ -105,9 +105,13 @@ object Components {
     */
   def provenanceClusters(edgesProv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The tagged edge set fans out to BOTH the components loop and the
+    // provenance aggregation — checkpoint it once or every detector
+    // (minhash banding, simhash blocking, cosine pairs) runs twice.
+    val edges = edgesProv.localCheckpoint()
     val comp = dedupClusters(
-      edgesProv.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
-    val clusterSrc = edgesProv
+      edges.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
+    val clusterSrc = edges
       .join(comp.select(col("id").as("id_a"), col("comp")), "id_a")
       .select(col("comp"), col("src")).distinct()
       .groupBy(col("comp"))

@@ -140,15 +140,18 @@ object NaiveBayesOps {
     * is O(classes × dims)), one aggregation per (point, class), argmax
     * via row_number with class-id tie-break.
     */
-  def gaussianPredict(pointsLong: DataFrame, idCol: String,
-                      fit: DataFrame, classCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Full (point, class) Gaussian log-posterior scores — the shared core
+    * of gaussian predict / predict_proba (unrounded; see
+    * [[multinomialScores]] for why).
+    */
+  def gaussianScores(pointsLong: DataFrame, idCol: String,
+                     fit: DataFrame, classCol: String): DataFrame = {
     val nPerClass = fit.where(col("dim") === 1)
       .select(col(classCol), col("n"))
     val total = nPerClass.agg(sum(col("n")).as("_tot"))
     val priors = nPerClass.crossJoin(total)
       .select(col(classCol), log(col("n") / col("_tot")).as("_logprior"))
-    val scores = pointsLong
+    pointsLong
       .join(broadcast(fit), "dim")
       .groupBy(col(idCol), col(classCol))
       .agg(sum(
@@ -157,6 +160,12 @@ object NaiveBayesOps {
         .as("_loglik"))
       .join(broadcast(priors), classCol)
       .withColumn("score", col("_loglik") + col("_logprior"))
+  }
+
+  def gaussianPredict(pointsLong: DataFrame, idCol: String,
+                      fit: DataFrame, classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = gaussianScores(pointsLong, idCol, fit, classCol)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col(classCol))
     scores.withColumn("_rn", row_number().over(w))
@@ -165,6 +174,22 @@ object NaiveBayesOps {
         // + 0.0 canonicalizes -0.0: a score rounding to negative zero
         // hashes differently across engines (the repo-wide round rule).
         (round(col("score"), 2) + lit(0.0)).as("score"))
+  }
+
+  /** Gaussian NB predict_proba: stable softmax of the per-point
+    * log-posteriors — same two-window shape as
+    * [[multinomialPredictProba]].
+    */
+  def gaussianPredictProba(pointsLong: DataFrame, idCol: String,
+                           fit: DataFrame, classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = gaussianScores(pointsLong, idCol, fit, classCol)
+    val w = Window.partitionBy(col(idCol))
+    scores
+      .withColumn("_e", exp(col("score") - max(col("score")).over(w)))
+      .withColumn("proba", col("_e") / sum(col("_e")).over(w))
+      .select(col(idCol), col(classCol),
+        (round(col("proba"), 4) + lit(0.0)).as("proba"))
   }
 
   /** Explode an array column to long form (1-based dim to match SQL). */

@@ -84,6 +84,18 @@ object MLQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // N4b: Gaussian NB predict_proba — softmax twin of n5 over the
+    // gaussian log-posteriors (same rounded-fit-in-predict rule as n4).
+    "n7_gaussian_nb_proba" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val lf = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding", maxDim = 4)
+      val fit = NaiveBayesOps.gaussianFit(lf, "label")
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding", maxDim = 4)
+      NaiveBayesOps.gaussianPredictProba(pts, "vec_id", fit, "label")
+        .where(col("vec_id") < 100)
+        .orderBy(col("vec_id"), col("label"))
+    }),
+
     // L3: OLS closed form from distributed moments.
     "l3_ols_fit" -> ((s, dir) => {
       LinearOps.olsFit(Tables(s, dir).lineitem, "l_quantity", "l_extendedprice")
@@ -438,6 +450,42 @@ object MLQueries extends QueryPack {
         |  round(score, 2) + 0.0 AS score
         |FROM ranked WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "n7_gaussian_nb_proba" ->
+      """WITH lf AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |fit AS (
+        |  SELECT label, dim, round(avg(v), 6) AS theta,
+        |    round(var_pop(v), 6) AS sigma2, count(*) AS n
+        |  FROM lf WHERE dim <= 4 GROUP BY label, dim),
+        |priors AS (
+        |  SELECT label, ln(n * 1.0 / (SELECT sum(n) FROM fit WHERE dim = 1))
+        |    AS logprior
+        |  FROM fit WHERE dim = 1),
+        |pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |scores AS (
+        |  SELECT p.vec_id, f.label,
+        |    sum(-0.5 * ln(2.0 * pi() * f.sigma2)
+        |        - (p.v - f.theta) * (p.v - f.theta) / (2.0 * f.sigma2))
+        |      + any_value(pr.logprior) AS score
+        |  FROM pts p
+        |  JOIN fit f ON p.dim = f.dim
+        |  JOIN priors pr ON f.label = pr.label
+        |  WHERE p.dim <= 4
+        |  GROUP BY p.vec_id, f.label),
+        |es AS (
+        |  SELECT vec_id, label,
+        |    exp(score - max(score) OVER (PARTITION BY vec_id)) AS e
+        |  FROM scores WHERE vec_id < 100)
+        |SELECT vec_id, CAST(label AS INT) AS label,
+        |  round(e / sum(e) OVER (PARTITION BY vec_id), 4) + 0.0 AS proba
+        |FROM es
+        |ORDER BY vec_id, label""".stripMargin,
 
     "l5_ols_bivariate" ->
       """WITH m AS (

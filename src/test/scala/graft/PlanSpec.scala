@@ -57,6 +57,22 @@ class PlanSpec extends AnyFunSuite {
       rs.take(600))
   }
 
+  test("round-5 pipelines: native minhash, TakeOrdered caps, no cartesian") {
+    // minhash signatures ride the native one-eval-per-shingle expression
+    val sig = plan("dedup_minhash_sig")
+    assert(sig.contains("graft_md5_seed_hashes"),
+      "native md5 family expression missing from plan: " + sig.take(600))
+    // vocab cap is TakeOrdered (distributed top-k), not a global sort of
+    // the whole vocabulary
+    val caps = plan("f8_countvec_caps")
+    assert(caps.contains("TakeOrderedAndProject"), caps.take(800))
+    // all-sources provenance clusters: equi-joins + the one documented
+    // BroadcastNestedLoopJoin (cosine threshold pairs) — never a
+    // cartesian product
+    val prov = plan("dedup_provenance_clusters")
+    assert(!prov.contains("CartesianProduct"), prov.take(600))
+  }
+
   test("graft_cosine/graft_dot: length mismatch throws, zero norm is null") {
     import spark.implicits._
     plans.GraftExpressions.register(spark)
