@@ -164,6 +164,22 @@ object Graft {
   def resampleHourly(df: DataFrame, key: Column, ts: Column,
                      value: Column): DataFrame =
     graft.operators.TimeSeries.resampleHourlyFill(df, key, ts, value)
+  /** Static (band, band_sig) index over a corpus for the streaming
+    * near-dup gate; pair with [[nearDupGate]].
+    */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.bandSignatures(
+        Dedup.minhashSignatures(Dedup.shingles(docs, idCol, textCol), idCol),
+        idCol)
+      .select(org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("band_sig")).distinct()
+  /** Ingestion-time near-dup gate: which incoming docs (batch OR stream)
+    * collide with the indexed corpus. Stream-static join — stateless per
+    * micro-batch; see [[Dedup.nearDupAgainstIndex]].
+    */
+  def nearDupGate(incoming: DataFrame, index: DataFrame,
+                  idCol: String, textCol: String): DataFrame =
+    Dedup.nearDupAgainstIndex(incoming, index, idCol, textCol)
   /** Connected components over any near-dup pair set (id_a, id_b). */
   def dedupComponents(edges: DataFrame): DataFrame =
     graft.dedup.Components.dedupClusters(edges, "id_a", "id_b")

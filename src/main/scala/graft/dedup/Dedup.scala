@@ -117,6 +117,77 @@ object Dedup {
       .toDF(idCol, "sig")
   }
 
+  /** Band signature strings per (id, band) from long-form signatures.
+    * Band signature = the band's minhashes joined in h order. Each h
+    * occurs exactly once per doc, so position j of the band is
+    * min(when(h % rowsPerBand = j)) — plain codegen'd HashAggregate.
+    * (The obvious collect_list(struct)+array_sort+transform formulation
+    * runs the sort comparator and lambda through the expression
+    * interpreter per group — measured 3× the cost of the whole rest of
+    * the banding stage.) Shared by [[minhashBandCandidates]] and the
+    * static index side of [[nearDupAgainstIndex]].
+    */
+  def bandSignatures(signatures: DataFrame, idCol: String,
+                     rowsPerBand: Int = 2): DataFrame = {
+    val slots = (0 until rowsPerBand).map(j =>
+      min(when(pmod(col("h"), lit(rowsPerBand)) === j, col("minhash")))
+        .cast("string"))
+    signatures
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(concat_ws("-", slots: _*).as("band_sig"))
+  }
+
+  /** Whole minhash signature computed IN-ROW (one `array<long>` per doc,
+    * no aggregation): shingle lambda → native seeded-md5 family per
+    * shingle → elementwise-min fold. Values are bit-identical to the
+    * aggregated [[minhashSignatures]] (spec-pinned); the shape matters
+    * because a per-row plan carries NO state — it runs unchanged on a
+    * STREAMING frame, which a groupBy signature cannot (unbounded
+    * aggregation state). The signature path for stream-side docs in
+    * [[nearDupAgainstIndex]].
+    */
+  def inRowSignature(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 8): DataFrame = {
+    graft.plans.GraftExpressions.register(docs.sparkSession)
+    val shingleExpr = s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+      s"i -> concat_ws(' ', ${(0 until n).map(k => s"_toks[i + ${k - 1}]").mkString(", ")}))"
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol),
+        expr(s"aggregate(array_distinct($shingleExpr), " +
+          s"array_repeat(9223372036854775807L, $numHashes), " +
+          s"(acc, s) -> zip_with(acc, graft_md5_seed_hashes(s, $numHashes), " +
+          "(a, b) -> least(a, b)))").as("sig"))
+  }
+
+  /** Streaming near-dup gate: band the in-row signatures and join
+    * (stream-static — STATELESS, re-evaluated per micro-batch) against a
+    * static `(band, band_sig)` index built from the existing corpus via
+    * [[bandSignatures]]. Returns the ids of incoming docs that collide
+    * with any indexed bucket — the "is this new document a near-dup of
+    * the corpus?" gate of an ingestion pipeline. Works identically on
+    * batch frames. Note: the final per-id dropDuplicates is the one
+    * stateful step on a streaming frame; bound it with a watermark on
+    * the caller's side for continuous (non-AvailableNow) runs.
+    */
+  def nearDupAgainstIndex(docs: DataFrame, bandIndex: DataFrame,
+                          idCol: String, textCol: String, n: Int = 3,
+                          numHashes: Int = 8,
+                          rowsPerBand: Int = 2): DataFrame = {
+    val nb = numHashes / rowsPerBand
+    val sig = inRowSignature(docs, idCol, textCol, n, numHashes)
+    val bandCols = s"transform(sequence(0, ${nb - 1}), " +
+      s"b -> concat_ws('-', transform(sequence(0, ${rowsPerBand - 1}), " +
+      s"j -> cast(sig[b * $rowsPerBand + j] as string))))"
+    sig
+      .select(col(idCol), posexplode(expr(bandCols)).as(Seq("band", "band_sig")))
+      .join(bandIndex.select(col("band"), col("band_sig")),
+        Seq("band", "band_sig"), "left_semi")
+      .dropDuplicates(idCol)
+  }
+
   /** LSH banding: group `rowsPerBand` consecutive hashes into a band
     * signature string; docs sharing any (band, signature) are candidates.
     * Returns distinct candidate pairs (id_a < id_b).
@@ -138,13 +209,7 @@ object Dedup {
     // runs the sort comparator and lambda through the expression
     // interpreter per group — measured 3× the cost of the whole rest of
     // the banding stage.)
-    val slots = (0 until rowsPerBand).map(j =>
-      min(when(pmod(col("h"), lit(rowsPerBand)) === j, col("minhash")))
-        .cast("string"))
-    val bands = signatures
-      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("-", slots: _*).as("band_sig"))
+    val bands = bandSignatures(signatures, idCol, rowsPerBand)
     bands
       .groupBy(col("band"), col("band_sig"))
       // sort_array, NOT array_sort: array_sort's comparator is a lambda the

@@ -34,6 +34,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(0L, 2L, 3L))
   }
 
+  test("inRowSignature is bit-identical to aggregated minhashSignatures") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val agg = Dedup.minhashSignatures(
+        Dedup.shingles(corpus, "doc_id", "text"), "doc_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val inRow = Dedup.inRowSignature(corpus, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(inRow.keySet === agg.keySet)
+    inRow.foreach { case (id, sig) => assert(sig === agg(id), s"doc $id") }
+  }
+
+  test("nearDupAgainstIndex flags colliding incoming docs (batch twin)") {
+    val index = Dedup.bandSignatures(
+        Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"),
+          "doc_id"), "doc_id")
+      .select("band", "band_sig").distinct()
+    val incoming = Seq(
+      (100L, "a b c d e f"),      // exact text of doc 0 -> every band collides
+      (101L, "p q r s t u v")     // novel -> no collision
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.nearDupAgainstIndex(incoming, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(100L))
+  }
+
   test("minhash: identical docs share all signatures; banding finds them") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)

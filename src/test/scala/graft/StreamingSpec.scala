@@ -130,6 +130,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(helloEmissions === 2L)
   }
 
+  test("streaming near-dup gate: stream-static band join flags dups only") {
+    import graft.dedup.Dedup
+    val corpus = Seq((0L, "a b c d e f"), (1L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val index = Dedup.bandSignatures(
+        Dedup.minhashSignatures(Dedup.shingles(corpus, "doc_id", "text"),
+          "doc_id"), "doc_id")
+      .select("band", "band_sig").distinct()
+    val incoming = Seq(
+      (100L, "a b c d e f"),       // dup of corpus doc 0
+      (101L, "m n o p q s t")      // novel
+    ).toDF("doc_id", "text")
+    val out = runToTable(
+      Dedup.nearDupAgainstIndex(streamOf(incoming), index, "doc_id", "text"),
+      "t_neardup_gate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(100L))
+  }
+
   test("streaming tumbling counts equal the batch twin on REAL events") {
     // stream the actual events parquet (nanos ts -> µs like Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
