@@ -71,6 +71,18 @@ object StressBench {
       graft.dedup.Dedup.minhashSignaturesFast(sh, "doc_id", numHashes = 16)
         .count()
     }
+    // oracle-pinned md5 family via the native one-eval-per-shingle
+    // expression (rows/10 shingles: md5 is ~10x xxhash64 per shingle, so
+    // same wall ballpark at a tenth the rows — the family you use when a
+    // SQL oracle must reproduce the values)
+    timed("minhash_md5_native_signatures") {
+      val sh = spark.range(rows / 10).select(
+        (col("id") / 10).cast("long").as("doc_id"),
+        concat(lit("sh"), pmod(hash(col("id")), lit(10000000)).cast("string"))
+          .as("shingle"))
+      graft.dedup.Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+        .count()
+    }
     spark.stop()
   }
 }
