@@ -22,6 +22,29 @@ class SourcesSkewSpec extends AnyFunSuite {
       plan.contains("lang"), s"expected partition filter in plan:\n$plan")
   }
 
+  test("format round-trip: parquet/csv/json/orc preserve rows") {
+    import graft.sources.Sources
+    val df = spark.range(100).selectExpr("id", "cast(id * 1.5 as double) as v",
+      "concat('s', id) as s")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+    Sources.writeParquet(df, s"$base/p")
+    Sources.writeCsv(df, s"$base/c")
+    Sources.writeJson(df, s"$base/j")
+    Sources.writeOrc(df, s"$base/o")
+    val expect = df.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(Sources.readParquet(spark, s"$base/p").orderBy("id")
+      .collect().map(_.toSeq).toSeq === expect)
+    assert(Sources.readOrc(spark, s"$base/o").orderBy("id")
+      .collect().map(_.toSeq).toSeq === expect)
+    // csv/json infer types; compare value-wise after normalizing order
+    assert(Sources.readCsv(spark, s"$base/c").orderBy("id")
+      .selectExpr("cast(id as bigint)", "cast(v as double)", "s")
+      .collect().map(_.toSeq).toSeq === expect)
+    assert(Sources.readJson(spark, s"$base/j").orderBy("id")
+      .selectExpr("cast(id as bigint)", "cast(v as double)", "s")
+      .collect().map(_.toSeq).toSeq === expect)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
