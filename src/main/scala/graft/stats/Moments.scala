@@ -71,4 +71,53 @@ object Moments {
       .fit(assembled)
       .transform(assembled)
   }
+
+  /** MinMaxScaler: (x − min) / (max − min) against whole-table extrema.
+    * Same one-pass-moments + broadcast shape as [[standardScale]].
+    */
+  def minMaxScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val m = df.agg(min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"))
+    df.crossJoin(broadcast(m))
+      .withColumn(outCol,
+        round((col(valueCol) - col("_lo")) / (col("_hi") - col("_lo")), 6)
+          + lit(0.0))
+      .drop("_lo", "_hi")
+  }
+
+  /** MaxAbsScaler: x / max(|x|) — sign-preserving scale to [−1, 1]. */
+  def maxAbsScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val m = df.agg(max(abs(col(valueCol))).as("_ma"))
+    df.crossJoin(broadcast(m))
+      .withColumn(outCol, round(col(valueCol) / col("_ma"), 6) + lit(0.0))
+      .drop("_ma")
+  }
+
+  /** Row-wise L2 Normalizer over `features`: each value divided by the
+    * row's Euclidean norm. Pure per-row arithmetic — no aggregation, no
+    * state, streaming-safe.
+    */
+  def normalizeRows(df: DataFrame, features: Seq[String],
+                    prefix: String = "n_"): DataFrame = {
+    val norm = sqrt(features.map(f => col(f) * col(f)).reduce(_ + _))
+    features.foldLeft(df.withColumn("_norm", norm)) { (acc, f) =>
+      acc.withColumn(s"$prefix$f",
+        round(col(f) / col("_norm"), 6) + lit(0.0))
+    }.drop("_norm")
+  }
+
+  /** Binarizer: 1 when x > threshold else 0 (per-row, stateless). */
+  def binarize(df: DataFrame, valueCol: String, threshold: Double,
+               outCol: String): DataFrame =
+    df.withColumn(outCol, (col(valueCol) > threshold).cast("int"))
+
+  /** LabelEncoder.fit: distinct classes → dense 0-based indices in sort
+    * order. The index window runs over only the O(classes) distinct rows;
+    * transform is a broadcast join of this frame back onto the data.
+    */
+  def labelEncode(df: DataFrame, classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(classCol)).distinct()
+      .withColumn("label_idx",
+        (row_number().over(Window.orderBy(col(classCol))) - 1).cast("long"))
+  }
 }
