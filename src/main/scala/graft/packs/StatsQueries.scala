@@ -73,6 +73,43 @@ object StatsQueries extends QueryPack {
         .join(broadcast(Moments.labelEncode(docs, "lang")), "lang")
         .select(col("doc_id"), col("lang"), col("label_idx"))
         .orderBy(col("doc_id"))
+    }),
+
+    // S8: mean Imputer over deterministically-injected nulls (the
+    // testdata has none) — pins avg-ignores-nulls + fill semantics.
+    "s8_mean_imputer" -> ((s, dir) => {
+      val withNulls = Tables(s, dir).lineitem
+        .withColumn("q_holes",
+          when(pmod(col("l_orderkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("l_quantity")))
+      Moments.imputeMean(withNulls, "q_holes", "q_filled")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q_holes"),
+          col("q_filled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S9: PolynomialFeatures degree 2 (per-row, stateless).
+    "s9_poly_features" -> ((s, dir) => {
+      Moments.polynomialFeatures2(Tables(s, dir).lineitem,
+          "l_quantity", "l_discount")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_sq"), col("l_quantity_l_discount"),
+          col("l_discount_sq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S10: KBinsDiscretizer (quantile strategy) via ntile under a TOTAL
+    // ordering (value + unique keys) so bin edges are engine-identical.
+    "s10_kbins" -> ((s, dir) => {
+      Moments.kBinsDiscretize(
+          Tables(s, dir).lineitem.where(col("l_orderkey") < 200),
+          "l_extendedprice", bins = 4,
+          Seq(col("l_orderkey"), col("l_linenumber")), "price_bin")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("price_bin"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -133,6 +170,36 @@ object StatsQueries extends QueryPack {
       """SELECT doc_id, lang,
         |  CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS label_idx
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "s8_mean_imputer" ->
+      """WITH holes AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END
+        |      AS q_holes
+        |  FROM lineitem),
+        |m AS (SELECT avg(q_holes) AS mean_q FROM holes)
+        |SELECT l_orderkey, l_linenumber, q_holes,
+        |  round(coalesce(q_holes, m.mean_q), 6) + 0.0 AS q_filled
+        |FROM holes, m
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s9_poly_features" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity * l_quantity, 6) + 0.0 AS l_quantity_sq,
+        |  round(l_quantity * l_discount, 6) + 0.0 AS l_quantity_l_discount,
+        |  round(l_discount * l_discount, 6) + 0.0 AS l_discount_sq
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s10_kbins" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |    l_linenumber) AS INT) AS price_bin
+        |FROM lineitem
+        |WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -120,4 +120,38 @@ object Moments {
       .withColumn("label_idx",
         (row_number().over(Window.orderBy(col(classCol))) - 1).cast("long"))
   }
+
+  /** Mean Imputer: nulls in `valueCol` replaced by the non-null mean
+    * (avg ignores nulls on both engines). One-pass moment + broadcast.
+    */
+  def imputeMean(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val m = df.agg(avg(col(valueCol)).as("_mean"))
+    df.crossJoin(broadcast(m))
+      .withColumn(outCol,
+        round(coalesce(col(valueCol), col("_mean")), 6) + lit(0.0))
+      .drop("_mean")
+  }
+
+  /** PolynomialFeatures degree 2 over two columns: x², xy, y² appended —
+    * pure per-row arithmetic, stateless.
+    */
+  def polynomialFeatures2(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df
+      .withColumn(s"${xCol}_sq", round(col(xCol) * col(xCol), 6) + lit(0.0))
+      .withColumn(s"${xCol}_${yCol}", round(col(xCol) * col(yCol), 6) + lit(0.0))
+      .withColumn(s"${yCol}_sq", round(col(yCol) * col(yCol), 6) + lit(0.0))
+
+  /** KBinsDiscretizer (quantile strategy) via ntile: equal-population
+    * bins, deterministic under the caller-supplied total ordering
+    * (`tieBreak` must make the sort total or bin edges are
+    * engine-dependent). One global sort — the same cost profile as any
+    * exact quantile; for approximate binning at extreme scale use
+    * approx_percentile cut points instead.
+    */
+  def kBinsDiscretize(df: DataFrame, valueCol: String, bins: Int,
+                      tieBreak: Seq[Column], outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(outCol,
+      ntile(bins).over(Window.orderBy(col(valueCol) +: tieBreak: _*)))
+  }
 }
