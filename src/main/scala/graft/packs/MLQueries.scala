@@ -96,6 +96,21 @@ object MLQueries extends QueryPack {
         .orderBy(col("vec_id"), col("label"))
     }),
 
+    // N4c: Gaussian NB score — per-class + overall accuracy aggregate
+    // (class cast to string so the 'ALL' summary row unions cleanly).
+    "n8_gaussian_nb_accuracy" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val lf = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding", maxDim = 4)
+      val fit = NaiveBayesOps.gaussianFit(lf, "label")
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding", maxDim = 4)
+      val preds = NaiveBayesOps.gaussianPredict(pts, "vec_id", fit, "label")
+        .join(emb.select(col("vec_id"), col("label").as("actual")), "vec_id")
+        .select(col("pred").cast("string").as("pred_s"),
+          col("actual").cast("string").as("actual_s"))
+      NaiveBayesOps.accuracyByClass(preds, "pred_s", "actual_s")
+        .orderBy(col("class"))
+    }),
+
     // L3: OLS closed form from distributed moments.
     "l3_ols_fit" -> ((s, dir) => {
       LinearOps.olsFit(Tables(s, dir).lineitem, "l_quantity", "l_extendedprice")
@@ -450,6 +465,58 @@ object MLQueries extends QueryPack {
         |  round(score, 2) + 0.0 AS score
         |FROM ranked WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "n8_gaussian_nb_accuracy" ->
+      """WITH lf AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |fit AS (
+        |  SELECT label, dim, round(avg(v), 6) AS theta,
+        |    round(var_pop(v), 6) AS sigma2, count(*) AS n
+        |  FROM lf WHERE dim <= 4 GROUP BY label, dim),
+        |priors AS (
+        |  SELECT label, ln(n * 1.0 / (SELECT sum(n) FROM fit WHERE dim = 1))
+        |    AS logprior
+        |  FROM fit WHERE dim = 1),
+        |pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |scores AS (
+        |  SELECT p.vec_id, f.label,
+        |    sum(-0.5 * ln(2.0 * pi() * f.sigma2)
+        |        - (p.v - f.theta) * (p.v - f.theta) / (2.0 * f.sigma2))
+        |      + any_value(pr.logprior) AS score
+        |  FROM pts p
+        |  JOIN fit f ON p.dim = f.dim
+        |  JOIN priors pr ON f.label = pr.label
+        |  WHERE p.dim <= 4
+        |  GROUP BY p.vec_id, f.label),
+        |ranked AS (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label)
+        |      AS rn
+        |  FROM scores),
+        |preds AS (
+        |  SELECT r.vec_id, r.label AS pred, e.label AS actual
+        |  FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
+        |  WHERE r.rn = 1),
+        |per AS (
+        |  SELECT CAST(actual AS VARCHAR) AS class, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM preds GROUP BY 1),
+        |overall AS (
+        |  SELECT 'ALL' AS class, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM preds),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM overall)
+        |SELECT class, n_docs, n_correct,
+        |  round(n_correct * 1.0 / n_docs, 4) + 0.0 AS accuracy
+        |FROM u
+        |ORDER BY class""".stripMargin,
 
     "n7_gaussian_nb_proba" ->
       """WITH lf AS (

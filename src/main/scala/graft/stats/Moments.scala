@@ -40,7 +40,10 @@ object Moments {
       avg(col(valueCol)).as("_mu"),
       stddev_pop(col(valueCol)).as("_sigma"))
     df.crossJoin(broadcast(moments))
-      .withColumn(outCol, round((col(valueCol) - col("_mu")) / col("_sigma"), 6))
+      // nullif: a constant column (sigma 0) scales to NULL instead of an
+      // ANSI divide-by-zero error (Spark 4 default) or ±Infinity.
+      .withColumn(outCol,
+        round((col(valueCol) - col("_mu")) / nullif(col("_sigma"), lit(0.0)), 6))
       .drop("_mu", "_sigma")
   }
 
@@ -79,8 +82,8 @@ object Moments {
     val m = df.agg(min(col(valueCol)).as("_lo"), max(col(valueCol)).as("_hi"))
     df.crossJoin(broadcast(m))
       .withColumn(outCol,
-        round((col(valueCol) - col("_lo")) / (col("_hi") - col("_lo")), 6)
-          + lit(0.0))
+        round((col(valueCol) - col("_lo"))
+          / nullif(col("_hi") - col("_lo"), lit(0.0)), 6) + lit(0.0))
       .drop("_lo", "_hi")
   }
 
@@ -88,7 +91,8 @@ object Moments {
   def maxAbsScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
     val m = df.agg(max(abs(col(valueCol))).as("_ma"))
     df.crossJoin(broadcast(m))
-      .withColumn(outCol, round(col(valueCol) / col("_ma"), 6) + lit(0.0))
+      .withColumn(outCol,
+        round(col(valueCol) / nullif(col("_ma"), lit(0.0)), 6) + lit(0.0))
       .drop("_ma")
   }
 
@@ -99,9 +103,10 @@ object Moments {
   def normalizeRows(df: DataFrame, features: Seq[String],
                     prefix: String = "n_"): DataFrame = {
     val norm = sqrt(features.map(f => col(f) * col(f)).reduce(_ + _))
-    features.foldLeft(df.withColumn("_norm", norm)) { (acc, f) =>
-      acc.withColumn(s"$prefix$f",
-        round(col(f) / col("_norm"), 6) + lit(0.0))
+    features.foldLeft(df.withColumn("_norm", nullif(norm, lit(0.0)))) {
+      (acc, f) =>
+        acc.withColumn(s"$prefix$f",
+          round(col(f) / col("_norm"), 6) + lit(0.0))
     }.drop("_norm")
   }
 

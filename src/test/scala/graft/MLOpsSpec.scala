@@ -94,6 +94,36 @@ class MLOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("preprocessing edge cases: degenerate inputs are NULL, not garbage") {
+    import graft.stats.Moments
+    // constant column: min = max -> scale denominator 0 -> NULL (Spark
+    // non-ANSI x/0), never an exception or Infinity
+    val const = Seq(1, 2, 3).toDF("id").withColumn("v", lit(5.0))
+    val mm = Moments.minMaxScale(const, "v", "out").select("out").collect()
+    assert(mm.forall(_.isNullAt(0)))
+    // all-zero row: L2 norm 0 -> NULL normalized values
+    val zero = Seq((0.0, 0.0), (3.0, 4.0)).toDF("a", "b")
+    val nz = Moments.normalizeRows(zero, Seq("a", "b"))
+      .orderBy("a").select("n_a", "n_b").collect()
+    assert(nz(0).isNullAt(0) && nz(0).isNullAt(1))
+    assert(nz(1).getDouble(0) === 0.6 && nz(1).getDouble(1) === 0.8)
+    // label encoder: dense 0-based ids in sort order
+    val le = Moments.labelEncode(
+        Seq("b", "a", "c", "a").toDF("cls"), "cls")
+      .as[(String, Long)].collect().toMap
+    assert(le === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // imputer: nulls -> non-null mean, non-nulls untouched
+    val holes = Seq(Some(2.0), None, Some(4.0)).toDF("v")
+    val filled = Moments.imputeMean(holes, "v", "f")
+      .select("f").as[Double].collect().sorted
+    assert(filled.toSeq === Seq(2.0, 3.0, 4.0))
+    // kbins: 4 equal-population bins over 8 distinct values
+    val bins = Moments.kBinsDiscretize(
+        spark.range(8).toDF("id"), "id", 4, Seq(col("id")), "bin")
+      .groupBy("bin").count().as[(Int, Long)].collect().toMap
+    assert(bins === Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L))
+  }
+
   test("ml variance selector and scaler agree with the relational ops") {
     import graft.stats.Moments
     val df = Seq((1.0, 100.0), (2.0, 100.0), (3.0, 100.0))
