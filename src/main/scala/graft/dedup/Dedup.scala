@@ -245,7 +245,11 @@ object Dedup {
   def simhash(shingleDf: DataFrame, idCol: String, bits: Int = 16): DataFrame = {
     require(bits % 4 == 0 && bits > 0 && bits <= 60,
       s"bits=$bits must be a positive multiple of 4, at most 60")
-    val h = md5Long(col("shingle"), bits / 4)
+    // Native digest-prefix read (one eval per shingle) — bit-identical
+    // to the declarative md5Long/conv form the oracle mirrors.
+    graft.plans.GraftExpressions.register(shingleDf.sparkSession)
+    val h = graft.plans.GraftExpressions.md5PrefixLong(
+      col("shingle"), lit(bits / 4))
     // One groupBy with `bits` tally columns, not explode(bits)×shingles +
     // a (doc, bit) groupBy: same math, but no bits-fold row
     // multiplication (60-bit signatures over 260k shingles would

@@ -27,6 +27,12 @@ object GraftExpressions {
     Md5SeedHashes(children.head, children(1))
   }
 
+  private def md5PrefixBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      "graft_md5_prefix_long expects exactly 2 arguments")
+    Md5PrefixLong(children.head, children(1))
+  }
+
   /** Session-scoped registration (idempotent). Call before first use when
     * the session was not built with [[GraftSparkExtensions]].
     */
@@ -37,6 +43,8 @@ object GraftExpressions {
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_prefix_long", md5PrefixBuilder, "built-in")
   }
 
   /** Column-level accessors; require registration on the active session. */
@@ -44,6 +52,8 @@ object GraftExpressions {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def md5SeedHashes(c: Column, n: Column): Column =
     call_function("graft_md5_seed_hashes", c, n)
+  def md5PrefixLong(c: Column, n: Column): Column =
+    call_function("graft_md5_prefix_long", c, n)
 }
 
 /** `spark.sql.extensions`-pluggable registration — the production path:
@@ -74,6 +84,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_md5_seed_hashes expects exactly 2 arguments")
         Md5SeedHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName,
+        "graft_md5_prefix_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_md5_prefix_long expects exactly 2 arguments")
+        Md5PrefixLong(children.head, children(1))
       }))
   }
 }

@@ -45,6 +45,39 @@ case class Md5SeedHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The first `nHex` hex digits of md5(s) as an unsigned long —
+  * bit-identical to the SQL-mirrorable
+  * `conv(substring(md5(x), 1, nHex), 16, 10)` (DuckDB:
+  * `('0x' || substr(md5(x), 1, nHex))::BIGINT`) that the oracles pin.
+  *
+  * Same rationale as [[Md5SeedHashes]]: the declarative form
+  * materializes a 32-char hex string, substrings it, and parses base-16
+  * — per input row — to recover nibbles the digest already held as
+  * `byte[]`. This is the simhash hot path (one eval per shingle at
+  * nHex=15) and the deterministic-sampling gate (nHex=8).
+  * `nHex` ≤ 15 keeps the value inside a non-negative signed long.
+  */
+case class Md5PrefixLong(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_md5_prefix_long"
+
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    Md5Hashing.prefixLong(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.plans.Md5Hashing.prefixLong($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5PrefixLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object Md5Hashing {
 
   private val digest = new ThreadLocal[MessageDigest] {
@@ -79,5 +112,25 @@ object Md5Hashing {
       h += 1
     }
     ArrayData.toArrayData(out)
+  }
+
+  /** First `nHex` hex digits of md5(s) as an unsigned long (codegen
+    * entry point). `nHex` must be 1..15 — 16 digits would overflow into
+    * the sign bit, where `conv(...)` wraps but a long comparison against
+    * the oracle's unsigned value would diverge.
+    */
+  def prefixLong(s: UTF8String, nHex: Int): Long = {
+    require(nHex >= 1 && nHex <= 15, s"nHex=$nHex must be in 1..15")
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
   }
 }

@@ -71,6 +71,18 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native Md5PrefixLong equals the declarative md5Long at every width") {
+    GraftExpressions.register(spark)
+    val df = Seq("the quick brown fox", "a", "", "héllo wörld",
+      "shingle with spaces and 123").toDF("s")
+    (1 to 15).foreach { n =>
+      val rows = df.select(
+        GraftExpressions.md5PrefixLong(col("s"), lit(n)).as("native"),
+        md5Long(col("s"), n).as("declared")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"nHex=$n"))
+    }
+  }
+
   test("unitize produces unit-norm vectors") {
     val n = Seq(Seq(3.0f, 4.0f)).toDF("a")
       .select(l2Norm(unitize(col("a"))).as("n")).head.getDouble(0)
