@@ -31,6 +31,11 @@ object TextAnalysisQueries extends QueryPack {
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprints(Tables(s, dir).documents, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables(s, dir).documents, "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -76,6 +81,25 @@ object TextAnalysisQueries extends QueryPack {
         |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |cnt AS (
+        |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct_grams,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+        |    AS dup_gram_fraction,
+        |  round(max(c) * 1.0 / sum(c), 6) AS top_gram_fraction
+        |FROM cnt GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )
 }

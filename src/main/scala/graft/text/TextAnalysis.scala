@@ -66,6 +66,44 @@ object TextAnalysis {
       .groupBy(col(groupCol))
       .agg(countDistinct(col("term")).as("n_distinct_terms"))
 
+  /** Repetition features over token n-grams — the Gopher-style
+    * repetition quality filter (Rae et al. 2021, "Scaling Language
+    * Models", table A1: "fraction of characters in duplicate n-grams" /
+    * "fraction in most common n-gram"): per document,
+    * `dup_gram_fraction` = share of n-gram occurrences whose gram appears
+    * more than once, `top_gram_fraction` = concentration of the most
+    * frequent gram. High values flag boilerplate / degenerate repetition.
+    *
+    * Plan shape: one explode (n-grams per token, linear) and two
+    * partial-agg `groupBy`s keyed by document — the same
+    * single-exchange-per-doc shape as simhash, no window, no collect.
+    * Docs with fewer than `n` tokens have no n-grams and are dropped
+    * (matching the SQL inner aggregation).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 5, s"n=$n must be in 1..5")
+    // sequence(1, k) with k < 1 would generate a DESCENDING sequence in
+    // Spark — the `size >= n` filter keeps the generator's domain valid.
+    val grams = docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+          s"i -> array_join(slice(_toks, i, $n), ' '))")).as("_gram"))
+    grams
+      .groupBy(col(idCol), col("_gram"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        round(sum(when(col("_cnt") > 1, col("_cnt")).otherwise(0L)) *
+          lit(1.0) / sum(col("_cnt")), 6).as("dup_gram_fraction"),
+        round(max(col("_cnt")) * lit(1.0) / sum(col("_cnt")), 6)
+          .as("top_gram_fraction"))
+  }
+
   /** Document fingerprints: full-content md5 plus an order-sensitive
     * polynomial rolling hash over per-token hashes (exact integer
     * arithmetic — engine-portable).

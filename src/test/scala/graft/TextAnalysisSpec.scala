@@ -1,0 +1,46 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit fixtures for text-analysis operators whose corpus-scale behavior
+  * is pinned by the `text_*` oracles — these pin the hand-computable
+  * small cases (edge rows the synthetic corpus may not contain).
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionStats: hand-computed bigram fractions, short docs dropped") {
+    val docs = Seq(
+      (1L, "a b a b c"), // grams: "a b"x2, "b a", "b c"
+      (2L, "x y"),       // one gram
+      (3L, "solo")       // < n tokens -> no grams, dropped
+    ).toDF("doc_id", "text")
+
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+
+    assert(r.length === 2)
+    val d1 = r(0)
+    assert(d1.getLong(0) === 1L)
+    assert(d1.getLong(1) === 4L)          // n_grams
+    assert(d1.getLong(2) === 3L)          // n_distinct_grams
+    assert(d1.getDouble(3) === 0.5)       // dup: "a b" occurrences 2/4
+    assert(d1.getDouble(4) === 0.5)       // top: max count 2/4
+    val d2 = r(1)
+    assert(d2.getLong(1) === 1L)
+    assert(d2.getDouble(3) === 0.0)
+    assert(d2.getDouble(4) === 1.0)
+  }
+
+  test("repetitionStats: unigram mode counts token multiplicity") {
+    val docs = Seq((1L, "w w w z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 1).collect()
+    assert(r.head.getLong(1) === 4L)      // 4 unigrams
+    assert(r.head.getLong(2) === 2L)      // {w, z}
+    assert(r.head.getDouble(3) === 0.75)  // w appears 3/4
+    assert(r.head.getDouble(4) === 0.75)
+  }
+}
