@@ -36,6 +36,16 @@ object TextAnalysisQueries extends QueryPack {
     "text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(Tables(s, dir).documents, "doc_id", "text", n = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // doc_id % 20 = 0 stands in for the held-out benchmark suite.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      TextAnalysis.contaminationStats(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -100,6 +110,30 @@ object TextAnalysisQueries extends QueryPack {
         |    AS dup_gram_fraction,
         |  round(max(c) * 1.0 / sum(c), 6) AS top_gram_fraction
         |FROM cnt GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 20 = 0),
+        |tr AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 20 <> 0),
+        |evg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS g
+        |  FROM ev WHERE len(t) >= 5),
+        |trg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS g
+        |  FROM tr WHERE len(t) >= 5),
+        |j AS (
+        |  SELECT trg.doc_id, CASE WHEN evg.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM trg LEFT JOIN evg ON trg.g = evg.g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit_grams,
+        |  round(sum(hit) * 1.0 / count(*), 6) AS contam_ratio,
+        |  max(hit) AS is_contaminated
+        |FROM j GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )
 }

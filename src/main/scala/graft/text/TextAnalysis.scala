@@ -80,17 +80,20 @@ object TextAnalysis {
     * Docs with fewer than `n` tokens have no n-grams and are dropped
     * (matching the SQL inner aggregation).
     */
+  // sequence(1, k) with k < 1 would generate a DESCENDING sequence in
+  // Spark — callers must pre-filter `size(_toks) >= n` to keep the
+  // generator's domain valid.
+  private def gramExpr(toksCol: String, n: Int) = expr(
+    s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+      s"i -> array_join(slice($toksCol, i, $n), ' '))")
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 5, s"n=$n must be in 1..5")
-    // sequence(1, k) with k < 1 would generate a DESCENDING sequence in
-    // Spark — the `size >= n` filter keeps the generator's domain valid.
     val grams = docs
       .withColumn("_toks", split(col(textCol), " "))
       .where(size(col("_toks")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-          s"i -> array_join(slice(_toks, i, $n), ' '))")).as("_gram"))
+      .select(col(idCol), explode(gramExpr("_toks", n)).as("_gram"))
     grams
       .groupBy(col(idCol), col("_gram"))
       .agg(count(lit(1)).as("_cnt"))
@@ -102,6 +105,43 @@ object TextAnalysis {
           lit(1.0) / sum(col("_cnt")), 6).as("dup_gram_fraction"),
         round(max(col("_cnt")) * lit(1.0) / sum(col("_cnt")), 6)
           .as("top_gram_fraction"))
+  }
+
+  /** Eval-set decontamination by long-n-gram overlap (the GPT-3 appendix-C /
+    * PaLM training-data hygiene step): a training document is contaminated
+    * when any of its token n-grams also appears in the held-out eval set.
+    * Emits per-doc gram counts, hit counts, the overlap ratio, and the
+    * strict any-overlap flag; the caller drops `is_contaminated = 1` rows.
+    *
+    * Scale shape: the eval side is a benchmark suite — tiny next to a
+    * 100 TB corpus — so its distinct grams are BROADCAST and the train
+    * side never shuffles on the gram key: one linear explode, a
+    * broadcast-hash left join, and a partial-agg `groupBy(doc)`. Docs with
+    * fewer than `n` tokens have no n-grams and are dropped (matching the
+    * SQL inner aggregation); with real 8–13-gram widths that is the
+    * correct "too short to contaminate" semantics.
+    */
+  def contaminationStats(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2 && n <= 13, s"n=$n must be in 2..13")
+    val evalGrams = evalDocs
+      .withColumn("_toks", split(col(textCol), " "))
+      .where(size(col("_toks")) >= n)
+      .select(explode(gramExpr("_toks", n)).as("_gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    train
+      .withColumn("_toks", split(col(textCol), " "))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol), explode(gramExpr("_toks", n)).as("_gram"))
+      .join(broadcast(evalGrams), Seq("_gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_hit_grams"),
+        round(sum(coalesce(col("_hit"), lit(0))) * lit(1.0) / count(lit(1)), 6)
+          .as("contam_ratio"),
+        max(coalesce(col("_hit"), lit(0))).as("is_contaminated"))
   }
 
   /** Document fingerprints: full-content md5 plus an order-sensitive

@@ -43,4 +43,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.head.getDouble(3) === 0.75)  // w appears 3/4
     assert(r.head.getDouble(4) === 0.75)
   }
+
+  test("contaminationStats: any eval-overlapping n-gram flags the doc") {
+    val train = Seq(
+      (1L, "p q r s t u"),   // grams p-t, q-u; "q r s t u" hits via q-u? no: bigram-of-5 check below
+      (2L, "a b c d e f g"), // contains eval 5-gram "c d e f g"
+      (3L, "x y")            // too short, dropped
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "z z c d e f g")).toDF("doc_id", "text")
+
+    val r = TextAnalysis.contaminationStats(train, ev, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val d1 = r(0)
+    assert(d1.getLong(1) === 2L)          // 6 tokens -> 2 5-grams
+    assert(d1.getLong(2) === 0L)
+    assert(d1.getInt(4) === 0)
+    val d2 = r(1)
+    assert(d2.getLong(1) === 3L)          // 7 tokens -> 3 5-grams
+    assert(d2.getLong(2) === 1L)          // "c d e f g"
+    assert(d2.getDouble(3) === 0.333333)
+    assert(d2.getInt(4) === 1)
+  }
+
+  test("contaminationStats: empty eval set leaves every doc clean") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val ev = Seq((9L, "x")).toDF("doc_id", "text") // too short -> no grams
+    val r = TextAnalysis.contaminationStats(train, ev, "doc_id", "text", n = 5).collect()
+    assert(r.head.getLong(2) === 0L && r.head.getInt(4) === 0)
+  }
 }
