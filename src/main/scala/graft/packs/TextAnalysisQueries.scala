@@ -38,6 +38,26 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The synthetic corpus is digit-free, so PII is planted
+    // deterministically from doc_id arithmetic (same CASE text on both
+    // engines) before applying the generic operator.
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = Tables(s, dir).documents.withColumn("ptext", expr(
+        "concat(text," +
+          " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id," +
+          "   '@mail', doc_id % 7, '.com') ELSE '' END," +
+          " CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.0.', doc_id % 256," +
+          "   '.', (doc_id * 7) % 256) ELSE '' END," +
+          " CASE WHEN doc_id % 5 = 2 THEN concat(' call '," +
+          "   lpad(cast(doc_id % 1000 as string), 3, '0'), '-'," +
+          "   lpad(cast((doc_id * 3) % 1000 as string), 3, '0'), '-'," +
+          "   lpad(cast((doc_id * 9) % 10000 as string), 4, '0')) ELSE '' END)"))
+      TextAnalysis.piiStats(aug, "doc_id", "ptext")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // doc_id % 20 = 0 stands in for the held-out benchmark suite.
     "text_decontaminate" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -110,6 +130,33 @@ object TextAnalysisQueries extends QueryPack {
         |    AS dup_gram_fraction,
         |  round(max(c) * 1.0 / sum(c), 6) AS top_gram_fraction
         |FROM cnt GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id,
+        |      '@mail', doc_id % 7, '.com') ELSE '' END,
+        |    CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.0.', doc_id % 256,
+        |      '.', (doc_id * 7) % 256) ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 2 THEN concat(' call ',
+        |      lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+        |      lpad(cast((doc_id * 3) % 1000 AS VARCHAR), 3, '0'), '-',
+        |      lpad(cast((doc_id * 9) % 10000 AS VARCHAR), 4, '0')) ELSE '' END)
+        |    AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(ptext,
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(ptext,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug
         |ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->

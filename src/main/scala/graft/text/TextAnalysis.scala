@@ -144,6 +144,37 @@ object TextAnalysis {
         max(coalesce(col("_hit"), lit(0))).as("is_contaminated"))
   }
 
+  // PII patterns — shared by detection and redaction. Kept to the
+  // RE2-compatible subset of Java regex (no backrefs, no lookaround) so
+  // the DuckDB oracle can run the literal same patterns.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction (training-data hygiene): counts emails /
+    * IPv4s / phone numbers per document and rewrites each match to a
+    * typed placeholder. Pure regex column algebra — codegen'd linear
+    * scan, the cheapest possible shape; at 100 TB this fuses into the
+    * same first corpus pass as [[qualityFeatures]]. Replacement order is
+    * email → ip → phone (fixed, so engines agree on overlapping text).
+    */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Patterns go through the typed functions API (lit), NOT expr(): a
+    // SQL string literal would re-process '\b' as a backspace escape.
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long")
+        .as("n_ipv4"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
   /** Document fingerprints: full-content md5 plus an order-sensitive
     * polynomial rolling hash over per-token hashes (exact integer
     * arithmetic — engine-portable).

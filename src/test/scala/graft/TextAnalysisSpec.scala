@@ -67,6 +67,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d2.getInt(4) === 1)
   }
 
+  test("piiStats: counts and typed placeholders, multiple matches per doc") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d@e-f.org ip 10.0.0.1 call 555-123-4567"),
+      (2L, "clean text no pii 1234 999.1 10.0.0.1.2.3")
+    ).toDF("doc_id", "text")
+
+    val r = TextAnalysis.piiStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    assert(r(0).getLong(1) === 2L) // emails
+    assert(r(0).getLong(2) === 1L) // ipv4
+    assert(r(0).getLong(3) === 1L) // phones
+    assert(r(0).getString(4) ===
+      "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>")
+    // "10.0.0.1.2.3" has no \b-delimited 4-group match windows... it does:
+    // RE2/Java both match the leading "10.0.0.1" (the '.' after 1 is a
+    // non-word boundary). Pin the actual shared behavior:
+    assert(r(1).getLong(1) === 0L)
+    assert(r(1).getLong(2) === 1L)
+    assert(r(1).getString(4) === "clean text no pii 1234 999.1 <IP>.2.3")
+  }
+
   test("contaminationStats: empty eval set leaves every doc clean") {
     val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val ev = Seq((9L, "x")).toDF("doc_id", "text") // too short -> no grams
