@@ -146,12 +146,20 @@ object Graft {
       .join(hashed.select(col(idCol).as("id_b"), col("_h")), "_h")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit("exact").as("src"))
-    val sh = Dedup.shingles(docs, idCol, textCol)
+    // Fused signature pass — minhash + simhash from ONE corpus scan,
+    // persisted so neither consumer re-reads the corpus: the cache is one
+    // row per doc (id + 8 longs + 1 long), ~tens of GB per 10^10 docs —
+    // cheap next to a second 100 TB scan. (Without persist Catalyst
+    // prunes the aggregate per branch and scans twice.)
+    val fused = Dedup.fusedSignatures(
+      Dedup.shingles(docs, idCol, textCol), idCol, bits = 60).persist()
     val near = Dedup.minhashBandCandidates(
-        Dedup.minhashSignatures(sh, idCol), idCol)
+        fused.select(col(idCol),
+          posexplode(col("sig")).as(Seq("h", "minhash"))), idCol)
       .select(col("id_a"), col("id_b"), lit("minhash").as("src"))
     val sim = Dedup.simhashPairsBlocked(
-        Dedup.simhash(sh, idCol, bits = 60), idCol, maxHamming = 3, bits = 60)
+        fused.select(col(idCol), col("simhash")), idCol,
+        maxHamming = 3, bits = 60)
       .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
     val cos = Dedup.embeddingNearDup(emb, embIdCol, arrCol, cosineThreshold)
       .select(col("id_a"), col("id_b"), lit("cosine").as("src"))

@@ -48,8 +48,15 @@ object Components {
         col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
-    var comp = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Initial label = min(id, min neighbor): the first propagate round's
+    // result from ONE groupBy over adj (both directions are present, so
+    // every node is a src) — no join, and one fewer loop round. The loop
+    // still runs to a zero-change fixpoint, so labels are unaffected.
+    var comp = adj
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("_nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_nmin")).as("comp"))
       .localCheckpoint()
     // One propagate-and-jump step, lazily composed: adopt the min label
     // among self and neighbors, then pointer-jump to the label's label

@@ -79,12 +79,20 @@ object Dedup {
     */
   def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
     graft.plans.GraftExpressions.register(shingleDf.sparkSession)
+    // One min-aggregate column per seed over groupBy(id), then posexplode
+    // AFTER aggregation — not posexplode-per-shingle + groupBy(id, h),
+    // which pushes numHashes× the rows through the exchange. Same values
+    // (spec-pinned against inRowSignature), 8× less shuffle input.
+    val minCols = (0 until numHashes).map(j =>
+      min(element_at(col("_mh"), j + 1)).as(s"_m$j"))
     shingleDf
-      .select(col(idCol),
-        posexplode(graft.plans.GraftExpressions.md5SeedHashes(
-          col("shingle"), lit(numHashes))).as(Seq("h", "_hv")))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(col("_hv")).as("minhash"))
+      .select(col(idCol), graft.plans.GraftExpressions.md5SeedHashes(
+        col("shingle"), lit(numHashes)).as("_mh"))
+      .groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), posexplode(
+        array((0 until numHashes).map(j => col(s"_m$j")): _*))
+        .as(Seq("h", "minhash")))
   }
   // Note: hashing each DISTINCT shingle once and joining back was measured
   // SLOWER here (9.1s vs 5.2s at sf0.1) — the distinct+broadcast join costs
@@ -268,6 +276,48 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** Fused signature pass: the whole minhash seed family AND the simhash
+    * bit tally from ONE shingle explode and ONE per-doc exchange. When a
+    * pipeline needs both detectors (e.g. provenance-tagged dedup), the
+    * corpus-proportional work — tokenize, shingle, hash, shuffle-by-doc —
+    * is the dominant cost at 100 TB; running [[minhashSignatures]] and
+    * [[simhash]] separately pays it twice for identical inputs. Values
+    * are bit-identical to both (same native expressions, same vote /
+    * assembly arithmetic — spec-pinned), so the oracles don't move.
+    *
+    * Output: one row per doc, `sig array<long>` (posexplode to feed
+    * [[bandSignatures]]/[[minhashBandCandidates]]) + `simhash long`
+    * (feed [[simhashPairsBlocked]]). One row per doc — cheap to
+    * `localCheckpoint` so both consumers read it without recomputing.
+    */
+  def fusedSignatures(shingleDf: DataFrame, idCol: String,
+                      numHashes: Int = 8, bits: Int = 60): DataFrame = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60,
+      s"bits=$bits must be a positive multiple of 4, at most 60")
+    graft.plans.GraftExpressions.register(shingleDf.sparkSession)
+    val mh = graft.plans.GraftExpressions.md5SeedHashes(
+      col("shingle"), lit(numHashes))
+    val sh = graft.plans.GraftExpressions.md5PrefixLong(
+      col("shingle"), lit(bits / 4))
+    val minCols = (0 until numHashes).map(j =>
+      min(element_at(col("_mh"), j + 1)).as(s"_m$j"))
+    val votes = (0 until bits).map { j =>
+      sum(when(expr(s"pmod(_sh div ${1L << j}, 2)") === 1, 1).otherwise(-1))
+        .as(s"_t$j")
+    }
+    val assembled = (0 until bits).map { j =>
+      when(col(s"_t$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val aggs = minCols ++ votes
+    shingleDf
+      .select(col(idCol), mh.as("_mh"), sh.as("_sh"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(j => col(s"_m$j")): _*).as("sig"),
+        assembled.as("simhash"))
   }
 
   /** MinHash Jaccard estimation: est = fraction of hash functions whose

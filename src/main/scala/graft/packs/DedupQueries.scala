@@ -138,13 +138,22 @@ object DedupQueries extends QueryPack {
         .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit("exact").as("src"))
-      val sh = docShingles(s, dir)
+      // Fused signature operator, UNPERSISTED here on purpose: Catalyst
+      // prunes the fused aggregate per consumer (minhash branch keeps the
+      // 8 mins, simhash branch the 60 votes), so this degrades into two
+      // pruned parallel passes — measured fastest at bench scale (1.4s vs
+      // 2.2s separate / 1.7s checkpointed). The deployment path that must
+      // not scan a 100 TB corpus twice is Graft.dedupCorpusProvenance,
+      // which persists the fused output instead.
+      val fused = Dedup.fusedSignatures(docShingles(s, dir), "doc_id",
+        numHashes = 8, bits = 60)
       val near = Dedup.minhashBandCandidates(
-          Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
+          fused.select(col("doc_id"),
+            posexplode(col("sig")).as(Seq("h", "minhash"))),
           "doc_id", rowsPerBand = 2)
         .select(col("id_a"), col("id_b"), lit("minhash").as("src"))
       val sim = Dedup.simhashPairsBlocked(
-          Dedup.simhash(sh, "doc_id", bits = 60),
+          fused.select(col("doc_id"), col("simhash")),
           "doc_id", maxHamming = 3, bits = 60)
         .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
       val cos = Dedup.embeddingNearDup(Tables(s, dir).embeddings,

@@ -49,6 +49,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     inRow.foreach { case (id, sig) => assert(sig === agg(id), s"doc $id") }
   }
 
+  test("fusedSignatures is bit-identical to separate minhash + simhash passes") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh = Dedup.shingles(corpus, "doc_id", "text")
+    val fused = Dedup.fusedSignatures(sh, "doc_id", numHashes = 8, bits = 60)
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val minAgg = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val simAgg = Dedup.simhash(sh, "doc_id", bits = 60)
+      .as[(Long, Long)].collect().toMap
+    assert(fused.keySet === minAgg.keySet)
+    fused.foreach { case (id, (sig, sh60)) =>
+      assert(sig === minAgg(id), s"minhash doc $id")
+      assert(sh60 === simAgg(id), s"simhash doc $id")
+    }
+  }
+
   test("nearDupAgainstIndex flags colliding incoming docs (batch twin)") {
     val index = Dedup.bandSignatures(
         Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"),
