@@ -38,4 +38,50 @@ object Sampling {
     }
     df.where(pmod(md5Long(key.cast("string"), 8), lit(100)) < rate)
   }
+
+  /** EXACTLY `k` rows per group (fewer if the group is smaller), chosen
+    * by md5-hash order of the key — deterministic across engines,
+    * partitionings, and retries, and unbiased w.r.t. any data ordering.
+    * Percentage gates can't hit an exact count; this is the "give me
+    * 10k eval docs per source, reproducibly" op.
+    *
+    * Scale: one hash-partitioned window per group (no global sort, no
+    * driver state). A group vastly larger than k still streams through
+    * its window partition; if single-group skew bites, pre-filter with
+    * [[deterministicSample]] at ~2× the expected rate first, then take
+    * exact k from the survivors.
+    */
+  def sampleKPerGroup(df: DataFrame, group: Column, key: Column,
+                      k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Training-mix sampling rates: given target WEIGHTS per stratum (any
+    * positive scale) and a desired total sample size, emit per-stratum
+    * actual counts, target counts, and the keep-rate
+    * `min(1, target/actual)` to feed a hash-gate filter. One tiny
+    * aggregation — the rate table is dimension-sized; apply it with
+    * [[stratifiedSample]]-style CASE or a broadcast join.
+    */
+  def mixRates(df: DataFrame, stratum: Column, weights: Map[String, Double],
+               totalTarget: Long): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wsum = weights.values.sum
+    val wcol = weights.foldLeft(lit(0.0)) {
+      case (acc, (s, p)) => when(col("stratum") === s, lit(p / wsum)).otherwise(acc)
+    }
+    df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_actual"))
+      .withColumn("target_frac", round(wcol, 6))
+      .withColumn("n_target",
+        floor(col("target_frac") * totalTarget).cast("long"))
+      .withColumn("keep_rate",
+        round(least(lit(1.0), col("n_target") * lit(1.0) / col("n_actual")), 6))
+  }
 }

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,30 @@ object ExtendedRelationalQueries extends QueryPack {
           Tables(s, dir).documents, col("doc_id"), pct = 10)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact k rows per group by md5-hash order (see Sampling.sampleKPerGroup).
+    "sample_k_per_group" -> ((s, dir) => {
+      Sampling.sampleKPerGroup(
+          Tables(s, dir).documents, col("source"), col("doc_id"), k = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Training-mix rate table: target weights -> per-stratum keep rates.
+    "mix_rates" -> ((s, dir) => {
+      Sampling.mixRates(Tables(s, dir).documents, col("source"),
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0), totalTarget = 200L)
+        .orderBy(col("stratum"))
+    }),
+
+    // Context-window packing: which pretraining windows each doc feeds
+    // (4 shards per source — the partition-sizing knob; see operators.Packing).
+    "pack_context_windows" -> ((s, dir) => {
+      Packing.packContextWindows(Tables(s, dir).documents,
+          col("source"), col("doc_id"), size(split(col("text"), " ")),
+          budget = 256L, shards = 4)
+        .orderBy(col("grp"), col("shard"), col("id"))
     }),
 
     // TPC-H Q18 shape: large-volume orders — join fact to pre-aggregated
@@ -336,6 +360,57 @@ object ExtendedRelationalQueries extends QueryPack {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_k_per_group" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "mix_rates" ->
+      """WITH agg AS (
+        |  SELECT source AS stratum, count(*) AS n_actual FROM documents
+        |  GROUP BY source),
+        |tf AS (
+        |  SELECT stratum, n_actual,
+        |    round(CASE stratum
+        |      WHEN 'src0' THEN CAST(4 AS DOUBLE) / 7
+        |      WHEN 'src1' THEN CAST(2 AS DOUBLE) / 7
+        |      WHEN 'src2' THEN CAST(1 AS DOUBLE) / 7
+        |      ELSE CAST(0 AS DOUBLE) END, 6) AS target_frac
+        |  FROM agg),
+        |tg AS (
+        |  SELECT stratum, n_actual, target_frac,
+        |    CAST(floor(target_frac * 200) AS BIGINT) AS n_target
+        |  FROM tf)
+        |SELECT stratum, n_actual, target_frac, n_target,
+        |  round(least(CAST(1 AS DOUBLE),
+        |    CAST(n_target AS DOUBLE) / n_actual), 6) AS keep_rate
+        |FROM tg ORDER BY stratum""".stripMargin,
+
+    "pack_context_windows" ->
+      """WITH base AS (
+        |  SELECT source AS grp,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+        |      AS INT) AS shard,
+        |    doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT grp, shard, id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY grp, shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tok_end
+        |  FROM base)
+        |SELECT grp, shard, id, n_tokens, tok_end - n_tokens AS tok_start,
+        |  CAST(floor((tok_end - n_tokens) / CAST(256 AS DOUBLE)) AS BIGINT)
+        |    AS first_window,
+        |  CAST(floor((tok_end - 1) / CAST(256 AS DOUBLE)) AS BIGINT)
+        |    AS last_window,
+        |  CAST(floor((tok_end - 1) / CAST(256 AS DOUBLE))
+        |    - floor((tok_end - n_tokens) / CAST(256 AS DOUBLE)) + 1 AS BIGINT)
+        |    AS n_windows
+        |FROM c ORDER BY grp, shard, id""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -34,6 +34,45 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(langs.contains("en") && !langs.contains("de"))
     val enTotal = docs.where(col("lang") === "en").count()
     assert(strat.where(col("lang") === "en").count() === enTotal)
+  }
+
+  test("sampleKPerGroup: exactly k per group, deterministic, small groups whole") {
+    val df = (1L to 100L).map(i => (i, if (i <= 95) "big" else "small"))
+      .toDF("id", "grp")
+    val s1 = Sampling.sampleKPerGroup(df, col("grp"), col("id"), k = 7)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    val s2 = Sampling.sampleKPerGroup(df.repartition(13), col("grp"), col("id"), k = 7)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(s1 === s2)                                  // partitioning-stable
+    assert(s1.count(_._2 == "big") === 7)              // exact k
+    assert(s1.count(_._2 == "small") === 5)            // whole sub-k group
+  }
+
+  test("mixRates: weighted targets, clamped keep rate, unweighted stratum zero") {
+    val df = (1L to 100L).map(i =>
+      (i, if (i <= 80) "a" else if (i <= 90) "b" else "c")).toDF("id", "src")
+    val r = Sampling.mixRates(df, col("src"), Map("a" -> 1.0, "b" -> 3.0), 40L)
+      .orderBy("stratum")
+      .as[(String, Long, Double, Long, Double)].collect()
+    // a: frac .25 -> target 10 of 80 -> rate .125 ; b: frac .75 -> target 30
+    // of 10 -> clamped 1.0 ; c: unweighted -> 0
+    assert(r(0) === ("a", 80L, 0.25, 10L, 0.125))
+    assert(r(1) === ("b", 10L, 0.75, 30L, 1.0))
+    assert(r(2) === ("c", 10L, 0.0, 0L, 0.0))
+  }
+
+  test("packContextWindows: boundary straddle and window spans, single shard") {
+    val df = Seq((1L, "g", 100L), (2L, "g", 200L), (3L, "g", 700L),
+      (4L, "g", 56L)).toDF("id", "grp0", "toks")
+    val r = Packing.packContextWindows(df, col("grp0"), col("id"),
+        col("toks"), budget = 256L, shards = 1)
+      .orderBy("id")
+      .select("id", "tok_start", "first_window", "last_window", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r(0) === (1L, 0L, 0L, 0L, 1L))       // 0..99 in window 0
+    assert(r(1) === (2L, 100L, 0L, 1L, 2L))     // 100..299 straddles 0/1
+    assert(r(2) === (3L, 300L, 1L, 3L, 3L))     // 300..999 spans 1..3
+    assert(r(3) === (4L, 1000L, 3L, 4L, 2L))    // 1000..1055 straddles 3/4
   }
 
   test("approx_percentile (the 100TB path) tracks exact percentiles within 1%") {
