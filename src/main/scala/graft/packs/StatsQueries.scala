@@ -110,6 +110,14 @@ object StatsQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("price_bin"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S11: chi2 SelectKBest — most lang-discriminative terms. Fixed class
+    // order keeps the float assembly engine-identical (see stats.Chi2).
+    "s11_chi2_select" -> ((s, dir) => {
+      graft.stats.Chi2.selectKBest(Tables(s, dir).documents,
+          col("lang"), col("text"), Seq("de", "en", "es", "fr", "zh"), k = 40)
+        .orderBy(col("chi2").desc, col("term"))
     })
   )
 
@@ -200,6 +208,36 @@ object StatsQueries extends QueryPack {
         |    l_linenumber) AS INT) AS price_bin
         |FROM lineitem
         |WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s11_chi2_select" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val oCols = langs.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(CASE WHEN cls = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS o_$i"
+      }.mkString(",\n    ")
+      val nCols = langs.indices.map(i =>
+        s"CAST(sum(o_$i) AS BIGINT) AS n_$i").mkString(", ")
+      val tSum = langs.indices.map(i => s"o_$i").mkString(" + ")
+      // term order mirrors the Scala reduce: left-associative over classes
+      val chi2 = langs.indices.map { i =>
+        s"(o_$i - ($tSum) * (n_$i / n)) * (o_$i - ($tSum) * (n_$i / n))" +
+          s" / (($tSum) * (n_$i / n))"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT lang AS cls, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE lang IN (${langs.map(l => s"'$l'").mkString(",")})),
+         |obs AS (
+         |  SELECT term,
+         |    $oCols
+         |  FROM toks GROUP BY term),
+         |tot AS (
+         |  SELECT $nCols FROM obs),
+         |tot2 AS (SELECT *, ${langs.indices.map(i => s"n_$i").mkString(" + ")} AS n
+         |  FROM tot)
+         |SELECT term, $tSum AS n_total,
+         |  round($chi2, 3) AS chi2
+         |FROM obs, tot2
+         |ORDER BY chi2 DESC, term LIMIT 40""".stripMargin
+    }
   )
 }

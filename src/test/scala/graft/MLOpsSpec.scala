@@ -124,6 +124,24 @@ class MLOpsSpec extends AnyFunSuite {
     assert(bins === Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L))
   }
 
+  test("chi2Terms: hand-computed 2-class contingency, off-list class ignored") {
+    import graft.stats.Chi2
+    // 'x': 4 in A, 0 in B; 'y': 2 in A, 2 in B. Totals: A=6, B=2, n=8.
+    val docs = Seq(
+      ("A", "x x y"), ("A", "x x y"), ("B", "y y"),
+      ("C", "x x x x x x")  // off-list -> ignored entirely
+    ).toDF("cls", "text")
+    val r = Chi2.chi2Terms(docs, col("cls"), col("text"), Seq("A", "B"),
+        roundTo = 6)
+      .orderBy("term").collect()
+    // x: E_A = 4*6/8 = 3, E_B = 1 -> (4-3)^2/3 + (0-1)^2/1 = 4/3
+    assert(r(0).getString(0) === "x" && r(0).getLong(1) === 4L)
+    assert(r(0).getDouble(2) === 1.333333)
+    // y: E_A = 3, E_B = 1 -> 1/3 + 1 = 4/3
+    assert(r(1).getString(0) === "y" && r(1).getLong(1) === 4L)
+    assert(r(1).getDouble(2) === 1.333333)
+  }
+
   test("ml variance selector and scaler agree with the relational ops") {
     import graft.stats.Moments
     val df = Seq((1.0, 100.0), (2.0, 100.0), (3.0, 100.0))
