@@ -38,6 +38,11 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    "text_lm_score" -> ((s, dir) => {
+      TextAnalysis.bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // The synthetic corpus is digit-free, so PII is planted
     // deterministically from doc_id arithmetic (same CASE text on both
     // engines) before applying the generic operator.
@@ -130,6 +135,27 @@ object TextAnalysisQueries extends QueryPack {
         |    AS dup_gram_fraction,
         |  round(max(c) * 1.0 / sum(c), 6) AS top_gram_fraction
         |FROM cnt GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |    CAST(round(ln(CAST(c12 AS DOUBLE) / c1) * 1e6, 0) AS BIGINT)
+        |      AS mnat
+        |  FROM flat f JOIN bi USING (w1, w2) JOIN uni USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(mnat) AS DOUBLE) / (count(*) * 1e6), 6) AS avg_ll
+        |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "text_pii_redact" ->

@@ -175,6 +175,47 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Perplexity-proxy quality score (the CCNet-style LM filter): train a
+    * bigram model on the corpus itself — P(w2|w1) = c(w1,w2) / c(w1·) —
+    * and score each document by its mean bigram log-likelihood.
+    * Low-probability token sequences (garbled text, boilerplate soup)
+    * score low; fluent high-frequency transitions score high.
+    *
+    * Per-bigram log-probs are quantized to integer MICRO-NATS before the
+    * per-doc sum, so the aggregation is exact integer arithmetic —
+    * order-independent (float sums re-associate across partitions,
+    * engines, and retries) at a quantization error of 1e-6 nat, far
+    * below filtering resolution.
+    *
+    * Scale: two linear count passes keyed by bigram/unigram (vocabulary-
+    * bounded), then a join of corpus bigrams against the count tables —
+    * broadcast when the model fits (usual for word-level vocab), shuffle
+    * hash-join otherwise, either way linear. Self-scoring means every
+    * bigram is in the model (no smoothing branch); to score a stream
+    * against a frozen model, persist the count tables and reuse.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .where(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_toks) - 1), " +
+          "i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2))")).as("_g"))
+      .select(col(idCol), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
+    val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    grams
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .select(col(idCol),
+        round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
+          .as("_mnat"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("_mnat")) / (count(lit(1)) * lit(1e6)), 6).as("avg_ll"))
+  }
+
   /** Document fingerprints: full-content md5 plus an order-sensitive
     * polynomial rolling hash over per-token hashes (exact integer
     * arithmetic — engine-portable).

@@ -89,6 +89,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getString(4) === "clean text no pii 1234 999.1 <IP>.2.3")
   }
 
+  test("bigramLmScore: self-trained bigram log-likelihood, hand-computed") {
+    // Corpus bigrams: (a,b)x2 from doc1+doc2, (b,a)x1, (b,c)x1.
+    // c1: a->3 (a appears as w1 3x), b->2? no: w1 occurrences: doc1 "a b a" ->
+    // (a,b),(b,a); doc2 "a b c" -> (a,b),(b,c). c(a,.)=2, c(b,.)=2.
+    // P(b|a)=2/2=1 -> ln 0; P(a|b)=1/2; P(c|b)=1/2.
+    val docs = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val half = math.round(math.log(0.5) * 1e6) / 1e6 // quantized ln(1/2)
+    assert(r(0).getLong(1) === 2L)
+    assert(r(0).getDouble(2) ===
+      BigDecimal(half / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getLong(1) === 2L)
+    assert(r(1).getDouble(2) === r(0).getDouble(2)) // same structure
+  }
+
   test("contaminationStats: empty eval set leaves every doc clean") {
     val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val ev = Seq((9L, "x")).toDF("doc_id", "text") // too short -> no grams
