@@ -38,6 +38,12 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    "text_frequent_grams" -> ((s, dir) => {
+      TextAnalysis.frequentGrams(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, minCount = 2L, k = 100)
+        .orderBy(col("n_occurrences").desc, col("gram"))
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       TextAnalysis.bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -136,6 +142,20 @@ object TextAnalysisQueries extends QueryPack {
         |  round(max(c) * 1.0 / sum(c), 6) AS top_gram_fraction
         |FROM cnt GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_frequent_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT gram, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM grams GROUP BY gram
+        |HAVING count(*) >= 2
+        |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
 
     "text_lm_score" ->
       """WITH toks AS (

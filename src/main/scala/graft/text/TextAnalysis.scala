@@ -175,6 +175,33 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Corpus-level frequent n-grams — the boilerplate heavy-hitter table
+    * (the corpus-wide complement of the per-doc [[repetitionStats]]
+    * filter): grams occurring at least `minCount` times, with occurrence
+    * and document frequencies. Feeding the top of this table back as a
+    * removal list is the classic boilerplate-strip step.
+    *
+    * Scale: one explode + one groupBy keyed by gram (vocabulary-bounded,
+    * partial-agg); doc frequency is approx-able via HLL at 100 TB —
+    * exact `countDistinct` here because the oracle needs exactness
+    * (swap `approx_count_distinct` in, same plan shape). Top-k is
+    * TakeOrdered, never a global sort materialization.
+    */
+  def frequentGrams(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, minCount: Long = 2L, k: Int = 100): DataFrame = {
+    require(n >= 1 && n <= 5, s"n=$n must be in 1..5")
+    docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol), explode(gramExpr("_toks", n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Perplexity-proxy quality score (the CCNet-style LM filter): train a
     * bigram model on the corpus itself — P(w2|w1) = c(w1,w2) / c(w1·) —
     * and score each document by its mean bigram log-likelihood.
