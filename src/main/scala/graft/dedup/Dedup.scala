@@ -320,6 +320,60 @@ object Dedup {
         assembled.as("simhash"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every token k-gram, then keep the MINIMUM
+    * hash of each sliding window of `w` consecutive k-grams. Guarantee:
+    * two documents sharing any run of at least `w + k - 1` tokens share a
+    * fingerprint — LOCAL similarity detection (shared passages), which
+    * whole-doc minhash can't see.
+    *
+    * Entirely in-row (k-gram hashing and window minima are array lambdas
+    * over the token list; the native md5-prefix expression does the
+    * hashing) — one projection, no aggregation state, runs unchanged on
+    * streaming frames. Output is the exploded distinct (id, fp) set.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+    graft.plans.GraftExpressions.register(docs.sparkSession)
+    val gramHashes =
+      s"transform(sequence(1, size(_toks) - ${k - 1}), " +
+        s"i -> graft_md5_prefix_long(concat_ws(' ', " +
+        (0 until k).map(j => s"_toks[i + ${j - 1}]").mkString(", ") + "), 8))"
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= k + w - 1)
+      // hash array materialized once per row, NOT inside the window
+      // lambda (which would re-hash every k-gram per window: O(m*w) work
+      // becomes O(m^2 * w))
+      .select(col(idCol), expr(gramHashes).as("_h"))
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(1, size(_h) - ${w - 1}), " +
+          s"i -> array_min(slice(_h, i, $w))))")).as("fp"))
+  }
+
+  /** Candidate pairs from shared winnowing fingerprints: docs sharing at
+    * least `minShared` selected hashes. Same bucket-groupBy + in-row pair
+    * generation shape as [[minhashBandCandidates]] (maxBucket guards the
+    * degenerate fingerprint), then a pair-count filter. Linear in bucket
+    * sizes; pairwise work only on colliding docs.
+    */
+  def winnowCandidates(fingerprints: DataFrame, idCol: String,
+                       minShared: Int = 2,
+                       maxBucket: Int = 1 << 16): DataFrame =
+    fingerprints
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .where(size(col("_ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(_ids, (a, i) -> " +
+          "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+
   /** MinHash Jaccard estimation: est = fraction of hash functions whose
     * minima agree — the estimator the signatures exist for (error
     * O(1/√H)). Runs on signatures only: after the one linear signature

@@ -178,6 +178,16 @@ object DedupQueries extends QueryPack {
       Dedup.embeddingNearDup(Tables(s, dir).embeddings, "vec_id", "embedding",
         threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Winnowing (MOSS) fingerprints -> shared-passage candidates: local
+    // similarity the whole-doc minhash can't see.
+    "dedup_winnow_candidates" -> ((s, dir) => {
+      Dedup.winnowCandidates(
+          Dedup.winnowFingerprints(Tables(s, dir).documents,
+            "doc_id", "text", k = 4, w = 4),
+          "doc_id", minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -486,6 +496,30 @@ object DedupQueries extends QueryPack {
         |    AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_winnow_candidates" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(t) - 2),
+        |      i -> ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8))::BIGINT)
+        |      AS hs
+        |  FROM toks WHERE len(t) >= 7),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(hs) - 2),
+        |        i -> list_min(hs[i:i+3]))) AS fp
+        |    FROM h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pairs
+        |WHERE n_shared >= 2
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

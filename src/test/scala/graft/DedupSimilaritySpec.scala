@@ -70,6 +70,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: shared >= w+k-1 token run guarantees a shared fingerprint") {
+    val shared = "q w e r t y u" // 7 tokens = w + k - 1 with k=4, w=4
+    val docsW = Seq(
+      (1L, s"a b c $shared d e f"),
+      (2L, s"z x $shared v n m"),
+      (3L, "completely different words here nothing matches at all")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docsW, "doc_id", "text", k = 4, w = 4)
+    val f1 = fp.where(col("doc_id") === 1).select("fp").as[Long].collect().toSet
+    val f2 = fp.where(col("doc_id") === 2).select("fp").as[Long].collect().toSet
+    val f3 = fp.where(col("doc_id") === 3).select("fp").as[Long].collect().toSet
+    assert((f1 intersect f2).nonEmpty)   // the guarantee
+    assert((f1 intersect f3).isEmpty && (f2 intersect f3).isEmpty)
+    val cand = Dedup.winnowCandidates(fp, "doc_id", minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand === Set((1L, 2L)))
+  }
+
+  test("winnowing: too-short docs are dropped, no fingerprint rows") {
+    val docsW = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // 6 < k+w-1
+    assert(Dedup.winnowFingerprints(docsW, "doc_id", "text", 4, 4).count() === 0L)
+  }
+
   test("nearDupAgainstIndex flags colliding incoming docs (batch twin)") {
     val index = Dedup.bandSignatures(
         Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"),
