@@ -38,6 +38,15 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 lexical retrieval over a fixed query-term bag; rounded score
+    // ordering with doc_id tiebreak keeps the top-k engine-identical.
+    "text_bm25_search" -> ((s, dir) => {
+      TextAnalysis.bm25(Tables(s, dir).documents, "doc_id", "text",
+          Seq("spark", "join", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     "text_frequent_grams" -> ((s, dir) => {
       TextAnalysis.frequentGrams(Tables(s, dir).documents, "doc_id", "text",
           n = 3, minCount = 2L, k = 100)
@@ -142,6 +151,37 @@ object TextAnalysisQueries extends QueryPack {
         |  round(max(c) * 1.0 / sum(c), 6) AS top_gram_fraction
         |FROM cnt GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_search" -> {
+      val terms = Seq("spark", "join", "stream")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(", ")
+      // mirrors the Scala assembly op-for-op: constants cast to DOUBLE so
+      // DuckDB doesn't fall into DECIMAL arithmetic
+      val score = terms.indices.map { i =>
+        s"ln((CAST(n_docs AS DOUBLE) - df_$i + CAST(0.5 AS DOUBLE)) / " +
+          s"(df_$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
+          s"(tf_$i * CAST(2.2 AS DOUBLE)) / " +
+          s"(tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+          s"CAST(0.75 AS DOUBLE) * dl / avgdl))"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |    $tfCols
+         |  FROM base),
+         |g AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfCols FROM f)
+         |SELECT * FROM (
+         |  SELECT doc_id, dl, round($score, 4) AS bm25 FROM f, g)
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     "text_frequent_grams" ->
       """WITH toks AS (

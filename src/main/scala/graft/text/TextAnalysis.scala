@@ -175,6 +175,50 @@ object TextAnalysis {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Okapi BM25
+    * scoring used by Lucene/Elasticsearch): score every document against
+    * a fixed bag of query terms. The lexical complement to the embedding
+    * ANN stack — "find docs about X" without vectors.
+    *
+    * score(d) = sum_t idf_t * tf_td * (k1+1) / (tf_td + k1 * (1 - b + b * |d|/avgdl))
+    * with idf_t = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)  (Lucene form).
+    *
+    * Shape: per-term tf is an in-row array_filter count (one linear
+    * projection); df/N/avgdl are ONE global 1-row aggregate broadcast
+    * back by cross join; the score assembles per-term contributions in
+    * the FIXED `terms` declaration order, so the float sum is
+    * engine-reproducible. No shuffle except the 1-row aggregate and the
+    * top-k TakeOrdered.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           roundTo: Int = 4): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(expr(s"filter(_toks, x -> x = '$t')")).cast("long").as(s"tf_$i")
+    }
+    val base = docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol) +: size(col("_toks")).cast("long").as("dl") +: tfCols: _*)
+    val globAggs = count(lit(1)).as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val glob = base.agg(globAggs.head, globAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      val tf = col(s"tf_$i")
+      idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base
+      .crossJoin(broadcast(glob))
+      .select(col(idCol), col("dl"), round(score, roundTo).as("bm25"))
+      .where(col("bm25") > 0)
+  }
+
   /** Corpus-level frequent n-grams — the boilerplate heavy-hitter table
     * (the corpus-wide complement of the per-doc [[repetitionStats]]
     * filter): grams occurring at least `minCount` times, with occurrence

@@ -89,6 +89,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1).getString(4) === "clean text no pii 1234 999.1 <IP>.2.3")
   }
 
+  test("bm25: tf monotone at equal length, zero-hit docs excluded, idf favors rare") {
+    val docs = Seq(
+      (1L, "spark spark spark pad pad"),
+      (2L, "spark pad pad pad pad"),
+      (3L, "pad pad pad pad pad"),      // no query term -> excluded
+      (4L, "rare pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark", "rare"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(!r.contains(3L))
+    assert(r(1L) > r(2L))  // more tf, same dl
+    assert(r(4L) > r(2L))  // rare term (df=1) outweighs common (df=2) at tf=1
+  }
+
   test("bigramLmScore: self-trained bigram log-likelihood, hand-computed") {
     // Corpus bigrams: (a,b)x2 from doc1+doc2, (b,a)x1, (b,c)x1.
     // c1: a->3 (a appears as w1 3x), b->2? no: w1 occurrences: doc1 "a b a" ->
