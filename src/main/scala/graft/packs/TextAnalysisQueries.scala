@@ -58,6 +58,14 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights: lang='en' is the in-domain target.
+    "text_importance_weights" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      TextAnalysis.importanceWeights(docs,
+          docs.where(col("lang") === "en"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // The synthetic corpus is digit-free, so PII is planted
     // deterministically from doc_id arithmetic (same CASE text on both
     // engines) before applying the generic operator.
@@ -214,7 +222,41 @@ object TextAnalysisQueries extends QueryPack {
         |      AS mnat
         |  FROM flat f JOIN bi USING (w1, w2) JOIN uni USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(mnat) AS DOUBLE) / (count(*) * 1e6), 6) AS avg_ll
+        |  CAST(sum(mnat) AS BIGINT) AS sum_mnat
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |flat AS (SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM grams),
+        |bit AS (SELECT w1, w2, count(*) AS c12_t FROM flat
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |unit AS (SELECT w1, count(*) AS c1_t FROM flat
+        |  WHERE lang = 'en' GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v_t FROM flat
+        |  WHERE lang = 'en'),
+        |bic AS (SELECT w1, w2, count(*) AS c12_c FROM flat GROUP BY 1, 2),
+        |unic AS (SELECT w1, count(*) AS c1_c FROM flat GROUP BY 1),
+        |vc AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v_c FROM flat),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |    CAST(round(ln((coalesce(c12_t, 0) + CAST(1.0 AS DOUBLE)) /
+        |      (coalesce(c1_t, 0) + v_t)) * 1e6, 0) AS BIGINT)
+        |    - CAST(round(ln((c12_c + CAST(1.0 AS DOUBLE)) /
+        |      (c1_c + v_c)) * 1e6, 0) AS BIGINT) AS d
+        |  FROM flat f
+        |  LEFT JOIN bit USING (w1, w2)
+        |  LEFT JOIN unit USING (w1)
+        |  JOIN bic USING (w1, w2)
+        |  JOIN unic USING (w1), vt, vc)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(d) AS BIGINT) AS sum_mnat
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines (north-star extension):
@@ -265,14 +265,18 @@ object TextAnalysis {
     * bigram is in the model (no smoothing branch); to score a stream
     * against a frozen model, persist the count tables and reuse.
     */
-  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = docs
+  private def docBigrams(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
       .withColumn("_toks", split(col(textCol), " "))
       .where(size(col("_toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(_toks) - 1), " +
           "i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2))")).as("_g"))
       .select(col(idCol), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
+
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol)
     val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     grams
@@ -284,7 +288,59 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(sum(col("_mnat")) / (count(lit(1)) * lit(1e6)), 6).as("avg_ll"))
+        // exact integer sum; see importanceWeights for why the mean is
+        // left un-divided (engine tie-breaking on integer quotients)
+        sum(col("_mnat")).as("sum_mnat"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-likelihood RATIO between a smoothed bigram model of an
+    * in-domain TARGET corpus and one of the general corpus. High ratio =
+    * looks like the target domain; feed the weights to a hash-gated
+    * sampler to select in-domain-like training data.
+    *
+    * Both models are add-one smoothed over their own vocabulary
+    * (P(w2|w1) = (c12 + 1) / (c1 + V)) so unseen transitions are finite.
+    * Per-bigram log-probs quantize to integer micro-nats before the
+    * per-doc aggregation (order-independent, see [[bigramLmScore]]).
+    *
+    * Scale: count tables are vocabulary-bounded and broadcast; the
+    * corpus side is two linear passes (one to count, one to score). The
+    * target corpus is small by definition.
+    */
+  def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val grams = docBigrams(docs, idCol, textCol)
+    val tgtGrams = docBigrams(target, idCol, textCol)
+    def model(g: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = (
+      g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as(s"c12_$tag")),
+      g.groupBy(col("w1")).agg(count(lit(1)).as(s"c1_$tag")),
+      g.agg(countDistinct(col("w2")).cast("double").as(s"v_$tag")))
+    val (biT, uniT, vT) = model(tgtGrams, "t")
+    val (biC, uniC, vC) = model(grams, "c")
+    def mnat(c12: Column, c1: Column, v: Column): Column =
+      round(log((c12 + lit(1.0)) / (c1 + v)) * lit(1e6), 0).cast("long")
+    grams
+      .join(broadcast(biT), Seq("w1", "w2"), "left")
+      .join(broadcast(uniT), Seq("w1"), "left")
+      .join(broadcast(biC), Seq("w1", "w2"))
+      .join(broadcast(uniC), Seq("w1"))
+      .crossJoin(broadcast(vT))
+      .crossJoin(broadcast(vC))
+      .select(col(idCol),
+        (mnat(coalesce(col("c12_t"), lit(0L)), coalesce(col("c1_t"), lit(0L)),
+          col("v_t")) -
+          mnat(col("c12_c"), col("c1_c"), col("v_c"))).as("_d"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // EXACT integer sum — the mean stays un-divided on purpose: an
+        // integer/integer quotient rounded to 6 decimals lands on .5
+        // ties that engines break differently (observed at sf0.1).
+        // Consumers compute sum_mnat / (n_bigrams * 1e6) when they want
+        // the per-bigram mean log-ratio in nats.
+        sum(col("_d")).as("sum_mnat"))
   }
 
   /** Document fingerprints: full-content md5 plus an order-sensitive

@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.TextAnalysis
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit fixtures for text-analysis operators whose corpus-scale behavior
@@ -111,12 +112,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
     val r = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
-    val half = math.round(math.log(0.5) * 1e6) / 1e6 // quantized ln(1/2)
+    val half = math.round(math.log(0.5) * 1e6) // quantized ln(1/2) micro-nats
     assert(r(0).getLong(1) === 2L)
-    assert(r(0).getDouble(2) ===
-      BigDecimal(half / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(0).getLong(2) === half)  // ln(1) + ln(1/2) in micro-nats
     assert(r(1).getLong(1) === 2L)
-    assert(r(1).getDouble(2) === r(0).getDouble(2)) // same structure
+    assert(r(1).getLong(2) === half)  // same structure
+  }
+
+  test("importanceWeights: target-like docs get higher log-ratio") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),  // pure target style
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta alpha beta")
+    ).toDF("doc_id", "text")
+    val target = docs.where(col("doc_id") === 1)
+    val r = TextAnalysis.importanceWeights(docs, target, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) > r(2L))  // target doc beats off-domain
+    assert(r(3L) > r(2L) && r(1L) > r(3L))  // mixed doc in between
   }
 
   test("contaminationStats: empty eval set leaves every doc clean") {
