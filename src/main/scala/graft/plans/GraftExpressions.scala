@@ -37,6 +37,12 @@ object GraftExpressions {
     * the session was not built with [[GraftSparkExtensions]].
     */
   def register(spark: SparkSession): Unit = {
+    // session-scoped optimizer injection (the extensions path injects the
+    // same rule at build time); idempotent by reference equality
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewrite
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -62,6 +68,7 @@ object GraftExpressions {
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

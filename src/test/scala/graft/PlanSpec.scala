@@ -73,6 +73,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!prov.contains("CartesianProduct"), prov.take(600))
   }
 
+  test("DotProductRewrite: HOF aggregate(zip_with(*)) becomes native graft_dot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, 0.0, 2.0), Seq(1.0, 9.0, 0.25))
+    ).toDF("a", "b")
+    val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+    val q = df.select(expr(hof).as("dot"))
+    assert(q.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.DotProduct])), "rewrite did not fire")
+    assert(q.as[Double].collect().toSeq === Seq(32.0, 1.0))
+    // sum direction differs -> no rewrite (acc - v)
+    val sub = df.select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), " +
+      "cast(0 as double), (acc, v) -> acc - v)").as("d"))
+    assert(!sub.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.DotProduct])))
+    // nullable elements -> no rewrite (HOF null semantics must be kept)
+    val nullable = Seq((Seq[Option[Double]](Some(1.0), None),
+      Seq[Option[Double]](Some(2.0), Some(3.0)))).toDF("a", "b")
+    val nq = nullable.select(expr(hof).as("dot"))
+    assert(!nq.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.plans.DotProduct])))
+    assert(nq.collect().head.isNullAt(0)) // HOF semantics preserved
+  }
+
   test("graft_cosine/graft_dot: length mismatch throws, zero norm is null") {
     import spark.implicits._
     plans.GraftExpressions.register(spark)
