@@ -163,8 +163,14 @@ object Graft {
       .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
     val cos = Dedup.embeddingNearDup(emb, embIdCol, arrCol, cosineThreshold)
       .select(col("id_a"), col("id_b"), lit("cosine").as("src"))
-    graft.dedup.Components.provenanceClusters(
+    val clusters = graft.dedup.Components.provenanceClusters(
       exact.unionByName(near).unionByName(sim).unionByName(cos))
+    // provenanceClusters eagerly localCheckpoints the edge set, so the
+    // fused cache has served its purpose — release it rather than letting
+    // repeated calls accumulate cached signature tables for the session's
+    // lifetime
+    fused.unpersist()
+    clusters
   }
   /** Hourly resample with dense grid + forward fill (time-series
     * regularization; see operators.TimeSeries).

@@ -28,7 +28,11 @@ object Packing {
                          shards: Int = 1): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
     require(shards > 0, s"shards=$shards must be positive")
+    // explicit ROWS frame: the default RANGE frame treats id-ties as
+    // peers, which would fold duplicate ids into one offset instead of
+    // packing them sequentially
     val w = Window.partitionBy(col("grp"), col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(group.as("grp"),
         pmod(md5Long(id.cast("string"), 8), lit(shards)).cast("int").as("shard"),

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * The rewrite is exact only when both element types are NON-NULLABLE
   * doubles: with a null element the HOF form returns null, while
   * [[DotProduct]] reads primitives. Nullable-element arrays are left
-  * untouched. Zip length semantics also match only for equal-length
-  * arrays — `zip_with` pads the shorter side with nulls, which under
-  * multiply-add yields null; DotProduct throws instead of silently
-  * padding, so a length mismatch cannot produce a wrong value on the
-  * rewritten path either.
+  * untouched. Zip length semantics are preserved with a runtime guard:
+  * `zip_with` pads the shorter side with nulls, which under multiply-add
+  * yields null, so the rewrite emits
+  * `if(size(a) = size(b), DotProduct(a, b), null)` — equal-length rows
+  * take the fused loop, mismatched rows return null exactly like the
+  * original HOF, and a null array makes the predicate null which also
+  * falls through to null.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
@@ -62,6 +64,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           if isZero(zero) && isIdentity(finish) &&
             sameVars(zipVars, x, y) && sameVars(mergeVars, l, r) &&
             isDoubleArray(a) && isDoubleArray(b) =>
-        DotProduct(a, b)
+        If(EqualTo(Size(a), Size(b)), DotProduct(a, b),
+          Literal(null, DoubleType))
     }
 }

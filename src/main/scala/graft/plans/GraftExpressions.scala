@@ -43,14 +43,19 @@ object GraftExpressions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductRewrite
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", dotBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", cosineBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_prefix_long", md5PrefixBuilder, "built-in")
+    // skip when already registered: createOrReplaceTempFunction logs a
+    // replacement WARN per call, which floods driver logs when every
+    // query pack re-registers on the same session
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
+      registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_cosine", cosineBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_md5_prefix_long", md5PrefixBuilder, "built-in")
+    }
   }
 
   /** Column-level accessors; require registration on the active session. */

@@ -137,13 +137,6 @@ object EventStreams {
       }
   }
 
-  /** Incremental multinomial NB sufficient stats: per micro-batch term
-    * counts merged into a running (class, term) count table via
-    * `foreachBatch` — the streaming model-update loop (counts are
-    * associative/commutative, so merge order never matters).
-    * Returns the merge function for callers to wire into
-    * `writeStream.foreachBatch`.
-    */
   /** Exactly-once sink contract for `foreachBatch`: Spark guarantees
     * at-least-once invocation with a STABLE batchId per epoch — a failed
     * micro-batch is retried under the same id. A sink that records the
@@ -162,19 +155,9 @@ object EventStreams {
     }
   }
 
-  def nbCountsMerger(store: NbCountStore): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
-      val counts = batch
-        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("lang", "term").count()
-        .collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      store.merge(counts)
-    }
-
   /** Distributed incremental NB sufficient stats — the production path
-    * (vs the [[NbCountStore]] driver demo above, whose state is
-    * O(classes × vocab) on the driver): running (class, term) counts
+    * (a driver-side count-table demo of the same merge contract lives in
+    * test scope as `NbCountStore`): running (class, term) counts
     * live in Spark's keyed state store via `flatMapGroupsWithState`,
     * sharded across executors by key, checkpointed, spill-safe. The
     * driver holds nothing data-proportional.
@@ -217,21 +200,3 @@ final case class NbTermCount(lang: String, term: String, count: Long)
 /** Per-user running accumulator for [[EventStreams.runningUserStats]]. */
 final case class UserRunning(
     user_id: Long, n_events: Long, sum_value: Double, last_seen: Long)
-
-/** Driver-side running count table for the incremental NB demo — the
-  * merge contract (associative + commutative addition) is what the unit
-  * tests pin down. Verification-only: state here is O(classes × vocab)
-  * ON THE DRIVER, so the production path is
-  * [[EventStreams.nbRunningCounts]], which keeps the same counts in
-  * Spark's distributed keyed state store.
-  */
-final class NbCountStore {
-  private val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-  def merge(batch: Iterable[((String, String), Long)]): Unit = synchronized {
-    batch.foreach { case (k, v) => counts.update(k, counts.getOrElse(k, 0L) + v) }
-  }
-  def get(lang: String, term: String): Long = synchronized {
-    counts.getOrElse((lang, term), 0L)
-  }
-  def snapshot: Map[(String, String), Long] = synchronized { counts.toMap }
-}

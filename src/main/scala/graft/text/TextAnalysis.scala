@@ -260,8 +260,10 @@ object TextAnalysis {
     *
     * Scale: two linear count passes keyed by bigram/unigram (vocabulary-
     * bounded), then a join of corpus bigrams against the count tables —
-    * broadcast when the model fits (usual for word-level vocab), shuffle
-    * hash-join otherwise, either way linear. Self-scoring means every
+    * deliberately UNHINTED: AQE converts to broadcast at runtime when the
+    * model fits (usual for word-level vocab) and keeps a shuffle hash
+    * join otherwise, so a huge vocabulary degrades to linear instead of
+    * failing on the broadcast size limit. Self-scoring means every
     * bigram is in the model (no smoothing branch); to score a stream
     * against a frozen model, persist the count tables and reuse.
     */
@@ -280,8 +282,8 @@ object TextAnalysis {
     val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     grams
-      .join(broadcast(bi), Seq("w1", "w2"))
-      .join(broadcast(uni), Seq("w1"))
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
       .select(col(idCol),
         round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
           .as("_mnat"))
@@ -305,9 +307,10 @@ object TextAnalysis {
     * Per-bigram log-probs quantize to integer micro-nats before the
     * per-doc aggregation (order-independent, see [[bigramLmScore]]).
     *
-    * Scale: count tables are vocabulary-bounded and broadcast; the
-    * corpus side is two linear passes (one to count, one to score). The
-    * target corpus is small by definition.
+    * Scale: the TARGET model is small by definition and broadcast
+    * explicitly; the corpus-side count tables are unhinted (AQE
+    * broadcasts them when they fit, shuffle hash join otherwise). The
+    * corpus side is two linear passes (one to count, one to score).
     */
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
@@ -324,8 +327,8 @@ object TextAnalysis {
     grams
       .join(broadcast(biT), Seq("w1", "w2"), "left")
       .join(broadcast(uniT), Seq("w1"), "left")
-      .join(broadcast(biC), Seq("w1", "w2"))
-      .join(broadcast(uniC), Seq("w1"))
+      .join(biC, Seq("w1", "w2"))
+      .join(uniC, Seq("w1"))
       .crossJoin(broadcast(vT))
       .crossJoin(broadcast(vC))
       .select(col(idCol),

@@ -75,30 +75,48 @@ class PlanSpec extends AnyFunSuite {
 
   test("DotProductRewrite: HOF aggregate(zip_with(*)) becomes native graft_dot") {
     import org.apache.spark.sql.functions._
-    import spark.implicits._
     graft.plans.GraftExpressions.register(spark)
-    val df = Seq(
-      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
-      (Seq(0.5, 0.0, 2.0), Seq(1.0, 9.0, 0.25))
-    ).toDF("a", "b")
+    def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[graft.plans.DotProduct]))
+    // Scan-backed plan: a LocalRelation input is constant-folded by
+    // ConvertToLocalRelation before the user optimizer batch ever runs,
+    // so the rewrite must be proven against a real parquet scan. The
+    // coalesce-transform makes the element type non-nullable double,
+    // which is the shape the rule requires.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").selectExpr(
+      "vec_id",
+      "transform(embedding, x -> coalesce(cast(x as double), 0d)) as a",
+      "transform(reverse(embedding), x -> coalesce(cast(x as double), 0d)) as b")
     val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), " +
       "cast(0 as double), (acc, v) -> acc + v)"
-    val q = df.select(expr(hof).as("dot"))
-    assert(q.queryExecution.optimizedPlan.expressions.exists(
-      _.exists(_.isInstanceOf[graft.plans.DotProduct])), "rewrite did not fire")
-    assert(q.as[Double].collect().toSeq === Seq(32.0, 1.0))
+    val q = emb.select(expr(hof).as("dot"))
+    assert(fired(q), "rewrite did not fire on a parquet-scan plan")
+    // rewritten values match a driver-side recomputation
+    emb.select(col("a"), col("b"), expr(hof).as("dot"))
+      .limit(16).collect().foreach { r =>
+        val exp = r.getSeq[Double](0).zip(r.getSeq[Double](1))
+          .map { case (x, y) => x * y }.sum
+        assert(math.abs(r.getDouble(2) - exp) < 1e-9, r.toString)
+      }
+    // length mismatch: the size guard keeps HOF null semantics (zip_with
+    // pads with null -> multiply-add nulls out) instead of throwing
+    val mism = emb.select(expr("aggregate(zip_with(a, slice(b, 1, " +
+      "size(b) - 1), (x, y) -> x * y), cast(0 as double), " +
+      "(acc, v) -> acc + v)").as("dot"))
+    assert(fired(mism), "rewrite should fire on mismatched equal-type arrays")
+    assert(mism.limit(4).collect().forall(_.isNullAt(0)),
+      "guard must yield null on length mismatch, matching the HOF")
     // sum direction differs -> no rewrite (acc - v)
-    val sub = df.select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), " +
+    val sub = emb.select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), " +
       "cast(0 as double), (acc, v) -> acc - v)").as("d"))
-    assert(!sub.queryExecution.optimizedPlan.expressions.exists(
-      _.exists(_.isInstanceOf[graft.plans.DotProduct])))
+    assert(!fired(sub))
     // nullable elements -> no rewrite (HOF null semantics must be kept)
-    val nullable = Seq((Seq[Option[Double]](Some(1.0), None),
-      Seq[Option[Double]](Some(2.0), Some(3.0)))).toDF("a", "b")
+    val nullable = spark.read.parquet(s"$sf/embeddings.parquet").selectExpr(
+      "transform(embedding, x -> cast(x as double)) as a",
+      "transform(embedding, x -> cast(x as double) + 1d) as b")
     val nq = nullable.select(expr(hof).as("dot"))
-    assert(!nq.queryExecution.optimizedPlan.expressions.exists(
-      _.exists(_.isInstanceOf[graft.plans.DotProduct])))
-    assert(nq.collect().head.isNullAt(0)) // HOF semantics preserved
+    assert(!fired(nq))
   }
 
   test("graft_cosine/graft_dot: length mismatch throws, zero norm is null") {

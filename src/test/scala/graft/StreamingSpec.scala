@@ -94,7 +94,7 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Seq(("en", "hello world"), ("fr", "bonjour monde"),
       ("en", "hello again")).toDF("lang", "text")
     val q = streamOf(docs).writeStream
-      .foreachBatch(EventStreams.nbCountsMerger(store))
+      .foreachBatch(NbCountStore.merger(store))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     assert(store.get("en", "hello") === 2L)
@@ -232,7 +232,7 @@ class StreamingSpec extends AnyFunSuite {
   test("idempotent foreachBatch: a retried batch id is not applied twice") {
     import graft.streaming.{EventStreams, NbCountStore}
     val store = new NbCountStore
-    val sink = EventStreams.idempotentForeachBatch(EventStreams.nbCountsMerger(store))
+    val sink = EventStreams.idempotentForeachBatch(NbCountStore.merger(store))
     val batch = Seq(("en", "hello hello"), ("de", "welt"))
       .toDF("lang", "text")
     sink(batch, 7L)   // first delivery
