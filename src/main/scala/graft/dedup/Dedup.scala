@@ -475,7 +475,8 @@ object Dedup {
     */
   def jaccardPairs(shingleDf: DataFrame, idCol: String,
                    threshold: Double,
-                   candidates: Option[DataFrame] = None): DataFrame =
+                   candidates: Option[DataFrame] = None,
+                   maxDf: Int = 1 << 16): DataFrame =
     candidates match {
       case Some(c) =>
         val arrs = shingleDf.groupBy(col(idCol))
@@ -489,8 +490,27 @@ object Dedup {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       case None =>
         val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-        val x = shingleDf.select(col(idCol).as("id_a"), col("shingle"))
-        val y = shingleDf.select(col(idCol).as("id_b"), col("shingle"))
+        // Hot-shingle guard: the postings join is quadratic PER POSTING
+        // LIST — one boilerplate shingle shared by m docs contributes
+        // m(m-1)/2 join rows, and at corpus scale the hottest shingles
+        // ("all rights reserved" trigrams) dominate everything. Shingles
+        // over `maxDf` docs are dropped from the join (denominators still
+        // count them), observable via the jaccard_postings_* metric; the
+        // cap never trips at test scale factors, so the DuckDB oracle
+        // stays exact — if a larger corpus ever trips it, the oracle
+        // going red IS the diagnostic (same contract as maxBucket).
+        val kept = shingleDf.join(
+          shingleDf.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+            .observe(s"jaccard_postings_${obsId.getAndIncrement()}",
+              sum(when(col("_df") > maxDf, 1).otherwise(0))
+                .as("shingles_dropped"),
+              sum(when(col("_df") > maxDf, col("_df")).otherwise(0))
+                .as("postings_in_dropped"))
+            .where(col("_df") <= maxDf)
+            .select(col("shingle")),
+          Seq("shingle"), "left_semi")
+        val x = kept.select(col(idCol).as("id_a"), col("shingle"))
+        val y = kept.select(col(idCol).as("id_b"), col("shingle"))
         x.join(y, "shingle").where(col("id_a") < col("id_b"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("inter"))
@@ -501,9 +521,9 @@ object Dedup {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }
 
-  /** Embedding cosine near-duplicates above a threshold. Small-scale form
-    * is the pruned self-join; the scale path buckets by sign-LSH first
-    * (see [[graft.similarity.Similarity.signBuckets]]).
+  /** Embedding cosine near-duplicates above a threshold — the EXACT
+    * all-pairs twin (quadratic; verification scale only). The scale path
+    * is [[embeddingNearDupCells]].
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, arrCol: String,
                        threshold: Double): DataFrame = {
@@ -515,6 +535,62 @@ object Dedup {
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", graft.plans.GraftExpressions.cosine(col("_va"), col("_vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding near-duplicates gated by centroid-cell assignment
+    * (SemDeDup — Abbas et al. 2023, arXiv:2303.09540: cluster the
+    * embeddings, mine exact-cosine pairs INSIDE each cell only).
+    * Deterministic given deterministic centroids (per-label means,
+    * [[graft.mlops.ClusterOps.lloydIterations]] output), so the whole
+    * pipeline stays SQL-oracle-able — unlike any probabilistic LSH gate.
+    *
+    * Why not sign-LSH here (measured on the synthetic embeddings): at
+    * cosine 0.45 — a 63° angle, per-hyperplane agreement p ≈ 1-θ/π ≈
+    * 0.65 — banding is non-selective: 16 bands × 2 bits admit ~99% of
+    * ALL pairs while exact-bucket matching ([[
+    * graft.similarity.Similarity.signBuckets]]) misses 14/14 true pairs
+    * at sf0.01. Cell gating is the published scale design instead: cost
+    * is Σ|cell|² ≈ n²/k (k the tuning knob), and cross-cell pairs are
+    * forgone BY DESIGN — the SemDeDup recall tradeoff, measured here as
+    * 40/144 pairs retained at sf0.1 with k=10 label-mean centroids. The
+    * exact twin [[embeddingNearDup]] is the verification baseline.
+    *
+    * Shape: one broadcast-join assignment pass, id-only pair generation
+    * per cell (16-byte structs — vectors are re-joined AFTER pair-gen so
+    * the in-row pair array stays small), then one fused-codegen cosine
+    * per candidate. `maxCell` drops degenerate cells (quadratic bombs),
+    * observable via the `embedding_cells_*` observe metric; at test
+    * scale factors it never trips, so the oracle stays exact.
+    */
+  def embeddingNearDupCells(emb: DataFrame, idCol: String, arrCol: String,
+                            centersLong: DataFrame, centerCol: String,
+                            threshold: Double,
+                            maxCell: Int = 1 << 16): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val cells = graft.mlops.ClusterOps.assignToCenters(
+      graft.mlops.NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol),
+      centersLong, idCol, centerCol)
+    val pairs = cells
+      .groupBy(col(centerCol))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .observe(s"embedding_cells_${obsId.getAndIncrement()}",
+        sum(when(size(col("_ids")) > maxCell, 1).otherwise(0))
+          .as("cells_dropped"),
+        sum(when(size(col("_ids")) > maxCell, size(col("_ids")))
+          .otherwise(0)).as("ids_in_dropped_cells"))
+      .where(size(col("_ids")).between(2, maxCell))
+      .select(explode(expr(
+        "flatten(transform(_ids, (a, i) -> " +
+          "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+    pairs
+      .join(emb.select(col(idCol).as("id_a"), col(arrCol).as("_va")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(arrCol).as("_vb")), "id_b")
+      .withColumn("cos",
+        graft.plans.GraftExpressions.cosine(col("_va"), col("_vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -3,6 +3,7 @@ package graft.packs
 import graft.QueryPack
 import graft.core.Tables
 import graft.dedup.{Components, Dedup}
+import graft.mlops.NaiveBayesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +15,13 @@ object DedupQueries extends QueryPack {
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Dedup.shingles(Tables(s, dir).documentsSpread, "doc_id", "text", n = 3)
+
+  // Deterministic per-label-mean centroids (same construction as
+  // sim_ivf_topk) — the cell index for SemDeDup-style embedding dedup.
+  private def labelCenters(s: SparkSession, dir: String): DataFrame =
+    NaiveBayesOps.toLongForm(Tables(s, dir).embeddings, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
 
   // Shared oracle CTE: distinct word-trigram shingles (relational 3-way
   // join formulation — intentionally a different algorithm than the Spark
@@ -156,8 +164,13 @@ object DedupQueries extends QueryPack {
           fused.select(col("doc_id"), col("simhash")),
           "doc_id", maxHamming = 3, bits = 60)
         .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
-      val cos = Dedup.embeddingNearDup(Tables(s, dir).embeddings,
-          "vec_id", "embedding", threshold = 0.45)
+      // SemDeDup cell-gated cosine edges — no quadratic operator in the
+      // capstone plan (the exact all-pairs twin stays in
+      // dedup_embedding_cosine). Deterministic, so the oracle mirrors
+      // the same cell assignment; cross-cell pairs forgone by design.
+      val cos = Dedup.embeddingNearDupCells(Tables(s, dir).embeddings,
+          "vec_id", "embedding", labelCenters(s, dir), "cell",
+          threshold = 0.45)
         .select(col("id_a"), col("id_b"), lit("cosine").as("src"))
       Components.provenanceClusters(
           exact.unionByName(near).unionByName(sim).unionByName(cos))
@@ -173,10 +186,20 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Embedding cosine near-duplicates.
+    // Embedding cosine near-duplicates — EXACT all-pairs twin
+    // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
       Dedup.embeddingNearDup(Tables(s, dir).embeddings, "vec_id", "embedding",
         threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup cell-gated cosine near-dup — the scale path: nearest-
+    // centroid assignment (deterministic per-label means), exact cosine
+    // inside each cell only. Equi-join plan, oracle mirrors the cells.
+    "dedup_embedding_cosine_cells" -> ((s, dir) => {
+      Dedup.embeddingNearDupCells(Tables(s, dir).embeddings, "vec_id",
+        "embedding", labelCenters(s, dir), "cell", threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -407,8 +430,9 @@ object DedupQueries extends QueryPack {
 
     // The all-sources capstone oracle: every edge CTE is the same text as
     // its standalone oracle (minhash bands, exact md5, 60-bit simhash,
-    // list_cosine_similarity), tagged and unioned; recursive cc as in
-    // dedup_components; provenance = sorted distinct tags per component.
+    // cell-gated list_cosine_similarity), tagged and unioned; recursive
+    // cc as in dedup_components; provenance = sorted distinct tags per
+    // component. The cosine CTEs mirror dedup_embedding_cosine_cells.
     "dedup_provenance_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
          |sig AS (
@@ -445,9 +469,28 @@ object DedupQueries extends QueryPack {
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |pts AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |ptsl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+         |          FROM pts p JOIN ctr c ON p.dim = c.dim
+         |          GROUP BY p.vec_id, c.cell) d) r
+         |  WHERE rn = 1),
          |cosp AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  FROM assign xa JOIN assign xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id
+         |  JOIN embeddings a ON a.vec_id = xa.vec_id
+         |  JOIN embeddings b ON b.vec_id = xb.vec_id
          |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
          |eprov AS (
          |  SELECT id_a, id_b, 'exact' AS src FROM ex
@@ -495,6 +538,33 @@ object DedupQueries extends QueryPack {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
         |    AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_cosine_cells" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+        |    AS cos
+        |FROM assign xa JOIN assign xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id
+        |JOIN embeddings a ON a.vec_id = xa.vec_id
+        |JOIN embeddings b ON b.vec_id = xb.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 

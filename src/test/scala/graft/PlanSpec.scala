@@ -66,11 +66,18 @@ class PlanSpec extends AnyFunSuite {
     // the whole vocabulary
     val caps = plan("f8_countvec_caps")
     assert(caps.contains("TakeOrderedAndProject"), caps.take(800))
-    // all-sources provenance clusters: equi-joins + the one documented
-    // BroadcastNestedLoopJoin (cosine threshold pairs) — never a
-    // cartesian product
+    // all-sources provenance clusters: equi-joins ONLY — the cosine edge
+    // source is the SemDeDup cell-gated path, so no cartesian product and
+    // no nested-loop join anywhere in the capstone
     val prov = plan("dedup_provenance_clusters")
-    assert(!prov.contains("CartesianProduct"), prov.take(600))
+    assert(!prov.contains("CartesianProduct") &&
+      !prov.contains("BroadcastNestedLoopJoin"), prov.take(600))
+    // the standalone cell-gated cosine near-dup: same property
+    val cells = plan("dedup_embedding_cosine_cells")
+    assert(!cells.contains("CartesianProduct") &&
+      !cells.contains("BroadcastNestedLoopJoin"), cells.take(600))
+    assert(cells.contains("graft_cosine"),
+      "native cosine missing from cell-gated plan")
   }
 
   test("DotProductRewrite: HOF aggregate(zip_with(*)) becomes native graft_dot") {
