@@ -97,27 +97,71 @@ object ClusterOps {
       .agg(round(sum(col("vi") * col("vj")), 4).as("gram"))
   }
 
-  /** Truncated SVD via RowMatrix (distributed ARPACK): returns the
-    * projected coordinates X·V_k per row id.
+  /** Fitted truncated SVD: right singular vectors V (d×k, column-major)
+    * and singular values — the engine's `components_` export (reference
+    * `SparkTruncatedSVD.fit` stored exactly this,
+    * `splearn/decomposition/truncated_svd.py:~L120`). Driver state is
+    * O(d·k), never O(n).
+    */
+  final case class SvdModel(d: Int, k: Int, v: Array[Double], sigma: Array[Double]) {
+    /** Column j of V. */
+    def component(j: Int): Array[Double] = v.slice(j * d, (j + 1) * d)
+  }
+
+  /** Fit a truncated SVD on an array column via `RowMatrix.computeSVD`
+    * (local Breeze eig on the Gramian for small d, distributed ARPACK for
+    * large d — mllib picks). Each singular vector is SIGN-CANONICALIZED:
+    * the component with the largest |value| (lowest index on ties) is made
+    * positive. Eigenvector sign is arbitrary in every solver; pinning it
+    * makes fits comparable across runs/engines — the rule an SQL oracle
+    * can mirror.
+    */
+  def fitSvd(df: DataFrame, arrCol: String, k: Int): SvdModel = {
+    val rows = df.select(col(arrCol).cast("array<double>"))
+      .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    // ARPACK mode iterates mat-vec products over this RDD; cache for the
+    // duration of the (eager) fit only.
+    rows.persist()
+    val svd = try new RowMatrix(rows).computeSVD(k, computeU = false)
+              finally rows.unpersist(blocking = false)
+    val d = svd.V.numRows
+    val v = svd.V.toArray // d*k col-major
+    var j = 0
+    while (j < k) {
+      var best = 0; var i = 1
+      while (i < d) {
+        if (math.abs(v(j * d + i)) > math.abs(v(j * d + best))) best = i
+        i += 1
+      }
+      if (v(j * d + best) < 0) {
+        i = 0
+        while (i < d) { v(j * d + i) = -v(j * d + i); i += 1 }
+      }
+      j += 1
+    }
+    SvdModel(d, k, v, svd.s.toArray)
+  }
+
+  /** Truncated SVD projection X·V_k per row id (reference
+    * `SparkTruncatedSVD.transform`). V is broadcast; the projection is a
+    * map-side GEMV — no shuffle, scan-linear at any corpus size.
     */
   def svdProject(df: DataFrame, idCol: String, arrCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    val rows = df.select(col(idCol).cast("long"), col(arrCol).cast("array<double>"))
-      .rdd.map(r => (r.getLong(0), OldVectors.dense(r.getSeq[Double](1).toArray)))
-    rows.cache()
-    val mat = new RowMatrix(rows.values)
-    val svd = mat.computeSVD(k, computeU = false)
-    val vBcast = spark.sparkContext.broadcast(svd.V.toArray) // d*k col-major
-    val d = svd.V.numRows
-    val projected = rows.map { case (id, vec) =>
-      val arr = vec.toArray
-      val out = Array.tabulate(k) { j =>
-        var s = 0.0; var i = 0
-        while (i < d) { s += arr(i) * vBcast.value(j * d + i); i += 1 }
-        s
+    val model = fitSvd(df, arrCol, k)
+    val vBcast = spark.sparkContext.broadcast(model.v)
+    val d = model.d
+    val projected = df
+      .select(col(idCol).cast("long"), col(arrCol).cast("array<double>"))
+      .rdd.map { r =>
+        val arr = r.getSeq[Double](1).toArray
+        val out = Array.tabulate(k) { j =>
+          var s = 0.0; var i = 0
+          while (i < d) { s += arr(i) * vBcast.value(j * d + i); i += 1 }
+          s
+        }
+        Row(r.getLong(0), out.toSeq)
       }
-      Row(id, out.toSeq)
-    }
     spark.createDataFrame(projected, StructType(Seq(
       StructField(idCol, LongType), StructField("proj", ArrayType(DoubleType)))))
   }

@@ -220,12 +220,18 @@ object LinearOps {
     model.transform(prepared)
   }
 
-  /** spark.ml linear regression (multi-feature, L-BFGS). */
-  def fitLinear(df: DataFrame, featureCols: Seq[String], labelCol: String): DataFrame = {
+  /** spark.ml linear regression (multi-feature). Default solver "normal"
+    * solves the normal equations exactly (WLS/Cholesky over one pass of
+    * sufficient statistics — deterministic, so the fit is oracle-checkable
+    * against the closed-form Cramer SQL); pass "l-bfgs" for the iterative
+    * path when d is too large for the d×d normal matrix.
+    */
+  def fitLinear(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                solver: String = "normal"): DataFrame = {
     val prepared = df.withColumn("features",
       array_to_vector(array(featureCols.map(c => col(c).cast("double")): _*)))
     val model = new LinearRegression()
-      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setLabelCol(labelCol).setFeaturesCol("features").setSolver(solver)
       .fit(prepared)
     prepared.sparkSession.createDataFrame(
       Seq((model.intercept, model.coefficients.toArray.toSeq))

@@ -205,11 +205,31 @@ object MLQueries extends QueryPack {
         .orderBy(col("dim_i"), col("dim_j"))
     }),
 
-    // C5: TruncatedSVD projection via RowMatrix ARPACK (rows-only: sign of
-    // singular vectors is arbitrary; unit tests assert the invariants).
+    // C5: TruncatedSVD projection via RowMatrix (rows-only: a 64-dim
+    // eigendecomposition has no SQL closed form; MLOpsSpec asserts the
+    // algebraic invariants — VᵀV=I, σ descending, norm contraction —
+    // and c6_svd2_project hash-checks the same code path at d=2).
+    // fitSvd sign-canonicalizes V, so the signed projection is stable.
     "c5_svd_project" -> ((s, dir) => {
       ClusterOps.svdProject(Tables(s, dir).embeddings, "vec_id", "embedding", k = 5)
-        .select(col("vec_id"), round(abs(element_at(col("proj"), 1)), 4).as("pc1_abs"))
+        .select(col("vec_id"),
+          (round(element_at(col("proj"), 1), 4) + lit(0.0)).as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // C5b: the SAME svdProject path on a 2-feature slice, where the top
+    // right-singular-vector has a closed form the oracle can compute:
+    // for Gramian [[a,b],[b,c]], λ = ((a+c)+sqrt((a−c)²+4b²))/2 and
+    // v ∝ (b, λ−a), normalized + sign-canonicalized exactly like fitSvd
+    // (largest-|component| made positive). Graduates SVD (SURVEY C4/C5)
+    // from rows-only to a full hash check.
+    "c6_svd2_project" -> ((s, dir) => {
+      val two = Tables(s, dir).embeddings.select(col("vec_id"),
+        array(element_at(col("embedding"), 1).cast("double"),
+          element_at(col("embedding"), 2).cast("double")).as("xy"))
+      ClusterOps.svdProject(two, "vec_id", "xy", k = 1)
+        .select(col("vec_id"),
+          (round(element_at(col("proj"), 1), 5) + lit(0.0)).as("pc1"))
         .orderBy(col("vec_id"))
     }),
 
@@ -268,12 +288,17 @@ object MLQueries extends QueryPack {
       rows.toDF("grid_idx", "reg_param", "avg_accuracy")
     }),
 
-    // Multi-feature linear regression via ml L-BFGS (rows-only).
+    // Multi-feature linear regression via spark.ml — solver="normal"
+    // (exact WLS/Cholesky on one pass of sufficient statistics), so the
+    // fit is deterministic and the Cramer closed form is its oracle
+    // (graduated from rows-only; the L-BFGS path keeps ml_logreg_predict).
     "ml_linreg_fit" -> ((s, dir) => {
       LinearOps.fitLinear(Tables(s, dir).lineitem,
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
-        .select(round(col("intercept"), 2).as("intercept_r"),
-          round(element_at(col("coefficients"), 1), 2).as("coef_qty"))
+        .select((round(col("intercept"), 3) + lit(0.0)).as("b0"),
+          (round(element_at(col("coefficients"), 1), 3) + lit(0.0)).as("b1"),
+          (round(element_at(col("coefficients"), 2), 3) + lit(0.0)).as("b2"),
+          (round(element_at(col("coefficients"), 3), 3) + lit(0.0)).as("b3"))
     })
   )
 
@@ -758,6 +783,55 @@ object MLQueries extends QueryPack {
         |FROM lf a JOIN lf b ON a.vec_id = b.vec_id AND a.dim <= b.dim
         |WHERE a.dim <= 6 AND b.dim <= 6
         |GROUP BY a.dim, b.dim
-        |ORDER BY dim_i, dim_j""".stripMargin
+        |ORDER BY dim_i, dim_j""".stripMargin,
+
+    // Closed-form top right-singular-vector of the 2-column slice:
+    // Gramian [[a,b],[b,c]] eigenpair, normalized, sign-canonicalized by
+    // the largest-|component| rule (ties -> lowest index) — the exact
+    // mirror of ClusterOps.fitSvd's canonicalization.
+    "c6_svd2_project" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |g AS (SELECT sum(x*x) AS a, sum(x*y) AS b, sum(y*y) AS c FROM p),
+        |e AS (SELECT a, b,
+        |        (a + c + sqrt((a - c)*(a - c) + 4*b*b)) / 2 AS lam FROM g),
+        |v AS (SELECT b AS v1, lam - a AS v2 FROM e),
+        |u AS (SELECT v1 / sqrt(v1*v1 + v2*v2) AS u1,
+        |        v2 / sqrt(v1*v1 + v2*v2) AS u2 FROM v),
+        |s AS (SELECT u1 * sg AS u1, u2 * sg AS u2 FROM (
+        |        SELECT u1, u2, CASE WHEN (CASE WHEN abs(u1) >= abs(u2)
+        |          THEN u1 ELSE u2 END) < 0 THEN -1 ELSE 1 END AS sg FROM u))
+        |SELECT p.vec_id, round(p.x * s.u1 + p.y * s.u2, 5) + 0.0 AS pc1
+        |FROM p, s
+        |ORDER BY vec_id""".stripMargin,
+
+    // Same Cramer closed form as l6_ols_trivariate — spark.ml's "normal"
+    // solver solves the identical normal equations (coarser rounding
+    // absorbs the Cholesky-vs-Cramer float path difference).
+    "ml_linreg_fit" -> {
+      val betas = (0 until 4).map { j =>
+        s"round((${LinearOps.ols3BetaSql(j)}) / " +
+          s"nullif((${LinearOps.ols3DetSql}), 0), 3) + 0.0 AS b$j"
+      }.mkString(",\n    ")
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(l_quantity) AS s1, sum(l_discount) AS s2,
+         |    sum(l_tax) AS s3, sum(l_extendedprice) AS sy,
+         |    sum(l_quantity * l_quantity) AS s11,
+         |    sum(l_quantity * l_discount) AS s12,
+         |    sum(l_quantity * l_tax) AS s13,
+         |    sum(l_discount * l_discount) AS s22,
+         |    sum(l_discount * l_tax) AS s23,
+         |    sum(l_tax * l_tax) AS s33,
+         |    sum(l_quantity * l_extendedprice) AS s1y,
+         |    sum(l_discount * l_extendedprice) AS s2y,
+         |    sum(l_tax * l_extendedprice) AS s3y
+         |  FROM lineitem)
+         |SELECT
+         |    $betas
+         |FROM m""".stripMargin
+    }
   )
 }

@@ -187,10 +187,14 @@ object TextFeatureQueries extends QueryPack {
         .orderBy(col("feature"))
     }),
 
-    // ml-pipeline variant (rows-only check): murmur3 HashingTF + ml IDF.
-    // Output is scalar columns only (the raw VectorUDT struct is not
-    // sortable by the driver's pandas-based rows-only check): per-doc
-    // non-zero count and rounded L2 norm summarize the vector.
+    // P1 ml.Pipeline end-to-end: RegexTokenizer → CountVectorizer → IDF
+    // → L2-Normalizer. The fitted vocabulary's ORDER is count-desc with
+    // arbitrary ties, so the hash-checked outputs are the per-doc
+    // PERMUTATION-INVARIANT scalars of the raw tf·idf vector — non-zero
+    // count and L2 norm — which the oracle recomputes from ml's exact
+    // IDF formula idf = ln((m+1)/(df+1)). (Graduated from rows-only;
+    // terms present in every doc get idf 0 and drop out of nnz on both
+    // sides.)
     "ml_tfidf_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       val model = TextPipeline.fitTfidf(docs, vocabSize = 4096)
@@ -199,8 +203,8 @@ object TextFeatureQueries extends QueryPack {
         math.sqrt(v.toArray.map(x => x * x).sum))
       model.transform(docs)
         .select(col("doc_id"),
-          toNnz(col("tfidf")).as("nnz"),
-          round(toNorm(col("tfidf")), 4).as("l2_norm"))
+          toNnz(col("tfidf_raw")).as("nnz"),
+          (round(toNorm(col("tfidf_raw")), 4) + lit(0.0)).as("l2_norm"))
         .orderBy(col("doc_id"))
     })
   )
@@ -316,6 +320,28 @@ object TextFeatureQueries extends QueryPack {
         |SELECT user_id, feature_idx, round(sum(value), 2) AS sum_value, count(*) AS n
         |FROM events e JOIN features f ON e.event_type = f.feature
         |GROUP BY user_id, feature_idx
-        |ORDER BY user_id, feature_idx""".stripMargin
+        |ORDER BY user_id, feature_idx""".stripMargin,
+
+    // Permutation-invariant per-doc scalars of the raw tf·idf vector,
+    // with ml's exact IDF smoothing ln((m+1)/(df+1)). nnz excludes
+    // idf=0 terms (df=m) — ln(1)=0 exactly in both engines.
+    "ml_tfidf_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |m AS (SELECT count(*) AS m FROM documents),
+        |w AS (SELECT tf.doc_id,
+        |        tf.tf * ln((m.m + 1.0) / (df.df + 1.0)) AS wgt
+        |      FROM tf JOIN df USING (term) CROSS JOIN m)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum(CASE WHEN w.wgt <> 0 THEN 1 ELSE 0 END), 0) AS INT)
+        |    AS nnz,
+        |  round(coalesce(sqrt(sum(w.wgt * w.wgt)), 0.0), 4) + 0.0 AS l2_norm
+        |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -70,6 +70,52 @@ class MLOpsSpec extends AnyFunSuite {
     assert(proj.count() === emb.count())
   }
 
+  test("fitSvd invariants: orthonormal V, descending sigma, canonical sign") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = ClusterOps.fitSvd(emb, "embedding", k = 5)
+    assert(m.d === 64 && m.k === 5)
+    // VᵀV = I_k to 1e-9 (right singular vectors are orthonormal)
+    for (i <- 0 until m.k; j <- i until m.k) {
+      val dot = m.component(i).zip(m.component(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"VᵀV[$i,$j] = $dot")
+    }
+    // singular values positive and descending
+    assert(m.sigma.forall(_ > 0))
+    assert(m.sigma.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // sign canonicalization: the largest-|value| component is positive
+    m.v.grouped(m.d).foreach { comp =>
+      assert(comp.maxBy(math.abs) > 0, "canonical sign violated")
+    }
+  }
+
+  test("svdProject invariants: norm contraction and decreasing reconstruction error") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val total = emb
+      .select(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * x)").as("sq"))
+      .agg(sum(col("sq"))).head.getDouble(0)
+    // projection onto an orthonormal basis never gains energy per row...
+    val proj5 = ClusterOps.svdProject(emb, "vec_id", "embedding", k = 5)
+      .select(col("vec_id"), expr("aggregate(proj, 0D, (acc, x) -> acc + x * x)").as("psq"))
+    val joined = emb
+      .select(col("vec_id"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * x)").as("xsq"))
+      .join(proj5, "vec_id")
+    assert(joined.where(col("psq") > col("xsq") * (1 + 1e-9)).count() === 0)
+    // ...and the Frobenius reconstruction error ||X − X·V_k·V_kᵀ||² =
+    // ||X||² − Σ_j ||X·v_j||² strictly decreases as k grows
+    val errs = Seq(1, 3, 5).map { k =>
+      val captured = ClusterOps.svdProject(emb, "vec_id", "embedding", k)
+        .select(expr("aggregate(proj, 0D, (acc, x) -> acc + x * x)").as("psq"))
+        .agg(sum(col("psq"))).head.getDouble(0)
+      total - captured
+    }
+    assert(errs.forall(e => e >= -1e-6 && e <= total))
+    assert(errs.sliding(2).forall(p => p(1) < p(0)), s"errors not decreasing: $errs")
+  }
+
   test("reference invariant: per-block NB stats merged == global fit") {
     // the reference's central property (splearn tests): fit per block,
     // merge sufficient statistics by summation, recompute — must equal
