@@ -21,7 +21,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextAnalysisQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

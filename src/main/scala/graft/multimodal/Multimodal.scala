@@ -15,25 +15,30 @@ final case class MediaRecord(
     payload: Array[Byte],
     media_type: String)
 
-/** Deterministic features a decoder would emit (dimensions, frame count,
-  * content hash). Real decoders plug in at [[Multimodal.decodeStub]].
+/** Parsed media metadata + content digest — one row per decoded payload.
+  * `media_type` is what the DECODER detected from the bytes (never the
+  * claimed type); `data_hash` digests only the content region
+  * (pixels/samples), so re-containerized media keeps its identity.
   */
-final case class MediaFeatures(
+final case class MediaMeta(
     doc_id: Long,
+    media_type: String,
     n_bytes: Long,
-    content_hash: String,
     width: Int,
     height: Int,
-    n_frames: Int)
+    n_frames: Long,
+    data_offset: Int,
+    data_len: Long,
+    data_hash: String)
 
 /** Multimodal-column plumbing (north-star extension).
   *
-  * The decode itself is a STUB — image/audio codecs are not available in
-  * this environment — but everything Spark-side is real and tested: the
-  * binary column schema, the partition-iterator decode stage (the Scala
-  * analog of `mapInPandas`: one batch-iterator call per partition, zero
-  * per-row overhead), and the deterministic feature contract that lets an
-  * SQL oracle verify the plumbing end-to-end.
+  * The decode stage runs REAL header parsers ([[MediaCodec]]: BMP, RIFF
+  * WAV, binary PPM) inside a partition iterator — the Scala analog of
+  * `mapInPandas`: one batch-iterator call per partition, zero per-row
+  * overhead. Formats needing an external codec (JPEG, video containers)
+  * are out of scope in this environment; unknown payloads decode to a
+  * typed `unknown` row, never an exception.
   *
   * 100 TB notes: payload bytes never pass through a shuffle here — decode
   * is map-side; downstream joins/aggs should select the feature columns
@@ -114,31 +119,63 @@ object Multimodal {
       .drop("_n")
   }
 
-  /** Partition-wise "decode": real iterator plumbing, fake codec.
-    *
-    * STUB: a real implementation would decode the payload (JPEG dims,
-    * audio sample counts, video frame extraction). Here every feature
-    * derives deterministically from the byte content, keeping the stage
-    * verifiable: n_bytes and content_hash are true functions of the bytes;
-    * width/height/n_frames are the documented fake
-    * (64 + n%512, 64 + 7n%512, 1 + n%8).
+  /** Wrap a text corpus as REAL self-describing media blobs — each doc's
+    * utf-8 bytes become the content region of a valid BMP, PCM WAV, or
+    * binary-PPM container (round-robin by doc_id). Geometry derives
+    * deterministically from the content length n, so an SQL oracle can
+    * recompute what the header parser must find:
+    *   BMP (doc_id%3=0): w = 16 + n%97,  h = max(1, ceil(n / (3w)))
+    *   WAV (doc_id%3=1): channels = 1 + n%2, rate = 8000 + (n%5)*1000,
+    *                     16-bit  =>  frames = n div (channels*2)
+    *   PPM (doc_id%3=2): w = 8 + n%61,   h = max(1, ceil(n / (3w)))
+    * This is the ingestion-side twin of [[decodeMedia]]: synthetic
+    * content, genuine containers, genuine parse.
     */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def encodeCorpus(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val data = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = data.length
+        (id % 3) match {
+          case 0 =>
+            val w = 16 + n % 97
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodeBmp(w, h, data), "image/bmp")
+          case 1 =>
+            val ch = 1 + n % 2
+            MediaRecord(id,
+              MediaCodec.encodeWav(ch, 8000 + (n % 5) * 1000, 16, data),
+              "audio/wav")
+          case _ =>
+            val w = 8 + n % 61
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodePpm(w, h, data), "image/ppm")
+        }
+      }
+  }
+
+  /** Partition-wise decode: parse each payload's actual header bytes
+    * ([[MediaCodec.decode]] — magic sniff, little-endian fields, RIFF
+    * chunk walk, PPM ASCII scan) and digest the content region. One
+    * digest instance per partition; decode is total (corrupt blobs
+    * yield `unknown` rows) — both non-negotiable at 100 TB scan scale.
+    */
+  def decodeMedia(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // one digest instance per partition, not per row
       val digest = MessageDigest.getInstance("MD5")
       it.map { m =>
-        val n = m.payload.length.toLong
+        val h = MediaCodec.decode(m.payload)
         digest.reset()
-        val hash = digest.digest(m.payload)
-          .map(b => f"${b & 0xff}%02x").mkString
-        MediaFeatures(
-          m.doc_id, n, hash,
-          width = (64 + n % 512).toInt,
-          height = (64 + (n * 7) % 512).toInt,
-          n_frames = (1 + n % 8).toInt)
+        digest.update(m.payload, h.data_offset, h.data_len.toInt)
+        val hash = digest.digest().map(b => f"${b & 0xff}%02x").mkString
+        MediaMeta(m.doc_id, h.media_type, m.payload.length.toLong,
+          h.width, h.height, h.n_frames, h.data_offset, h.data_len, hash)
       }
     }
   }

@@ -6,39 +6,48 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star extension): binary payloads
-  * through a partition-iterator decode stage. The decode is a documented
-  * stub (codecs unavailable); the byte-derived features are exact, so the
-  * whole Spark path — binary encode → Dataset[MediaRecord] →
-  * mapPartitions decode → features — is oracle-verified.
+  * through a partition-iterator decode stage running REAL header parsers
+  * (BMP / RIFF-WAV / binary-PPM, [[graft.multimodal.MediaCodec]]). The
+  * corpus is wrapped in genuine containers with length-derived geometry,
+  * so the oracle recomputes what the parser must extract from the actual
+  * bytes — the whole path (binary encode → Dataset[MediaRecord] →
+  * mapPartitions parse → metadata) is hash-verified.
   */
 object MultimodalQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
+    // Real decode: parse each container's header bytes, digest the
+    // content region. media_type is what the PARSER detected.
     "multimodal_decode_meta" -> ((s, dir) => {
-      val media = Multimodal.toMedia(Tables(s, dir).documents)
-      Multimodal.decodeStub(media).toDF()
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      Multimodal.decodeMedia(media).toDF()
         .orderBy(col("doc_id"))
     }),
 
-    // Frame sampling: every 2nd frame of each "video", frame payload
-    // sliced from the binary column, per-frame content hash.
+    // Frame sampling: every 2nd frame of each payload, frame bytes
+    // sliced from the binary column, per-frame content hash. The frame
+    // count is a sampling PARAMETER (1 + n%8), not a decode — this query
+    // pins the generator/slice/hash plumbing on opaque blobs.
     "multimodal_frame_sample" -> ((s, dir) => {
       val media = Multimodal.toMedia(Tables(s, dir).documents)
-      val meta = Multimodal.decodeStub(media).toDF()
-        .select(col("doc_id"), col("n_frames"))
-      val withFrames = media.toDF().join(meta, "doc_id")
+      val withFrames = media.toDF()
+        .withColumn("n_frames",
+          (lit(1) + length(col("payload")) % 8).cast("long"))
       Multimodal.sampleFrames(withFrames, "n_frames", stride = 2)
         .select(col("doc_id"), col("frame_idx"), col("frame_len"),
           col("frame_hash"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // Aspect-preserving resize geometry for a 224-box.
+    // Aspect-preserving resize geometry for a 224-box over the PARSED
+    // image dimensions (audio rows have no geometry and are excluded).
     "multimodal_resize_fit" -> ((s, dir) => {
-      val media = Multimodal.toMedia(Tables(s, dir).documents)
-      Multimodal.resizeFit(Multimodal.decodeStub(media).toDF(), box = 224)
-        .select(col("doc_id"), col("width"), col("height"),
-          col("out_w"), col("out_h"))
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      val meta = Multimodal.decodeMedia(media).toDF()
+        .where(col("media_type").startsWith("image/"))
+      Multimodal.resizeFit(meta, box = 224)
+        .select(col("doc_id"), col("media_type"), col("width"),
+          col("height"), col("out_w"), col("out_h"))
         .orderBy(col("doc_id"))
     }),
 
@@ -54,15 +63,41 @@ object MultimodalQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
-    // ascii corpus ⇒ utf-8 bytes == chars; md5(text) == md5(payload).
+    // Mirrors encodeCorpus's length-derived container geometry (ascii
+    // corpus ⇒ utf-8 bytes == chars, so the content region == text and
+    // md5(text) is the data hash). PPM's data offset is its ASCII header
+    // length: "P6\n" + w + " " + h + "\n255\n" = 9 + digits(w) + digits(h).
     "multimodal_decode_meta" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  md5(text) AS content_hash,
-        |  CAST(64 + length(text) % 512 AS INT) AS width,
-        |  CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
-        |  CAST(1 + length(text) % 8 AS INT) AS n_frames
-        |FROM documents
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, md5(text) AS h,
+        |    doc_id % 3 AS f
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n, h, f,
+        |    16 + n % 97 AS wb, 8 + n % 61 AS wp, 1 + n % 2 AS ch
+        |  FROM m),
+        |o AS (
+        |  SELECT doc_id, n, h, f,
+        |    CASE f WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+        |      ELSE 'image/ppm' END AS media_type,
+        |    CASE f WHEN 0 THEN wb WHEN 1 THEN 0 ELSE wp END AS width,
+        |    CASE f WHEN 0 THEN greatest(1, (n + 3*wb - 1) // (3*wb))
+        |           WHEN 1 THEN 0
+        |           ELSE greatest(1, (n + 3*wp - 1) // (3*wp)) END AS height,
+        |    CASE f WHEN 1 THEN n // (ch * 2) ELSE 1 END AS n_frames,
+        |    CASE f WHEN 0 THEN 54 WHEN 1 THEN 44
+        |      ELSE 9 + length(CAST(wp AS VARCHAR))
+        |             + length(CAST(greatest(1, (n + 3*wp - 1) // (3*wp))
+        |                 AS VARCHAR)) END AS data_offset
+        |  FROM g)
+        |SELECT doc_id, media_type,
+        |  CAST(n + data_offset AS BIGINT) AS n_bytes,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(data_offset AS INT) AS data_offset,
+        |  CAST(n AS BIGINT) AS data_len,
+        |  h AS data_hash
+        |FROM o
         |ORDER BY doc_id""".stripMargin,
 
     // ascii corpus: payload slice == text substring, same md5.
@@ -80,12 +115,20 @@ object MultimodalQueries extends QueryPack {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_resize_fit" ->
-      """WITH meta AS (
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, doc_id % 3 AS f
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |meta AS (
         |  SELECT doc_id,
-        |    CAST(64 + length(text) % 512 AS INT) AS width,
-        |    CAST(64 + (length(text) * 7) % 512 AS INT) AS height
-        |  FROM documents)
-        |SELECT doc_id, width, height,
+        |    CASE f WHEN 0 THEN 'image/bmp' ELSE 'image/ppm' END AS media_type,
+        |    CAST(CASE f WHEN 0 THEN 16 + n % 97 ELSE 8 + n % 61 END AS INT)
+        |      AS width,
+        |    CAST(CASE f WHEN 0 THEN greatest(1, (n + 3*(16 + n % 97) - 1)
+        |                                        // (3*(16 + n % 97)))
+        |      ELSE greatest(1, (n + 3*(8 + n % 61) - 1) // (3*(8 + n % 61)))
+        |      END AS INT) AS height
+        |  FROM m)
+        |SELECT doc_id, media_type, width, height,
         |  CAST(greatest(1, (width * 224) // greatest(width, height)) AS INT) AS out_w,
         |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_h
         |FROM meta

@@ -22,11 +22,14 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("multimodal decode stub: hash is true md5, dims follow contract") {
+  test("multimodal decode: parsed type/hash survive the Spark round trip") {
+    // doc_id 5 -> doc_id%3=2 -> PPM container; n=5 -> w=8+5%61=13, h=1
     val docs = Seq((5L, "hello")).toDF("doc_id", "text")
-    val f = Multimodal.decodeStub(Multimodal.toMedia(docs)).head()
-    assert(f.content_hash === "5d41402abc4b2a76b9719d911017c592")
-    assert(f.n_bytes === 5L && f.width === 69 && f.height === 99 && f.n_frames === 6)
+    val f = Multimodal.decodeMedia(Multimodal.encodeCorpus(docs)).head()
+    assert(f.media_type === "image/ppm")
+    assert(f.data_hash === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(f.width === 13 && f.height === 1 && f.n_frames === 1L)
+    assert(f.data_len === 5L && f.n_bytes === f.data_offset + 5L)
   }
 
   test("Graft facade composes an end-to-end pipeline") {
