@@ -2,6 +2,7 @@ package graft.mlops
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.mllib.clustering.{KMeans => OldKMeans, KMeansModel => OldKMeansModel}
 import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.sql.{DataFrame, Row}
@@ -81,6 +82,58 @@ object ClusterOps {
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(prepared)
     model.transform(prepared)
+  }
+
+  /** mllib k-means with EXPLICIT initial centers and a fixed iteration
+    * count — the reference's `init=` escape hatch
+    * (`splearn/cluster/k_means_.py:~L10`) with the RNG removed entirely:
+    * `setInitialModel` skips k-means‖ seeding, `epsilon=0` disables
+    * early stop, so the distributed fit is `iters` exact Lloyd updates
+    * from caller-supplied seeds and an SQL oracle can replay it update
+    * for update. Seeds are O(k·d) driver state (`centersLong` is
+    * (cid, dim, c) long form, cid dense 0-based). The returned
+    * assignment uses exact squared distance with lowest-cid tie-breaks —
+    * the same total order as the SQL `row_number` rule.
+    */
+  def fitKMeansPinned(df: DataFrame, idCol: String, arrCol: String,
+                      centersLong: DataFrame, cidCol: String,
+                      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val seedRows = centersLong
+      .select(col(cidCol).cast("int"), col("dim").cast("int"),
+        col("c").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val k = seedRows.map(_._1).distinct.length
+    val d = seedRows.map(_._2).max // dims are 1-based
+    val mat = Array.fill(k, d)(0.0)
+    seedRows.foreach { case (cid, dim, v) => mat(cid)(dim - 1) = v }
+    val init = new OldKMeansModel(mat.map(OldVectors.dense))
+    val rows = df.select(col(idCol).cast("long"), col(arrCol).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), OldVectors.dense(r.getSeq[Double](1).toArray)))
+    rows.persist()
+    val model = try new OldKMeans().setK(k).setMaxIterations(iters)
+        .setEpsilon(0.0).setInitialModel(init).run(rows.values)
+      finally rows.unpersist(blocking = false)
+    val bc = spark.sparkContext.broadcast(
+      model.clusterCenters.map(_.toArray))
+    val assigned = df
+      .select(col(idCol).cast("long"), col(arrCol).cast("array<double>"))
+      .rdd.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue; var i = 0
+        while (i < cs.length) {
+          var s = 0.0; var j = 0
+          while (j < v.length) {
+            val diff = v(j) - cs(i)(j); s += diff * diff; j += 1
+          }
+          if (s < bd) { bd = s; best = i }
+          i += 1
+        }
+        Row(r.getLong(0), best)
+      }
+    spark.createDataFrame(assigned, StructType(Seq(
+      StructField(idCol, LongType), StructField("cid", IntegerType))))
   }
 
   /** Gramian entries XᵀX[i,j] as a long-form aggregation — the

@@ -62,6 +62,28 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Deterministic train/val/test assignment: md5-bucket of `key` into
+    * [0, 1000) per-mille buckets, cut at `trainPermille` and
+    * `trainPermille + valPermille`. Same engine-portability contract as
+    * [[deterministicSample]] — the split is a map-side expression, so it
+    * re-derives identically on any engine/partitioning/retry (no split
+    * manifest to persist), rows never migrate between splits when the
+    * corpus grows, and leakage checks can recompute membership from the
+    * key alone.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+                  trainPermille: Int, valPermille: Int,
+                  outCol: String = "split"): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"permille cuts ($trainPermille, $valPermille) must fit in [0,1000]")
+    val bucket = pmod(md5Long(key.cast("string"), 8), lit(1000))
+    df.withColumn(outCol,
+      when(bucket < trainPermille, "train")
+        .when(bucket < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
   /** Training-mix sampling rates: given target WEIGHTS per stratum (any
     * positive scale) and a desired total sample size, emit per-stratum
     * actual counts, target counts, and the keep-rate

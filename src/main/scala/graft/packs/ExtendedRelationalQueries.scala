@@ -65,6 +65,18 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic 80/10/10 train/val/test assignment (md5 per-mille
+    // buckets of the doc key — map-side, re-derivable, no split manifest).
+    // Output pins per-(lang, split) membership: counts plus an order-free
+    // exact id checksum.
+    "split_train_val_test" -> ((s, dir) => {
+      Sampling.assignSplit(Tables(s, dir).documents, col("doc_id"),
+          trainPermille = 800, valPermille = 100)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Exact k rows per group by md5-hash order (see Sampling.sampleKPerGroup).
     "sample_k_per_group" -> ((s, dir) => {
       Sampling.sampleKPerGroup(
@@ -360,6 +372,21 @@ object ExtendedRelationalQueries extends QueryPack {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "split_train_val_test" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |      AS bkt
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bkt < 800 THEN 'train'
+        |       WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
 
     "sample_k_per_group" ->
       """SELECT doc_id, source FROM documents

@@ -266,11 +266,22 @@ object MLQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // spark.ml k-means‖ (seeded; cluster sizes — rows-only).
+    // mllib k-means with PINNED per-label-mean seeds and exactly 2 Lloyd
+    // updates (setInitialModel + epsilon=0: no RNG anywhere), final
+    // assignment by exact squared distance — the distributed mllib fit,
+    // hash-checked against the oracle's update-for-update SQL replay
+    // (graduated from rows-only; the RNG-seeded k-means‖ path remains
+    // ClusterOps.fitKMeans). id_sum pins membership, not just sizes.
     "ml_kmeans_sizes" -> ((s, dir) => {
-      ClusterOps.fitKMeans(Tables(s, dir).embeddings, "embedding", k = 10)
-        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("prediction"))
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").cast("int").as("cid"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      ClusterOps.fitKMeansPinned(emb, "vec_id", "embedding",
+          centers, "cid", iters = 2)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+        .orderBy(col("cid"))
     }),
 
     // P4: grid search / cross validation (reference SparkGridSearchCV,
@@ -784,6 +795,60 @@ object MLQueries extends QueryPack {
         |WHERE a.dim <= 6 AND b.dim <= 6
         |GROUP BY a.dim, b.dim
         |ORDER BY dim_i, dim_j""".stripMargin,
+
+    // Update-for-update replay of fitKMeansPinned: per-label-mean seeds,
+    // two Lloyd rounds, exact-distance final assignment (ties -> lowest
+    // cid, the same row_number total order).
+    "ml_kmeans_sizes" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |lbl AS (SELECT vec_id, CAST(label AS INT) AS cid FROM embeddings),
+        |c0 AS (
+        |  SELECT l.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN lbl l USING (vec_id)
+        |  GROUP BY l.cid, p.dim),
+        |d1 AS (
+        |  SELECT p.vec_id, c.cid, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN c0 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+        |  GROUP BY a.cid, p.dim),
+        |d2 AS (
+        |  SELECT p.vec_id, c.cid, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN c1 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+        |  GROUP BY a.cid, p.dim),
+        |d3 AS (
+        |  SELECT p.vec_id, c.cid, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN c2 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.cid),
+        |a3 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d3) WHERE rn = 1)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM a3
+        |GROUP BY cid
+        |ORDER BY cid""".stripMargin,
 
     // Closed-form top right-singular-vector of the 2-column slice:
     // Gramian [[a,b],[b,c]] eigenpair, normalized, sign-canonicalized by

@@ -65,6 +65,20 @@ object SimilarityQueries extends QueryPack {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Symmetric int8 quantization of the embedding column (the SQ8
+    // memory path for RAM-resident ANN at 100 TB): per-vector scale,
+    // integer codes summarized exactly (sum / L1 — permutation-proof
+    // integers), plus the L2 dequantization error.
+    "sim_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables(s, dir).embeddings, "vec_id", "embedding")
+        .select(col("vec_id"),
+          (round(col("q_scale"), 6) + lit(0.0)).as("q_scale"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").as("q_l1"),
+          (round(col("q_err_l2"), 6) + lit(0.0)).as("q_err_l2"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -150,6 +164,27 @@ object SimilarityQueries extends QueryPack {
          |  FROM p)
          |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
          |FROM r WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // round() is half-away-from-zero in both engines, and both compute
+    // v * 127 / max|v| in double — the integer codes match bit-for-bit.
+    "sim_quantize_int8" ->
+      """WITH lf AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ma AS (SELECT vec_id, nullif(max(abs(v)), 0) AS ma
+        |       FROM lf GROUP BY vec_id),
+        |q AS (
+        |  SELECT lf.vec_id, lf.v, round(lf.v * 127 / ma.ma) AS qi,
+        |    ma.ma / 127 AS scale
+        |  FROM lf JOIN ma USING (vec_id))
+        |SELECT vec_id,
+        |  round(max(scale), 6) + 0.0 AS q_scale,
+        |  CAST(sum(CAST(qi AS BIGINT)) AS BIGINT) AS q_sum,
+        |  CAST(sum(abs(CAST(qi AS BIGINT))) AS BIGINT) AS q_l1,
+        |  round(sqrt(sum(pow(v - qi * scale, 2))), 6) + 0.0 AS q_err_l2
+        |FROM q
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -118,6 +118,17 @@ object StatsQueries extends QueryPack {
       graft.stats.Chi2.selectKBest(Tables(s, dir).documents,
           col("lang"), col("text"), Seq("de", "en", "es", "fr", "zh"), k = 40)
         .orderBy(col("chi2").desc, col("term"))
+    }),
+
+    // S12: RobustScaler — (x − median)/IQR with exact interpolated
+    // percentiles (sklearn default quantile range).
+    "s12_robust_scaler" -> ((s, dir) => {
+      Moments.robustScale(Tables(s, dir).lineitem, "l_extendedprice",
+          "rs_price")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rs_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -238,6 +249,21 @@ object StatsQueries extends QueryPack {
          |  round($chi2, 3) AS chi2
          |FROM obs, tot2
          |ORDER BY chi2 DESC, term LIMIT 40""".stripMargin
-    }
+    },
+
+    // quantile_cont mirrors Spark's exact `percentile` (both linear
+    // interpolation at p*(n-1)).
+    "s12_robust_scaler" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.5) AS q2,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round((l_extendedprice - q.q2) / nullif(q.q3 - q.q1, 0), 6) + 0.0
+        |    AS rs_price
+        |FROM lineitem, q
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -140,4 +140,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("_cos"), 4).as("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    * q_i = round(v_i / scale) ∈ [−127, 127] — the 4× memory cut that
+    * makes a 100 TB ANN index RAM-resident (FAISS SQ8 shape). Pure
+    * per-row array arithmetic: map-side, stateless, codegen'd — no
+    * shuffle, no model to fit. Zero vectors quantize to NULL (no scale),
+    * never a division error. Emits the quantized array, its scale, and
+    * the L2 dequantization error so callers can bound recall impact.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, arrCol: String): DataFrame =
+    emb
+      .withColumn("_v", col(arrCol).cast("array<double>"))
+      .withColumn("_ma",
+        nullif(expr("aggregate(_v, 0D, (acc, x) -> greatest(acc, abs(x)))"),
+          lit(0.0)))
+      .withColumn("q_scale", col("_ma") / lit(127.0))
+      .withColumn("q",
+        expr("transform(_v, x -> CAST(round(x * 127D / _ma) AS INT))"))
+      .withColumn("q_err_l2",
+        sqrt(expr(
+          "aggregate(zip_with(_v, q, (x, qi) -> pow(x - qi * q_scale, 2)), " +
+            "0D, (acc, e) -> acc + e)")))
+      .drop("_v", "_ma")
 }

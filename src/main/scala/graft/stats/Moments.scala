@@ -159,4 +159,23 @@ object Moments {
     df.withColumn(outCol,
       ntile(bins).over(Window.orderBy(col(valueCol) +: tieBreak: _*)))
   }
+
+  /** RobustScaler: (x − median) / IQR — sklearn's outlier-resistant
+    * scaler with its default (25, 75) quantile range. EXACT linear-
+    * interpolated percentiles (one sort-based aggregate) keep this the
+    * oracled twin; at 100 TB swap `percentile` for `approx_percentile`
+    * (one-pass mergeable sketch) exactly like the quantiles_lineitem
+    * exact/approx pair. Constant-valued columns (IQR 0) scale to NULL,
+    * never Infinity.
+    */
+  def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val q = df.agg(
+      expr(s"percentile($valueCol, array(0.25D, 0.5D, 0.75D))").as("_q"))
+    df.crossJoin(broadcast(q))
+      .withColumn(outCol,
+        round((col(valueCol) - element_at(col("_q"), 2))
+          / nullif(element_at(col("_q"), 3) - element_at(col("_q"), 1),
+            lit(0.0)), 6) + lit(0.0))
+      .drop("_q")
+  }
 }

@@ -26,6 +26,62 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(ids1.forall(wider.contains))
   }
 
+  test("assignSplit: partition of the corpus, stable across partitionings") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = Sampling.assignSplit(docs, col("doc_id"), 800, 100)
+    // every row lands in exactly one split; fractions near 80/10/10
+    val byName = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(byName.values.sum === n.toLong)
+    assert(math.abs(byName("train") / n - 0.8) < 0.1)
+    // same assignment under a different partitioning (engine-portable)
+    val again = Sampling.assignSplit(docs.repartition(7), col("doc_id"),
+      800, 100)
+    val a = split.select("doc_id", "split").as[(Long, String)]
+      .collect().sorted.toSeq
+    val b = again.select("doc_id", "split").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(a === b)
+    // degenerate cuts reject
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, col("doc_id"), 950, 100))
+  }
+
+  test("quantizeInt8: codes bounded, error bounded, zero vector is NULL") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // codes within [-127, 127]
+    assert(q.where(expr(
+      "exists(q, x -> x > 127 OR x < -127)")).count() === 0)
+    // per-dim error <= scale/2  =>  L2 error <= sqrt(d) * scale / 2
+    val bad = q.where(col("q_err_l2") >
+      sqrt(size(col("q"))) * col("q_scale") / 2 + lit(1e-12)).count()
+    assert(bad === 0)
+    // zero vector has no scale: NULL, never a division blow-up
+    val zero = Seq((1L, Seq(0f, 0f, 0f)), (2L, Seq(3f, 0f, -4f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(zero, "vec_id", "embedding")
+      .orderBy("vec_id").select("q_scale").collect()
+    assert(rows(0).isNullAt(0) && !rows(1).isNullAt(0))
+  }
+
+  test("robustScale: median-centered, IQR-scaled, constant column NULL") {
+    import graft.stats.Moments
+    val df = (1 to 101).map(_.toDouble).toDF("v")
+    val out = Moments.robustScale(df, "v", "rs")
+    // median 51, IQR = 76 - 26 = 50
+    val got = out.where(col("v") === 51.0).select("rs").head.getDouble(0)
+    assert(got === 0.0)
+    val hi = out.where(col("v") === 101.0).select("rs").head.getDouble(0)
+    assert(math.abs(hi - 1.0) < 1e-9)
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    assert(Moments.robustScale(const, "v", "rs")
+      .select("rs").collect().forall(_.isNullAt(0)))
+  }
+
   test("stratified sample: per-stratum rates, zero-rate stratum empty") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val strat = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
