@@ -262,10 +262,11 @@ object Dedup {
     // a (doc, bit) groupBy: same math, but no bits-fold row
     // multiplication (60-bit signatures over 260k shingles would
     // materialize and shuffle 15.6M rows) and a single exchange keyed by
-    // doc. Bit extraction is integer div/pmod on longs — a double
-    // division would silently corrupt bits once the hash exceeds 2^53.
+    // doc. Bit extraction is a long bitwise AND (hash prefix < 2^60 is
+    // nonnegative); integer ops only — a double division would silently
+    // corrupt bits once the hash exceeds 2^53.
     val votes = (0 until bits).map { j =>
-      sum(when(expr(s"pmod(_h div ${1L << j}, 2)") === 1, 1).otherwise(-1))
+      sum(when(expr(s"(_h & ${1L << j}) != 0"), 1).otherwise(-1))
         .as(s"_t$j")
     }
     val assembled = (0 until bits).map { j =>
@@ -304,7 +305,7 @@ object Dedup {
     val minCols = (0 until numHashes).map(j =>
       min(element_at(col("_mh"), j + 1)).as(s"_m$j"))
     val votes = (0 until bits).map { j =>
-      sum(when(expr(s"pmod(_sh div ${1L << j}, 2)") === 1, 1).otherwise(-1))
+      sum(when(expr(s"(_sh & ${1L << j}) != 0"), 1).otherwise(-1))
         .as(s"_t$j")
     }
     val assembled = (0 until bits).map { j =>

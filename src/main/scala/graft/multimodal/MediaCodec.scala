@@ -61,8 +61,23 @@ object MediaCodec {
       p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
       decodeWav(p)
     else if (p(0) == 'P' && p(1) == '6') decodePpm(p)
+    else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a &&
+      p(6) == 0x1a && p(7) == 0x0a) decodePng(p)
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff) decodeJpeg(p)
     else Unknown
   }
+
+  /** Content region of a decoded payload: the raw byte slice for formats
+    * that store content uncompressed; the INFLATED IDAT stream for PNG.
+    * Returns an empty array for [[Unknown]].
+    */
+  def contentBytes(p: Array[Byte], h: DecodedHeader): Array[Byte] =
+    if (h.media_type == "image/png") inflatePngIdat(p)
+    else if (h == Unknown) Array.emptyByteArray
+    else java.util.Arrays.copyOfRange(p, h.data_offset,
+      h.data_offset + h.data_len.toInt)
 
   /** BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER. Pixel-array
     * offset lives at byte 10 (le32), width/height at 18/22 within the
@@ -148,6 +163,110 @@ object MediaCodec {
       (p.length - off).toLong)
   }
 
+  /** PNG: 8-byte signature, then length/type/data/CRC chunks (lengths and
+    * IHDR dims big-endian). The chunk walk VERIFIES each CRC32 — a
+    * corrupted chunk makes the whole payload [[Unknown]] rather than
+    * returning dims read from damaged bytes. `data_offset` points at the
+    * first IDAT's data; `data_len` is the INFLATED IDAT stream length
+    * (PNG stores content zlib-compressed — see [[contentBytes]]).
+    */
+  private def decodePng(p: Array[Byte]): DecodedHeader = {
+    def be32(off: Int): Int = ByteBuffer.wrap(p, off, 4).getInt
+    if (p.length < 8 + 25) return Unknown
+    var off = 8
+    var width = 0; var height = 0
+    var firstIdat = -1
+    var sawIhdr = false
+    val crc = new java.util.zip.CRC32
+    while (off + 12 <= p.length) {
+      val len = be32(off)
+      if (len < 0 || off + 12 + len.toLong > p.length) return Unknown
+      crc.reset()
+      crc.update(p, off + 4, 4 + len) // type + data
+      if (crc.getValue.toInt != be32(off + 8 + len)) return Unknown
+      val ctype = new String(p, off + 4, 4, US_ASCII)
+      ctype match {
+        case "IHDR" if len >= 8 =>
+          width = be32(off + 8); height = be32(off + 12); sawIhdr = true
+        case "IDAT" if firstIdat < 0 => firstIdat = off + 8
+        case "IEND" =>
+          if (!sawIhdr || width <= 0 || height <= 0 || firstIdat < 0)
+            return Unknown
+          val inflated = inflatePngIdat(p)
+          if (inflated == null) return Unknown
+          return DecodedHeader("image/png", width, height, 1L, firstIdat,
+            inflated.length.toLong)
+        case _ => // ancillary chunks (tEXt, pHYs, ...) skip
+      }
+      off += 12 + len
+    }
+    Unknown // no IEND — truncated stream
+  }
+
+  /** Concatenate all IDAT chunk data and inflate (zlib). Null on any
+    * decompression error. CRCs are assumed pre-checked by [[decodePng]].
+    */
+  private def inflatePngIdat(p: Array[Byte]): Array[Byte] = {
+    def be32(off: Int): Int = ByteBuffer.wrap(p, off, 4).getInt
+    val deflated = new java.io.ByteArrayOutputStream()
+    var off = 8
+    while (off + 12 <= p.length) {
+      val len = be32(off)
+      if (len < 0 || off + 12 + len.toLong > p.length) return null
+      if (new String(p, off + 4, 4, US_ASCII) == "IDAT")
+        deflated.write(p, off + 8, len)
+      off += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(deflated.toByteArray)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  /** JPEG: walk 0xFF-prefixed marker segments (big-endian lengths that
+    * include their own 2 bytes) to the first SOF0/SOF1/SOF2 frame header,
+    * which carries height then width at payload offsets 1/3. The entropy
+    * stream needs a full codec; geometry lives in plain markers, so
+    * parse-only is honest — the content region is the whole payload.
+    */
+  private def decodeJpeg(p: Array[Byte]): DecodedHeader = {
+    def be16(off: Int): Int =
+      ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    var off = 2
+    while (off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) return Unknown
+      val marker = p(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers carry no length
+      } else if (marker == 0xd9) {
+        return Unknown // EOI before any SOF
+      } else {
+        val len = be16(off + 2)
+        if (len < 2 || off + 2 + len > p.length) return Unknown
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (len < 9) return Unknown
+          val height = be16(off + 5)
+          val width = be16(off + 7)
+          if (width <= 0 || height <= 0) return Unknown
+          return DecodedHeader("image/jpeg", width, height, 1L, 0,
+            p.length.toLong)
+        }
+        off += 2 + len
+      }
+    }
+    Unknown
+  }
+
   // ---- encode (test-fixture and ingestion-side constructors) -----------
 
   /** Minimal valid 24bpp BMP wrapping `data` as the pixel region. */
@@ -195,6 +314,65 @@ object MediaCodec {
     putLe32(buf, data.length)
     buf.put(data)
     buf.array()
+  }
+
+  /** PNG (8-bit grayscale IHDR) wrapping `data` as the IDAT stream. The
+    * zlib framing is hand-rolled with STORED deflate blocks, so the
+    * compressed length is exactly `n + 11 + 5·(⌈n/65535⌉ − 1)` (header 2
+    * + 5 per block + adler 4) — deterministic arithmetic an SQL oracle
+    * can mirror, and `Inflater` reads it like any other zlib stream.
+    * Chunk CRCs are real CRC32s (decodePng verifies them).
+    */
+  def encodePng(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad PNG geometry ${width}x$height")
+    val crc = new java.util.zip.CRC32
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length), 0, 4)
+      val t = ctype.getBytes(US_ASCII)
+      out.write(t, 0, 4); out.write(body, 0, body.length)
+      crc.reset(); crc.update(t); crc.update(body)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      0, 8)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte) // bit depth
+    ihdr.put(0.toByte) // grayscale
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zlibStored(data))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** zlib stream with STORED blocks: header 0x78 0x01, ≤65535-byte raw
+    * blocks (BFINAL/BTYPE=00, LEN/NLEN little-endian), adler32 trailer.
+    */
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x78); out.write(0x01)
+    var off = 0
+    var done = false
+    while (!done) {
+      val len = math.min(65535, data.length - off)
+      val fin = off + len >= data.length
+      out.write(if (fin) 1 else 0)
+      out.write(len & 0xff); out.write((len >> 8) & 0xff)
+      out.write(~len & 0xff); out.write((~len >> 8) & 0xff)
+      out.write(data, off, len)
+      off += len
+      done = fin
+    }
+    val ad = new java.util.zip.Adler32
+    ad.update(data)
+    val v = ad.getValue
+    out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+    out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    out.toByteArray
   }
 
   /** Binary PPM (P6) wrapping `data` as the raster. */

@@ -120,16 +120,20 @@ object Multimodal {
   }
 
   /** Wrap a text corpus as REAL self-describing media blobs — each doc's
-    * utf-8 bytes become the content region of a valid BMP, PCM WAV, or
-    * binary-PPM container (round-robin by doc_id). Geometry derives
-    * deterministically from the content length n, so an SQL oracle can
-    * recompute what the header parser must find:
-    *   BMP (doc_id%3=0): w = 16 + n%97,  h = max(1, ceil(n / (3w)))
-    *   WAV (doc_id%3=1): channels = 1 + n%2, rate = 8000 + (n%5)*1000,
+    * utf-8 bytes become the content region of a valid BMP, PCM WAV,
+    * binary-PPM, or PNG container (round-robin by doc_id). Geometry
+    * derives deterministically from the content length n, so an SQL
+    * oracle can recompute what the header parser must find:
+    *   BMP (doc_id%4=0): w = 16 + n%97,  h = max(1, ceil(n / (3w)))
+    *   WAV (doc_id%4=1): channels = 1 + n%2, rate = 8000 + (n%5)*1000,
     *                     16-bit  =>  frames = n div (channels*2)
-    *   PPM (doc_id%3=2): w = 8 + n%61,   h = max(1, ceil(n / (3w)))
+    *   PPM (doc_id%4=2): w = 8 + n%61,   h = max(1, ceil(n / (3w)))
+    *   PNG (doc_id%4=3): w = 12 + n%71,  h = max(1, ceil(n / (3w)));
+    *                     content rides zlib STORED blocks, so the blob is
+    *                     68 + n + 5·⌊(n−1)/65535⌋ bytes
     * This is the ingestion-side twin of [[decodeMedia]]: synthetic
-    * content, genuine containers, genuine parse.
+    * content, genuine containers, genuine parse (PNG decode verifies
+    * chunk CRCs and inflates the IDAT stream).
     */
   def encodeCorpus(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
@@ -140,7 +144,7 @@ object Multimodal {
         val data = Option(text).getOrElse("")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val n = data.length
-        (id % 3) match {
+        (id % 4) match {
           case 0 =>
             val w = 16 + n % 97
             val h = math.max(1, (n + 3 * w - 1) / (3 * w))
@@ -150,10 +154,14 @@ object Multimodal {
             MediaRecord(id,
               MediaCodec.encodeWav(ch, 8000 + (n % 5) * 1000, 16, data),
               "audio/wav")
-          case _ =>
+          case 2 =>
             val w = 8 + n % 61
             val h = math.max(1, (n + 3 * w - 1) / (3 * w))
             MediaRecord(id, MediaCodec.encodePpm(w, h, data), "image/ppm")
+          case _ =>
+            val w = 12 + n % 71
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodePng(w, h, data), "image/png")
         }
       }
   }
@@ -172,7 +180,10 @@ object Multimodal {
       it.map { m =>
         val h = MediaCodec.decode(m.payload)
         digest.reset()
-        digest.update(m.payload, h.data_offset, h.data_len.toInt)
+        if (h.media_type == "image/png") // content is compressed in-blob
+          digest.update(MediaCodec.contentBytes(m.payload, h))
+        else
+          digest.update(m.payload, h.data_offset, h.data_len.toInt)
         val hash = digest.digest().map(b => f"${b & 0xff}%02x").mkString
         MediaMeta(m.doc_id, h.media_type, m.payload.length.toLong,
           h.width, h.height, h.n_frames, h.data_offset, h.data_len, hash)

@@ -66,32 +66,41 @@ object MultimodalQueries extends QueryPack {
     // Mirrors encodeCorpus's length-derived container geometry (ascii
     // corpus ⇒ utf-8 bytes == chars, so the content region == text and
     // md5(text) is the data hash). PPM's data offset is its ASCII header
-    // length: "P6\n" + w + " " + h + "\n255\n" = 9 + digits(w) + digits(h).
+    // length ("P6\n"+w+" "+h+"\n255\n" = 9 + digits(w) + digits(h));
+    // PNG's is 41 (signature 8 + IHDR chunk 25 + IDAT length/type 8) and
+    // its total size adds the zlib stored-block framing (header 2 +
+    // 5/block + adler 4 ⇒ blob = 68 + n + 5·⌊(n−1)/65535⌋).
     "multimodal_decode_meta" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, md5(text) AS h,
-        |    doc_id % 3 AS f
+        |    doc_id % 4 AS f
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, n, h, f,
-        |    16 + n % 97 AS wb, 8 + n % 61 AS wp, 1 + n % 2 AS ch
+        |    16 + n % 97 AS wb, 8 + n % 61 AS wp, 12 + n % 71 AS wg,
+        |    1 + n % 2 AS ch
         |  FROM m),
         |o AS (
         |  SELECT doc_id, n, h, f,
         |    CASE f WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
-        |      ELSE 'image/ppm' END AS media_type,
-        |    CASE f WHEN 0 THEN wb WHEN 1 THEN 0 ELSE wp END AS width,
+        |      WHEN 2 THEN 'image/ppm' ELSE 'image/png' END AS media_type,
+        |    CASE f WHEN 0 THEN wb WHEN 1 THEN 0 WHEN 2 THEN wp
+        |      ELSE wg END AS width,
         |    CASE f WHEN 0 THEN greatest(1, (n + 3*wb - 1) // (3*wb))
         |           WHEN 1 THEN 0
-        |           ELSE greatest(1, (n + 3*wp - 1) // (3*wp)) END AS height,
+        |           WHEN 2 THEN greatest(1, (n + 3*wp - 1) // (3*wp))
+        |           ELSE greatest(1, (n + 3*wg - 1) // (3*wg)) END AS height,
         |    CASE f WHEN 1 THEN n // (ch * 2) ELSE 1 END AS n_frames,
         |    CASE f WHEN 0 THEN 54 WHEN 1 THEN 44
-        |      ELSE 9 + length(CAST(wp AS VARCHAR))
+        |      WHEN 2 THEN 9 + length(CAST(wp AS VARCHAR))
         |             + length(CAST(greatest(1, (n + 3*wp - 1) // (3*wp))
-        |                 AS VARCHAR)) END AS data_offset
+        |                 AS VARCHAR))
+        |      ELSE 41 END AS data_offset,
+        |    CASE f WHEN 3 THEN 68 + n + 5 * greatest(0, (n - 1) // 65535)
+        |      ELSE NULL END AS png_bytes
         |  FROM g)
         |SELECT doc_id, media_type,
-        |  CAST(n + data_offset AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(png_bytes, n + data_offset) AS BIGINT) AS n_bytes,
         |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(data_offset AS INT) AS data_offset,
@@ -116,18 +125,20 @@ object MultimodalQueries extends QueryPack {
 
     "multimodal_resize_fit" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, doc_id % 3 AS f
-        |  FROM documents WHERE doc_id % 3 <> 1),
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n, doc_id % 4 AS f
+        |  FROM documents WHERE doc_id % 4 <> 1),
+        |g AS (
+        |  SELECT doc_id, n, f,
+        |    CASE f WHEN 0 THEN 16 + n % 97 WHEN 2 THEN 8 + n % 61
+        |      ELSE 12 + n % 71 END AS w
+        |  FROM m),
         |meta AS (
         |  SELECT doc_id,
-        |    CASE f WHEN 0 THEN 'image/bmp' ELSE 'image/ppm' END AS media_type,
-        |    CAST(CASE f WHEN 0 THEN 16 + n % 97 ELSE 8 + n % 61 END AS INT)
-        |      AS width,
-        |    CAST(CASE f WHEN 0 THEN greatest(1, (n + 3*(16 + n % 97) - 1)
-        |                                        // (3*(16 + n % 97)))
-        |      ELSE greatest(1, (n + 3*(8 + n % 61) - 1) // (3*(8 + n % 61)))
-        |      END AS INT) AS height
-        |  FROM m)
+        |    CASE f WHEN 0 THEN 'image/bmp' WHEN 2 THEN 'image/ppm'
+        |      ELSE 'image/png' END AS media_type,
+        |    CAST(w AS INT) AS width,
+        |    CAST(greatest(1, (n + 3*w - 1) // (3*w)) AS INT) AS height
+        |  FROM g)
         |SELECT doc_id, media_type, width, height,
         |  CAST(greatest(1, (width * 224) // greatest(width, height)) AS INT) AS out_w,
         |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_h

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.util.UUID
 
 import graft.QueryPack
+import graft.dedup.Dedup
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -48,6 +49,37 @@ object StreamingQueries extends QueryPack {
         .groupBy(col("lang"), col("term"))
         .agg(max(col("count")).as("cnt"))
         .orderBy(col("lang"), col("term"))
+    }),
+
+    // Ingestion-time near-dup gate, driven as a REAL stream: the static
+    // band index is built from the even-id half of the corpus (batch);
+    // the odd-id half arrives as a file stream whose IN-ROW signatures
+    // (no aggregation state) band and stream-static semi-join against
+    // the index — stateless per micro-batch except the final per-id
+    // dedup. Oracle recomputes both sides' md5 minhash families in SQL.
+    "streaming_near_dup_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val index = Dedup.bandSignatures(
+          Dedup.minhashSignatures(
+            Dedup.shingles(docs.where(col("doc_id") % 2 === 0),
+              "doc_id", "text"),
+            "doc_id"),
+          "doc_id")
+        .select(col("band"), col("band_sig")).distinct()
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/documents*.parquet")
+        .where(col("doc_id") % 2 === 1)
+      val sink = s"neardup_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_gate_ckpt").toString
+      val q = Dedup.nearDupAgainstIndex(stream, index, "doc_id", "text")
+        .select(col("doc_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).distinct().orderBy(col("doc_id"))
     })
   )
 
@@ -59,6 +91,33 @@ object StreamingQueries extends QueryPack {
         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
         |      FROM documents) t
         |GROUP BY lang, term
-        |ORDER BY lang, term""".stripMargin
+        |ORDER BY lang, term""".stripMargin,
+
+    // Same md5 minhash family and 2-row banding as the dedup_minhash_*
+    // oracles, split across the even (index) / odd (stream) halves.
+    "streaming_near_dup_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |  JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(g.h AS INT) AS h,
+        |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+        |      AS minhash
+        |  FROM sh, generate_series(0, 7) g(h)
+        |  GROUP BY doc_id, g.h),
+        |bands AS (
+        |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+        |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+        |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT))
+        |SELECT DISTINCT s.doc_id AS doc_id
+        |FROM bands s JOIN bands i ON s.band = i.band AND s.band_sig = i.band_sig
+        |WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        |ORDER BY s.doc_id""".stripMargin
   )
 }

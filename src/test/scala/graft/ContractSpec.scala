@@ -23,8 +23,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("multimodal decode: parsed type/hash survive the Spark round trip") {
-    // doc_id 5 -> doc_id%3=2 -> PPM container; n=5 -> w=8+5%61=13, h=1
-    val docs = Seq((5L, "hello")).toDF("doc_id", "text")
+    // doc_id 6 -> doc_id%4=2 -> PPM container; n=5 -> w=8+5%61=13, h=1
+    val docs = Seq((6L, "hello")).toDF("doc_id", "text")
     val f = Multimodal.decodeMedia(Multimodal.encodeCorpus(docs)).head()
     assert(f.media_type === "image/ppm")
     assert(f.data_hash === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
