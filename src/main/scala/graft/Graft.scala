@@ -213,4 +213,47 @@ object Graft {
     TextAnalysis.qualityFeatures(docs, idCol, textCol)
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.fingerprints(docs, idCol, textCol)
+  /** Okapi BM25 document scores for a fixed query-term set. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): DataFrame =
+    TextAnalysis.bm25(docs, idCol, textCol, terms)
+  /** Eval-set decontamination: training docs flagged by long-n-gram
+    * overlap with the (broadcast) eval corpus.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame =
+    TextAnalysis.contaminationStats(train, evalDocs, idCol, textCol, n)
+  /** PII detection + typed-placeholder redaction (email/IPv4/phone). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.piiStats(docs, idCol, textCol)
+  /** DSIR importance weights: target-vs-corpus bigram likelihood ratio. */
+  def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    TextAnalysis.importanceWeights(docs, target, idCol, textCol)
+
+  // ---- training-mix / splits / preprocessing ----
+  /** Deterministic md5 per-mille train/val/test assignment. */
+  def splitTrainValTest(df: DataFrame, key: Column,
+                        trainPermille: Int = 800,
+                        valPermille: Int = 100): DataFrame =
+    graft.operators.Sampling.assignSplit(df, key, trainPermille, valPermille)
+  def sampleKPerGroup(df: DataFrame, group: Column, key: Column,
+                      k: Int): DataFrame =
+    graft.operators.Sampling.sampleKPerGroup(df, group, key, k)
+  def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame =
+    Moments.robustScale(df, valueCol, outCol)
+  /** Symmetric int8 embedding quantization (codes, scale, L2 error). */
+  def quantizeInt8(emb: DataFrame, idCol: String, arrCol: String): DataFrame =
+    Similarity.quantizeInt8(emb, idCol, arrCol)
+  /** Fitted truncated SVD (sign-canonicalized V + singular values). */
+  def svdFit(df: DataFrame, arrCol: String, k: Int): ClusterOps.SvdModel =
+    ClusterOps.fitSvd(df, arrCol, k)
+
+  // ---- multimodal ----
+  /** Parse binary media payloads (BMP/WAV/PPM/PNG/JPEG headers) into
+    * typed metadata + content digests; total on corrupt input.
+    */
+  def decodeMedia(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaMeta] =
+    graft.multimodal.Multimodal.decodeMedia(media)
 }

@@ -38,4 +38,39 @@ object TimeSeries {
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
       .withColumn("is_gap", col("v").isNull.cast("int"))
   }
+
+  /** Truncated exponentially-weighted moving average over each key's
+    * time-ordered values:
+    *   ewma_i = Σ_{m=0..L−1} (1−α)^m·x_{i−m} / Σ_{m} (1−α)^m
+    * (pandas `ewm(alpha).mean()` with adjust=True, window-truncated at L
+    * lags). Truncation is the distributed-stable form: the exact
+    * recursive EWMA needs either sequential state or unbounded exponents
+    * that overflow doubles, while lag L caps the dropped mass at
+    * (1−α)^L — pick L so that's below output rounding.
+    *
+    * Shape: ONE keyed window (hash partition by key) collecting the
+    * bounded frame, then an in-row weighted fold — no extra shuffle, no
+    * per-key state beyond the L-row frame; `orderCols` must make the
+    * per-key order total or frame contents are engine-dependent.
+    */
+  def ewma(df: DataFrame, key: Column, orderCols: Seq[Column], value: Column,
+           alpha: Double, lags: Int = 20, outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0,1)")
+    require(lags >= 1, s"lags=$lags must be positive")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+      .rowsBetween(-(lags - 1), Window.currentRow)
+    df
+      .withColumn("_win", collect_list(value.cast("double")).over(w))
+      .withColumn(outCol, expr(
+        // frame is oldest->current; weight x_j by (1-α)^(n-1-j)
+        s"""round(
+           |  aggregate(
+           |    zip_with(_win, sequence(size(_win) - 1, 0, -1),
+           |             (x, m) -> x * pow(${1 - alpha}D, m)),
+           |    0D, (acc, v) -> acc + v)
+           |  / aggregate(sequence(size(_win) - 1, 0, -1),
+           |    0D, (acc, m) -> acc + pow(${1 - alpha}D, m)), 6)""".stripMargin
+        ) + lit(0.0))
+      .drop("_win")
+  }
 }

@@ -295,6 +295,18 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("user_id"), col("hour_s"))
     }),
 
+    // Truncated EWMA (pandas ewm(alpha).mean() adjust=True, 20 lags) —
+    // the per-key smoothed feature column of a training pipeline; one
+    // keyed window + in-row weighted fold (see operators.TimeSeries).
+    "ts_ewma_events" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewma(
+          Tables(s, dir).events.where(col("user_id") < 100),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+          alpha = 0.1, lags = 20)
+        .select(col("user_id"), col("event_id"), col("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // SCD2 versioning: each customer's orders become validity intervals
     // (valid_from = order date, valid_to = next order's date, open-ended
     // current row) — the slowly-changing-dimension shape, built from
@@ -599,6 +611,24 @@ object ExtendedRelationalQueries extends QueryPack {
         |  CAST(v IS NULL AS INT) AS is_gap
         |FROM filled
         |ORDER BY user_id, hour_s""".stripMargin,
+
+    // Truncated-EWMA replay: the (i, j) pair form of the 20-lag frame,
+    // same weights pow(0.9, lag), adjust=True normalization.
+    "ts_ewma_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 100),
+        |p AS (
+        |  SELECT a.user_id, a.event_id, b.value AS xv, a.rn - b.rn AS m
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND b.rn BETWEEN a.rn - 19 AND a.rn)
+        |SELECT user_id, event_id,
+        |  round(sum(xv * pow(0.9, m)) / sum(pow(0.9, m)), 6) + 0.0 AS ewma
+        |FROM p
+        |GROUP BY user_id, event_id
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "scd2_customer_orders" ->
       """SELECT o_custkey, o_orderkey,

@@ -48,6 +48,11 @@ class ContractSpec extends AnyFunSuite {
     val clusters = Graft.dedupCorpus(docs, "doc_id", "text")
       .as[(Long, Long, Int)].collect().toSet
     assert(clusters === Set((0L, 0L, 1), (1L, 0L, 0)))
+    // round-6 facade surface: splits, quantization, media decode
+    val split = Graft.splitTrainValTest(docs, col("doc_id"))
+    assert(split.columns.contains("split") && split.count() === 3)
+    val media = graft.multimodal.Multimodal.encodeCorpus(docs)
+    assert(Graft.decodeMedia(media).count() === 3)
   }
 
   test("validation gate fails fast with precise messages (D12)") {

@@ -68,6 +68,25 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(0) && !rows(1).isNullAt(0))
   }
 
+  test("ewma: first row is its own value, constant series stays constant, recency weighting") {
+    import graft.operators.TimeSeries
+    val df = Seq((1L, 1, 10.0), (1L, 2, 10.0), (1L, 3, 10.0),
+      (2L, 1, 0.0), (2L, 2, 100.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.ewma(df, col("k"), Seq(col("t")), col("v"),
+        alpha = 0.5, lags = 10)
+      .select("k", "t", "ewma").as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 1)) === 10.0) // single-element frame = the value
+    assert(out((1L, 3)) === 10.0) // constant in, constant out
+    // (0 then 100) at alpha .5, adjust=True: (100 + .5*0)/(1+.5) = 66.666667
+    assert(math.abs(out((2L, 2)) - 66.666667) < 1e-6)
+    // recency: the latest value dominates
+    assert(out((2L, 2)) > 50.0)
+    intercept[IllegalArgumentException](
+      TimeSeries.ewma(df, col("k"), Seq(col("t")), col("v"), alpha = 1.0))
+  }
+
   test("robustScale: median-centered, IQR-scaled, constant column NULL") {
     import graft.stats.Moments
     val df = (1 to 101).map(_.toDouble).toDF("v")
