@@ -129,6 +129,36 @@ object StatsQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("rs_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S13: one-way ANOVA F per feature (sklearn f_classif) against the
+    // return-flag classes — sufficient-statistic algebra, SQL-mirrored.
+    "s13_anova_f" -> ((s, dir) => {
+      Moments.anovaF(Tables(s, dir).lineitem, "l_returnflag",
+          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+        .orderBy(col("feature"))
+    }),
+
+    // S14: one-hot over the fixed event-type vocabulary (deterministic
+    // relational twin of ml OneHotEncoder; unknowns all-zero).
+    "s14_one_hot" -> ((s, dir) => {
+      Moments.oneHot(Tables(s, dir).events.where(col("event_id") < 2000),
+          "event_type", Seq("click", "error", "purchase", "signup", "view"),
+          "is")
+        .select(col("event_id"), col("is_click"), col("is_error"),
+          col("is_purchase"), col("is_signup"), col("is_view"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S15: QuantileTransformer (uniform) — empirical CDF position under
+    // a total ordering; global-window verification twin (see SCALE.md).
+    "s15_quantile_transform" -> ((s, dir) => {
+      Moments.quantileTransform(Tables(s, dir).lineitem, "l_extendedprice",
+          Seq(col("l_orderkey"), col("l_linenumber")), "q_price")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("q_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -264,6 +294,50 @@ object StatsQueries extends QueryPack {
         |    AS rs_price
         |FROM lineitem, q
         |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s13_anova_f" -> {
+      val unions = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+        .map(f => s"SELECT l_returnflag AS y, '$f' AS feature, " +
+          s"CAST($f AS DOUBLE) AS v FROM lineitem")
+        .mkString("\nUNION ALL\n")
+      s"""WITH lf AS (
+         |$unions),
+         |g AS (
+         |  SELECT feature, y, CAST(count(*) AS DOUBLE) AS n,
+         |    sum(v) AS s, sum(v * v) AS q
+         |  FROM lf GROUP BY feature, y),
+         |a AS (
+         |  SELECT feature, CAST(count(*) AS DOUBLE) AS k,
+         |    sum(n) AS nn, sum(s) AS ss,
+         |    sum(q) - sum(s * s / n) AS ssw,
+         |    sum(s * s / n) AS ssb_raw
+         |  FROM g GROUP BY feature)
+         |SELECT feature,
+         |  round(((ssb_raw - ss * ss / nn) / nullif(k - 1, 0))
+         |    / nullif(ssw / (nn - k), 0), 4) + 0.0 AS f_stat
+         |FROM a
+         |ORDER BY feature""".stripMargin
+    },
+
+    "s14_one_hot" ->
+      """SELECT event_id,
+        |  CAST(event_type = 'click' AS INT) AS is_click,
+        |  CAST(event_type = 'error' AS INT) AS is_error,
+        |  CAST(event_type = 'purchase' AS INT) AS is_purchase,
+        |  CAST(event_type = 'signup' AS INT) AS is_signup,
+        |  CAST(event_type = 'view' AS INT) AS is_view
+        |FROM events
+        |WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
+
+    "s15_quantile_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round(percent_rank() OVER (
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber), 6) + 0.0
+        |    AS q_price
+        |FROM lineitem
+        |QUALIFY l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

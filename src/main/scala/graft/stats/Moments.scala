@@ -160,6 +160,64 @@ object Moments {
       ntile(bins).over(Window.orderBy(col(valueCol) +: tieBreak: _*)))
   }
 
+  /** One-way ANOVA F statistic per feature (sklearn `f_classif`):
+    * F = (SSB/(k−1)) / (SSW/(n−k)) over a caller-fixed label set via
+    * per-(feature, class) sufficient statistics (n, Σx, Σx²) — one
+    * `stack` projection + two hash aggregations, no per-class scans.
+    * Degenerate cases (one class, zero within-group variance) yield
+    * NULL, never a division error.
+    */
+  def anovaF(df: DataFrame, labelCol: String,
+             features: Seq[String]): DataFrame = {
+    require(features.nonEmpty, "features must be non-empty")
+    val stacked = df.select(col(labelCol).as("_y"),
+      expr(s"stack(${features.size}, " +
+        features.map(f => s"'$f', cast($f as double)").mkString(", ") +
+        ") as (feature, v)"))
+    val grp = stacked.groupBy(col("feature"), col("_y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("v")).as("s"), sum(col("v") * col("v")).as("q"))
+    grp.groupBy(col("feature"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+        (sum(col("q")) - sum(col("s") * col("s") / col("n"))).as("ssw"),
+        sum(col("s") * col("s") / col("n")).as("ssb_raw"))
+      .withColumn("ssb", col("ssb_raw") - col("ss") * col("ss") / col("nn"))
+      .select(col("feature"),
+        (round((col("ssb") / nullif(col("k") - 1, lit(0.0)))
+          / nullif(col("ssw") / (col("nn") - col("k")), lit(0.0)), 4)
+          + lit(0.0)).as("f_stat"))
+  }
+
+  /** One-hot encoding over a FIXED category list (the deterministic
+    * relational twin of ml's OneHotEncoder): one 0/1 indicator column
+    * per category, unknown categories encode as all-zeros. Pure map-side
+    * CASE columns — no fit, no shuffle, streaming-safe; fix the category
+    * list from config or a prior distinct() so the output schema never
+    * depends on data order.
+    */
+  def oneHot(df: DataFrame, catCol: String, categories: Seq[String],
+             prefix: String): DataFrame = {
+    require(categories.nonEmpty && categories.distinct.size == categories.size,
+      "categories must be non-empty and distinct")
+    categories.foldLeft(df) { (d, c) =>
+      d.withColumn(s"${prefix}_$c", (col(catCol) === c).cast("int"))
+    }
+  }
+
+  /** QuantileTransformer (uniform output): empirical CDF position via
+    * `percent_rank` under a caller-supplied TOTAL ordering. Global
+    * window — the oracled verification twin; at 100 TB use
+    * approx_percentile cut points exactly like kBinsDiscretize.
+    */
+  def quantileTransform(df: DataFrame, valueCol: String,
+                        tieBreak: Seq[Column], outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(outCol,
+      (round(percent_rank().over(
+        Window.orderBy(col(valueCol) +: tieBreak: _*)), 6) + lit(0.0)))
+  }
+
   /** RobustScaler: (x − median) / IQR — sklearn's outlier-resistant
     * scaler with its default (25, 75) quantile range. EXACT linear-
     * interpolated percentiles (one sort-based aggregate) keep this the

@@ -140,6 +140,32 @@ class MLOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("anovaF / oneHot / quantileTransform semantics and degenerate cases") {
+    import graft.stats.Moments
+    // two cleanly separated classes: between-group variance dominates
+    val sep = Seq(("a", 1.0), ("a", 1.1), ("b", 9.0), ("b", 9.1))
+      .toDF("y", "x")
+    val f = Moments.anovaF(sep, "y", Seq("x")).head.getDouble(1)
+    assert(f > 1000, s"separated classes should give huge F, got $f")
+    // identical class means: F ~ 0
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("y", "x")
+    assert(math.abs(Moments.anovaF(same, "y", Seq("x")).head.getDouble(1)) < 1e-9)
+    // single class: k-1 = 0 -> NULL, not a crash
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("y", "x")
+    assert(Moments.anovaF(one, "y", Seq("x")).head.isNullAt(1))
+    // one-hot: unknown category encodes all-zeros
+    val oh = Moments.oneHot(Seq("click", "weird").toDF("t"), "t",
+      Seq("click", "view"), "is").orderBy("t").collect()
+    assert(oh(0).getInt(1) === 1 && oh(0).getInt(2) === 0)
+    assert(oh(1).getInt(1) === 0 && oh(1).getInt(2) === 0)
+    // quantile transform: min -> 0, max -> 1, monotone
+    val qt = Moments.quantileTransform(
+      Seq(5.0, 1.0, 3.0).toDF("v"), "v", Seq(), "q")
+      .orderBy("v").select("q").as[Double].collect()
+    assert(qt.toSeq === Seq(0.0, 0.5, 1.0))
+  }
+
   test("preprocessing edge cases: degenerate inputs are NULL, not garbage") {
     import graft.stats.Moments
     // constant column: min = max -> scale denominator 0 -> NULL (Spark
