@@ -157,6 +157,64 @@ object LinearOps {
     sum(x2 * x2).as("s22"), sum(x2 * x3).as("s23"), sum(x3 * x3).as("s33"),
     sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"), sum(x3 * y).as("s3y"))
 
+  // --- General-d closed-form OLS (the inductive extension of olsFit3) ---
+
+  /** Moment-column name for normal-equations entry (i, j), 0 = the
+    * intercept column: n, s<i>, s<ij> (i<=j).
+    */
+  private def mName(i: Int, j: Int): String = {
+    val (a, b) = (math.min(i, j), math.max(i, j))
+    if (a == 0 && b == 0) "n"
+    else if (a == 0) s"s$b"
+    else s"s$a$b"
+  }
+
+  private[graft] def olsMatrix(d: Int): Vector[Vector[String]] =
+    Vector.tabulate(d + 1, d + 1)(mName)
+
+  private[graft] def olsRhs(d: Int): Vector[String] =
+    Vector.tabulate(d + 1)(i => if (i == 0) "sy" else s"s${i}y")
+
+  private[graft] def olsBetaSql(d: Int, j: Int): String =
+    detSql(olsMatrix(d).zipWithIndex.map { case (row, i) =>
+      row.updated(j, olsRhs(d)(i))
+    })
+
+  /** The (d+1)(d+4)/2 sufficient statistics of y ~ 1 + x1 + … + xd as
+    * one aggregation; names follow the [[mName]]/[[olsRhs]] contract
+    * shared with the oracle SQL.
+    */
+  private[graft] def olsMomentAggs(xs: Seq[Column], y: Column): Seq[Column] = {
+    val d = xs.size
+    Seq(count(lit(1)).cast("double").as("n")) ++
+      (1 to d).map(i => sum(xs(i - 1)).as(s"s$i")) ++
+      Seq(sum(y).as("sy")) ++
+      (for (i <- 1 to d; j <- i to d)
+        yield sum(xs(i - 1) * xs(j - 1)).as(s"s$i$j")) ++
+      (1 to d).map(i => sum(xs(i - 1) * y).as(s"s${i}y"))
+  }
+
+  /** General-d OLS with intercept, closed form: one linear pass for the
+    * sufficient statistics, then generated Cramer's rule on the
+    * (d+1)×(d+1) normal equations in-row. The determinant SQL text is
+    * the SAME string Spark and the oracle parse, so FP evaluation order
+    * is pinned by construction at every d. Laplace expansion is
+    * O((d+1)!) terms — fine through d≈5; beyond that use `fitLinear`
+    * (solver="normal", Cholesky) whose cost is O(d³).
+    */
+  def olsFitN(df: DataFrame, xCols: Seq[String], yCol: String,
+              roundTo: Int = 4): DataFrame = {
+    val d = xCols.size
+    require(d >= 1 && d <= 5, s"d=$d out of closed-form range 1..5")
+    val betas = (0 to d).map { j =>
+      expr(s"round((${olsBetaSql(d, j)}) / " +
+        s"nullif((${detSql(olsMatrix(d))}), 0), $roundTo) + 0.0").as(s"b$j")
+    }
+    val m = olsMomentAggs(
+      xCols.map(c => col(c).cast("double")), col(yCol).cast("double"))
+    df.agg(m.head, m.tail: _*).select(betas: _*)
+  }
+
   /** Trivariate OLS with intercept, closed form: one aggregation for the
     * 14 sufficient statistics, then generated Cramer's rule on the 4×4
     * normal equations in-row — the ≥3-feature extension of [[olsFit2]]

@@ -131,6 +131,16 @@ object MLQueries extends QueryPack {
         "l_quantity", "l_discount", "l_tax", "l_extendedprice")
     }),
 
+    // L3d: GENERAL-d closed form — quadrivariate OLS via the generated
+    // 5×5 Laplace/Cramer expansion (120-term determinants, same SQL
+    // text on both engines). Pins LinearOps.detSql inductively past the
+    // hand-checkable sizes.
+    "l7_ols_quadrivariate" -> ((s, dir) => {
+      LinearOps.olsFitN(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_discount", "l_tax", "l_linenumber"),
+        "l_extendedprice")
+    }),
+
     // L1: the reference's parameter-averaged fit (one model per block,
     // coefficients averaged) — expressed relationally and oracle-checked.
     "l1_block_averaged_ols" -> ((s, dir) => {
@@ -795,6 +805,34 @@ object MLQueries extends QueryPack {
         |WHERE a.dim <= 6 AND b.dim <= 6
         |GROUP BY a.dim, b.dim
         |ORDER BY dim_i, dim_j""".stripMargin,
+
+    // Same generated Cramer text as olsFitN(d=4) evaluates in Spark.
+    "l7_ols_quadrivariate" -> {
+      val d = 4
+      val xs = Seq("l_quantity", "l_discount", "l_tax", "l_linenumber")
+      def cd(c: String) = s"CAST($c AS DOUBLE)"
+      val moments = (
+        Seq("CAST(count(*) AS DOUBLE) AS n") ++
+          (1 to d).map(i => s"sum(${cd(xs(i - 1))}) AS s$i") ++
+          Seq(s"sum(${cd("l_extendedprice")}) AS sy") ++
+          (for (i <- 1 to d; j <- i to d)
+            yield s"sum(${cd(xs(i - 1))} * ${cd(xs(j - 1))}) AS s$i$j") ++
+          (1 to d).map(i =>
+            s"sum(${cd(xs(i - 1))} * ${cd("l_extendedprice")}) AS s${i}y")
+        ).mkString(",\n    ")
+      val betas = (0 to d).map { j =>
+        s"round((${LinearOps.olsBetaSql(d, j)}) / " +
+          s"nullif((${LinearOps.detSql(LinearOps.olsMatrix(d))}), 0), 4) " +
+          s"+ 0.0 AS b$j"
+      }.mkString(",\n    ")
+      s"""WITH m AS (
+         |  SELECT
+         |    $moments
+         |  FROM lineitem)
+         |SELECT
+         |    $betas
+         |FROM m""".stripMargin
+    },
 
     // Update-for-update replay of fitKMeansPinned: per-label-mean seeds,
     // two Lloyd rounds, exact-distance final assignment (ties -> lowest

@@ -46,6 +46,23 @@ class MLOpsSpec extends AnyFunSuite {
     assert(math.abs(fit._1 - 3.0) < 1e-9 && math.abs(fit._2 - 7.0) < 1e-9)
   }
 
+  test("olsFitN recovers a noiseless 4-feature plane exactly") {
+    // y = 2 + 3a − b + 0.5c + 4d over a spread of integer grid points
+    val rows = for (i <- 1 to 8; j <- 1 to 5) yield {
+      val (a, b, c, dd) = (i.toDouble, (i * j % 7).toDouble,
+        (j * j).toDouble, ((i + j) % 3).toDouble)
+      (a, b, c, dd, 2.0 + 3 * a - b + 0.5 * c + 4 * dd)
+    }
+    val df = rows.toDF("a", "b", "c", "d", "y")
+    val fit = LinearOps.olsFitN(df, Seq("a", "b", "c", "d"), "y", roundTo = 6)
+      .head()
+    val got = (0 to 4).map(fit.getDouble)
+    assert(got === Seq(2.0, 3.0, -1.0, 0.5, 4.0), s"betas $got")
+    // d out of closed-form range rejects rather than exploding factorially
+    intercept[IllegalArgumentException](
+      LinearOps.olsFitN(df, Seq.fill(6)("a"), "y"))
+  }
+
   test("assignToCenters picks the nearest center") {
     val pts = Seq((1L, 1, 0.0), (1L, 2, 0.0), (2L, 1, 10.0), (2L, 2, 10.0))
       .toDF("id", "dim", "v")
