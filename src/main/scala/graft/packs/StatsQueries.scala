@@ -150,6 +150,14 @@ object StatsQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // S16: Pearson correlation matrix (upper triangle, long form) — one
+    // aggregation for every pairwise corr.
+    "s16_corr_matrix" -> ((s, dir) => {
+      Moments.corrMatrix(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+        .orderBy(col("feat_a"), col("feat_b"))
+    }),
+
     // S15: QuantileTransformer (uniform) — empirical CDF position under
     // a total ordering; global-window verification twin (see SCALE.md).
     "s15_quantile_transform" -> ((s, dir) => {
@@ -330,6 +338,15 @@ object StatsQueries extends QueryPack {
         |FROM events
         |WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin,
+
+    "s16_corr_matrix" -> {
+      val fs = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      val rows = (for (i <- fs.indices; j <- i until fs.size) yield
+        s"SELECT '${fs(i)}' AS feat_a, '${fs(j)}' AS feat_b, " +
+          s"round(corr(${fs(i)}, ${fs(j)}), 6) + 0.0 AS corr FROM lineitem")
+        .mkString("\nUNION ALL\n")
+      s"$rows\nORDER BY feat_a, feat_b"
+    },
 
     "s15_quantile_transform" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,

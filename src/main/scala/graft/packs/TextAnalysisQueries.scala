@@ -19,6 +19,18 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc unigram Shannon entropy (repetitive/boilerplate signal).
+    "text_unigram_entropy" -> ((s, dir) => {
+      TextAnalysis.unigramEntropy(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf slope of the corpus frequency spectrum (templated-corpus
+    // detector; natural text ~ −1).
+    "text_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(Tables(s, dir).documents, "text", topK = 100)
+    }),
+
     "text_token_stats" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       TextAnalysis.tokenStats(docs, "lang", "text")
@@ -98,6 +110,41 @@ object TextAnalysisQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // H = ln N − Σ c·ln c / N, identical algebra both sides.
+    "text_unigram_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+        |  FROM t GROUP BY doc_id, term)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0
+        |    AS entropy_nats
+        |FROM c
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY term),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+        |      AS DOUBLE)) AS lr,
+        |    ln(freq) AS lf
+        |  FROM f
+        |  QUALIFY row_number() OVER (ORDER BY freq DESC, term) <= 100)
+        |SELECT round(covar_pop(lr, lf) / var_pop(lr), 6) + 0.0 AS slope,
+        |  round(avg(lf) - covar_pop(lr, lf) / var_pop(lr) * avg(lr), 6) + 0.0
+        |    AS intercept,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM r""".stripMargin,
+
     "text_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id, length(text) AS nc,

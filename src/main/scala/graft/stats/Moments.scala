@@ -160,6 +160,29 @@ object Moments {
       ntile(bins).over(Window.orderBy(col(valueCol) +: tieBreak: _*)))
   }
 
+  /** Pearson correlation matrix over a feature list, long form
+    * (feat_a <= feat_b): ONE aggregation computing every pairwise
+    * `corr` — no per-pair scans, upper triangle only. O(d²) result
+    * columns; for d in the hundreds switch to the Gramian route
+    * (ClusterOps.gramian on standardized columns).
+    */
+  def corrMatrix(df: DataFrame, features: Seq[String],
+                 roundTo: Int = 6): DataFrame = {
+    require(features.size >= 2 && features.distinct.size == features.size,
+      "need >= 2 distinct features")
+    val pairs = for (i <- features.indices; j <- i until features.size)
+      yield (features(i), features(j))
+    val aggs = pairs.map { case (a, b) =>
+      (round(corr(col(a).cast("double"), col(b).cast("double")), roundTo)
+        + lit(0.0)).as(s"_c_${a}_$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `_c_${a}_$b`" }
+      .mkString(", ")
+    wide.select(expr(
+      s"stack(${pairs.size}, $stacked) as (feat_a, feat_b, corr)"))
+  }
+
   /** One-way ANOVA F statistic per feature (sklearn `f_classif`):
     * F = (SSB/(k−1)) / (SSW/(n−k)) over a caller-fixed label set via
     * per-(feature, class) sufficient statistics (n, Σx, Σx²) — one

@@ -43,6 +43,55 @@ object TextAnalysis {
         col("is_quality"))
   }
 
+  /** Per-doc Shannon entropy (nats) of the unigram distribution —
+    * H = −Σ p·ln p over the doc's token counts — plus the distinct and
+    * total token counts it normalizes. Low entropy flags repetitive /
+    * boilerplate docs (the information-theoretic cousin of the Gopher
+    * repetition filters). One explode + two keyed aggregations, both
+    * partial-aggregatable.
+    */
+  def unigramEntropy(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
+      .groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (round(
+          log(sum(col("_c"))) -
+            sum(col("_c") * log(col("_c"))) / sum(col("_c")), 6)
+          + lit(0.0)).as("entropy_nats"))
+
+  /** Zipf's-law slope of the corpus frequency spectrum: regress
+    * ln(freq) on ln(rank) over the top `topK` terms (rank by frequency
+    * desc, term asc — total order). Natural text sits near slope −1;
+    * large deviations flag templated or synthetic corpora. One
+    * term-count aggregation + a topK window + the closed-form simple
+    * regression — all SQL-mirrorable.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, s"topK=$topK must be >= 2")
+    val ranked = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+      .where(col("rank") <= topK)
+      .select(log(col("rank").cast("double")).as("lr"),
+        log(col("freq").cast("double")).as("lf"))
+    ranked.agg(
+      (round(covar_pop(col("lr"), col("lf")) / var_pop(col("lr")), 6)
+        + lit(0.0)).as("slope"),
+      (round(avg(col("lf")) -
+        covar_pop(col("lr"), col("lf")) / var_pop(col("lr")) * avg(col("lr")),
+        6) + lit(0.0)).as("intercept"),
+      count(lit(1)).as("n_terms"))
+  }
+
   /** Corpus token statistics rolled up by a grouping column, including a
     * BPE-ish subword count (greedy `[a-z]{1,4}` chunking — a stand-in with
     * the same plan shape as a real subword tokenizer).

@@ -13,6 +13,30 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("unigramEntropy: uniform = ln k, constant doc = 0") {
+    val docs = Seq(
+      (1L, "a b c d"),      // uniform over 4 -> ln 4
+      (2L, "x x x x x"),    // single symbol -> 0
+      (3L, "a a b")         // 2/3, 1/3
+    ).toDF("doc_id", "text")
+    val h = TextAnalysis.unigramEntropy(docs, "doc_id", "text")
+      .select("doc_id", "entropy_nats").as[(Long, Double)].collect().toMap
+    assert(math.abs(h(1L) - math.log(4)) < 1e-6)
+    assert(h(2L) === 0.0)
+    val expected3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(h(3L) - expected3) < 1e-6)
+  }
+
+  test("zipfSlope: exact power-law corpus recovers its exponent") {
+    // term t_r appears round(64 / r) times -> ln f = ln 64 - 1 * ln r
+    val words = (1 to 8).flatMap(r => Seq.fill(64 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(docs, "text", topK = 4).head()
+    // top 4 ranks have exact powers (64, 32, 21, 16): slope near -1
+    assert(math.abs(row.getDouble(0) - (-1.0)) < 0.05, s"slope ${row.getDouble(0)}")
+    assert(row.getLong(2) === 4L)
+  }
+
   test("repetitionStats: hand-computed bigram fractions, short docs dropped") {
     val docs = Seq(
       (1L, "a b a b c"), // grams: "a b"x2, "b a", "b c"
