@@ -474,6 +474,36 @@ object Dedup {
     * thousands of docs each and dominate everything if the gate is
     * applied after the join instead of before it.
     */
+  /** n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — catches subset
+    * duplication (one doc quoted or embedded inside another) that
+    * symmetric Jaccard under-scores: a 100-shingle doc inside a
+    * 10 000-shingle doc has J ≈ 0.01 but containment 1.0. Same postings
+    * join + hot-shingle guard shape as [[jaccardPairs]]; at scale, gate
+    * with banded candidates the same way (containment ≥ t implies the
+    * small side's minhash still collides with useful probability).
+    */
+  def containmentPairs(shingleDf: DataFrame, idCol: String,
+                       threshold: Double,
+                       maxDf: Int = 1 << 16): DataFrame = {
+    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val kept = shingleDf.join(
+      shingleDf.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf)
+        .select(col("shingle")),
+      Seq("shingle"), "left_semi")
+    val x = kept.select(col(idCol).as("id_a"), col("shingle"))
+    val y = kept.select(col(idCol).as("id_b"), col("shingle"))
+    x.join(y, "shingle").where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   def jaccardPairs(shingleDf: DataFrame, idCol: String,
                    threshold: Double,
                    candidates: Option[DataFrame] = None,

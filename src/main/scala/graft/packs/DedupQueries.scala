@@ -186,6 +186,13 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // n-gram containment |A∩B|/min(|A|,|B|): subset-duplication pairs
+    // Jaccard under-scores (quotes, embedded passages).
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(docShingles(s, dir), "doc_id", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Embedding cosine near-duplicates — EXACT all-pairs twin
     // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -531,6 +538,21 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sa ON sa.doc_id = t.id_a
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |WHERE t.i * 1.0 / (sa.n + sb.n - t.i) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT t.id_a, t.id_b,
+         |  round(t.i * 1.0 / least(sa.n, sb.n), 4) AS containment
+         |FROM inter t
+         |JOIN sizes sa ON sa.doc_id = t.id_a
+         |JOIN sizes sb ON sb.doc_id = t.id_b
+         |WHERE t.i * 1.0 / least(sa.n, sb.n) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_cosine" ->

@@ -178,6 +178,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gated.length === 1 && gated.head._1 === 0L && gated.head._2 === 2L)
   }
 
+  test("containment: embedded passage scores 1.0 where jaccard under-scores") {
+    // doc 11 is a strict prefix of doc 10: every shingle of 11 is in 10
+    val sub = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (11L, "a b c d e"),
+      (12L, "z y x w v u")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(sub, "doc_id", "text")
+    val cont = Dedup.containmentPairs(sh, "doc_id", threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(cont((10L, 11L)) === 1.0)
+    assert(!cont.contains((10L, 12L))) // no shared shingles, no pair
+    val jac = Dedup.jaccardPairs(sh, "doc_id", threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(jac((10L, 11L)) < 0.5, "jaccard under-scores the embedded passage")
+  }
+
   test("embeddingNearDup finds identical vectors with cos=1") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))
