@@ -242,6 +242,36 @@ object Graft {
     graft.operators.Sampling.sampleKPerGroup(df, group, key, k)
   def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame =
     Moments.robustScale(df, valueCol, outCol)
+  /** One-way ANOVA F per feature (sklearn f_classif). */
+  def anovaF(df: DataFrame, labelCol: String, features: Seq[String]): DataFrame =
+    Moments.anovaF(df, labelCol, features)
+  def oneHot(df: DataFrame, catCol: String, categories: Seq[String],
+             prefix: String): DataFrame =
+    Moments.oneHot(df, catCol, categories, prefix)
+  def quantileTransform(df: DataFrame, valueCol: String,
+                        tieBreak: Seq[Column], outCol: String): DataFrame =
+    Moments.quantileTransform(df, valueCol, tieBreak, outCol)
+  /** Pairwise Pearson correlations in one aggregation (long form). */
+  def corrMatrix(df: DataFrame, features: Seq[String]): DataFrame =
+    Moments.corrMatrix(df, features)
+  /** General-d closed-form OLS (d <= 5, generated Cramer). */
+  def olsFitN(df: DataFrame, xCols: Seq[String], yCol: String): DataFrame =
+    LinearOps.olsFitN(df, xCols, yCol)
+  /** Truncated EWMA per key (pandas ewm(alpha).mean() adjust=True). */
+  def ewma(df: DataFrame, key: Column, orderCols: Seq[Column], value: Column,
+           alpha: Double, lags: Int = 20): DataFrame =
+    graft.operators.TimeSeries.ewma(df, key, orderCols, value, alpha, lags)
+  /** Subset-duplication pairs: |A∩B| / min(|A|,|B|) over shingles. */
+  def containmentNearDuplicates(docs: DataFrame, idCol: String,
+                                textCol: String, threshold: Double): DataFrame =
+    Dedup.containmentPairs(Dedup.shingles(docs, idCol, textCol), idCol,
+      threshold)
+  /** Per-doc unigram Shannon entropy (boilerplate signal). */
+  def unigramEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.unigramEntropy(docs, idCol, textCol)
+  /** Zipf slope of the corpus frequency spectrum. */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame =
+    TextAnalysis.zipfSlope(docs, textCol, topK)
   /** Symmetric int8 embedding quantization (codes, scale, L2 error). */
   def quantizeInt8(emb: DataFrame, idCol: String, arrCol: String): DataFrame =
     Similarity.quantizeInt8(emb, idCol, arrCol)
