@@ -474,6 +474,42 @@ object Dedup {
     * thousands of docs each and dominate everything if the gate is
     * applied after the join instead of before it.
     */
+  /** Segment-level dedup stats — the CCNet line-dedup shape with a
+    * fixed-width token segmenter (corpora without natural line
+    * boundaries segment deterministically into `w`-token chunks; swap
+    * the segmenter for `split(text, '\n')` when real lines exist).
+    * Each doc's segments are hashed, occurrence-counted across the
+    * corpus, and the doc reports its duplicated-segment fraction — the
+    * per-doc boilerplate score line-dedup pipelines filter on. Removal
+    * policy stays with the caller: filter on `dup_frac`, or anti-join
+    * the duplicate segment set for span-level removal.
+    *
+    * Scale: segments are map-side (in-row chunking), the count is one
+    * md5-keyed aggregation (partial-combined), the join back is
+    * hash-keyed — linear end to end; hot boilerplate segments are
+    * exactly the high-count keys and never fan out into pairs.
+    */
+  def segmentDupStats(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 8): DataFrame = {
+    require(w >= 1, s"w=$w must be positive")
+    val segs = docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= 1)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(_toks), $w), " +
+          s"i -> concat_ws(' ', slice(_toks, i, $w)))")).as("segment"))
+      .withColumn("_h", md5(col("segment")))
+    val counts = segs.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+    segs.join(counts, "_h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .withColumn("dup_frac",
+        (round(col("n_dup_segments") * lit(1.0) / col("n_segments"), 6)
+          + lit(0.0)))
+  }
+
   /** n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — catches subset
     * duplication (one doc quoted or embedded inside another) that
     * symmetric Jaccard under-scores: a 100-shingle doc inside a

@@ -193,6 +193,14 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // CCNet-style segment-level dedup: per-doc duplicated-segment
+    // fraction over fixed 8-token chunks.
+    "dedup_segment_stats" -> ((s, dir) => {
+      Dedup.segmentDupStats(Tables(s, dir).documents, "doc_id", "text",
+          w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding cosine near-duplicates — EXACT all-pairs twin
     // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -539,6 +547,26 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |WHERE t.i * 1.0 / (sa.n + sb.n - t.i) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_segment_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, (p - 1) // 8 AS si,
+        |    string_agg(term, ' ' ORDER BY p) AS segment
+        |  FROM toks GROUP BY doc_id, (p - 1) // 8),
+        |g AS (SELECT segment, count(*) AS c FROM segs GROUP BY segment)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_segments,
+        |  round(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    + 0.0 AS dup_frac
+        |FROM segs s JOIN g USING (segment)
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $shingleCte,

@@ -178,6 +178,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gated.length === 1 && gated.head._1 === 0L && gated.head._2 === 2L)
   }
 
+  test("segmentDupStats: duplicated docs score 1.0, unique docs 0.0") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"), // 2 segments, both shared
+      (2L, "a b c d e f g h i j k l m n o p"), // exact dup of doc 1
+      (3L, "q r s t u v w x")                  // 1 unique segment
+    ).toDF("doc_id", "text")
+    val stats = Dedup.segmentDupStats(corpus, "doc_id", "text", w = 8)
+      .select("doc_id", "n_segments", "dup_frac")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(stats(1L) === ((2L, 1.0)) && stats(2L) === ((2L, 1.0)))
+    assert(stats(3L) === ((1L, 0.0)))
+  }
+
   test("containment: embedded passage scores 1.0 where jaccard under-scores") {
     // doc 11 is a strict prefix of doc 10: every shingle of 11 is in 10
     val sub = Seq(
