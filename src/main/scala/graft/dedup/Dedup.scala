@@ -510,6 +510,38 @@ object Dedup {
           + lit(0.0)))
   }
 
+  /** Segment-level dedup as a TRANSFORM: every duplicate segment keeps
+    * only its canonical first occurrence (min (doc, position) — a
+    * deterministic total order, so retries and engines agree on the
+    * keeper) and each doc's surviving segments reassemble in original
+    * order. Docs whose every segment was seen earlier vanish — exact
+    * duplicates fall out as a special case. One keyed window over
+    * segments + one per-doc reassembly aggregation; the same linear
+    * shape as [[segmentDupStats]].
+    */
+  def removeDuplicateSegments(docs: DataFrame, idCol: String,
+                              textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 1, s"w=$w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(_toks), $w), " +
+          s"i -> concat_ws(' ', slice(_toks, i, $w)))")).as(Seq("si", "segment")))
+    val keeper = Window.partitionBy(col("segment"))
+      .orderBy(col(idCol), col("si"))
+    segs
+      .withColumn("_rn", row_number().over(keeper))
+      .where(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(si, segment))), " +
+            "x -> x.segment)"), " ").as("cleaned_text"))
+  }
+
   /** n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — catches subset
     * duplication (one doc quoted or embedded inside another) that
     * symmetric Jaccard under-scores: a 100-shingle doc inside a

@@ -201,6 +201,16 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The removal transform: duplicate segments keep their canonical
+    // first occurrence, docs reassemble from survivors (hash-compared).
+    "dedup_segment_clean" -> ((s, dir) => {
+      Dedup.removeDuplicateSegments(Tables(s, dir).documents,
+          "doc_id", "text", w = 8)
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("cleaned_text")).as("cleaned_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding cosine near-duplicates — EXACT all-pairs twin
     // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -547,6 +557,25 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |WHERE t.i * 1.0 / (sa.n + sb.n - t.i) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_segment_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, (p - 1) // 8 AS si,
+        |    string_agg(term, ' ' ORDER BY p) AS segment
+        |  FROM toks GROUP BY doc_id, (p - 1) // 8),
+        |kept AS (
+        |  SELECT doc_id, si, segment FROM segs
+        |  QUALIFY row_number() OVER (PARTITION BY segment
+        |    ORDER BY doc_id, si) = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(segment, ' ' ORDER BY si)) AS cleaned_hash
+        |FROM kept
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_segment_stats" ->
       """WITH toks AS (

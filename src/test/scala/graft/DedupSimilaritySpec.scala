@@ -192,6 +192,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(stats(3L) === ((1L, 0.0)))
   }
 
+  test("removeDuplicateSegments: first occurrence survives, exact dups vanish") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),  // both segments novel
+      (2L, "a b c d e f g h i j k l m n o p"),  // exact dup -> vanishes
+      (3L, "a b c d e f g h q r s t u v w x")   // shares segment 1, keeps tail
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.removeDuplicateSegments(corpus, "doc_id", "text", w = 8)
+      .select("doc_id", "n_kept", "cleaned_text")
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(cleaned(1L) === ((2L, "a b c d e f g h i j k l m n o p")))
+    assert(!cleaned.contains(2L), "fully-duplicate doc must vanish")
+    assert(cleaned(3L) === ((1L, "q r s t u v w x")))
+  }
+
   test("containment: embedded passage scores 1.0 where jaccard under-scores") {
     // doc 11 is a strict prefix of doc 10: every shingle of 11 is in 10
     val sub = Seq(
