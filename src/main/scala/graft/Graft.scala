@@ -266,6 +266,16 @@ object Graft {
                                 textCol: String, threshold: Double): DataFrame =
     Dedup.containmentPairs(Dedup.shingles(docs, idCol, textCol), idCol,
       threshold)
+  /** CCNet-style segment dedup: per-doc duplicated-segment fraction. */
+  def segmentDupStats(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 8): DataFrame =
+    Dedup.segmentDupStats(docs, idCol, textCol, w)
+  /** Segment dedup as a transform: docs reassembled from the surviving
+    * (first-occurrence) segments; fully-duplicate docs vanish.
+    */
+  def removeDuplicateSegments(docs: DataFrame, idCol: String,
+                              textCol: String, w: Int = 8): DataFrame =
+    Dedup.removeDuplicateSegments(docs, idCol, textCol, w)
   /** Per-doc unigram Shannon entropy (boilerplate signal). */
   def unigramEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.unigramEntropy(docs, idCol, textCol)

@@ -16,6 +16,8 @@ final case class DecodedHeader(
     width: Int,
     height: Int,
     n_frames: Long,
+    channels: Int,
+    sample_rate: Int,
     data_offset: Int,
     data_len: Long)
 
@@ -36,7 +38,8 @@ final case class DecodedHeader(
   */
 object MediaCodec {
 
-  val Unknown: DecodedHeader = DecodedHeader("unknown", 0, 0, 0L, 0, 0L)
+  val Unknown: DecodedHeader =
+    DecodedHeader("unknown", 0, 0, 0L, 0, 0, 0, 0L)
 
   // ---- helpers ---------------------------------------------------------
 
@@ -91,7 +94,7 @@ object MediaCodec {
     val height = math.abs(le32(p, 22))
     if (width <= 0 || height <= 0 || dataOffset < 26 || dataOffset > p.length)
       return Unknown
-    DecodedHeader("image/bmp", width, height, 1L, dataOffset,
+    DecodedHeader("image/bmp", width, height, 1L, 0, 0, dataOffset,
       (p.length - dataOffset).toLong)
   }
 
@@ -102,6 +105,7 @@ object MediaCodec {
     var off = 12
     var channels = 0
     var bits = 0
+    var rate = 0
     var dataOffset = -1
     var dataLen = 0L
     while (off + 8 <= p.length) {
@@ -111,6 +115,7 @@ object MediaCodec {
       id match {
         case "fmt " if off + 8 + 16 <= p.length =>
           channels = le16(p, off + 10)
+          rate = le32(p, off + 12)
           bits = le16(p, off + 22)
         case "data" =>
           dataOffset = off + 8
@@ -120,10 +125,12 @@ object MediaCodec {
       // RIFF chunks are word-aligned: odd sizes carry a pad byte
       off += 8 + size + (size & 1)
     }
-    if (channels <= 0 || bits <= 0 || dataOffset < 0) return Unknown
+    if (channels <= 0 || bits <= 0 || rate <= 0 || dataOffset < 0)
+      return Unknown
     val blockAlign = channels * (bits / 8)
     if (blockAlign <= 0) return Unknown
-    DecodedHeader("audio/wav", 0, 0, dataLen / blockAlign, dataOffset, dataLen)
+    DecodedHeader("audio/wav", 0, 0, dataLen / blockAlign, channels, rate,
+      dataOffset, dataLen)
   }
 
   /** Binary PPM (P6): ASCII "P6", then width, height, maxval as decimal
@@ -159,7 +166,7 @@ object MediaCodec {
       return Unknown
     off += 1 // the single whitespace separating header from raster
     if (off > p.length) return Unknown
-    DecodedHeader("image/ppm", w.toInt, h.toInt, 1L, off,
+    DecodedHeader("image/ppm", w.toInt, h.toInt, 1L, 0, 0, off,
       (p.length - off).toLong)
   }
 
@@ -194,8 +201,8 @@ object MediaCodec {
             return Unknown
           val inflated = inflatePngIdat(p)
           if (inflated == null) return Unknown
-          return DecodedHeader("image/png", width, height, 1L, firstIdat,
-            inflated.length.toLong)
+          return DecodedHeader("image/png", width, height, 1L, 0, 0,
+            firstIdat, inflated.length.toLong)
         case _ => // ancillary chunks (tEXt, pHYs, ...) skip
       }
       off += 12 + len
@@ -258,7 +265,7 @@ object MediaCodec {
           val height = be16(off + 5)
           val width = be16(off + 7)
           if (width <= 0 || height <= 0) return Unknown
-          return DecodedHeader("image/jpeg", width, height, 1L, 0,
+          return DecodedHeader("image/jpeg", width, height, 1L, 0, 0, 0,
             p.length.toLong)
         }
         off += 2 + len

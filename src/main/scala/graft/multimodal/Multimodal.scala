@@ -27,6 +27,8 @@ final case class MediaMeta(
     width: Int,
     height: Int,
     n_frames: Long,
+    channels: Int,
+    sample_rate: Int,
     data_offset: Int,
     data_len: Long,
     data_hash: String)
@@ -186,7 +188,8 @@ object Multimodal {
           digest.update(m.payload, h.data_offset, h.data_len.toInt)
         val hash = digest.digest().map(b => f"${b & 0xff}%02x").mkString
         MediaMeta(m.doc_id, h.media_type, m.payload.length.toLong,
-          h.width, h.height, h.n_frames, h.data_offset, h.data_len, hash)
+          h.width, h.height, h.n_frames, h.channels, h.sample_rate,
+          h.data_offset, h.data_len, hash)
       }
     }
   }

@@ -81,7 +81,7 @@ object MultimodalQueries extends QueryPack {
         |    1 + n % 2 AS ch
         |  FROM m),
         |o AS (
-        |  SELECT doc_id, n, h, f,
+        |  SELECT doc_id, n, h, f, ch,
         |    CASE f WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
         |      WHEN 2 THEN 'image/ppm' ELSE 'image/png' END AS media_type,
         |    CASE f WHEN 0 THEN wb WHEN 1 THEN 0 WHEN 2 THEN wp
@@ -103,6 +103,9 @@ object MultimodalQueries extends QueryPack {
         |  CAST(coalesce(png_bytes, n + data_offset) AS BIGINT) AS n_bytes,
         |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
         |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(CASE f WHEN 1 THEN ch ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE f WHEN 1 THEN 8000 + (n % 5) * 1000 ELSE 0 END AS INT)
+        |    AS sample_rate,
         |  CAST(data_offset AS INT) AS data_offset,
         |  CAST(n AS BIGINT) AS data_len,
         |  h AS data_hash
