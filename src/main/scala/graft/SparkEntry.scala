@@ -51,7 +51,7 @@ object SparkEntry {
     "n1_multinomial_nb_fit", "n3_nb_predict_lang", "c1_kmeans_assign",
     "dedup_minhash_candidates", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_simhash", "dedup_simhash_blocked", "dedup_pipeline_clusters",
-    "dedup_provenance_clusters",
+    "dedup_provenance_clusters", "dedup_segment_clean",
     "sim_topk_bruteforce", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "multimodal_decode_meta",
     "window_tumbling_events")
