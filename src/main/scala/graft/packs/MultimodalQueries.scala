@@ -51,6 +51,19 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio metadata math over PARSED WAV headers: duration from the
+    // sample-frame count and sample rate the RIFF fmt chunk declares.
+    "multimodal_audio_duration" -> ((s, dir) => {
+      val meta = Multimodal.decodeMedia(
+        Multimodal.encodeCorpus(Tables(s, dir).documents)).toDF()
+      meta.where(col("media_type") === "audio/wav")
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_frames"),
+          (round(col("n_frames") * lit(1000.0) / col("sample_rate"), 3)
+            + lit(0.0)).as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -125,6 +138,21 @@ object MultimodalQueries extends QueryPack {
         |      CAST(((i + 1) * n) // f - (i * n) // f AS INT))) AS frame_hash
         |FROM e
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_audio_duration" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |w AS (
+        |  SELECT doc_id, 1 + n % 2 AS ch, 8000 + (n % 5) * 1000 AS rate,
+        |    n // ((1 + n % 2) * 2) AS frames
+        |  FROM m)
+        |SELECT doc_id, CAST(ch AS INT) AS channels,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  round(frames * 1000.0 / rate, 3) + 0.0 AS duration_ms
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize_fit" ->
       """WITH m AS (
