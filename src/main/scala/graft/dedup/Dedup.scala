@@ -553,9 +553,12 @@ object Dedup {
   def containmentPairs(shingleDf: DataFrame, idCol: String,
                        threshold: Double,
                        maxDf: Int = 1 << 16): DataFrame = {
-    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val kept = shingleDf.join(
-      shingleDf.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    // Same five-reference shape as the ungated [[jaccardPairs]] branch —
+    // checkpoint once so the upstream shingle explode runs once.
+    val sh = shingleDf.localCheckpoint()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val kept = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
         .where(col("_df") <= maxDf)
         .select(col("shingle")),
       Seq("shingle"), "left_semi")
@@ -578,8 +581,14 @@ object Dedup {
                    maxDf: Int = 1 << 16): DataFrame =
     candidates match {
       case Some(c) =>
+        // One array row per doc, localCheckpointed: the relation feeds BOTH
+        // pair sides (id_a and id_b joins), and without the checkpoint each
+        // side re-runs the whole upstream shingle explode — measured 2.0×
+        // on the driver bench (r5→r6 regression). The checkpoint is one
+        // row per doc, far smaller than the shingle relation it replaces.
         val arrs = shingleDf.groupBy(col(idCol))
           .agg(collect_list(col("shingle")).as("_arr"))
+          .localCheckpoint()
         c.join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa")), "id_a")
           .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab")), "id_b")
           .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
@@ -588,7 +597,14 @@ object Dedup {
           .where(col("jaccard") >= threshold)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       case None =>
-        val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        // The ungated plan references the shingle relation five times
+        // (sizes, df-count, semi left side, both pair sides) — without a
+        // checkpoint each reference re-runs the upstream explode, which
+        // the r6 driver bench measured as a 4.1× regression when the
+        // df-count guard added references. One eager materialization,
+        // every downstream reference reads the local blocks.
+        val sh = shingleDf.localCheckpoint()
+        val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
         // Hot-shingle guard: the postings join is quadratic PER POSTING
         // LIST — one boilerplate shingle shared by m docs contributes
         // m(m-1)/2 join rows, and at corpus scale the hottest shingles
@@ -598,8 +614,8 @@ object Dedup {
         // cap never trips at test scale factors, so the DuckDB oracle
         // stays exact — if a larger corpus ever trips it, the oracle
         // going red IS the diagnostic (same contract as maxBucket).
-        val kept = shingleDf.join(
-          shingleDf.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        val kept = sh.join(
+          sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
             .observe(s"jaccard_postings_${obsId.getAndIncrement()}",
               sum(when(col("_df") > maxDf, 1).otherwise(0))
                 .as("shingles_dropped"),
