@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (dev tool, driver-side python).
+
+Compares a fresh `graft.Bench` output against the most recent prior
+round's BENCH_r*.json and fails on per-query regressions, so a plan
+change that slows a headline query ships with a note instead of
+silently (the r5->r6 dedup regressions went unremarked because nothing
+diffed the rounds).
+
+Usage:
+    sbt -batch "runMain graft.Bench" | tee /tmp/bench_out.txt
+    python scripts/bench_diff.py /tmp/bench_out.txt
+
+The current input is any text containing Bench's one JSON line
+({"metric":"total",...}); the baseline is auto-discovered as the
+highest-numbered BENCH_r*.json whose `tail` contains a parseable JSON
+line (the driver's own `parsed` field is always null — the line sits in
+`tail` behind sbt log prefixes).
+
+A regression is flagged when a query shared with the baseline runs
+> THRESHOLD slower AND > ABS_GUARD seconds slower (the absolute guard
+keeps 0.1s->0.2s scheduler noise from failing the build). Waivers:
+lines in BASELINE.md of the form `bench-waiver: <query_name> — reason`
+exempt a named query for one round (remove the line once re-baselined).
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+THRESHOLD = 1.5
+ABS_GUARD = 0.3  # seconds
+
+REPO = Path(__file__).resolve().parent.parent
+JSON_LINE = re.compile(r'\{"metric":"total".*?\}(?=\s|$)')
+
+
+def extract(text):
+    """Last Bench JSON line in arbitrary log text, parsed, or None."""
+    hits = JSON_LINE.findall(text)
+    if not hits:
+        return None
+    return json.loads(hits[-1])
+
+
+def latest_baseline():
+    for p in sorted(REPO.glob("BENCH_r*.json"), reverse=True):
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = d.get("parsed") or extract(d.get("tail", ""))
+        if parsed and parsed.get("queries"):
+            return p.name, parsed
+    return None, None
+
+
+def waivers():
+    base = REPO / "BASELINE.md"
+    if not base.exists():
+        return set()
+    return set(re.findall(r"^bench-waiver:\s*(\S+)", base.read_text(), re.M))
+
+
+def main():
+    if len(sys.argv) != 2:
+        sys.exit(__doc__)
+    cur = extract(Path(sys.argv[1]).read_text())
+    if cur is None:
+        sys.exit("bench_diff: no Bench JSON line found in " + sys.argv[1])
+    name, prev = latest_baseline()
+    if prev is None:
+        print("bench_diff: no prior BENCH_r*.json with a parseable line; "
+              "nothing to compare")
+        return
+    waived = waivers()
+    cq, pq = cur["queries"], prev["queries"]
+    shared = [q for q in cq if q in pq and cq[q] > 0 and pq[q] > 0]
+    regressions, improved = [], []
+    for q in sorted(shared):
+        ratio = cq[q] / pq[q]
+        if ratio > THRESHOLD and cq[q] - pq[q] > ABS_GUARD:
+            regressions.append((q, pq[q], cq[q], ratio))
+        elif ratio < 1 / THRESHOLD:
+            improved.append((q, pq[q], cq[q], ratio))
+    new = sorted(set(cq) - set(pq))
+    gone = sorted(set(pq) - set(cq))
+    tot_prev = sum(pq[q] for q in shared)
+    tot_cur = sum(cq[q] for q in shared)
+
+    print(f"bench_diff vs {name}: {len(shared)} shared queries, "
+          f"total {tot_prev:.2f}s -> {tot_cur:.2f}s")
+    for q, a, b, r in improved:
+        print(f"  improved  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    if new:
+        print(f"  new: {', '.join(new)}")
+    if gone:
+        print(f"  removed: {', '.join(gone)}")
+    hard = [r for r in regressions if r[0] not in waived]
+    for q, a, b, r in regressions:
+        tag = "WAIVED" if q in waived else "REGRESSION"
+        print(f"  {tag} {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    if hard:
+        sys.exit(f"bench_diff: {len(hard)} per-query regression(s) over "
+                 f"{THRESHOLD}x with no BASELINE.md bench-waiver line")
+    print("bench_diff: OK")
+
+
+if __name__ == "__main__":
+    main()
