@@ -109,8 +109,24 @@ object Graft {
     val sig = Dedup.simhash(Dedup.shingles(docs, idCol, textCol), idCol, bits)
     Dedup.simhashPairsBlocked(sig, idCol, maxHamming, bits)
   }
+  /** Embedding near-duplicate pairs, SemDeDup cell-gated (the 100 TB
+    * path): nearest-centroid assignment, exact cosine inside each cell
+    * only. `centersLong` is the centroid set in long form (centerCol,
+    * dim, c) — per-label means or a [[kmeansAssign]]-style fit both
+    * work; cross-cell pairs are forgone by design (the published
+    * SemDeDup recall tradeoff). For exhaustive small-scale verification
+    * use [[cosineNearDuplicatesExact]], whose name says what it costs.
+    */
   def cosineNearDuplicates(emb: DataFrame, idCol: String, arrCol: String,
+                           centersLong: DataFrame, centerCol: String,
                            threshold: Double): DataFrame =
+    Dedup.embeddingNearDupCells(emb, idCol, arrCol, centersLong, centerCol,
+      threshold)
+  /** EXACT all-pairs cosine near-duplicates — quadratic in |emb|;
+    * verification scale only. The scale path is [[cosineNearDuplicates]].
+    */
+  def cosineNearDuplicatesExact(emb: DataFrame, idCol: String, arrCol: String,
+                                threshold: Double): DataFrame =
     Dedup.embeddingNearDup(emb, idCol, arrCol, threshold)
   /** End-to-end corpus dedup: exact-duplicate edges ∪ banded-minhash
     * near-dup edges → connected components → one canonical survivor per
@@ -136,9 +152,13 @@ object Graft {
     * edges to each cluster (exact is certain; cosine is a judgment call —
     * downstream filtering needs to know). `emb` rows join the doc graph
     * by id equality (embIdCol values must share idCol's domain).
+    * Cosine edges are SemDeDup cell-gated by `centersLong`/`centerCol`
+    * (see [[cosineNearDuplicates]]) — no entry point here builds an
+    * all-pairs plan.
     */
   def dedupCorpusProvenance(docs: DataFrame, idCol: String, textCol: String,
                             emb: DataFrame, embIdCol: String, arrCol: String,
+                            centersLong: DataFrame, centerCol: String,
                             cosineThreshold: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.functions._
     val hashed = docs.select(col(idCol), md5(col(textCol)).as("_h"))
@@ -161,7 +181,8 @@ object Graft {
         fused.select(col(idCol), col("simhash")), idCol,
         maxHamming = 3, bits = 60)
       .select(col("id_a"), col("id_b"), lit("simhash").as("src"))
-    val cos = Dedup.embeddingNearDup(emb, embIdCol, arrCol, cosineThreshold)
+    val cos = Dedup.embeddingNearDupCells(emb, embIdCol, arrCol,
+        centersLong, centerCol, cosineThreshold)
       .select(col("id_a"), col("id_b"), lit("cosine").as("src"))
     val clusters = graft.dedup.Components.provenanceClusters(
       exact.unionByName(near).unionByName(sim).unionByName(cos))

