@@ -215,9 +215,20 @@ object Graft {
   def nearDupGate(incoming: DataFrame, index: DataFrame,
                   idCol: String, textCol: String): DataFrame =
     Dedup.nearDupAgainstIndex(incoming, index, idCol, textCol)
-  /** Connected components over any near-dup pair set (id_a, id_b). */
+  /** Connected components over any near-dup pair set (id_a, id_b).
+    * Node set = edge endpoints; for a full-corpus report (isolated docs
+    * as singleton clusters) use [[dedupComponentsAll]].
+    */
   def dedupComponents(edges: DataFrame): DataFrame =
     graft.dedup.Components.dedupClusters(edges, "id_a", "id_b")
+  /** Connected components over the FULL doc universe: docs touching no
+    * edge are singleton clusters (their own survivor) — every input doc
+    * gets a disposition row.
+    */
+  def dedupComponentsAll(edges: DataFrame, docs: DataFrame,
+                         idCol: String): DataFrame =
+    graft.dedup.Components.dedupClustersAll(edges, "id_a", "id_b",
+      docs, idCol)
   /** Deterministic hash-gated sampling (engine-portable, retry-stable). */
   def sampleDeterministic(df: DataFrame, key: Column, pct: Int): DataFrame =
     graft.operators.Sampling.deterministicSample(df, key, pct)

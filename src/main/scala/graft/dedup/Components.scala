@@ -104,12 +104,37 @@ object Components {
     comp
   }
 
+  /** Components over edges PLUS the full node universe: every id in
+    * `nodes` gets a row, and ids touching no edge become their own
+    * singleton component. Closes the caller footgun of
+    * [[connectedComponents]] (whose node set is edge endpoints only —
+    * isolated docs silently vanish from a dedup report built on it).
+    * One left join after the fixpoint loop; the loop itself still runs
+    * on the (typically much smaller) edge-endpoint set.
+    */
+  def connectedComponentsAll(edges: DataFrame, aCol: String, bCol: String,
+                             nodes: DataFrame, nodeCol: String,
+                             maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(edges, aCol, bCol, maxIter)
+    nodes.select(col(nodeCol).cast("long").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Components plus survivor marking: within each cluster the minimum id
     * is the canonical copy (`is_survivor`), everything else is a
     * removable duplicate.
     */
   def dedupClusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(edges, aCol, bCol)
+      .withColumn("is_survivor", (col("id") === col("comp")).cast("int"))
+
+  /** [[dedupClusters]] over the full node universe: isolated nodes are
+    * singleton clusters (their own survivor) rather than absent.
+    */
+  def dedupClustersAll(edges: DataFrame, aCol: String, bCol: String,
+                       nodes: DataFrame, nodeCol: String): DataFrame =
+    connectedComponentsAll(edges, aCol, bCol, nodes, nodeCol)
       .withColumn("is_survivor", (col("id") === col("comp")).cast("int"))
 
   /** Clusters over provenance-tagged edges (id_a, id_b, src): components

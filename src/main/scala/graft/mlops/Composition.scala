@@ -1,11 +1,12 @@
 package graft.mlops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Composition / meta-operators (SURVEY §2.7): the reference's
@@ -34,6 +35,67 @@ object Composition {
 
   def fitPipeline(df: DataFrame, stages: PipelineStage*): PipelineModel =
     pipeline(stages: _*).fit(df)
+
+  /** P4 as a fully deterministic, SQL-mirrorable plan: k-fold
+    * cross-validated univariate ridge regression. Folds are md5-assigned
+    * from `keyCol` (engine-portable, retry-stable — the same hash family
+    * as [[graft.operators.Sampling.assignSplit]]); each grid point's fit
+    * is CLOSED FORM on sufficient statistics (slope = centered covariance
+    * over centered variance + λ, intercept unpenalized), so every number
+    * is reproducible by a SQL oracle — the property the seeded-but-
+    * platform-dependent L-BFGS path of [[gridSearchLogistic]] can't give.
+    *
+    * Shape: ONE pass aggregates per-fold sufficient stats (k rows);
+    * train-side stats for fold i are totals − fold i (no per-fold rescan
+    * — leave-one-fold-out by complement); models are a k×|grid| broadcast
+    * row set; evaluation is one more pass joining each row to its
+    * held-out fold's models. Two linear scans total, independent of grid
+    * size — at 100 TB the grid costs nothing beyond the tiny model join.
+    *
+    * Returns one row per grid point: (grid_idx, lambda, avg_mse), the
+    * cross-validated mean squared error averaged over all held-out rows.
+    */
+  def cvRidgeUnivariate(df: DataFrame, keyCol: Column, xCol: Column,
+                        yCol: Column, lambdas: Seq[Double],
+                        k: Int = 3): DataFrame = {
+    require(k >= 2, s"k=$k folds must be at least 2")
+    require(lambdas.nonEmpty, "empty lambda grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+      pmod(GraftFunctions.md5Long(keyCol.cast("string"), 8), lit(k)).as("fold"),
+      xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+    val foldStats = rows.groupBy(col("fold")).agg(
+      count(lit(1)).cast("double").as("fn"),
+      sum(col("x")).as("fsx"), sum(col("y")).as("fsy"),
+      sum(col("x") * col("x")).as("fsxx"),
+      sum(col("x") * col("y")).as("fsxy"))
+    val totals = rows.agg(
+      count(lit(1)).cast("double").as("tn"),
+      sum(col("x")).as("tsx"), sum(col("y")).as("tsy"),
+      sum(col("x") * col("x")).as("tsxx"),
+      sum(col("x") * col("y")).as("tsxy"))
+    val grid = lambdas.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("grid_idx", "lambda")
+    val models = foldStats.crossJoin(broadcast(totals))
+      .select(col("fold"),
+        (col("tn") - col("fn")).as("n"),
+        (col("tsx") - col("fsx")).as("sx"),
+        (col("tsy") - col("fsy")).as("sy"),
+        (col("tsxx") - col("fsxx")).as("sxx"),
+        (col("tsxy") - col("fsxy")).as("sxy"))
+      .crossJoin(broadcast(grid))
+      .withColumn("b1",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n") + col("lambda")))
+      .withColumn("b0", col("sy") / col("n") - col("b1") * col("sx") / col("n"))
+      .select(col("fold"), col("grid_idx"), col("lambda"),
+        col("b0"), col("b1"))
+    val resid = col("y") - (col("b0") + col("b1") * col("x"))
+    rows.join(broadcast(models), "fold")
+      .groupBy(col("grid_idx"), col("lambda"))
+      .agg(round(avg(resid * resid), 4).as("avg_mse"))
+  }
 
   /** Grid-searched logistic regression over an embedding column. */
   def gridSearchLogistic(df: DataFrame, featuresArr: String, labelCol: String,

@@ -138,6 +138,29 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Same pipeline over the FULL doc universe: isolated docs (no dup
+    // edges at all) appear as singleton clusters instead of vanishing —
+    // the report shape a dedup job actually emits (every input doc has a
+    // disposition).
+    "dedup_clusters_total" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      val exactEdges = hashed.select(col("doc_id").as("id_a"), col("_h"))
+        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val sig = Dedup.minhashSignatures(docShingles(s, dir), "doc_id",
+        numHashes = 8)
+      val near = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+      val wComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      Components.dedupClustersAll(exactEdges.union(near).distinct(),
+          "id_a", "id_b", docs.select(col("doc_id")), "doc_id")
+        .withColumn("cluster_size", count(lit(1)).over(wComp))
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          col("is_survivor"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Components over the UNION of ALL near-dup edge sources — exact ∪
     // banded-minhash ∪ Manku-blocked-simhash ∪ embedding-cosine — with
     // per-cluster provenance (which detectors fired). The full-corpus
@@ -434,6 +457,45 @@ object DedupQueries extends QueryPack {
          |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component,
          |  CAST(CASE WHEN id = min(comp) THEN 1 ELSE 0 END AS INT) AS is_survivor
          |FROM cc GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
+    // Full-universe twin of dedup_pipeline_clusters: LEFT JOIN documents
+    // to the cc fixpoint, isolated docs coalesce to themselves.
+    "dedup_clusters_total" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |ex AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM documents x JOIN documents y
+         |    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+         |edges0 AS (SELECT id_a, id_b FROM ex UNION SELECT id_a, id_b FROM cand),
+         |e AS (SELECT id_a AS a, id_b AS b FROM edges0
+         |      UNION SELECT id_b, id_a FROM edges0),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a),
+         |fix AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         |final AS (
+         |  SELECT d.doc_id AS id, COALESCE(f.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN fix f ON f.id = d.doc_id)
+         |SELECT id AS doc_id, CAST(comp AS BIGINT) AS component,
+         |  CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS INT) AS is_survivor,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+         |FROM final
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_pipeline_clusters" ->

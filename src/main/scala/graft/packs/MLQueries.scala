@@ -295,18 +295,17 @@ object MLQueries extends QueryPack {
     }),
 
     // P4: grid search / cross validation (reference SparkGridSearchCV,
-    // splearn/grid_search.py:~L10) — candidate metrics per grid point
-    // (rows-only: fold splits are seeded but optimizer paths are not
-    // bit-stable across platforms).
+    // splearn/grid_search.py:~L10). Deterministic form: md5-assigned
+    // 3-fold CV over a closed-form ridge grid — every number SQL-
+    // reproducible, so P4 gets a full value-level oracle. (The ml
+    // CrossValidator twin gridSearchLogistic stays spec-covered in
+    // ContractSpec; its L-BFGS fits aren't bit-stable across platforms.)
     "cv_grid_search" -> ((s, dir) => {
-      val regParams = Seq(0.0, 0.5)
-      val cv = Composition.gridSearchLogistic(
-        Tables(s, dir).embeddings, "embedding", "label", regParams)
-      val rows = regParams.zip(cv.avgMetrics).zipWithIndex
-        .map { case ((rp, m), i) => (i, rp, BigDecimal(m).setScale(2,
-          BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      import s.implicits._
-      rows.toDF("grid_idx", "reg_param", "avg_accuracy")
+      Composition.cvRidgeUnivariate(Tables(s, dir).lineitem,
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          col("l_quantity"), col("l_extendedprice") / lit(1000.0),
+          lambdas = Seq(0.0, 100.0, 10000.0), k = 3)
+        .orderBy(col("grid_idx"))
     }),
 
     // Multi-feature linear regression via spark.ml — solver="normal"
@@ -324,6 +323,43 @@ object MLQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors cvRidgeUnivariate exactly: same md5 fold assignment, same
+    // complement-of-fold sufficient statistics, same closed-form ridge
+    // arithmetic (+,-,*,/ only — no pow, no library fit).
+    "cv_grid_search" ->
+      """WITH r AS (
+        |  SELECT (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |             CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 3) AS fold,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+        |  FROM lineitem),
+        |fs AS (
+        |  SELECT fold, CAST(count(*) AS DOUBLE) AS fn, sum(x) AS fsx,
+        |    sum(y) AS fsy, sum(x*x) AS fsxx, sum(x*y) AS fsxy
+        |  FROM r GROUP BY fold),
+        |tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS tn, sum(x) AS tsx, sum(y) AS tsy,
+        |    sum(x*x) AS tsxx, sum(x*y) AS tsxy
+        |  FROM r),
+        |grid AS (SELECT * FROM (VALUES (0, 0.0), (1, 100.0), (2, 10000.0))
+        |  g(grid_idx, lambda)),
+        |tr AS (
+        |  SELECT fold, tn - fn AS n, tsx - fsx AS sx, tsy - fsy AS sy,
+        |    tsxx - fsxx AS sxx, tsxy - fsxy AS sxy
+        |  FROM fs CROSS JOIN tot),
+        |m AS (
+        |  SELECT fold, grid_idx, lambda,
+        |    (sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n + lambda))
+        |      * sx / n AS b0,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n + lambda) AS b1
+        |  FROM tr CROSS JOIN grid)
+        |SELECT m.grid_idx, m.lambda,
+        |  round(avg((r.y - (m.b0 + m.b1 * r.x)) * (r.y - (m.b0 + m.b1 * r.x))), 4)
+        |    AS avg_mse
+        |FROM r JOIN m ON r.fold = m.fold
+        |GROUP BY m.grid_idx, m.lambda
+        |ORDER BY m.grid_idx""".stripMargin,
+
     "n1_multinomial_nb_fit" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),

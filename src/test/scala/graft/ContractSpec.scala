@@ -99,6 +99,21 @@ class ContractSpec extends AnyFunSuite {
     assert(v.toArray.toSeq === Seq(1.0, 2.0, 3.0))
   }
 
+  test("cvRidgeUnivariate: zero error on an exact line at lambda=0, mse grows with lambda") {
+    // y = 2x + 1 exactly: the lambda=0 fold fits recover the line, so
+    // held-out mse is ~0; ridge shrinkage biases the slope, so mse rises
+    // monotonically along the grid.
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble, 2.0 * i + 1.0))
+      .toDF("k", "x", "y")
+    val out = Composition.cvRidgeUnivariate(df, col("k"), col("x"), col("y"),
+        lambdas = Seq(0.0, 1000.0, 100000.0), k = 3)
+      .orderBy("grid_idx")
+      .select("avg_mse").as[Double].collect()
+    assert(out.length === 3)
+    assert(out(0) === 0.0, s"lambda=0 mse=${out(0)}")
+    assert(out(0) < out(1) && out(1) < out(2), out.toSeq.toString)
+  }
+
   test("composition: pipeline + grid search pick a fitted model") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("label") < 3).limit(120)

@@ -272,6 +272,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> ((10L, 1)), 11L -> ((10L, 0))))
   }
 
+  test("connectedComponentsAll gives isolated nodes singleton components") {
+    import graft.dedup.Components
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 7L, 9L).toDF("id")
+    val got = Components.dedupClustersAll(edges, "id_a", "id_b", nodes, "id")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1)), 2L -> ((1L, 0)), 3L -> ((1L, 0)),
+      7L -> ((7L, 1)), 9L -> ((9L, 1))))
+  }
+
   test("IVF recall grows monotonically with nProbe and is exact at full probe") {
     // On these synthetic embeddings the label-mean cells carry little
     // geometric structure (measured ~0.4 recall at 2/10 probes), so the
