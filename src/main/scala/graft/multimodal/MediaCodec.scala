@@ -72,12 +72,27 @@ object MediaCodec {
     else Unknown
   }
 
+  /** Header plus MATERIALIZED content where the content is not
+    * addressable in-payload: for PNG the inflated IDAT stream (inflated
+    * exactly once — computing `data_len` requires the inflate anyway, so
+    * the hot decode path must not pay it twice); for every other format
+    * `null` — the content is the payload slice at
+    * `[data_offset, data_offset + data_len)`, address it in place rather
+    * than copying. ([[Unknown]], null) for corrupt payloads.
+    */
+  def decodeWithContent(p: Array[Byte]): (DecodedHeader, Array[Byte]) =
+    if (p != null && p.length >= 8 && (p(0) & 0xff) == 0x89 &&
+      p(1) == 'P' && p(2) == 'N' && p(3) == 'G') decodePngFull(p)
+    else (decode(p), null)
+
   /** Content region of a decoded payload: the raw byte slice for formats
     * that store content uncompressed; the INFLATED IDAT stream for PNG.
-    * Returns an empty array for [[Unknown]].
+    * Returns an empty array for [[Unknown]]. (For the hot path prefer
+    * [[decodeWithContent]] — this re-inflates PNG payloads.)
     */
   def contentBytes(p: Array[Byte], h: DecodedHeader): Array[Byte] =
-    if (h.media_type == "image/png") inflatePngIdat(p)
+    if (h.media_type == "image/png")
+      inflatePngIdat(p, pngInflateCap(h.width, h.height))
     else if (h == Unknown) Array.emptyByteArray
     else java.util.Arrays.copyOfRange(p, h.data_offset,
       h.data_offset + h.data_len.toInt)
@@ -156,10 +171,15 @@ object MediaCodec {
       if (!skipSpaceAndComments()) return -1L
       var v = 0L
       var any = false
-      while (off < p.length && p(off) >= '0' && p(off) <= '9' && v <= Int.MaxValue) {
-        v = v * 10 + (p(off) - '0'); off += 1; any = true
+      // Consume ALL digits; a value past Int.MaxValue is malformed, not
+      // truncatable — stopping mid-number would both return garbage via
+      // toInt and leave the remaining digits to be misparsed as the next
+      // token.
+      while (off < p.length && p(off) >= '0' && p(off) <= '9') {
+        if (v <= Int.MaxValue) v = v * 10 + (p(off) - '0')
+        off += 1; any = true
       }
-      if (any) v else -1L
+      if (!any || v > Int.MaxValue) -1L else v
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535 || off >= p.length)
@@ -177,9 +197,26 @@ object MediaCodec {
     * first IDAT's data; `data_len` is the INFLATED IDAT stream length
     * (PNG stores content zlib-compressed — see [[contentBytes]]).
     */
-  private def decodePng(p: Array[Byte]): DecodedHeader = {
+  private def decodePng(p: Array[Byte]): DecodedHeader = decodePngFull(p)._1
+
+  /** Upper bound on a legitimate PNG's inflated size from its IHDR
+    * geometry: ≤ 8 bytes/pixel (16-bit RGBA) + 1 filter byte per row,
+    * doubled for Adam7 interlace overhead, plus slack. Anything beyond
+    * this from a w×h header is a zlib bomb, not an image — inflating
+    * unboundedly inside mapPartitions would let one small adversarial
+    * row allocate gigabytes, breaking the "decode is total and safe over
+    * corrupt blobs" contract.
+    */
+  private def pngInflateCap(width: Int, height: Int): Long =
+    2L * (8L * width * height + height) + 1024L
+
+  /** PNG header AND inflated content in one chunk walk — geometry needs
+    * the inflate anyway (data_len is the inflated length), so parsing and
+    * content extraction share it. (Unknown, null) on any malformation.
+    */
+  private def decodePngFull(p: Array[Byte]): (DecodedHeader, Array[Byte]) = {
     def be32(off: Int): Int = ByteBuffer.wrap(p, off, 4).getInt
-    if (p.length < 8 + 25) return Unknown
+    if (p.length < 8 + 25) return (Unknown, null)
     var off = 8
     var width = 0; var height = 0
     var firstIdat = -1
@@ -187,10 +224,10 @@ object MediaCodec {
     val crc = new java.util.zip.CRC32
     while (off + 12 <= p.length) {
       val len = be32(off)
-      if (len < 0 || off + 12 + len.toLong > p.length) return Unknown
+      if (len < 0 || off + 12 + len.toLong > p.length) return (Unknown, null)
       crc.reset()
       crc.update(p, off + 4, 4 + len) // type + data
-      if (crc.getValue.toInt != be32(off + 8 + len)) return Unknown
+      if (crc.getValue.toInt != be32(off + 8 + len)) return (Unknown, null)
       val ctype = new String(p, off + 4, 4, US_ASCII)
       ctype match {
         case "IHDR" if len >= 8 =>
@@ -198,22 +235,24 @@ object MediaCodec {
         case "IDAT" if firstIdat < 0 => firstIdat = off + 8
         case "IEND" =>
           if (!sawIhdr || width <= 0 || height <= 0 || firstIdat < 0)
-            return Unknown
-          val inflated = inflatePngIdat(p)
-          if (inflated == null) return Unknown
-          return DecodedHeader("image/png", width, height, 1L, 0, 0,
-            firstIdat, inflated.length.toLong)
+            return (Unknown, null)
+          val inflated = inflatePngIdat(p, pngInflateCap(width, height))
+          if (inflated == null) return (Unknown, null)
+          return (DecodedHeader("image/png", width, height, 1L, 0, 0,
+            firstIdat, inflated.length.toLong), inflated)
         case _ => // ancillary chunks (tEXt, pHYs, ...) skip
       }
       off += 12 + len
     }
-    Unknown // no IEND — truncated stream
+    (Unknown, null) // no IEND — truncated stream
   }
 
-  /** Concatenate all IDAT chunk data and inflate (zlib). Null on any
-    * decompression error. CRCs are assumed pre-checked by [[decodePng]].
+  /** Concatenate all IDAT chunk data and inflate (zlib), refusing to
+    * produce more than `maxOut` bytes (geometry-derived cap — see
+    * [[pngInflateCap]]). Null on any decompression error, truncation, or
+    * cap overrun. CRCs are assumed pre-checked by [[decodePngFull]].
     */
-  private def inflatePngIdat(p: Array[Byte]): Array[Byte] = {
+  private def inflatePngIdat(p: Array[Byte], maxOut: Long): Array[Byte] = {
     def be32(off: Int): Int = ByteBuffer.wrap(p, off, 4).getInt
     val deflated = new java.io.ByteArrayOutputStream()
     var off = 8
@@ -233,6 +272,7 @@ object MediaCodec {
         val n = inf.inflate(buf)
         if (n == 0 && inf.needsInput()) return null // truncated stream
         out.write(buf, 0, n)
+        if (out.size().toLong > maxOut) return null // zlib bomb
       }
       out.toByteArray
     } catch {
@@ -250,25 +290,33 @@ object MediaCodec {
     def be16(off: Int): Int =
       ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
     var off = 2
-    while (off + 4 <= p.length) {
+    while (off + 2 <= p.length) {
       if ((p(off) & 0xff) != 0xff) return Unknown
-      val marker = p(off + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        off += 2 // standalone markers carry no length
+      // The spec allows any number of 0xFF fill bytes before the marker
+      // byte — genuine encoders emit them as padding. Skip them; the
+      // marker is the first non-0xFF after the run.
+      var mOff = off + 1
+      while (mOff < p.length && (p(mOff) & 0xff) == 0xff) mOff += 1
+      if (mOff >= p.length) return Unknown
+      val marker = p(mOff) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+        marker == 0x01) {
+        off = mOff + 1 // standalone markers carry no length
       } else if (marker == 0xd9) {
         return Unknown // EOI before any SOF
       } else {
-        val len = be16(off + 2)
-        if (len < 2 || off + 2 + len > p.length) return Unknown
+        if (mOff + 3 > p.length) return Unknown
+        val len = be16(mOff + 1)
+        if (len < 2 || mOff + 1 + len > p.length) return Unknown
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
           if (len < 9) return Unknown
-          val height = be16(off + 5)
-          val width = be16(off + 7)
+          val height = be16(mOff + 4)
+          val width = be16(mOff + 6)
           if (width <= 0 || height <= 0) return Unknown
           return DecodedHeader("image/jpeg", width, height, 1L, 0, 0, 0,
             p.length.toLong)
         }
-        off += 2 + len
+        off = mOff + 1 + len
       }
     }
     Unknown

@@ -180,12 +180,12 @@ object Multimodal {
     media.mapPartitions { it =>
       val digest = MessageDigest.getInstance("MD5")
       it.map { m =>
-        val h = MediaCodec.decode(m.payload)
+        // decodeWithContent: PNG payloads inflate ONCE (the header's
+        // data_len and the digested content share the same inflate).
+        val (h, content) = MediaCodec.decodeWithContent(m.payload)
         digest.reset()
-        if (h.media_type == "image/png") // content is compressed in-blob
-          digest.update(MediaCodec.contentBytes(m.payload, h))
-        else
-          digest.update(m.payload, h.data_offset, h.data_len.toInt)
+        if (h.media_type == "image/png") digest.update(content)
+        else digest.update(m.payload, h.data_offset, h.data_len.toInt)
         val hash = digest.digest().map(b => f"${b & 0xff}%02x").mkString
         MediaMeta(m.doc_id, h.media_type, m.payload.length.toLong,
           h.width, h.height, h.n_frames, h.channels, h.sample_rate,
