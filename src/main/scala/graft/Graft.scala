@@ -109,6 +109,49 @@ object Graft {
     val sig = Dedup.simhash(Dedup.shingles(docs, idCol, textCol), idCol, bits)
     Dedup.simhashPairsBlocked(sig, idCol, maxHamming, bits)
   }
+
+  // ---- fused "all detectors" signature surface ----
+  // Each single-detector method above scans the corpus once; running
+  // several detectors that way scans it once PER DETECTOR — the dominant
+  // cost at 100 TB. The fused family computes every signature in one
+  // shingle pass; persist (or localCheckpoint) the result and derive each
+  // detector's view from it without touching the corpus again.
+
+  /** One-scan signature table (idCol, `sig array<long>` minhash family,
+    * `simhash long`) — bit-identical to the separate
+    * [[Dedup.minhashSignatures]]/[[Dedup.simhash]] passes (spec-pinned).
+    * One row per doc: cheap to persist, tiny next to the corpus.
+    */
+  def corpusSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, bits: Int = 60): DataFrame =
+    Dedup.fusedSignatures(Dedup.shingles(docs, idCol, textCol), idCol,
+      numHashes, bits)
+  /** Banded-minhash candidate pairs from a [[corpusSignatures]] frame. */
+  def minhashCandidatesFromSignatures(fused: DataFrame,
+                                      idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    Dedup.minhashBandCandidates(
+      fused.select(col(idCol), posexplode(col("sig")).as(Seq("h", "minhash"))),
+      idCol)
+  }
+  /** Static (band, band_sig) index from a [[corpusSignatures]] frame —
+    * the [[nearDupGate]] corpus side, derived without a fresh corpus scan.
+    */
+  def bandIndexFromSignatures(fused: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    Dedup.bandSignatures(
+        fused.select(col(idCol),
+          posexplode(col("sig")).as(Seq("h", "minhash"))), idCol)
+      .select(col("band"), col("band_sig")).distinct()
+  }
+  /** Manku-blocked simhash pairs from a [[corpusSignatures]] frame. */
+  def simhashPairsFromSignatures(fused: DataFrame, idCol: String,
+                                 maxHamming: Int = 3,
+                                 bits: Int = 60): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.simhashPairsBlocked(fused.select(col(idCol), col("simhash")),
+      idCol, maxHamming, bits)
+  }
   /** Embedding near-duplicate pairs, SemDeDup cell-gated (the 100 TB
     * path): nearest-centroid assignment, exact cosine inside each cell
     * only. `centersLong` is the centroid set in long form (centerCol,

@@ -43,16 +43,23 @@ object SparkEntry {
     */
   val oracleSql: Map[String, String] = packs.flatMap(_.oracles.toSeq).toMap
 
-  /** Headline queries for Bench (heavier, scale-representative subset). */
+  /** Headline queries for Bench (heavier, scale-representative subset).
+    * Policy: the bench measures SCALE PATHS only — every quadratic exact
+    * twin (all-pairs cosine, brute-force top-k, ungated jaccard) stays in
+    * the correctness set but out of the bench, replaced by its gated/
+    * indexed counterpart (cells, IVF, banded candidates).
+    */
   val benchNames: Seq[String] = Seq(
     "q1_agg", "q3_join_topk", "q5_broadcast_join", "flagship_tfidf",
     "window_topk_per_group", "asof_join_events_orders", "sessionize_events",
     "f1_countvec_vocab", "f5_tfidf_transform",
     "n1_multinomial_nb_fit", "n3_nb_predict_lang", "c1_kmeans_assign",
-    "dedup_minhash_candidates", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_minhash_candidates", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_cells",
     "dedup_simhash", "dedup_simhash_blocked", "dedup_pipeline_clusters",
     "dedup_provenance_clusters", "dedup_segment_clean",
-    "sim_topk_bruteforce", "sim_lsh_topk", "sim_quantize_int8",
+    "dedup_clusters_total",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "multimodal_decode_meta",
     "window_tumbling_events")
 }

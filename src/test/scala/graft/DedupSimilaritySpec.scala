@@ -70,6 +70,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("facade fused family matches the single-detector derivations") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fused = graft.Graft.corpusSignatures(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val candF = graft.Graft.minhashCandidatesFromSignatures(fused, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val candDirect = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(
+          Dedup.shingles(corpus, "doc_id", "text"), "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(candF === candDirect)
+    val idxF = graft.Graft.bandIndexFromSignatures(fused, "doc_id")
+      .as[(Int, String)].collect().toSet
+    val idxDirect = graft.Graft.nearDupIndex(corpus, "doc_id", "text")
+      .as[(Int, String)].collect().toSet
+    assert(idxF === idxDirect)
+    val simF = graft.Graft.simhashPairsFromSignatures(fused, "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    val simDirect = graft.Graft.simhashNearDuplicates(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(simF === simDirect)
+  }
+
   test("winnowing: shared >= w+k-1 token run guarantees a shared fingerprint") {
     val shared = "q w e r t y u" // 7 tokens = w + k - 1 with k=4, w=4
     val docsW = Seq(
