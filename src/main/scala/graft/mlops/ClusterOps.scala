@@ -150,6 +150,53 @@ object ClusterOps {
       .agg(round(sum(col("vi") * col("vj")), 4).as("gram"))
   }
 
+  /** C4 (reference `svd_em`, `splearn/decomposition/truncated_svd.py:~L40`
+    * — iterative SVD via EM updates) re-expressed Spark-first as a
+    * deterministic POWER ITERATION on the Gramian: v ← G·v / ‖G·v‖ for a
+    * FIXED number of rounds from the fixed start e₁. Fixed iterations +
+    * fixed start + sign canonicalization (largest-|component| positive,
+    * lowest dim on ties) make every output value an arithmetic function
+    * of the input — reproducible by an unrolled SQL oracle, which the
+    * ARPACK/Breeze path of [[fitSvd]] can never be.
+    *
+    * Shape: the corpus-proportional work is ONE Gramian aggregation
+    * (d²-fan-out join, the standard Σxxᵀ cost); the iteration then runs
+    * on the d-row vector against the checkpointed d²-row Gramian — free
+    * at any corpus size. Returns (dim, v, sigma): the top right singular
+    * vector and σ₁ = sqrt(‖G·v‖).
+    */
+  def powerIterationTop(df: DataFrame, idCol: String, arrCol: String,
+                        iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be positive")
+    val pts = NaiveBayesOps.toLongForm(df, Seq(idCol), arrCol)
+    val a = pts.select(col(idCol), col("dim").as("di"), col("v").as("vi"))
+    val bb = pts.select(col(idCol), col("dim").as("dj"), col("v").as("vj"))
+    val g = a.join(bb, Seq(idCol))
+      .groupBy(col("di"), col("dj"))
+      .agg(sum(col("vi") * col("vj")).as("g"))
+      .localCheckpoint()
+    def mul(vcur: DataFrame): DataFrame = g
+      .join(vcur.select(col("dim").as("dj"), col("v").as("pv")), "dj")
+      .groupBy(col("di")).agg(sum(col("g") * col("pv")).as("w"))
+    var v = g.select(col("di").as("dim")).distinct()
+      .withColumn("v", when(col("dim") === 1, lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iters) {
+      val w = mul(v)
+      val n = w.agg(sqrt(sum(col("w") * col("w"))).as("n"))
+      // d-row frame; checkpoint keeps the plan O(1) across iterations
+      v = w.crossJoin(n)
+        .select(col("di").as("dim"), (col("w") / col("n")).as("v"))
+        .localCheckpoint()
+    }
+    val lam = mul(v).agg(sqrt(sum(col("w") * col("w"))).as("l"))
+    val sgn = v.orderBy(abs(col("v")).desc, col("dim")).limit(1)
+      .select(when(col("v") < 0, -1.0).otherwise(1.0).as("s"))
+    v.crossJoin(sgn).crossJoin(lam)
+      .select(col("dim"),
+        (round(col("v") * col("s"), 6) + lit(0.0)).as("v"),
+        (round(sqrt(col("l")), 4) + lit(0.0)).as("sigma"))
+  }
+
   /** Fitted truncated SVD: right singular vectors V (d×k, column-major)
     * and singular values — the engine's `components_` export (reference
     * `SparkTruncatedSVD.fit` stored exactly this,

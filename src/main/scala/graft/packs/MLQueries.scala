@@ -215,6 +215,16 @@ object MLQueries extends QueryPack {
         .orderBy(col("dim_i"), col("dim_j"))
     }),
 
+    // C4: the reference's svd_em (iterative SVD) as deterministic power
+    // iteration — fixed start e1, fixed 8 rounds, sign-canonicalized —
+    // so the full 64-dim top singular vector gets a VALUE-level oracle
+    // (the unrolled-iteration SQL below), not just invariants.
+    "c4_svd_power" -> ((s, dir) => {
+      ClusterOps.powerIterationTop(Tables(s, dir).embeddings,
+          "vec_id", "embedding", iters = 8)
+        .orderBy(col("dim"))
+    }),
+
     // C5: TruncatedSVD projection via RowMatrix (rows-only: a 64-dim
     // eigendecomposition has no SQL closed form; MLOpsSpec asserts the
     // algebraic invariants — VᵀV=I, σ descending, norm contraction —
@@ -322,7 +332,50 @@ object MLQueries extends QueryPack {
     })
   )
 
+  /** Unrolled power-iteration oracle: the same fixed-round v ← G·v/‖G·v‖
+    * recurrence as ClusterOps.powerIterationTop, one CTE pair per round
+    * (recursive CTEs can't carry the per-round normalization aggregate,
+    * so the fixed iteration count is generated textually).
+    */
+  private def powerIterOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT i.dim AS di, j.dim AS dj, sum(i.v * j.v) AS g
+        |  FROM pts i JOIN pts j ON i.vec_id = j.vec_id
+        |  GROUP BY i.dim, j.dim),
+        |v0 AS (SELECT DISTINCT di AS dim,
+        |  CASE WHEN di = 1 THEN 1.0 ELSE 0.0 END AS v FROM g)""".stripMargin)
+    // Normalization via a window aggregate, NOT a separate norm CTE
+    // cross-joined back: a second reference to w_t makes a naive CTE
+    // inliner expand the iteration chain exponentially (2^iters copies
+    // of the Gramian join). Single-reference chain = linear.
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |w$t AS (SELECT g.di AS dim, sum(g.g * v${t - 1}.v) AS w
+        |  FROM g JOIN v${t - 1} ON g.dj = v${t - 1}.dim GROUP BY g.di),
+        |v$t AS (SELECT dim, w / sqrt(sum(w * w) OVER ()) AS v FROM w$t)""".stripMargin)
+    }
+    sb.append(s""",
+      |wf AS (SELECT g.di AS dim, sum(g.g * v$iters.v) AS w
+      |  FROM g JOIN v$iters ON g.dj = v$iters.dim GROUP BY g.di),
+      |lam AS (SELECT sqrt(sum(w * w)) AS l FROM wf),
+      |sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      |  FROM v$iters ORDER BY abs(v) DESC, dim LIMIT 1)
+      |SELECT v$iters.dim, round(v$iters.v * sgn.s, 6) + 0.0 AS v,
+      |  round(sqrt(lam.l), 4) + 0.0 AS sigma
+      |FROM v$iters CROSS JOIN sgn CROSS JOIN lam
+      |ORDER BY dim""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "c4_svd_power" -> powerIterOracle(8),
+
     // Mirrors cvRidgeUnivariate exactly: same md5 fold assignment, same
     // complement-of-fold sufficient statistics, same closed-form ridge
     // arithmetic (+,-,*,/ only — no pow, no library fit).

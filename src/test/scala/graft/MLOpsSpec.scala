@@ -107,6 +107,32 @@ class MLOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("powerIterationTop agrees with ARPACK fitSvd on the top component") {
+    // Two independent algorithms (fixed-round power iteration vs
+    // RowMatrix.computeSVD) must land on the same dominant singular
+    // vector and value — the strongest cross-check available for C4.
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = ClusterOps.powerIterationTop(emb, "vec_id", "embedding",
+        iters = 40)
+      .orderBy("dim").collect()
+    val v = rows.map(_.getDouble(1))
+    val sigma = rows.head.getDouble(2)
+    val m = ClusterOps.fitSvd(emb, "embedding", k = 2)
+    assert(rows.length === 64)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-5,
+      "unit norm")
+    // The sf0.001 spectrum is nearly flat (random-ish vectors), so power
+    // iteration converges slowly — assert ALIGNMENT with the ARPACK
+    // vector (cosine ≈ 1; both sign-canonicalized) rather than
+    // element-wise equality, and sigma to the tolerance the residual
+    // misalignment implies, not machine epsilon.
+    val cos = v.zip(m.component(0)).map { case (a, b) => a * b }.sum
+    assert(cos > 0.995, s"alignment cos=$cos")
+    assert(math.abs(sigma - m.sigma(0)) / m.sigma(0) < 1e-2,
+      s"sigma $sigma vs ${m.sigma(0)}")
+  }
+
   test("svdProject invariants: norm contraction and decreasing reconstruction error") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
