@@ -32,6 +32,27 @@ class BlockingRelationalSpec extends AnyFunSuite {
     assert(blocks.count() >= 1000 / 16)
   }
 
+  test("D11 lineage surface: repartition, persist/unpersist, localCheckpoint") {
+    import org.apache.spark.storage.StorageLevel
+    val df = (1 to 100).toDF("x")
+    // repartition controls physical parallelism
+    assert(df.repartition(9).rdd.getNumPartitions === 9)
+    // persist marks the plan cacheable; unpersist releases it
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    assert(cached.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached.unpersist(blocking = true)
+    assert(cached.storageLevel === StorageLevel.NONE)
+    // localCheckpoint truncates lineage: the checkpointed plan reads
+    // materialized blocks (LogicalRDD), not the original expressions —
+    // the property the iterative components/dedup paths rely on to keep
+    // plan size O(1) across rounds
+    val ck = df.withColumn("y", col("x") * 2).localCheckpoint()
+    assert(ck.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+    assert(ck.agg(sum("y")).head.getLong(0) === 2L * (1 to 100).sum)
+  }
+
   test("asofJoin picks most recent right row at or before left time") {
     val left = Seq((1, 10L), (1, 25L), (2, 5L)).toDF("k", "t")
     val right = Seq((1, 10L, 100L), (1, 20L, 200L), (2, 7L, 300L))
