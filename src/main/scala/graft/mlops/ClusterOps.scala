@@ -197,6 +197,25 @@ object ClusterOps {
         (round(sqrt(col("l")), 4) + lit(0.0)).as("sigma"))
   }
 
+  /** Projection of every row onto the [[powerIterationTop]] component:
+    * X·v₁ as one broadcast join + per-id aggregation (map-side GEMV —
+    * no corpus shuffle beyond the id grouping). The deterministic twin
+    * of [[svdProject]]'s first coordinate: same linear map, but the
+    * vector comes from the fixed-round iteration, so the whole pipeline
+    * (fit AND transform) is SQL-oracle-able. The vector is used at its
+    * ROUNDED (6-dp) published precision so engine and oracle project
+    * with identical coefficients.
+    */
+  def powerProjectTop(df: DataFrame, idCol: String, arrCol: String,
+                      iters: Int = 8): DataFrame = {
+    val v = powerIterationTop(df, idCol, arrCol, iters)
+      .select(col("dim"), col("v").as("_pv"))
+    val pts = NaiveBayesOps.toLongForm(df, Seq(idCol), arrCol)
+    pts.join(broadcast(v), "dim")
+      .groupBy(col(idCol))
+      .agg(sum(col("v") * col("_pv")).as("pc1"))
+  }
+
   /** Fitted truncated SVD: right singular vectors V (d×k, column-major)
     * and singular values — the engine's `components_` export (reference
     * `SparkTruncatedSVD.fit` stored exactly this,

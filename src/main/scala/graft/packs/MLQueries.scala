@@ -225,15 +225,17 @@ object MLQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
-    // C5: TruncatedSVD projection via RowMatrix (rows-only: a 64-dim
-    // eigendecomposition has no SQL closed form; MLOpsSpec asserts the
-    // algebraic invariants — VᵀV=I, σ descending, norm contraction —
-    // and c6_svd2_project hash-checks the same code path at d=2).
-    // fitSvd sign-canonicalizes V, so the signed projection is stable.
+    // C5: truncated-SVD projection, deterministic form — every row
+    // projected onto the fixed-round power-iteration component, so the
+    // fit AND the transform carry a value-level oracle (was rows-only
+    // when the vector came from ARPACK, whose iterates no SQL engine can
+    // replay; the ARPACK path stays covered by MLOpsSpec invariants and
+    // the closed-form d=2 twin c6_svd2_project).
     "c5_svd_project" -> ((s, dir) => {
-      ClusterOps.svdProject(Tables(s, dir).embeddings, "vec_id", "embedding", k = 5)
+      ClusterOps.powerProjectTop(Tables(s, dir).embeddings,
+          "vec_id", "embedding", iters = 8)
         .select(col("vec_id"),
-          (round(element_at(col("proj"), 1), 4) + lit(0.0)).as("pc1"))
+          (round(col("pc1"), 4) + lit(0.0)).as("pc1"))
         .orderBy(col("vec_id"))
     }),
 
@@ -332,15 +334,17 @@ object MLQueries extends QueryPack {
     })
   )
 
-  /** Unrolled power-iteration oracle: the same fixed-round v ← G·v/‖G·v‖
-    * recurrence as ClusterOps.powerIterationTop, one CTE pair per round
-    * (recursive CTEs can't carry the per-round normalization aggregate,
-    * so the fixed iteration count is generated textually).
+  /** Unrolled power-iteration CTE chain: the same fixed-round
+    * v ← G·v/‖G·v‖ recurrence as ClusterOps.powerIterationTop, one CTE
+    * pair per round (recursive CTEs can't carry the per-round
+    * normalization aggregate, so the fixed iteration count is generated
+    * textually). Shared by the c4 fit oracle and the c5 projection
+    * oracle.
     */
-  private def powerIterOracle(iters: Int): String = {
+  private def powerIterCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH pts AS (
+      """pts AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings),
@@ -360,7 +364,11 @@ object MLQueries extends QueryPack {
         |  FROM g JOIN v${t - 1} ON g.dj = v${t - 1}.dim GROUP BY g.di),
         |v$t AS (SELECT dim, w / sqrt(sum(w * w) OVER ()) AS v FROM w$t)""".stripMargin)
     }
-    sb.append(s""",
+    sb.toString
+  }
+
+  private def powerIterOracle(iters: Int): String =
+    s"""WITH ${powerIterCtes(iters)},
       |wf AS (SELECT g.di AS dim, sum(g.g * v$iters.v) AS w
       |  FROM g JOIN v$iters ON g.dj = v$iters.dim GROUP BY g.di),
       |lam AS (SELECT sqrt(sum(w * w)) AS l FROM wf),
@@ -369,12 +377,25 @@ object MLQueries extends QueryPack {
       |SELECT v$iters.dim, round(v$iters.v * sgn.s, 6) + 0.0 AS v,
       |  round(sqrt(lam.l), 4) + 0.0 AS sigma
       |FROM v$iters CROSS JOIN sgn CROSS JOIN lam
-      |ORDER BY dim""".stripMargin)
-    sb.toString
-  }
+      |ORDER BY dim""".stripMargin
+
+  /** c5 oracle: project every row onto the (sign-canonicalized, 6-dp
+    * rounded — the engine's published precision) power-iteration vector.
+    */
+  private def powerProjectOracle(iters: Int): String =
+    s"""WITH ${powerIterCtes(iters)},
+      |sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      |  FROM v$iters ORDER BY abs(v) DESC, dim LIMIT 1),
+      |vec AS (SELECT dim, round(v$iters.v * sgn.s, 6) + 0.0 AS pv
+      |  FROM v$iters CROSS JOIN sgn)
+      |SELECT p.vec_id, round(sum(p.v * vec.pv), 4) + 0.0 AS pc1
+      |FROM pts p JOIN vec ON p.dim = vec.dim
+      |GROUP BY p.vec_id
+      |ORDER BY p.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "c4_svd_power" -> powerIterOracle(8),
+    "c5_svd_project" -> powerProjectOracle(8),
 
     // Mirrors cvRidgeUnivariate exactly: same md5 fold assignment, same
     // complement-of-fold sufficient statistics, same closed-form ridge
