@@ -363,6 +363,19 @@ object Graft {
   /** Fitted truncated SVD (sign-canonicalized V + singular values). */
   def svdFit(df: DataFrame, arrCol: String, k: Int): ClusterOps.SvdModel =
     ClusterOps.fitSvd(df, arrCol, k)
+  /** Deterministic top singular vector + sigma via fixed-round power
+    * iteration (SQL-reproducible; the ARPACK twin is [[svdFit]]).
+    */
+  def svdPowerTop(df: DataFrame, idCol: String, arrCol: String,
+                  iters: Int = 8): DataFrame =
+    ClusterOps.powerIterationTop(df, idCol, arrCol, iters)
+  /** Deterministic k-fold ridge CV: md5-assigned folds, closed-form
+    * per-fold fits, two linear scans regardless of grid size.
+    */
+  def crossValidateRidge(df: DataFrame, keyCol: Column, xCol: Column,
+                         yCol: Column, lambdas: Seq[Double],
+                         k: Int = 3): DataFrame =
+    Composition.cvRidgeUnivariate(df, keyCol, xCol, yCol, lambdas, k)
 
   // ---- multimodal ----
   /** Parse binary media payloads (BMP/WAV/PPM/PNG/JPEG headers) into
