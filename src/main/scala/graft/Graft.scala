@@ -341,6 +341,13 @@ object Graft {
                                 textCol: String, threshold: Double): DataFrame =
     Dedup.containmentPairs(Dedup.shingles(docs, idCol, textCol), idCol,
       threshold)
+  /** Exact-substring duplication diagnostic (Lee et al. 2022 shape at a
+    * fixed token window): per-doc fraction of positions covered by a
+    * window occurring more than once in the corpus, overlaps merged.
+    */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 8): DataFrame =
+    Dedup.repeatedSpanStats(docs, idCol, textCol, windowTokens)
   /** CCNet-style segment dedup: per-doc duplicated-segment fraction. */
   def segmentDupStats(docs: DataFrame, idCol: String, textCol: String,
                       w: Int = 8): DataFrame =

@@ -548,6 +548,64 @@ object Dedup {
             "x -> x.segment)"), " ").as("cleaned_text"))
   }
 
+  /** Exact-substring duplication diagnostic (the window-L shape of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — their ExactSubstr finds repeated ≥50-token spans via a
+    * suffix array; at a fixed window L the same signal reduces to
+    * L-gram multiplicity): a token position is DUPLICATED if it lies
+    * inside any L-token window whose content occurs more than once in
+    * the corpus (any doc, any position — same-doc repeats are
+    * boilerplate too). Returns per doc: n_tokens, n_dup_tokens (size of
+    * the UNION of duplicated windows — overlaps merged, not
+    * double-counted), dup_frac.
+    *
+    * Shape, linear end to end: in-row L-gram hashing (array lambda —
+    * no join), ONE global count by gram hash (partial-agg combined), a
+    * left-semi join marking duplicated window starts, then a per-doc
+    * gaps-and-islands sweep (two window functions over (doc, start))
+    * merging overlapping windows into covered intervals. No pairwise
+    * computation exists anywhere — the multiplicity count replaces the
+    * suffix-array LCP scan.
+    */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 8): DataFrame = {
+    val L = windowTokens
+    require(L >= 2, s"windowTokens=$L must be at least 2")
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .localCheckpoint() // feeds gram starts AND per-doc token counts
+    val base = toks.select(col(idCol), size(col("_toks")).as("n_tokens"))
+    val grams = toks
+      .where(size(col("_toks")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(_toks) - ${L - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(_toks, i, $L))))"))
+        .as(Seq("_p", "_h")))
+      .select(col(idCol), (col("_p") + 1).as("i"), col("_h"))
+    val dupHashes = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c")).where(col("_c") > 1)
+      .select(col("_h"))
+    val marked = grams.join(dupHashes, Seq("_h"), "left_semi")
+      .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val prevEnd = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = marked
+      .withColumn("_ni",
+        when(prevEnd.isNull || col("i") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("_iid", sum(col("_ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_iid"))
+      .agg((max(col("e")) - min(col("i")) + 1).as("_cov"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_cov")).as("n_dup_tokens"))
+    base.join(islands, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_tokens") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
+  }
+
   /** n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — catches subset
     * duplication (one doc quoted or embedded inside another) that
     * symmetric Jaccard under-scores: a 100-shingle doc inside a

@@ -251,6 +251,16 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-substring duplication diagnostic (Lee et al. 2022 shape at
+    // window L=8): per-doc fraction of token positions covered by an
+    // 8-token window occurring more than once in the corpus; overlapping
+    // windows merge (gaps-and-islands), so coverage never double-counts.
+    "dedup_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpanStats(Tables(s, dir).documents, "doc_id", "text",
+          windowTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding cosine near-duplicates — EXACT all-pairs twin
     // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -723,6 +733,42 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |WHERE t.i * 1.0 / least(sa.n, sb.n) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same L-gram multiplicity + interval-merge formulation; t[i:j] list
+    // slicing is inclusive in DuckDB, mirroring Spark's slice(t, i, L).
+    "dedup_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |    md5(array_to_string(t[i:i + 7], ' ')) AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8) s),
+        |duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+        |ms AS (
+        |  SELECT g.doc_id, g.i, g.i + 7 AS e
+        |  FROM grams g JOIN duph USING (h)),
+        |isl AS (
+        |  SELECT doc_id, i, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM ms),
+        |isl2 AS (
+        |  SELECT doc_id, i, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS iid
+        |  FROM isl),
+        |cov AS (SELECT doc_id, iid, max(e) - min(i) + 1 AS c
+        |        FROM isl2 GROUP BY doc_id, iid),
+        |dup AS (SELECT doc_id, sum(c) AS nd FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup_tokens,
+        |  round(CAST(COALESCE(d.nd, 0) AS DOUBLE) / b.n, 6) + 0.0 AS dup_frac
+        |FROM base b LEFT JOIN dup d USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -297,6 +297,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> ((10L, 1)), 11L -> ((10L, 0))))
   }
 
+  test("repeatedSpanStats: cross-doc spans covered, adjacent windows merge, short docs zero") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),                 // shared run at start
+      (2L, "p q a b c d e f g h r"),                 // same run mid-doc
+      (3L, "a b c d e f g h a b c d e f g h"),       // self-repeat: [1,8]+[9,16] merge
+      (4L, "all these words are entirely unique here okay"), // no dup
+      (5L, "too short")                              // < L tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanStats(docs, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got(0) === ((1L, 11L, 8L, 0.727273)))
+    assert(got(1) === ((2L, 11L, 8L, 0.727273)))
+    assert(got(2) === ((3L, 16L, 16L, 1.0))) // merged into ONE island
+    assert(got(3) === ((4L, 8L, 0L, 0.0)))
+    assert(got(4) === ((5L, 2L, 0L, 0.0)))
+  }
+
   test("connectedComponentsAll gives isolated nodes singleton components") {
     import graft.dedup.Components
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
