@@ -75,6 +75,14 @@ def main():
         return
     waived = waivers()
     cq, pq = cur["queries"], prev["queries"]
+    # A query that FAILS in the current run (Bench reports -1 and lists it
+    # in `failed`) is the worst regression of all — never let it slip out
+    # of the comparison silently.
+    broken = sorted(set(cur.get("failed") or []) |
+                    {q for q, v in cq.items() if v is not None and v < 0})
+    if broken:
+        sys.exit(f"bench_diff: queries FAILED in current run: "
+                 f"{', '.join(broken)}")
     shared = [q for q in cq if q in pq and cq[q] > 0 and pq[q] > 0]
     regressions, improved = [], []
     for q in sorted(shared):

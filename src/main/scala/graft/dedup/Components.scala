@@ -116,8 +116,16 @@ object Components {
                              nodes: DataFrame, nodeCol: String,
                              maxIter: Int = 20): DataFrame = {
     val comp = connectedComponents(edges, aCol, bCol, maxIter)
+    // Output universe = nodes ∪ edge endpoints. Restricting to `nodes`
+    // alone would silently DROP endpoints outside it — and if the
+    // dropped endpoint was a cluster's min id, the cluster would keep a
+    // component label pointing at a vanished node and no member would
+    // carry is_survivor=1 (a downstream keep-survivors filter then
+    // deletes every copy). Edge ids outside the declared universe are a
+    // caller inconsistency; keeping them visible is the diagnosable
+    // behavior, losing them is not.
     nodes.select(col(nodeCol).cast("long").as("id")).distinct()
-      .join(comp, Seq("id"), "left")
+      .join(comp, Seq("id"), "full_outer")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 

@@ -64,9 +64,7 @@ object MediaCodec {
       p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
       decodeWav(p)
     else if (p(0) == 'P' && p(1) == '6') decodePpm(p)
-    else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
-      p(2) == 'N' && p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a &&
-      p(6) == 0x1a && p(7) == 0x0a) decodePng(p)
+    else if (isPngSignature(p)) decodePng(p)
     else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
       (p(2) & 0xff) == 0xff) decodeJpeg(p)
     else Unknown
@@ -81,9 +79,15 @@ object MediaCodec {
     * than copying. ([[Unknown]], null) for corrupt payloads.
     */
   def decodeWithContent(p: Array[Byte]): (DecodedHeader, Array[Byte]) =
-    if (p != null && p.length >= 8 && (p(0) & 0xff) == 0x89 &&
-      p(1) == 'P' && p(2) == 'N' && p(3) == 'G') decodePngFull(p)
+    if (p != null && isPngSignature(p)) decodePngFull(p)
     else (decode(p), null)
+
+  // The FULL 8-byte signature — decode() and decodeWithContent() must
+  // classify identically, so both sniff through this predicate.
+  private def isPngSignature(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a &&
+      p(6) == 0x1a && p(7) == 0x0a
 
   /** Content region of a decoded payload: the raw byte slice for formats
     * that store content uncompressed; the INFLATED IDAT stream for PNG.
@@ -199,16 +203,29 @@ object MediaCodec {
     */
   private def decodePng(p: Array[Byte]): DecodedHeader = decodePngFull(p)._1
 
+  /** Absolute ceiling on any single payload's inflated size, independent
+    * of what the (attacker-controlled) IHDR claims: the geometry-derived
+    * bound alone lets a forged 65535×65535 header authorize ~68 GB.
+    * 256 MB covers any plausible row-sized image while keeping the
+    * worst-case allocation bounded per task.
+    */
+  private val MaxInflatedBytes: Long = 1L << 28
+
   /** Upper bound on a legitimate PNG's inflated size from its IHDR
     * geometry: ≤ 8 bytes/pixel (16-bit RGBA) + 1 filter byte per row,
-    * doubled for Adam7 interlace overhead, plus slack. Anything beyond
-    * this from a w×h header is a zlib bomb, not an image — inflating
+    * doubled for Adam7 interlace overhead, plus slack — then clamped to
+    * [[MaxInflatedBytes]] (the geometry is attacker-controlled; the
+    * clamp also sidesteps Long overflow for w·h near 2^62). Anything
+    * beyond the bound is a zlib bomb, not an image — inflating
     * unboundedly inside mapPartitions would let one small adversarial
     * row allocate gigabytes, breaking the "decode is total and safe over
     * corrupt blobs" contract.
     */
-  private def pngInflateCap(width: Int, height: Int): Long =
-    2L * (8L * width * height + height) + 1024L
+  private def pngInflateCap(width: Int, height: Int): Long = {
+    val px = width.toLong * height.toLong // w,h <= 2^31 so this fits
+    if (px > MaxInflatedBytes) MaxInflatedBytes
+    else math.min(2L * (8L * px + height) + 1024L, MaxInflatedBytes)
+  }
 
   /** PNG header AND inflated content in one chunk walk — geometry needs
     * the inflate anyway (data_len is the inflated length), so parsing and

@@ -16,6 +16,22 @@ object DedupQueries extends QueryPack {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Dedup.shingles(Tables(s, dir).documentsSpread, "doc_id", "text", n = 3)
 
+  // exact-md5 ∪ banded-minhash edge set over the doc corpus — the edge
+  // source shared by dedup_pipeline_clusters and dedup_clusters_total
+  // (one definition, so the twins and their oracles cannot drift apart).
+  private def pipelineEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+    val exactEdges = hashed.select(col("doc_id").as("id_a"), col("_h"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val sig = Dedup.minhashSignatures(docShingles(s, dir), "doc_id",
+      numHashes = 8)
+    val near = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+    exactEdges.union(near).distinct()
+  }
+
   // Deterministic per-label-mean centroids (same construction as
   // sim_ivf_topk) — the cell index for SemDeDup-style embedding dedup.
   private def labelCenters(s: SparkSession, dir: String): DataFrame =
@@ -121,17 +137,8 @@ object DedupQueries extends QueryPack {
     // connected components → survivor + cluster size. What a user runs
     // to dedup a training corpus.
     "dedup_pipeline_clusters" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
-      val exactEdges = hashed.select(col("doc_id").as("id_a"), col("_h"))
-        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val sh = docShingles(s, dir)
-      val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
-      val near = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
       val wComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
-      Components.dedupClusters(exactEdges.union(near).distinct(), "id_a", "id_b")
+      Components.dedupClusters(pipelineEdges(s, dir), "id_a", "id_b")
         .withColumn("cluster_size", count(lit(1)).over(wComp))
         .select(col("id").as("doc_id"), col("comp").as("component"),
           col("is_survivor"), col("cluster_size"))
@@ -143,18 +150,9 @@ object DedupQueries extends QueryPack {
     // the report shape a dedup job actually emits (every input doc has a
     // disposition).
     "dedup_clusters_total" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
-      val exactEdges = hashed.select(col("doc_id").as("id_a"), col("_h"))
-        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val sig = Dedup.minhashSignatures(docShingles(s, dir), "doc_id",
-        numHashes = 8)
-      val near = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
       val wComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
-      Components.dedupClustersAll(exactEdges.union(near).distinct(),
-          "id_a", "id_b", docs.select(col("doc_id")), "doc_id")
+      Components.dedupClustersAll(pipelineEdges(s, dir), "id_a", "id_b",
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id")
         .withColumn("cluster_size", count(lit(1)).over(wComp))
         .select(col("id").as("doc_id"), col("comp").as("component"),
           col("is_survivor"), col("cluster_size"))

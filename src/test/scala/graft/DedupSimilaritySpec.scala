@@ -324,6 +324,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Map(
       1L -> ((1L, 1)), 2L -> ((1L, 0)), 3L -> ((1L, 0)),
       7L -> ((7L, 1)), 9L -> ((9L, 1))))
+    // edge endpoints OUTSIDE the declared universe stay visible (and can
+    // be survivors) — dropping them would leave clusters with no
+    // is_survivor=1 row
+    val gapped = Components.dedupClustersAll(
+        Seq((5L, 9L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        Seq(9L, 11L).toDF("id"), "id")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(gapped === Map(
+      5L -> ((5L, 1)), 9L -> ((5L, 0)), 11L -> ((11L, 1))))
   }
 
   test("IVF recall grows monotonically with nProbe and is exact at full probe") {
