@@ -83,6 +83,52 @@ object StressBench {
       graft.dedup.Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
         .count()
     }
+    // fused minhash(8) + simhash(60) from ONE pass over the same shingle
+    // volume — the all-detectors scan the provenance pipeline runs
+    timed("fused_signatures") {
+      val sh = spark.range(rows / 10).select(
+        (col("id") / 10).cast("long").as("doc_id"),
+        concat(lit("sh"), pmod(hash(col("id")), lit(10000000)).cast("string"))
+          .as("shingle"))
+      Dedup.fusedSignatures(sh, "doc_id", numHashes = 8, bits = 60).count()
+    }
+    // exact-substring coverage over synthetic ~200-token docs where every
+    // 10th doc embeds a shared 40-token boilerplate block (L-gram hash,
+    // global multiplicity, gaps-and-islands merge — linear end to end)
+    timed("repeated_span_stats") {
+      val nDocs = math.max(rows / 2000L, 1000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          expr("transform(sequence(1, 80), " +
+            "i -> concat('w', hash(id, i) % 1000000))"),
+          expr("CASE WHEN id % 10 = 0 THEN transform(sequence(1, 40), " +
+            "i -> concat('b', i)) ELSE transform(sequence(1, 40), " +
+            "i -> concat('w', hash(id, i + 80) % 1000000)) END"),
+          expr("transform(sequence(1, 80), " +
+            "i -> concat('w', hash(id, i + 120) % 1000000))")).as("text"))
+      Dedup.repeatedSpanStats(docs, "doc_id", "text", windowTokens = 8)
+        .count()
+    }
+    // components at graph scale: rows/10 edges forming rows/100 clusters
+    // of 10 (star shape — min-label converges in 2 rounds; the loop's
+    // per-round cost is the point, not diameter)
+    timed("connected_components") {
+      val edges = spark.range(rows / 10).select(
+        col("id").as("id_a"), (col("id") - pmod(col("id"), lit(10))).as("id_b"))
+      graft.dedup.Components.dedupClusters(
+        edges.where(col("id_a") =!= col("id_b")), "id_a", "id_b").count()
+    }
+    // Gramian + fixed-round power iteration over rows/100 64-dim vectors
+    // (in-row d^2 pair explode, no self-join: the only exchange is the
+    // partial-agg merge; n*d^2 multiply-adds stream through codegen)
+    timed("power_iteration_svd") {
+      val emb = spark.range(math.max(rows / 100L, 10000L)).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), " +
+          "i -> cast(hash(id, i) % 1000 as double) / 1000.0)").as("embedding"))
+      graft.mlops.ClusterOps.powerIterationTop(
+        emb, "vec_id", "embedding", iters = 8).count()
+    }
     spark.stop()
   }
 }

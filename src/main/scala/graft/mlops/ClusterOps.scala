@@ -159,22 +159,17 @@ object ClusterOps {
     * of the input — reproducible by an unrolled SQL oracle, which the
     * ARPACK/Breeze path of [[fitSvd]] can never be.
     *
-    * Shape: the corpus-proportional work is ONE Gramian aggregation
-    * (d²-fan-out join, the standard Σxxᵀ cost); the iteration then runs
-    * on the d-row vector against the checkpointed d²-row Gramian — free
-    * at any corpus size. Returns (dim, v, sigma): the top right singular
-    * vector and σ₁ = sqrt(‖G·v‖).
+    * Shape: the corpus-proportional work is ONE Gramian pass
+    * ([[gramianLongForm]] — per-partition triangle accumulation, no
+    * shuffle of the points, ≤partitions×d² bytes merged); the iteration
+    * then runs on the d-row vector against the checkpointed d²-row
+    * Gramian — free at any corpus size. Returns (dim, v, sigma): the
+    * top right singular vector and σ₁ = sqrt(‖G·v‖).
     */
   def powerIterationTop(df: DataFrame, idCol: String, arrCol: String,
                         iters: Int = 8): DataFrame = {
     require(iters >= 1, s"iters=$iters must be positive")
-    val pts = NaiveBayesOps.toLongForm(df, Seq(idCol), arrCol)
-    val a = pts.select(col(idCol), col("dim").as("di"), col("v").as("vi"))
-    val bb = pts.select(col(idCol), col("dim").as("dj"), col("v").as("vj"))
-    val g = a.join(bb, Seq(idCol))
-      .groupBy(col("di"), col("dj"))
-      .agg(sum(col("vi") * col("vj")).as("g"))
-      .localCheckpoint()
+    val g = gramianLongForm(df, arrCol).localCheckpoint()
     def mul(vcur: DataFrame): DataFrame = g
       .join(vcur.select(col("dim").as("dj"), col("v").as("pv")), "dj")
       .groupBy(col("di")).agg(sum(col("g") * col("pv")).as("w"))
@@ -195,6 +190,51 @@ object ClusterOps {
       .select(col("dim"),
         (round(col("v") * col("s"), 6) + lit(0.0)).as("v"),
         (round(sqrt(col("l")), 4) + lit(0.0)).as("sigma"))
+  }
+
+  /** Full d×d Gramian Σxxᵀ in long form (di, dj, g), 1-based dims —
+    * per-partition imperative accumulation into a d·(d+1)/2 upper-
+    * triangle buffer, treeReduce-merged, mirrored on the driver (O(d²)
+    * driver state, same as [[fitSvd]]). This is the one place the
+    * declarative forms lose badly: a join or higher-order-function
+    * formulation was measured 30× slower at 200k×64 (Spark interprets
+    * array lambdas per element; the tight while-loop runs at memory
+    * bandwidth). mllib's `RowMatrix.computeGramianMatrix` uses the same
+    * shape.
+    */
+  private def gramianLongForm(df: DataFrame, arrCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val partials = df.select(col(arrCol).cast("array<double>")).rdd
+      .mapPartitions { it =>
+        var acc: Array[Double] = null
+        var d = 0
+        it.foreach { r =>
+          val a = r.getSeq[Double](0).toArray
+          if (acc == null) { d = a.length; acc = new Array[Double](d * (d + 1) / 2) }
+          require(a.length == d,
+            s"ragged vectors: ${a.length} vs $d — Gramian undefined")
+          var i = 0; var k = 0
+          while (i < d) {
+            val ai = a(i); var j = i
+            while (j < d) { acc(k) += ai * a(j); j += 1; k += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty else Iterator.single((d, acc))
+      }
+    val (d, tri) = partials.treeReduce { case ((d1, a1), (d2, a2)) =>
+      require(d1 == d2, s"ragged vectors across partitions: $d1 vs $d2")
+      var i = 0
+      while (i < a1.length) { a1(i) += a2(i); i += 1 }
+      (d1, a1)
+    }
+    val rows = for {
+      i <- 0 until d; j <- i until d
+      v = tri(i * d - i * (i - 1) / 2 + (j - i))
+      r <- if (i == j) Seq((i + 1, j + 1, v)) else Seq((i + 1, j + 1, v), (j + 1, i + 1, v))
+    } yield r
+    import spark.implicits._
+    rows.toDF("di", "dj", "g")
   }
 
   /** Projection of every row onto the [[powerIterationTop]] component:
