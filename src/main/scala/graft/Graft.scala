@@ -376,6 +376,13 @@ object Graft {
   def svdPowerTop(df: DataFrame, idCol: String, arrCol: String,
                   iters: Int = 8): DataFrame =
     ClusterOps.powerIterationTop(df, idCol, arrCol, iters)
+  /** Deterministic top-k truncated SVD: fixed-round power loops with
+    * Hotelling deflation between components (SQL-reproducible end to
+    * end; the ARPACK twin is [[svdFit]]).
+    */
+  def svdPowerComponents(df: DataFrame, idCol: String, arrCol: String,
+                         k: Int, iters: Int = 8): DataFrame =
+    ClusterOps.powerIterationComponents(df, idCol, arrCol, k, iters)
   /** Deterministic k-fold ridge CV: md5-assigned folds, closed-form
     * per-fold fits, two linear scans regardless of grid size.
     */

@@ -167,29 +167,60 @@ object ClusterOps {
     * top right singular vector and σ₁ = sqrt(‖G·v‖).
     */
   def powerIterationTop(df: DataFrame, idCol: String, arrCol: String,
-                        iters: Int = 8): DataFrame = {
+                        iters: Int = 8): DataFrame =
+    powerIterationComponents(df, idCol, arrCol, k = 1, iters).drop("comp")
+
+  /** Top-k TRUNCATED SVD, fully deterministic: [[powerIterationTop]]'s
+    * fixed-round loop per component, with Hotelling deflation between
+    * components — G ← G − λ·v·vᵀ zeroes the found eigenpair, so the next
+    * loop converges to the next one. Deflation is plain arithmetic on
+    * the d²-row Gramian frame with the UNROUNDED vector, so the whole
+    * k-component fit stays SQL-oracle-able (the c4_svd_power2 oracle
+    * unrolls both loops and the deflation). Returns
+    * (comp 1..k, dim, v, sigma), each component sign-canonicalized.
+    */
+  def powerIterationComponents(df: DataFrame, idCol: String, arrCol: String,
+                               k: Int, iters: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
     require(iters >= 1, s"iters=$iters must be positive")
-    val g = gramianLongForm(df, arrCol).localCheckpoint()
-    def mul(vcur: DataFrame): DataFrame = g
-      .join(vcur.select(col("dim").as("dj"), col("v").as("pv")), "dj")
-      .groupBy(col("di")).agg(sum(col("g") * col("pv")).as("w"))
-    var v = g.select(col("di").as("dim")).distinct()
-      .withColumn("v", when(col("dim") === 1, lit(1.0)).otherwise(lit(0.0)))
-    for (_ <- 1 to iters) {
-      val w = mul(v)
-      val n = w.agg(sqrt(sum(col("w") * col("w"))).as("n"))
-      // d-row frame; checkpoint keeps the plan O(1) across iterations
-      v = w.crossJoin(n)
-        .select(col("di").as("dim"), (col("w") / col("n")).as("v"))
-        .localCheckpoint()
+    var g = gramianLongForm(df, arrCol).localCheckpoint()
+    // One fixed-round loop over the current Gramian: returns the
+    // UNROUNDED unit vector and the 1-row λ = ‖G·v‖ frame.
+    def powerLoop(gc: DataFrame): (DataFrame, DataFrame) = {
+      def mul(vcur: DataFrame): DataFrame = gc
+        .join(vcur.select(col("dim").as("dj"), col("v").as("pv")), "dj")
+        .groupBy(col("di")).agg(sum(col("g") * col("pv")).as("w"))
+      var v = gc.select(col("di").as("dim")).distinct()
+        .withColumn("v", when(col("dim") === 1, lit(1.0)).otherwise(lit(0.0)))
+      for (_ <- 1 to iters) {
+        val w = mul(v)
+        val n = w.agg(sqrt(sum(col("w") * col("w"))).as("n"))
+        // d-row frame; checkpoint keeps the plan O(1) across iterations
+        v = w.crossJoin(n)
+          .select(col("di").as("dim"), (col("w") / col("n")).as("v"))
+          .localCheckpoint()
+      }
+      (v, mul(v).agg(sqrt(sum(col("w") * col("w"))).as("l")))
     }
-    val lam = mul(v).agg(sqrt(sum(col("w") * col("w"))).as("l"))
-    val sgn = v.orderBy(abs(col("v")).desc, col("dim")).limit(1)
-      .select(when(col("v") < 0, -1.0).otherwise(1.0).as("s"))
-    v.crossJoin(sgn).crossJoin(lam)
-      .select(col("dim"),
-        (round(col("v") * col("s"), 6) + lit(0.0)).as("v"),
-        (round(sqrt(col("l")), 4) + lit(0.0)).as("sigma"))
+    val outs = (1 to k).map { c =>
+      val (v, lam) = powerLoop(g)
+      if (c < k) {
+        g = g
+          .join(v.select(col("dim").as("di"), col("v").as("_va")), "di")
+          .join(v.select(col("dim").as("dj"), col("v").as("_vb")), "dj")
+          .crossJoin(lam)
+          .select(col("di"), col("dj"),
+            (col("g") - col("l") * col("_va") * col("_vb")).as("g"))
+          .localCheckpoint()
+      }
+      val sgn = v.orderBy(abs(col("v")).desc, col("dim")).limit(1)
+        .select(when(col("v") < 0, -1.0).otherwise(1.0).as("s"))
+      v.crossJoin(sgn).crossJoin(lam)
+        .select(lit(c).as("comp"), col("dim"),
+          (round(col("v") * col("s"), 6) + lit(0.0)).as("v"),
+          (round(sqrt(col("l")), 4) + lit(0.0)).as("sigma"))
+    }
+    outs.reduce(_ unionByName _)
   }
 
   /** Full d×d Gramian Σxxᵀ in long form (di, dj, g), 1-based dims —

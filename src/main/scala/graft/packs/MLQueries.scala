@@ -230,6 +230,16 @@ object MLQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // C4/C5 at k=2: TRUNCATED svd (plural components) with Hotelling
+    // deflation between the fixed-round loops — the deflation arithmetic
+    // is on the d²-row Gramian frame, so component 2 is exactly as
+    // SQL-reproducible as component 1.
+    "c4_svd_power2" -> ((s, dir) => {
+      ClusterOps.powerIterationComponents(Tables(s, dir).embeddings,
+          "vec_id", "embedding", k = 2, iters = 8)
+        .orderBy(col("comp"), col("dim"))
+    }),
+
     // C5: truncated-SVD projection, deterministic form — every row
     // projected onto the fixed-round power-iteration component, so the
     // fit AND the transform carry a value-level oracle (was rows-only
@@ -398,8 +408,68 @@ object MLQueries extends QueryPack {
       |GROUP BY p.vec_id
       |ORDER BY p.vec_id""".stripMargin
 
+  /** k-component oracle: per component, the same unrolled loop as
+    * [[powerIterCtes]] over the CURRENT Gramian, then Hotelling
+    * deflation (g_c = g_{c-1} − λ·v·vᵀ on the unrounded vector) feeding
+    * the next loop. Multi-referenced CTEs (each Gramian, each final
+    * vector, each λ) are MATERIALIZED — DuckDB's inliner would otherwise
+    * expand the component chains multiplicatively (the second
+    * component's 8 rounds each re-reference g1, whose tree contains the
+    * whole first-component chain).
+    */
+  private def powerComponentsOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |g0 AS MATERIALIZED (
+        |  SELECT i.dim AS di, j.dim AS dj, sum(i.v * j.v) AS g
+        |  FROM pts i JOIN pts j ON i.vec_id = j.vec_id
+        |  GROUP BY i.dim, j.dim)""".stripMargin)
+    for (c <- 1 to k) {
+      val gp = s"g${c - 1}"
+      sb.append(s""",
+        |c${c}v0 AS (SELECT DISTINCT di AS dim,
+        |  CASE WHEN di = 1 THEN 1.0 ELSE 0.0 END AS v FROM $gp)""".stripMargin)
+      for (t <- 1 to iters) {
+        val mat = if (t == iters) " MATERIALIZED" else ""
+        sb.append(s""",
+          |c${c}w$t AS (SELECT g.di AS dim, sum(g.g * c${c}v${t - 1}.v) AS w
+          |  FROM $gp g JOIN c${c}v${t - 1} ON g.dj = c${c}v${t - 1}.dim
+          |  GROUP BY g.di),
+          |c${c}v$t AS$mat (SELECT dim, w / sqrt(sum(w * w) OVER ()) AS v
+          |  FROM c${c}w$t)""".stripMargin)
+      }
+      sb.append(s""",
+        |c${c}wf AS (SELECT g.di AS dim, sum(g.g * c${c}v$iters.v) AS w
+        |  FROM $gp g JOIN c${c}v$iters ON g.dj = c${c}v$iters.dim
+        |  GROUP BY g.di),
+        |c${c}lam AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS l FROM c${c}wf),
+        |c${c}sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+        |  FROM c${c}v$iters ORDER BY abs(v) DESC, dim LIMIT 1)""".stripMargin)
+      if (c < k) sb.append(s""",
+        |g$c AS MATERIALIZED (
+        |  SELECT a.di, a.dj, a.g - c${c}lam.l * va.v * vb.v AS g
+        |  FROM $gp a
+        |  JOIN c${c}v$iters va ON a.di = va.dim
+        |  JOIN c${c}v$iters vb ON a.dj = vb.dim
+        |  CROSS JOIN c${c}lam)""".stripMargin)
+    }
+    sb.append((1 to k).map { c =>
+      s"""
+        |SELECT $c AS comp, c${c}v$iters.dim,
+        |  round(c${c}v$iters.v * c${c}sgn.s, 6) + 0.0 AS v,
+        |  round(sqrt(c${c}lam.l), 4) + 0.0 AS sigma
+        |FROM c${c}v$iters CROSS JOIN c${c}sgn CROSS JOIN c${c}lam""".stripMargin
+    }.mkString("", "\nUNION ALL", "\nORDER BY comp, dim"))
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "c4_svd_power" -> powerIterOracle(8),
+    "c4_svd_power2" -> powerComponentsOracle(2, 8),
     "c5_svd_project" -> powerProjectOracle(8),
 
     // Mirrors cvRidgeUnivariate exactly: same md5 fold assignment, same

@@ -133,6 +133,25 @@ class MLOpsSpec extends AnyFunSuite {
       s"sigma $sigma vs ${m.sigma(0)}")
   }
 
+  test("powerIterationComponents: orthogonal components, descending sigma") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = ClusterOps.powerIterationComponents(
+        emb, "vec_id", "embedding", k = 2, iters = 40)
+      .orderBy("comp", "dim").collect()
+    assert(rows.length === 128)
+    val v1 = rows.take(64).map(_.getDouble(2))
+    val v2 = rows.drop(64).map(_.getDouble(2))
+    val s1 = rows.head.getDouble(3)
+    val s2 = rows(64).getDouble(3)
+    // deflation removes the found eigenpair: the next loop's vector is
+    // orthogonal to it, and singular values come out descending
+    val cross = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(cross) < 1e-2, s"v1.v2=$cross")
+    assert(s1 >= s2, s"sigma order $s1 < $s2")
+    assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-5)
+  }
+
   test("svdProject invariants: norm contraction and decreasing reconstruction error") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
