@@ -136,19 +136,19 @@ object ClusterOps {
       StructField(idCol, LongType), StructField("cid", IntegerType))))
   }
 
-  /** Gramian entries XᵀX[i,j] as a long-form aggregation — the
-    * `treeReduce(Σ XᵀX)` of the reference as one groupBy over
-    * dim-pair-exploded rows (upper triangle only).
+  /** Gramian entries XᵀX[i,j], upper triangle — the reference's
+    * `treeReduce(Σ XᵀX)` faithfully: per-partition triangle
+    * accumulation + treeReduce ([[gramianLongForm]]), not the long-form
+    * self-join this used to be (which shuffled n·d rows by id and was
+    * measured 30× slower at stress scale).
     */
-  def gramian(df: DataFrame, idCol: String, arrCol: String, maxDim: Int): DataFrame = {
-    val longForm = NaiveBayesOps.toLongForm(df, Seq(idCol), arrCol, maxDim)
-    val a = longForm.select(col(idCol), col("dim").as("dim_i"), col("v").as("vi"))
-    val b = longForm.select(col(idCol), col("dim").as("dim_j"), col("v").as("vj"))
-    a.join(b, Seq(idCol))
-      .where(col("dim_i") <= col("dim_j"))
-      .groupBy(col("dim_i"), col("dim_j"))
-      .agg(round(sum(col("vi") * col("vj")), 4).as("gram"))
-  }
+  def gramian(df: DataFrame, idCol: String, arrCol: String, maxDim: Int): DataFrame =
+    gramianLongForm(
+      df.select(expr(
+        s"slice(cast($arrCol as array<double>), 1, $maxDim)").as("_t")), "_t")
+      .where(col("di") <= col("dj"))
+      .select(col("di").as("dim_i"), col("dj").as("dim_j"),
+        round(col("g"), 4).as("gram"))
 
   /** C4 (reference `svd_em`, `splearn/decomposition/truncated_svd.py:~L40`
     * — iterative SVD via EM updates) re-expressed Spark-first as a

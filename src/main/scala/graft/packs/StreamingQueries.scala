@@ -51,6 +51,33 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("lang"), col("term"))
     }),
 
+    // Watermark + tumbling-window aggregation as a REAL stream — the
+    // canonical Structured Streaming shape (windowed state store bounded
+    // by the watermark horizon). Complete output mode: at AvailableNow
+    // drain every window is emitted, so the result equals the batch
+    // GROUP BY oracle exactly (append mode would hold back windows past
+    // the final watermark — correct for production, unverifiable here).
+    "streaming_tumbling_counts" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sink = s"tumbling_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_tumbling_ckpt").toString
+      val q = EventStreams.tumblingCounts(stream, "1 hour", "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("window_start").as("hour_start"), col("event_type"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
     // Ingestion-time near-dup gate, driven as a REAL stream: the static
     // band index is built from the even-id half of the corpus (batch);
     // the odd-id half arrives as a file stream whose IN-ROW signatures
@@ -92,6 +119,15 @@ object StreamingQueries extends QueryPack {
         |      FROM documents) t
         |GROUP BY lang, term
         |ORDER BY lang, term""".stripMargin,
+
+    // The batch twin of the streaming windowed aggregation — same text
+    // as window_tumbling_events' oracle (complete-mode drain == batch).
+    "streaming_tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
 
     // Same md5 minhash family and 2-row banding as the dedup_minhash_*
     // oracles, split across the even (index) / odd (stream) halves.
