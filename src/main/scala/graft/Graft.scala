@@ -348,6 +348,13 @@ object Graft {
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
                         windowTokens: Int = 8): DataFrame =
     Dedup.repeatedSpanStats(docs, idCol, textCol, windowTokens)
+  /** Repeated-span REMOVAL: keep each duplicated span's canonical
+    * occurrence, strip the rest, reassemble docs (fully-duplicated docs
+    * vanish). The transform twin of [[repeatedSpanStats]].
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 8): DataFrame =
+    Dedup.removeRepeatedSpans(docs, idCol, textCol, windowTokens)
   /** CCNet-style segment dedup: per-doc duplicated-segment fraction. */
   def segmentDupStats(docs: DataFrame, idCol: String, textCol: String,
                       w: Int = 8): DataFrame =

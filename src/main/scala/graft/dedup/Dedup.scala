@@ -606,6 +606,65 @@ object Dedup {
         round(col("n_dup_tokens") * lit(1.0) / col("n_tokens"), 6) + lit(0.0))
   }
 
+  /** The REMOVAL transform for [[repeatedSpanStats]] (Lee et al. 2022
+    * remove all-but-one occurrence of each repeated span): every
+    * duplicated L-token window keeps its CANONICAL occurrence — the
+    * global minimum (doc, position), a deterministic total order — and
+    * every position covered only by non-canonical duplicated windows is
+    * stripped; docs reassemble from the surviving tokens in order. A
+    * position covered by both a canonical and a non-canonical window
+    * stays (the canonical copy must remain intact). Docs whose every
+    * token is stripped vanish — a doc that is one big repeated span
+    * falls out entirely, the exact-duplicate special case.
+    *
+    * Shape: the gram/mark pass is [[repeatedSpanStats]]'s (linear); the
+    * canonical flag is one row_number over the gram-hash partition; the
+    * strip itself is IN-ROW — each doc joins its (small) interval lists
+    * once and filters its token array with an interval-membership
+    * lambda, so no token-level join exists. Interval lists stay small
+    * because they only hold DUPLICATED windows (boilerplate), not the
+    * text.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 8): DataFrame = {
+    val L = windowTokens
+    require(L >= 2, s"windowTokens=$L must be at least 2")
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .localCheckpoint() // feeds the gram pass AND the reassembly join
+    val grams = toks
+      .where(size(col("_toks")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(_toks) - ${L - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(_toks, i, $L))))"))
+        .as(Seq("_p", "_h")))
+      .select(col(idCol), (col("_p") + 1).as("i"), col("_h"))
+    val byHash = Window.partitionBy(col("_h"))
+    val marked = grams
+      .withColumn("_c", count(lit(1)).over(byHash))
+      .withColumn("_rn", row_number().over(
+        byHash.orderBy(col(idCol), col("i"))))
+      .where(col("_c") > 1)
+      .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"),
+        (col("_rn") === 1).as("_canon"))
+    val ivs = marked.groupBy(col(idCol)).agg(
+      collect_list(when(!col("_canon"), struct(col("i"), col("e"))))
+        .as("_rem"),
+      collect_list(when(col("_canon"), struct(col("i"), col("e"))))
+        .as("_keep"))
+    toks.join(ivs, Seq(idCol), "left")
+      .withColumn("_kept", expr(
+        "filter(transform(_toks, (t, p0) -> named_struct('t', t, 'p', p0 + 1)), " +
+          "x -> NOT exists(coalesce(_rem, array()), " +
+          "iv -> x.p >= iv.i AND x.p <= iv.e) " +
+          "OR exists(coalesce(_keep, array()), " +
+          "iv -> x.p >= iv.i AND x.p <= iv.e))"))
+      .select(col(idCol), size(col("_kept")).cast("long").as("n_kept"),
+        concat_ws(" ", expr("transform(_kept, x -> x.t)"))
+          .as("cleaned_text"))
+      .where(col("n_kept") > 0)
+  }
+
   /** n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — catches subset
     * duplication (one doc quoted or embedded inside another) that
     * symmetric Jaccard under-scores: a 100-shingle doc inside a

@@ -259,6 +259,18 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The removal transform for repeated spans: canonical (global-min
+    // (doc, pos)) occurrence of each duplicated 8-token window survives,
+    // positions covered only by non-canonical duplicated windows are
+    // stripped, docs reassemble in order (hash-compared).
+    "dedup_repeated_spans_clean" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(Tables(s, dir).documents, "doc_id", "text",
+          windowTokens = 8)
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("cleaned_text")).as("cleaned_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding cosine near-duplicates — EXACT all-pairs twin
     // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -767,6 +779,41 @@ object DedupQueries extends QueryPack {
         |  round(CAST(COALESCE(d.nd, 0) AS DOUBLE) / b.n, 6) + 0.0 AS dup_frac
         |FROM base b LEFT JOIN dup d USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Same mark pass as dedup_repeated_spans + canonical flag; the strip
+    // is token-level EXISTS over the doc's own marked intervals.
+    "dedup_repeated_spans_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, t[p] AS tok
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+        |        FROM toks) s),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |    md5(array_to_string(t[i:i + 7], ' ')) AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8) s),
+        |occ AS (
+        |  SELECT doc_id, i, i + 7 AS e,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS c
+        |  FROM grams),
+        |marked AS MATERIALIZED (
+        |  SELECT doc_id, i, e, (rn = 1) AS canon FROM occ WHERE c > 1),
+        |kept AS (
+        |  SELECT p.doc_id, p.p, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM marked m
+        |          WHERE m.doc_id = p.doc_id AND NOT m.canon
+        |            AND p.p BETWEEN m.i AND m.e)
+        |     OR EXISTS (SELECT 1 FROM marked m
+        |          WHERE m.doc_id = p.doc_id AND m.canon
+        |            AND p.p BETWEEN m.i AND m.e))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+        |FROM kept
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -315,6 +315,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(4) === ((5L, 2L, 0L, 0.0)))
   }
 
+  test("removeRepeatedSpans: canonical copy intact, others stripped, full repeats vanish") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),   // canonical owner of the span
+      (2L, "p q a b c d e f g h r"),   // non-canonical copy -> stripped
+      (3L, "a b c d e f g h x y z"),   // exact duplicate -> vanishes
+      (4L, "nothing here repeats at all in any window present")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        windowTokens = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L)) // doc 3 gone
+    assert(got(0) === ((1L, 11L, "a b c d e f g h x y z")))
+    assert(got(1) === ((2L, 3L, "p q r")))
+    assert(got(2)._2 === 9L)
+  }
+
   test("connectedComponentsAll gives isolated nodes singleton components") {
     import graft.dedup.Components
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
