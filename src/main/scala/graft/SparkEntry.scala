@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash", "dedup_simhash_blocked", "dedup_pipeline_clusters",
     "dedup_provenance_clusters", "dedup_segment_clean",
     "dedup_clusters_total", "dedup_repeated_spans",
+    "dedup_repeated_spans_clean", "streaming_tumbling_counts",
     "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "multimodal_decode_meta",
     "window_tumbling_events")
