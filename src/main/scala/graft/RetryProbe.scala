@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object RetryProbe {
   private val injected = new AtomicBoolean(false)
+  private val injectedDedup = new AtomicBoolean(false)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -63,7 +64,49 @@ object RetryProbe {
 
     val ok = salted == plain && injected.get()
     println(s"""{"probe":"salted_agg_task_retry","injected":${injected.get()},"match":${salted == plain},"pass":$ok}""")
+
+    // Probe 2: the dedup pipeline under task retry. Every keeper rule in
+    // the suite (md5 hashing, min-label components, min-(doc,pos)
+    // canonical occurrences) is content-deterministic, so a retried task
+    // must reproduce identical clusters — this drives that claim, not
+    // just asserts it. The failure is injected into the text column, so
+    // it fires inside the shingle/signature map stage.
+    val failTextOnce = udf { (t: String) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0 &&
+          injectedDedup.compareAndSet(false, true)) {
+        throw new RuntimeException("injected failure (dedup retry probe)")
+      }
+      t
+    }
+    // 2000 docs over 1800 distinct texts: 200 exact-duplicate pairs plus
+    // whatever the banding finds — enough cluster structure to catch a
+    // re-bucketed retry
+    def docsWith(textCol: org.apache.spark.sql.Column) =
+      spark.range(2000).select(col("id").as("doc_id"),
+        textCol.as("text")).repartition(8)
+    val textExpr = expr("concat_ws(' ', transform(sequence(1, 20), " +
+      "i -> concat('t', pmod(hash(pmod(id, 1800), i), 500))))")
+    def clusters(docs: org.apache.spark.sql.DataFrame) = {
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      val exact = hashed.select(col("doc_id").as("id_a"), col("_h"))
+        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val near = graft.dedup.Dedup.minhashBandCandidates(
+        graft.dedup.Dedup.minhashSignatures(
+          graft.dedup.Dedup.shingles(docs, "doc_id", "text"), "doc_id"),
+        "doc_id")
+      graft.dedup.Components.dedupClusters(
+          exact.union(near).distinct(), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+        .toMap
+    }
+    val cleanClusters = clusters(docsWith(textExpr))
+    val chaosClusters = clusters(docsWith(failTextOnce(textExpr)))
+    val ok2 = cleanClusters == chaosClusters && injectedDedup.get()
+    println(s"""{"probe":"dedup_pipeline_task_retry","injected":${injectedDedup.get()},"match":${cleanClusters == chaosClusters},"clusters":${cleanClusters.size},"pass":$ok2}""")
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!ok || !ok2) sys.exit(1)
   }
 }
