@@ -77,12 +77,17 @@ def main():
     cq, pq = cur["queries"], prev["queries"]
     # A query that FAILS in the current run (Bench reports -1 and lists it
     # in `failed`) is the worst regression of all — never let it slip out
-    # of the comparison silently.
+    # of the comparison silently. The bench-waiver escape hatch applies
+    # here too (a known-broken query must still be waivable in writing).
     broken = sorted(set(cur.get("failed") or []) |
                     {q for q, v in cq.items() if v is not None and v < 0})
-    if broken:
-        sys.exit(f"bench_diff: queries FAILED in current run: "
-                 f"{', '.join(broken)}")
+    for q in broken:
+        tag = "WAIVED-FAILED" if q in waived else "FAILED"
+        print(f"  {tag} {q}: query failed in current run")
+    hard_broken = [q for q in broken if q not in waived]
+    if hard_broken:
+        sys.exit(f"bench_diff: queries FAILED in current run with no "
+                 f"BASELINE.md bench-waiver line: {', '.join(hard_broken)}")
     shared = [q for q in cq if q in pq and cq[q] > 0 and pq[q] > 0]
     regressions, improved = [], []
     for q in sorted(shared):

@@ -87,21 +87,13 @@ object RetryProbe {
         textCol.as("text")).repartition(8)
     val textExpr = expr("concat_ws(' ', transform(sequence(1, 20), " +
       "i -> concat('t', pmod(hash(pmod(id, 1800), i), 500))))")
-    def clusters(docs: org.apache.spark.sql.DataFrame) = {
-      val hashed = docs.select(col("doc_id"), md5(col("text")).as("_h"))
-      val exact = hashed.select(col("doc_id").as("id_a"), col("_h"))
-        .join(hashed.select(col("doc_id").as("id_b"), col("_h")), "_h")
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val near = graft.dedup.Dedup.minhashBandCandidates(
-        graft.dedup.Dedup.minhashSignatures(
-          graft.dedup.Dedup.shingles(docs, "doc_id", "text"), "doc_id"),
-        "doc_id")
-      graft.dedup.Components.dedupClusters(
-          exact.union(near).distinct(), "id_a", "id_b")
+    // The CANONICAL facade pipeline, not a re-implementation — if the
+    // corpus-dedup edge construction ever changes shape, the probe tests
+    // the new shape automatically.
+    def clusters(docs: org.apache.spark.sql.DataFrame) =
+      Graft.dedupCorpus(docs, "doc_id", "text")
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
         .toMap
-    }
     val cleanClusters = clusters(docsWith(textExpr))
     val chaosClusters = clusters(docsWith(failTextOnce(textExpr)))
     val ok2 = cleanClusters == chaosClusters && injectedDedup.get()

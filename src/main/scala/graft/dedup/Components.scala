@@ -104,13 +104,14 @@ object Components {
     comp
   }
 
-  /** Components over edges PLUS the full node universe: every id in
-    * `nodes` gets a row, and ids touching no edge become their own
-    * singleton component. Closes the caller footgun of
-    * [[connectedComponents]] (whose node set is edge endpoints only —
-    * isolated docs silently vanish from a dedup report built on it).
-    * One left join after the fixpoint loop; the loop itself still runs
-    * on the (typically much smaller) edge-endpoint set.
+  /** Components over the union of `nodes` and the edge endpoints: every
+    * id in `nodes` gets a row (ids touching no edge become their own
+    * singleton component — closing the caller footgun of
+    * [[connectedComponents]], whose node set is edge endpoints only),
+    * and endpoints OUTSIDE `nodes` stay visible too (see the full-outer
+    * rationale below). One full-outer join after the fixpoint loop; the
+    * loop itself still runs on the (typically much smaller)
+    * edge-endpoint set.
     */
   def connectedComponentsAll(edges: DataFrame, aCol: String, bCol: String,
                              nodes: DataFrame, nodeCol: String,

@@ -140,12 +140,14 @@ object ClusterOps {
     * `treeReduce(Σ XᵀX)` faithfully: per-partition triangle
     * accumulation + treeReduce ([[gramianLongForm]]), not the long-form
     * self-join this used to be (which shuffled n·d rows by id and was
-    * measured 30× slower at stress scale).
+    * measured 30× slower at stress scale). `idCol` is accepted for
+    * surface uniformity with the sibling operators; the sufficient
+    * statistic needs only the vectors.
     */
   def gramian(df: DataFrame, idCol: String, arrCol: String, maxDim: Int): DataFrame =
     gramianLongForm(
-      df.select(expr(
-        s"slice(cast($arrCol as array<double>), 1, $maxDim)").as("_t")), "_t")
+      df.select(slice(col(arrCol).cast("array<double>"), 1, maxDim).as("_t")),
+      "_t")
       .where(col("di") <= col("dj"))
       .select(col("di").as("dim_i"), col("dj").as("dim_j"),
         round(col("g"), 4).as("gram"))
@@ -195,9 +197,15 @@ object ClusterOps {
       for (_ <- 1 to iters) {
         val w = mul(v)
         val n = w.agg(sqrt(sum(col("w") * col("w"))).as("n"))
-        // d-row frame; checkpoint keeps the plan O(1) across iterations
+        // d-row frame; checkpoint keeps the plan O(1) across iterations.
+        // Zero-norm guard: past the corpus rank, deflation leaves G ≈ 0
+        // and w/n would be 0/0 = NaN (or FP-noise nondeterminism); the
+        // component degrades to the zero vector with sigma 0 instead —
+        // deterministic, and the oracle applies the same rule.
         v = w.crossJoin(n)
-          .select(col("di").as("dim"), (col("w") / col("n")).as("v"))
+          .select(col("di").as("dim"),
+            when(col("n") > 0, col("w") / col("n")).otherwise(lit(0.0))
+              .as("v"))
           .localCheckpoint()
       }
       (v, mul(v).agg(sqrt(sum(col("w") * col("w"))).as("l")))
@@ -235,7 +243,12 @@ object ClusterOps {
     */
   private def gramianLongForm(df: DataFrame, arrCol: String): DataFrame = {
     val spark = df.sparkSession
-    val partials = df.select(col(arrCol).cast("array<double>")).rdd
+    import spark.implicits._
+    // null arrays contribute nothing (matching the declarative long-form
+    // path, where posexplode drops them); an empty input yields an empty
+    // Gramian frame rather than a treeReduce crash
+    val partials = df.select(col(arrCol).cast("array<double>"))
+      .where(col(arrCol).isNotNull).rdd
       .mapPartitions { it =>
         var acc: Array[Double] = null
         var d = 0
@@ -253,6 +266,8 @@ object ClusterOps {
         }
         if (acc == null) Iterator.empty else Iterator.single((d, acc))
       }
+    if (partials.isEmpty())
+      return Seq.empty[(Int, Int, Double)].toDF("di", "dj", "g")
     val (d, tri) = partials.treeReduce { case ((d1, a1), (d2, a2)) =>
       require(d1 == d2, s"ragged vectors across partitions: $d1 vs $d2")
       var i = 0
@@ -264,7 +279,6 @@ object ClusterOps {
       v = tri(i * d - i * (i - 1) / 2 + (j - i))
       r <- if (i == j) Seq((i + 1, j + 1, v)) else Seq((i + 1, j + 1, v), (j + 1, i + 1, v))
     } yield r
-    import spark.implicits._
     rows.toDF("di", "dj", "g")
   }
 

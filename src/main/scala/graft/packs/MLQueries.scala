@@ -377,7 +377,10 @@ object MLQueries extends QueryPack {
       sb.append(s""",
         |w$t AS (SELECT g.di AS dim, sum(g.g * v${t - 1}.v) AS w
         |  FROM g JOIN v${t - 1} ON g.dj = v${t - 1}.dim GROUP BY g.di),
-        |v$t AS (SELECT dim, w / sqrt(sum(w * w) OVER ()) AS v FROM w$t)""".stripMargin)
+        |v$t AS (SELECT dim,
+        |  CASE WHEN sqrt(sum(w * w) OVER ()) > 0
+        |    THEN w / sqrt(sum(w * w) OVER ()) ELSE 0.0 END AS v
+        |  FROM w$t)""".stripMargin)
     }
     sb.toString
   }
@@ -435,11 +438,15 @@ object MLQueries extends QueryPack {
         |  CASE WHEN di = 1 THEN 1.0 ELSE 0.0 END AS v FROM $gp)""".stripMargin)
       for (t <- 1 to iters) {
         val mat = if (t == iters) " MATERIALIZED" else ""
+        // zero-norm guard mirrors the engine: past-rank components
+        // degrade to the zero vector, never NaN
         sb.append(s""",
           |c${c}w$t AS (SELECT g.di AS dim, sum(g.g * c${c}v${t - 1}.v) AS w
           |  FROM $gp g JOIN c${c}v${t - 1} ON g.dj = c${c}v${t - 1}.dim
           |  GROUP BY g.di),
-          |c${c}v$t AS$mat (SELECT dim, w / sqrt(sum(w * w) OVER ()) AS v
+          |c${c}v$t AS$mat (SELECT dim,
+          |  CASE WHEN sqrt(sum(w * w) OVER ()) > 0
+          |    THEN w / sqrt(sum(w * w) OVER ()) ELSE 0.0 END AS v
           |  FROM c${c}w$t)""".stripMargin)
       }
       sb.append(s""",
