@@ -31,7 +31,11 @@ object NaiveBayesOps {
     val totals = counts.groupBy(col(classCol)).agg(sum(col("cnt")).as("class_total"))
     val raw = log((col("cnt") + lit(alpha)) /
       (col("class_total") + lit(alpha) * col("_v")))
-    classes.crossJoin(vocab)
+    // classes is O(labels) — broadcast it so the dense (class, term) grid
+    // is a BroadcastNestedLoopJoin streaming over the vocab, not a
+    // CartesianProduct (which shuffles BOTH sides into n*m partition
+    // pairs; the PlanSpec bench-policy test catches this shape)
+    broadcast(classes).crossJoin(vocab)
       .join(counts, Seq(classCol, termCol), "left")
       .na.fill(0L, Seq("cnt"))
       .join(totals, Seq(classCol))

@@ -41,6 +41,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
   }
 
+  test("bench-set policy: NO benched query plans a CartesianProduct") {
+    // Mechanical enforcement of BASELINE.md's "the bench measures scale
+    // paths only" — a quadratic plan re-entering benchNames fails here,
+    // not in next round's verdict. Streaming artifacts are excluded
+    // (building them RUNS the stream; their shapes are pinned by
+    // StreamingSpec) and checked by name so an addition is a conscious
+    // decision.
+    val streaming = Set("l5_streaming_nb_counts", "streaming_near_dup_gate",
+      "streaming_tumbling_counts")
+    SparkEntry.benchNames.filterNot(streaming).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${p.take(600)}")
+    }
+  }
+
   test("round-2 pipelines avoid cartesian shapes; model state broadcasts") {
     // cluster resolution: equi-joins only, never a cross product
     val comp = plan("dedup_pipeline_clusters")
