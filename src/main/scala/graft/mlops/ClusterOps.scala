@@ -27,18 +27,23 @@ object ClusterOps {
     * hash-partition of the (small) long-form frames; centers side is
     * broadcast. Fixed deterministic centers make this oracle-able
     * (SURVEY C1/C2).
+    *
+    * The argmin is `min(struct(dist2, center))` — lexicographic struct
+    * ordering IS "lowest dist2, ties to the lowest center id", the same
+    * verdict a row_number window would produce, but as an aggregate it
+    * gets map-side partial combine (n·k rows shrink before the shuffle)
+    * and skips the Sort + Window exchange chain entirely.
     */
   def assignToCenters(pointsLong: DataFrame, centersLong: DataFrame,
                       idCol: String, centerCol: String): DataFrame = {
-    val dists = pointsLong
+    pointsLong
       .join(broadcast(centersLong), "dim")
       .groupBy(col(idCol), col(centerCol))
       .agg(sum(pow(col("v") - col("c"), 2)).as("dist2"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist2").asc, col(centerCol))
-    dists.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col(idCol), col(centerCol), col("dist2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col(centerCol))).as("_m"))
+      .select(col(idCol), col(s"_m.$centerCol").as(centerCol),
+        col("_m.dist2").as("dist2"))
   }
 
   /** spark.ml k-means‖ over an array column (the reference's

@@ -140,7 +140,17 @@ object Multimodal {
   def encodeCorpus(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // Encode/decode is CPU-bound (CRC32 + zlib + MD5 per row), not
+    // IO-bound: a small parquet scan yields 1-2 partitions and would
+    // serialize the whole codec stage on one core. Rebalance up to the
+    // cluster's parallelism when the scan under-partitions; at real scale
+    // the scan already has >= cores partitions and this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val projected = docs.select(col("doc_id").cast("long"), col("text"))
+    val balanced =
+      if (projected.rdd.getNumPartitions < par) projected.repartition(par)
+      else projected
+    balanced
       .as[(Long, String)]
       .map { case (id, text) =>
         val data = Option(text).getOrElse("")

@@ -34,6 +34,11 @@ object DedupQueries extends QueryPack {
 
   // Deterministic per-label-mean centroids (same construction as
   // sim_ivf_topk) — the cell index for SemDeDup-style embedding dedup.
+  // NOT checkpointed: every consumer references the centers frame exactly
+  // once (the broadcast side of assignToCenters), so an eager
+  // localCheckpoint would add a materialization job per query without
+  // removing any recomputation (measured: provenance_clusters 2.6→3.4s
+  // with a checkpoint here).
   private def labelCenters(s: SparkSession, dir: String): DataFrame =
     NaiveBayesOps.toLongForm(Tables(s, dir).embeddings, Seq("label"), "embedding")
       .groupBy(col("label").as("cell"), col("dim"))
