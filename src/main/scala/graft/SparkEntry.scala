@@ -55,7 +55,7 @@ object SparkEntry {
     "f1_countvec_vocab", "f5_tfidf_transform",
     "n1_multinomial_nb_fit", "n3_nb_predict_lang", "c1_kmeans_assign",
     "dedup_minhash_candidates", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine_cells",
+    "dedup_embedding_cosine_cells", "dedup_embedding_cosine_cells2",
     "dedup_simhash", "dedup_simhash_blocked", "dedup_pipeline_clusters",
     "dedup_provenance_clusters", "dedup_segment_clean",
     "dedup_clusters_total", "dedup_repeated_spans",

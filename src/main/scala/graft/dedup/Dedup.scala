@@ -805,12 +805,27 @@ object Dedup {
   def embeddingNearDupCells(emb: DataFrame, idCol: String, arrCol: String,
                             centersLong: DataFrame, centerCol: String,
                             threshold: Double,
-                            maxCell: Int = 1 << 16): DataFrame = {
+                            maxCell: Int = 1 << 16,
+                            nProbe: Int = 1): DataFrame = {
     graft.plans.GraftExpressions.register(emb.sparkSession)
-    val cells = graft.mlops.ClusterOps.assignToCenters(
-      graft.mlops.NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol),
-      centersLong, idCol, centerCol)
-    val pairs = cells
+    val pointsLong =
+      graft.mlops.NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol)
+    // nProbe > 1 = multi-probe assignment (each point indexed under its
+    // nProbe nearest cells): near-dups straddling a cell boundary — the
+    // published SemDeDup design forgoes them, measured 40/144 pairs
+    // retained at sf0.1 single-probe — are recovered when any probed
+    // cell is shared (101/144 at nProbe=2, 139/144 at nProbe=3, vs
+    // 40/144 single-probe — measured at sf0.1, k=10 label-mean
+    // centroids; ~nProbe x cost, still Σ|cell|²-bounded, never
+    // all-pairs).
+    val cells =
+      if (nProbe == 1)
+        graft.mlops.ClusterOps.assignToCenters(
+          pointsLong, centersLong, idCol, centerCol)
+      else
+        graft.mlops.ClusterOps.assignToCentersTopN(
+          pointsLong, centersLong, idCol, centerCol, nProbe)
+    val rawPairs = cells
       .groupBy(col(centerCol))
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .observe(s"embedding_cells_${obsId.getAndIncrement()}",
@@ -824,6 +839,10 @@ object Dedup {
           "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
           "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
       .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+    // A pair sharing more than one probed cell is generated once per
+    // shared cell — dedupe the 16-byte id pairs BEFORE the vector join
+    // and the cosine so each candidate is scored exactly once.
+    val pairs = if (nProbe == 1) rawPairs else rawPairs.distinct()
     pairs
       .join(emb.select(col(idCol).as("id_a"), col(arrCol).as("_va")), "id_a")
       .join(emb.select(col(idCol).as("id_b"), col(arrCol).as("_vb")), "id_b")

@@ -46,6 +46,30 @@ object ClusterOps {
         col("_m.dist2").as("dist2"))
   }
 
+  /** Multi-probe assignment: each point's `n` nearest centers (by the
+    * same (dist2, center-id) ordering as [[assignToCenters]]). The
+    * per-point candidate set is collected as an in-row array — bounded by
+    * k, the number of centers, never by data size — sorted, and sliced,
+    * so the whole top-n is one aggregation with map-side combine; no
+    * window, no second shuffle. Output: one row per (point, probed cell),
+    * `probe_rank` 1-based.
+    */
+  def assignToCentersTopN(pointsLong: DataFrame, centersLong: DataFrame,
+                          idCol: String, centerCol: String,
+                          n: Int): DataFrame = {
+    require(n >= 1, s"nProbe=$n must be >= 1")
+    pointsLong
+      .join(broadcast(centersLong), "dim")
+      .groupBy(col(idCol), col(centerCol))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("dist2"))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(struct(col("dist2"), col(centerCol)))),
+        1, n).as("_top"))
+      .select(col(idCol), posexplode(col("_top")).as(Seq("_i", "_m")))
+      .select(col(idCol), col(s"_m.$centerCol").as(centerCol),
+        col("_m.dist2").as("dist2"), (col("_i") + 1).as("probe_rank"))
+  }
+
   /** spark.ml k-means‖ over an array column (the reference's
     * `init='k-means||'` path, now fully in-JVM).
     */

@@ -293,6 +293,17 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Multi-probe twin (nProbe=2): each embedding indexed under its TWO
+    // nearest cells, recovering near-dup pairs that straddle a cell
+    // boundary (the single-probe SemDeDup recall gap). Cost stays
+    // Σ|cell|²-bounded — candidate pairs double, never quadratic.
+    "dedup_embedding_cosine_cells2" -> ((s, dir) => {
+      Dedup.embeddingNearDupCells(Tables(s, dir).embeddings, "vec_id",
+        "embedding", labelCenters(s, dir), "cell", threshold = 0.45,
+        nProbe = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Winnowing (MOSS) fingerprints -> shared-passage candidates: local
     // similarity the whole-doc minhash can't see.
     "dedup_winnow_candidates" -> ((s, dir) => {
@@ -852,6 +863,36 @@ object DedupQueries extends QueryPack {
         |FROM assign xa JOIN assign xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id
         |JOIN embeddings a ON a.vec_id = xa.vec_id
         |JOIN embeddings b ON b.vec_id = xb.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_cosine_cells2" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT xa.vec_id AS id_a, xb.vec_id AS id_b
+        |  FROM assign xa JOIN assign xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id)
+        |SELECT p.id_a, p.id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+        |    AS cos
+        |FROM cand p
+        |JOIN embeddings a ON a.vec_id = p.id_a
+        |JOIN embeddings b ON b.vec_id = p.id_b
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
