@@ -32,31 +32,44 @@ object Bench {
     // (name, seconds, succeeded). A failed query reports -1 in the JSON and
     // is EXCLUDED from the total so a fast failure can't flatter the
     // headline number the driver consumes.
+    // Release persisted/localCheckpoint blocks a query execution left
+    // behind: each execution materializes fresh ones, and across 31
+    // queries x 4 executions the stale blocks accumulate into
+    // storage-memory pressure that inflates every LATER query's number
+    // (measured: full-suite total 2.3x the per-query isolated sum before
+    // this hygiene). BLOCKING, and between every execution — async
+    // unpersist lets block-removal work overlap the NEXT timed region
+    // (the r8 driver artifact showed checkpoint-heavy queries inflating
+    // their successors). Invariant this relies on: no DataFrame is
+    // memoized across queries-fn invocations — every query rebuilds its
+    // frames per call, so unpersisting everything between executions can
+    // never invalidate state a later execution still needs.
+    def releaseAllBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // One untimed warmup execution per query: JIT compilation, codegen
         // cache fill, and GC pressure from earlier queries otherwise leak
         // into the first timed run and inflate tail-of-run medians
         // (r6->r7 showed uniform ~2.5x drift on six unrelated cheap
-        // queries that vanished under local re-runs).
+        // queries that vanished under local re-runs). NonFatal only: an
+        // OOM here must crash the run, not leave a silently degraded JVM
+        // producing uncomparable numbers.
         try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        releaseAllBlocks()
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count()
+          val t = try { fn(spark, sfDir).count()
             Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None }
+          releaseAllBlocks() // outside the timed region, before the next run
+          t
         }
-        // Release persisted/localCheckpoint blocks the query's plan
-        // construction left behind: each execution materializes fresh
-        // ones, and across 31 queries x 4 executions the stale blocks
-        // accumulate into storage-memory pressure that inflates every
-        // LATER query's number (measured: full-suite total 2.3x the
-        // per-query isolated sum before this hygiene).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
         if (times.size < runs) (name, -1.0, false)
         else (name, times.sorted.apply(runs / 2), true)
       }

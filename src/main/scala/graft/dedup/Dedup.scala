@@ -521,25 +521,31 @@ object Dedup {
     * deterministic total order, so retries and engines agree on the
     * keeper) and each doc's surviving segments reassemble in original
     * order. Docs whose every segment was seen earlier vanish — exact
-    * duplicates fall out as a special case. One keyed window over
-    * segments + one per-doc reassembly aggregation; the same linear
-    * shape as [[segmentDupStats]].
+    * duplicates fall out as a special case.
+    *
+    * Keeper selection is an AGGREGATION, not a window: struct comparison
+    * is lexicographic by field order, so `min(struct(doc, si))` per
+    * segment IS the canonical first occurrence — with map-side partial
+    * combine, no Exchange+Sort, and no skew cliff on hot boilerplate
+    * segments (the hottest keys are exactly where a sort-window pays
+    * most; the same rewrite took `ClusterOps.assignToCenters` from
+    * 1.96s to 0.74s). The aggregation output (one (doc, si, segment) row
+    * per distinct segment) is already the kept set — no join back.
     */
   def removeDuplicateSegments(docs: DataFrame, idCol: String,
                               textCol: String, w: Int = 8): DataFrame = {
     require(w >= 1, s"w=$w must be positive")
-    import org.apache.spark.sql.expressions.Window
     val segs = docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .where(size(col("_toks")) >= 1)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(1, size(_toks), $w), " +
           s"i -> concat_ws(' ', slice(_toks, i, $w)))")).as(Seq("si", "segment")))
-    val keeper = Window.partitionBy(col("segment"))
-      .orderBy(col(idCol), col("si"))
     segs
-      .withColumn("_rn", row_number().over(keeper))
-      .where(col("_rn") === 1)
+      .groupBy(col("segment"))
+      .agg(min(struct(col(idCol), col("si"))).as("_k"))
+      .select(col(s"_k.$idCol").as(idCol), col("_k.si").as("si"),
+        col("segment"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept"),
@@ -571,9 +577,16 @@ object Dedup {
                         windowTokens: Int = 8): DataFrame = {
     val L = windowTokens
     require(L >= 2, s"windowTokens=$L must be at least 2")
+    // The tokenized corpus feeds gram starts AND per-doc token counts.
+    // DISK_ONLY persist, NOT localCheckpoint: this relation is
+    // corpus-sized, and localCheckpoint blocks are unrecoverable after
+    // executor loss — at 100 TB one lost executor would fail the job,
+    // and the corpus would sit duplicated in storage memory. persist
+    // keeps the lineage (lost blocks recompute from the scan) while
+    // still materializing the split exactly once for both consumers.
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .localCheckpoint() // feeds gram starts AND per-doc token counts
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val base = toks.select(col(idCol), size(col("_toks")).as("n_tokens"))
     val grams = toks
       .where(size(col("_toks")) >= L)
@@ -629,9 +642,12 @@ object Dedup {
                           windowTokens: Int = 8): DataFrame = {
     val L = windowTokens
     require(L >= 2, s"windowTokens=$L must be at least 2")
+    // Corpus-sized relation: DISK_ONLY persist, not localCheckpoint —
+    // lineage retained so executor loss recomputes instead of failing
+    // the job (see repeatedSpanStats).
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .localCheckpoint() // feeds the gram pass AND the reassembly join
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val grams = toks
       .where(size(col("_toks")) >= L)
       .select(col(idCol), posexplode(expr(
@@ -639,14 +655,21 @@ object Dedup {
           s"i -> md5(concat_ws(' ', slice(_toks, i, $L))))"))
         .as(Seq("_p", "_h")))
       .select(col(idCol), (col("_p") + 1).as("i"), col("_h"))
-    val byHash = Window.partitionBy(col("_h"))
-    val marked = grams
-      .withColumn("_c", count(lit(1)).over(byHash))
-      .withColumn("_rn", row_number().over(
-        byHash.orderBy(col(idCol), col("i"))))
+    // Multiplicity + canonical occurrence per gram hash as ONE
+    // aggregation (map-side combined; min(struct) is the lexicographic
+    // (doc, pos) minimum), then an inner join back — duplicated hashes
+    // only, so the join's build side holds boilerplate grams, not the
+    // corpus. The former count+row_number window planned Exchange+Sort
+    // over every gram with the hottest (boilerplate) keys sorting
+    // largest — exactly the skew cliff at scale.
+    val dupStats = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol), col("i"))).as("_k"))
       .where(col("_c") > 1)
+    val marked = grams.join(dupStats, "_h")
       .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"),
-        (col("_rn") === 1).as("_canon"))
+        (col(s"_k.$idCol") === col(idCol) && col("_k.i") === col("i"))
+          .as("_canon"))
     val ivs = marked.groupBy(col(idCol)).agg(
       collect_list(when(!col("_canon"), struct(col("i"), col("e"))))
         .as("_rem"),
@@ -677,8 +700,9 @@ object Dedup {
                        threshold: Double,
                        maxDf: Int = 1 << 16): DataFrame = {
     // Same five-reference shape as the ungated [[jaccardPairs]] branch —
-    // checkpoint once so the upstream shingle explode runs once.
-    val sh = shingleDf.localCheckpoint()
+    // materialize once so the upstream shingle explode runs once.
+    // DISK_ONLY persist (corpus-sized; lineage kept for recovery).
+    val sh = shingleDf.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val kept = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
@@ -722,11 +746,13 @@ object Dedup {
       case None =>
         // The ungated plan references the shingle relation five times
         // (sizes, df-count, semi left side, both pair sides) — without a
-        // checkpoint each reference re-runs the upstream explode, which
-        // the r6 driver bench measured as a 4.1× regression when the
-        // df-count guard added references. One eager materialization,
-        // every downstream reference reads the local blocks.
-        val sh = shingleDf.localCheckpoint()
+        // materialization each reference re-runs the upstream explode,
+        // which the r6 driver bench measured as a 4.1× regression when
+        // the df-count guard added references. DISK_ONLY persist
+        // (corpus-sized; lineage kept for executor-loss recovery), every
+        // downstream reference reads the cached blocks.
+        val sh = shingleDf.persist(
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
         // Hot-shingle guard: the postings join is quadratic PER POSTING
         // LIST — one boilerplate shingle shared by m docs contributes
@@ -825,15 +851,22 @@ object Dedup {
       else
         graft.mlops.ClusterOps.assignToCentersTopN(
           pointsLong, centersLong, idCol, centerCol, nProbe)
+    // Effective cap scales with nProbe: multi-probe grows every cell's
+    // id list ~nProbe-fold, so a fixed cutoff would trip nProbe× earlier
+    // than single-probe on the same data — and a tripped cell silently
+    // diverges from the DuckDB oracle (which has no cap). Scaling keeps
+    // the per-probe drop semantics identical across nProbe settings; the
+    // observe metric stays the trip diagnostic either way.
+    val effCap = maxCell.toLong * nProbe
     val rawPairs = cells
       .groupBy(col(centerCol))
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .observe(s"embedding_cells_${obsId.getAndIncrement()}",
-        sum(when(size(col("_ids")) > maxCell, 1).otherwise(0))
+        sum(when(size(col("_ids")) > effCap, 1).otherwise(0))
           .as("cells_dropped"),
-        sum(when(size(col("_ids")) > maxCell, size(col("_ids")))
+        sum(when(size(col("_ids")) > effCap, size(col("_ids")))
           .otherwise(0)).as("ids_in_dropped_cells"))
-      .where(size(col("_ids")).between(2, maxCell))
+      .where(size(col("_ids")).between(2, effCap))
       .select(explode(expr(
         "flatten(transform(_ids, (a, i) -> " +
           "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
