@@ -32,19 +32,38 @@ THRESHOLD = 1.5
 ABS_GUARD = 0.3  # seconds
 
 REPO = Path(__file__).resolve().parent.parent
-JSON_LINE = re.compile(r'\{"metric":"total".*?\}(?=\s|$)')
 
 
 def extract(text):
-    """Last Bench JSON line in arbitrary log text, parsed, or None."""
-    hits = JSON_LINE.findall(text)
-    if not hits:
-        return None
-    return json.loads(hits[-1])
+    """Last Bench JSON line in arbitrary log text, parsed, or None.
+
+    Line-based: find lines carrying the metric marker, strip any log
+    prefix before the first '{', and json.loads the remainder — a
+    regex that stops at the first '}' would truncate the nested
+    "queries" object.
+    """
+    parsed = None
+    for line in text.splitlines():
+        if '"metric":"total"' not in line:
+            continue
+        start = line.find("{")
+        if start < 0:
+            continue
+        try:
+            parsed = json.loads(line[start:line.rfind("}") + 1])
+        except json.JSONDecodeError:
+            continue
+    return parsed
+
+
+def round_num(p):
+    """Numeric round index from a BENCH_rN.json path (r2 < r10 < r100)."""
+    m = re.search(r"BENCH_r0*(\d+)\.json$", p.name)
+    return int(m.group(1)) if m else -1
 
 
 def latest_baseline():
-    for p in sorted(REPO.glob("BENCH_r*.json"), reverse=True):
+    for p in sorted(REPO.glob("BENCH_r*.json"), key=round_num, reverse=True):
         try:
             d = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):

@@ -118,6 +118,28 @@ object StressBench {
       graft.dedup.Components.dedupClusters(
         edges.where(col("id_a") =!= col("id_b")), "id_a", "id_b").count()
     }
+    // components at FULL edge scale with a diameter stressor: rows star
+    // edges (clusters of 10 — the realistic dedup shape) PLUS rows/8
+    // chain edges in 1024-node chains. The chains are the point: a
+    // diameter-1024 component converges only because of path halving
+    // (O(log d) rounds ≈ 11, vs 1024 rounds for plain label
+    // propagation) — this stage records the actual round count and
+    // wall time backing that claim at ~20M edges.
+    timed("connected_components_chain_mix") {
+      val stars = spark.range(rows).select(
+        col("id").as("id_a"), (col("id") - pmod(col("id"), lit(10))).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+      val base = 1000000000L
+      val chains = spark.range(rows / 8).select(
+        (lit(base) + col("id")).as("id_a"),
+        (lit(base) + col("id") + 1).as("id_b"))
+        .where(pmod(col("id"), lit(1024)) =!= 1023)
+      var rounds = -1
+      val n = graft.dedup.Components.dedupClusters(
+        stars.union(chains), "id_a", "id_b", onRounds = rounds = _).count()
+      println(s"""{"stage":"connected_components_chain_mix_rounds","rounds":$rounds}""")
+      n
+    }
     // Gramian + fixed-round power iteration over rows/100 64-dim vectors
     // (in-row d^2 pair explode, no self-join: the only exchange is the
     // partial-agg merge; n*d^2 multiply-adds stream through codegen)

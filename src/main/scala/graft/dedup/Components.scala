@@ -41,7 +41,8 @@ object Components {
     * genuine bug.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          onRounds: Int => Unit = _ => ()): DataFrame = {
     val adj = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
@@ -101,6 +102,7 @@ object Components {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: no fixpoint after $maxIter rounds — " +
         "labels would be wrong (clusters split); raise maxIter")
+    onRounds(i) // diagnostic: rounds INCLUDING the zero-change confirm
     comp
   }
 
@@ -134,8 +136,9 @@ object Components {
     * is the canonical copy (`is_survivor`), everything else is a
     * removable duplicate.
     */
-  def dedupClusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(edges, aCol, bCol)
+  def dedupClusters(edges: DataFrame, aCol: String, bCol: String,
+                    onRounds: Int => Unit = _ => ()): DataFrame =
+    connectedComponents(edges, aCol, bCol, onRounds = onRounds)
       .withColumn("is_survivor", (col("id") === col("comp")).cast("int"))
 
   /** [[dedupClusters]] over the full node universe: isolated nodes are

@@ -85,9 +85,17 @@ object Composition {
         (col("tsxx") - col("fsxx")).as("sxx"),
         (col("tsxy") - col("fsxy")).as("sxy"))
       .crossJoin(broadcast(grid))
+      // Degenerate guard: with λ=0 and a constant-x training complement
+      // the ridge denominator is exactly 0 and the quotient is ±Inf/NaN
+      // — where engines diverge (DuckDB yields NULL-ish propagation).
+      // Fall back to the intercept-only model (slope 0, predict the
+      // mean); the oracle mirrors the same CASE.
+      .withColumn("_den",
+        col("sxx") - col("sx") * col("sx") / col("n") + col("lambda"))
       .withColumn("b1",
-        (col("sxy") - col("sx") * col("sy") / col("n")) /
-          (col("sxx") - col("sx") * col("sx") / col("n") + col("lambda")))
+        when(col("_den") =!= 0.0,
+          (col("sxy") - col("sx") * col("sy") / col("n")) / col("_den"))
+          .otherwise(lit(0.0)))
       .withColumn("b0", col("sy") / col("n") - col("b1") * col("sx") / col("n"))
       .select(col("fold"), col("grid_idx"), col("lambda"),
         col("b0"), col("b1"))

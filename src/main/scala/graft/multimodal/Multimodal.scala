@@ -33,6 +33,22 @@ final case class MediaMeta(
     data_len: Long,
     data_hash: String)
 
+/** Nearest-neighbor-downsampled image: target geometry + the sampled
+  * raster summarized as exact integers (byte count, byte-value sum) and a
+  * content digest — permutation-proof numbers an SQL oracle recomputes
+  * from the source bytes.
+  */
+final case class DownsampledImage(
+    doc_id: Long,
+    media_type: String,
+    width: Int,
+    height: Int,
+    out_w: Int,
+    out_h: Int,
+    n_px_bytes: Long,
+    px_sum: Long,
+    raster_hash: String)
+
 /** Multimodal-column plumbing (north-star extension).
   *
   * The decode stage runs REAL header parsers ([[MediaCodec]]: BMP, RIFF
@@ -143,12 +159,17 @@ object Multimodal {
     // Encode/decode is CPU-bound (CRC32 + zlib + MD5 per row), not
     // IO-bound: a small parquet scan yields 1-2 partitions and would
     // serialize the whole codec stage on one core. Rebalance up to the
-    // cluster's parallelism when the scan under-partitions; at real scale
-    // the scan already has >= cores partitions and this is a no-op.
+    // cluster's parallelism when the scan under-partitions. The signal is
+    // the SCAN's file count (`inputFiles` — a listing, no plan build or
+    // execution; the former `.rdd.getNumPartitions` probe constructed a
+    // whole separate physical plan per call, and under AQE its
+    // pre-execution answer need not match the executed plan). Non-file
+    // inputs report 0 files and rebalance too — correct for the small
+    // in-memory frames that shape takes.
     val par = spark.sparkContext.defaultParallelism
     val projected = docs.select(col("doc_id").cast("long"), col("text"))
     val balanced =
-      if (projected.rdd.getNumPartitions < par) projected.repartition(par)
+      if (docs.inputFiles.length < par) projected.repartition(par)
       else projected
     balanced
       .as[(Long, String)]
@@ -176,6 +197,83 @@ object Multimodal {
             MediaRecord(id, MediaCodec.encodePng(w, h, data), "image/png")
         }
       }
+  }
+
+  /** PIXEL-LEVEL nearest-neighbor downsample over parsed image rasters —
+    * the stage that processes media content, not just headers. For each
+    * image payload: parse the container ([[MediaCodec.decodeWithContent]]
+    * — BMP/PPM slice in place, PNG inflates its IDAT stream once), map
+    * the decoded geometry through the aspect-preserving `box` fit (same
+    * arithmetic as [[resizeFit]]), then sample the source raster at
+    * nearest-neighbor positions: output pixel (ox, oy) reads the 3 bytes
+    * at ((⌊oy·h/oh⌋·w + ⌊ox·w/ow⌋)·3) into the content region. Bytes past
+    * `data_len` (a final partial row) are skipped, so the sampled raster
+    * is exact on truncated content. Non-image rows (audio, unknown) drop.
+    *
+    * Raster model: rows tightly packed at 3 bytes/pixel, top-down —
+    * exactly what [[encodeCorpus]]'s containers carry. Genuine BMPs pad
+    * rows to 4-byte boundaries bottom-up and real PNG scanlines carry a
+    * leading filter byte; those transforms belong in the codec layer and
+    * are out of scope here for the same reason JPEG entropy decode is
+    * (no media libs in this environment — the sampling arithmetic, the
+    * Spark shape, and the byte addressing are the real thing).
+    *
+    * 100 TB shape: map-side only — decode, sample, and digest run inside
+    * one partition iterator; the output carries ≤ 3·box² bytes per row
+    * summarized to integers + md5, never the source payload. No shuffle,
+    * no skew surface; cost is linear in rows with a hard per-row bound.
+    */
+  def downsampleImages(media: Dataset[MediaRecord], box: Int): Dataset[DownsampledImage] = {
+    require(box >= 1, s"box=$box must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
+        if (!h.media_type.startsWith("image/")) Iterator.empty
+        else {
+          // Address content in place: PNG's region is the inflated
+          // buffer from offset 0; BMP/PPM's is the payload slice at
+          // data_offset — no copy.
+          val buf = if (pngContent != null) pngContent else m.payload
+          val base = if (pngContent != null) 0 else h.data_offset
+          val contentLen = h.data_len.toInt
+          val w = h.width
+          val ht = h.height
+          val longSide = math.max(w, ht)
+          val ow = math.max(1, w * box / longSide)
+          val oh = math.max(1, ht * box / longSide)
+          val out = new Array[Byte](ow * oh * 3)
+          var outLen = 0
+          var sum = 0L
+          var oy = 0
+          while (oy < oh) {
+            val sy = (oy.toLong * ht / oh).toInt
+            var ox = 0
+            while (ox < ow) {
+              val sx = (ox.toLong * w / ow).toInt
+              val off = (sy.toLong * w + sx) * 3
+              var k = 0
+              while (k < 3 && off + k < contentLen) {
+                val b = buf(base + (off + k).toInt)
+                out(outLen) = b
+                sum += (b & 0xff)
+                outLen += 1
+                k += 1
+              }
+              ox += 1
+            }
+            oy += 1
+          }
+          digest.reset()
+          digest.update(out, 0, outLen)
+          val hash = digest.digest().map(b => f"${b & 0xff}%02x").mkString
+          Iterator.single(DownsampledImage(m.doc_id, h.media_type, w, ht,
+            ow, oh, outLen.toLong, sum, hash))
+        }
+      }
+    }
   }
 
   /** Partition-wise decode: parse each payload's actual header bytes

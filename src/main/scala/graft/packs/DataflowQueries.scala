@@ -1,10 +1,13 @@
 package graft.packs
 
 import graft.QueryPack
-import graft.core.Tables
+import graft.core.{Tables, Validation}
 import graft.operators.{Blocking, Relational}
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import scala.util.Try
 
 /** Core dataflow parity (SURVEY §2.1, D1–D12): the reference's
   * `BlockRDD`/`ArrayRDD`/`DictRDD` surface (`splearn/rdd.py`) re-expressed
@@ -29,6 +32,52 @@ object DataflowQueries extends QueryPack {
         .groupBy(col("block_id"))
         .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("block_id"))
+    }),
+
+    // D2: unblock/tolist — the block→unblock ROUND-TRIP, value-level:
+    // rows grouped into array-of-struct blocks (reference ArrayRDD
+    // materialization) then exploded back must reproduce every row with
+    // its block id. The oracle recomputes the expected assignment
+    // directly, so collect_list/explode inverse semantics (no loss, no
+    // duplication, struct field order) are hash-pinned, not just
+    // spec-asserted.
+    "d2_unblock_roundtrip" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val withIds = Blocking
+        .withBlockId(d, bsize = 64, orderCols = Seq(col("doc_id")))
+        .select(col("block_id"), col("doc_id"), col("lang"), col("n_chars"))
+      Blocking.unblock(
+        Blocking.blockRows(withIds, Seq("doc_id", "lang", "n_chars")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D12: check_rdd — operator-boundary validation verdicts as DATA.
+    // Each row is one requireColumns/requireColumn gate run against the
+    // real table schemas: the three accepts prove valid frames pass, the
+    // two rejects prove the gate actually fires (a Validation that
+    // rubber-stamped everything would flip them to false and break the
+    // hash).
+    "d12_check_rdd" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val checks = Seq(
+        ("customer_has_key_cols",
+          Try(Validation.requireColumns(t.customer,
+            "c_custkey", "c_name", "c_nationkey")).isSuccess),
+        ("customer_key_is_long",
+          Try(Validation.requireColumn(t.customer, "c_custkey", LongType))
+            .isSuccess),
+        ("documents_text_is_string",
+          Try(Validation.requireColumn(t.documents, "text", StringType))
+            .isSuccess),
+        ("missing_column_rejected",
+          Try(Validation.requireColumns(t.customer, "no_such_column"))
+            .isFailure),
+        ("wrong_dtype_rejected",
+          Try(Validation.requireColumn(t.documents, "doc_id", StringType))
+            .isFailure))
+      import s.implicits._
+      checks.toDF("check_name", "ok").orderBy(col("check_name"))
     }),
 
     // D3: count / __len__ across tables.
@@ -141,6 +190,21 @@ object DataflowQueries extends QueryPack {
         |SELECT CAST(floor((rn - 1) / 1000.0) AS BIGINT) AS block_id,
         |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM t GROUP BY 1 ORDER BY block_id""".stripMargin,
+
+    "d2_unblock_roundtrip" ->
+      """SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 64.0)
+        |    AS BIGINT) AS block_id,
+        |  doc_id, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d12_check_rdd" ->
+      """SELECT check_name, ok FROM (VALUES
+        |  ('customer_has_key_cols', true),
+        |  ('customer_key_is_long', true),
+        |  ('documents_text_is_string', true),
+        |  ('missing_column_rejected', true),
+        |  ('wrong_dtype_rejected', true)) v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
 
     "d3_count_rows" ->
       """SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,

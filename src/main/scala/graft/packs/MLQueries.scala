@@ -503,12 +503,17 @@ object MLQueries extends QueryPack {
         |  SELECT fold, tn - fn AS n, tsx - fsx AS sx, tsy - fsy AS sy,
         |    tsxx - fsxx AS sxx, tsxy - fsxy AS sxy
         |  FROM fs CROSS JOIN tot),
+        |m0 AS (
+        |  SELECT fold, grid_idx, lambda,
+        |    CASE WHEN sxx - sx * sx / n + lambda <> 0
+        |      THEN (sxy - sx * sy / n) / (sxx - sx * sx / n + lambda)
+        |      ELSE 0.0 END AS b1,
+        |    n, sx, sy
+        |  FROM tr CROSS JOIN grid),
         |m AS (
         |  SELECT fold, grid_idx, lambda,
-        |    (sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n + lambda))
-        |      * sx / n AS b0,
-        |    (sxy - sx * sy / n) / (sxx - sx * sx / n + lambda) AS b1
-        |  FROM tr CROSS JOIN grid)
+        |    (sy / n) - b1 * sx / n AS b0, b1
+        |  FROM m0)
         |SELECT m.grid_idx, m.lambda,
         |  round(avg((r.y - (m.b0 + m.b1 * r.x)) * (r.y - (m.b0 + m.b1 * r.x))), 4)
         |    AS avg_mse

@@ -64,6 +64,18 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PIXEL-LEVEL downsample: parse each image container, nearest-
+    // neighbor-sample its raster into a 24-box target, summarize the
+    // sampled bytes exactly (count / value-sum / md5). The oracle
+    // recomputes every sampled byte from the source text (ascii corpus:
+    // content region == text bytes), so the sampling arithmetic — not
+    // just the geometry — is hash-pinned.
+    "multimodal_downsample" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      Multimodal.downsampleImages(media, box = 24).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -174,6 +186,58 @@ object MultimodalQueries extends QueryPack {
         |  CAST(greatest(1, (width * 224) // greatest(width, height)) AS INT) AS out_w,
         |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_h
         |FROM meta
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-pixel mirror of downsampleImages: same geometry CTEs as the
+    // resize oracle, then one row per output pixel — source offset
+    // ((⌊oy·h/oh⌋·w + ⌊ox·w/ow⌋)·3), 3-byte slice truncated at the
+    // content end, byte-value sum via ascii() (ascii corpus: char ==
+    // byte). raster_hash md5s the slices concatenated in (oy, ox) scan
+    // order — the exact raster the Spark-side sampler digests.
+    "multimodal_downsample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, doc_id % 4 AS f
+        |  FROM documents WHERE doc_id % 4 <> 1),
+        |g AS (
+        |  SELECT doc_id, text, n, f,
+        |    CASE f WHEN 0 THEN 16 + n % 97 WHEN 2 THEN 8 + n % 61
+        |      ELSE 12 + n % 71 END AS w
+        |  FROM m),
+        |meta AS (
+        |  SELECT doc_id, text, n,
+        |    CASE f WHEN 0 THEN 'image/bmp' WHEN 2 THEN 'image/ppm'
+        |      ELSE 'image/png' END AS media_type,
+        |    w, greatest(1, (n + 3*w - 1) // (3*w)) AS h
+        |  FROM g),
+        |geo AS (
+        |  SELECT *, greatest(1, (w * 24) // greatest(w, h)) AS ow,
+        |    greatest(1, (h * 24) // greatest(w, h)) AS oh
+        |  FROM meta),
+        |ys AS (SELECT *, unnest(range(0, oh)) AS oy FROM geo),
+        |xs AS (SELECT *, unnest(range(0, ow)) AS ox FROM ys),
+        |px AS (
+        |  SELECT doc_id, media_type, w, h, ow, oh, oy, ox, n, text,
+        |    ((oy * h) // oh * w + (ox * w) // ow) * 3 AS off
+        |  FROM xs),
+        |sl AS (
+        |  SELECT doc_id, media_type, w, h, ow, oh, oy, ox,
+        |    CASE WHEN off < n THEN substr(text, CAST(off + 1 AS INT),
+        |      CAST(least(3, n - off) AS INT)) ELSE '' END AS b,
+        |    CASE WHEN off < n
+        |      THEN ascii(substr(text, CAST(off + 1 AS INT), 1)) ELSE 0 END
+        |    + CASE WHEN off + 1 < n
+        |      THEN ascii(substr(text, CAST(off + 2 AS INT), 1)) ELSE 0 END
+        |    + CASE WHEN off + 2 < n
+        |      THEN ascii(substr(text, CAST(off + 3 AS INT), 1)) ELSE 0 END AS s
+        |  FROM px)
+        |SELECT doc_id, media_type,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(sum(length(b)) AS BIGINT) AS n_px_bytes,
+        |  CAST(sum(s) AS BIGINT) AS px_sum,
+        |  md5(string_agg(b, '' ORDER BY oy, ox)) AS raster_hash
+        |FROM sl
+        |GROUP BY doc_id, media_type, w, h, ow, oh
         |ORDER BY doc_id""".stripMargin,
 
     "multimodal_chunks" ->

@@ -45,18 +45,31 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // spark.ml BucketedRandomProjectionLSH approx similarity join
-    // (seeded; rows-only — random hyperplanes aren't SQL-mirrorable).
-    "sim_ml_lsh_join" -> ((s, dir) => {
+    // LSH QUALITY, value-level (graduates the former rows-only
+    // sim_ml_lsh_join): recall@5 of the deterministic sign-LSH bucket
+    // candidates against brute-force cosine ground truth — every number
+    // SQL-reproducible, so the index's recall (not just its bucket
+    // histogram) is hash-pinned. The RNG-bound spark.ml
+    // BucketedRandomProjectionLSH keeps its coverage as a ScalaTest twin
+    // (DedupSimilaritySpec): seeded random hyperplanes aren't
+    // SQL-mirrorable.
+    "sim_lsh_recall" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val (transformed, model) =
-        Similarity.fitMlLsh(emb, "vec_id", "embedding")
-      model.approxSimilarityJoin(transformed, transformed, 1.0, "dist")
-        .where(col("datasetA.vec_id") < col("datasetB.vec_id"))
-        .select(col("datasetA.vec_id").as("id_a"),
-          col("datasetB.vec_id").as("id_b"),
-          round(col("dist"), 4).as("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+      val truth = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+      val buckets = Similarity.signBuckets(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("bucket"))
+      truth
+        .join(buckets.select(col("vec_id").as("query_id"),
+          col("bucket").as("_bq")), "query_id")
+        .join(buckets.select(col("vec_id").as("neighbor_id"),
+          col("bucket").as("_bn")), "neighbor_id")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_truth"),
+          sum(when(col("_bq") === col("_bn"), 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall_at_5",
+          round(col("n_hit") / col("n_truth"), 4) + lit(0.0))
     }),
 
     // ANN top-3 within the query's bucket — the linear-cost search path.
@@ -140,6 +153,32 @@ object SimilarityQueries extends QueryPack {
         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
         |FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Ground truth re-derived exactly as sim_topk_bruteforce's oracle
+    // (full-precision cosine, ties by neighbor id), buckets exactly as
+    // sim_lsh_buckets' — the recall joins the two hash-green surfaces.
+    "sim_lsh_recall" ->
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |  FROM p),
+         |t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+         |b AS (SELECT vec_id, CAST(${bucketSql("embedding", 8)} AS BIGINT) AS bucket
+         |      FROM embeddings)
+         |SELECT CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN bq.bucket = bn.bucket THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  round(sum(CASE WHEN bq.bucket = bn.bucket THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 4) + 0.0 AS recall_at_5
+         |FROM t
+         |JOIN b bq ON t.query_id = bq.vec_id
+         |JOIN b bn ON t.neighbor_id = bn.vec_id""".stripMargin,
 
     "sim_lsh_buckets" ->
       s"""SELECT CAST(${bucketSql("embedding", 8)} AS BIGINT) AS bucket,

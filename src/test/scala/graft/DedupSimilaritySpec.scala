@@ -400,4 +400,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].collect()
     assert(top.toSeq === Seq(1L)) // only the same-bucket vector is reachable
   }
+
+  // Test twin of the graduated sim_lsh_recall driver query: the seeded
+  // spark.ml BucketedRandomProjectionLSH stays covered here (random
+  // hyperplanes aren't SQL-mirrorable, so no DuckDB oracle is possible).
+  test("ml BRP-LSH approxSimilarityJoin: distances exact, near pair found, seed-stable") {
+    val raw = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // Plant an exact duplicate of vec 0: distance 0 is inside any
+    // threshold and identical vectors share every hash bucket, so the
+    // approximate join MUST surface this pair — a recall assertion that
+    // doesn't depend on the corpus's incidental geometry.
+    val emb = raw.union(raw.where(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"), col("embedding")))
+    val (transformed, model) =
+      Similarity.fitMlLsh(emb, "vec_id", "embedding")
+    val joined = model.approxSimilarityJoin(transformed, transformed, 1.0, "dist")
+      .where(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(col("datasetA.vec_id").as("id_a"),
+        col("datasetB.vec_id").as("id_b"), col("dist"))
+      .cache()
+    val rows = joined.collect()
+    assert(rows.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100000L),
+      "planted duplicate pair (0, 100000) must be found")
+    // every reported distance is the TRUE euclidean distance (the join
+    // only approximates the candidate set, never the metric) and within
+    // the threshold
+    val exact = joined
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("_b")), "id_b")
+      .withColumn("_true", sqrt(expr(
+        "aggregate(zip_with(_a, _b, (x, y) -> pow(x - y, 2)), 0D, (acc, e) -> acc + e)")))
+      .select(col("dist"), col("_true")).collect()
+    exact.foreach { r =>
+      assert(r.getDouble(0) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+    }
+    // same seed => same candidate pairs (retry/replan determinism)
+    val (transformed2, model2) =
+      Similarity.fitMlLsh(emb, "vec_id", "embedding")
+    val again = model2.approxSimilarityJoin(transformed2, transformed2, 1.0, "dist")
+      .where(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(col("datasetA.vec_id").as("id_a"),
+        col("datasetB.vec_id").as("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    joined.unpersist()
+  }
 }
