@@ -62,5 +62,5 @@ object SparkEntry {
     "dedup_repeated_spans_clean", "streaming_tumbling_counts",
     "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "multimodal_decode_meta",
-    "window_tumbling_events")
+    "multimodal_downsample", "window_tumbling_events")
 }

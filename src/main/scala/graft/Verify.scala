@@ -34,6 +34,7 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
           }
       })
     }

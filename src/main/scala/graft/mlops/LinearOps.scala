@@ -251,7 +251,9 @@ object LinearOps {
                            iters: Int, lr: Double): DataFrame = {
     var w = pointsLong.select(col("dim")).distinct()
       .withColumn("w", lit(0.0))
+    var i = 0
     (1 to iters).foreach { _ =>
+      i += 1
       val margins = pointsLong
         .join(broadcast(w), "dim")
         .groupBy(col(idCol))
@@ -264,6 +266,16 @@ object LinearOps {
         .agg(avg(col("err") * col("v")).as("g"))
       w = w.join(grad, "dim")
         .select(col("dim"), (col("w") - lit(lr) * col("g")).as("w"))
+      // Materialize the O(dims) weight frame every few steps: the lazily
+      // composed plan otherwise nests the whole corpus lineage per
+      // iteration, and past ~20 steps ANALYSIS cost (DeduplicateRelations
+      // over the exponentially-referenced tree) dwarfs execution — the
+      // measured failure mode was a driver OOM inside the analyzer at 80
+      // iterations. The checkpointed frame is `dims` rows; per-step
+      // oracle mirroring is unaffected (values identical, only lineage
+      // is cut). Low iteration counts (the 2-step oracle twin) never
+      // trigger it.
+      if (i % 8 == 0) w = w.localCheckpoint()
     }
     w
   }
@@ -276,6 +288,38 @@ object LinearOps {
       .setMaxIter(maxIter).setLabelCol(labelCol).setFeaturesCol("features")
       .fit(prepared)
     model.transform(prepared)
+  }
+
+  /** L-BFGS fit + NATIVE-expression predict: the model's coefficients
+    * come back to the driver (O(d) doubles) and the margin/prediction/
+    * probability are computed with codegen'd array expressions instead
+    * of `model.transform`'s vector UDF. Two reasons: (a) the UDF closure
+    * serializes the model object, whose training-summary DataFrame
+    * chains to the shared SparkSession — under a concurrent query that
+    * has an `Observation` registered (the components family), task
+    * serialization hits the non-serializable ObservationManager (seen
+    * deterministically in the multithreaded Verify harness); a
+    * coefficients literal has no object graph at all. (b) the whole
+    * scoring stage stays inside WholeStageCodegen — no ml vector
+    * boxing on the hot path, which is the shape that scales to a wide
+    * corpus scan. Binary prediction threshold 0.5 == margin > 0.
+    */
+  def fitLogisticPredictNative(df: DataFrame, featuresArr: String,
+                               labelCol: String, maxIter: Int = 20): DataFrame = {
+    val prepared = df.withColumn("features",
+      array_to_vector(col(featuresArr).cast("array<double>")))
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setLabelCol(labelCol).setFeaturesCol("features")
+      .fit(prepared)
+    val coef = model.coefficients.toArray
+    val margin = coef.zipWithIndex.foldLeft(lit(model.intercept)) {
+      case (acc, (w, i)) =>
+        if (w == 0.0) acc
+        else acc + lit(w) * element_at(col(featuresArr), i + 1).cast("double")
+    }
+    df.withColumn("margin", margin)
+      .withColumn("prediction", (col("margin") > 0).cast("double"))
+      .withColumn("probability", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
   }
 
   /** spark.ml linear regression (multi-feature). Default solver "normal"

@@ -270,12 +270,30 @@ object MLQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
-    // L4: spark.ml logistic regression (iterative — rows-only).
+    // L4: spark.ml logistic regression predict, value-oracled (graduated
+    // from rows-only in r9). The task is constructed linearly separable
+    // WITH a margin band: y = sign(e1+e2), rows with |e1+e2| <= 0.05
+    // excluded (the band filter is on raw data, so the oracle can express
+    // it). On separable data with regParam 0, L-BFGS drives the training
+    // margins decisive (measured min |p-0.5| ~ 0.5 at every SF; the
+    // label%2 variant was abandoned because its min margin was 4e-5 —
+    // engine-unstable). The oracle asserts prediction == y for every
+    // banded row, i.e. the whole fit+predict path separates a separable
+    // task — a value-level check of real model output, robust because no
+    // point sits near the learned boundary. Elements are cast to double
+    // BEFORE the addition so the band compare is bit-identical to the
+    // oracle's double arithmetic (float add then promote differs near
+    // the threshold).
     "ml_logreg_predict" -> ((s, dir) => {
-      LinearOps.fitLogistic(Tables(s, dir).embeddings, "embedding", "label", maxIter = 10)
-        .groupBy(col("label"), col("prediction"))
+      val banded = Tables(s, dir).embeddings
+        .withColumn("m", element_at(col("embedding"), 1).cast("double")
+          + element_at(col("embedding"), 2).cast("double"))
+        .where(abs(col("m")) > 0.05)
+        .withColumn("y", (col("m") > 0).cast("double"))
+      LinearOps.fitLogisticPredictNative(banded, "embedding", "y", maxIter = 100)
+        .groupBy(col("y"), col("prediction"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("label"), col("prediction"))
+        .orderBy(col("y"), col("prediction"))
     }),
 
     // P2 FeatureUnion: horizontally stack per-column "transformer"
@@ -899,6 +917,19 @@ object MLQueries extends QueryPack {
         |FROM lineitem, fit
         |WHERE l_orderkey < 20
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The banded task is separable, so a correct fit+predict must map
+    // every row to its own y — the oracle computes the confusion matrix
+    // of that perfect outcome directly from the band rule.
+    "ml_logreg_predict" ->
+      """WITH banded AS (
+        |  SELECT CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM (SELECT CAST(embedding[1] AS DOUBLE) +
+        |               CAST(embedding[2] AS DOUBLE) AS m
+        |        FROM embeddings)
+        |  WHERE abs(m) > 0.05)
+        |SELECT y, y AS prediction, count(*) AS n
+        |FROM banded GROUP BY y ORDER BY y, prediction""".stripMargin,
 
     // Step 1 closed form: w=0 ⇒ margins 0 ⇒ σ=0.5 exactly, so
     // w1 = -lr·avg((0.5−y)·x); step 2 unrolled in full.
