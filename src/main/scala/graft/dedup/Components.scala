@@ -40,15 +40,34 @@ object Components {
     * diameter up to ~2^(maxIter-1), so the throw only fires on a
     * genuine bug.
     */
+  /** The RDD holding a localCheckpointed frame's materialized blocks —
+    * extracted from the frame's OWN plan (a LogicalRDD leaf), so freeing
+    * it can never touch another query's storage. (Diffing
+    * `sc.getPersistentRDDs` before/after would race with concurrent
+    * queries checkpointing on the shared session — the verify harness
+    * runs queries on a thread pool.)
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           onRounds: Int => Unit = _ => ()): DataFrame = {
+    // DISK_ONLY: the adjacency is the biggest relation in the loop (both
+    // directions of every edge) and each round scans it exactly once
+    // sequentially — disk-resident blocks cost one streamed read per
+    // round instead of holding 2×|edges| row objects in storage memory
+    // for the whole loop (at 20M+ edges that alone is multiple GB and
+    // starved the heap before the label frames even landed).
     val adj = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Initial label = min(id, min neighbor): the first propagate round's
     // result from ONE groupBy over adj (both directions are present, so
     // every node is a src) — no join, and one fewer loop round. The loop
@@ -82,6 +101,13 @@ object Components {
     }
     var converged = false
     var i = 0
+    // The previous round's checkpointed label frame: nothing references
+    // it once the new round's checkpoint exists, but its blocks stay in
+    // storage memory until explicitly freed. At graph scale (20M+
+    // edges → ~0.5 GB of label blocks PER ROUND) leaving ~11 rounds
+    // resident starves execution memory — the 20M-edge StressBench
+    // stage died with UNABLE_TO_ACQUIRE_MEMORY before this free.
+    var prevRound: Option[org.apache.spark.rdd.RDD[_]] = checkpointRdd(comp)
     while (!converged && i < maxIter) {
       // The convergence count rides the checkpoint materialization via
       // observe(): ONE job per round instead of checkpoint + count.
@@ -96,6 +122,10 @@ object Components {
         .localCheckpoint()
       val changed = obs.get("changed").asInstanceOf[Long]
       comp = updated.select(col("id"), col("next").as("comp"))
+      // The new checkpoint is materialized (localCheckpoint is eager),
+      // so the previous round's blocks are now unreachable — free them.
+      prevRound.foreach(_.unpersist(blocking = true))
+      prevRound = checkpointRdd(updated)
       converged = changed == 0
       i += 1
     }
@@ -103,6 +133,9 @@ object Components {
       s"connectedComponents: no fixpoint after $maxIter rounds — " +
         "labels would be wrong (clusters split); raise maxIter")
     onRounds(i) // diagnostic: rounds INCLUDING the zero-change confirm
+    // The adjacency checkpoint served only the loop; the returned frame
+    // is a projection of the LAST round's checkpoint (kept resident).
+    checkpointRdd(adj).foreach(_.unpersist(blocking = true))
     comp
   }
 
