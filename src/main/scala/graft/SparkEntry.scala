@@ -47,7 +47,12 @@ object SparkEntry {
     * Policy: the bench measures SCALE PATHS only — every quadratic exact
     * twin (all-pairs cosine, brute-force top-k, ungated jaccard) stays in
     * the correctness set but out of the bench, replaced by its gated/
-    * indexed counterpart (cells, IVF, banded candidates).
+    * indexed counterpart (cells, IVF, banded candidates). Iterative
+    * index BUILDS whose sf0.1 wall time is ~all fixed per-round job
+    * overhead (dedup_suffix_ranks: ~12 doubling rounds over 2k tokens)
+    * are measured in StressBench at representative token counts
+    * instead — their bench-scale number would track scheduler latency,
+    * not the operator.
     */
   val benchNames: Seq[String] = Seq(
     "q1_agg", "q3_join_topk", "q5_broadcast_join", "flagship_tfidf",

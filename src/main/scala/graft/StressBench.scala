@@ -140,6 +140,21 @@ object StressBench {
       println(s"""{"stage":"connected_components_chain_mix_rounds","rounds":$rounds}""")
       n
     }
+    // suffix ranking (prefix doubling) over rows/20 tokens with recurring
+    // 200-token boilerplate runs (every 1000-block starts with the same
+    // 40-period cycle repeated 5x) — long shared prefixes force the
+    // doubling loop well past the vocabulary-separation rounds, so this
+    // measures the O(log n)-round distributed dense-rank machinery at a
+    // token count where per-round job overhead no longer dominates.
+    timed("suffix_ranks_prefix_doubling") {
+      val nTok = math.max(rows / 20L, 100000L)
+      val toks = spark.range(nTok).select(col("id").as("pos"),
+        when(pmod(col("id"), lit(1000)) < 200,
+          concat(lit("b"), pmod(col("id"), lit(40))))
+          .otherwise(concat(lit("w"), pmod(hash(col("id")), lit(5000))))
+          .as("tok"))
+      graft.dedup.SuffixRank.suffixRanks(toks, "pos", "tok").count()
+    }
     // Gramian + fixed-round power iteration over rows/100 64-dim vectors
     // (in-row d^2 pair explode, no self-join: the only exchange is the
     // partial-agg merge; n*d^2 multiply-adds stream through codegen)

@@ -52,6 +52,15 @@ object Components {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** Edge count above which the adjacency is rebuilt as a
+    * partitioning-preserving cache (see connectedComponents). Tunable
+    * for tests/benchmarks via -Dgraft.components.adjPartitionThreshold.
+    */
+  private def adjPartitionThreshold: Long =
+    sys.props.get("graft.components.adjPartitionThreshold")
+      .orElse(sys.env.get("GRAFT_ADJ_PARTITION_THRESHOLD"))
+      .map(_.toLong).getOrElse(1000000L)
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           onRounds: Int => Unit = _ => ()): DataFrame = {
@@ -85,12 +94,27 @@ object Components {
     // lifetime (it IS the cache's recompute source — localCheckpoint
     // truncated the lineage above it): 2× the adjacency on disk, zero
     // extra memory, freed together at the end.
+    val nAdjRows = adjBase.count()
     val adj =
-      if (adjBase.count() < 1000000L) adjBase
+      if (nAdjRows < adjPartitionThreshold) adjBase
       else adjBase
         .repartition(col("dst"))
         .sortWithinPartitions(col("dst"))
         .persist(StorageLevel.DISK_ONLY)
+    // Label checkpoints store SERIALIZED on large graphs: the default
+    // deserialized MEMORY_AND_DISK holds every label row as an object
+    // (~70B for a 2-long row vs ~20B serialized). With two round-frames
+    // resident plus join execution memory, deserialized labels put the
+    // 22.5M-node stress graph within GC-timing distance of an 8g heap —
+    // the same run would pass or OOM depending on ambient load.
+    // Serialized blocks are ~3× smaller and unroll incrementally. Below
+    // the same threshold that gates the adjacency cache, the per-round
+    // serialize/deserialize CPU outweighs the heap it saves (measured:
+    // unconditional SER cost dedup_provenance_clusters 3.5→5.0s at
+    // sf0.1), so small graphs keep the deserialized default.
+    val labelLevel =
+      if (nAdjRows < adjPartitionThreshold) StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.MEMORY_AND_DISK_SER
     // Initial label = min(id, min neighbor): the first propagate round's
     // result from ONE groupBy over adj (both directions are present, so
     // every node is a src) — no join, and one fewer loop round. The loop
@@ -100,7 +124,7 @@ object Components {
       .agg(min(col("dst")).as("_nmin"))
       .select(col("src").as("id"),
         least(col("src"), col("_nmin")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true, storageLevel = labelLevel)
     // One propagate-and-jump step, lazily composed: adopt the min label
     // among self and neighbors, then pointer-jump to the label's label
     // (path halving — depth of the label forest collapses geometrically).
@@ -142,7 +166,7 @@ object Components {
         .observe(obs,
           sum(when(col("next") < col("comp"), 1L).otherwise(0L))
             .as("changed"))
-        .localCheckpoint()
+        .localCheckpoint(eager = true, storageLevel = labelLevel)
       val changed = obs.get("changed").asInstanceOf[Long]
       comp = updated.select(col("id"), col("next").as("comp"))
       // The new checkpoint is materialized (localCheckpoint is eager),

@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix ranking by prefix doubling — the index behind
+  * suffix-array exact-substring dedup (Lee et al. 2022 build suffix
+  * arrays of the tokenized corpus to find every repeated substring; the
+  * classic sequential construction is Manber–Myers, and prefix doubling
+  * is its parallel/external-memory form).
+  *
+  * `suffixRanks` assigns every position `i` of a token stream its 1-based
+  * rank among all suffixes `tokens[i..n)` under lexicographic
+  * token-sequence order (token order = UTF-8 string order; a suffix that
+  * is a strict prefix of another sorts first). The inverse permutation of
+  * the ranks IS the suffix array.
+  *
+  * Algorithm: rank every position by its first token (a dense rank over
+  * distinct tokens); then each round k = 1, 2, 4, … re-ranks positions by
+  * the pair (rank[i], rank[i+k]) — after round k every rank reflects the
+  * first 2k tokens, so ⌈log₂ n⌉ rounds reach full suffixes. Positions
+  * past the end contribute sentinel rank 0 (< every real rank), which
+  * encodes shorter-prefix-sorts-first. The loop stops as soon as all
+  * ranks are distinct.
+  *
+  * 100 TB notes: every step is a shuffle-bounded dataframe op — there is
+  * NO single-task global window anywhere. The global dense rank is
+  * computed distributedly: range-partition the distinct keys, rank
+  * within each partition (parallel windows keyed by physical partition
+  * id), and add broadcast per-partition offsets (one tiny collect of
+  * partition counts per round — O(shuffle.partitions) rows, not data).
+  * Each round is O(n) rows through ~4 shuffles, and rounds are
+  * logarithmic in the corpus length, mirroring the published distributed
+  * suffix-array constructions. Per-round frames are localCheckpointed
+  * (lineage stays O(1), the classic iterative-DataFrame requirement) and
+  * the previous round's blocks are freed eagerly, so peak storage is two
+  * rounds regardless of round count — the same discipline as
+  * [[Components.connectedComponents]].
+  */
+object SuffixRank {
+
+  /** Round frames checkpoint SERIALIZED: deserialized row objects cost
+    * ~3× the bytes of their serialized form for these narrow long-pair
+    * rows, and the doubling loop keeps two round-frames resident — see
+    * the same choice (and the OOM it fixed) in [[Components]].
+    */
+  private val SerLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
+  /** Global 1-based dense rank of `keys`' rows (assumed distinct) under
+    * lexicographic order of `ordCols`, without a single-task window:
+    * range-partition on the order columns, checkpoint to pin the
+    * physical layout (the partition id must agree between the counting
+    * job and the ranking job), then rank = per-partition row_number
+    * (windows partitioned by partition id run in parallel) + the
+    * partition's cumulative offset (broadcast — one row per partition).
+    *
+    * Returns (ranked frame with a `rank` column, total row count, the
+    * pinned checkpoint's RDD for the caller to free once consumers are
+    * materialized).
+    */
+  private def globalDenseRank(keys: DataFrame, ordCols: Seq[String])
+      : (DataFrame, Long, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val spark = keys.sparkSession
+    val sorted = keys
+      .repartitionByRange(ordCols.map(col): _*)
+      .localCheckpoint(eager = true, storageLevel = SerLevel)
+    val counts = sorted
+      .groupBy(spark_partition_id().as("_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val ranked = sorted
+      .withColumn("_pid", spark_partition_id())
+      .join(broadcast(offDf), Seq("_pid"), "left")
+      .withColumn("rank",
+        coalesce(col("_off"), lit(0L)) +
+          row_number().over(
+            Window.partitionBy(col("_pid"))
+              .orderBy(ordCols.map(col): _*)).cast("long"))
+      .drop("_pid", "_off")
+    (ranked, total, checkpointRdd(sorted))
+  }
+
+  /** (pos, tok) → (pos, rank): the 1-based lexicographic suffix rank of
+    * every position. Positions must be 0-based and contiguous per
+    * stream; `rank` is a permutation of 1..n (its inverse is the suffix
+    * array). Throws if ranks fail to separate within 2⌈log₂ n⌉ + 2
+    * rounds — mathematically impossible, so the throw only fires on a
+    * genuine bug (e.g. non-contiguous positions).
+    */
+  def suffixRanks(tokens: DataFrame, posCol: String, tokCol: String): DataFrame = {
+    val toks = tokens
+      .select(col(posCol).cast("long").as("pos"), col(tokCol).cast("string").as("tok"))
+      .localCheckpoint(eager = true, storageLevel = SerLevel)
+    val n = toks.count()
+    if (n == 0) return toks.select(col("pos"), lit(0L).as("rank")).where(lit(false))
+
+    // Round 0: rank by first token alone.
+    val (tokRanks, nDistinct0, pin0) = globalDenseRank(toks.select("tok").distinct(), Seq("tok"))
+    var cur = toks.join(tokRanks, "tok")
+      .select(col("pos"), col("rank"))
+      .localCheckpoint(eager = true, storageLevel = SerLevel)
+    checkpointRdd(toks).foreach(_.unpersist(blocking = true))
+    pin0.foreach(_.unpersist(blocking = true))
+    var prev = checkpointRdd(cur)
+
+    var nDistinct = nDistinct0
+    var k = 1L
+    val maxRounds = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(n - 1, 1))) + 2
+    var round = 0
+    while (nDistinct < n && round < maxRounds) {
+      // Pair each position's rank with the rank k positions ahead;
+      // sentinel 0 (< all real ranks) when the suffix ends within k.
+      val ahead = cur.select((col("pos") - k).as("pos"), col("rank").as("_r2"))
+      val paired = cur.withColumnRenamed("rank", "_r1")
+        .join(ahead, Seq("pos"), "left")
+        .na.fill(0L, Seq("_r2"))
+      val (pairRanks, d, pin) = globalDenseRank(paired.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"))
+      val next = paired.join(pairRanks, Seq("_r1", "_r2"))
+        .select(col("pos"), col("rank"))
+        .localCheckpoint(eager = true, storageLevel = SerLevel)
+      pin.foreach(_.unpersist(blocking = true))
+      prev.foreach(_.unpersist(blocking = true))
+      prev = checkpointRdd(next)
+      cur = next
+      nDistinct = d
+      k *= 2
+      round += 1
+    }
+    if (nDistinct < n) throw new IllegalStateException(
+      s"suffixRanks: ranks not separated after $round rounds " +
+        "(positions non-contiguous?)")
+    cur
+  }
+
+  /** The suffix array itself: rank → starting position, i.e. the
+    * positions of all suffixes in lexicographic order. `sa = 1` is the
+    * lexicographically smallest suffix.
+    */
+  def suffixArray(tokens: DataFrame, posCol: String, tokCol: String): DataFrame =
+    suffixRanks(tokens, posCol, tokCol)
+      .select(col("rank").as("sa"), col("pos"))
+}

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.dedup.{Components, Dedup}
+import graft.dedup.{Components, Dedup, SuffixRank}
 import graft.mlops.NaiveBayesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,6 +62,29 @@ object DedupQueries extends QueryPack {
     // Exact dedup stats: raw text + bag-of-words canonical hash.
     "dedup_exact_stats" -> ((s, dir) =>
       Dedup.exactStats(Tables(s, dir).documents, "text")),
+
+    // Distributed suffix ranking (prefix doubling) over the token stream
+    // of a capped corpus slice — the suffix-array index behind
+    // exact-substring dedup (Lee et al. 2022). The cap (40 docs, ~2k
+    // tokens) exists for the O(n²)-string oracle, not the operator:
+    // suffixRanks itself is all shuffle-bounded dataframe ops with no
+    // single-task window, ⌈log₂ n⌉ rounds. Doc texts concatenate in
+    // doc_id order via per-doc token-count offsets (the offset window
+    // runs over one row per DOC, not per token).
+    "dedup_suffix_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents.where(col("doc_id") < 40)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      val offs = toks.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(
+          sum(col("c")).over(Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("off"))
+      val stream = toks.join(broadcast(offs), "doc_id")
+        .select((col("off") + col("p")).as("pos"), col("tok"))
+      SuffixRank.suffixRanks(stream, "pos", "tok").orderBy("pos")
+    }),
 
     // MinHash signatures (8 hash fns) in long form.
     "dedup_minhash_sig" -> ((s, dir) => {
@@ -335,6 +358,32 @@ object DedupQueries extends QueryPack {
        |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Oracle ranks suffixes by sorting the space-joined suffix STRINGS —
+    // a deliberately different algorithm than prefix doubling. The two
+    // orders agree because ' ' compares below every token character
+    // (verified: no control chars in the corpus), so joined-string order
+    // = token-sequence order, including shorter-prefix-sorts-first.
+    "dedup_suffix_ranks" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |toks0 AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM d),
+        |offs AS (
+        |  SELECT doc_id, COALESCE(SUM(cnt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM (SELECT doc_id, count(*) AS cnt FROM toks0 GROUP BY doc_id) c),
+        |toks AS (
+        |  SELECT CAST(o.off + t.p - 1 AS BIGINT) AS pos, t.term
+        |  FROM toks0 t JOIN offs o ON t.doc_id = o.doc_id),
+        |suf AS (
+        |  SELECT a.pos, string_agg(b.term, ' ' ORDER BY b.pos) AS s
+        |  FROM toks a JOIN toks b ON b.pos >= a.pos
+        |  GROUP BY a.pos)
+        |SELECT pos, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rank
+        |FROM suf
+        |ORDER BY pos""".stripMargin,
+
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique_text,
