@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * is a strict prefix of another sorts first). The inverse permutation of
   * the ranks IS the suffix array.
   *
+  * `lcpArray` extends the index with the LCP array — the token length of
+  * the longest common prefix of every pair of rank-adjacent suffixes —
+  * via the sparse-table method over the SAME doubling rounds: rank
+  * equality at prefix length L certifies L equal tokens, so a greedy
+  * descent over the retained per-round rank frames resolves each pair's
+  * LCP in ⌈log₂ n⌉ equi-joins (Kasai's sequential scan has no
+  * distributed form; this does, and it reuses work the ranking already
+  * did). Suffix array + LCP array together solve exact-substring dedup:
+  * a token L-gram is repeated iff its suffix has LCP ≥ L with a
+  * rank-neighbor (`repeatedGramPositions`).
+  *
   * Algorithm: rank every position by its first token (a dense rank over
   * distinct tokens); then each round k = 1, 2, 4, … re-ranks positions by
   * the pair (rank[i], rank[i+k]) — after round k every rank reflects the
@@ -34,16 +45,22 @@ import org.apache.spark.sql.functions._
   * logarithmic in the corpus length, mirroring the published distributed
   * suffix-array constructions. Per-round frames are localCheckpointed
   * (lineage stays O(1), the classic iterative-DataFrame requirement) and
-  * the previous round's blocks are freed eagerly, so peak storage is two
-  * rounds regardless of round count — the same discipline as
-  * [[Components.connectedComponents]].
+  * — in the rank-only path — the previous round's blocks are freed
+  * eagerly, so peak storage is two rounds regardless of round count, the
+  * same discipline as [[Components.connectedComponents]]. The LCP path
+  * instead RETAINS the per-round frames (serialized, spillable): the
+  * sparse-table descent needs every power-of-two rank level, an
+  * O(n log n)-row working set that is the textbook space cost of
+  * doubling-based LCP construction; all retained blocks are freed before
+  * the result is returned.
   */
 object SuffixRank {
 
   /** Round frames checkpoint SERIALIZED: deserialized row objects cost
     * ~3× the bytes of their serialized form for these narrow long-pair
-    * rows, and the doubling loop keeps two round-frames resident — see
-    * the same choice (and the OOM it fixed) in [[Components]].
+    * rows, and the doubling loop keeps two round-frames resident (all
+    * rounds, for the LCP path) — see the same choice (and the OOM it
+    * fixed) in [[Components]].
     */
   private val SerLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
@@ -91,28 +108,43 @@ object SuffixRank {
     (ranked, total, checkpointRdd(sorted))
   }
 
-  /** (pos, tok) → (pos, rank): the 1-based lexicographic suffix rank of
-    * every position. Positions must be 0-based and contiguous per
-    * stream; `rank` is a permutation of 1..n (its inverse is the suffix
-    * array). Throws if ranks fail to separate within 2⌈log₂ n⌉ + 2
-    * rounds — mathematically impossible, so the throw only fires on a
-    * genuine bug (e.g. non-contiguous positions).
+  /** The doubling loop's output: final ranks (a permutation of 1..n over
+    * `pos`), the stream length, and — when history was requested — every
+    * round's (prefixLen, rank frame) in ascending prefixLen order
+    * (1, 2, 4, …; the last entry is `ranks` itself) with the pinned
+    * RDDs the caller must free.
     */
-  def suffixRanks(tokens: DataFrame, posCol: String, tokCol: String): DataFrame = {
+  private case class Doubling(ranks: DataFrame, n: Long,
+                              history: Seq[(Long, DataFrame)],
+                              pins: Seq[org.apache.spark.rdd.RDD[_]])
+
+  private def doubling(tokens: DataFrame, posCol: String, tokCol: String,
+                       keepHistory: Boolean): Doubling = {
     val toks = tokens
       .select(col(posCol).cast("long").as("pos"), col(tokCol).cast("string").as("tok"))
       .localCheckpoint(eager = true, storageLevel = SerLevel)
     val n = toks.count()
-    if (n == 0) return toks.select(col("pos"), lit(0L).as("rank")).where(lit(false))
+    if (n == 0) {
+      checkpointRdd(toks).foreach(_.unpersist(blocking = true))
+      val empty = toks.select(col("pos"), lit(0L).as("rank")).where(lit(false))
+      return Doubling(empty, 0L, Nil, Nil)
+    }
 
-    // Round 0: rank by first token alone.
+    var history = List.empty[(Long, DataFrame)]
+    var pins = List.empty[org.apache.spark.rdd.RDD[_]]
+
+    // Round 0: rank by first token alone (prefix length 1).
     val (tokRanks, nDistinct0, pin0) = globalDenseRank(toks.select("tok").distinct(), Seq("tok"))
     var cur = toks.join(tokRanks, "tok")
       .select(col("pos"), col("rank"))
       .localCheckpoint(eager = true, storageLevel = SerLevel)
     checkpointRdd(toks).foreach(_.unpersist(blocking = true))
     pin0.foreach(_.unpersist(blocking = true))
-    var prev = checkpointRdd(cur)
+    if (keepHistory) {
+      history ::= (1L, cur)
+      pins :::= checkpointRdd(cur).toList
+    }
+    var prev = if (keepHistory) None else checkpointRdd(cur)
 
     var nDistinct = nDistinct0
     var k = 1L
@@ -130,8 +162,13 @@ object SuffixRank {
         .select(col("pos"), col("rank"))
         .localCheckpoint(eager = true, storageLevel = SerLevel)
       pin.foreach(_.unpersist(blocking = true))
-      prev.foreach(_.unpersist(blocking = true))
-      prev = checkpointRdd(next)
+      if (keepHistory) {
+        history ::= (2 * k, next)
+        pins :::= checkpointRdd(next).toList
+      } else {
+        prev.foreach(_.unpersist(blocking = true))
+        prev = checkpointRdd(next)
+      }
       cur = next
       nDistinct = d
       k *= 2
@@ -140,8 +177,18 @@ object SuffixRank {
     if (nDistinct < n) throw new IllegalStateException(
       s"suffixRanks: ranks not separated after $round rounds " +
         "(positions non-contiguous?)")
-    cur
+    Doubling(cur, n, history.reverse, pins)
   }
+
+  /** (pos, tok) → (pos, rank): the 1-based lexicographic suffix rank of
+    * every position. Positions must be 0-based and contiguous per
+    * stream; `rank` is a permutation of 1..n (its inverse is the suffix
+    * array). Throws if ranks fail to separate within 2⌈log₂ n⌉ + 2
+    * rounds — mathematically impossible, so the throw only fires on a
+    * genuine bug (e.g. non-contiguous positions).
+    */
+  def suffixRanks(tokens: DataFrame, posCol: String, tokCol: String): DataFrame =
+    doubling(tokens, posCol, tokCol, keepHistory = false).ranks
 
   /** The suffix array itself: rank → starting position, i.e. the
     * positions of all suffixes in lexicographic order. `sa = 1` is the
@@ -150,4 +197,73 @@ object SuffixRank {
   def suffixArray(tokens: DataFrame, posCol: String, tokCol: String): DataFrame =
     suffixRanks(tokens, posCol, tokCol)
       .select(col("rank").as("sa"), col("pos"))
+
+  /** LCP array over the token stream: one row per rank-adjacent suffix
+    * pair — `(rank, pos, pos_next, lcp)` with `pos = sa[rank]`,
+    * `pos_next = sa[rank+1]`, and `lcp` = number of leading tokens the
+    * two suffixes share (n−1 rows, rank = 1..n−1; empty for n ≤ 1).
+    *
+    * Sparse-table construction over the doubling rounds: ranks separate
+    * after reaching prefix length 2^m, so every pairwise LCP is < 2^m
+    * and decomposes greedily into descending powers 2^(m−1) … 1. For
+    * each retained level L (largest first): if both suffixes still have
+    * a position `lcp` tokens in AND their level-L ranks there are equal
+    * — which certifies exactly L more equal tokens (for distinct
+    * suffixes of one stream, equal padded prefixes with an early
+    * sentinel would force the suffixes identical, impossible) — advance
+    * `lcp` by L. Each level is two shuffle equi-joins against that
+    * round's n-row rank frame; ⌈log₂ n⌉ levels total, the per-pair
+    * state checkpointed per level so lineage stays O(1).
+    */
+  def lcpArray(tokens: DataFrame, posCol: String, tokCol: String): DataFrame = {
+    val d = doubling(tokens, posCol, tokCol, keepHistory = true)
+    if (d.n <= 1) {
+      d.pins.foreach(_.unpersist(blocking = true))
+      return d.ranks.select(col("rank"), col("pos"),
+        col("pos").as("pos_next"), lit(0L).as("lcp")).where(lit(false))
+    }
+    // Rank-adjacent pairs: (rank, pos=sa[rank], pos_next=sa[rank+1]).
+    val nxt = d.ranks.select((col("rank") - 1).as("rank"), col("pos").as("pos_next"))
+    var pairs = d.ranks.select(col("rank"), col("pos"))
+      .join(nxt, "rank")
+      .withColumn("lcp", lit(0L))
+      .localCheckpoint(eager = true, storageLevel = SerLevel)
+    var prev = checkpointRdd(pairs)
+    // Greedy descent: all levels below the separating one (the last
+    // history entry is the final, fully separated frame — never needed:
+    // LCP < its prefix length by construction).
+    for ((len, frame) <- d.history.init.reverse) {
+      val ra = frame.select(col("pos").as("_pa"), col("rank").as("_ra"))
+      val rb = frame.select(col("pos").as("_pb"), col("rank").as("_rb"))
+      val next = pairs
+        .join(ra, col("pos") + col("lcp") === col("_pa"), "left")
+        .join(rb, col("pos_next") + col("lcp") === col("_pb"), "left")
+        .withColumn("lcp",
+          when(col("_ra").isNotNull && col("_ra") === col("_rb"),
+            col("lcp") + len).otherwise(col("lcp")))
+        .select(col("rank"), col("pos"), col("pos_next"), col("lcp"))
+        .localCheckpoint(eager = true, storageLevel = SerLevel)
+      prev.foreach(_.unpersist(blocking = true))
+      prev = checkpointRdd(next)
+      pairs = next
+    }
+    d.pins.foreach(_.unpersist(blocking = true))
+    pairs
+  }
+
+  /** Exact-substring repeat detection (the Lee et al. 2022 primitive):
+    * the starting positions of every token L-gram that occurs more than
+    * once in the stream. A position qualifies iff its suffix shares ≥
+    * minLen leading tokens with a rank-NEIGHBOR: suffixes sharing an
+    * L-prefix are contiguous in suffix-array order, so membership in a
+    * ≥2-element block is visible on an adjacent LCP entry — no
+    * quadratic pair expansion. Output: (pos) distinct.
+    */
+  def repeatedGramPositions(tokens: DataFrame, posCol: String, tokCol: String,
+                            minLen: Int): DataFrame = {
+    val hits = lcpArray(tokens, posCol, tokCol).where(col("lcp") >= minLen)
+    hits.select(col("pos"))
+      .union(hits.select(col("pos_next").as("pos")))
+      .distinct()
+  }
 }

@@ -58,6 +58,26 @@ object DedupQueries extends QueryPack {
       |  JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
       |  JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2)""".stripMargin
 
+  /** The suffix-family input: the first 40 documents' texts concatenated
+    * (in doc_id order) into one 0-based contiguous token stream. Doc
+    * offsets come from per-doc token counts — the offset window runs
+    * over one row per DOC, not per token, and the tiny offset table
+    * broadcasts.
+    */
+  private def cappedTokenStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents.where(col("doc_id") < 40)
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+    val offs = toks.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("off"))
+    toks.join(broadcast(offs), "doc_id")
+      .select((col("off") + col("p")).as("pos"), col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup stats: raw text + bag-of-words canonical hash.
     "dedup_exact_stats" -> ((s, dir) =>
@@ -68,23 +88,31 @@ object DedupQueries extends QueryPack {
     // exact-substring dedup (Lee et al. 2022). The cap (40 docs, ~2k
     // tokens) exists for the O(n²)-string oracle, not the operator:
     // suffixRanks itself is all shuffle-bounded dataframe ops with no
-    // single-task window, ⌈log₂ n⌉ rounds. Doc texts concatenate in
-    // doc_id order via per-doc token-count offsets (the offset window
-    // runs over one row per DOC, not per token).
-    "dedup_suffix_ranks" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir).documents.where(col("doc_id") < 40)
-      val toks = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
-      val offs = toks.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(
-          sum(col("c")).over(Window.orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("doc_id"), col("off"))
-      val stream = toks.join(broadcast(offs), "doc_id")
-        .select((col("off") + col("p")).as("pos"), col("tok"))
-      SuffixRank.suffixRanks(stream, "pos", "tok").orderBy("pos")
-    }),
+    // single-task window, ⌈log₂ n⌉ rounds.
+    "dedup_suffix_ranks" -> ((s, dir) =>
+      SuffixRank.suffixRanks(cappedTokenStream(s, dir), "pos", "tok")
+        .orderBy("pos")),
+
+    // LCP array over the same stream: token length of the common prefix
+    // of every rank-adjacent suffix pair (sparse-table descent over the
+    // doubling rounds' rank history — ⌈log₂ n⌉ equi-join levels, no
+    // single-task step). Oracle recomputes each adjacent pair's LCP by
+    // elementwise token comparison over materialized suffix arrays — a
+    // deliberately different algorithm.
+    "dedup_lcp" -> ((s, dir) =>
+      SuffixRank.lcpArray(cappedTokenStream(s, dir), "pos", "tok")
+        .orderBy("rank")),
+
+    // Exact-substring repeat detection (the Lee et al. 2022 primitive):
+    // starting positions of every 3-token gram occurring more than once,
+    // read off the LCP array (lcp ≥ 3 with a rank-neighbor ⟺ the gram
+    // repeats — shared-prefix suffixes are SA-contiguous). L=3 because
+    // the capped synthetic slice tops out at LCP 4 — longer L would make
+    // the oracle vacuously empty. Oracle groups the 3-grams directly
+    // (independent algorithm, no suffix structure).
+    "dedup_repeated_lgrams" -> ((s, dir) =>
+      SuffixRank.repeatedGramPositions(cappedTokenStream(s, dir),
+        "pos", "tok", minLen = 3).orderBy("pos")),
 
     // MinHash signatures (8 hash fns) in long form.
     "dedup_minhash_sig" -> ((s, dir) => {
@@ -357,6 +385,24 @@ object DedupQueries extends QueryPack {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared CTE prefix for the suffix-family oracles: rebuild the capped
+    * concatenated token stream (mirrors `cappedTokenStream`) as
+    * `toks(pos, term)`.
+    */
+  private val tokenStreamCte: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      |toks0 AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM d),
+      |offs AS (
+      |  SELECT doc_id, COALESCE(SUM(cnt) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM (SELECT doc_id, count(*) AS cnt FROM toks0 GROUP BY doc_id) c),
+      |toks AS (
+      |  SELECT CAST(o.off + t.p - 1 AS BIGINT) AS pos, t.term
+      |  FROM toks0 t JOIN offs o ON t.doc_id = o.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Oracle ranks suffixes by sorting the space-joined suffix STRINGS —
     // a deliberately different algorithm than prefix doubling. The two
@@ -364,25 +410,58 @@ object DedupQueries extends QueryPack {
     // (verified: no control chars in the corpus), so joined-string order
     // = token-sequence order, including shorter-prefix-sorts-first.
     "dedup_suffix_ranks" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
-        |toks0 AS (
-        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
-        |    unnest(string_split(text, ' ')) AS term
-        |  FROM d),
-        |offs AS (
-        |  SELECT doc_id, COALESCE(SUM(cnt) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-        |  FROM (SELECT doc_id, count(*) AS cnt FROM toks0 GROUP BY doc_id) c),
-        |toks AS (
-        |  SELECT CAST(o.off + t.p - 1 AS BIGINT) AS pos, t.term
-        |  FROM toks0 t JOIN offs o ON t.doc_id = o.doc_id),
+      (tokenStreamCte +
+        """,
         |suf AS (
         |  SELECT a.pos, string_agg(b.term, ' ' ORDER BY b.pos) AS s
         |  FROM toks a JOIN toks b ON b.pos >= a.pos
         |  GROUP BY a.pos)
         |SELECT pos, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rank
         |FROM suf
-        |ORDER BY pos""".stripMargin,
+        |ORDER BY pos""".stripMargin),
+
+    // Adjacent-suffix LCP recomputed directly: materialize each suffix's
+    // token ARRAY, sort by the joined string (same order argument as
+    // dedup_suffix_ranks), pair with lead(), and count leading equal
+    // tokens via first-mismatch position — elementwise comparison, no
+    // doubling, no rank structure.
+    "dedup_lcp" ->
+      (tokenStreamCte +
+        """,
+        |suf AS (
+        |  SELECT a.pos, string_agg(b.term, ' ' ORDER BY b.pos) AS s,
+        |    count(*) AS len, list(b.term ORDER BY b.pos) AS arr
+        |  FROM toks a JOIN toks b ON b.pos >= a.pos
+        |  GROUP BY a.pos),
+        |ord AS (
+        |  SELECT pos, len, arr,
+        |    CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rank,
+        |    lead(pos) OVER (ORDER BY s) AS pos_next,
+        |    lead(len) OVER (ORDER BY s) AS len2,
+        |    lead(arr) OVER (ORDER BY s) AS arr2
+        |  FROM suf)
+        |SELECT rank, pos, CAST(pos_next AS BIGINT) AS pos_next,
+        |  CAST(coalesce(
+        |    nullif(list_position(
+        |      list_transform(range(1, CAST(least(len, len2) AS INT) + 1),
+        |        i -> (arr[i] = arr2[i])), false), 0) - 1,
+        |    least(len, len2)) AS BIGINT) AS lcp
+        |FROM ord WHERE pos_next IS NOT NULL
+        |ORDER BY rank""".stripMargin),
+
+    // Repeated 3-gram start positions found WITHOUT any suffix
+    // structure: materialize every 3-token gram and group by content.
+    "dedup_repeated_lgrams" ->
+      (tokenStreamCte +
+        """,
+        |grams AS (
+        |  SELECT a.pos, string_agg(b.term, ' ' ORDER BY b.pos) AS g
+        |  FROM toks a JOIN toks b ON b.pos BETWEEN a.pos AND a.pos + 2
+        |  GROUP BY a.pos
+        |  HAVING count(*) = 3)
+        |SELECT pos FROM grams
+        |WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+        |ORDER BY pos""".stripMargin),
 
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,

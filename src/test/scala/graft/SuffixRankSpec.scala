@@ -57,4 +57,67 @@ class SuffixRankSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String)].toDF("pos", "tok")
     assert(SuffixRank.suffixRanks(empty, "pos", "tok").count() === 0)
   }
+
+  /** Reference LCP array: sort suffixes in memory, count leading equal
+    * tokens of each adjacent pair. Keyed by rank (1..n-1); value =
+    * (pos, pos_next, lcp).
+    */
+  private def refLcp(toks: Seq[String]): Map[Long, (Long, Long, Long)] = {
+    import scala.math.Ordering.Implicits._
+    val order = toks.indices.sortBy(i => toks.drop(i).toSeq)
+    order.sliding(2).zipWithIndex.collect { case (Seq(a, b), i) =>
+      val l = toks.drop(a).zip(toks.drop(b)).takeWhile(t => t._1 == t._2).size
+      ((i + 1).toLong, (a.toLong, b.toLong, l.toLong))
+    }.toMap
+  }
+
+  private def gotLcp(toks: Seq[String]): Map[Long, (Long, Long, Long)] =
+    SuffixRank.lcpArray(toksDf(toks), "pos", "tok")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (r, p, pn, l) => (r, (p, pn, l)) }.toMap
+
+  test("banana: classic LCP array") {
+    val toks = "b a n a n a".split(" ").toSeq
+    // sorted: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+    // LCPs:      1      3        0         0     2
+    assert(gotLcp(toks) === Map(
+      1L -> (5L, 3L, 1L), 2L -> (3L, 1L, 3L), 3L -> (1L, 0L, 0L),
+      4L -> (0L, 4L, 0L), 5L -> (4L, 2L, 2L)))
+  }
+
+  test("randomized stream LCP matches in-memory reference") {
+    val rnd = new scala.util.Random(13)
+    // tiny alphabet: long shared prefixes exercise every greedy level
+    val toks = Seq.fill(193)("w" + rnd.nextInt(2))
+    assert(gotLcp(toks) === refLcp(toks))
+  }
+
+  test("all-distinct tokens: LCP all zero") {
+    val toks = (0 until 23).map(i => f"t$i%03d")
+    val got = gotLcp(toks)
+    assert(got.size === 22 && got.values.forall(_._3 === 0L))
+  }
+
+  test("repeatedGramPositions finds exactly the repeated L-gram starts") {
+    val toks = "b a n a n a".split(" ").toSeq
+    def got(l: Int) = SuffixRank
+      .repeatedGramPositions(toksDf(toks), "pos", "tok", minLen = l)
+      .as[Long].collect().toSet
+    assert(got(1) === Set(1L, 2L, 3L, 4L, 5L)) // a, n repeat; b doesn't
+    assert(got(2) === Set(1L, 2L, 3L, 4L))     // "a n" @1,3; "n a" @2,4
+    assert(got(3) === Set(1L, 3L))             // "a n a" @1,3
+    assert(got(4) === Set.empty)
+  }
+
+  test("repeatedGramPositions matches brute-force gram grouping on random stream") {
+    val rnd = new scala.util.Random(29)
+    val toks = Seq.fill(181)("w" + rnd.nextInt(4))
+    val L = 5
+    val grams = toks.indices.dropRight(L - 1).map(i => (i.toLong, toks.slice(i, i + L)))
+    val expected = grams.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(_.map(_._1)).toSet
+    val got = SuffixRank.repeatedGramPositions(toksDf(toks), "pos", "tok", minLen = L)
+      .as[Long].collect().toSet
+    assert(got === expected)
+  }
 }
