@@ -19,16 +19,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy conf) and convert to the
-    * engine's µs TimestampType with integer division (a double division
-    * would lose precision above 2^53 ns). Sub-µs truncation cannot change
-    * any comparison against µs-or-coarser values.
+  /** `events.ts` normalized to the engine's µs TimestampType regardless of
+    * how the generator wrote it — see [[Tables.normalizeTs]].
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
 
@@ -44,4 +40,29 @@ final case class Tables(spark: SparkSession, dir: String) {
       partitions = math.max(2, spark.sparkContext.defaultParallelism / 4))
 
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+
+  /** Normalize `events.ts` to the engine's µs TimestampType across testdata
+    * generations. The generator has written it as TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader surfaces as raw Long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us] with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ). Dispatch
+    * on the read type: Long nanos → integer-divide to µs (a double division
+    * would lose precision above 2^53 ns); NTZ → cast (session timezone is
+    * pinned UTC everywhere, so the wall-clock reinterpretation is the
+    * identity instant-wise, matching DuckDB's timezone-free reading of the
+    * same parquet). Works for batch and streaming frames alike.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType => df.withColumn(tsCol,
+        expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+    }
+  }
 }

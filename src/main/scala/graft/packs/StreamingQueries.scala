@@ -59,11 +59,11 @@ object StreamingQueries extends QueryPack {
     // the final watermark — correct for production, unverifiable here).
     "streaming_tumbling_counts" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
-      val stream = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = graft.core.Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/events*.parquet"))
       val sink = s"tumbling_${UUID.randomUUID().toString.replace("-", "")}"
       val ckpt = Files.createTempDirectory("graft_tumbling_ckpt").toString
       val q = EventStreams.tumblingCounts(stream, "1 hour", "2 hours")

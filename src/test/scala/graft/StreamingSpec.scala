@@ -154,9 +154,9 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
     val out = runToTable(EventStreams.tumblingCounts(stream),
       "t_real_events", mode = "complete")
       .select(col("window_start"), col("event_type"), col("n_events"))
