@@ -87,6 +87,14 @@ def main():
     cur = extract(Path(sys.argv[1]).read_text())
     if cur is None:
         sys.exit("bench_diff: no Bench JSON line found in " + sys.argv[1])
+    if cur.get("load_poisoned"):
+        print(f"bench_diff: WARNING current run is LOAD-POISONED "
+              f"(loadavg={cur.get('loadavg_preflight')}, "
+              f"sibling_jvms={cur.get('sibling_jvms')}); per-query numbers "
+              f"reflect ambient machine load, not plans")
+    if cur.get("warmup_failures"):
+        print(f"bench_diff: WARNING warmup failures (query failed in the "
+              f"untimed warmup pass): {', '.join(cur['warmup_failures'])}")
     name, prev = latest_baseline()
     if prev is None:
         print("bench_diff: no prior BENCH_r*.json with a parseable line; "

@@ -6,9 +6,86 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line (driver contract). Each query is fully executed
   * (count() drives the whole plan); a warmup pass on the smallest table
   * absorbs JVM/codegen startup so per-query numbers reflect the plans.
+  *
+  * Measurement guard: the r8/r9 driver artifacts both captured a LOADED
+  * box (leftover JVMs from earlier pipeline stages stealing cores —
+  * reproduced: one ~1.4-core stray JVM inflates every query ~2x
+  * uniformly). The bench now pre-flights the machine before the timed
+  * region — alive sibling JVMs (any java process that is not this
+  * process or an ancestor, e.g. the sbt launcher) and 1-minute loadavg —
+  * retries once after a cooldown, and if the box is still busy stamps
+  * `"load_poisoned": true` rather than silently publishing a noise
+  * number. The observed loadavg and sibling count (plus the sibling
+  * pids/commands on stderr) always ride in the JSON line, so a poisoned
+  * artifact is self-identifying.
   */
 object Bench {
+
+  /** Pids of this process and its ancestor chain (sbt launcher, shell). */
+  private def ancestorPids(): Set[Long] = {
+    var pids = Set(ProcessHandle.current().pid())
+    var cur = ProcessHandle.current().parent()
+    while (cur.isPresent) { pids += cur.get.pid(); cur = cur.get.parent() }
+    pids
+  }
+
+  /** Alive JVMs that are neither this process nor its ancestors — the
+    * stray-process signature that poisoned the r8/r9 artifacts.
+    */
+  private def siblingJvms(): Seq[(Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    val own = ancestorPids()
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(p => !own.contains(p.pid()))
+      .flatMap { p =>
+        val cmd = p.info().command()
+        if (cmd.isPresent &&
+          (cmd.get.endsWith("/java") || cmd.get == "java"))
+          Some((p.pid(), cmd.get))
+        else None
+      }
+      .toSeq
+  }
+
+  /** 1-minute load average from /proc/loadavg (-1 if unreadable). */
+  private def loadAvg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    // Pre-flight BEFORE SparkSession init (our own JVM hasn't generated
+    // load yet, so the reading reflects ambient machine state). One
+    // retry after a cooldown gives a just-exited stage's loadavg time to
+    // decay; a persistently busy box is stamped, not hidden.
+    // Several short waits, not one: a 1-min loadavg decaying from a
+    // just-finished legitimate stage (compile, verify) needs ~2 min to
+    // fall below the gate, while a genuinely occupied box stays busy
+    // through all retries and gets stamped.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
+    val retryWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "45").toInt
+    val retries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "3").toInt
+    def busy(): Boolean = siblingJvms().nonEmpty || loadAvg1() > loadMax
+    var attempt = 0
+    while (busy() && attempt < retries) {
+      attempt += 1
+      System.err.println(
+        s"[bench] pre-flight: box busy (loadavg=${loadAvg1()}, " +
+          s"siblings=${siblingJvms().map(_._1).mkString(",")}); " +
+          s"wait $attempt/$retries of ${retryWaitSec}s")
+      Thread.sleep(retryWaitSec * 1000L)
+    }
+    val loadavg = loadAvg1()
+    val siblings = siblingJvms()
+    val poisoned = siblings.nonEmpty || loadavg > loadMax
+    if (poisoned) {
+      System.err.println(
+        s"[bench] pre-flight FAILED after retry: loadavg=$loadavg " +
+          s"(max $loadMax), sibling JVMs: " +
+          siblings.map { case (pid, c) => s"$pid:$c" }.mkString(" "))
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -29,9 +106,9 @@ object Bench {
     // scheduler); each query runs `runs` times and reports the MEDIAN, so
     // round-over-round deltas reflect plan changes, not run variance.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // (name, seconds, succeeded). A failed query reports -1 in the JSON and
-    // is EXCLUDED from the total so a fast failure can't flatter the
-    // headline number the driver consumes.
+    // (name, seconds, succeeded, warmupFailed). A failed query reports -1
+    // in the JSON and is EXCLUDED from the total so a fast failure can't
+    // flatter the headline number the driver consumes.
     // Release persisted/localCheckpoint blocks a query execution left
     // behind: each execution materializes fresh ones, and across 31
     // queries x 4 executions the stale blocks accumulate into
@@ -56,9 +133,14 @@ object Bench {
         // (r6->r7 showed uniform ~2.5x drift on six unrelated cheap
         // queries that vanished under local re-runs). NonFatal only: an
         // OOM here must crash the run, not leave a silently degraded JVM
-        // producing uncomparable numbers.
-        try fn(spark, sfDir).count()
-        catch { case scala.util.control.NonFatal(_) => () }
+        // producing uncomparable numbers. A swallowed warmup failure is
+        // COUNTED and surfaced in the JSON (`warmup_failures`) — a query
+        // that fails only in warmup must not be invisible.
+        val warmupFailed =
+          try { fn(spark, sfDir).count(); false }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name warmup failed: ${e.getMessage}")
+            true }
         releaseAllBlocks()
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -70,18 +152,20 @@ object Bench {
           releaseAllBlocks() // outside the timed region, before the next run
           t
         }
-        if (times.size < runs) (name, -1.0, false)
-        else (name, times.sorted.apply(runs / 2), true)
+        if (times.size < runs) (name, -1.0, false, warmupFailed)
+        else (name, times.sorted.apply(runs / 2), true, warmupFailed)
       }
     }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val warmupFailures = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"load_poisoned":$poisoned}""")
     spark.stop()
   }
 }
