@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 object StressBench {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(20000000L) // 20M
+    // Optional 2nd arg: comma-separated stage filter, so one family can
+    // be pushed an order of magnitude past the suite default without
+    // paying for every other stage at that row count.
+    val only: Option[Set[String]] =
+      args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -22,11 +27,12 @@ object StressBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"""{"stage":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
-    }
+    def timed(name: String)(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"""{"stage":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
 
     // synthetic fact table: skewed key, timestamp, value
     val fact = spark.range(rows).select(
@@ -154,6 +160,19 @@ object StressBench {
           .otherwise(concat(lit("w"), pmod(hash(col("id")), lit(5000))))
           .as("tok"))
       graft.dedup.SuffixRank.suffixRanks(toks, "pos", "tok").count()
+    }
+    // LCP sparse-table descent over the same boilerplate-heavy token
+    // shape — exercises the level-by-level rank-history consumption
+    // (each doubling level is released as the descent uses it, so peak
+    // retained frames stay O(2) regardless of round count).
+    timed("lcp_sparse_table") {
+      val nTok = math.max(rows / 20L, 100000L)
+      val toks = spark.range(nTok).select(col("id").as("pos"),
+        when(pmod(col("id"), lit(1000)) < 200,
+          concat(lit("b"), pmod(col("id"), lit(40))))
+          .otherwise(concat(lit("w"), pmod(hash(col("id")), lit(5000))))
+          .as("tok"))
+      graft.dedup.SuffixRank.lcpArray(toks, "pos", "tok").count()
     }
     // Gramian + fixed-round power iteration over rows/100 64-dim vectors
     // (in-row d^2 pair explode, no self-join: the only exchange is the
