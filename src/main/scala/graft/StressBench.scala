@@ -162,9 +162,11 @@ object StressBench {
       graft.dedup.SuffixRank.suffixRanks(toks, "pos", "tok").count()
     }
     // LCP sparse-table descent over the same boilerplate-heavy token
-    // shape — exercises the level-by-level rank-history consumption
-    // (each doubling level is released as the descent uses it, so peak
-    // retained frames stay O(2) regardless of round count).
+    // shape — exercises the level-by-level rank-history consumption:
+    // history levels pin DISK_ONLY (memory stays at the two working
+    // frames) and each level is released as the descent uses it, so the
+    // on-disk level set drains monotonically instead of being held to
+    // the end of the descent.
     timed("lcp_sparse_table") {
       val nTok = math.max(rows / 20L, 100000L)
       val toks = spark.range(nTok).select(col("id").as("pos"),

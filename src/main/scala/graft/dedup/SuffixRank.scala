@@ -48,21 +48,33 @@ import org.apache.spark.sql.functions._
   * — in the rank-only path — the previous round's blocks are freed
   * eagerly, so peak storage is two rounds regardless of round count, the
   * same discipline as [[Components.connectedComponents]]. The LCP path
-  * instead RETAINS the per-round frames (serialized, spillable): the
-  * sparse-table descent needs every power-of-two rank level, an
-  * O(n log n)-row working set that is the textbook space cost of
-  * doubling-based LCP construction; all retained blocks are freed before
-  * the result is returned.
+  * pins its per-round history levels DISK_ONLY (executor memory stays
+  * bounded at the two working frames; the O(n log n)-row level set
+  * lives on disk as sequential spill files), and the sparse-table
+  * descent consumes levels largest-first, freeing each level's blocks
+  * as soon as the step that used it materializes — so the on-disk set
+  * drains monotonically during the descent instead of being held to the
+  * end, and peak retained MEMORY frames stay O(2) regardless of round
+  * count.
   */
 object SuffixRank {
 
   /** Round frames checkpoint SERIALIZED: deserialized row objects cost
     * ~3× the bytes of their serialized form for these narrow long-pair
-    * rows, and the doubling loop keeps two round-frames resident (all
-    * rounds, for the LCP path) — see the same choice (and the OOM it
-    * fixed) in [[Components]].
+    * rows, and the doubling loop keeps two round-frames resident — see
+    * the same choice (and the OOM it fixed) in [[Components]].
     */
   private val SerLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  /** History levels (LCP path only) pin to DISK ONLY: all ⌈log₂ n⌉
+    * levels coexist between production (doubling, smallest first) and
+    * consumption (descent, largest first), so putting them in memory
+    * would make peak MEMORY O(n log n) rows. On disk the cost is one
+    * sequential write + one sequential read per level, executor memory
+    * stays bounded at the two working frames, and the on-disk set
+    * drains monotonically as the descent consumes levels.
+    */
+  private val HistLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
 
   private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.logical.collectFirst {
@@ -120,6 +132,10 @@ object SuffixRank {
 
   private def doubling(tokens: DataFrame, posCol: String, tokCol: String,
                        keepHistory: Boolean): Doubling = {
+    // Round frames double as history levels when the LCP path asks for
+    // them — then they go to disk (see HistLevel) so memory stays O(2)
+    // frames regardless of round count.
+    val roundLevel = if (keepHistory) HistLevel else SerLevel
     val toks = tokens
       .select(col(posCol).cast("long").as("pos"), col(tokCol).cast("string").as("tok"))
       .localCheckpoint(eager = true, storageLevel = SerLevel)
@@ -137,7 +153,7 @@ object SuffixRank {
     val (tokRanks, nDistinct0, pin0) = globalDenseRank(toks.select("tok").distinct(), Seq("tok"))
     var cur = toks.join(tokRanks, "tok")
       .select(col("pos"), col("rank"))
-      .localCheckpoint(eager = true, storageLevel = SerLevel)
+      .localCheckpoint(eager = true, storageLevel = roundLevel)
     checkpointRdd(toks).foreach(_.unpersist(blocking = true))
     pin0.foreach(_.unpersist(blocking = true))
     if (keepHistory) {
@@ -160,7 +176,7 @@ object SuffixRank {
       val (pairRanks, d, pin) = globalDenseRank(paired.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"))
       val next = paired.join(pairRanks, Seq("_r1", "_r2"))
         .select(col("pos"), col("rank"))
-        .localCheckpoint(eager = true, storageLevel = SerLevel)
+        .localCheckpoint(eager = true, storageLevel = roundLevel)
       pin.foreach(_.unpersist(blocking = true))
       if (keepHistory) {
         history ::= (2 * k, next)
@@ -229,9 +245,14 @@ object SuffixRank {
       .withColumn("lcp", lit(0L))
       .localCheckpoint(eager = true, storageLevel = SerLevel)
     var prev = checkpointRdd(pairs)
-    // Greedy descent: all levels below the separating one (the last
-    // history entry is the final, fully separated frame — never needed:
-    // LCP < its prefix length by construction).
+    // The final (fully separated) frame is consumed right there in the
+    // pair construction and never by the descent (LCP < its prefix
+    // length by construction) — free it now that `pairs` materialized.
+    checkpointRdd(d.history.last._2).foreach(_.unpersist(blocking = true))
+    // Greedy descent over the remaining levels, largest first. Each
+    // level frame is consumed by exactly this one step, so its blocks
+    // are released as soon as the step's state frame materializes —
+    // peak retained frames stay O(2) regardless of round count.
     for ((len, frame) <- d.history.init.reverse) {
       val ra = frame.select(col("pos").as("_pa"), col("rank").as("_ra"))
       val rb = frame.select(col("pos").as("_pb"), col("rank").as("_rb"))
@@ -244,10 +265,13 @@ object SuffixRank {
         .select(col("rank"), col("pos"), col("pos_next"), col("lcp"))
         .localCheckpoint(eager = true, storageLevel = SerLevel)
       prev.foreach(_.unpersist(blocking = true))
+      checkpointRdd(frame).foreach(_.unpersist(blocking = true))
       prev = checkpointRdd(next)
       pairs = next
     }
-    d.pins.foreach(_.unpersist(blocking = true))
+    // Safety net (unpersist is idempotent): every pin was already freed
+    // level-by-level above.
+    d.pins.foreach(_.unpersist(blocking = false))
     pairs
   }
 

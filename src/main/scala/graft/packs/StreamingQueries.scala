@@ -78,6 +78,37 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Watermarked stream-stream INNER join as a REAL stream: purchases
+    // matched to the same user's clicks within the preceding hour, both
+    // sides watermarked so the join state store stays bounded by the
+    // horizon. Append mode: an inner join emits matches as soon as both
+    // rows are present (the watermark governs state EVICTION, not
+    // emission), so the AvailableNow drain over the single-file source
+    // yields exactly the batch join — reduced to a per-user GROUP BY for
+    // a stable oracle.
+    "streaming_stream_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = graft.core.Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/events*.parquet"))
+      val sink = s"ssjoin_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_ssjoin_ckpt").toString
+      val q = EventStreams.purchasesAfterClicks(stream, "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          round(sum(col("value")), 2).as("sum_pair_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Ingestion-time near-dup gate, driven as a REAL stream: the static
     // band index is built from the even-id half of the corpus (batch);
     // the odd-id half arrives as a file stream whose IN-ROW signatures
@@ -128,6 +159,19 @@ object StreamingQueries extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    // Batch twin of the stream-stream join: purchase×click pairs per
+    // user with the click in the purchase's preceding hour.
+    "streaming_stream_stream_join" ->
+      """SELECT p.user_id AS user_id, count(*) AS n_pairs,
+        |  count(DISTINCT p.event_id) AS n_purchases,
+        |  round(sum(p.value), 2) AS sum_pair_value
+        |FROM events p
+        |JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY p.user_id
+        |ORDER BY user_id""".stripMargin,
 
     // Same md5 minhash family and 2-row banding as the dedup_minhash_*
     // oracles, split across the even (index) / odd (stream) halves.
