@@ -63,6 +63,14 @@ def round_num(p):
 
 
 def latest_baseline():
+    """Most recent BENCH_r*.json with a parseable, NON-POISONED line.
+
+    A load-poisoned artifact committed for the record must not become
+    the silent comparison baseline: its inflated numbers would turn the
+    next clean round into phantom improvements and mask real
+    regressions. Poisoned rounds are skipped (with a note) in favor of
+    the most recent clean one.
+    """
     for p in sorted(REPO.glob("BENCH_r*.json"), key=round_num, reverse=True):
         try:
             d = json.loads(p.read_text())
@@ -70,6 +78,10 @@ def latest_baseline():
             continue
         parsed = d.get("parsed") or extract(d.get("tail", ""))
         if parsed and parsed.get("queries"):
+            if parsed.get("load_poisoned"):
+                print(f"bench_diff: skipping poisoned baseline {p.name} "
+                      f"(load_poisoned=true)")
+                continue
             return p.name, parsed
     return None, None
 

@@ -13,9 +13,14 @@ import org.apache.spark.sql.SparkSession
   * uniformly). The bench now pre-flights the machine before the timed
   * region — alive sibling JVMs (any java process that is not this
   * process or an ancestor, e.g. the sbt launcher) and 1-minute loadavg —
-  * retries once after a cooldown, and if the box is still busy stamps
-  * `"load_poisoned": true` rather than silently publishing a noise
-  * number. The observed loadavg and sibling count (plus the sibling
+  * waits up to SPARK_GRAFT_LOAD_RETRIES (default 3) times
+  * SPARK_GRAFT_LOAD_WAIT (default 45s) for the box to go idle, and if
+  * it is still busy stamps `"load_poisoned": true` rather than silently
+  * publishing a noise number. After the timed suite the sibling check
+  * runs AGAIN (a stray JVM that starts mid-suite — the exact r8/r9
+  * failure mode — must not yield a clean stamp; loadavg is not
+  * re-checked post-suite because our own just-finished queries dominate
+  * it). The observed loadavg and sibling counts (plus the sibling
   * pids/commands on stderr) always ride in the JSON line, so a poisoned
   * artifact is self-identifying.
   */
@@ -56,13 +61,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     // Pre-flight BEFORE SparkSession init (our own JVM hasn't generated
-    // load yet, so the reading reflects ambient machine state). One
-    // retry after a cooldown gives a just-exited stage's loadavg time to
-    // decay; a persistently busy box is stamped, not hidden.
-    // Several short waits, not one: a 1-min loadavg decaying from a
-    // just-finished legitimate stage (compile, verify) needs ~2 min to
-    // fall below the gate, while a genuinely occupied box stays busy
-    // through all retries and gets stamped.
+    // load yet, so the reading reflects ambient machine state). Up to
+    // `retries` waits of `retryWaitSec` each — several short waits, not
+    // one: a 1-min loadavg decaying from a just-exited legitimate stage
+    // (compile, verify) needs ~2 min to fall below the gate, while a
+    // genuinely occupied box stays busy through all retries and gets
+    // stamped, not hidden.
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "2.0").toDouble
     val retryWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "45").toInt
     val retries = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "3").toInt
@@ -156,6 +160,19 @@ object Bench {
         else (name, times.sorted.apply(runs / 2), true, warmupFailed)
       }
     }
+    // Post-suite sibling re-check: a stray JVM starting DURING the
+    // multi-minute timed suite (the r8/r9 failure mode — leftover
+    // pipeline stages) would pass the pre-flight and still poison the
+    // numbers. Loadavg is deliberately NOT re-checked here — our own
+    // just-finished 32-core queries dominate it; only external JVMs are
+    // a meaningful post-suite signal.
+    val siblingsPost = siblingJvms()
+    if (siblingsPost.nonEmpty) {
+      System.err.println(
+        "[bench] post-suite sibling JVMs detected (suite ran loaded): " +
+          siblingsPost.map { case (pid, c) => s"$pid:$c" }.mkString(" "))
+    }
+    val poisonedFinal = poisoned || siblingsPost.nonEmpty
     val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
@@ -165,7 +182,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"load_poisoned":$poisoned}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal}""")
     spark.stop()
   }
 }

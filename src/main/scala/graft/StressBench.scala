@@ -176,6 +176,26 @@ object StressBench {
           .as("tok"))
       graft.dedup.SuffixRank.lcpArray(toks, "pos", "tok").count()
     }
+    // SA-detected repeated spans end to end (global token stream with
+    // separators -> distributed prefix-sum offsets -> suffix ranks ->
+    // LCP descent -> doc-relative spans -> islands merge) over the same
+    // boilerplate-doc shape as repeated_span_stats: rows/4000 docs of
+    // 200 tokens (rows/20 tokens total), every 10th doc embedding a
+    // shared 40-token block.
+    timed("sa_repeated_spans") {
+      val nDocs = math.max(rows / 4000L, 500L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          expr("transform(sequence(1, 80), " +
+            "i -> concat('w', hash(id, i) % 1000000))"),
+          expr("CASE WHEN id % 10 = 0 THEN transform(sequence(1, 40), " +
+            "i -> concat('b', i)) ELSE transform(sequence(1, 40), " +
+            "i -> concat('w', hash(id, i + 80) % 1000000)) END"),
+          expr("transform(sequence(1, 80), " +
+            "i -> concat('w', hash(id, i + 120) % 1000000))")).as("text"))
+      Dedup.saRepeatedSpanStats(docs, "doc_id", "text", windowTokens = 8)
+        .count()
+    }
     // Gramian + fixed-round power iteration over rows/100 64-dim vectors
     // (in-row d^2 pair explode, no self-join: the only exchange is the
     // partial-agg merge; n*d^2 multiply-adds stream through codegen)

@@ -600,6 +600,17 @@ object Dedup {
       .select(col("_h"))
     val marked = grams.join(dupHashes, Seq("_h"), "left_semi")
       .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"))
+    spanCoverageStats(base, marked, idCol)
+  }
+
+  /** Gaps-and-islands union coverage of marked duplicated windows
+    * `(idCol, i, e)` joined back onto per-doc `(idCol, n_tokens)` —
+    * the shared tail of [[repeatedSpanStats]] and
+    * [[saRepeatedSpanStats]]: per-doc windows over (doc, start) merge
+    * overlapping intervals so coverage never double-counts.
+    */
+  private def spanCoverageStats(base: DataFrame, marked: DataFrame,
+                                idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
     val prevEnd = max(col("e")).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
@@ -670,6 +681,17 @@ object Dedup {
       .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"),
         (col(s"_k.$idCol") === col(idCol) && col("_k.i") === col("i"))
           .as("_canon"))
+    stripByIntervals(toks, marked, idCol)
+  }
+
+  /** The IN-ROW strip shared by [[removeRepeatedSpans]] and
+    * [[saRemoveRepeatedSpans]]: each doc joins its (small) canonical /
+    * non-canonical interval lists once and filters its token array with
+    * an interval-membership lambda — no token-level join. `toks` is
+    * `(idCol, _toks)`; `marked` is `(idCol, i, e, _canon)`.
+    */
+  private def stripByIntervals(toks: DataFrame, marked: DataFrame,
+                               idCol: String): DataFrame = {
     val ivs = marked.groupBy(col(idCol)).agg(
       collect_list(when(!col("_canon"), struct(col("i"), col("e"))))
         .as("_rem"),
@@ -686,6 +708,123 @@ object Dedup {
         concat_ws(" ", expr("transform(_kept, x -> x.t)"))
           .as("cleaned_text"))
       .where(col("n_kept") > 0)
+  }
+
+  /** The corpus as ONE contiguous 0-based global token stream with a
+    * unique per-doc separator token appended after each doc (separators
+    * cannot repeat, so no repeated substring spans a document
+    * boundary). Offsets are a distributed exclusive prefix sum over
+    * doc order ([[SuffixRank.prefixOffsets]] — no single-task window).
+    *
+    * Returns (persisted token-array frame, per-doc base `(idCol,
+    * n_tokens)`, position map `(idCol, i, pos, tok)` with `i` 1-based
+    * doc-relative and `pos` global, full stream `(pos, tok)` incl.
+    * separators, the offsets checkpoint pin).
+    */
+  private def globalTokenStream(docs: DataFrame, idCol: String,
+                                textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame,
+         Option[org.apache.spark.rdd.RDD[_]]) = {
+    // Corpus-sized: DISK_ONLY persist, lineage kept for recovery (see
+    // repeatedSpanStats).
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val base = toks.select(col(idCol), size(col("_toks")).as("n_tokens"))
+    val (offsets, pin) = SuffixRank.prefixOffsets(
+      base.select(col(idCol), (col("n_tokens") + 1).cast("long").as("_cnt")),
+      idCol, "_cnt")
+    val posed = toks
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_p0", "tok")))
+      .join(offsets.select(col(idCol), col("_off")), Seq(idCol))
+      .select(col(idCol), (col("_p0") + 1).as("i"),
+        (col("_off") + col("_p0")).as("pos"), col("tok"))
+    // Separator = "\\u0001" + doc id: the control-char prefix keeps it
+    // disjoint from every real token (corpus tokens are whitespace-split
+    // text), and the id suffix makes each separator unique, so no two
+    // separator positions can ever share an L-prefix.
+    val seps = offsets
+      .select((col("_off") + col("_cnt") - 1).as("pos"),
+        concat(lit("\u0001"), col(idCol).cast("string")).as("tok"))
+    val stream = posed.select(col("pos"), col("tok")).union(seps)
+    (toks, base, posed, stream, pin)
+  }
+
+  /** Public view of [[globalTokenStream]]: just the `(pos, tok)` stream
+    * (contiguous 0-based positions, unique per-doc separators) — the
+    * input for suffix-index invariant checks and ad-hoc SA consumers.
+    */
+  def corpusTokenStream(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val (_, _, _, stream, _) = globalTokenStream(docs, idCol, textCol)
+    stream
+  }
+
+  /** Duplicated window spans detected on the corpus SUFFIX ARRAY
+    * (Lee et al. 2022's actual index) instead of L-gram hash
+    * multiplicity: a doc-relative position is duplicated iff its
+    * global-stream suffix shares ≥ L leading tokens with a suffix-array
+    * neighbor ([[SuffixRank.repeatedGramPositions]]). Unique per-doc
+    * separator tokens guarantee no flagged window crosses a doc
+    * boundary, so the flagged set equals the L-gram path's duplicated
+    * window starts exactly (the hash path differs only by md5
+    * collisions). Returns the persisted token arrays, per-doc base, and
+    * the eagerly-materialized `(idCol, i, e)` span set.
+    */
+  private def saMarkedSpans(docs: DataFrame, idCol: String,
+                            textCol: String, L: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (toks, base, posed, stream, pin) =
+      globalTokenStream(docs, idCol, textCol)
+    val flagged = SuffixRank.repeatedGramPositions(stream, "pos", "tok", L)
+    // Boilerplate-sized: eager checkpoint both cuts the SA lineage for
+    // the downstream island/strip plans and lets the offsets pin free.
+    val marked = flagged
+      .join(posed.select(col("pos"), col(idCol), col("i")), "pos")
+      .select(col(idCol), col("i"), (col("i") + (L - 1)).as("e"))
+      .localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    pin.foreach(_.unpersist(blocking = false))
+    (toks, base, marked)
+  }
+
+  /** Suffix-array twin of [[repeatedSpanStats]] — same output contract
+    * (per-doc n_tokens, n_dup_tokens, dup_frac; same oracle), detection
+    * via SuffixRank + LCP. Where both paths apply (no md5 collisions)
+    * the outputs are identical; the SA path generalizes to
+    * variable-length repeats (minLen is a floor, not a fixed window)
+    * and is the Lee et al. 2022 construction proper.
+    */
+  def saRepeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens=$windowTokens must be at least 2")
+    val (_, base, marked) = saMarkedSpans(docs, idCol, textCol, windowTokens)
+    spanCoverageStats(base, marked, idCol)
+  }
+
+  /** Suffix-array twin of [[removeRepeatedSpans]]: detection on the
+    * suffix array ([[saMarkedSpans]]); canonical selection (global-min
+    * (doc, pos) occurrence per distinct window content) recovers each
+    * flagged span's gram IN-ROW from its doc's token array and groups
+    * by gram hash — that group-by touches only the duplicated
+    * (boilerplate-sized) subset, never the corpus. Same strip, same
+    * output, same oracle as the L-gram path.
+    */
+  def saRemoveRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int = 8): DataFrame = {
+    val L = windowTokens
+    require(L >= 2, s"windowTokens=$L must be at least 2")
+    val (toks, _, marked) = saMarkedSpans(docs, idCol, textCol, L)
+    val withHash = marked.join(toks, Seq(idCol))
+      .select(col(idCol), col("i"), col("e"),
+        md5(concat_ws(" ", expr(s"slice(_toks, i, $L)"))).as("_h"))
+    val canon = withHash.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("i"))).as("_k"))
+    val markedC = withHash.join(canon, "_h")
+      .select(col(idCol), col("i"), col("e"),
+        (col(s"_k.$idCol") === col(idCol) && col("_k.i") === col("i"))
+          .as("_canon"))
+    stripByIntervals(toks, markedC, idCol)
   }
 
   /** n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — catches subset

@@ -120,6 +120,46 @@ object SuffixRank {
     (ranked, total, checkpointRdd(sorted))
   }
 
+  /** Distributed EXCLUSIVE prefix sum: one output row per input row,
+    * `_off` = sum of `countCol` over all rows strictly before it in
+    * `ordCol` order — the building block for assigning contiguous
+    * global positions to per-document token streams without a
+    * single-task window. Same machinery as the global dense rank:
+    * range-partition on the order column, checkpoint to pin the
+    * physical layout, per-partition running sums (windows keyed by
+    * physical partition id run in parallel) plus broadcast partition
+    * offsets (one row per partition crosses the driver, not data).
+    *
+    * Returns (frame with `_off` added, the pinned checkpoint's RDD for
+    * the caller to free once consumers are materialized).
+    */
+  def prefixOffsets(df: DataFrame, ordCol: String, countCol: String)
+      : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(col(ordCol))
+      .localCheckpoint(eager = true, storageLevel = SerLevel)
+    val counts = sorted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col(countCol).cast("long")).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_poff")
+    val out = sorted
+      .withColumn("_pid", spark_partition_id())
+      .join(broadcast(offDf), Seq("_pid"), "left")
+      .withColumn("_off",
+        coalesce(col("_poff"), lit(0L)) +
+          coalesce(sum(col(countCol).cast("long")).over(
+            Window.partitionBy(col("_pid")).orderBy(col(ordCol))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_pid", "_poff")
+    (out, checkpointRdd(sorted))
+  }
+
   /** The doubling loop's output: final ranks (a permutation of 1..n over
     * `pos`), the stream length, and — when history was requested — every
     * round's (prefixLen, rank frame) in ascending prefixLen order

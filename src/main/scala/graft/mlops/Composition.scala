@@ -105,6 +105,73 @@ object Composition {
       .agg(round(avg(resid * resid), 4).as("avg_mse"))
   }
 
+  /** P4 MULTI-AXIS grid search: λ × feature, the same deterministic
+    * closed-form machinery as [[cvRidgeUnivariate]] with a second grid
+    * dimension. The feature axis is handled by STACKING the candidate
+    * x-columns in-row (explode of an array of (feature, x) structs — one
+    * scan, ×|features| rows, no re-scan per feature), so sufficient
+    * statistics for every (feature, fold) cell still come from ONE
+    * linear pass; models remain a broadcast |folds|×|features|×|λ| row
+    * set and evaluation is one more stacked pass. Two linear scans
+    * total regardless of grid size — at 100 TB the grid costs nothing
+    * beyond the tiny model join, and axes beyond two (e.g. window-token
+    * counts) stack the same way.
+    *
+    * Returns one row per grid point: (feature, grid_idx, lambda,
+    * avg_mse) — the full grid's cross-validated scores.
+    */
+  def cvRidgeGrid(df: DataFrame, keyCol: Column,
+                  features: Seq[(String, Column)], yCol: Column,
+                  lambdas: Seq[Double], k: Int = 3): DataFrame = {
+    require(k >= 2, s"k=$k folds must be at least 2")
+    require(lambdas.nonEmpty, "empty lambda grid")
+    require(features.nonEmpty, "empty feature grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+        pmod(GraftFunctions.md5Long(keyCol.cast("string"), 8), lit(k)).as("fold"),
+        yCol.cast("double").as("y"),
+        explode(array(features.map { case (name, c) =>
+          struct(lit(name).as("feature"), c.cast("double").as("x"))
+        }: _*)).as("_fx"))
+      .select(col("fold"), col("_fx.feature").as("feature"),
+        col("_fx.x").as("x"), col("y"))
+    val foldStats = rows.groupBy(col("feature"), col("fold")).agg(
+      count(lit(1)).cast("double").as("fn"),
+      sum(col("x")).as("fsx"), sum(col("y")).as("fsy"),
+      sum(col("x") * col("x")).as("fsxx"),
+      sum(col("x") * col("y")).as("fsxy"))
+    val totals = rows.groupBy(col("feature")).agg(
+      count(lit(1)).cast("double").as("tn"),
+      sum(col("x")).as("tsx"), sum(col("y")).as("tsy"),
+      sum(col("x") * col("x")).as("tsxx"),
+      sum(col("x") * col("y")).as("tsxy"))
+    val grid = lambdas.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("grid_idx", "lambda")
+    val models = foldStats.join(broadcast(totals), "feature")
+      .select(col("feature"), col("fold"),
+        (col("tn") - col("fn")).as("n"),
+        (col("tsx") - col("fsx")).as("sx"),
+        (col("tsy") - col("fsy")).as("sy"),
+        (col("tsxx") - col("fsxx")).as("sxx"),
+        (col("tsxy") - col("fsxy")).as("sxy"))
+      .crossJoin(broadcast(grid))
+      // Same degenerate-denominator guard as cvRidgeUnivariate.
+      .withColumn("_den",
+        col("sxx") - col("sx") * col("sx") / col("n") + col("lambda"))
+      .withColumn("b1",
+        when(col("_den") =!= 0.0,
+          (col("sxy") - col("sx") * col("sy") / col("n")) / col("_den"))
+          .otherwise(lit(0.0)))
+      .withColumn("b0", col("sy") / col("n") - col("b1") * col("sx") / col("n"))
+      .select(col("feature"), col("fold"), col("grid_idx"), col("lambda"),
+        col("b0"), col("b1"))
+    val resid = col("y") - (col("b0") + col("b1") * col("x"))
+    rows.join(broadcast(models), Seq("feature", "fold"))
+      .groupBy(col("feature"), col("grid_idx"), col("lambda"))
+      .agg(round(avg(resid * resid), 4).as("avg_mse"))
+  }
+
   /** Grid-searched logistic regression over an embedding column. */
   def gridSearchLogistic(df: DataFrame, featuresArr: String, labelCol: String,
                          regParams: Seq[Double] = Seq(0.0, 0.1),

@@ -327,6 +327,77 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Suffix-array twin of dedup_repeated_spans: the SAME per-doc span
+    // coverage, but detection runs on the corpus suffix array
+    // (SuffixRank + LCP over the separator-joined global token stream,
+    // Lee et al. 2022's construction proper) instead of L-gram hash
+    // multiplicity. Shares dedup_repeated_spans' oracle verbatim — the
+    // two paths must agree exactly.
+    "dedup_sa_spans" -> ((s, dir) => {
+      Dedup.saRepeatedSpanStats(Tables(s, dir).documents, "doc_id", "text",
+          windowTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SA-detected removal: same canonical-survivor contract (and
+    // oracle) as dedup_repeated_spans_clean, detection via the suffix
+    // array — closes the SA→removal integration gap.
+    "dedup_sa_spans_clean" -> ((s, dir) => {
+      Dedup.saRemoveRepeatedSpans(Tables(s, dir).documents, "doc_id", "text",
+          windowTokens = 8)
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("cleaned_text")).as("cleaned_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mid-scale suffix/LCP invariants over the FULL corpus token stream
+    // (27k tokens at sf0.01, 276k at sf0.1 — well beyond the 2.1k-token
+    // capped oracle slice, where an O(n²) string-sort oracle can't
+    // follow): (a) the rank column of the LCP pair frame is a dense
+    // 1..n-1 enumeration whose pos/pos_next cover all n positions —
+    // permutation evidence (the doubling loop additionally throws if
+    // ranks fail to separate); (b) on ~64 deterministically sampled
+    // rank-adjacent pairs, the claimed LCP is re-verified ELEMENTWISE
+    // against the token stream (tokens agree for j < lcp, differ or run
+    // out at j = lcp) — an independent recomputation, no rank
+    // structure. Expected values are constants (plus two counts the
+    // oracle derives from the documents table), so the DuckDB oracle
+    // pins them without replaying the SA build.
+    "dedup_sa_invariants" -> ((s, dir) => {
+      val stream = Dedup.corpusTokenStream(
+          Tables(s, dir).documents, "doc_id", "text")
+        .localCheckpoint()
+      val lcp = SuffixRank.lcpArray(stream, "pos", "tok").localCheckpoint()
+      val n = stream.count()
+      val step = math.max(1L, n / 64L)
+      val inv = lcp.agg(
+        (count(lit(1)) === (n - 1) &&
+          countDistinct(col("rank")) === (n - 1) &&
+          min(col("rank")) === 1L && max(col("rank")) === (n - 1) &&
+          countDistinct(col("pos")) === (n - 1) &&
+          countDistinct(col("pos_next")) === (n - 1)).as("_dense"))
+      val covered = lcp.select(col("pos"))
+        .union(lcp.select(col("pos_next"))).distinct()
+        .agg((count(lit(1)) === n).as("_covered"))
+      val sA = stream.select(col("pos").as("_pa"), col("tok").as("_ta"))
+      val sB = stream.select(col("pos").as("_pb"), col("tok").as("_tb"))
+      val checks = lcp.where(pmod(col("rank"), lit(step)) === 0)
+        .select(col("rank"), col("pos"), col("pos_next"), col("lcp"),
+          explode(expr("sequence(0, lcp)")).as("j"))
+        .join(sA, col("pos") + col("j") === col("_pa"), "left")
+        .join(sB, col("pos_next") + col("j") === col("_pb"), "left")
+        .withColumn("_ok",
+          when(col("j") < col("lcp"), col("_ta") === col("_tb"))
+            .otherwise(col("_ta").isNull || col("_tb").isNull ||
+              col("_ta") =!= col("_tb")))
+        .agg(countDistinct(col("rank")).as("sampled_pairs"),
+          (min(col("_ok").cast("int")) === 1).as("lcp_sample_ok"))
+      inv.crossJoin(covered).crossJoin(checks)
+        .select(lit(n).as("n_positions"),
+          (col("_dense") && col("_covered")).as("rank_is_permutation"),
+          col("sampled_pairs"), col("lcp_sample_ok"))
+    }),
+
     // Embedding cosine near-duplicates — EXACT all-pairs twin
     // (verification baseline for the cell-gated scale path below).
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -403,7 +474,8 @@ object DedupQueries extends QueryPack {
       |  SELECT CAST(o.off + t.p - 1 AS BIGINT) AS pos, t.term
       |  FROM toks0 t JOIN offs o ON t.doc_id = o.doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = {
+    val base = Map(
     // Oracle ranks suffixes by sorting the space-joined suffix STRINGS —
     // a deliberately different algorithm than prefix doubling. The two
     // orders agree because ' ' compares below every token character
@@ -1047,5 +1119,23 @@ object DedupQueries extends QueryPack {
         |SELECT id_a, id_b, n_shared FROM pairs
         |WHERE n_shared >= 2
         |ORDER BY id_a, id_b""".stripMargin
-  )
+    )
+    // The SA-detected span queries must agree with the L-gram path
+    // EXACTLY — sharing the oracle text makes that contract literal.
+    base ++ Map(
+      "dedup_sa_spans" -> base("dedup_repeated_spans"),
+      "dedup_sa_spans_clean" -> base("dedup_repeated_spans_clean"),
+      // Constants-plus-derived-counts pin for the invariant row: n is
+      // the token count + one separator per doc; the sample size is the
+      // number of ranks in [1, n-1] divisible by max(1, n div 64).
+      "dedup_sa_invariants" ->
+        """WITH nn AS (
+          |  SELECT CAST(sum(len(string_split(text, ' ')) + 1) AS BIGINT) AS n
+          |  FROM documents)
+          |SELECT n AS n_positions, true AS rank_is_permutation,
+          |  CAST((n - 1) // greatest(1, n // 64) AS BIGINT) AS sampled_pairs,
+          |  true AS lcp_sample_ok
+          |FROM nn""".stripMargin
+    )
+  }
 }

@@ -353,6 +353,20 @@ object MLQueries extends QueryPack {
         .orderBy(col("grid_idx"))
     }),
 
+    // P4 MULTI-AXIS grid search: λ × candidate feature — the full
+    // 2×3-point grid's cross-validated scores from two linear scans
+    // (stacked features, broadcast model set). Same deterministic
+    // md5-fold closed-form ridge as cv_grid_search.
+    "cv_grid_search_multi" -> ((s, dir) => {
+      Composition.cvRidgeGrid(Tables(s, dir).lineitem,
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          Seq("l_quantity" -> col("l_quantity"),
+            "l_discount" -> (col("l_discount") * lit(100.0))),
+          col("l_extendedprice") / lit(1000.0),
+          lambdas = Seq(0.0, 100.0, 10000.0), k = 3)
+        .orderBy(col("feature"), col("grid_idx"))
+    }),
+
     // Multi-feature linear regression via spark.ml — solver="normal"
     // (exact WLS/Cholesky on one pass of sufficient statistics), so the
     // fit is deterministic and the Cramer closed form is its oracle
@@ -538,6 +552,56 @@ object MLQueries extends QueryPack {
         |FROM r JOIN m ON r.fold = m.fold
         |GROUP BY m.grid_idx, m.lambda
         |ORDER BY m.grid_idx""".stripMargin,
+
+    // cv_grid_search's arithmetic with the feature axis added: the
+    // stacked (feature, x) rows become a UNION ALL, every CTE carries
+    // `feature` through, and the final join matches on (feature, fold).
+    "cv_grid_search_multi" ->
+      """WITH r AS (
+        |  SELECT (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |             CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 3) AS fold,
+        |    'l_quantity' AS feature,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |             CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 3) AS fold,
+        |    'l_discount' AS feature,
+        |    CAST(l_discount AS DOUBLE) * 100.0 AS x,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+        |  FROM lineitem),
+        |fs AS (
+        |  SELECT feature, fold, CAST(count(*) AS DOUBLE) AS fn, sum(x) AS fsx,
+        |    sum(y) AS fsy, sum(x*x) AS fsxx, sum(x*y) AS fsxy
+        |  FROM r GROUP BY feature, fold),
+        |tot AS (
+        |  SELECT feature, CAST(count(*) AS DOUBLE) AS tn, sum(x) AS tsx,
+        |    sum(y) AS tsy, sum(x*x) AS tsxx, sum(x*y) AS tsxy
+        |  FROM r GROUP BY feature),
+        |grid AS (SELECT * FROM (VALUES (0, 0.0), (1, 100.0), (2, 10000.0))
+        |  g(grid_idx, lambda)),
+        |tr AS (
+        |  SELECT fs.feature, fold, tn - fn AS n, tsx - fsx AS sx,
+        |    tsy - fsy AS sy, tsxx - fsxx AS sxx, tsxy - fsxy AS sxy
+        |  FROM fs JOIN tot ON fs.feature = tot.feature),
+        |m0 AS (
+        |  SELECT feature, fold, grid_idx, lambda,
+        |    CASE WHEN sxx - sx * sx / n + lambda <> 0
+        |      THEN (sxy - sx * sy / n) / (sxx - sx * sx / n + lambda)
+        |      ELSE 0.0 END AS b1,
+        |    n, sx, sy
+        |  FROM tr CROSS JOIN grid),
+        |m AS (
+        |  SELECT feature, fold, grid_idx, lambda,
+        |    (sy / n) - b1 * sx / n AS b0, b1
+        |  FROM m0)
+        |SELECT m.feature, m.grid_idx, m.lambda,
+        |  round(avg((r.y - (m.b0 + m.b1 * r.x)) * (r.y - (m.b0 + m.b1 * r.x))), 4)
+        |    AS avg_mse
+        |FROM r JOIN m ON r.feature = m.feature AND r.fold = m.fold
+        |GROUP BY m.feature, m.grid_idx, m.lambda
+        |ORDER BY m.feature, m.grid_idx""".stripMargin,
 
     "n1_multinomial_nb_fit" ->
       """WITH toks AS (

@@ -114,6 +114,32 @@ class ContractSpec extends AnyFunSuite {
     assert(out(0) < out(1) && out(1) < out(2), out.toSeq.toString)
   }
 
+  test("cvRidgeGrid: each feature axis reproduces the univariate grid") {
+    // Two candidate features over the same rows: the multi-axis result
+    // restricted to one feature must equal cvRidgeUnivariate on that
+    // feature alone (stacking must not couple the axes), and the exact
+    // feature (y = 2x + 1) must beat the noise feature at lambda=0.
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map(i =>
+        (i.toLong, i.toDouble, rnd.nextDouble() * 100.0, 2.0 * i + 1.0))
+      .toDF("k", "x", "noise", "y")
+    val lambdas = Seq(0.0, 1000.0)
+    val multi = Composition.cvRidgeGrid(df, col("k"),
+        Seq("x" -> col("x"), "noise" -> col("noise")), col("y"), lambdas, k = 3)
+      .select("feature", "grid_idx", "avg_mse")
+      .as[(String, Int, Double)].collect()
+    assert(multi.length === 4)
+    val byFeat = multi.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (feat <- Seq("x", "noise")) {
+      val uni = Composition.cvRidgeUnivariate(df, col("k"), col(feat), col("y"),
+          lambdas, k = 3)
+        .orderBy("grid_idx").select("avg_mse").as[Double].collect().toSeq
+      assert(byFeat(feat) === uni, s"feature=$feat")
+    }
+    assert(byFeat("x").head < byFeat("noise").head)
+  }
+
   test("composition: pipeline + grid search pick a fitted model") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("label") < 3).limit(120)

@@ -120,4 +120,46 @@ class SuffixRankSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(got === expected)
   }
+
+  test("prefixOffsets: distributed exclusive prefix sum matches scanLeft") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 97).map(i => (f"k$i%03d", rnd.nextInt(50) + 1L))
+    val df = rows.toDF("k", "c")
+    val (out, pin) = SuffixRank.prefixOffsets(df, "k", "c")
+    val got = out.select(col("k"), col("_off")).as[(String, Long)]
+      .collect().toMap
+    val sortedRows = rows.sortBy(_._1)
+    val expected = sortedRows.map(_._1)
+      .zip(sortedRows.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    pin.foreach(_.unpersist(blocking = true))
+    assert(got === expected)
+  }
+
+  test("SA-detected spans agree with the L-gram hash path on a boilerplate corpus") {
+    val rnd = new scala.util.Random(53)
+    // 30 docs of ~25 tokens from a small vocab; every 5th doc carries a
+    // shared 8-token boilerplate block -> cross-doc repeats at L=4 plus
+    // incidental same-vocab repeats.
+    val docs = (0L until 30L).map { id =>
+      val body = Seq.fill(25)("w" + rnd.nextInt(12))
+      val withB =
+        if (id % 5 == 0) body.take(10) ++ (1 to 8).map("b" + _) ++ body.drop(10)
+        else body
+      (id, withB.mkString(" "))
+    }.toDF("doc_id", "text")
+    val lgram = graft.dedup.Dedup
+      .repeatedSpanStats(docs, "doc_id", "text", windowTokens = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val sa = graft.dedup.Dedup
+      .saRepeatedSpanStats(docs, "doc_id", "text", windowTokens = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(sa === lgram)
+    val lgramClean = graft.dedup.Dedup
+      .removeRepeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val saClean = graft.dedup.Dedup
+      .saRemoveRepeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(saClean === lgramClean)
+  }
 }
