@@ -178,6 +178,33 @@ object DataflowQueries extends QueryPack {
           t.embeddings.select(col("vec_id"), col("label")), Seq(col("vec_id")))
         .select(col("pos"), col("doc_id"), col("lang"), col("vec_id"), col("label"))
         .orderBy(col("pos"))
+    }),
+
+    // D11 persist/repartition as a VERIFIED query (graduated from
+    // posture): documents repartition(8, bucket) on an engine-portable
+    // md5 bucket, persisted; the result must (a) keep every row through
+    // the exchange + persist, (b) CO-LOCATE each bucket in exactly one
+    // physical partition (countDistinct(spark_partition_id) == 1 —
+    // the property repartition-by-expression exists to provide), and
+    // (c) hit all 8 buckets. The oracle recomputes bucket counts;
+    // colocated flips false if the exchange ever stops honoring the
+    // bucketing.
+    "d11_repartition_persist" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bucketed = docs
+        .select(col("doc_id"),
+          pmod(graft.functions.GraftFunctions.md5Long(
+            col("doc_id").cast("string"), 8), lit(8)).as("bucket"))
+        .repartition(8, col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bucketed
+        .withColumn("_pid", spark_partition_id())
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_n"),
+          countDistinct(col("_pid")).as("_nparts"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("_n")).as("n_rows"),
+          (max(col("_nparts")) === 1).as("colocated"))
     })
   )
 
@@ -196,6 +223,14 @@ object DataflowQueries extends QueryPack {
         |    AS BIGINT) AS block_id,
         |  doc_id, lang, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Bucket membership recomputed with the same md5 family; the
+    // colocation flag is a plan property pinned as a constant.
+    "d11_repartition_persist" ->
+      """SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_buckets,
+        |  CAST(count(*) AS BIGINT) AS n_rows, true AS colocated
+        |FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS b
+        |      FROM documents) t""".stripMargin,
 
     "d12_check_rdd" ->
       """SELECT check_name, ok FROM (VALUES

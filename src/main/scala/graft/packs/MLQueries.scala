@@ -321,6 +321,42 @@ object MLQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // P3 make_pipeline: the varargs pipeline assembler on anonymous
+    // stages, VALUE-oracled (graduated from test-only): two
+    // SQLTransformer stages compose in declaration order — the second
+    // reads the first's derived column — and the fitted PipelineModel's
+    // transform is a deterministic query DuckDB replays directly.
+    "p3_make_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val st1 = new org.apache.spark.ml.feature.SQLTransformer().setStatement(
+        "SELECT doc_id, lang, n_chars, n_chars * 2 AS n2 FROM __THIS__")
+      val st2 = new org.apache.spark.ml.feature.SQLTransformer().setStatement(
+        "SELECT doc_id, lang, round(ln(n2 + 1.0), 6) AS log_n2 FROM __THIS__")
+      Composition.fitPipeline(docs, st1, st2).transform(docs)
+        .select(col("doc_id"), col("lang"),
+          (col("log_n2") + lit(0.0)).as("log_n2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P5 broadcast: the reference's driver-shipped small side as a
+    // VERIFIED plan property, not posture — the dimension join must
+    // actually plan a BroadcastHashJoin (no shuffle of the fact side).
+    // If Spark ever chose a shuffled join here, broadcast_used flips
+    // false and the hash breaks; the per-segment counts pin the join's
+    // semantics at the same time.
+    "p5_broadcast_plan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val joined = t.orders.join(
+        broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      val used = joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("broadcast_used", lit(used))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // mllib k-means with PINNED per-label-mean seeds and exactly 2 Lloyd
     // updates (setInitialModel + epsilon=0: no RNG anywhere), final
     // assignment by exact squared distance — the distributed mllib fit,
@@ -918,6 +954,22 @@ object MLQueries extends QueryPack {
         |FROM lineitem
         |WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The composed SQLTransformer pipeline replayed as one expression.
+    "p3_make_pipeline" ->
+      """SELECT doc_id, lang,
+        |  round(ln(n_chars * 2 + 1.0), 6) + 0.0 AS log_n2
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Join semantics recomputed; broadcast_used is a plan-property
+    // constant (true unless the engine stops broadcasting the dim).
+    "p5_broadcast_plan" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  true AS broadcast_used
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     "l6_ols_trivariate" -> {
       val betas = (0 until 4).map { j =>
