@@ -109,6 +109,50 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Watermarked stream-stream LEFT-OUTER join as a REAL stream. The
+    // outer (null-padded) rows only emit when the global watermark
+    // passes a purchase's join window, and a finite stream's watermark
+    // stops at max-event-time − delay — so the source is staged into a
+    // temp dir as TWO files: the real events, then a far-future
+    // sentinel flush row on EACH side (clock-independent: fixed 2030
+    // timestamp). The flush batch drives the watermark past every real
+    // join window, the AvailableNow drain runs the extra eviction
+    // batch, and every unmatched purchase emits deterministically —
+    // the exact mechanism the StreamingSpec pins on a 2-batch corpus.
+    // Sentinel rows (user_id -1) are filtered from the result.
+    "streaming_stream_stream_left_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = graft.core.Tables.normalizeTs(
+        s.read.parquet(s"$dir/events.parquet"))
+      val tmp = Files.createTempDirectory("graft_ssl_src").toString
+      raw.coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // file-source batch order is by modification time
+      val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      Seq((-1L, flushTs, -1L, "click", 0.0, null: String),
+          (-2L, flushTs, -1L, "purchase", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*.parquet")
+      val sink = s"ssleft_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_ssleft_ckpt").toString
+      val q = EventStreams.purchasesWithOptionalClicks(stream, "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .where(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("click_id")).as("n_matched"),
+          countDistinct(col("purchase_id")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
     // Ingestion-time near-dup gate, driven as a REAL stream: the static
     // band index is built from the even-id half of the corpus (batch);
     // the odd-id half arrives as a file stream whose IN-ROW signatures
@@ -171,6 +215,24 @@ object StreamingQueries extends QueryPack {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |GROUP BY p.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Batch twin of the left-outer join: every purchase row appears —
+    // matched pairs once per in-window click, unmatched once with a
+    // NULL click — so count(*) vs count(click) splits the two.
+    "streaming_stream_stream_left_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, p.event_id, c.ts AS cts
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT user_id, count(*) AS n_rows, count(cts) AS n_matched,
+        |  count(DISTINCT event_id) AS n_purchases
+        |FROM j GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
     // Same md5 minhash family and 2-row banding as the dedup_minhash_*
