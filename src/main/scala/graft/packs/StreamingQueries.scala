@@ -153,6 +153,89 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming exact dedup under at-least-once delivery, as a REAL
+    // stream: the source is staged as TWO files — the full events table,
+    // then a replay of every 7th event (identical rows, same ids) — so
+    // the second micro-batch re-delivers already-seen ids. Every replayed
+    // copy is discarded deterministically: ids whose event time is still
+    // inside the post-batch-1 watermark horizon hit live dedup state;
+    // older replays fall below the watermark and are dropped as late
+    // rows. Either way the drained output is exactly the distinct id set
+    // (batch DISTINCT == the whole events table, ids being unique), which
+    // is the invariant an ingestion pipeline needs from a replay gate.
+    // Reduced per event_type; count == countDistinct(id) certifies no
+    // replay survived.
+    "streaming_dedup_replay_gate" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = graft.core.Tables.normalizeTs(
+        s.read.parquet(s"$dir/events.parquet"))
+      val tmp = Files.createTempDirectory("graft_sdw_src").toString
+      raw.coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // file-source batch order is by modification time
+      raw.where(col("event_id") % 7 === 0)
+        .coalesce(1).write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*.parquet")
+      val sink = s"sdw_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_sdw_ckpt").toString
+      val q = EventStreams.dedupByIdWithinWatermark(stream, "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct_ids"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Gap-based session windows as a REAL stream (session_window +
+    // watermark — the streaming twin of the batch sessionize_events
+    // gaps-and-islands query). Append mode only emits a session once the
+    // global watermark passes its END (last event + gap), and a finite
+    // stream's watermark stalls at max-event-time − delay — so the source
+    // is staged as real events + a far-future sentinel row (fixed 2030
+    // timestamp, user -1) whose batch drives the watermark past every
+    // real session's end; the AvailableNow drain then emits all of them
+    // deterministically. Session merge boundary is HALF-OPEN ([start,
+    // last+gap)): an event at exactly last+gap starts a NEW session, so
+    // the oracle's island flag uses >= where the batch sessionize oracle
+    // uses > — the one semantic difference between the two formulations.
+    "streaming_session_windows" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = graft.core.Tables.normalizeTs(
+        s.read.parquet(s"$dir/events.parquet"))
+      val tmp = Files.createTempDirectory("graft_ssw_src").toString
+      raw.coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1100) // file-source batch order is by modification time
+      val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      Seq((-1L, flushTs, -1L, "click", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*.parquet")
+      val sink = s"ssw_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_ssw_ckpt").toString
+      val q = EventStreams.sessionCounts(stream, "30 minutes", "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_trunc("second", col("session_start")).as("session_start"),
+          col("n_events"), round(col("session_value"), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Ingestion-time near-dup gate, driven as a REAL stream: the static
     // band index is built from the even-id half of the corpus (batch);
     // the odd-id half arrives as a file stream whose IN-ROW signatures
@@ -234,6 +317,39 @@ object StreamingQueries extends QueryPack {
         |  count(DISTINCT event_id) AS n_purchases
         |FROM j GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The replay gate restores the original distinct set: ids are unique
+    // in events, so the oracle is the plain per-type aggregation — and
+    // n_events == n_distinct_ids in every row certifies it.
+    "streaming_dedup_replay_gate" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_distinct_ids,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Gaps-and-islands twin of session_window: new session when the gap
+    // is >= 30 min (half-open session intervals — see the query comment;
+    // the batch sessionize oracle uses > for its closed-boundary shape).
+    "streaming_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // Same md5 minhash family and 2-row banding as the dedup_minhash_*
     // oracles, split across the even (index) / odd (stream) halves.

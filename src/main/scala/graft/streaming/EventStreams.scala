@@ -54,6 +54,22 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Streaming exact dedup keyed on the event id — the at-least-once
+    * delivery gate: a replayed copy of an already-seen event (same id,
+    * identical row) is dropped as long as it arrives within the
+    * watermark horizon of the original. Append mode emits each id's
+    * FIRST arrival immediately (the watermark governs state eviction,
+    * not emission), so a drained stream yields exactly the distinct id
+    * set. State is one entry per in-horizon id, partitioned by id —
+    * bounded by event-rate × horizon at any corpus size, never by total
+    * history.
+    */
+  def dedupByIdWithinWatermark(events: DataFrame,
+                               watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream inner join with a bounded time condition: purchases
     * matched to the same user's clicks within the preceding hour. Both
     * sides carry watermarks, so the join state store retains only the

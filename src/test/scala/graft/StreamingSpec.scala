@@ -73,6 +73,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() === 2)
   }
 
+  test("id-keyed dedup drops a cross-batch replay of a seen event id") {
+    // batch 1: two events; batch 2: an exact replay of event 10 (same id,
+    // in-horizon event time) plus one genuinely new event — the replay
+    // must hit live dedup state and vanish, the new id must emit.
+    val dir = Files.createTempDirectory("graft_replay_").toString
+    val mk = (rows: Seq[(Long, java.sql.Timestamp, String, Double)]) =>
+      rows.toDF("event_id", "ts", "event_type", "value")
+    mk(Seq(
+      (10L, ts("2024-01-01 00:00:00"), "click", 1.0),
+      (11L, ts("2024-01-01 00:10:00"), "view", 2.0)))
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // file-source ordering is by modification time
+    mk(Seq(
+      (10L, ts("2024-01-01 00:00:00"), "click", 1.0), // replayed copy
+      (12L, ts("2024-01-01 00:20:00"), "click", 3.0)))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(mk(Seq.empty).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = runToTable(EventStreams.dedupByIdWithinWatermark(stream),
+      "t_replay_gate")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(10L, 11L, 12L))
+  }
+
   test("flatMapGroupsWithState keeps running per-user custom state") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), "click", 2.0),
