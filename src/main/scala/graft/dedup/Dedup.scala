@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -318,7 +319,28 @@ object Dedup {
       when(col(s"_t$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
     val aggs = minCols ++ votes
-    shingleDf
+    if (fusedAggEnabled) {
+      // Single-buffer typed Aggregator path (see [[FusedSigAgg]]): same
+      // native hash inputs, one ObjectHashAggregate state instead of a
+      // 68-column hash-aggregate row. Values are bit-identical
+      // (spec-pinned). MEASURED SLOWER at bench scale (sf0.1 idle box,
+      // median-of-3: dedup_provenance_clusters 5.15s vs 4.45s
+      // relational): the UDAF is opaque to Catalyst, so the unpersisted
+      // fan-out in the provenance capstone can no longer prune the
+      // aggregate per consumer — both branches pay the full 68-wide
+      // state — while the relational form's 68 columns are codegen'd
+      // and prune to 8 (minhash branch) / 60 (simhash branch). Default
+      // stays relational; the switch preserves the measurement.
+      val fusedUdaf = org.apache.spark.sql.functions.udaf(
+        new FusedSigAgg(numHashes, bits),
+        ExpressionEncoder[(Seq[Long], Long)]())
+      shingleDf
+        .select(col(idCol), mh.as("_mh"), sh.as("_sh"))
+        .groupBy(col(idCol))
+        .agg(fusedUdaf(col("_mh"), col("_sh")).as("_f"))
+        .select(col(idCol), col("_f.sig").as("sig"),
+          col("_f.simhash").as("simhash"))
+    } else shingleDf
       .select(col(idCol), mh.as("_mh"), sh.as("_sh"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -326,6 +348,16 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"_m$j")): _*).as("sig"),
         assembled.as("simhash"))
   }
+
+  /** Switch for [[fusedSignatures]]' aggregation plumbing: default is the
+    * relational 68-column hash aggregate; set `graft.dedup.fusedAgg`
+    * (or GRAFT_FUSED_AGG) to use the [[FusedSigAgg]] single-buffer
+    * Aggregator. Values are identical either way.
+    */
+  private def fusedAggEnabled: Boolean =
+    sys.props.get("graft.dedup.fusedAgg")
+      .orElse(sys.env.get("GRAFT_FUSED_AGG"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every token k-gram, then keep the MINIMUM
