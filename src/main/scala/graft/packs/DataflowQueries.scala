@@ -168,6 +168,43 @@ object DataflowQueries extends QueryPack {
           .agg(count(lit(1)).as("n_part_en")))
     }),
 
+    // Bucketed-star join+agg with the no-Exchange property pinned in
+    // CORRECTNESS (the plan-property pattern of p5_broadcast_plan, for
+    // bucketing): orders and lineitem are materialized as co-bucketed
+    // tables on the order key, then joined (merge hint — the broadcast
+    // path must not mask the bucketing) and aggregated BY THE BUCKET KEY;
+    // that inner plan must contain no Exchange at all — the "pay the
+    // shuffle once at ingest" layout working end to end. The small
+    // per-status rollup is collected and re-emitted as literal rows so
+    // the bucketed tables can be dropped before returning (the returned
+    // frame must stay valid after cleanup); 3 rows of driver state,
+    // never data-proportional.
+    "io_bucketed_join_plan" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val star = Sources.materializeBucketedStar(t, numBuckets = 8,
+        prefix = "graft_iobkt")
+      try {
+        val perKey = star.orders.hint("merge")
+          .join(star.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("qty"))
+        val shuffleFree =
+          !perKey.queryExecution.executedPlan.toString.contains("Exchange")
+        val rolled = perKey
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"),
+            round(sum(col("qty")), 2).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), shuffleFree))
+          .toSeq
+        rolled.toDF("o_orderstatus", "n_orders", "n_lines", "sum_qty",
+          "shuffle_free")
+      } finally star.drop()
+    }),
+
     // D10: DictRDD positional zip of two sources (deterministic row_number
     // ids, not monotonically_increasing_id — SURVEY §7 hard-part 2).
     "d10_zip_columns" -> ((s, dir) => {
@@ -284,6 +321,16 @@ object DataflowQueries extends QueryPack {
         |  (SELECT count(*) FROM nation) AS n_json,
         |  (SELECT count(*) FROM documents) AS n_part,
         |  (SELECT count(*) FROM documents WHERE lang = 'en') AS n_part_en""".stripMargin,
+
+    "io_bucketed_join_plan" ->
+      """SELECT o.o_orderstatus,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l.l_quantity), 2) AS sum_qty,
+        |  true AS shuffle_free
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin,
 
     "d10_zip_columns" ->
       """WITH a AS (SELECT doc_id, lang,

@@ -14,6 +14,33 @@ import org.apache.spark.sql.functions._
 object ExtendedRelationalQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
+    // Count-min sketch heavy hitters: build a fixed-size (4×16) CMS
+    // over the document token stream, then compare its point estimates
+    // against exact counts for the top-50 terms. Every counter derives
+    // from the native md5 seed family, so the whole sketch — and the
+    // one-sided estimate >= exact invariant it must satisfy — is
+    // reproduced by the oracle cell for cell. The sketch's shuffle is
+    // capped at depth×width per task by partial aggregation; estimation
+    // broadcasts the sketch (≤64 rows) and never shuffles the corpus.
+    "sketch_count_min" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sketch = graft.stats.Sketches
+        .countMinSketch(toks, "term", depth = 4, width = 16)
+        .localCheckpoint() // estimate + (lazily) both consumers: one build
+      val top = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("term"))
+        .limit(50)
+      val est = graft.stats.Sketches
+        .cmsEstimate(sketch, top.select(col("term")), "term",
+          depth = 4, width = 16)
+      top.join(est, "term")
+        .select(col("term"), col("exact_count"), col("cms_count"),
+          (col("cms_count") >= col("exact_count")).as("is_overestimate"))
+        .orderBy(col("exact_count").desc, col("term"))
+    }),
+
     // Pivot: order counts + total price per priority, one column per
     // status. Explicit value list (contract for deterministic schema);
     // unpivot back is covered by the spec test (round-trip).
@@ -352,6 +379,37 @@ object ExtendedRelationalQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // Cell-for-cell CMS replay: same md5 seed family ('s<i>:' prefix,
+    // first 8 hex chars as a long), same width-16 modulus, weighted by
+    // exact term counts (mathematically identical to the engine's
+    // instance-stream tally).
+    "sketch_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |exact AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM toks GROUP BY term),
+        |top AS (
+        |  SELECT term, exact_count FROM exact
+        |  ORDER BY exact_count DESC, term LIMIT 50),
+        |cells AS (
+        |  SELECT e.term, e.exact_count, g.i AS i,
+        |    ('0x' || substr(md5('s' || CAST(g.i AS VARCHAR) || ':' || e.term), 1, 8))::BIGINT
+        |      % 16 AS cell
+        |  FROM exact e, generate_series(0, 3) g(i)),
+        |sketch AS (
+        |  SELECT i, cell, CAST(sum(exact_count) AS BIGINT) AS counter
+        |  FROM cells GROUP BY i, cell),
+        |est AS (
+        |  SELECT c.term, min(s.counter) AS cms_count
+        |  FROM cells c JOIN sketch s ON c.i = s.i AND c.cell = s.cell
+        |  WHERE c.term IN (SELECT term FROM top)
+        |  GROUP BY c.term)
+        |SELECT t.term, t.exact_count, e.cms_count,
+        |  e.cms_count >= t.exact_count AS is_overestimate
+        |FROM top t JOIN est e ON t.term = e.term
+        |ORDER BY t.exact_count DESC, t.term""".stripMargin,
+
     "pivot_orders_status" ->
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,

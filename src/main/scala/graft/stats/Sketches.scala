@@ -1,0 +1,61 @@
+package graft.stats
+
+import graft.plans.GraftExpressions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): fixed-size frequency
+  * estimation over an unbounded term stream — the point-query sibling of
+  * the HLL distinct-count sketch already in the relational surface.
+  *
+  * Shape for 100 TB: the sketch is `depth` × `width` counters REGARDLESS
+  * of corpus size or term cardinality. The build is one explode(depth) +
+  * one groupBy whose partial (map-side) aggregation caps every task's
+  * shuffle contribution at depth×width rows — the full build shuffles at
+  * most tasks × depth × width counter partials, never the token stream.
+  * Estimation broadcasts the (tiny) sketch and probes it per query term:
+  * no corpus shuffle at all. Hashing is the engine's native md5 seed
+  * family ([[GraftExpressions.md5SeedHashes]], codegen'd), so every
+  * counter — and therefore every estimate — is reproducible by an SQL
+  * oracle, and estimates are deterministic across engines, retries, and
+  * partitionings.
+  *
+  * CMS guarantee (one-sided): estimate >= true count always; with
+  * probability 1−(1/e)^depth the overestimate is < e/width × total
+  * tokens. Choose width ~ e/ε for ε-accurate heavy hitters.
+  */
+object Sketches {
+
+  /** Build the sketch: one row per touched (row_i, cell), `counter` =
+    * number of term instances hashing there. Untouched cells are zero
+    * and simply absent (sparse form; the dense array is `depth`×`width`
+    * if a consumer wants to export it).
+    */
+  def countMinSketch(terms: DataFrame, termCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth=$depth, width=$width invalid")
+    GraftExpressions.register(terms.sparkSession)
+    terms
+      .select(posexplode(GraftExpressions.md5SeedHashes(
+        col(termCol), lit(depth))).as(Seq("i", "_h")))
+      .groupBy(col("i"), pmod(col("_h"), lit(width.toLong)).as("cell"))
+      .agg(count(lit(1)).as("counter"))
+  }
+
+  /** Point-query estimates for `queryTerms` (one row per distinct term):
+    * min over the sketch's depth rows of the term's cell counter. The
+    * sketch is broadcast (≤ depth×width rows); the probe never shuffles
+    * the query side by anything but the final per-term min.
+    */
+  def cmsEstimate(sketch: DataFrame, queryTerms: DataFrame, termCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    GraftExpressions.register(queryTerms.sparkSession)
+    queryTerms
+      .select(col(termCol), posexplode(GraftExpressions.md5SeedHashes(
+        col(termCol), lit(depth))).as(Seq("i", "_h")))
+      .withColumn("cell", pmod(col("_h"), lit(width.toLong)))
+      .join(broadcast(sketch), Seq("i", "cell"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("counter"), lit(0L))).as("cms_count"))
+  }
+}

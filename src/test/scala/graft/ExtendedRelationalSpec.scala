@@ -194,4 +194,33 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(back.as[(String, String, Double)].collect().toSet ===
       long.as[(String, String, Double)].collect().toSet)
   }
+
+  test("count-min sketch: one-sided estimates, exact on collision-free cells, mass conservation") {
+    import graft.stats.Sketches
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    // tight sketch (collisions certain) and wide sketch (few collisions)
+    for (w <- Seq(8, 4096)) {
+      val sk = Sketches.countMinSketch(toks, "term", depth = 4, width = w)
+        .localCheckpoint()
+      // mass conservation: every depth row tallies every token instance
+      val rowMass = sk.groupBy(col("i")).agg(sum(col("counter")).as("m"))
+        .as[(Int, Long)].collect().toMap
+      assert(rowMass.size === 4)
+      rowMass.values.foreach(m => assert(m === total))
+      // one-sided error: estimate >= exact for EVERY term
+      val joined = Sketches.cmsEstimate(sk, exact.select(col("term")), "term",
+          depth = 4, width = w)
+        .join(exact, "term")
+        .as[(String, Long, Long)].collect()
+      joined.foreach { case (t, est, ex) =>
+        assert(est >= ex, s"term $t: cms $est < exact $ex (width $w)") }
+      // a wide sketch over a 31-term vocabulary should be near-collision-
+      // free: estimates collapse to exact counts
+      if (w == 4096) joined.foreach { case (t, est, ex) =>
+        assert(est === ex, s"term $t: width-$w sketch should be exact") }
+    }
+  }
 }
