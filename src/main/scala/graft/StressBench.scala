@@ -98,6 +98,39 @@ object StressBench {
           .as("shingle"))
       Dedup.fusedSignatures(sh, "doc_id", numHashes = 8, bits = 60).count()
     }
+    // count-min sketch over a Zipf-ish term stream (hash-power-skewed:
+    // term ids concentrate mass at low ids the way corpus vocabularies
+    // do). Sketch + one point-estimate probe for 1000 query terms; the
+    // fixed 4×1024 counter table is the whole shuffle payload per task
+    // regardless of `rows` — the memory-boundedness claim, measured.
+    timed("count_min_sketch") {
+      val terms = spark.range(rows).select(
+        concat(lit("t"), (pow(lit(2.0),
+          (pmod(hash(col("id")), lit(1000000)) / lit(50000.0)))
+          .cast("long")).cast("string")).as("term"))
+      val sk = graft.stats.Sketches
+        .countMinSketch(terms, "term", depth = 4, width = 1024)
+        .localCheckpoint()
+      val queries = spark.range(1000).select(
+        concat(lit("t"), col("id")).as("term"))
+      graft.stats.Sketches
+        .cmsEstimate(sk, queries, "term", depth = 4, width = 1024).count()
+    }
+    // xxhash64 throughput twin — same stream, same probe; the delta vs
+    // count_min_sketch is pure hash cost (md5 is the oracle tax)
+    timed("count_min_sketch_fast") {
+      val terms = spark.range(rows).select(
+        concat(lit("t"), (pow(lit(2.0),
+          (pmod(hash(col("id")), lit(1000000)) / lit(50000.0)))
+          .cast("long")).cast("string")).as("term"))
+      val sk = graft.stats.Sketches
+        .countMinSketchFast(terms, "term", depth = 4, width = 1024)
+        .localCheckpoint()
+      val queries = spark.range(1000).select(
+        concat(lit("t"), col("id")).as("term"))
+      graft.stats.Sketches
+        .cmsEstimateFast(sk, queries, "term", depth = 4, width = 1024).count()
+    }
     // exact-substring coverage over synthetic ~200-token docs where every
     // 10th doc embeds a shared 40-token boilerplate block (L-gram hash,
     // global multiplicity, gaps-and-islands merge — linear end to end)

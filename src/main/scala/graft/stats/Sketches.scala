@@ -42,6 +42,40 @@ object Sketches {
       .agg(count(lit(1)).as("counter"))
   }
 
+  /** Throughput twin of [[countMinSketch]] (the `minhashSignaturesFast`
+    * precedent): xxhash64 with the depth index folded in as a seed
+    * column instead of the md5 seed family — roughly an order of
+    * magnitude cheaper per instance (measured: 100M-term build 111.7s
+    * md5 → 9.9s xxhash64, StressBench `count_min_sketch[_fast]`), same
+    * one-sided guarantee. The md5 form remains the oracle-checked one
+    * (SQL-mirrorable); use this one when nothing needs to replay the
+    * counters outside the engine. The two produce DIFFERENT (both
+    * valid) sketches — never probe one family's sketch with the other.
+    */
+  def countMinSketchFast(terms: DataFrame, termCol: String,
+                         depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth=$depth, width=$width invalid")
+    terms
+      .select(posexplode(array((0 until depth).map(i =>
+        xxhash64(lit(i), col(termCol)).bitwiseAND(lit(Long.MaxValue))): _*))
+        .as(Seq("i", "_h")))
+      .groupBy(col("i"), pmod(col("_h"), lit(width.toLong)).as("cell"))
+      .agg(count(lit(1)).as("counter"))
+  }
+
+  /** Point-query probe for a [[countMinSketchFast]] sketch. */
+  def cmsEstimateFast(sketch: DataFrame, queryTerms: DataFrame,
+                      termCol: String, depth: Int = 4,
+                      width: Int = 1024): DataFrame =
+    queryTerms
+      .select(col(termCol), posexplode(array((0 until depth).map(i =>
+        xxhash64(lit(i), col(termCol)).bitwiseAND(lit(Long.MaxValue))): _*))
+        .as(Seq("i", "_h")))
+      .withColumn("cell", pmod(col("_h"), lit(width.toLong)))
+      .join(broadcast(sketch), Seq("i", "cell"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("counter"), lit(0L))).as("cms_count"))
+
   /** Point-query estimates for `queryTerms` (one row per distinct term):
     * min over the sketch's depth rows of the term's cell counter. The
     * sketch is broadcast (≤ depth×width rows); the probe never shuffles

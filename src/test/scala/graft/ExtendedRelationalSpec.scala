@@ -222,5 +222,17 @@ class ExtendedRelationalSpec extends AnyFunSuite {
       if (w == 4096) joined.foreach { case (t, est, ex) =>
         assert(est === ex, s"term $t: width-$w sketch should be exact") }
     }
+    // the xxhash64 throughput twin holds the same invariants (different
+    // hash family, same algebra): mass conservation + one-sided error
+    val skF = Sketches.countMinSketchFast(toks, "term", depth = 4, width = 8)
+      .localCheckpoint()
+    skF.groupBy(col("i")).agg(sum(col("counter")).as("m"))
+      .as[(Int, Long)].collect().foreach { case (_, m) => assert(m === total) }
+    Sketches.cmsEstimateFast(skF, exact.select(col("term")), "term",
+        depth = 4, width = 8)
+      .join(exact, "term")
+      .as[(String, Long, Long)].collect()
+      .foreach { case (t, est, ex) =>
+        assert(est >= ex, s"fast term $t: cms $est < exact $ex") }
   }
 }
