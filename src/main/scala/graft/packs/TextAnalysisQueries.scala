@@ -65,6 +65,24 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("n_occurrences").desc, col("gram"))
     }),
 
+    // EXACT frequent 3-grams through the count-min gate (two-pass heavy
+    // hitters, Sketches.heavyHitters): the CMS's one-sided error makes
+    // the gated candidate set a SUPERSET of the true >=threshold grams,
+    // so the exact recount of survivors returns the identical answer a
+    // full groupBy would — the oracle is the plain HAVING query, no
+    // approximation anywhere in the contract. What changes is the plan:
+    // pass 2's shuffle carries only gate-surviving instances, bounded by
+    // the hot-cell mass instead of the full gram cardinality.
+    "text_heavy_grams_sketched" -> ((s, dir) => {
+      val grams = Tables(s, dir).documents
+        .withColumn("_toks", split(col("text"), " "))
+        .where(size(col("_toks")) >= 3)
+        .select(explode(expr("transform(sequence(1, size(_toks) - 2), " +
+          "i -> array_join(slice(_toks, i, 3), ' '))")).as("gram"))
+      graft.stats.Sketches.heavyHitters(grams, "gram", threshold = 8L)
+        .orderBy(col("n_occurrences").desc, col("gram"))
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       TextAnalysis.bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -237,6 +255,20 @@ object TextAnalysisQueries extends QueryPack {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
     },
+
+    // The CMS gate is exact by construction, so the oracle is the plain
+    // exact HAVING aggregation — no sketch replay needed.
+    "text_heavy_grams_sketched" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM grams GROUP BY gram
+        |HAVING count(*) >= 8
+        |ORDER BY n_occurrences DESC, gram""".stripMargin,
 
     "text_frequent_grams" ->
       """WITH toks AS (

@@ -42,6 +42,47 @@ object Sketches {
       .agg(count(lit(1)).as("counter"))
   }
 
+  /** EXACT heavy hitters through an approximate gate — the two-pass
+    * pattern that makes frequent-item queries scale: pass 1 builds the
+    * fixed-size CMS and keeps only cells with counter >= threshold (a
+    * depth×width bitmap, O(1) driver state like a fitted model); pass 2
+    * re-streams the input, drops every instance whose term misses ANY
+    * hot cell (an in-row check against the broadcast bitmap — no join,
+    * no shuffle), and exact-counts only the survivors. CMS estimates
+    * are one-sided (estimate >= true count), so a term with true count
+    * >= threshold has ALL its cells hot — the gate passes a SUPERSET of
+    * the real heavy hitters and the final exact filter makes the answer
+    * EXACT, while the second pass's shuffle is bounded by candidate
+    * instances rather than the full term cardinality.
+    *
+    * Sizing: the gate only prunes while width >~ e·N/threshold (below
+    * that, average cell mass exceeds the threshold and every cell goes
+    * hot — still exact, just unpruned). At 100 TB choose width per
+    * stream mass; it costs depth×width longs wherever it goes.
+    */
+  def heavyHitters(terms: DataFrame, termCol: String, threshold: Long,
+                   depth: Int = 4, width: Int = 4096): DataFrame = {
+    require(threshold >= 1, s"threshold=$threshold must be positive")
+    GraftExpressions.register(terms.sparkSession)
+    val hot = new Array[Int](depth * width)
+    countMinSketch(terms, termCol, depth, width)
+      .where(col("counter") >= threshold)
+      .collect()
+      .foreach(r => hot(r.getInt(0) * width + r.getLong(1).toInt) = 1)
+    val hotCol = typedlit(hot.toSeq)
+    val gate = forall(
+      transform(
+        GraftExpressions.md5SeedHashes(col(termCol), lit(depth)),
+        (hv, i) => element_at(hotCol,
+          (i * width + pmod(hv, lit(width.toLong))).cast("int") + 1) === 1),
+      b => b)
+    terms
+      .where(gate)
+      .groupBy(col(termCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= threshold)
+  }
+
   /** Throughput twin of [[countMinSketch]] (the `minhashSignaturesFast`
     * precedent): xxhash64 with the depth index folded in as a seed
     * column instead of the md5 seed family — roughly an order of

@@ -235,4 +235,28 @@ class ExtendedRelationalSpec extends AnyFunSuite {
       .foreach { case (t, est, ex) =>
         assert(est >= ex, s"fast term $t: cms $est < exact $ex") }
   }
+
+  test("CMS-gated heavy hitters: exact answer, gate genuinely prunes the tail") {
+    import graft.stats.Sketches
+    // 5 hot terms x 200 instances over a 2000-term x 1 tail: the gate
+    // must pass every hot term (one-sided CMS) and drop most of the tail
+    val hot = (0 until 5).flatMap(i => Seq.fill(200)(s"hot$i"))
+    val tail = (0 until 2000).map(i => s"tail$i")
+    val terms = spark.createDataFrame(
+      (hot ++ tail).map(Tuple1(_))).toDF("term")
+    val got = Sketches.heavyHitters(terms, "term", threshold = 100L,
+        depth = 4, width = 256)
+      .as[(String, Long)].collect().toMap
+    assert(got === (0 until 5).map(i => s"hot$i" -> 200L).toMap)
+    // pruning capacity: with 3000 instances over 4x256 cells and a
+    // threshold of 100, only cells carrying a hot term's mass go hot —
+    // a handful per depth row, so a tail term survives the gate only by
+    // colliding with hot mass in ALL 4 rows. The hot-cell count bounds
+    // that directly.
+    val hotCells = Sketches.countMinSketch(terms, "term",
+        depth = 4, width = 256)
+      .where(col("counter") >= 100).count()
+    assert(hotCells <= 40L, s"gate should stay sparse, got $hotCells hot cells")
+    assert(hotCells >= 5L) // every depth row holds the hot terms somewhere
+  }
 }
