@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond connected components (the curation-side
+  * companion to [[graft.dedup.Components]]): deterministic fixed-round
+  * PageRank (Brin & Page 1998). On the near-duplicate similarity graph,
+  * rank concentrates on documents embedded in large, densely-connected
+  * duplication families — a centrality-weighted canonical-selection
+  * signal where min-id survivorship is arbitrary.
+  *
+  * Determinism contract (the c4_svd_power pattern): a FIXED iteration
+  * count from the uniform start — no convergence epsilon, no RNG — so
+  * every rank is an arithmetic function of the edge set and an unrolled
+  * SQL oracle can replay the fit iteration for iteration.
+  *
+  * Scale shape: each round is one edges⋈ranks join + groupBy shuffled on
+  * node id (the same key every round) plus one scalar aggregate for the
+  * dangling mass; `localCheckpoint` truncates lineage per round so plan
+  * size stays O(1) over iterations — the Components loop discipline.
+  * State is one rank row per node; the dangling sum is a 1-row frame,
+  * never driver-collected.
+  */
+object Graph {
+
+  /** Ranks after `iters` rounds over directed `edges` (use both
+    * directions of an undirected graph). Nodes absent from `edges` (or
+    * present only as destinations) are dangling: their mass
+    * redistributes uniformly each round, keeping the rank vector a
+    * probability distribution. Returns (id, rank) over the full `nodes`
+    * universe, UNROUNDED — callers round at their published precision.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               nodes: DataFrame, nodeCol: String,
+               iters: Int = 6, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be positive")
+    require(damping > 0 && damping < 1, s"damping=$damping out of (0,1)")
+    val n = nodes.select(col(nodeCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val nTotal = n.count() // O(1) driver scalar, needed as a literal
+    require(nTotal > 0, "pageRank over an empty node set")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    var r = n.withColumn("rank", lit(1.0 / nTotal))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("in_sum"))
+      val dangling = r
+        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      r = n
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(dangling) // 1-row frame
+        .select(col("id"),
+          (lit((1.0 - damping) / nTotal) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) + col("dm") / nTotal))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
+}

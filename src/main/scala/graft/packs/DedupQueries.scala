@@ -134,6 +134,29 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Deterministic fixed-round PageRank over the near-dup similarity
+    // graph (operators.Graph — the c4_svd_power determinism contract
+    // applied to graph centrality): banded-minhash candidate pairs,
+    // symmetrized, 6 rounds at damping 0.85 from the uniform start;
+    // singleton docs are dangling and their mass redistributes
+    // uniformly, so the rank vector stays a distribution. Rank
+    // concentrates on docs inside large duplication families — the
+    // centrality-weighted canonical-selection signal. The oracle
+    // unrolls all 6 rounds as materialized CTEs.
+    "graph_pagerank" -> ((s, dir) => {
+      val sh = docShingles(s, dir).localCheckpoint()
+      val cand = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
+        "doc_id", rowsPerBand = 2)
+      val sym = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Graph.pageRank(sym, "src", "dst",
+          Tables(s, dir).documents, "doc_id", iters = 6, damping = 0.85)
+        .select(col("id").as("doc_id"),
+          (round(col("rank"), 8) + lit(0.0)).as("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash Jaccard ESTIMATE vs exact on the banded candidates — the
     // estimator the signatures exist for, next to its ground truth.
     "dedup_minhash_estimate" -> ((s, dir) => {
@@ -587,6 +610,55 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sa ON sa.doc_id = t.id_a
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Unrolled 6-round PageRank replay. Every CTE referenced more than
+    // once is MATERIALIZED (the DuckDB inliner would otherwise expand
+    // the iteration chain multiplicatively — the long-CTE gotcha).
+    // Arithmetic mirrors the engine literally: (1.0 - 0.85) and
+    // 1.0/n are written as the same IEEE expressions Spark evaluates.
+    "graph_pagerank" -> {
+      val d = "0.85"
+      val rounds = (1 to 6).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT nd.id,
+           |    (1.0 - $d)/(SELECT n FROM nn) + $d * (COALESCE(c.s, 0) +
+           |      dm.m/(SELECT n FROM nn)) AS rank
+           |  FROM nodes nd
+           |  LEFT JOIN (SELECT e.dst AS id, sum(r.rank / dg.deg) AS s
+           |             FROM edges e JOIN deg dg ON dg.src = e.src
+           |             JOIN r${k - 1} r ON r.id = e.src
+           |             GROUP BY e.dst) c ON nd.id = c.id
+           |  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS m FROM r${k - 1} r
+           |              WHERE r.id NOT IN (SELECT src FROM edges)) dm)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT count(*) * 1.0 AS n FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+         |$rounds
+         |SELECT id AS doc_id, round(rank, 8) + 0.0 AS rank FROM r6
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_minhash_estimate" ->
       s"""WITH $shingleCte,

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: distribution preserved, star center dominates, dangling stays uniform") {
+    // star: 1..4 <-> 0 (symmetrized), plus isolated dangling nodes 5, 6
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val nodes = (0L to 6L).toDF("id")
+    val r = Graph.pageRank(edges, "src", "dst", nodes, "id", iters = 10)
+      .as[(Long, Double)].collect().toMap
+    // rank is a probability distribution at every round
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the hub out-ranks every leaf; leaves tie by symmetry
+    assert(r(0L) > r(1L))
+    assert((1L to 4L).map(r).distinct.size === 1)
+    // isolated nodes tie with each other and rank below the leaves
+    assert(r(5L) === r(6L))
+    assert(r(5L) < r(1L))
+  }
+
+  test("pageRank: pure-dangling graph stays exactly uniform") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = (0L until 5L).toDF("id")
+    val r = Graph.pageRank(edges, "src", "dst", nodes, "id", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    // every round: (1-d)/n + d*(0 + 1/n) = 1/n — the uniform fixpoint
+    r.values.foreach(v => assert(math.abs(v - 0.2) < 1e-12))
+  }
+}
