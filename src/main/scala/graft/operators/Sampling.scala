@@ -91,6 +91,32 @@ object Sampling {
     * aggregation — the rate table is dimension-sized; apply it with
     * [[stratifiedSample]]-style CASE or a broadcast join.
     */
+  /** Temperature-smoothed training mix (the multilingual sampling rule:
+    * weight_s ∝ n_s^alpha, alpha = 1/T in (0,1]): upweights small strata
+    * relative to their natural share without inverting the order —
+    * alpha=1 is proportional sampling, alpha→0 approaches uniform. No
+    * hand-tuned weight map: the weights derive from the observed stratum
+    * sizes in the same dimension-sized aggregation that counts them. The
+    * global renormalization runs as a window over the (tiny, stratum-
+    * cardinality) rate table, never over the corpus.
+    */
+  def mixRatesTemperature(df: DataFrame, stratum: Column, alpha: Double,
+                          totalTarget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_actual"))
+      .withColumn("_w", pow(col("n_actual"), lit(alpha)))
+      .withColumn("target_frac",
+        round(col("_w") / sum(col("_w")).over(all), 6))
+      .withColumn("n_target",
+        floor(col("target_frac") * totalTarget).cast("long"))
+      .withColumn("keep_rate",
+        round(least(lit(1.0), col("n_target") * lit(1.0) / col("n_actual")), 6))
+      .drop("_w")
+  }
+
   def mixRates(df: DataFrame, stratum: Column, weights: Map[String, Double],
                totalTarget: Long): DataFrame = {
     require(weights.values.forall(_ > 0), "weights must be positive")

@@ -119,6 +119,16 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("stratum"))
     }),
 
+    // Temperature-smoothed mix (weight ∝ n^alpha, the multilingual
+    // sampling rule): no hand-tuned weight map — small sources upweight
+    // relative to their natural share, derived entirely from observed
+    // stratum sizes. alpha = 0.7, the mBERT-family default.
+    "mix_rates_temperature" -> ((s, dir) => {
+      Sampling.mixRatesTemperature(Tables(s, dir).documents, col("source"),
+          alpha = 0.7, totalTarget = 2000L)
+        .orderBy(col("stratum"))
+    }),
+
     // Context-window packing: which pretraining windows each doc feeds
     // (4 shards per source — the partition-sizing knob; see operators.Packing).
     "pack_context_windows" -> ((s, dir) => {
@@ -463,6 +473,24 @@ object ExtendedRelationalQueries extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 5
         |ORDER BY source, doc_id""".stripMargin,
+
+    "mix_rates_temperature" ->
+      """WITH agg AS (
+        |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_actual
+        |  FROM documents GROUP BY source),
+        |tf AS (
+        |  SELECT stratum, n_actual,
+        |    round(pow(n_actual, 0.7) / sum(pow(n_actual, 0.7)) OVER (), 6)
+        |      AS target_frac
+        |  FROM agg),
+        |tg AS (
+        |  SELECT stratum, n_actual, target_frac,
+        |    CAST(floor(target_frac * 2000) AS BIGINT) AS n_target
+        |  FROM tf)
+        |SELECT stratum, n_actual, target_frac, n_target,
+        |  round(least(CAST(1 AS DOUBLE),
+        |    CAST(n_target AS DOUBLE) / n_actual), 6) AS keep_rate
+        |FROM tg ORDER BY stratum""".stripMargin,
 
     "mix_rates" ->
       """WITH agg AS (

@@ -259,4 +259,25 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(hotCells <= 40L, s"gate should stay sparse, got $hotCells hot cells")
     assert(hotCells >= 5L) // every depth row holds the hot terms somewhere
   }
+
+  test("temperature mix: alpha=1 is proportional, lower alpha upweights small strata") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val prop = Sampling.mixRatesTemperature(docs, col("source"), 1.0, 1000L)
+      .select("stratum", "n_actual", "target_frac")
+      .as[(String, Long, Double)].collect()
+    val n = prop.map(_._2).sum.toDouble
+    prop.foreach { case (st, na, tf) =>
+      assert(math.abs(tf - na / n) < 1e-5, s"alpha=1 not proportional for $st") }
+    // alpha<1: the smallest stratum's share must EXCEED its natural
+    // share, the largest must fall below (order preserved, gap squeezed)
+    val sm = Sampling.mixRatesTemperature(docs, col("source"), 0.5, 1000L)
+      .select("stratum", "n_actual", "target_frac")
+      .as[(String, Long, Double)].collect()
+    val smallest = sm.minBy(_._2); val largest = sm.maxBy(_._2)
+    if (smallest._2 != largest._2) {
+      assert(smallest._3 > smallest._2 / n)
+      assert(largest._3 < largest._2 / n)
+    }
+  }
 }
