@@ -236,6 +236,32 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Count-min sketch maintained IN the streaming state store: the
+    // cells aggregation keys on (depth row, cell), so state is bounded
+    // at depth×width entries FOREVER — frequency tracking over an
+    // unbounded stream in O(sketch) state, the canonical streaming-
+    // sketch story. Same Sketches.countMinSketch code as batch
+    // (Structured Streaming's unified semantics); complete-mode
+    // AvailableNow drain == the batch sketch, so the oracle recomputes
+    // every counter cell from the corpus.
+    "streaming_sketch_cells" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/documents*.parquet")
+      val toks = stream.select(explode(split(col("text"), " ")).as("term"))
+      val sink = s"cms_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+      val q = graft.stats.Sketches
+        .countMinSketch(toks, "term", depth = 4, width = 16)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("i"), col("cell"))
+    }),
+
     // Ingestion-time near-dup gate, driven as a REAL stream: the static
     // band index is built from the even-id half of the corpus (batch);
     // the odd-id half arrives as a file stream whose IN-ROW signatures
@@ -350,6 +376,21 @@ object StreamingQueries extends QueryPack {
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Cell-for-cell replay of the drained streaming sketch: same md5
+    // seed family and width-16 modulus as the batch sketch_count_min
+    // oracle, over the full token stream.
+    "streaming_sketch_cells" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cells AS (
+        |  SELECT CAST(g.i AS INT) AS i,
+        |    ('0x' || substr(md5('s' || CAST(g.i AS VARCHAR) || ':' || term), 1, 8))::BIGINT
+        |      % 16 AS cell
+        |  FROM toks, generate_series(0, 3) g(i))
+        |SELECT i, cell, CAST(count(*) AS BIGINT) AS counter
+        |FROM cells GROUP BY i, cell
+        |ORDER BY i, cell""".stripMargin,
 
     // Same md5 minhash family and 2-row banding as the dedup_minhash_*
     // oracles, split across the even (index) / odd (stream) halves.
