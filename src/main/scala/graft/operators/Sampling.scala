@@ -91,6 +91,30 @@ object Sampling {
     * aggregation — the rate table is dimension-sized; apply it with
     * [[stratifiedSample]]-style CASE or a broadcast join.
     */
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): each row draws a reproducible
+    * uniform u from the md5 of its key (13 hex chars = 52 bits — every
+    * value exact in a double) and scores key = u^(1/weight); the top-k
+    * scores ARE a weighted sample without replacement. Engine-portable
+    * and retry-stable for the same reason the hash-gate sample is: the
+    * randomness is a pure function of the row key. Zero/negative
+    * weights are excluded (their inclusion probability is 0).
+    *
+    * Scale: global top-k by a computed column plans as per-partition
+    * partial top-k + a k-row merge (TakeOrderedAndProject) — no full
+    * sort, no corpus shuffle.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    val u = md5Long(key.cast("string"), 13).cast("double") /
+      lit(4503599627370496.0) // 16^13 = 2^52
+    df.where(weight > 0)
+      .withColumn("_es_key", pow(u, lit(1.0) / weight))
+      .orderBy(col("_es_key").desc, key)
+      .limit(k)
+  }
+
   /** Temperature-smoothed training mix (the multilingual sampling rule:
     * weight_s ∝ n_s^alpha, alpha = 1/T in (0,1]): upweights small strata
     * relative to their natural share without inverting the order —

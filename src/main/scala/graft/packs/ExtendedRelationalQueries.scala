@@ -119,6 +119,20 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("stratum"))
     }),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    // longer documents (weight = n_chars) are proportionally likelier,
+    // every draw a pure function of the doc key — reproducible across
+    // engines, partitionings, and retries. Top-k plans as
+    // TakeOrderedAndProject (partial top-k per partition), no sort
+    // shuffle.
+    "sample_weighted_topk" -> ((s, dir) => {
+      Sampling.weightedSample(Tables(s, dir).documents, col("doc_id"),
+          col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"),
+          (round(col("_es_key"), 8) + lit(0.0)).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+    }),
+
     // Temperature-smoothed mix (weight ∝ n^alpha, the multilingual
     // sampling rule): no hand-tuned weight map — small sources upweight
     // relative to their natural share, derived entirely from observed
@@ -473,6 +487,18 @@ object ExtendedRelationalQueries extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 5
         |ORDER BY source, doc_id""".stripMargin,
+
+    // Same md5-uniform (13 hex chars / 2^52) and u^(1/w) scoring; the
+    // top-50 selection happens on the unrounded keys on both sides.
+    "sample_weighted_topk" ->
+      """WITH wts AS (
+        |  SELECT doc_id, n_chars,
+        |    pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |          / 4503599627370496.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, round(k, 8) + 0.0 AS es_key
+        |FROM wts ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
 
     "mix_rates_temperature" ->
       """WITH agg AS (

@@ -280,4 +280,33 @@ class ExtendedRelationalSpec extends AnyFunSuite {
       assert(largest._3 < largest._2 / n)
     }
   }
+
+  test("weighted sample: partitioning-stable, weight-dominant, biased toward heavy rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s1 = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(docs.repartition(7), col("doc_id"),
+        col("n_chars"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // the draw is a pure function of the key
+    // an overwhelming weight is (effectively) always selected
+    val spiked = docs.withColumn("w",
+      when(col("doc_id") === 7L, lit(1000000000)).otherwise(lit(1)))
+    val top = Sampling.weightedSample(spiked, col("doc_id"), col("w"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top.contains(7L))
+    // weight bias: mean n_chars of the weighted sample exceeds corpus mean
+    val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = Sampling.weightedSample(docs, col("doc_id"),
+        col("n_chars"), 20)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+    // zero/negative weights are never sampled
+    val zeroed = docs.withColumn("w",
+      when(col("doc_id") < 100L, lit(0)).otherwise(lit(1)))
+    val z = Sampling.weightedSample(zeroed, col("doc_id"), col("w"), 50)
+      .select("doc_id").as[Long].collect()
+    assert(z.forall(_ >= 100L))
+  }
 }
