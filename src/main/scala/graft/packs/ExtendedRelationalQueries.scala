@@ -119,6 +119,22 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("stratum"))
     }),
 
+    // Z-order (Morton) clustering report over events: interleave the
+    // low 8 bits of the user and value dimensions, bucket by the top z
+    // bits (the row-group a z-ordered write would place each row in),
+    // and report per-bucket ranges of BOTH dimensions — the locality
+    // that makes parquet min/max stats prune on two predicate columns
+    // instead of one. Pure integer bit arithmetic, replayed verbatim by
+    // the oracle; the spec quantifies the locality win vs a
+    // single-dimension sort.
+    "layout_zorder_stats" -> ((s, dir) => {
+      graft.operators.Layout.zOrderStats(Tables(s, dir).events,
+          pmod(col("user_id"), lit(256)),
+          pmod(floor(col("value")).cast("long"), lit(256)),
+          bits = 8, shift = 12)
+        .orderBy(col("bucket"))
+    }),
+
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
     // longer documents (weight = n_chars) are proportionally likelier,
     // every draw a pure function of the doc key — reproducible across
@@ -487,6 +503,26 @@ object ExtendedRelationalQueries extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 5
         |ORDER BY source, doc_id""".stripMargin,
+
+    // Verbatim Morton-interleave replay: bit i of x at position 2i, bit
+    // i of y at 2i+1, summed as exact power-of-two multiplies.
+    "layout_zorder_stats" -> {
+      val z = (0 until 8).map { i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH dims AS (
+         |  SELECT user_id % 256 AS x,
+         |    CAST(floor(value) AS BIGINT) % 256 AS y
+         |  FROM events),
+         |zed AS (
+         |  SELECT x, y, ($z) >> 12 AS bucket FROM dims)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM zed GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    },
 
     // Same md5-uniform (13 hex chars / 2^52) and u^(1/w) scoring; the
     // top-50 selection happens on the unrounded keys on both sides.

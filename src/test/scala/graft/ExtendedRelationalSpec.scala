@@ -309,4 +309,29 @@ class ExtendedRelationalSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect()
     assert(z.forall(_ >= 100L))
   }
+
+  test("z-order buckets bound BOTH dimensions; x-sort buckets bound only x") {
+    import graft.operators.Layout
+    // uniform 256x256 grid — every (x, y) combination once
+    val grid = spark.range(256L * 256L).select(
+      (col("id") / 256).cast("long").as("x"),
+      pmod(col("id"), lit(256)).as("y"))
+    // shift 12 of 16 z bits keeps the top 2 bits of EACH dimension:
+    // every bucket is exactly a 64x64 tile
+    val zs = Layout.zOrderStats(grid, col("x"), col("y"), bits = 8, shift = 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(zs.length === 16)
+    zs.foreach { case (b, n, xmin, xmax, ymin, ymax) =>
+      assert(n === 4096L, s"bucket $b size")
+      assert(xmax - xmin === 63L, s"bucket $b x-range")
+      assert(ymax - ymin === 63L, s"bucket $b y-range")
+    }
+    // the single-dimension sort at the same bucket count: x is perfectly
+    // clustered but y spans the whole domain in every bucket
+    val xs = grid.withColumn("bucket", shiftright(col("x"), 4))
+      .groupBy("bucket")
+      .agg(max(col("y")) - min(col("y")))
+      .as[(Long, Long)].collect()
+    xs.foreach { case (_, yrange) => assert(yrange === 255L) }
+  }
 }
