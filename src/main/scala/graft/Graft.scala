@@ -405,4 +405,43 @@ object Graft {
   def decodeMedia(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.MediaMeta] =
     graft.multimodal.Multimodal.decodeMedia(media)
+
+  // ---- sketches, graph, layout, mixing (round-11 additions) ----
+  /** Fixed-size count-min sketch (oracle-replayable md5 family); the
+    * xxhash64 throughput twin is `stats.Sketches.countMinSketchFast`.
+    */
+  def countMinSketch(terms: DataFrame, termCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame =
+    graft.stats.Sketches.countMinSketch(terms, termCol, depth, width)
+  /** Point-frequency estimates from a [[countMinSketch]] frame. */
+  def cmsEstimate(sketch: DataFrame, queryTerms: DataFrame, termCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame =
+    graft.stats.Sketches.cmsEstimate(sketch, queryTerms, termCol, depth, width)
+  /** EXACT frequent items through the CMS gate — two passes, shuffle
+    * bounded by hot-cell mass rather than term cardinality.
+    */
+  def heavyHitters(terms: DataFrame, termCol: String, threshold: Long,
+                   depth: Int = 4, width: Int = 4096): DataFrame =
+    graft.stats.Sketches.heavyHitters(terms, termCol, threshold, depth, width)
+  /** Deterministic fixed-round PageRank (see operators.Graph) — rank
+    * the near-dup graph for centrality-weighted canonical selection.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               nodes: DataFrame, nodeCol: String,
+               iters: Int = 6, damping: Double = 0.85): DataFrame =
+    graft.operators.Graph.pageRank(edges, srcCol, dstCol, nodes, nodeCol,
+      iters, damping)
+  /** Deterministic weighted sample without replacement (A-ES). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame =
+    graft.operators.Sampling.weightedSample(df, key, weight, k)
+  /** Temperature-smoothed training-mix rates (weight ∝ n^alpha). */
+  def mixRatesTemperature(df: DataFrame, stratum: Column, alpha: Double,
+                          totalTarget: Long): DataFrame =
+    graft.operators.Sampling.mixRatesTemperature(df, stratum, alpha, totalTarget)
+  /** Morton/Z-order value for two dimensions — sort by it at ingest so
+    * parquet min/max stats prune on both predicate columns.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    graft.operators.Layout.zValue(x, y, bits)
 }
