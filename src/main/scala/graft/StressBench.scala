@@ -232,6 +232,22 @@ object StressBench {
     // Gramian + fixed-round power iteration over rows/100 64-dim vectors
     // (in-row d^2 pair explode, no self-join: the only exchange is the
     // partial-agg merge; n*d^2 multiply-adds stream through codegen)
+    // fixed-round PageRank over a synthetic web-ish graph: a global
+    // chain (long diameter is irrelevant — rounds are FIXED) + 1k hub
+    // targets drawing 10% of nodes, ~1.1 edges/node. Exercises the
+    // per-round edges⋈ranks shuffle + dangling aggregate at node counts
+    // 3 orders past the bench graphs.
+    timed("pagerank_fixed_rounds") {
+      val nNodes = math.max(rows / 10L, 100000L)
+      val chain = spark.range(nNodes).select(col("id").as("src"),
+        pmod(col("id") + 1, lit(nNodes)).as("dst"))
+      val hubs = spark.range(nNodes).where(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("src"),
+          pmod(hash(col("id")), lit(1000)).cast("long").as("dst"))
+      val nodes = spark.range(nNodes).select(col("id"))
+      graft.operators.Graph.pageRank(chain.unionByName(hubs), "src", "dst",
+        nodes, "id", iters = 6).count()
+    }
     timed("power_iteration_svd") {
       val emb = spark.range(math.max(rows / 100L, 10000L)).select(
         col("id").as("vec_id"),
