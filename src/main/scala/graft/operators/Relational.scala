@@ -113,4 +113,32 @@ object Relational {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_new_session")
   }
+
+  /** Bloom-filter pre-join pruning — the explicit, any-scale form of
+    * Catalyst's `InjectRuntimeFilter` (which uses the SAME two catalyst
+    * expressions but only fires past multi-GB application-side scan
+    * thresholds): build a bloom filter over the dim side's join keys,
+    * hold it as a literal (driver state = numBits/8 bytes, the
+    * heavyHitters-bitmap pattern), and filter the fact side IN-ROW
+    * before its join shuffle. False positives survive the filter and
+    * die in the real join, so results are EXACTLY the plain join's —
+    * what changes is shuffle volume: only rows that might match ship.
+    * Worth it when the dim side is selective but too large (or too
+    * late-materializing) to broadcast the join itself.
+    */
+  def bloomPreFilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                         dimKey: String,
+                         expectedItems: Long = 100000L): DataFrame = {
+    require(expectedItems > 0, s"expectedItems=$expectedItems must be positive")
+    graft.plans.GraftExpressions.register(fact.sparkSession)
+    val bf = dim
+      .agg(graft.plans.GraftExpressions.bloomAgg(
+        xxhash64(col(dimKey)), lit(expectedItems),
+        lit(expectedItems * 8)).as("_bf"))
+      .head.getAs[Array[Byte]](0)
+    fact
+      .where(graft.plans.GraftExpressions.bloomMightContain(
+        lit(bf), xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

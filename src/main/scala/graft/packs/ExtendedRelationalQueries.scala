@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Packing, Sampling}
+import graft.operators.{Packing, Relational, Sampling}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,30 @@ object ExtendedRelationalQueries extends QueryPack {
       Sampling.mixRates(Tables(s, dir).documents, col("source"),
           Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0), totalTarget = 200L)
         .orderBy(col("stratum"))
+    }),
+
+    // Bloom-filter pre-join pruning (runtime-filter semantics made
+    // explicit): a bloom over the selective dim side's keys filters the
+    // fact side IN-ROW before its join shuffle — Spark's own
+    // BloomFilterAggregate/MightContain expressions, surfaced because
+    // the optimizer's InjectRuntimeFilter only fires past multi-GB scan
+    // thresholds. False positives die in the real join, so the oracle
+    // is the plain join+agg; the might_contain plan property rides in
+    // the row set (p5/io_bucketed pattern).
+    "bloom_prefilter_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val dim = t.orders.where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val joined = Relational.bloomPreFilterJoin(
+        t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+        dim, "l_orderkey", "o_orderkey", expectedItems = 40000L)
+      val used = joined.queryExecution.executedPlan.toString
+        .contains("might_contain")
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .withColumn("bloom_filter_used", lit(used))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Z-order (Morton) clustering report over events: interleave the
@@ -503,6 +527,17 @@ object ExtendedRelationalQueries extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) <= 5
         |ORDER BY source, doc_id""".stripMargin,
+
+    // The bloom gate is invisible to semantics (false positives die in
+    // the join), so the oracle is the plain selective join + agg.
+    "bloom_prefilter_join" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l.l_quantity), 2) AS sum_qty,
+        |  true AS bloom_filter_used
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     // Verbatim Morton-interleave replay: bit i of x at position 2i, bit
     // i of y at 2i+1, summed as exact power-of-two multiplies.

@@ -33,6 +33,26 @@ object GraftExpressions {
     Md5PrefixLong(children.head, children(1))
   }
 
+  // Spark's OWN bloom machinery (the expressions behind the optimizer's
+  // InjectRuntimeFilter), surfaced as callable functions: the built-in
+  // rule only fires past multi-GB scan thresholds, so the explicit
+  // operator form (operators.Relational.bloomPreFilterJoin) uses these
+  // to apply the identical semi-join pruning deterministically at any
+  // scale.
+  private def bloomAggBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      "graft_bloom_agg expects (xxhash64_value, est_items, num_bits)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(children(0), children(1), children(2))
+  }
+
+  private def bloomMightContainBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      "graft_bloom_might_contain expects (bloom_binary, xxhash64_value)")
+    org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(children(0), children(1))
+  }
+
   /** Session-scoped registration (idempotent). Call before first use when
     * the session was not built with [[GraftSparkExtensions]].
     */
@@ -55,6 +75,10 @@ object GraftExpressions {
         "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
       registry.createOrReplaceTempFunction(
         "graft_md5_prefix_long", md5PrefixBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_bloom_agg", bloomAggBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_bloom_might_contain", bloomMightContainBuilder, "built-in")
     }
   }
 
@@ -65,6 +89,10 @@ object GraftExpressions {
     call_function("graft_md5_seed_hashes", c, n)
   def md5PrefixLong(c: Column, n: Column): Column =
     call_function("graft_md5_prefix_long", c, n)
+  def bloomAgg(hashed: Column, estItems: Column, numBits: Column): Column =
+    call_function("graft_bloom_agg", hashed, estItems, numBits)
+  def bloomMightContain(bloom: Column, hashed: Column): Column =
+    call_function("graft_bloom_might_contain", bloom, hashed)
 }
 
 /** `spark.sql.extensions`-pluggable registration — the production path:

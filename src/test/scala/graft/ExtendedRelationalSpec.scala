@@ -334,4 +334,31 @@ class ExtendedRelationalSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     xs.foreach { case (_, yrange) => assert(yrange === 255L) }
   }
+
+  test("bloom pre-filter join: exact results, gate prunes most non-matching rows") {
+    import graft.operators.Relational
+    import graft.plans.GraftExpressions
+    val fact = spark.range(100000).select(col("id").as("fk"),
+      pmod(col("id"), lit(1000)).as("v"))
+    // dim holds 1% of the fact keys
+    val dim = spark.range(1000).select((col("id") * 100).as("dk"),
+      concat(lit("d"), col("id")).as("attr"))
+    val got = Relational.bloomPreFilterJoin(fact, dim, "fk", "dk",
+        expectedItems = 2000L)
+      .select("fk", "attr").as[(Long, String)].collect().toSet
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "attr").as[(Long, String)].collect().toSet
+    assert(got === plain) // false positives die in the join: exact
+    assert(got.size === 1000)
+    // the gate alone: with 8 bits/item the false-positive rate is ~2%,
+    // so of 99k non-matching rows only a small fraction survives
+    GraftExpressions.register(spark)
+    val bf = dim.agg(GraftExpressions.bloomAgg(xxhash64(col("dk")),
+      lit(2000L), lit(16000L)).as("b")).head.getAs[Array[Byte]](0)
+    val survivors = fact.where(GraftExpressions.bloomMightContain(
+      lit(bf), xxhash64(col("fk")))).count()
+    assert(survivors >= 1000L, "every true match must survive")
+    assert(survivors < 12000L,
+      s"gate should prune most of the 99k non-matches, kept $survivors")
+  }
 }
