@@ -444,4 +444,12 @@ object Graft {
     */
   def zValue(x: Column, y: Column, bits: Int): Column =
     graft.operators.Layout.zValue(x, y, bits)
+  /** Explicit runtime-filter join: bloom the dim keys, prune the fact
+    * side in-row before its shuffle; exact results (see
+    * operators.Relational.bloomPreFilterJoin).
+    */
+  def bloomPreFilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                         dimKey: String,
+                         expectedItems: Long = 100000L): DataFrame =
+    Relational.bloomPreFilterJoin(fact, dim, factKey, dimKey, expectedItems)
 }
