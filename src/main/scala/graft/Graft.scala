@@ -452,4 +452,48 @@ object Graft {
                          dimKey: String,
                          expectedItems: Long = 100000L): DataFrame =
     Relational.bloomPreFilterJoin(fact, dim, factKey, dimKey, expectedItems)
+  /** Top-k eigenvectors by orthogonal (subspace) iteration — the block
+    * QR-in-SQL alternative to [[svdPowerComponents]]'s deflation; same
+    * deterministic contract, better behavior on clustered spectra.
+    */
+  def svdOrthIteration(df: DataFrame, idCol: String, arrCol: String,
+                       k: Int, iters: Int = 8): DataFrame =
+    ClusterOps.orthogonalIteration(df, idCol, arrCol, k, iters)
+  /** Product-quantization codebooks (multi-subspace deterministic Lloyd). */
+  def pqCodebooks(emb: DataFrame, idCol: String, arrCol: String,
+                  dsub: Int, ksub: Int, iters: Int): DataFrame =
+    graft.similarity.Similarity.pqCodebooks(emb, idCol, arrCol, dsub, ksub, iters)
+  /** PQ codes: d floats → m small ints per vector. */
+  def pqEncode(emb: DataFrame, idCol: String, arrCol: String,
+               centers: DataFrame, dsub: Int): DataFrame =
+    graft.similarity.Similarity.pqEncode(emb, idCol, arrCol, centers, dsub)
+  /** Asymmetric-distance PQ top-k: corpus touched only through codes. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+             arrCol: String, centers: DataFrame, dsub: Int,
+             k: Int): DataFrame =
+    graft.similarity.Similarity.pqTopK(emb, queries, idCol, arrCol, centers,
+      dsub, k)
+  /** Positional inverted index (doc, pos, term) for exact phrase search. */
+  def positionalIndex(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    graft.text.TextAnalysis.positionalIndex(docs, idCol, textCol)
+  /** Exact-phrase occurrence counts via posting-list joins. */
+  def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
+                        phrase: Seq[String]): DataFrame =
+    graft.text.TextAnalysis.phraseMatchCounts(docs, idCol, textCol, phrase)
+  /** Fellegi–Sunter blocked pair scoring (see operators.Linkage). */
+  def linkScorePairs(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                     rules: Seq[graft.operators.Linkage.FieldRule]): DataFrame =
+    graft.operators.Linkage.scorePairs(a, b, blockCols, rules)
+  /** Best link per right id: argmax score, threshold-gated. */
+  def linkBestMatches(scored: DataFrame, idA: String, idB: String,
+                      threshold: Double): DataFrame =
+    graft.operators.Linkage.bestMatches(scored, idA, idB, threshold)
+  /** Greedy file-compaction plan over a file inventory (metadata scale). */
+  def compactionBins(files: DataFrame, orderCols: Seq[Column],
+                     sizeCol: Column, targetBytes: Long): DataFrame =
+    graft.operators.Layout.compactionBins(files, orderCols, sizeCol, targetBytes)
+  /** One-row key-skew report with a recommended salt factor. */
+  def keySkewReport(df: DataFrame, key: Column): DataFrame =
+    graft.operators.Diagnostics.keySkewReport(df, key)
 }

@@ -65,7 +65,8 @@ object SparkEntry {
     "dedup_provenance_clusters", "dedup_segment_clean",
     "dedup_clusters_total", "dedup_repeated_spans",
     "dedup_repeated_spans_clean", "streaming_tumbling_counts",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
-    "text_quality", "text_fingerprint", "multimodal_decode_meta",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8", "sim_pq_topk",
+    "text_quality", "text_fingerprint", "text_phrase_search",
+    "er_link_customers", "multimodal_decode_meta",
     "multimodal_downsample", "window_tumbling_events")
 }

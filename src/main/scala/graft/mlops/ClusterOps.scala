@@ -260,6 +260,97 @@ object ClusterOps {
     outs.reduce(_ unionByName _)
   }
 
+  /** Top-k eigenvectors by ORTHOGONAL (subspace) iteration — the
+    * QR-in-SQL alternative to [[powerIterationComponents]]'s sequential
+    * deflation: all k vectors advance together each round (V ← orth(G·V))
+    * and the orthogonalization is modified Gram-Schmidt in long form —
+    * projection coefficients and norms are d-row aggregates, so every
+    * round is plain joins + groupBys over the (dim, comp) frame and the
+    * whole fit stays SQL-oracle-able. Deterministic contract matches the
+    * deflation path exactly: fixed start V₀ = [e₁…e_k], fixed `iters`
+    * rounds, zero-norm guard (a rank-deficient Gramian degrades trailing
+    * components to the zero vector, never NaN), per-component sign
+    * canonicalization, sigma_c = √‖G·q_c‖ — so the two algorithms'
+    * outputs are directly comparable (OrthIterSpec pins agreement).
+    *
+    * Scale shape: the corpus is touched once (the imperative Gramian);
+    * every subsequent frame is O(d·k) or O(d²) rows with O(1) lineage
+    * (per-round localCheckpoint). Subspace iteration converges on
+    * CLUSTERED spectra where one-at-a-time deflation stalls — the reason
+    * production SVD solvers (and mllib's ARPACK mode) iterate blocks.
+    */
+  def orthogonalIteration(df: DataFrame, idCol: String, arrCol: String,
+                          k: Int, iters: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(iters >= 1, s"iters=$iters must be positive")
+    val spark = df.sparkSession
+    // localCheckpoint truncates LINEAGE but deliberately carries the
+    // parent plan's size ESTIMATE through the cut (so join strategy
+    // decisions survive checkpointing). The Gram-Schmidt round below
+    // joins two same-round frames, so that carried estimate is
+    // multiplied by itself every round — after tens of rounds the
+    // BigInt sizeInBytes reaches millions of bits and Catalyst's stats
+    // visitor, not execution, becomes the bottleneck. pinFresh
+    // re-wraps the checkpointed partitions in a fresh LogicalRDD with
+    // default stats: O(d·k)-row frames, conversion cost negligible,
+    // estimate growth reset to a constant per round. (The power-
+    // iteration loop above doesn't need this: its only join is against
+    // the FIXED Gramian, so its estimate grows additively.)
+    def pinFresh(d: DataFrame): DataFrame = {
+      val cp = d.localCheckpoint()
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
+    val g = gramianLongForm(df, arrCol).localCheckpoint()
+    // W = G·V for the whole k-column block: one join + one aggregation.
+    def mul(v: DataFrame): DataFrame = g
+      .join(v.select(col("dim").as("dj"), col("comp"), col("v").as("pv")), "dj")
+      .groupBy(col("di").as("dim"), col("comp"))
+      .agg(sum(col("g") * col("pv")).as("w"))
+    val comps = spark.range(1, k + 1).selectExpr("CAST(id AS INT) AS comp")
+    var v = g.select(col("di").as("dim")).distinct()
+      .crossJoin(comps)
+      .withColumn("v",
+        when(col("dim") === col("comp"), lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iters) {
+      val w = pinFresh(mul(v))
+      // Modified Gram-Schmidt, smallest comp first: u_c = w_c − Σ_{j<c}
+      // (q_j·w_c)·q_j, q_c = u_c/‖u_c‖. `qs` accumulates the already-
+      // orthonormalized prefix; all frames are ≤ d·k rows.
+      var qs: DataFrame = null
+      for (c <- 1 to k) {
+        val wc = w.where(col("comp") === c).select(col("dim"), col("w"))
+        val uc =
+          if (c == 1) wc
+          else {
+            val r = qs.join(wc, "dim")
+              .groupBy(col("comp")).agg(sum(col("v") * col("w")).as("r"))
+            val proj = qs.join(r, "comp")
+              .groupBy(col("dim")).agg(sum(col("r") * col("v")).as("p"))
+            wc.join(proj, "dim")
+              .select(col("dim"), (col("w") - col("p")).as("w"))
+          }
+        val n = uc.agg(sqrt(sum(col("w") * col("w"))).as("n"))
+        val qc = uc.crossJoin(n)
+          .select(col("dim"), lit(c).as("comp"),
+            when(col("n") > 0, col("w") / col("n")).otherwise(lit(0.0))
+              .as("v"))
+        qs = if (qs == null) qc else qs.unionByName(qc)
+      }
+      v = pinFresh(qs)
+    }
+    val lam = mul(v).groupBy(col("comp"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("l"))
+    val wSgn = Window.partitionBy(col("comp"))
+      .orderBy(abs(col("v")).desc, col("dim"))
+    val sgn = v.withColumn("_rn", row_number().over(wSgn))
+      .where(col("_rn") === 1)
+      .select(col("comp"), when(col("v") < 0, -1.0).otherwise(1.0).as("s"))
+    v.join(sgn, "comp").join(lam, "comp")
+      .select(col("comp"), col("dim"),
+        (round(col("v") * col("s"), 6) + lit(0.0)).as("v"),
+        (round(sqrt(col("l")), 4) + lit(0.0)).as("sigma"))
+  }
+
   /** Full d×d Gramian Σxxᵀ in long form (di, dj, g), 1-based dims —
     * per-partition imperative accumulation into a d·(d+1)/2 upper-
     * triangle buffer, treeReduce-merged, mirrored on the driver (O(d²)

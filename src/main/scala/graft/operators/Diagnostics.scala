@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-planning diagnostics. Skewed keys are the dominant failure
+  * mode of big joins/aggregations at 100 TB (one straggler task holds
+  * the whole stage); the cure — salting, AQE skew splits, broadcast —
+  * needs the skew MEASURED first. This report is two aggregation
+  * passes: corpus → per-key counts (map-side combinable), then
+  * key-space → one summary row; the second pass is over the KEY space,
+  * never the corpus.
+  */
+object Diagnostics {
+
+  /** One-row key-skew report: row/key cardinalities, the heaviest key's
+    * count and share, max/avg skew ratio, how many keys exceed 2× the
+    * mean, and the salt factor that would level the heaviest key to the
+    * mean (⌈max/avg⌉ — the multiplier to use in a salted repartition,
+    * 1 = no salting needed).
+    */
+  def keySkewReport(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val totals = counts.agg(
+      sum(col("_n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("_n")).as("max_key_rows"))
+    val hot = counts.crossJoin(totals)
+      .agg(sum(when(col("_n") * col("n_keys") > col("n_rows") * 2, 1L)
+        .otherwise(0L)).as("n_hot_keys"))
+    totals.crossJoin(hot)
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        (round(col("n_rows") / col("n_keys"), 4) + lit(0.0))
+          .as("avg_key_rows"),
+        (round(col("max_key_rows") * col("n_keys") / col("n_rows"), 4)
+          + lit(0.0)).as("skew_ratio"),
+        (round(col("max_key_rows") / col("n_rows"), 6) + lit(0.0))
+          .as("top1_share"),
+        col("n_hot_keys"),
+        ceil(col("max_key_rows") * col("n_keys") / col("n_rows"))
+          .cast("bigint").as("salt_factor"))
+  }
+}

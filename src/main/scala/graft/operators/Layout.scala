@@ -49,4 +49,30 @@ object Layout {
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
+
+  /** Compaction plan over a FILE INVENTORY (one row per file): files in
+    * `orderCols` order are packed greedily into output groups of
+    * ~`targetBytes` by exclusive-prefix-sum bucketing — bin =
+    * ⌊cum_bytes_before / target⌋, so every bin's first file starts
+    * before the target boundary and bins stay contiguous in sort order
+    * (preserving any cluster/Z-order the inventory encodes). The small-
+    * files problem at 100 TB is a METADATA problem: this window runs
+    * over one row per file (thousands to low millions of rows), never
+    * the data — the single-task global window is deliberate and cheap
+    * at that cardinality, the same judgment call as SuffixRank's
+    * O(partitions) driver offsets. The plan then drives a
+    * repartition-by-bin rewrite of the data itself, which is the
+    * actual heavy (but one-shuffle, embarrassingly parallel) job.
+    */
+  def compactionBins(files: DataFrame, orderCols: Seq[Column],
+                     sizeCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("_cum", coalesce(sum(sizeCol).over(w), lit(0L)))
+      .withColumn("bin", (col("_cum") / targetBytes).cast("bigint"))
+      .drop("_cum")
+  }
 }

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.operators.{Packing, Relational, Sampling}
+import graft.operators.{Diagnostics, Layout, Linkage, Packing, Relational, Sampling}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,61 @@ object ExtendedRelationalQueries extends QueryPack {
           pmod(floor(col("value")).cast("long"), lit(256)),
           bits = 8, shift = 12)
         .orderBy(col("bucket"))
+    }),
+
+    // Compaction planning over a per-day file inventory (one row per
+    // o_orderdate, bytes = rows × 128): exclusive-prefix-sum bucketing
+    // packs date-ordered files into ~16 KiB output groups. The window
+    // runs over FILE METADATA (thousands of rows), never the data —
+    // the small-files problem at 100 TB is a metadata problem; the
+    // heavy rewrite the plan drives is one repartition-by-bin shuffle.
+    "layout_compaction_bins" -> ((s, dir) => {
+      val files = Tables(s, dir).orders
+        .groupBy(col("o_orderdate").as("file_date"))
+        .agg((count(lit(1)) * 128).as("bytes"))
+      Layout.compactionBins(files, Seq(col("file_date")), col("bytes"),
+          targetBytes = 16384L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          date_format(min(col("file_date")), "yyyy-MM-dd").as("first_date"),
+          date_format(max(col("file_date")), "yyyy-MM-dd").as("last_date"))
+        .orderBy(col("bin"))
+    }),
+
+    // Key-skew diagnosis on the event stream's user key: the one-row
+    // report (max/avg ratio, top-1 share, hot-key count, recommended
+    // salt factor) that decides between a plain, salted, or broadcast
+    // plan BEFORE the 100 TB shuffle runs.
+    "skew_report_events" -> ((s, dir) => {
+      Diagnostics.keySkewReport(Tables(s, dir).events, col("user_id"))
+    }),
+
+    // Fellegi–Sunter record linkage: customers re-published with only a
+    // name-tail digit and a 10-rounded balance (the "dirty feed") are
+    // re-linked to the master by blocked scoring — block on (nation,
+    // segment, balance-kilobucket), two field rules with log2(m/u)
+    // weights, min-struct argmax per dirty record, threshold keeps
+    // dual-agreement pairs only. d_custkey is carried as ground truth
+    // for precision measurement, never used in scoring.
+    "er_link_customers" -> ((s, dir) => {
+      val cust = Tables(s, dir).customer
+      val a = cust.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+      val b = cust.select(col("c_custkey").as("d_custkey"),
+        substring(col("c_name"), -1, 1).as("d_tail"),
+        (round(col("c_acctbal") / 10) * 10).as("d_bal"),
+        col("c_nationkey"), col("c_mktsegment"))
+        .withColumn("bal_kb", floor(col("d_bal") / 1000).cast("long"))
+      val scored = Linkage.scorePairs(a, b,
+        Seq("c_nationkey", "c_mktsegment", "bal_kb"),
+        Seq(
+          Linkage.FieldRule("name_tail",
+            substring(col("c_name"), -1, 1) === col("d_tail"), 3.25, -4.17),
+          Linkage.FieldRule("balance",
+            abs(col("c_acctbal") - col("d_bal")) <= 5, 2.29, -2.5)))
+      Linkage.bestMatches(scored, "c_custkey", "d_custkey", threshold = 4.0)
+        .orderBy(col("d_custkey"))
     }),
 
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
@@ -558,6 +613,79 @@ object ExtendedRelationalQueries extends QueryPack {
          |FROM zed GROUP BY bucket
          |ORDER BY bucket""".stripMargin
     },
+
+    // Exclusive prefix sum replayed with the same ROWS BETWEEN frame;
+    // // is DuckDB integer division (the CAST in Spark truncates the
+    // same way for non-negative cums).
+    "layout_compaction_bins" ->
+      """WITH files AS (
+        |  SELECT o_orderdate AS file_date, count(*) * 128 AS bytes
+        |  FROM orders GROUP BY o_orderdate),
+        |c AS (
+        |  SELECT file_date, bytes,
+        |    coalesce(sum(bytes) OVER (ORDER BY file_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM files),
+        |b AS (SELECT file_date, bytes, CAST(cum // 16384 AS BIGINT) AS bin
+        |      FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  strftime(min(file_date), '%Y-%m-%d') AS first_date,
+        |  strftime(max(file_date), '%Y-%m-%d') AS last_date
+        |FROM b GROUP BY bin
+        |ORDER BY bin""".stripMargin,
+
+    // Both engines divide exact integers (max·n_keys, n_rows) in double,
+    // so the ratio/ceil arithmetic is bit-identical.
+    "skew_report_events" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(n) AS BIGINT) AS max_key_rows
+        |  FROM c),
+        |h AS (
+        |  SELECT CAST(sum(CASE WHEN c.n * t.n_keys > t.n_rows * 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+        |  FROM c CROSS JOIN t)
+        |SELECT t.n_rows, t.n_keys, t.max_key_rows,
+        |  round(t.n_rows * 1.0 / t.n_keys, 4) + 0.0 AS avg_key_rows,
+        |  round(t.max_key_rows * 1.0 * t.n_keys / t.n_rows, 4) + 0.0
+        |    AS skew_ratio,
+        |  round(t.max_key_rows * 1.0 / t.n_rows, 6) + 0.0 AS top1_share,
+        |  h.n_hot_keys,
+        |  CAST(ceil(t.max_key_rows * 1.0 * t.n_keys / t.n_rows) AS BIGINT)
+        |    AS salt_factor
+        |FROM t CROSS JOIN h""".stripMargin,
+
+    // right(name, 1) = Spark's substring(name, -1, 1); round() is
+    // half-away-from-zero in both engines, so d_bal and the block
+    // bucket replay exactly.
+    "er_link_customers" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS d_custkey, right(c_name, 1) AS d_tail,
+        |    round(c_acctbal / 10) * 10 AS d_bal, c_nationkey, c_mktsegment,
+        |    CAST(floor(round(c_acctbal / 10) * 10 / 1000) AS BIGINT) AS bal_kb
+        |  FROM customer),
+        |p AS (
+        |  SELECT b.d_custkey, a.c_custkey,
+        |    round(CASE WHEN right(a.c_name, 1) = b.d_tail
+        |        THEN 3.25 ELSE -4.17 END +
+        |      CASE WHEN abs(a.c_acctbal - b.d_bal) <= 5
+        |        THEN 2.29 ELSE -2.5 END, 6) + 0.0 AS fs_score
+        |  FROM a JOIN b USING (c_nationkey, c_mktsegment, bal_kb)),
+        |m AS (
+        |  SELECT d_custkey, c_custkey, fs_score, row_number() OVER (
+        |      PARTITION BY d_custkey ORDER BY fs_score DESC, c_custkey) AS rn
+        |  FROM p WHERE fs_score >= 4.0)
+        |SELECT d_custkey, c_custkey AS best_c_custkey, fs_score
+        |FROM m WHERE rn = 1
+        |ORDER BY d_custkey""".stripMargin,
 
     // Same md5-uniform (13 hex chars / 2^52) and u^(1/w) scoring; the
     // top-50 selection happens on the unrounded keys on both sides.

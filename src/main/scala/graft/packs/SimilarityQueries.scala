@@ -92,6 +92,22 @@ object SimilarityQueries extends QueryPack {
           expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").as("q_l1"),
           (round(col("q_err_l2"), 6) + lit(0.0)).as("q_err_l2"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Product quantization + asymmetric-distance top-3: 4 subspaces of
+    // 16 dims, 8-entry codebooks from 2 deterministic Lloyd rounds (the
+    // c2_kmeans_lloyd seeding/round contract per subspace, all trained
+    // in one multi-subspace pass), corpus reduced to 4 small ints per
+    // vector, query-side distance tables broadcast. The oracle replays
+    // the entire chain — codebook training, encoding, ADC lookup —
+    // round for round.
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dsub = 16, ksub = 8, iters = 2)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", centers, dsub = 16, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
     })
   )
 
@@ -224,6 +240,65 @@ object SimilarityQueries extends QueryPack {
         |  round(sqrt(sum(pow(v - qi * scale, 2))), 6) + 0.0 AS q_err_l2
         |FROM q
         |GROUP BY vec_id
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // Full PQ replay: per-subspace Lloyd (2 unrolled rounds, seeds =
+    // the 8 lowest vec_ids — dense 0-based, so cid = vec_id), encode,
+    // query distance tables, ADC sum + rank. sub = (dim-1) // 16 keeps
+    // every distance term inside its subspace because dims are disjoint
+    // across subs — the same argument the engine's dim-join makes.
+    "sim_pq_topk" ->
+      """WITH pts0 AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |pts AS MATERIALIZED (
+        |  SELECT vec_id, dim, v, (dim - 1) // 16 AS sub FROM pts0),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, v AS c
+        |       FROM pts WHERE vec_id < 8),
+        |d1 AS (SELECT p.vec_id, p.sub, c.cid,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c0 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, p.sub, c.cid),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+        |  GROUP BY a.cid, p.dim),
+        |d2s AS (SELECT p.vec_id, p.sub, c.cid,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c1 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, p.sub, c.cid),
+        |a2 AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        |    FROM d2s) WHERE rn = 1),
+        |c2 AS MATERIALIZED (SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+        |  GROUP BY a.cid, p.dim),
+        |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+        |    SELECT p.vec_id, p.sub, c.cid, row_number() OVER (
+        |      PARTITION BY p.vec_id, p.sub ORDER BY
+        |        sum((p.v - c.c) * (p.v - c.c)), c.cid) AS rn
+        |    FROM pts p JOIN c2 c ON p.dim = c.dim
+        |    GROUP BY p.vec_id, p.sub, c.cid) WHERE rn = 1),
+        |dt AS MATERIALIZED (SELECT p.vec_id AS query_id, p.sub, c.cid,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS pd
+        |  FROM pts p JOIN c2 c ON p.dim = c.dim
+        |  WHERE p.vec_id < 10
+        |  GROUP BY p.vec_id, p.sub, c.cid),
+        |cand AS (SELECT dt.query_id, co.vec_id AS neighbor_id,
+        |    round(sum(dt.pd), 4) + 0.0 AS adist2
+        |  FROM codes co JOIN dt ON co.sub = dt.sub AND co.cid = dt.cid
+        |  WHERE co.vec_id <> dt.query_id
+        |  GROUP BY dt.query_id, co.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adist2
+        |FROM (SELECT query_id, neighbor_id, adist2, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist2, neighbor_id) AS rnk
+        |  FROM cand)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
   )
 }

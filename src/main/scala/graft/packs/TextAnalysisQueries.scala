@@ -124,6 +124,16 @@ object TextAnalysisQueries extends QueryPack {
         docs.where(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact-phrase search through the positional inverted index: the
+    // 3-term phrase joins its three posting lists on (doc, pos−i) —
+    // cost bounded by those lists, not the corpus (the regex-scan twin
+    // this replaces reads every byte per query).
+    "text_phrase_search" -> ((s, dir) => {
+      TextAnalysis.phraseMatchCounts(Tables(s, dir).documents,
+          "doc_id", "text", Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -388,6 +398,25 @@ object TextAnalysisQueries extends QueryPack {
         |  round(sum(hit) * 1.0 / count(*), 6) AS contam_ratio,
         |  max(hit) AS is_contaminated
         |FROM j GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same positional-index construction (generate_subscripts is the
+    // unnest-ordinality idiom every array oracle here uses), same three
+    // (doc, pos−i) joins.
+    "text_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS MATERIALIZED (
+        |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS INT) - 1 AS pos,
+        |    unnest(ts) AS term
+        |  FROM toks)
+        |SELECT d0.doc_id, count(*) AS n_matches
+        |FROM (SELECT doc_id, pos FROM idx WHERE term = 'slow') d0
+        |JOIN (SELECT doc_id, pos - 1 AS pos FROM idx WHERE term = 'hash') d1
+        |  USING (doc_id, pos)
+        |JOIN (SELECT doc_id, pos - 2 AS pos FROM idx WHERE term = 'batch') d2
+        |  USING (doc_id, pos)
+        |GROUP BY d0.doc_id
+        |ORDER BY d0.doc_id""".stripMargin
   )
 }

@@ -149,6 +149,102 @@ object Similarity {
     * never a division error. Emits the quantized array, its scale, and
     * the L2 dequantization error so callers can bound recall impact.
     */
+  /** Product-quantization codebooks: split the d dims into contiguous
+    * dsub-wide subspaces and train ONE multi-subspace Lloyd fit. Dims
+    * are globally numbered and disjoint across subspaces, so joining
+    * points to centers on `dim` confines every distance term to its own
+    * subspace — all m = d/dsub codebooks train in the same broadcast
+    * join + aggregate pass per round, not m sequential jobs.
+    * Deterministic seeding mirrors [[graft.mlops.ClusterOps.lloydIterations]]:
+    * the ksub lowest ids by rank seed code 0..ksub-1 in every subspace.
+    * Returns (sub, cid, dim, c) long form — m·ksub·dsub rows, eagerly
+    * checkpointed (consumers join it twice; the Lloyd chain must not
+    * re-execute per consumer) and broadcastable.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, arrCol: String,
+                  dsub: Int, ksub: Int, iters: Int): DataFrame = {
+    require(dsub >= 1 && ksub >= 1 && iters >= 1,
+      s"dsub=$dsub ksub=$ksub iters=$iters must all be positive")
+    val pts = pqLongForm(emb, idCol, arrCol, dsub)
+    val seedIds = pts.select(col(idCol)).distinct()
+      .orderBy(col(idCol)).limit(ksub)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+    var centers = pts.join(broadcast(seedIds), idCol)
+      .select(col("sub"), col("cid"), col("dim"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val assign = pqAssign(pts, centers, idCol)
+      centers = pts.join(assign, Seq(idCol, "sub"))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+    }
+    centers.localCheckpoint()
+  }
+
+  /** PQ codes: each vector compressed to its nearest codebook entry per
+    * subspace — d floats become m small ints, the 32×-and-beyond memory
+    * cut that keeps a 100 TB ANN index RAM-resident (the FAISS IVFPQ
+    * storage shape; [[quantizeInt8]] is the 4× cousin). One broadcast
+    * join + argmin aggregation; output (id, sub, cid).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, arrCol: String,
+               centers: DataFrame, dsub: Int): DataFrame =
+    pqAssign(pqLongForm(emb, idCol, arrCol, dsub), centers, idCol)
+
+  /** Asymmetric-distance (ADC) top-k: the query stays full-precision —
+    * its per-(subspace, code) squared distances to every codebook entry
+    * form a tiny broadcast lookup table (|queries|·m·ksub rows) — and
+    * each corpus vector's approximate distance is the sum of m table
+    * lookups keyed by its stored code. The corpus is touched ONLY
+    * through its m-int codes: no float vectors move at query time.
+    * Linear ADC scan per query (IVF-gate it for sublinear search; this
+    * is the exhaustive-ADC tier). Ranks on the PUBLISHED (4-dp rounded)
+    * distance, ties to the lowest neighbor id: vectors sharing all m
+    * codes have mathematically identical ADC distances, and ranking on
+    * full-precision sums would let FP summation order — which no two
+    * engines share — break those ties differently per engine.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+             arrCol: String, centers: DataFrame, dsub: Int,
+             k: Int): DataFrame = {
+    val codes = pqEncode(emb, idCol, arrCol, centers, dsub)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("cid"))
+    val dt = pqLongForm(queries, idCol, arrCol, dsub)
+      .join(broadcast(centers.select(col("cid"), col("dim"), col("c"))), "dim")
+      .groupBy(col(idCol).as("query_id"), col("sub"), col("cid"))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("neighbor_id"))
+    codes.join(broadcast(dt), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((round(sum(col("pd")), 4) + lit(0.0)).as("adist2"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("adist2"))
+  }
+
+  /** (id, dim, v, sub) long form, dims 1-based, sub = (dim-1) / dsub. */
+  private def pqLongForm(emb: DataFrame, idCol: String, arrCol: String,
+                         dsub: Int): DataFrame =
+    graft.mlops.NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol)
+      .withColumn("sub", ((col("dim") - 1) / dsub).cast("int"))
+
+  /** Nearest-code assignment per (row, subspace): broadcast join on dim
+    * (dims disjoint per subspace ⇒ every distance term lands in its own
+    * sub), min-struct argmin — both aggregations map-side combinable,
+    * same verdict as a row_number window without its sort exchange.
+    */
+  private def pqAssign(pts: DataFrame, centers: DataFrame,
+                       idCol: String): DataFrame =
+    pts.join(broadcast(centers.select(col("cid"), col("dim"), col("c"))), "dim")
+      .groupBy(col(idCol), col("sub"), col("cid"))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("_m"))
+      .select(col(idCol), col("sub"), col("_m.cid").as("cid"))
+
   def quantizeInt8(emb: DataFrame, idCol: String, arrCol: String): DataFrame =
     emb
       .withColumn("_v", col(arrCol).cast("array<double>"))

@@ -407,4 +407,37 @@ object TextAnalysis {
         s"transform(split($textCol, ' '), " +
           "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as long))"))
         .as("fp_roll"))
+
+  /** Positional inverted index: one (doc, pos, term) row per token,
+    * 0-based positions. THE search-side structure for exact phrase
+    * matching at corpus scale — built once (one shuffle, partitioned by
+    * term), then any phrase query touches only its terms' posting lists
+    * instead of rescanning 100 TB of raw text per query.
+    */
+  def positionalIndex(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+
+  /** Exact-phrase occurrence counts per document via the positional
+    * index: the phrase's L posting lists are joined on (doc, pos − i) —
+    * an occurrence survives all L joins iff the terms are adjacent in
+    * order. Cost is bounded by the PHRASE TERMS' posting-list sizes
+    * (each join keyed and partial-pruned by the accumulating candidate
+    * set), never the corpus; a LIKE/regex scan — the thing this
+    * replaces — reads every byte of every document per query. The index
+    * is checkpointed once so the L lookups don't re-tokenize the corpus
+    * L times. Only docs with ≥1 occurrence return (inner joins).
+    */
+  def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
+                        phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val idx = positionalIndex(docs, idCol, textCol).localCheckpoint()
+    val first = idx.where(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(idx.where(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("pos")), Seq(idCol, "pos"))
+    }.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -468,4 +468,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again === rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
     joined.unpersist()
   }
+
+  test("PQ: codebooks cover subspaces, codes bounded, ADC exact on cluster recovery") {
+    // 4 well-separated clusters in 8 dims, 2 subspaces of 4 dims,
+    // 4 codes each: after 2 Lloyd rounds each cluster owns a code and
+    // ADC ranks same-cluster vectors first despite the 32× compression.
+    val base = Seq(
+      Array(10f, 10f, 10f, 10f, 0f, 0f, 0f, 0f),
+      Array(-10f, -10f, -10f, -10f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 10f, 10f, 10f, 10f),
+      Array(0f, 0f, 0f, 0f, -10f, -10f, -10f, -10f))
+    val emb = (0 until 16).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (x, j) =>
+        x + 0.1f * ((i / 4) + 1) * (if (j % 2 == 0) 1 else -1) })
+    }.toDF("vec_id", "embedding")
+    val centers = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dsub = 4, ksub = 4, iters = 2)
+    val crows = centers.collect()
+    // every (sub, cid) entry spans exactly its own 4 dims
+    crows.foreach { r =>
+      val sub = r.getInt(0); val dim = r.getInt(2)
+      assert((dim - 1) / 4 === sub, s"dim $dim leaked into sub $sub")
+    }
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", centers, dsub = 4)
+    assert(codes.count() === 32) // 16 vecs × 2 subs
+    assert(codes.where(col("cid") < 0 || col("cid") >= 4).count() === 0)
+    // same-cluster vectors share codes in BOTH subspaces
+    val byVec = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for (i <- 0 until 16; s <- 0 until 2)
+      assert(byVec((i.toLong, s)) === byVec(((i % 4).toLong, s)),
+        s"vec $i sub $s code differs from cluster seed ${i % 4}")
+    // ADC top-3 for query 0 = the three other members of cluster 0
+    val top = Similarity.pqTopK(emb, emb.where(col("vec_id") === 0),
+        "vec_id", "embedding", centers, dsub = 4, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top === Set(4L, 8L, 12L), s"got $top")
+  }
 }

@@ -361,4 +361,52 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(survivors < 12000L,
       s"gate should prune most of the 99k non-matches, kept $survivors")
   }
+
+  test("compactionBins: contiguous bins, first file under target, order preserved") {
+    val files = Seq(
+      ("f0", 10L), ("f1", 10L), ("f2", 10L), ("f3", 25L),
+      ("f4", 10L), ("f5", 1L), ("f6", 1L)).toDF("name", "bytes")
+    val bins = graft.operators.Layout
+      .compactionBins(files, Seq(col("name")), col("bytes"), targetBytes = 30L)
+      .orderBy(col("name")).as[(String, Long, Long)].collect()
+    // cum-before: 0,10,20,30,55,65,66 -> bins 0,0,0,1,1,2,2
+    assert(bins.map(_._3).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L))
+    // bins are contiguous and monotone in file order
+    assert(bins.map(_._3).sliding(2).forall(p => p(1) - p(0) <= 1 && p(1) >= p(0)))
+  }
+
+  test("keySkewReport: uniform keys ratio 1/salt 1; one hot key measured") {
+    val uniform = (0 until 100).map(i => (i % 10, i)).toDF("k", "v")
+    val u = graft.operators.Diagnostics.keySkewReport(uniform, col("k")).head()
+    assert(u.getLong(0) === 100L && u.getLong(1) === 10L)
+    assert(u.getDouble(4) === 1.0 && u.getLong(7) === 1L) // skew_ratio, salt
+    assert(u.getLong(6) === 0L) // no hot keys
+    // 91 rows on one key, 9 singleton keys: max=91, avg=10 -> salt 10
+    val skewed = ((0 until 91).map(i => (0, i)) ++ (1 to 9).map(i => (i, i)))
+      .toDF("k", "v")
+    val s2 = graft.operators.Diagnostics.keySkewReport(skewed, col("k")).head()
+    assert(s2.getLong(2) === 91L)
+    assert(s2.getDouble(4) === 9.1 && s2.getLong(7) === 10L)
+    assert(s2.getLong(6) === 1L)
+    assert(math.abs(s2.getDouble(5) - 0.91) < 1e-9)
+  }
+
+  test("FS linkage: dual agreement required, argmax ties to lowest id, threshold filters") {
+    import graft.operators.Linkage
+    val a = Seq((1L, "x", 100.0), (2L, "x", 104.0), (3L, "y", 500.0))
+      .toDF("id_a", "tag", "bal").withColumn("blk", lit(0))
+    val b = Seq((10L, "x", 101.0), (11L, "y", 990.0))
+      .toDF("id_b", "d_tag", "d_bal").withColumn("blk", lit(0))
+    val scored = Linkage.scorePairs(a, b, Seq("blk"), Seq(
+      Linkage.FieldRule("tag", col("tag") === col("d_tag"), 3.0, -3.0),
+      Linkage.FieldRule("bal", abs(col("bal") - col("d_bal")) <= 5, 2.0, -2.0)))
+    assert(scored.count() === 6) // full block cross
+    val best = Linkage.bestMatches(scored, "id_a", "id_b", threshold = 4.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // b=10: a=1 and a=2 both dual-agree at 5.0 -> tie, lowest id_a wins
+    assert(best(10L) === (1L, 5.0))
+    // b=11: best is a=3 (tag only, 3.0-2.0=1.0) — under threshold, dropped
+    assert(!best.contains(11L))
+  }
 }

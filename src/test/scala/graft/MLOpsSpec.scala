@@ -152,6 +152,42 @@ class MLOpsSpec extends AnyFunSuite {
     assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-5)
   }
 
+  test("orthogonalIteration: orthonormal block, agrees with deflation top-2") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = ClusterOps.orthogonalIteration(
+        emb, "vec_id", "embedding", k = 2, iters = 40)
+      .orderBy("comp", "dim").collect()
+    assert(rows.length === 128)
+    val v1 = rows.take(64).map(_.getDouble(2))
+    val v2 = rows.drop(64).map(_.getDouble(2))
+    val s1 = rows.head.getDouble(3)
+    val s2 = rows(64).getDouble(3)
+    // the Gram-Schmidt step makes the block orthonormal BY CONSTRUCTION
+    // every round — tighter invariant than deflation's approximate
+    // orthogonality
+    val cross = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(cross) < 1e-5, s"v1.v2=$cross")
+    assert(math.abs(math.sqrt(v1.map(x => x * x).sum) - 1.0) < 1e-5)
+    assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-5)
+    assert(s1 >= s2, s"sigma order $s1 < $s2")
+    // two independent algorithms (block subspace iteration vs Hotelling
+    // deflation), same spectrum: aligned top-2 subspace at 40 rounds.
+    // The sf0.001 spectrum beyond comp 1 is near-flat, so compare the
+    // dominant component element-wise-via-cosine and the second by
+    // sigma only (its direction inside the near-degenerate tail
+    // subspace is algorithm-sensitive; its energy is not).
+    val defl = ClusterOps.powerIterationComponents(
+        emb, "vec_id", "embedding", k = 2, iters = 40)
+      .orderBy("comp", "dim").collect()
+    val d1 = defl.take(64).map(_.getDouble(2))
+    val cos1 = v1.zip(d1).map { case (a, b) => a * b }.sum
+    assert(cos1 > 0.999, s"top-component alignment cos=$cos1")
+    val ds2 = defl(64).getDouble(3)
+    assert(math.abs(s2 - ds2) / math.max(ds2, 1e-9) < 5e-2,
+      s"sigma2 $s2 vs deflation $ds2")
+  }
+
   test("svdProject invariants: norm contraction and decreasing reconstruction error") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -162,4 +162,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     val r = TextAnalysis.contaminationStats(train, ev, "doc_id", "text", n = 5).collect()
     assert(r.head.getLong(2) === 0L && r.head.getInt(4) === 0)
   }
+
+  test("phraseMatchCounts: adjacency in order, overlaps counted, absent docs dropped") {
+    val docs = Seq(
+      (0L, "a b c a b c"),   // "a b c" twice
+      (1L, "a b a b"),       // bigram only — no c after
+      (2L, "c b a"),         // reversed order must NOT match
+      (3L, "a a a a"),       // overlapping "a a" = 3 occurrences
+      (4L, "x y z")).toDF("doc_id", "text")
+    val abc = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+      Seq("a", "b", "c")).as[(Long, Long)].collect().toMap
+    assert(abc === Map(0L -> 2L))
+    val aa = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+      Seq("a", "a")).as[(Long, Long)].collect().toMap
+    assert(aa === Map(3L -> 3L))
+    val single = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+      Seq("a")).as[(Long, Long)].collect().toMap
+    assert(single === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 4L))
+  }
 }
