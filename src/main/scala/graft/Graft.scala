@@ -473,6 +473,13 @@ object Graft {
              k: Int): DataFrame =
     graft.similarity.Similarity.pqTopK(emb, queries, idCol, arrCol, centers,
       dsub, k)
+  /** IVF+PQ composed ANN: coarse cells gate, PQ codes rank (ADC). */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                arrCol: String, coarseLong: DataFrame, centerCol: String,
+                pqCenters: DataFrame, dsub: Int, nProbe: Int,
+                k: Int): DataFrame =
+    graft.similarity.Similarity.ivfPqTopK(emb, queries, idCol, arrCol,
+      coarseLong, centerCol, pqCenters, dsub, nProbe, k)
   /** Positional inverted index (doc, pos, term) for exact phrase search. */
   def positionalIndex(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =
@@ -481,6 +488,20 @@ object Graft {
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame =
     graft.text.TextAnalysis.phraseMatchCounts(docs, idCol, textCol, phrase)
+  /** Exact triangle census (compact-forward) — see operators.Graph. */
+  def triangleCount(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame =
+    graft.operators.Graph.triangleCount(edges, srcCol, dstCol)
+  /** Distributed BPE merge learning: the tokenizer's merge table from
+    * one corpus pass + vocabulary-sized merge rounds (text.Bpe).
+    */
+  def bpeLearnMerges(docs: DataFrame, textCol: String,
+                     merges: Int): DataFrame =
+    graft.text.Bpe.learnMerges(docs, textCol, merges)
+  /** Encode with a learned merge table (vocabulary-level, then join). */
+  def bpeApplyMerges(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    graft.text.Bpe.applyMerges(docs, idCol, textCol, merges)
   /** Fellegi–Sunter blocked pair scoring (see operators.Linkage). */
   def linkScorePairs(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                      rules: Seq[graft.operators.Linkage.FieldRule]): DataFrame =

@@ -65,7 +65,12 @@ object SparkEntry {
     "dedup_provenance_clusters", "dedup_segment_clean",
     "dedup_clusters_total", "dedup_repeated_spans",
     "dedup_repeated_spans_clean", "streaming_tumbling_counts",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8", "sim_pq_topk",
+    // sim_pq_topk / sim_ivfpq_topk stay OUT of the bench by the same
+    // policy that excludes dedup_suffix_ranks: their sf0.1 wall time is
+    // ~20 codebook-training jobs of fixed scheduler overhead (5k
+    // vectors), not operator throughput — StressBench measures them at
+    // 1M vectors (pq_adc_topk / ivfpq_gated_topk).
+    "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "text_phrase_search",
     "er_link_customers", "multimodal_decode_meta",
     "multimodal_downsample", "window_tumbling_events")

@@ -256,6 +256,71 @@ object StressBench {
       graft.mlops.ClusterOps.powerIterationTop(
         emb, "vec_id", "embedding", iters = 8).count()
     }
+    // rows/20 64-dim vectors; codebooks trained on a 1% deterministic
+    // sample (the at-scale path — codebook quality needs thousands of
+    // vectors per code, not the corpus), all vectors encoded, then
+    // EXHAUSTIVE ADC for 32 queries: |q|·n candidate pairs scored
+    // through 4-int codes. The gated twin below is the production
+    // search shape; this stage prices the ungated scan.
+    def stressVecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), " +
+        "i -> cast(hash(id, i) % 1000 as double) / 1000.0)").as("embedding"))
+    timed("pq_adc_topk") {
+      val n = math.max(rows / 20L, 100000L)
+      val emb = stressVecs(n)
+      val cb = graft.similarity.Similarity.pqCodebooks(
+        emb.where(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", dsub = 16, ksub = 16, iters = 2)
+      graft.similarity.Similarity.pqTopK(emb,
+        emb.where(col("vec_id") < 32),
+        "vec_id", "embedding", cb, dsub = 16, k = 10).count()
+    }
+    // Same corpus/codebooks, but the coarse quantizer (256 group-mean
+    // cells) gates to nProbe=16 cells first: candidates drop ~16× and
+    // the ADC join touches n/16 pairs per query instead of n.
+    timed("ivfpq_gated_topk") {
+      val n = math.max(rows / 20L, 100000L)
+      val emb = stressVecs(n)
+      val coarse = graft.mlops.NaiveBayesOps.toLongForm(
+          emb.withColumn("cell", pmod(col("vec_id"), lit(256))),
+          Seq("cell"), "embedding")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
+      val cb = graft.similarity.Similarity.pqCodebooks(
+        emb.where(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", dsub = 16, ksub = 16, iters = 2)
+      graft.similarity.Similarity.ivfPqTopK(emb,
+        emb.where(col("vec_id") < 32),
+        "vec_id", "embedding", coarse, "cell", cb, dsub = 16,
+        nProbe = 16, k = 10).count()
+    }
+    // rows/200 distinct 8-char words: 6 BPE merge rounds, each a pair
+    // count + argmax + in-row greedy fold over the VOCABULARY — this
+    // stage prices the rounds at 100k words (the corpus-sized pass is
+    // the word count, priced implicitly by the range explode).
+    timed("bpe_merge_rounds") {
+      val nWords = math.max(rows / 200L, 20000L)
+      val docs = spark.range(nWords).select(
+        concat_ws("", expr("transform(sequence(1, 8), " +
+          "i -> chr(97 + abs(hash(id, i)) % 26))")).as("text"))
+      graft.text.Bpe.learnMerges(docs, "text", merges = 6).count()
+    }
+    // rows tokens across rows/200 docs, 500-term vocabulary, a 3-term
+    // phrase planted in every 100th doc: index build (one explode +
+    // checkpoint) + three posting-list joins. The regex twin this
+    // replaces rescans every byte per phrase.
+    timed("phrase_search_positional") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          concat(concat_ws(" ", expr("transform(sequence(1, 197), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))")),
+            lit(" alpha beta gamma")))
+          .otherwise(concat_ws(" ", expr("transform(sequence(1, 200), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))"))).as("text"))
+      graft.text.TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+        Seq("alpha", "beta", "gamma")).count()
+    }
     spark.stop()
   }
 }

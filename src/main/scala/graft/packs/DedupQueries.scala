@@ -157,6 +157,19 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact triangle census of the near-dup graph (compact-forward,
+    // wedges ordered by node id): the clustering-coefficient signal
+    // that separates genuine duplication families (dense, triangle-
+    // rich) from chains of borderline pairwise matches — the structural
+    // check on banding output before survivors are chosen.
+    "graph_triangles" -> ((s, dir) => {
+      val sh = docShingles(s, dir).localCheckpoint()
+      val cand = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
+        "doc_id", rowsPerBand = 2)
+      graft.operators.Graph.triangleCount(cand, "id_a", "id_b")
+    }),
+
     // MinHash Jaccard ESTIMATE vs exact on the banded candidates — the
     // estimator the signatures exist for, next to its ground truth.
     "dedup_minhash_estimate" -> ((s, dir) => {
@@ -659,6 +672,35 @@ object DedupQueries extends QueryPack {
          |SELECT id AS doc_id, round(rank, 8) + 0.0 AS rank FROM r6
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Same banded candidates; cand is already the canonical (lo, hi)
+    // orientation, so the wedge join and the EXISTS closure replay the
+    // engine's compact-forward count directly.
+    "graph_triangles" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig
+         |    AND x.doc_id < y.doc_id),
+         |w AS MATERIALIZED (
+         |  SELECT e1.hi AS b, e2.hi AS c
+         |  FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+         |cl AS (SELECT * FROM w
+         |  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.b AND e.hi = w.c))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_triangles""".stripMargin,
 
     "dedup_minhash_estimate" ->
       s"""WITH $shingleCte,

@@ -126,6 +126,31 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge learning (Sennrich 2016): 6 merge rounds trained
+    // distributively — one corpus pass for the word-frequency table,
+    // then pair-count + argmax + in-row greedy fold per round, all on
+    // the vocabulary. The oracle unrolls every round, replaying the
+    // greedy non-overlapping merge with a list_reduce fold.
+    "bpe_learn_merges" -> ((s, dir) => {
+      graft.text.Bpe.learnMerges(Tables(s, dir).documents, "text",
+          merges = 6)
+        .orderBy(col("merge_round"))
+    }),
+
+    // The encode side: the 6 learned merges (collected — O(M) driver
+    // model state, the ClusterOps-centers precedent) applied to the
+    // corpus; per-doc word and BPE-token counts. The oracle replays
+    // training AND encoding — its round-r vocabulary table IS the
+    // encoded vocab, so the final join prices the compression.
+    "bpe_encode_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = graft.text.Bpe.learnMerges(docs, "text", merges = 6)
+        .orderBy(col("merge_round")).collect()
+        .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }.toSeq
+      graft.text.Bpe.applyMerges(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-phrase search through the positional inverted index: the
     // 3-term phrase joins its three posting lists on (doc, pos−i) —
     // cost bounded by those lists, not the corpus (the regex-scan twin
@@ -137,7 +162,63 @@ object TextAnalysisQueries extends QueryPack {
     })
   )
 
+  /** Unrolled BPE oracle: per round, pair counting from the symbol
+    * arrays (list_transform over positions), the argmax (ORDER BY
+    * count DESC, pair — the engine's min-struct mirrored), and the
+    * greedy merge as a list_reduce fold whose lambda captures the
+    * round's winning pair. The accumulator check acc[-1] = px is
+    * string identity on the MERGED symbol — exactly the engine's
+    * non-overlap rule.
+    */
+  private def bpeChain(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wtok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |w0 AS MATERIALIZED (
+        |  SELECT w, string_split(w, '') AS syms, cnt FROM (
+        |    SELECT w, count(*) AS cnt FROM wtok WHERE len(w) > 0
+        |    GROUP BY w))""".stripMargin)
+    for (r <- 1 to m) sb.append(s""",
+      |p$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+      |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+      |      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+      |    FROM w${r - 1} WHERE len(syms) >= 2) GROUP BY pair),
+      |b$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS px,
+      |    string_split(pair, ' ')[2] AS py, pcnt
+      |  FROM p$r ORDER BY pcnt DESC, pair LIMIT 1),
+      |w$r AS MATERIALIZED (SELECT w, cnt,
+      |    CASE WHEN len(syms) < 2 THEN syms
+      |    ELSE list_reduce(list_transform(syms, s -> [s]),
+      |      (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.px
+      |          AND s[1] = b$r.py
+      |        THEN list_append(acc[1:-2], b$r.px || b$r.py)
+      |        ELSE list_append(acc, s[1]) END) END AS syms
+      |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin)
+    sb.toString
+  }
+
+  private def bpeOracle(m: Int): String =
+    bpeChain(m) + (1 to m).map(r => s"""
+      |SELECT $r AS merge_round, b$r.px || ' ' || b$r.py AS pair, b$r.pcnt
+      |FROM b$r""".stripMargin)
+      .mkString("", "\nUNION ALL", "\nORDER BY merge_round")
+
+  // round-m vocabulary = the encoded vocab; documents join it per word
+  private def bpeEncodeOracle(m: Int): String =
+    bpeChain(m) + s"""
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens_bpe
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |      FROM documents) d
+      |JOIN w$m e ON d.w = e.w
+      |WHERE len(d.w) > 0
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bpe_learn_merges" -> bpeOracle(6),
+    "bpe_encode_stats" -> bpeEncodeOracle(6),
     // H = ln N − Σ c·ln c / N, identical algebra both sides.
     "text_unigram_entropy" ->
       """WITH t AS (

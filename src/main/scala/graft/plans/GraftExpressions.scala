@@ -21,6 +21,17 @@ object GraftExpressions {
     CosineSimilarity(children.head, children(1))
   }
 
+  private def l2sqBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_l2sq expects exactly 2 arguments")
+    L2DistSq(children.head, children(1))
+  }
+
+  private def nearestCellBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      "graft_nearest_cell expects exactly 2 arguments")
+    NearestCell(children.head, children(1))
+  }
+
   private def md5SeedBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
       "graft_md5_seed_hashes expects exactly 2 arguments")
@@ -72,6 +83,10 @@ object GraftExpressions {
       registry.createOrReplaceTempFunction(
         "graft_cosine", cosineBuilder, "built-in")
       registry.createOrReplaceTempFunction(
+        "graft_l2sq", l2sqBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_nearest_cell", nearestCellBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
         "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
       registry.createOrReplaceTempFunction(
         "graft_md5_prefix_long", md5PrefixBuilder, "built-in")
@@ -85,6 +100,9 @@ object GraftExpressions {
   /** Column-level accessors; require registration on the active session. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+  def nearestCell(vec: Column, cells: Column): Column =
+    call_function("graft_nearest_cell", vec, cells)
   def md5SeedHashes(c: Column, n: Column): Column =
     call_function("graft_md5_seed_hashes", c, n)
   def md5PrefixLong(c: Column, n: Column): Column =
@@ -115,6 +133,21 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2DistSq].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_l2sq expects exactly 2 arguments")
+        L2DistSq(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_nearest_cell expects exactly 2 arguments")
+        NearestCell(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_seed_hashes"),

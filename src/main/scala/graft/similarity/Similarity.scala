@@ -165,7 +165,13 @@ object Similarity {
                   dsub: Int, ksub: Int, iters: Int): DataFrame = {
     require(dsub >= 1 && ksub >= 1 && iters >= 1,
       s"dsub=$dsub ksub=$ksub iters=$iters must all be positive")
-    val pts = pqLongForm(emb, idCol, arrCol, dsub)
+    // Each Lloyd round reads the long form twice (assign + recompute);
+    // pin it once instead of re-exploding the input 2·iters times. At
+    // 100 TB train on a bounded deterministic sample (pass
+    // Sampling.deterministicSample's output as `emb`) — codebook
+    // quality needs thousands of vectors per code, not the corpus —
+    // so the pinned frame stays executor-memory-sized.
+    val pts = pqLongForm(emb, idCol, arrCol, dsub).localCheckpoint()
     val seedIds = pts.select(col(idCol)).distinct()
       .orderBy(col(idCol)).limit(ksub)
       .withColumn("cid",
@@ -184,12 +190,38 @@ object Similarity {
   /** PQ codes: each vector compressed to its nearest codebook entry per
     * subspace — d floats become m small ints, the 32×-and-beyond memory
     * cut that keeps a 100 TB ANN index RAM-resident (the FAISS IVFPQ
-    * storage shape; [[quantizeInt8]] is the 4× cousin). One broadcast
-    * join + argmin aggregation; output (id, sub, cid).
+    * storage shape; [[quantizeInt8]] is the 4× cousin).
+    *
+    * Runs IN-ROW: the codebooks pack into one broadcast row and each
+    * vector argmins per subspace with the native graft_nearest_cell
+    * expression over its dsub-slice — a map-side scan at any corpus
+    * size. The long-form join alternative (still used INSIDE Lloyd
+    * training, where inputs are sample-sized and the assignment must
+    * re-join the points anyway) emits |corpus|·ksub rows through a
+    * corpus×m-keyed aggregate — the same shuffle-amplification that
+    * OOMed the coarse quantizer at stress scale. Output (id, sub, cid).
     */
   def pqEncode(emb: DataFrame, idCol: String, arrCol: String,
-               centers: DataFrame, dsub: Int): DataFrame =
-    pqAssign(pqLongForm(emb, idCol, arrCol, dsub), centers, idCol)
+               centers: DataFrame, dsub: Int): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val packed = centers
+      .groupBy(col("sub"), col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cv"))
+      .groupBy(col("sub"))
+      .agg(expr(
+        "sort_array(collect_list(struct(CAST(cid AS BIGINT) AS cell, cv)))")
+        .as("cells"))
+      .agg(expr("sort_array(collect_list(struct(sub, cells)))").as("_subs"))
+    emb.crossJoin(broadcast(packed))
+      .select(col(idCol), explode(expr(
+        s"""transform(_subs, sc -> struct(sc.sub AS sub,
+           |  graft_nearest_cell(
+           |    CAST(slice($arrCol, sc.sub * $dsub + 1, $dsub)
+           |      AS ARRAY<DOUBLE>),
+           |    sc.cells) AS cid))""".stripMargin)).as("_sc"))
+      .select(col(idCol), col("_sc.sub").as("sub"), col("_sc.cid").as("cid"))
+  }
 
   /** Asymmetric-distance (ADC) top-k: the query stays full-precision —
     * its per-(subspace, code) squared distances to every codebook entry
@@ -207,6 +239,9 @@ object Similarity {
   def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
              arrCol: String, centers: DataFrame, dsub: Int,
              k: Int): DataFrame = {
+    // In-row encode (map-side); at deployment scale codes are WRITTEN
+    // once at ingest and this stage reads them back — encoding inline
+    // here keeps the operator self-contained.
     val codes = pqEncode(emb, idCol, arrCol, centers, dsub)
       .select(col(idCol).as("neighbor_id"), col("sub"), col("cid"))
     val dt = pqLongForm(queries, idCol, arrCol, dsub)
@@ -223,6 +258,81 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         col("adist2"))
+  }
+
+  /** IVF+PQ — the two indexes composed the way FAISS's IVFPQ composes
+    * them: the coarse quantizer GATES (each query probes its nProbe
+    * nearest cells; only vectors assigned to those cells are
+    * candidates) and PQ-ADC RANKS (candidates are scored through their
+    * m-int codes via the query's broadcast distance tables — corpus
+    * floats are touched only by the ingest-time assignments computed
+    * here inline). Candidate count is the probed cells' population —
+    * sublinear in the corpus — and ranking cost per candidate is m
+    * lookups: the memory and compute shape that makes 1e9-vector
+    * search feasible. Both quantizers deterministic ⇒ the whole search
+    * is SQL-oracle-able.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                arrCol: String, coarseLong: DataFrame, centerCol: String,
+                pqCenters: DataFrame, dsub: Int, nProbe: Int,
+                k: Int): DataFrame = {
+    // Corpus cell assignment runs IN-ROW: the centroid table is MODEL
+    // state (O(cells·d) values — packed into one broadcast row), and
+    // each vector argmins over it in a single map-side pass. The
+    // long-form join alternative emits |corpus|·|cells| rows through a
+    // corpus×cells-keyed hash aggregate — measured OOM at 1M vectors ×
+    // 256 cells on an 8g heap (StressBench ivfpq_gated_topk) — while
+    // this shape scans at any corpus size: the FAISS coarse-
+    // quantization design. The argmin is the NATIVE graft_nearest_cell
+    // expression — one primitive cells×dims loop per row, zero
+    // per-cell allocation. The escalation is measured in
+    // plans/NearestCell.scala's Scaladoc (join: OOM; lambda distance:
+    // ~300s; native scalar distance under a per-cell transform: ~141s;
+    // this: see SCALE.md) — tie rule identical to min(struct(d2, cell)).
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val cellsPacked = coarseLong
+      .groupBy(col(centerCol))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cv"))
+      .agg(expr(
+        s"sort_array(collect_list(struct(CAST($centerCol AS BIGINT) AS cell," +
+          " cv)))").as("_cells"))
+    val cells = emb.crossJoin(broadcast(cellsPacked))
+      .select(col(idCol).as("neighbor_id"),
+        expr(s"graft_nearest_cell(CAST($arrCol AS ARRAY<DOUBLE>), _cells)")
+          .as(centerCol))
+    val codes = pqEncode(emb, idCol, arrCol, pqCenters, dsub)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("cid"))
+    // query side: nProbe nearest cells + ADC distance tables, one explode
+    val qLong = pqLongForm(queries, idCol, arrCol, dsub).localCheckpoint()
+    val qDists = qLong
+      .join(broadcast(coarseLong.select(col(centerCol), col("dim"), col("c"))),
+        "dim")
+      .groupBy(col(idCol), col(centerCol))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("qdist"))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("qdist").asc, col(centerCol))
+    val probes = qDists
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= nProbe)
+      .select(col(idCol).as("query_id"), col(centerCol))
+    val dt = qLong
+      .join(broadcast(pqCenters.select(col("cid"), col("dim"), col("c"))),
+        "dim")
+      .groupBy(col(idCol).as("query_id"), col("sub"), col("cid"))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("pd"))
+    // gate first, then rank codes-only (same rounded-tie rule as pqTopK)
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("neighbor_id"))
+    probes.join(cells, centerCol)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(codes, "neighbor_id")
+      .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((round(sum(col("pd")), 4) + lit(0.0)).as("adist2"))
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adist2"))
   }
 
   /** (id, dim, v, sub) long form, dims 1-based, sub = (dim-1) / dsub. */

@@ -495,7 +495,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(codes.count() === 32) // 16 vecs × 2 subs
     assert(codes.where(col("cid") < 0 || col("cid") >= 4).count() === 0)
     // same-cluster vectors share codes in BOTH subspaces
-    val byVec = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val byVec = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     for (i <- 0 until 16; s <- 0 until 2)
       assert(byVec((i.toLong, s)) === byVec(((i % 4).toLong, s)),
         s"vec $i sub $s code differs from cluster seed ${i % 4}")
@@ -504,5 +504,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "vec_id", "embedding", centers, dsub = 4, k = 3)
       .select("neighbor_id").as[Long].collect().toSet
     assert(top === Set(4L, 8L, 12L), s"got $top")
+
+    // IVF+PQ on the same corpus: coarse cells = per-cluster means
+    // (cluster id = vec_id % 4), 1 probe -> candidates are exactly the
+    // query's own cluster, ADC ranks them; k=5 asks for more than the
+    // cell holds, so the gate (not k) bounds the answer.
+    val coarse = graft.mlops.NaiveBayesOps.toLongForm(
+        emb.withColumn("cl", col("vec_id") % 4), Seq("cl"), "embedding")
+      .groupBy(col("cl"), col("dim")).agg(avg(col("v")).as("c"))
+    val ivfpq = Similarity.ivfPqTopK(emb, emb.where(col("vec_id") === 0),
+      "vec_id", "embedding", coarse, "cl", centers, dsub = 4,
+      nProbe = 1, k = 5)
+    val got = ivfpq.select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(4L, 8L, 12L), s"gate leaked: $got")
   }
 }

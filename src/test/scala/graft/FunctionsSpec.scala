@@ -58,6 +58,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("native L2DistSq and NearestCell: exact distances, argmin ties to lowest cell") {
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(4.0, 6.0))).toDF("a", "b")
+    assert(df.select(GraftExpressions.l2sq(col("a"), col("b")))
+      .head.getDouble(0) === 25.0) // 9 + 16
+    // cells: 7 at distance 25, 3 and 5 tied at distance 2 -> lowest id 3
+    val cells = Seq((
+      Seq(1.0, 2.0),
+      Seq((7L, Seq(4.0, 6.0)), (5L, Seq(2.0, 3.0)), (3L, Seq(0.0, 1.0)))
+    )).toDF("v", "cells")
+    assert(cells.select(GraftExpressions.nearestCell(col("v"), col("cells")))
+      .head.getLong(0) === 3L)
+    // codegen and interpreted agree (whole-stage on a filter chain)
+    val n = cells.where(
+      GraftExpressions.nearestCell(col("v"), col("cells")) === 3L).count()
+    assert(n === 1L)
+  }
+
   test("native Md5SeedHashes equals the declarative seededHash family") {
     GraftExpressions.register(spark)
     val df = Seq("the quick brown fox", "a", "", "héllo wörld").toDF("s")

@@ -34,4 +34,22 @@ class GraphSpec extends AnyFunSuite {
     // every round: (1-d)/n + d*(0 + 1/n) = 1/n — the uniform fixpoint
     r.values.foreach(v => assert(math.abs(v - 0.2) < 1e-12))
   }
+
+  test("triangleCount: K4 has 4, chain has 0, duplicates/direction/self-loops ignored") {
+    // K4 = 6 edges, C(4,3) = 4 triangles, 3 wedges per low vertex: 3+2+1... wedges = C(3,2)+C(2,2)... count directly
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(k4, "src", "dst")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((6L, 4L, 4L))) // K4: every wedge at lowest vertex closes
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.triangleCount(chain, "src", "dst")
+      .as[(Long, Long, Long)].head()._3 === 0L)
+    // reversed duplicates and self-loops collapse to the same canonical set
+    val messy = Seq((1L, 0L), (0L, 1L), (2L, 1L), (0L, 2L), (2L, 2L))
+      .toDF("src", "dst")
+    val m = Graph.triangleCount(messy, "src", "dst")
+      .as[(Long, Long, Long)].head()
+    assert(m === ((3L, 1L, 1L)))
+  }
 }

@@ -180,4 +180,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq("a")).as[(Long, Long)].collect().toMap
     assert(single === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 4L))
   }
+
+  test("BPE learnMerges: frequency argmax, greedy non-overlap, lexicographic ties") {
+    import graft.text.Bpe
+    // ab(2) + abc(1): round 1 merges "a b" (count 3), round 2 "ab c" (1)
+    val m = Bpe.learnMerges(Seq((0L, "ab ab abc")).toDF("doc_id", "text"), "text", 2)
+      .orderBy("merge_round").as[(Int, String, Long)].collect()
+    assert(m.toSeq === Seq((1, "a b", 3L), (2, "ab c", 1L)))
+    // greedy non-overlap: "aaaa" has 3 adjacent (a,a) pairs but merging
+    // left-to-right yields [aa, aa] — round 2 must see pair "aa aa"
+    val g = Bpe.learnMerges(Seq((0L, "aaaa")).toDF("doc_id", "text"), "text", 2)
+      .orderBy("merge_round").as[(Int, String, Long)].collect()
+    assert(g.toSeq === Seq((1, "a a", 3L), (2, "aa aa", 1L)))
+    // tie at count 1 between "a b" and "b a": lexicographic winner
+    val t = Bpe.learnMerges(Seq((0L, "ab ba")).toDF("doc_id", "text"), "text", 1)
+      .as[(Int, String, Long)].collect()
+    assert(t.toSeq === Seq((1, "a b", 1L)))
+  }
+
+  test("BPE applyMerges: ordered merges compress, counts per doc") {
+    import graft.text.Bpe
+    val docs = Seq((0L, "ab ab cab"), (1L, "abc")).toDF("doc_id", "text")
+    // merge 1: a+b -> ab; merge 2: ab+c -> abc
+    val enc = Bpe.applyMerges(docs, "doc_id", "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 0: ab->1, ab->1, cab->[c,ab]->2 tokens
+    assert(enc(0L) === ((3L, 4L)))
+    // doc 1: abc -> [ab, c] -> [abc] -> 1 token
+    assert(enc(1L) === ((1L, 1L)))
+    // encode after learn reproduces training's final segmentation:
+    // corpus "ab ab abc", 2 merges -> every word one token
+    val learned = Bpe.learnMerges(
+        Seq((9L, "ab ab abc")).toDF("doc_id", "text"), "text", 2)
+      .orderBy("merge_round").collect()
+      .map(r => { val p = r.getString(1).split(" "); (p(0), p(1)) }).toSeq
+    val stats = Bpe.applyMerges(Seq((9L, "ab ab abc")).toDF("doc_id", "text"),
+        "doc_id", "text", learned)
+      .as[(Long, Long, Long)].head()
+    assert(stats === ((9L, 3L, 3L)))
+  }
 }
