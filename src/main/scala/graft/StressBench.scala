@@ -248,6 +248,55 @@ object StressBench {
       graft.operators.Graph.pageRank(chain.unionByName(hubs), "src", "dst",
         nodes, "id", iters = 6).count()
     }
+    // same chain+1k-hub shape as pagerank: degree orientation keeps
+    // each hub's wedges at ~0 (its edges all point AT it), where id
+    // orientation would pay C(hub_degree, 2) per low-id hub
+    timed("triangle_census") {
+      val nNodes = math.max(rows / 10L, 100000L)
+      val chain = spark.range(nNodes).select(col("id").as("src"),
+        pmod(col("id") + 1, lit(nNodes)).as("dst"))
+      val hubs = spark.range(nNodes).where(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("src"),
+          pmod(hash(col("id")), lit(1000)).cast("long").as("dst"))
+      graft.operators.Graph.triangleCount(
+        chain.unionByName(hubs), "src", "dst").count()
+    }
+    // blocked Fellegi–Sunter linkage at 2×rows/10 records: block keys
+    // keep ~16-row blocks, so the scored pair set stays ~16× the
+    // record count, never quadratic in it
+    timed("fs_linkage_best") {
+      val n = math.max(rows / 10L, 100000L)
+      val base = spark.range(n).select(col("id"),
+        pmod(col("id"), lit(25)).as("nat"),
+        pmod(col("id"), lit(5)).as("seg"),
+        (abs(hash(col("id"))) % 10000).cast("double").as("bal"))
+      val a = base.select(col("id").as("id_a"), col("nat"), col("seg"),
+        col("bal"), (col("bal") / 10).cast("long").as("balb"))
+      val b = base.select(col("id").as("id_b"), col("nat"), col("seg"),
+        (round(col("bal") / 10) * 10).as("d_bal"))
+        .withColumn("balb", (col("d_bal") / 10).cast("long"))
+      val scored = graft.operators.Linkage.scorePairs(a, b,
+        Seq("nat", "seg", "balb"), Seq(
+          graft.operators.Linkage.FieldRule("bal",
+            abs(col("bal") - col("d_bal")) <= 5, 2.3, -2.0)))
+      graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
+        .count()
+    }
+    // encode rows/200 docs × 200 4-char words (vocab ≈ 26^4) through a
+    // 6-entry merge table: folds run once per DISTINCT word, the
+    // corpus pays one explode + one vocabulary join
+    timed("bpe_encode_corpus") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 200), i -> concat(" +
+          "chr(97 + abs(hash(id, i)) % 26), " +
+          "chr(97 + abs(hash(id, i, 7)) % 26), " +
+          "chr(97 + abs(hash(id, i, 13)) % 26), " +
+          "chr(97 + abs(hash(id, i, 19)) % 26)))")).as("text"))
+      graft.text.Bpe.applyMerges(docs, "doc_id", "text",
+        Seq(("a", "b"), ("c", "d"), ("ab", "c"), ("e", "f"),
+          ("g", "h"), ("i", "j"))).count()
+    }
     timed("power_iteration_svd") {
       val emb = spark.range(math.max(rows / 100L, 10000L)).select(
         col("id").as("vec_id"),

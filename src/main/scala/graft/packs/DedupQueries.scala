@@ -673,9 +673,9 @@ object DedupQueries extends QueryPack {
          |ORDER BY doc_id""".stripMargin
     },
 
-    // Same banded candidates; cand is already the canonical (lo, hi)
-    // orientation, so the wedge join and the EXISTS closure replay the
-    // engine's compact-forward count directly.
+    // Same banded candidates; then the degree-ordered orientation and
+    // wedge/closure joins replay the engine's compact-forward count —
+    // row-value comparisons (d, v) mirror the engine's struct ordering.
     "graph_triangles" ->
       s"""WITH $shingleCte,
          |sig AS (
@@ -693,11 +693,24 @@ object DedupQueries extends QueryPack {
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.band_sig = y.band_sig
          |    AND x.doc_id < y.doc_id),
+         |deg AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+         |    SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e)
+         |  GROUP BY v),
+         |dir AS MATERIALIZED (
+         |  SELECT CASE WHEN (dl.d, e.lo) < (dh.d, e.hi)
+         |      THEN e.lo ELSE e.hi END AS src,
+         |    CASE WHEN (dl.d, e.lo) < (dh.d, e.hi)
+         |      THEN e.hi ELSE e.lo END AS dst,
+         |    CASE WHEN (dl.d, e.lo) < (dh.d, e.hi)
+         |      THEN dh.d ELSE dl.d END AS ddeg
+         |  FROM e JOIN deg dl ON dl.v = e.lo JOIN deg dh ON dh.v = e.hi),
          |w AS MATERIALIZED (
-         |  SELECT e1.hi AS b, e2.hi AS c
-         |  FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+         |  SELECT e1.dst AS b, e2.dst AS c
+         |  FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+         |    AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
          |cl AS (SELECT * FROM w
-         |  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.b AND e.hi = w.c))
+         |  WHERE EXISTS (SELECT 1 FROM dir
+         |    WHERE dir.src = w.b AND dir.dst = w.c))
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_triangles""".stripMargin,

@@ -51,5 +51,12 @@ class GraphSpec extends AnyFunSuite {
     val m = Graph.triangleCount(messy, "src", "dst")
       .as[(Long, Long, Long)].head()
     assert(m === ((3L, 1L, 1L)))
+    // degree orientation tames hubs: a star's leaves all point AT the
+    // center (higher degree), so the hub generates ZERO wedges — id
+    // orientation with a low hub id would generate C(deg, 2)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val s2 = Graph.triangleCount(star, "src", "dst")
+      .as[(Long, Long, Long)].head()
+    assert(s2 === ((4L, 0L, 0L)))
   }
 }
