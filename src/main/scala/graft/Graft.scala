@@ -517,4 +517,11 @@ object Graft {
   /** One-row key-skew report with a recommended salt factor. */
   def keySkewReport(df: DataFrame, key: Column): DataFrame =
     graft.operators.Diagnostics.keySkewReport(df, key)
+  /** One-pass per-column data-quality profile (nulls/distincts/min/max). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.operators.Diagnostics.profileColumns(df, cols)
+  /** Many-models OLS: an independent fit per group in one scan. */
+  def olsFitGrouped(df: DataFrame, group: Column, x: Column,
+                    y: Column): DataFrame =
+    graft.mlops.LinearOps.olsFitGrouped(df, group, x, y)
 }

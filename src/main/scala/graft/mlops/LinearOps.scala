@@ -33,6 +33,38 @@ object LinearOps {
         round(col("_cxy") / col("_vx"), 6).as("slope"),
         round(col("_my") - col("_cxy") / col("_vx") * col("_mx"), 6).as("intercept"))
 
+  /** MANY-MODELS OLS: one independent 1-D fit per group, in a single
+    * scan — the grouped sufficient statistics (n, Σx, Σy, Σx², Σxy,
+    * Σy²) are one map-side-combinable aggregation, and every group's
+    * slope/intercept/R² falls out in closed form. The pattern that
+    * replaces "loop over groups, fit each" at 100 TB: a million
+    * per-entity models cost exactly one shuffle keyed by the group.
+    * Degenerate groups (zero x-variance) yield NULL slope rather than
+    * a division error; R² guards zero y-variance the same way.
+    */
+  def olsFitGrouped(df: DataFrame, groupCol: Column, xCol: Column,
+                    yCol: Column): DataFrame =
+    df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(xCol).as("_sx"), sum(yCol).as("_sy"),
+        sum(xCol * xCol).as("_sxx"), sum(xCol * yCol).as("_sxy"),
+        sum(yCol * yCol).as("_syy"))
+      .select(col("grp"), col("n"),
+        (round(
+          (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+            nullif(col("n") * col("_sxx") - col("_sx") * col("_sx"),
+              lit(0.0)), 6) + lit(0.0)).as("slope"),
+        (round(
+          (col("_sy") - (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+            nullif(col("n") * col("_sxx") - col("_sx") * col("_sx"),
+              lit(0.0)) * col("_sx")) / col("n"), 6) + lit(0.0))
+          .as("intercept"),
+        (round(
+          pow(col("n") * col("_sxy") - col("_sx") * col("_sy"), 2) /
+            nullif((col("n") * col("_sxx") - col("_sx") * col("_sx")) *
+              (col("n") * col("_syy") - col("_sy") * col("_sy")),
+              lit(0.0)), 6) + lit(0.0)).as("r2"))
+
   /** Apply a 1-row (slope, intercept) frame to score rows: broadcast join,
     * no collect — the reference's broadcast-model predict
     * (`splearn/linear_model/base.py:~L80`) without driver round-trips.

@@ -19,6 +19,35 @@ object Diagnostics {
     * mean (⌈max/avg⌉ — the multiplier to use in a salted repartition,
     * 1 = no salting needed).
     */
+  /** One-pass column profile: per column, non-null / null / exact
+    * distinct counts and stringified min/max — the data-quality sweep
+    * run before a corpus is admitted to a pipeline. All columns
+    * profile in ONE aggregation (Catalyst plans the k exact distincts
+    * as a k-way Expand — a deliberate k× row amplification; swap
+    * `countDistinct` for `approx_count_distinct` at 100 TB when exact
+    * distincts aren't worth the expand), then one `stack` unpivots the
+    * single row to a row per column. min/max are cast to string so
+    * heterogeneous column types share one schema.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = (count(lit(1)).as("__rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")) }).toList
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+    row.select(col("__rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_non_null, n_distinct, min_str, max_str)"))
+      .select(col("column_name"), col("__rows").as("n_rows"),
+        col("n_non_null"),
+        (col("__rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
   def keySkewReport(df: DataFrame, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
       .localCheckpoint()

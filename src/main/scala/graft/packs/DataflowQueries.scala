@@ -205,6 +205,36 @@ object DataflowQueries extends QueryPack {
       } finally star.drop()
     }),
 
+    // Partition pruning pinned in CORRECTNESS (the p5/io_bucketed plan-
+    // property pattern for the THIRD scan-reduction lever): orders
+    // rewritten partitioned by priority, then a selective read whose
+    // executed plan must carry the predicate as a PartitionFilter —
+    // directory-level pruning, zero data rows read outside the matching
+    // partition. Row counts are oracled; the boolean rides the row. The
+    // temp layout is written under java.io.tmpdir and deleted before
+    // returning (result collected first — 1 row of driver state).
+    "io_partition_pruning_plan" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_iopart").toString
+      try {
+        t.orders.write.partitionBy("o_orderpriority")
+          .mode("overwrite").parquet(path)
+        val rd = s.read.parquet(path)
+          .where(col("o_orderpriority") === "1-URGENT")
+        val plan = rd.queryExecution.executedPlan.toString
+        val pruned = plan.contains("PartitionFilters") &&
+          plan.contains("1-URGENT")
+        val n = rd.count()
+        Seq(("1-URGENT", n, pruned))
+          .toDF("o_orderpriority", "n_rows", "partition_pruned")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(path)).deleteRecursively()
+      }
+    }),
+
     // D10: DictRDD positional zip of two sources (deterministic row_number
     // ids, not monotonically_increasing_id — SURVEY §7 hard-part 2).
     "d10_zip_columns" -> ((s, dir) => {
@@ -331,6 +361,12 @@ object DataflowQueries extends QueryPack {
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY o.o_orderstatus
         |ORDER BY o.o_orderstatus""".stripMargin,
+
+    "io_partition_pruning_plan" ->
+      """SELECT '1-URGENT' AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS partition_pruned
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "d10_zip_columns" ->
       """WITH a AS (SELECT doc_id, lang,

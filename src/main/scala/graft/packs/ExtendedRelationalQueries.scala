@@ -178,6 +178,28 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("bin"))
     }),
 
+    // One-pass data-quality profile over four lineitem columns:
+    // null/distinct/min/max per column from a single aggregation +
+    // stack unpivot. The k-way Expand behind the exact distincts is
+    // priced in the operator's Scaladoc (approx_count_distinct is the
+    // 100 TB swap-in).
+    "profile_lineitem" -> ((s, dir) => {
+      Diagnostics.profileColumns(Tables(s, dir).lineitem,
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"))
+        .orderBy(col("column_name"))
+    }),
+
+    // Many-models fitting: an independent OLS (slope/intercept/R²) per
+    // return flag in ONE scan — grouped sufficient statistics, closed
+    // form per group; a million per-entity models would cost the same
+    // single shuffle.
+    "ml_grouped_ols" -> ((s, dir) => {
+      graft.mlops.LinearOps.olsFitGrouped(Tables(s, dir).lineitem,
+          col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice") / 1000)
+        .orderBy(col("grp"))
+    }),
+
     // Key-skew diagnosis on the event stream's user key: the one-row
     // report (max/avg ratio, top-1 share, hot-key count, recommended
     // salt factor) that decides between a plain, salted, or broadcast
@@ -634,6 +656,47 @@ object ExtendedRelationalQueries extends QueryPack {
         |  strftime(max(file_date), '%Y-%m-%d') AS last_date
         |FROM b GROUP BY bin
         |ORDER BY bin""".stripMargin,
+
+    // Per-column aggregates replayed as a UNION ALL; CAST AS VARCHAR
+    // matches Spark's string cast (both engines print doubles in
+    // shortest-roundtrip form; values here stay under the 1e7
+    // scientific-notation switch).
+    "profile_lineitem" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           |  CAST(count($c) AS BIGINT) AS n_non_null,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+           |    - CAST(count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    // Identical closed-form algebra over the same grouped sufficient
+    // statistics; nullif guards the degenerate-variance groups on both
+    // sides.
+    "ml_grouped_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    sum(l_quantity) AS sx, sum(l_extendedprice / 1000) AS sy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_quantity * (l_extendedprice / 1000)) AS sxy,
+        |    sum((l_extendedprice / 1000) * (l_extendedprice / 1000)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT grp, n,
+        |  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0
+        |    AS slope,
+        |  round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+        |    * sx) / n, 6) + 0.0 AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) + 0.0
+        |    AS r2
+        |FROM s
+        |ORDER BY grp""".stripMargin,
 
     // Both engines divide exact integers (max·n_keys, n_rows) in double,
     // so the ratio/ceil arithmetic is bit-identical.

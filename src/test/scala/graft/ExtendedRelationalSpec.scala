@@ -391,6 +391,16 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(math.abs(s2.getDouble(5) - 0.91) < 1e-9)
   }
 
+  test("profileColumns: nulls, exact distincts, stringified min/max") {
+    val df = Seq((Some(1), Some("a")), (Some(1), None), (Some(3), Some("b")),
+      (None, Some("b"))).toDF("x", "s")
+    val p = graft.operators.Diagnostics.profileColumns(df, Seq("x", "s"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+    assert(p(0) === (("s", 4L, 3L, 1L, 2L, "a", "b")))
+    assert(p(1) === (("x", 4L, 3L, 1L, 2L, "1", "3")))
+  }
+
   test("FS linkage: dual agreement required, argmax ties to lowest id, threshold filters") {
     import graft.operators.Linkage
     val a = Seq((1L, "x", 100.0), (2L, "x", 104.0), (3L, "y", 500.0))

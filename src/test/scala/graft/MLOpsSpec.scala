@@ -152,6 +152,23 @@ class MLOpsSpec extends AnyFunSuite {
     assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-5)
   }
 
+  test("olsFitGrouped: exact per-group lines, degenerate group NULL, one scan") {
+    // group a: y = 2x + 1 exactly (r2 = 1); group b: y = -x (r2 = 1);
+    // group c: constant x (zero variance -> NULL slope)
+    val df = (Seq.tabulate(5)(i => ("a", i.toDouble, 2.0 * i + 1)) ++
+      Seq.tabulate(4)(i => ("b", i.toDouble, -i.toDouble)) ++
+      Seq(("c", 1.0, 5.0), ("c", 1.0, 7.0)))
+      .toDF("g", "x", "y")
+    val fits = LinearOps.olsFitGrouped(df, col("g"), col("x"), col("y"))
+      .orderBy("grp").collect()
+    assert(fits.length === 3)
+    val a = fits(0); val b = fits(1); val c = fits(2)
+    assert(a.getDouble(2) === 2.0 && a.getDouble(3) === 1.0 &&
+      a.getDouble(4) === 1.0)
+    assert(b.getDouble(2) === -1.0 && b.getDouble(3) === 0.0)
+    assert(c.isNullAt(2) && c.isNullAt(4), "zero x-variance must be NULL")
+  }
+
   test("orthogonalIteration: orthonormal block, agrees with deflation top-2") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
