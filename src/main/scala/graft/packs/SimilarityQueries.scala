@@ -4,6 +4,7 @@ import graft.QueryPack
 import graft.core.Tables
 import graft.mlops.NaiveBayesOps
 import graft.similarity.Similarity
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search (north-star extension): exact brute-force cosine
@@ -108,6 +109,38 @@ object SimilarityQueries extends QueryPack {
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", centers, dsub = 16, k = 3)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // PQ QUALITY, value-level (the sim_lsh_recall pattern for the PQ
+    // tier): recall@3 of ADC top-3 against brute-force L2 ground truth
+    // — the compression's accuracy cost is itself hash-pinned, not just
+    // the mechanics.
+    "sim_pq_recall" -> ((s, dir) => {
+      graft.plans.GraftExpressions.register(s)
+      val emb = Tables(s, dir).embeddings
+      val centers = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dsub = 16, ksub = 8, iters = 2)
+      val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", centers, dsub = 16, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_q"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_c"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("_d2"), col("neighbor_id"))
+      val truth = q.crossJoin(c)
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_d2", graft.plans.GraftExpressions.l2sq(
+          col("_q").cast("array<double>"), col("_c").cast("array<double>")))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hit = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_hit"),
+          (round(col("n_hit") / col("n_truth"), 4) + lit(0.0))
+            .as("recall_at_3"))
     }),
 
     // IVF+PQ composed (the FAISS IVFPQ search shape): label-mean coarse
@@ -318,6 +351,74 @@ object SimilarityQueries extends QueryPack {
         |  FROM cand)
         |WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // sim_pq_topk's full chain, then ADC top-3 vs list_distance
+    // (euclidean — monotone with the engine's squared ranking) truth.
+    "sim_pq_recall" ->
+      """WITH pts0 AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |pts AS MATERIALIZED (
+        |  SELECT vec_id, dim, v, (dim - 1) // 16 AS sub FROM pts0),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, v AS c
+        |       FROM pts WHERE vec_id < 8),
+        |d1 AS (SELECT p.vec_id, p.sub, c.cid,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c0 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, p.sub, c.cid),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+        |  GROUP BY a.cid, p.dim),
+        |d2s AS (SELECT p.vec_id, p.sub, c.cid,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c1 c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, p.sub, c.cid),
+        |a2 AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        |    FROM d2s) WHERE rn = 1),
+        |c2 AS MATERIALIZED (SELECT a.cid, p.dim, avg(p.v) AS c
+        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+        |  GROUP BY a.cid, p.dim),
+        |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+        |    SELECT p.vec_id, p.sub, c.cid, row_number() OVER (
+        |      PARTITION BY p.vec_id, p.sub ORDER BY
+        |        sum((p.v - c.c) * (p.v - c.c)), c.cid) AS rn
+        |    FROM pts p JOIN c2 c ON p.dim = c.dim
+        |    GROUP BY p.vec_id, p.sub, c.cid) WHERE rn = 1),
+        |dt AS MATERIALIZED (SELECT p.vec_id AS query_id, p.sub, c.cid,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS pd
+        |  FROM pts p JOIN c2 c ON p.dim = c.dim
+        |  WHERE p.vec_id < 10
+        |  GROUP BY p.vec_id, p.sub, c.cid),
+        |cand AS (SELECT dt.query_id, co.vec_id AS neighbor_id,
+        |    round(sum(dt.pd), 4) + 0.0 AS adist2
+        |  FROM codes co JOIN dt ON co.sub = dt.sub AND co.cid = dt.cid
+        |  WHERE co.vec_id <> dt.query_id
+        |  GROUP BY dt.query_id, co.vec_id),
+        |pqr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY adist2, neighbor_id) AS rnk
+        |    FROM cand) WHERE rnk <= 3),
+        |tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+        |        c.vec_id) AS rnk
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 3),
+        |h AS (SELECT count(*) AS n FROM tr
+        |  JOIN pqr USING (query_id, neighbor_id))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+        |  (SELECT CAST(n AS BIGINT) FROM h) AS n_hit,
+        |  round((SELECT n FROM h) * 1.0 /
+        |    (SELECT count(*) FROM tr), 4) + 0.0 AS recall_at_3""".stripMargin,
 
     // sim_ivf_topk's coarse replay (ctr/cells/probes) + sim_pq_topk's
     // PQ replay (c0..c2/codes/dt), joined by the candidate gate.

@@ -291,6 +291,42 @@ object StreamingQueries extends QueryPack {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink).distinct().orderBy(col("doc_id"))
+    }),
+
+    // The ANN tier's ingestion gate, as a real stream (the 10th
+    // real-stream artifact): the static sign-LSH bucket index is built
+    // from the even-id half of the embedding corpus; odd-id vectors
+    // arrive as a file stream, bucket IN-ROW (stateless map-side
+    // expression), stream-static join their bucket's index entries and
+    // flag on native-cosine >= 0.3 — same unified batch/stream code
+    // (signBucket, graft_cosine) on both sides. State: none beyond the
+    // final per-id distinct; the index is a broadcast static side.
+    "streaming_ann_gate" -> ((s, dir) => {
+      graft.plans.GraftExpressions.register(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val index = graft.similarity.Similarity
+        .signBuckets(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding")
+        .select(col("bucket"), col("_v").as("_c"))
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/embeddings*.parquet")
+        .where(col("vec_id") % 2 === 1)
+      val sink = s"anngate_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_ann_ckpt").toString
+      val q = stream
+        .withColumn("bucket",
+          graft.similarity.Similarity.signBucket(col("embedding")))
+        .join(index, "bucket")
+        .where(graft.plans.GraftExpressions
+          .cosine(col("embedding"), col("_c")) >= 0.3)
+        .select(col("vec_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).distinct().orderBy(col("vec_id"))
     })
   )
 
@@ -417,6 +453,24 @@ object StreamingQueries extends QueryPack {
         |SELECT DISTINCT s.doc_id AS doc_id
         |FROM bands s JOIN bands i ON s.band = i.band AND s.band_sig = i.band_sig
         |WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Batch twin of the ANN gate: same sign buckets, same cosine, same
+    // halves.
+    "streaming_ann_gate" -> {
+      val bucket = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH bkt AS (
+         |  SELECT vec_id, embedding,
+         |    CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT DISTINCT o.vec_id AS vec_id
+         |FROM bkt o JOIN bkt e ON o.bucket = e.bucket
+         |WHERE o.vec_id % 2 = 1 AND e.vec_id % 2 = 0
+         |  AND list_cosine_similarity(o.embedding::DOUBLE[],
+         |    e.embedding::DOUBLE[]) >= 0.3
+         |ORDER BY o.vec_id""".stripMargin
+    }
   )
 }
