@@ -488,6 +488,10 @@ object Graft {
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame =
     graft.text.TextAnalysis.phraseMatchCounts(docs, idCol, textCol, phrase)
+  /** Perceptual 8×8 average-hash per image — pixel-level dedup signature. */
+  def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
+      : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =
+    graft.multimodal.Multimodal.aHashImages(media)
   /** Exact triangle census (compact-forward) — see operators.Graph. */
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame =

@@ -73,5 +73,6 @@ object SparkEntry {
     "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "text_phrase_search",
     "er_link_customers", "multimodal_decode_meta",
-    "multimodal_downsample", "window_tumbling_events")
+    "multimodal_downsample", "multimodal_image_ahash",
+    "window_tumbling_events")
 }

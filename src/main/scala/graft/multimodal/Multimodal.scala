@@ -49,6 +49,19 @@ final case class DownsampledImage(
     px_sum: Long,
     raster_hash: String)
 
+final case class ImageAHash(
+    doc_id: Long,
+    media_type: String,
+    ahash: String,
+    n_ones: Long)
+
+final case class AudioEnvelope(
+    doc_id: Long,
+    media_type: String,
+    envelope: String,
+    n_ones: Long,
+    energy: Long)
+
 /** Multimodal-column plumbing (north-star extension).
   *
   * The decode stage runs REAL header parsers ([[MediaCodec]]: BMP, RIFF
@@ -298,6 +311,111 @@ object Multimodal {
         MediaMeta(m.doc_id, h.media_type, m.payload.length.toLong,
           h.width, h.height, h.n_frames, h.channels, h.sample_rate,
           h.data_offset, h.data_len, hash)
+      }
+    }
+  }
+
+  /** Perceptual average-hash (aHash): nearest-neighbor sample each
+    * image's raster to a fixed 8×8 grid (cell value = sum of the up-to-3
+    * content bytes at the sampled pixel), threshold every cell at the
+    * grid mean, emit the 64 bits as a '0'/'1' string in row-major
+    * order — the image-dedup signature that survives re-encoding and
+    * mild resizing, bringing the SimHash discipline to pixels. All
+    * arithmetic is EXACT integers (the threshold compares v·64 > Σv, no
+    * division), so the oracle replays every sampled byte; hamming
+    * distance between hashes is the near-dup measure, exact-match
+    * grouping the fast path. Map-side, stateless, one pass.
+    */
+  def aHashImages(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
+        if (!h.media_type.startsWith("image/")) Iterator.empty
+        else {
+          val buf = if (pngContent != null) pngContent else m.payload
+          val base = if (pngContent != null) 0 else h.data_offset
+          val contentLen = h.data_len.toInt
+          val w = h.width
+          val ht = h.height
+          val cells = new Array[Long](64)
+          var total = 0L
+          var idx = 0
+          var oy = 0
+          while (oy < 8) {
+            val sy = (oy.toLong * ht / 8).toInt
+            var ox = 0
+            while (ox < 8) {
+              val sx = (ox.toLong * w / 8).toInt
+              val off = (sy.toLong * w + sx) * 3
+              var v = 0L
+              var k = 0
+              while (k < 3 && off + k < contentLen) {
+                v += (buf(base + (off + k).toInt) & 0xff)
+                k += 1
+              }
+              cells(idx) = v
+              total += v
+              idx += 1
+              ox += 1
+            }
+            oy += 1
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var ones = 0L
+          var i = 0
+          while (i < 64) {
+            if (cells(i) * 64 > total) { sb.append('1'); ones += 1 }
+            else sb.append('0')
+            i += 1
+          }
+          Iterator.single(ImageAHash(m.doc_id, h.media_type,
+            sb.toString, ones))
+        }
+      }
+    }
+  }
+
+  /** Audio energy-envelope fingerprint — [[aHashImages]]' discipline on
+    * the time axis: partition each audio payload's content bytes into
+    * `frames` equal spans (byte p lands in frame ⌊p·F/n⌋), sum the
+    * byte values per frame, threshold each frame's energy at the
+    * stream mean (exact-integer e·F > Σe) and emit the F bits plus the
+    * total energy. Loudness-profile matching for audio dedup; exact
+    * arithmetic keeps it oracle-replayable per byte.
+    */
+  def audioEnvelope(media: Dataset[MediaRecord],
+                    frames: Int = 16): Dataset[AudioEnvelope] = {
+    require(frames >= 1 && frames <= 256, s"frames=$frames out of 1..256")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val h = MediaCodec.decode(m.payload)
+        if (!h.media_type.startsWith("audio/")) Iterator.empty
+        else {
+          val n = h.data_len.toInt
+          val e = new Array[Long](frames)
+          var total = 0L
+          var p = 0
+          while (p < n) {
+            val v = (m.payload(h.data_offset + p) & 0xff).toLong
+            e((p.toLong * frames / n).toInt) += v
+            total += v
+            p += 1
+          }
+          val sb = new java.lang.StringBuilder(frames)
+          var ones = 0L
+          var f = 0
+          while (f < frames) {
+            if (e(f) * frames > total) { sb.append('1'); ones += 1 }
+            else sb.append('0')
+            f += 1
+          }
+          Iterator.single(AudioEnvelope(m.doc_id, h.media_type,
+            sb.toString, ones, total))
+        }
       }
     }
   }

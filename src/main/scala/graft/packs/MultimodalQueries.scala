@@ -76,6 +76,32 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual average-hash over every image (decode → 8×8 grid →
+    // mean-threshold bits) with exact-hash dup-mate counts — image
+    // dedup through the multimodal decode path; the oracle recomputes
+    // all 64 sampled cells byte for byte.
+    "multimodal_image_ahash" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      val hashed = Multimodal.aHashImages(media).toDF()
+      hashed
+        .withColumn("n_mates",
+          (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ahash"))) - 1).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Audio energy-envelope fingerprint (the aHash discipline on the
+    // time axis): 16 frame-energy bits per wav + total energy +
+    // exact-envelope dup mates; the oracle re-sums every content byte.
+    "multimodal_audio_envelope" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      Multimodal.audioEnvelope(media, frames = 16).toDF()
+        .withColumn("n_mates",
+          (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("envelope"))) - 1).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -186,6 +212,95 @@ object MultimodalQueries extends QueryPack {
         |  CAST(greatest(1, (width * 224) // greatest(width, height)) AS INT) AS out_w,
         |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_h
         |FROM meta
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-byte replay: frame of byte p is ⌊p·16/n⌋ on both sides; empty
+    // frames materialize as 0 via the grid left join.
+    "multimodal_audio_envelope" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |chars AS (
+        |  SELECT doc_id, n,
+        |    CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) - 1
+        |      AS p,
+        |    ascii(unnest(string_split(text, ''))) AS v
+        |  FROM w),
+        |fr AS (
+        |  SELECT doc_id, (p * 16) // n AS f, CAST(sum(v) AS BIGINT) AS e
+        |  FROM chars GROUP BY doc_id, (p * 16) // n),
+        |tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total
+        |        FROM fr GROUP BY doc_id),
+        |grid AS (SELECT w.doc_id, r.f FROM w, range(0, 16) r(f)),
+        |bits AS (
+        |  SELECT g.doc_id, g.f, t.total,
+        |    CASE WHEN coalesce(fr.e, 0) * 16 > t.total THEN '1' ELSE '0'
+        |      END AS b
+        |  FROM grid g
+        |  LEFT JOIN fr ON fr.doc_id = g.doc_id AND fr.f = g.f
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |env AS (
+        |  SELECT doc_id, 'audio/wav' AS media_type,
+        |    string_agg(b, '' ORDER BY f) AS envelope,
+        |    CAST(sum(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ones,
+        |    max(total) AS energy
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, media_type, envelope, n_ones, energy,
+        |  CAST(count(*) OVER (PARTITION BY envelope) - 1 AS BIGINT)
+        |    AS n_mates
+        |FROM env
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same geometry CTEs as the downsample oracle, fixed 8×8 grid: cell
+    // value = Σ ascii of the up-to-3 chars at the sampled offset (ascii
+    // corpus: char == byte), bit = v·64 > Σv (exact integers), hash =
+    // the 64 bits string_agg'd row-major, mates = same-hash window
+    // count.
+    "multimodal_image_ahash" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, doc_id % 4 AS f
+        |  FROM documents WHERE doc_id % 4 <> 1),
+        |g AS (
+        |  SELECT doc_id, text, n, f,
+        |    CASE f WHEN 0 THEN 16 + n % 97 WHEN 2 THEN 8 + n % 61
+        |      ELSE 12 + n % 71 END AS w
+        |  FROM m),
+        |meta AS (
+        |  SELECT doc_id, text, n,
+        |    CASE f WHEN 0 THEN 'image/bmp' WHEN 2 THEN 'image/ppm'
+        |      ELSE 'image/png' END AS media_type,
+        |    w, greatest(1, (n + 3*w - 1) // (3*w)) AS h
+        |  FROM g),
+        |cells AS (
+        |  SELECT doc_id, media_type, text, n,
+        |    (r1.oy * 8 + r2.ox) AS k,
+        |    (((r1.oy * h) // 8) * w + ((r2.ox * w) // 8)) * 3 AS off
+        |  FROM meta, range(0, 8) r1(oy), range(0, 8) r2(ox)),
+        |vals AS (
+        |  SELECT doc_id, media_type, k, CAST(
+        |    coalesce(CASE WHEN off < n
+        |      THEN ascii(substr(text, CAST(off + 1 AS INT), 1)) END, 0) +
+        |    coalesce(CASE WHEN off + 1 < n
+        |      THEN ascii(substr(text, CAST(off + 2 AS INT), 1)) END, 0) +
+        |    coalesce(CASE WHEN off + 2 < n
+        |      THEN ascii(substr(text, CAST(off + 3 AS INT), 1)) END, 0)
+        |    AS BIGINT) AS v
+        |  FROM cells),
+        |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total
+        |        FROM vals GROUP BY doc_id),
+        |bits AS (
+        |  SELECT v.doc_id, v.media_type, v.k,
+        |    CASE WHEN v.v * 64 > t.total THEN '1' ELSE '0' END AS b
+        |  FROM vals v JOIN tot t ON v.doc_id = t.doc_id),
+        |hash AS (
+        |  SELECT doc_id, media_type, string_agg(b, '' ORDER BY k) AS ahash,
+        |    CAST(sum(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ones
+        |  FROM bits GROUP BY doc_id, media_type)
+        |SELECT doc_id, media_type, ahash, n_ones,
+        |  CAST(count(*) OVER (PARTITION BY ahash) - 1 AS BIGINT) AS n_mates
+        |FROM hash
         |ORDER BY doc_id""".stripMargin,
 
     // Per-pixel mirror of downsampleImages: same geometry CTEs as the

@@ -222,4 +222,46 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => m.doc_id -> m.media_type).toMap
     assert(got.forall { case (id, m) => m.media_type === claimed(id) })
   }
+
+  test("aHash: 64 bits, uniform image all-zero, identical content identical hash, wav skipped") {
+    // ids 0/4/8 -> bmp, 2 -> ppm, 1 -> wav (excluded from image hashing).
+    // For the all-zero check the raster must fit EXACTLY (3·w·h == n):
+    // a ceil-rounded height leaves partial bottom cells whose lower
+    // values pull the mean under the full cells — a real property of
+    // the hash, not a bug (the 375-image oracle pins it corpus-wide).
+    val nBmp = (100 to 20000).find(n => n % (3 * (16 + n % 97)) == 0).get
+    val nPpm = (100 to 20000).find(n => n % (3 * (8 + n % 61)) == 0).get
+    val uniB = "a" * nBmp
+    val docs = Seq((0L, uniB), (4L, uniB), (8L, "b" * 300 + "a" * 300),
+      (2L, "a" * nPpm), (1L, uniB)).toDF("doc_id", "text")
+    val h = Multimodal.aHashImages(Multimodal.encodeCorpus(docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(!h.contains(1L), "wav must not be image-hashed")
+    h.values.foreach { r =>
+      assert(r.ahash.length === 64 && r.ahash.forall(c => c == '0' || c == '1'))
+      assert(r.n_ones === r.ahash.count(_ == '1').toLong)
+    }
+    // exactly-filled uniform raster: every cell equals the mean ->
+    // strict > never fires, in both containers
+    assert(h(0L).ahash === "0" * 64)
+    assert(h(2L).ahash === "0" * 64)
+    // identical text in the same container -> identical hash
+    assert(h(0L).ahash === h(4L).ahash)
+    // half-bright image: some cells above the mean
+    assert(h(8L).n_ones > 0)
+  }
+
+  test("audioEnvelope: frame partition exact, uniform all-zero, loud half flagged") {
+    // id 1/5 -> wav; 320 = 16·20 bytes -> every frame exactly 20 bytes
+    val docs = Seq((1L, "a" * 320), (5L, "a" * 160 + "z" * 160),
+      (0L, "a" * 320)).toDF("doc_id", "text")
+    val e = Multimodal.audioEnvelope(Multimodal.encodeCorpus(docs), frames = 16)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(!e.contains(0L), "images must not be audio-enveloped")
+    assert(e(1L).envelope === "0" * 16)
+    assert(e(1L).energy === 320L * 'a'.toLong)
+    // back half louder ('z' > 'a'): exactly the last 8 frames flag
+    assert(e(5L).envelope === "0" * 8 + "1" * 8)
+    assert(e(5L).n_ones === 8L)
+  }
 }
