@@ -492,6 +492,15 @@ object Graft {
   def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =
     graft.multimodal.Multimodal.aHashImages(media)
+  /** Near-dup image pairs: Manku block index on the perceptual hash. */
+  def aHashNearPairs(hashed: DataFrame, maxHamming: Int = 3,
+                     blocks: Int = 4): DataFrame =
+    graft.multimodal.Multimodal.aHashNearPairs(hashed, maxHamming, blocks)
+  /** Audio energy-envelope fingerprint (time-axis dedup signature). */
+  def audioEnvelope(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+                    frames: Int = 16)
+      : org.apache.spark.sql.Dataset[graft.multimodal.AudioEnvelope] =
+    graft.multimodal.Multimodal.audioEnvelope(media, frames)
   /** Exact triangle census (compact-forward) — see operators.Graph. */
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame =

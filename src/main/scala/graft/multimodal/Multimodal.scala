@@ -419,4 +419,38 @@ object Multimodal {
       }
     }
   }
+
+  /** Near-duplicate image pairs over [[aHashImages]] output — the Manku
+    * multi-block index on the 64-bit perceptual hash: split each hash
+    * into `blocks` equal substrings; any pair within hamming distance
+    * `maxHamming` < `blocks` shares at least one block verbatim
+    * (pigeonhole ⇒ EXACT recall), so candidates come from equality
+    * joins on (block, substring) — never all-pairs — and only
+    * candidates pay the 64-char hamming count. The same structure as
+    * the text simhash `_blocked` path, applied to pixels.
+    */
+  def aHashNearPairs(hashed: DataFrame, maxHamming: Int = 3,
+                     blocks: Int = 4): DataFrame = {
+    require(blocks >= 1 && 64 % blocks == 0, s"blocks=$blocks must divide 64")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"maxHamming=$maxHamming needs > hamming blocks for exact recall")
+    val width = 64 / blocks
+    val blk = hashed.select(col("doc_id"), col("ahash"),
+        explode(expr(s"transform(sequence(0, ${blocks - 1}), " +
+          s"b -> struct(b AS b, substring(ahash, b * $width + 1, $width)" +
+          " AS sig))")).as("_b"))
+      .select(col("doc_id"), col("ahash"),
+        col("_b.b").as("b"), col("_b.sig").as("sig"))
+    blk.as("x").join(blk.as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.ahash").as("_ha"), col("y.ahash").as("_hb"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "size(filter(zip_with(split(_ha, ''), split(_hb, ''), " +
+          "(p, q) -> p <> q), v -> v))").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

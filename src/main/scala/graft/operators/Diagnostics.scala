@@ -31,6 +31,9 @@ object Diagnostics {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    // names are interpolated into the stack() expression
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profileColumns needs plain identifiers, got ${cols.mkString(",")}")
     val aggs = (count(lit(1)).as("__rows") +: cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__n"),
       countDistinct(col(c)).as(s"${c}__nd"),

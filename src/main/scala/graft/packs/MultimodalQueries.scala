@@ -90,6 +90,17 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup image PAIRS through the Manku 4-block index on the
+    // perceptual hash: hamming ≤ 3 ⇒ one of four 16-bit blocks matches
+    // verbatim (pigeonhole, exact recall) — equality-join candidates,
+    // hamming paid only by candidates.
+    "multimodal_ahash_pairs" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      Multimodal.aHashNearPairs(
+          Multimodal.aHashImages(media).toDF(), maxHamming = 3, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Audio energy-envelope fingerprint (the aHash discipline on the
     // time axis): 16 frame-energy bits per wav + total energy +
     // exact-envelope dup mates; the oracle re-sums every content byte.
@@ -213,6 +224,64 @@ object MultimodalQueries extends QueryPack {
         |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS INT) AS out_h
         |FROM meta
         |ORDER BY doc_id""".stripMargin,
+
+    // The image-ahash chain, then the 4-block index and the candidate
+    // hamming count (range-join per position — candidates only).
+    "multimodal_ahash_pairs" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, doc_id % 4 AS f
+        |  FROM documents WHERE doc_id % 4 <> 1),
+        |g AS (
+        |  SELECT doc_id, text, n, f,
+        |    CASE f WHEN 0 THEN 16 + n % 97 WHEN 2 THEN 8 + n % 61
+        |      ELSE 12 + n % 71 END AS w
+        |  FROM m),
+        |meta AS (
+        |  SELECT doc_id, text, n,
+        |    w, greatest(1, (n + 3*w - 1) // (3*w)) AS h
+        |  FROM g),
+        |cells AS (
+        |  SELECT doc_id, text, n,
+        |    (r1.oy * 8 + r2.ox) AS k,
+        |    (((r1.oy * h) // 8) * w + ((r2.ox * w) // 8)) * 3 AS off
+        |  FROM meta, range(0, 8) r1(oy), range(0, 8) r2(ox)),
+        |vals AS (
+        |  SELECT doc_id, k, CAST(
+        |    coalesce(CASE WHEN off < n
+        |      THEN ascii(substr(text, CAST(off + 1 AS INT), 1)) END, 0) +
+        |    coalesce(CASE WHEN off + 1 < n
+        |      THEN ascii(substr(text, CAST(off + 2 AS INT), 1)) END, 0) +
+        |    coalesce(CASE WHEN off + 2 < n
+        |      THEN ascii(substr(text, CAST(off + 3 AS INT), 1)) END, 0)
+        |    AS BIGINT) AS v
+        |  FROM cells),
+        |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total
+        |        FROM vals GROUP BY doc_id),
+        |bits AS (
+        |  SELECT v.doc_id, v.k,
+        |    CASE WHEN v.v * 64 > t.total THEN '1' ELSE '0' END AS b
+        |  FROM vals v JOIN tot t ON v.doc_id = t.doc_id),
+        |hash AS (
+        |  SELECT doc_id, string_agg(b, '' ORDER BY k) AS ahash
+        |  FROM bits GROUP BY doc_id),
+        |blk AS (
+        |  SELECT doc_id, ahash, r.b AS b,
+        |    substr(ahash, CAST(r.b * 16 + 1 AS INT), 16) AS sig
+        |  FROM hash, range(0, 4) r(b)),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.ahash AS ha, y.ahash AS hb
+        |  FROM blk x JOIN blk y
+        |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |hm AS (
+        |  SELECT id_a, id_b, CAST(sum(CASE WHEN
+        |      substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM p, range(1, 65) r(i)
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, hamming FROM hm
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Per-byte replay: frame of byte p is ⌊p·16/n⌋ on both sides; empty
     // frames materialize as 0 via the grid left join.

@@ -50,6 +50,10 @@ case class NearestCell(left: Expression, right: Expression)
     val cells = b.asInstanceOf[ArrayData]
     val d = vec.numElements()
     val m = cells.numElements()
+    if (m == 0) {
+      throw new IllegalArgumentException(
+        s"$prettyName: empty centroid table")
+    }
     var bestCell = Long.MaxValue
     var bestD = Double.PositiveInfinity
     var i = 0
@@ -82,6 +86,10 @@ case class NearestCell(left: Expression, right: Expression)
       s"""
          |int ${v}_d = $a.numElements();
          |int ${v}_m = $b.numElements();
+         |if (${v}_m == 0) {
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_cell: empty centroid table");
+         |}
          |long ${v}_bc = Long.MAX_VALUE;
          |double ${v}_bd = Double.POSITIVE_INFINITY;
          |for (int ${v}_i = 0; ${v}_i < ${v}_m; ${v}_i++) {

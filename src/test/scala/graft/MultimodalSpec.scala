@@ -251,6 +251,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h(8L).n_ones > 0)
   }
 
+  test("aHashNearPairs: pigeonhole recall at the bound, per-block spread escapes the gate") {
+    val zeros = "0" * 64
+    val flip2 = "11" + "0" * 62                    // hamming 2, block 0 only
+    val spread = ("1" + "0" * 15) * 4              // hamming 4, one per block
+    val hashed = Seq((0L, zeros), (1L, zeros), (2L, spread), (3L, flip2))
+      .toDF("doc_id", "ahash")
+    val pairs = Multimodal.aHashNearPairs(hashed, maxHamming = 3, blocks = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // exact dup + the 2-bit flip pair with both zeros rows; the 4-bit
+    // spread differs in EVERY block -> no candidate (and hamming 4 > 3
+    // would drop it anyway — the gate never sees it at all)
+    assert(pairs === Set((0L, 1L, 0L), (0L, 3L, 2L), (1L, 3L, 2L)))
+  }
+
   test("audioEnvelope: frame partition exact, uniform all-zero, loud half flagged") {
     // id 1/5 -> wav; 320 = 16·20 bytes -> every frame exactly 20 bytes
     val docs = Seq((1L, "a" * 320), (5L, "a" * 160 + "z" * 160),
