@@ -263,10 +263,16 @@ object ClusterOps {
   /** Top-k eigenvectors by ORTHOGONAL (subspace) iteration — the
     * QR-in-SQL alternative to [[powerIterationComponents]]'s sequential
     * deflation: all k vectors advance together each round (V ← orth(G·V))
-    * and the orthogonalization is modified Gram-Schmidt in long form —
-    * projection coefficients and norms are d-row aggregates, so every
-    * round is plain joins + groupBys over the (dim, comp) frame and the
-    * whole fit stays SQL-oracle-able. Deterministic contract matches the
+    * and the orthogonalization is CLASSICAL Gram-Schmidt in long form —
+    * each u_c subtracts all projections of the ORIGINAL w_c in one
+    * batch; projection coefficients and norms are d-row aggregates, so
+    * every round is plain joins + groupBys over the (dim, comp) frame
+    * and the whole fit stays SQL-oracle-able. (At k = 2, classical and
+    * modified GS are arithmetically identical — one projection — which
+    * is the k the oracle pins; for k ≥ 3 in float, re-projecting
+    * against the running u_c (true MGS) is the numerical-stability
+    * upgrade to reach for, and the oracle would unroll it the same
+    * way.) Deterministic contract matches the
     * deflation path exactly: fixed start V₀ = [e₁…e_k], fixed `iters`
     * rounds, zero-norm guard (a rank-deficient Gramian degrades trailing
     * components to the zero vector, never NaN), per-component sign
@@ -313,9 +319,11 @@ object ClusterOps {
         when(col("dim") === col("comp"), lit(1.0)).otherwise(lit(0.0)))
     for (_ <- 1 to iters) {
       val w = pinFresh(mul(v))
-      // Modified Gram-Schmidt, smallest comp first: u_c = w_c − Σ_{j<c}
-      // (q_j·w_c)·q_j, q_c = u_c/‖u_c‖. `qs` accumulates the already-
-      // orthonormalized prefix; all frames are ≤ d·k rows.
+      // Classical Gram-Schmidt, smallest comp first: u_c = w_c − Σ_{j<c}
+      // (q_j·w_c)·q_j, q_c = u_c/‖u_c‖ — all projections taken against
+      // the original w_c (see the scaladoc note on k ≥ 3). `qs`
+      // accumulates the already-orthonormalized prefix; frames ≤ d·k
+      // rows.
       var qs: DataFrame = null
       for (c <- 1 to k) {
         val wc = w.where(col("comp") === c).select(col("dim"), col("w"))

@@ -13,12 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Diagnostics {
 
-  /** One-row key-skew report: row/key cardinalities, the heaviest key's
-    * count and share, max/avg skew ratio, how many keys exceed 2× the
-    * mean, and the salt factor that would level the heaviest key to the
-    * mean (⌈max/avg⌉ — the multiplier to use in a salted repartition,
-    * 1 = no salting needed).
-    */
   /** One-pass column profile: per column, non-null / null / exact
     * distinct counts and stringified min/max — the data-quality sweep
     * run before a corpus is admitted to a pipeline. All columns
@@ -51,6 +45,12 @@ object Diagnostics {
         col("n_distinct"), col("min_str"), col("max_str"))
   }
 
+  /** One-row key-skew report: row/key cardinalities, the heaviest key's
+    * count and share, max/avg skew ratio, how many keys exceed 2× the
+    * mean, and the salt factor that would level the heaviest key to the
+    * mean (⌈max/avg⌉ — the multiplier to use in a salted repartition,
+    * 1 = no salting needed).
+    */
   def keySkewReport(df: DataFrame, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
       .localCheckpoint()

@@ -71,8 +71,12 @@ object Layout {
     val w = Window.orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     files
-      .withColumn("_cum", coalesce(sum(sizeCol).over(w), lit(0L)))
-      .withColumn("bin", (col("_cum") / targetBytes).cast("bigint"))
+      .withColumn("_cum",
+        coalesce(sum(sizeCol).over(w), lit(0L)).cast("bigint"))
+      // `div` = integral division: `/` goes through double and loses
+      // exactness past 2^53 cumulative bytes (multi-PB inventories are
+      // in scope here)
+      .withColumn("bin", expr(s"_cum div ${targetBytes}L"))
       .drop("_cum")
   }
 }

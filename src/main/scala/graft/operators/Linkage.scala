@@ -37,6 +37,10 @@ object Linkage {
   def scorePairs(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                  rules: Seq[FieldRule]): DataFrame = {
     require(rules.nonEmpty, "at least one field rule required")
+    // an empty key list would silently turn the blocked join into a
+    // full cartesian product — the exact failure mode blocking exists
+    // to prevent
+    require(blockCols.nonEmpty, "at least one block column required")
     val score = rules.map(r =>
       when(r.agree, lit(r.wAgree)).otherwise(lit(r.wDisagree))).reduce(_ + _)
     a.join(b, blockCols)

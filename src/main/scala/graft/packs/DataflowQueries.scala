@@ -224,8 +224,14 @@ object DataflowQueries extends QueryPack {
         val rd = s.read.parquet(path)
           .where(col("o_orderpriority") === "1-URGENT")
         val plan = rd.queryExecution.executedPlan.toString
-        val pruned = plan.contains("PartitionFilters") &&
-          plan.contains("1-URGENT")
+        // the predicate must appear INSIDE the PartitionFilters list —
+        // "PartitionFilters: []" prints even when nothing pruned, and
+        // the literal also shows up in plain data Filters, so matching
+        // either substring alone is vacuously true
+        val pruned = "PartitionFilters: \\[([^\\]]*)\\]".r
+          .findFirstMatchIn(plan)
+          .exists(m => m.group(1).contains("o_orderpriority") &&
+            m.group(1).contains("1-URGENT"))
         val n = rd.count()
         Seq(("1-URGENT", n, pruned))
           .toDF("o_orderpriority", "n_rows", "partition_pruned")

@@ -243,7 +243,7 @@ object MLQueries extends QueryPack {
     // C7: the SAME top-2 fit by orthogonal (subspace) iteration — the
     // QR-in-SQL block algorithm production eigensolvers use where
     // one-at-a-time deflation stalls on clustered spectra. The oracle
-    // unrolls every round's G·V and the modified Gram-Schmidt step
+    // unrolls every round's G·V and the Gram-Schmidt step
     // (projection coefficient, subtraction, window normalization) —
     // QR literally expressed in SQL.
     "c7_orth_iter2" -> ((s, dir) => {
@@ -555,7 +555,7 @@ object MLQueries extends QueryPack {
   }
 
   /** Unrolled orthogonal-iteration oracle, k=2: per round, W = G·V for
-    * both columns at once, then modified Gram-Schmidt — q₁ is a window
+    * both columns at once, then classical Gram-Schmidt — q₁ is a window
     * normalization of W's first column, the projection coefficient
     * r = q₁·w₂ is a 1-row CTE, u₂ = w₂ − r·q₁ plain arithmetic, q₂
     * another window normalization. Zero-norm guard and sign rule mirror

@@ -37,7 +37,16 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("w"), "").as("syms"))
       .localCheckpoint()
-    val rounds = (1 to merges).map { r =>
+    // Rounds stop EARLY when the vocabulary runs out of adjacent pairs
+    // (every word a single symbol): the global argmin over an empty
+    // pairs frame is one all-null row, detected from the checkpointed
+    // 1-row best frame (an O(1) driver read, same class as the
+    // checkpoint's own action) — the merge table then simply has fewer
+    // than `merges` rows, never a null row.
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
       val pairs = words.where(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
@@ -51,19 +60,25 @@ object Bpe {
           split(col("_m.p"), " ").getItem(1).as("py"),
           (-col("_m.n")).as("pcnt"))
         .localCheckpoint()
-      words = words.crossJoin(best)
-        .select(col("cnt"), expr(
-          """aggregate(syms, cast(array() as array<string>),
-            |  (acc, s) -> CASE
-            |    WHEN size(acc) = 0 THEN array(s)
-            |    WHEN element_at(acc, -1) = px AND s = py
-            |      THEN concat(slice(acc, 1, size(acc) - 1),
-            |                  array(concat(px, py)))
-            |    ELSE concat(acc, array(s)) END)""".stripMargin).as("syms"))
-        .localCheckpoint()
-      best.select(lit(r).as("merge_round"),
-        concat(col("px"), lit(" "), col("py")).as("pair"), col("pcnt"))
+      if (best.head().isNullAt(0)) exhausted = true
+      else {
+        words = words.crossJoin(best)
+          .select(col("cnt"), expr(
+            """aggregate(syms, cast(array() as array<string>),
+              |  (acc, s) -> CASE
+              |    WHEN size(acc) = 0 THEN array(s)
+              |    WHEN element_at(acc, -1) = px AND s = py
+              |      THEN concat(slice(acc, 1, size(acc) - 1),
+              |                  array(concat(px, py)))
+              |    ELSE concat(acc, array(s)) END)""".stripMargin).as("syms"))
+          .localCheckpoint()
+        rounds += best.select(lit(r).as("merge_round"),
+          concat(col("px"), lit(" "), col("py")).as("pair"), col("pcnt"))
+        r += 1
+      }
     }
+    require(rounds.nonEmpty,
+      "learnMerges: corpus has no adjacent symbol pairs at all")
     rounds.reduce(_ unionByName _)
   }
 
@@ -83,15 +98,21 @@ object Bpe {
       .where(length(col("w")) > 0).distinct()
       .withColumn("syms", split(col("w"), ""))
     merges.foreach { case (x, y) =>
-      require(x.matches("[\\w]+") && y.matches("[\\w]+"),
-        s"merge symbols must be word characters, got '$x' '$y'")
-      enc = enc.withColumn("syms", expr(
-        s"""aggregate(syms, cast(array() as array<string>),
-           |  (acc, s) -> CASE
-           |    WHEN size(acc) = 0 THEN array(s)
-           |    WHEN element_at(acc, -1) = '$x' AND s = '$y'
-           |      THEN concat(slice(acc, 1, size(acc) - 1), array('$x$y'))
-           |    ELSE concat(acc, array(s)) END)""".stripMargin))
+      // the pair rides as literal COLUMNS, not interpolated SQL text —
+      // learnMerges emits whatever symbols the corpus contains
+      // (punctuation, non-ASCII), and lit() is injection-free for all
+      // of them
+      enc = enc
+        .withColumn("_px", lit(x)).withColumn("_py", lit(y))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>),
+            |  (acc, s) -> CASE
+            |    WHEN size(acc) = 0 THEN array(s)
+            |    WHEN element_at(acc, -1) = _px AND s = _py
+            |      THEN concat(slice(acc, 1, size(acc) - 1),
+            |                  array(concat(_px, _py)))
+            |    ELSE concat(acc, array(s)) END)""".stripMargin))
+        .drop("_px", "_py")
     }
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)

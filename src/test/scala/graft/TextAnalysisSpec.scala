@@ -196,6 +196,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     val t = Bpe.learnMerges(Seq((0L, "ab ba")).toDF("doc_id", "text"), "text", 1)
       .as[(Int, String, Long)].collect()
     assert(t.toSeq === Seq((1, "a b", 1L)))
+    // pair exhaustion stops early with a SHORT table, never a null row:
+    // "ab ab" fully merges in one round; asking for 3 returns 1
+    val ex = Bpe.learnMerges(Seq((0L, "ab ab")).toDF("doc_id", "text"), "text", 3)
+      .as[(Int, String, Long)].collect()
+    assert(ex.toSeq === Seq((1, "a b", 2L)))
+    // non-word merge symbols survive the encode path (no SQL
+    // interpolation): apostrophe pair learned from "don't"-like corpus
+    val punct = Bpe.applyMerges(Seq((0L, "n't n't")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("n", "'"), ("n'", "t")))
+      .as[(Long, Long, Long)].head()
+    assert(punct === ((0L, 2L, 2L))) // each n't -> [n', t] -> [n't]: 1 token
   }
 
   test("BPE applyMerges: ordered merges compress, counts per doc") {
