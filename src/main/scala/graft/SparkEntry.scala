@@ -55,7 +55,8 @@ object SparkEntry {
     * not the operator.
     */
   val benchNames: Seq[String] = Seq(
-    "q1_agg", "q3_join_topk", "q5_broadcast_join", "flagship_tfidf",
+    "q1_agg", "q3_join_topk", "q5_broadcast_join", "q6_revenue_filter",
+    "flagship_tfidf",
     "window_topk_per_group", "asof_join_events_orders", "sessionize_events",
     "f1_countvec_vocab", "f5_tfidf_transform",
     "n1_multinomial_nb_fit", "n3_nb_predict_lang", "c1_kmeans_assign",

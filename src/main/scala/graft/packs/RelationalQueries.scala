@@ -66,6 +66,22 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // TPC-H Q6 shape: the selective filter-and-sum whose entire WHERE
+    // clause should reach the parquet scan as pushed predicates — the
+    // pushdown headline query (PlanSpec pins PushedFilters on d8; this
+    // is the classic revenue variant). No join, no shuffle beyond the
+    // 1-row final aggregate.
+    "q6_revenue_filter" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          (round(sum(col("l_extendedprice") * col("l_discount")), 2)
+            + lit(0.0)).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Window top-k per group (distributed TakeOrdered per key).
     "window_topk_per_group" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -323,6 +339,17 @@ object RelationalQueries extends QueryPack {
         |GROUP BY o_orderkey, c_mktsegment
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    // Both engines parse the 0.01-step discount literals to identical
+    // doubles, so the BETWEEN boundaries compare exactly.
+    "q6_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) + 0.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q5_broadcast_join" ->
       """SELECT r_name, n_name,

@@ -18,6 +18,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(lang,en)"))
   }
 
+  test("q6: predicates pushed to the scan, read schema pruned to 4 columns") {
+    val p = plan("q6_revenue_filter")
+    // the plan string elides long filter lists ("…"), so assert the
+    // stable prefix of the pushed set plus the full predicate in the
+    // Filter node, and — the stronger property — that the scan reads
+    // ONLY the four referenced columns
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual("),
+      p.take(800))
+    assert(p.contains("(l_quantity#") && p.contains("< 24.0)"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"))
+  }
+
   test("q5: all three dimension joins are broadcast") {
     val p = plan("q5_broadcast_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p.take(800))
