@@ -54,6 +54,9 @@ object Diagnostics {
   def keySkewReport(df: DataFrame, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
       .localCheckpoint()
+    // Zero groups would make every ratio below a null-over-null row that
+    // reads like a (garbage) salt recommendation — fail loudly instead.
+    require(!counts.isEmpty, "keySkewReport: input has no rows to profile")
     val totals = counts.agg(
       sum(col("_n")).as("n_rows"),
       count(lit(1)).as("n_keys"),
@@ -65,12 +68,16 @@ object Diagnostics {
       .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
         (round(col("n_rows") / col("n_keys"), 4) + lit(0.0))
           .as("avg_key_rows"),
-        (round(col("max_key_rows") * col("n_keys") / col("n_rows"), 4)
-          + lit(0.0)).as("skew_ratio"),
+        // Promote to double BEFORE the n_keys product (matching the
+        // oracle's `* 1.0 *` order): max_key_rows · n_keys in long
+        // silently wraps past 2^63 at the extreme cardinalities this
+        // report exists for (1e10-row hot key × 1e9 keys).
+        (round(col("max_key_rows") * lit(1.0) * col("n_keys")
+          / col("n_rows"), 4) + lit(0.0)).as("skew_ratio"),
         (round(col("max_key_rows") / col("n_rows"), 6) + lit(0.0))
           .as("top1_share"),
         col("n_hot_keys"),
-        ceil(col("max_key_rows") * col("n_keys") / col("n_rows"))
+        ceil(col("max_key_rows") * lit(1.0) * col("n_keys") / col("n_rows"))
           .cast("bigint").as("salt_factor"))
   }
 }

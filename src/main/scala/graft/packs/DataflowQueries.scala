@@ -223,15 +223,23 @@ object DataflowQueries extends QueryPack {
           .mode("overwrite").parquet(path)
         val rd = s.read.parquet(path)
           .where(col("o_orderpriority") === "1-URGENT")
-        val plan = rd.queryExecution.executedPlan.toString
-        // the predicate must appear INSIDE the PartitionFilters list —
-        // "PartitionFilters: []" prints even when nothing pruned, and
-        // the literal also shows up in plain data Filters, so matching
-        // either substring alone is vacuously true
-        val pruned = "PartitionFilters: \\[([^\\]]*)\\]".r
-          .findFirstMatchIn(plan)
-          .exists(m => m.group(1).contains("o_orderpriority") &&
-            m.group(1).contains("1-URGENT"))
+        // Inspect the scan node's partitionFilters EXPRESSIONS, not the
+        // rendered plan text — "PartitionFilters: [...]" formatting is
+        // not a stable API across Spark versions/AQE, while the typed
+        // predicate list is. The filter must reference the partition
+        // column AND carry the literal (the same literal also appears in
+        // plain data Filters, so either test alone is vacuous).
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        val pruned = scans(rd.queryExecution.executedPlan).exists(f =>
+          f.partitionFilters.exists(e =>
+            e.references.exists(_.name == "o_orderpriority") &&
+              e.toString.contains("1-URGENT")))
         val n = rd.count()
         Seq(("1-URGENT", n, pruned))
           .toDF("o_orderpriority", "n_rows", "partition_pruned")

@@ -151,6 +151,44 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary-capped training (the production stopping rule): stop
+    // at target vocab = alphabet + merges, here 28 over the corpus's
+    // 24-letter alphabet → 4 rounds. The engine computes the alphabet
+    // size itself; the oracle recomputes it in SQL and unrolls the 4
+    // rounds, so BOTH the cap arithmetic and the merges are value-
+    // checked. (Like bpe_learn_merges' ≥6-round assumption, the
+    // unroll count assumes the generator's 24-char alphabet.)
+    "bpe_vocab_cap" -> ((s, dir) => {
+      graft.text.Bpe.learnMergesToVocab(Tables(s, dir).documents, "text",
+          targetVocab = 28)
+        .orderBy(col("merge_round"))
+    }),
+
+    // Byte-level fallback encode: every 7th doc gains words carrying
+    // characters ABSENT from the training alphabet (ï/é multibyte,
+    // x/9 single-byte — the alphabet is 24 lowercase letters without
+    // x/z or digits); they decompose into <0xHH> per UTF-8 byte and
+    // still flow through the learned merge folds. n_byte_tokens
+    // pins the OOV exposure per doc; unaugmented docs must be
+    // bit-identical to bpe_encode_stats' path.
+    "bpe_encode_fallback" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = graft.text.Bpe.learnMerges(docs, "text", merges = 6)
+        .orderBy(col("merge_round")).collect()
+        .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }.toSeq
+      val alphabet = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .select(explode(split(col("w"), "")).as("ch")).distinct()
+        .orderBy(col("ch")).collect().map(_.getString(0)).toSeq
+      val aug = docs.withColumn("ptext", expr(
+        "concat(text, CASE WHEN doc_id % 7 = 3" +
+          " THEN ' naïve café x9' ELSE '' END)"))
+      graft.text.Bpe.applyMergesWithFallback(aug, "doc_id", "ptext",
+          merges, alphabet)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-phrase search through the positional inverted index: the
     // 3-term phrase joins its three posting lists on (doc, pos−i) —
     // cost bounded by those lists, not the corpus (the regex-scan twin
@@ -216,9 +254,73 @@ object TextAnalysisQueries extends QueryPack {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** bpe_vocab_cap oracle: the 4-round chain plus a SQL recomputation
+    * of the alphabet size, so the cap arithmetic (vocab = alphabet +
+    * round) is value-checked alongside the merges themselves.
+    */
+  private def bpeVocabCapOracle(m: Int): String =
+    bpeChain(m) + """,
+      |alpha AS MATERIALIZED (
+      |  SELECT CAST(count(DISTINCT ch) AS BIGINT) AS a FROM (
+      |    SELECT unnest(string_split(w, '')) AS ch FROM w0))""".stripMargin +
+      (1 to m).map(r => s"""
+        |SELECT $r AS merge_round, b$r.px || ' ' || b$r.py AS pair, b$r.pcnt,
+        |  alpha.a AS alphabet_size, alpha.a + $r AS vocab_size
+        |FROM b$r CROSS JOIN alpha""".stripMargin)
+        .mkString("", "\nUNION ALL", "\nORDER BY merge_round")
+
+  /** bpe_encode_fallback oracle: training chain on the ORIGINAL corpus
+    * (b1..bm are the learned merges), then the augmented corpus's
+    * distinct words initialize with the byte-fallback CASE (known char
+    * → itself; OOV char → one <0xHH> per UTF-8 byte, both engines'
+    * hex() uppercase zero-padded) and replay the m greedy folds.
+    */
+  private def bpeFallbackOracle(m: Int): String = {
+    val sb = new StringBuilder(bpeChain(m))
+    sb.append("""
+      |,alpha AS MATERIALIZED (
+      |  SELECT list(DISTINCT ch) AS al FROM (
+      |    SELECT unnest(string_split(w, '')) AS ch FROM w0)),
+      |augd AS MATERIALIZED (
+      |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 3
+      |    THEN ' naïve café x9' ELSE '' END AS ptext FROM documents),
+      |av0 AS (
+      |  SELECT w, flatten(list_transform(string_split(w, ''), c -> CASE
+      |      WHEN list_contains(alpha.al, c) THEN [c]
+      |      ELSE list_transform(range(1, octet_length(encode(c)) + 1),
+      |        i -> '<0x' || substring(hex(encode(c)), 2 * i - 1, 2) || '>')
+      |      END)) AS syms
+      |  FROM (SELECT DISTINCT w FROM (
+      |      SELECT unnest(string_split(ptext, ' ')) AS w FROM augd)
+      |    WHERE len(w) > 0) CROSS JOIN alpha)""".stripMargin)
+    for (r <- 1 to m) sb.append(s""",
+      |av$r AS MATERIALIZED (SELECT w,
+      |    CASE WHEN len(syms) < 2 THEN syms
+      |    ELSE list_reduce(list_transform(syms, s -> [s]),
+      |      (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$r.px
+      |          AND s[1] = b$r.py
+      |        THEN list_append(acc[1:-2], b$r.px || b$r.py)
+      |        ELSE list_append(acc, s[1]) END) END AS syms
+      |  FROM av${r - 1} CROSS JOIN b$r)""".stripMargin)
+    sb.append(s"""
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens_bpe,
+      |  CAST(sum(len(list_filter(e.syms, s -> s LIKE '<0x%')))
+      |    AS BIGINT) AS n_byte_tokens
+      |FROM (SELECT doc_id, unnest(string_split(ptext, ' ')) AS w
+      |      FROM augd) d
+      |JOIN av$m e ON d.w = e.w
+      |WHERE len(d.w) > 0
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "bpe_learn_merges" -> bpeOracle(6),
     "bpe_encode_stats" -> bpeEncodeOracle(6),
+    "bpe_vocab_cap" -> bpeVocabCapOracle(4),
+    "bpe_encode_fallback" -> bpeFallbackOracle(6),
     // H = ln N − Σ c·ln c / N, identical algebra both sides.
     "text_unigram_entropy" ->
       """WITH t AS (
@@ -484,9 +586,12 @@ object TextAnalysisQueries extends QueryPack {
     // Same positional-index construction (generate_subscripts is the
     // unnest-ordinality idiom every array oracle here uses), same three
     // (doc, pos−i) joins.
+    // tokenization mirrors positionalIndex: empty tokens filtered in
+    // the array before positions are assigned
     "text_phrase_search" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS ts FROM documents),
         |idx AS MATERIALIZED (
         |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS INT) - 1 AS pos,
         |    unnest(ts) AS term

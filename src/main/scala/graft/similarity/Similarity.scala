@@ -204,6 +204,13 @@ object Similarity {
   def pqEncode(emb: DataFrame, idCol: String, arrCol: String,
                centers: DataFrame, dsub: Int): DataFrame = {
     graft.plans.GraftExpressions.register(emb.sparkSession)
+    // An empty codebook would silently encode the whole corpus to ZERO
+    // rows (collect_list → empty _subs → explode drops every vector) —
+    // a mis-wired input must fail here, not masquerade as an empty
+    // corpus downstream. centers is codebook-sized (m·ksub·dsub rows,
+    // usually localCheckpointed), so the probe is a metadata-cost job.
+    require(!centers.isEmpty,
+      "pqEncode: empty PQ codebook (centers has no rows)")
     val packed = centers
       .groupBy(col("sub"), col("cid"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")

@@ -31,12 +31,51 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, s"merges=$merges must be positive")
-    var words = docs
+    mergeRounds(wordTable(docs, textCol), merges)
+  }
+
+  /** Learn merges up to a TARGET VOCABULARY SIZE — the stopping rule
+    * real tokenizer training uses (HuggingFace/sentencepiece style):
+    * vocab = base alphabet + one new symbol per merge, so the round
+    * count is `targetVocab − |alphabet|`, not a caller-guessed merge
+    * count. The alphabet size is a distinct-count over the VOCABULARY's
+    * symbols (alphabet-scale, one tiny job — model state, the
+    * ClusterOps-centers precedent). Each row carries `alphabet_size`
+    * and the running `vocab_size` after its merge, so the cap is
+    * visible in the output: max(vocab_size) == targetVocab (or less if
+    * the corpus exhausts its pairs first — the standard early stop).
+    *
+    * Convention note: a merge whose concat collides with an existing
+    * symbol would make true vocab one smaller; like the reference
+    * trainers, the count here is the alphabet+merges convention.
+    */
+  def learnMergesToVocab(docs: DataFrame, textCol: String,
+                         targetVocab: Int): DataFrame = {
+    val words = wordTable(docs, textCol)
+    val alphabetSize = words
+      .select(explode(col("syms")).as("ch")).agg(countDistinct(col("ch")))
+      .head().getLong(0)
+    require(targetVocab > alphabetSize,
+      s"targetVocab=$targetVocab must exceed the base alphabet " +
+        s"($alphabetSize symbols) — there is nothing to merge below it")
+    mergeRounds(words, (targetVocab - alphabetSize).toInt)
+      .withColumn("alphabet_size", lit(alphabetSize))
+      .withColumn("vocab_size", lit(alphabetSize) + col("merge_round"))
+  }
+
+  /** Distinct-word frequency table with initial per-character symbol
+    * arrays — the one corpus-sized pass both trainers share.
+    */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("w"), "").as("syms"))
       .localCheckpoint()
+
+  private def mergeRounds(wordsIn: DataFrame, merges: Int): DataFrame = {
+    var words = wordsIn
     // Rounds stop EARLY when the vocabulary runs out of adjacent pairs
     // (every word a single symbol): the global argmin over an empty
     // pairs frame is one all-null row, detected from the checkpointed
@@ -94,14 +133,72 @@ object Bpe {
   def applyMerges(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "empty merge table")
-    var enc = docs.select(explode(split(col(textCol), " ")).as("w"))
-      .where(length(col("w")) > 0).distinct()
-      .withColumn("syms", split(col("w"), ""))
+    val enc = foldMerges(
+      docs.select(explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) > 0).distinct()
+        .withColumn("syms", split(col("w"), "")),
+      merges)
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(enc.select(col("w"), size(col("syms")).as("_ntok")), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_ntok")).as("n_tokens_bpe"))
+  }
+
+  /** Encode with BYTE-LEVEL FALLBACK — the OOV robustness rule real
+    * tokenizers need: a character absent from the training `alphabet`
+    * decomposes into one `<0xHH>` symbol per UTF-8 byte (the GPT-2
+    * byte-fallback shape), so NO input can fail to encode. Known
+    * characters keep the char-symbol path bit-identical to
+    * [[applyMerges]]; `alphabet` is model state alongside `merges`
+    * (O(alphabet) driver strings, collected once at train time). The
+    * decomposition is in-row string arithmetic over hex(encode(c)) —
+    * codegen'd, engine-portable (both engines print uppercase hex) —
+    * and byte symbols flow through the same merge folds (learned pairs
+    * are alphabet-only, so they never match byte symbols). Output adds
+    * `n_byte_tokens`: how many final tokens are byte-fallback symbols,
+    * the OOV exposure a data pipeline alerts on.
+    */
+  def applyMergesWithFallback(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              merges: Seq[(String, String)],
+                              alphabet: Seq[String]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    require(alphabet.nonEmpty, "empty alphabet")
+    val enc = foldMerges(
+      docs.select(explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) > 0).distinct()
+        .withColumn("_alpha", array(alphabet.map(lit): _*))
+        .withColumn("syms", expr(
+          """flatten(transform(split(w, ''), c -> CASE
+            |  WHEN array_contains(_alpha, c) THEN array(c)
+            |  ELSE transform(sequence(1, length(encode(c, 'utf-8'))),
+            |    i -> concat('<0x',
+            |      substring(hex(encode(c, 'utf-8')), 2 * i - 1, 2), '>'))
+            |  END))""".stripMargin))
+        .drop("_alpha"),
+      merges)
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(enc.select(col("w"), size(col("syms")).as("_ntok"),
+        expr("size(filter(syms, s -> s LIKE '<0x%'))").as("_nbyte")), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_ntok")).as("n_tokens_bpe"),
+        sum(col("_nbyte")).as("n_byte_tokens"))
+  }
+
+  /** The M chained in-row greedy folds shared by both encode paths.
+    * Each pair rides as literal COLUMNS, not interpolated SQL text —
+    * learnMerges emits whatever symbols the corpus contains
+    * (punctuation, non-ASCII), and lit() is injection-free for all of
+    * them.
+    */
+  private def foldMerges(encIn: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
+    var enc = encIn
     merges.foreach { case (x, y) =>
-      // the pair rides as literal COLUMNS, not interpolated SQL text —
-      // learnMerges emits whatever symbols the corpus contains
-      // (punctuation, non-ASCII), and lit() is injection-free for all
-      // of them
       enc = enc
         .withColumn("_px", lit(x)).withColumn("_py", lit(y))
         .withColumn("syms", expr(
@@ -114,11 +211,6 @@ object Bpe {
             |    ELSE concat(acc, array(s)) END)""".stripMargin))
         .drop("_px", "_py")
     }
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .where(length(col("w")) > 0)
-      .join(enc.select(col("w"), size(col("syms")).as("_ntok")), "w")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("_ntok")).as("n_tokens_bpe"))
+    enc
   }
 }

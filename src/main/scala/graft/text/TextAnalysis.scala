@@ -413,11 +413,18 @@ object TextAnalysis {
     * matching at corpus scale — built once (one shuffle, partitioned by
     * term), then any phrase query touches only its terms' posting lists
     * instead of rescanning 100 TB of raw text per query.
+    *
+    * Empty tokens (runs of spaces, leading/trailing space) are filtered
+    * BEFORE positions are assigned — in the array, so positions stay
+    * dense with no re-numbering shuffle — keeping tokenization
+    * consistent with the rest of the text pack's `length > 0` guards:
+    * a phrase spanning a double space still matches as adjacent.
     */
   def positionalIndex(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =
     docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      posexplode(expr(s"filter(split($textCol, ' '), t -> t <> '')"))
+        .as(Seq("pos", "term")))
 
   /** Exact-phrase occurrence counts per document via the positional
     * index: the phrase's L posting lists are joined on (doc, pos − i) —

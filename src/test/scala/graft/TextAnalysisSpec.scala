@@ -231,4 +231,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(stats === ((9L, 3L, 3L)))
   }
+
+  test("BPE learnMergesToVocab: vocab cap = alphabet + merges, early stop") {
+    import graft.text.Bpe
+    // alphabet {a,b,c} = 3; target 5 -> exactly 2 merge rounds
+    val m = Bpe.learnMergesToVocab(
+        Seq((0L, "ab ab abc")).toDF("doc_id", "text"), "text", targetVocab = 5)
+      .orderBy("merge_round")
+      .select("merge_round", "pair", "alphabet_size", "vocab_size")
+      .as[(Int, String, Long, Long)].collect()
+    assert(m.toSeq === Seq((1, "a b", 3L, 4L), (2, "ab c", 3L, 5L)))
+    // pair exhaustion caps BELOW the target: "ab ab" has one merge in it
+    val ex = Bpe.learnMergesToVocab(
+        Seq((0L, "ab ab")).toDF("doc_id", "text"), "text", targetVocab = 9)
+      .select("vocab_size").as[Long].collect()
+    assert(ex.toSeq === Seq(3L)) // alphabet 2 + the single learnable merge
+    // target at or below the alphabet is a caller error, not 0 rounds
+    intercept[IllegalArgumentException] {
+      Bpe.learnMergesToVocab(
+        Seq((0L, "ab")).toDF("doc_id", "text"), "text", targetVocab = 2)
+    }
+  }
+
+  test("BPE applyMergesWithFallback: OOV chars decompose to UTF-8 byte symbols") {
+    import graft.text.Bpe
+    // alphabet {a,b}; 'ï' is 2 UTF-8 bytes (C3 AF), 'x' is 1 (78).
+    // "aïb" -> [a, <0xC3>, <0xAF>, b]; merge (a,b) can't bridge the
+    // bytes. "ab" -> [ab] via the merge; "x" -> [<0x78>].
+    val out = Bpe.applyMergesWithFallback(
+        Seq((0L, "ab aïb x")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "b")), Seq("a", "b"))
+      .as[(Long, Long, Long, Long)].head()
+    // 3 words; tokens: 1 (ab) + 4 (aïb) + 1 (x) = 6; byte tokens 3
+    assert(out === ((0L, 3L, 6L, 3L)))
+    // in-alphabet input is bit-identical to the no-fallback path
+    val plain = Bpe.applyMerges(
+        Seq((1L, "ab ba")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "b"))).as[(Long, Long, Long)].head()
+    val fb = Bpe.applyMergesWithFallback(
+        Seq((1L, "ab ba")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "b")), Seq("a", "b"))
+      .as[(Long, Long, Long, Long)].head()
+    assert((fb._1, fb._2, fb._3) === plain && fb._4 === 0L)
+  }
 }
