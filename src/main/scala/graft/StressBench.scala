@@ -343,6 +343,26 @@ object StressBench {
         "vec_id", "embedding", coarse, "cell", cb, dsub = 16,
         nProbe = 16, k = 10).count()
     }
+    // The two-stage production ranker on the same corpus: stage 1 is
+    // the gated ADC search above taking top-50, stage 2 re-ranks those
+    // 50 finalists per query by exact L2 (50·|q| full-precision
+    // distances — candidate-pool-sized, corpus-independent). The delta
+    // vs ivfpq_gated_topk prices the refine stage.
+    timed("ivfpq_rerank_topk") {
+      val n = math.max(rows / 20L, 100000L)
+      val emb = stressVecs(n)
+      val coarse = graft.mlops.NaiveBayesOps.toLongForm(
+          emb.withColumn("cell", pmod(col("vec_id"), lit(256))),
+          Seq("cell"), "embedding")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
+      val cb = graft.similarity.Similarity.pqCodebooks(
+        emb.where(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", dsub = 16, ksub = 16, iters = 2)
+      graft.similarity.Similarity.ivfPqRerankTopK(emb,
+        emb.where(col("vec_id") < 32),
+        "vec_id", "embedding", coarse, "cell", cb, dsub = 16,
+        nProbe = 16, m = 50, k = 10).count()
+    }
     // rows/200 distinct 8-char words: 6 BPE merge rounds, each a pair
     // count + argmax + in-row greedy fold over the VOCABULARY — this
     // stage prices the rounds at 100k words (the corpus-sized pass is

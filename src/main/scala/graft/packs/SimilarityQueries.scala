@@ -159,8 +159,109 @@ object SimilarityQueries extends QueryPack {
           "vec_id", "embedding", coarse, "cell", pq, dsub = 16,
           nProbe = 2, k = 3)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Two-stage ranker (FAISS IVFPQ + refine): ADC takes the top 10
+    // through the coarse gate, exact L2 on the 10 full-precision
+    // finalists keeps the top 3 — ADC's quantization error is bought
+    // back at the ranking margin for m exact distances per query. The
+    // oracle replays the whole chain and re-ranks the same pool.
+    "sim_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val coarse = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      val pq = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dsub = 16, ksub = 8, iters = 2)
+      Similarity.ivfPqRerankTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", coarse, "cell", pq, dsub = 16,
+          nProbe = 2, m = 10, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
     })
   )
+
+  /** Shared IVF+PQ replay chain (sim_ivf_topk's coarse ctr/cells/probes
+    * + sim_pq_topk's PQ c0..c2/codes/dt, joined by the candidate gate,
+    * ending at the per-candidate ADC distances `adc`) — the two IVFPQ
+    * oracles differ only in their ranking tail.
+    */
+  private val ivfPqAdcChain: String =
+    """WITH pts0 AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |pts AS MATERIALIZED (
+      |  SELECT vec_id, dim, v, (dim - 1) // 16 AS sub FROM pts0),
+      |ptsl AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ctr AS MATERIALIZED (
+      |  SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+      |cells AS (
+      |  SELECT vec_id AS neighbor_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+      |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+      |          FROM pts p JOIN ctr c ON p.dim = c.dim
+      |          GROUP BY p.vec_id, c.cell) d) r
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
+      |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+      |          FROM pts p JOIN ctr c ON p.dim = c.dim
+      |          WHERE p.vec_id < 10
+      |          GROUP BY p.vec_id, c.cell) d) r
+      |  WHERE pr <= 2),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, v AS c
+      |       FROM pts WHERE vec_id < 8),
+      |d1 AS (SELECT p.vec_id, p.sub, c.cid,
+      |    sum((p.v - c.c) * (p.v - c.c)) AS d2
+      |  FROM pts p JOIN c0 c ON p.dim = c.dim
+      |  GROUP BY p.vec_id, p.sub, c.cid),
+      |a1 AS (SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a.cid, p.dim, avg(p.v) AS c
+      |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |  GROUP BY a.cid, p.dim),
+      |d2s AS (SELECT p.vec_id, p.sub, c.cid,
+      |    sum((p.v - c.c) * (p.v - c.c)) AS d2
+      |  FROM pts p JOIN c1 c ON p.dim = c.dim
+      |  GROUP BY p.vec_id, p.sub, c.cid),
+      |a2 AS (SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+      |    FROM d2s) WHERE rn = 1),
+      |c2 AS MATERIALIZED (SELECT a.cid, p.dim, avg(p.v) AS c
+      |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |  GROUP BY a.cid, p.dim),
+      |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+      |    SELECT p.vec_id, p.sub, c.cid, row_number() OVER (
+      |      PARTITION BY p.vec_id, p.sub ORDER BY
+      |        sum((p.v - c.c) * (p.v - c.c)), c.cid) AS rn
+      |    FROM pts p JOIN c2 c ON p.dim = c.dim
+      |    GROUP BY p.vec_id, p.sub, c.cid) WHERE rn = 1),
+      |dt AS MATERIALIZED (SELECT p.vec_id AS query_id, p.sub, c.cid,
+      |    sum((p.v - c.c) * (p.v - c.c)) AS pd
+      |  FROM pts p JOIN c2 c ON p.dim = c.dim
+      |  WHERE p.vec_id < 10
+      |  GROUP BY p.vec_id, p.sub, c.cid),
+      |cand AS (
+      |  SELECT pr.query_id, ce.neighbor_id
+      |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
+      |  WHERE pr.query_id <> ce.neighbor_id),
+      |adc AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    round(sum(dt.pd), 4) + 0.0 AS adist2
+      |  FROM cand cd
+      |  JOIN codes co ON co.vec_id = cd.neighbor_id
+      |  JOIN dt ON dt.query_id = cd.query_id
+      |    AND dt.sub = co.sub AND dt.cid = co.cid
+      |  GROUP BY cd.query_id, cd.neighbor_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -420,90 +521,35 @@ object SimilarityQueries extends QueryPack {
         |  round((SELECT n FROM h) * 1.0 /
         |    (SELECT count(*) FROM tr), 4) + 0.0 AS recall_at_3""".stripMargin,
 
-    // sim_ivf_topk's coarse replay (ctr/cells/probes) + sim_pq_topk's
-    // PQ replay (c0..c2/codes/dt), joined by the candidate gate.
-    "sim_ivfpq_topk" ->
-      """WITH pts0 AS (
-        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |pts AS MATERIALIZED (
-        |  SELECT vec_id, dim, v, (dim - 1) // 16 AS sub FROM pts0),
-        |ptsl AS (
-        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |ctr AS MATERIALIZED (
-        |  SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
-        |cells AS (
-        |  SELECT vec_id AS neighbor_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
-        |          FROM pts p JOIN ctr c ON p.dim = c.dim
-        |          GROUP BY p.vec_id, c.cell) d) r
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
-        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
-        |          FROM pts p JOIN ctr c ON p.dim = c.dim
-        |          WHERE p.vec_id < 10
-        |          GROUP BY p.vec_id, c.cell) d) r
-        |  WHERE pr <= 2),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, v AS c
-        |       FROM pts WHERE vec_id < 8),
-        |d1 AS (SELECT p.vec_id, p.sub, c.cid,
-        |    sum((p.v - c.c) * (p.v - c.c)) AS d2
-        |  FROM pts p JOIN c0 c ON p.dim = c.dim
-        |  GROUP BY p.vec_id, p.sub, c.cid),
-        |a1 AS (SELECT vec_id, sub, cid FROM (
-        |    SELECT vec_id, sub, cid, row_number() OVER (
-        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT a.cid, p.dim, avg(p.v) AS c
-        |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
-        |  GROUP BY a.cid, p.dim),
-        |d2s AS (SELECT p.vec_id, p.sub, c.cid,
-        |    sum((p.v - c.c) * (p.v - c.c)) AS d2
-        |  FROM pts p JOIN c1 c ON p.dim = c.dim
-        |  GROUP BY p.vec_id, p.sub, c.cid),
-        |a2 AS (SELECT vec_id, sub, cid FROM (
-        |    SELECT vec_id, sub, cid, row_number() OVER (
-        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-        |    FROM d2s) WHERE rn = 1),
-        |c2 AS MATERIALIZED (SELECT a.cid, p.dim, avg(p.v) AS c
-        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
-        |  GROUP BY a.cid, p.dim),
-        |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
-        |    SELECT p.vec_id, p.sub, c.cid, row_number() OVER (
-        |      PARTITION BY p.vec_id, p.sub ORDER BY
-        |        sum((p.v - c.c) * (p.v - c.c)), c.cid) AS rn
-        |    FROM pts p JOIN c2 c ON p.dim = c.dim
-        |    GROUP BY p.vec_id, p.sub, c.cid) WHERE rn = 1),
-        |dt AS MATERIALIZED (SELECT p.vec_id AS query_id, p.sub, c.cid,
-        |    sum((p.v - c.c) * (p.v - c.c)) AS pd
-        |  FROM pts p JOIN c2 c ON p.dim = c.dim
-        |  WHERE p.vec_id < 10
-        |  GROUP BY p.vec_id, p.sub, c.cid),
-        |cand AS (
-        |  SELECT pr.query_id, ce.neighbor_id
-        |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
-        |  WHERE pr.query_id <> ce.neighbor_id),
-        |adc AS (
-        |  SELECT cd.query_id, cd.neighbor_id,
-        |    round(sum(dt.pd), 4) + 0.0 AS adist2
-        |  FROM cand cd
-        |  JOIN codes co ON co.vec_id = cd.neighbor_id
-        |  JOIN dt ON dt.query_id = cd.query_id
-        |    AND dt.sub = co.sub AND dt.cid = co.cid
-        |  GROUP BY cd.query_id, cd.neighbor_id)
+    // the shared IVF+PQ chain with the plain ADC top-3 tail
+    "sim_ivfpq_topk" -> (ivfPqAdcChain +
+      """
         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adist2
         |FROM (SELECT query_id, neighbor_id, adist2, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adist2, neighbor_id) AS rnk
         |  FROM adc)
         |WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin
+        |ORDER BY query_id, rnk""".stripMargin),
+
+    // the shared chain, ADC top-10 pool, then exact-L2 re-rank of the
+    // pool from the full-precision long form — the refine stage replay
+    "sim_ivfpq_rerank" -> (ivfPqAdcChain +
+      """,
+        |radc AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY adist2, neighbor_id) AS rnk
+        |    FROM adc) WHERE rnk <= 10),
+        |rr AS (SELECT r.query_id, r.neighbor_id,
+        |    round(sum((pq.v - pn.v) * (pq.v - pn.v)), 4) + 0.0 AS dist2
+        |  FROM radc r
+        |  JOIN pts pq ON pq.vec_id = r.query_id
+        |  JOIN pts pn ON pn.vec_id = r.neighbor_id AND pn.dim = pq.dim
+        |  GROUP BY r.query_id, r.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, dist2
+        |FROM (SELECT query_id, neighbor_id, dist2, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rnk
+        |  FROM rr)
+        |WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin)
   )
 }

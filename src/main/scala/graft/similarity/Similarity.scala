@@ -342,6 +342,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adist2"))
   }
 
+  /** Two-stage IVF+PQ ranker — the production search shape (FAISS's
+    * IVFPQ + refine): stage 1 is [[ivfPqTopK]] taking the top `m` by
+    * ADC (codes-only, sublinear via the coarse gate); stage 2 re-ranks
+    * ONLY those m candidates by exact L2 on the full-precision vectors
+    * and keeps the top `k`. ADC error (each code stands in for its
+    * cell centroid) costs recall exactly at the ranking margin — the
+    * refine stage buys it back for the price of m·|queries| exact
+    * distances, corpus floats touched only for the m finalists, never
+    * the cell population. Ranks on the PUBLISHED (4-dp rounded)
+    * distance, ties to the lowest neighbor id — same engine-portable
+    * tie rule as the ADC tiers (FP summation order differs per
+    * engine below the rounding).
+    */
+  def ivfPqRerankTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                      arrCol: String, coarseLong: DataFrame,
+                      centerCol: String, pqCenters: DataFrame, dsub: Int,
+                      nProbe: Int, m: Int, k: Int): DataFrame = {
+    require(m >= k, s"re-rank pool m=$m must be >= k=$k")
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val adcTop = ivfPqTopK(emb, queries, idCol, arrCol, coarseLong,
+        centerCol, pqCenters, dsub, nProbe, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
+    val cU = emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_c"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2"), col("neighbor_id"))
+    adcTop
+      .join(qU, "query_id")
+      .join(cU, "neighbor_id")
+      .withColumn("dist2",
+        round(graft.plans.GraftExpressions.l2sq(
+          col("_q").cast("array<double>"), col("_c").cast("array<double>")),
+          4) + lit(0.0))
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist2"))
+  }
+
   /** (id, dim, v, sub) long form, dims 1-based, sub = (dim-1) / dsub. */
   private def pqLongForm(emb: DataFrame, idCol: String, arrCol: String,
                          dsub: Int): DataFrame =

@@ -518,4 +518,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = ivfpq.select("neighbor_id").as[Long].collect().toSet
     assert(got === Set(4L, 8L, 12L), s"gate leaked: $got")
   }
+
+  test("IVFPQ rerank: exact refine of the ADC pool, recall >= pure ADC") {
+    // The two-stage ranker's contract: stage 2 is EXACTLY the exact-L2
+    // re-ordering of stage 1's top-m pool (deterministic, checked
+    // directly), and against exact-L2 ground truth its recall@k is at
+    // least the pure-ADC ranker's (the refine stage can only fix
+    // quantization-error misorderings within the shared gate).
+    import graft.mlops.NaiveBayesOps
+    graft.plans.GraftExpressions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val coarse = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val pq = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      dsub = 16, ksub = 8, iters = 2)
+    val pool = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        coarse, "cell", pq, dsub = 16, nProbe = 2, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val rerank = Similarity.ivfPqRerankTopK(emb, queries, "vec_id",
+        "embedding", coarse, "cell", pq, dsub = 16, nProbe = 2,
+        m = 10, k = 3)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)]
+      .collect()
+    // stage-2 output ⊆ stage-1 pool
+    val poolSet = pool.toSet
+    rerank.foreach { case (q, n, _) =>
+      assert(poolSet.contains((q, n)), s"rerank emitted ($q,$n) outside pool")
+    }
+    // rerank top-3 = exact-L2 best 3 of the pool (rounded-tie rule)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def d2(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val s = x.indices.map(i => (x(i).toDouble - y(i).toDouble) *
+        (x(i).toDouble - y(i).toDouble)).sum
+      math.rint(s * 1e4) / 1e4
+    }
+    pool.groupBy(_._1).foreach { case (q, cands) =>
+      val want = cands.map(_._2).sortBy(n => (d2(q, n), n)).take(3).toSeq
+      val gotQ = rerank.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+      assert(gotQ === want, s"query $q: rerank $gotQ != exact pool order $want")
+    }
+    // recall@3 vs exact-L2 truth: rerank >= pure ADC
+    val truth = queries.select(col("vec_id")).as[Long].collect().flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq.sortBy(n => (d2(q, n), n)).take(3)
+        .map(n => (q, n))
+    }.toSet
+    val adc3 = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        coarse, "cell", pq, dsub = 16, nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr3 = rerank.map(t => (t._1, t._2)).toSet
+    val (recallRr, recallAdc) =
+      (truth.intersect(rr3).size.toDouble / truth.size,
+        truth.intersect(adc3).size.toDouble / truth.size)
+    assert(recallRr >= recallAdc,
+      s"rerank recall $recallRr below pure-ADC recall $recallAdc")
+  }
 }
