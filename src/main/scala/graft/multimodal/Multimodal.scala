@@ -430,22 +430,41 @@ object Multimodal {
     * the text simhash `_blocked` path, applied to pixels.
     */
   def aHashNearPairs(hashed: DataFrame, maxHamming: Int = 3,
-                     blocks: Int = 4): DataFrame = {
-    require(blocks >= 1 && 64 % blocks == 0, s"blocks=$blocks must divide 64")
+                     blocks: Int = 4): DataFrame =
+    hammingNearPairs(hashed, "doc_id", "ahash", bits = 64,
+      maxHamming = maxHamming, blocks = blocks)
+
+  /** Hamming-banded near-pair operator over ANY fixed-width bit-string
+    * signature column — the Manku multi-block index shared by the
+    * image aHash (64 bits) and audio envelope (16 bits) paths: split
+    * each signature into `blocks` equal substrings; any pair within
+    * hamming distance `maxHamming` < `blocks` shares at least one
+    * block verbatim (pigeonhole ⇒ EXACT recall), so candidates come
+    * from equality joins on (block, substring) — never all-pairs —
+    * and only candidates pay the `bits`-char hamming count.
+    */
+  def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                       bits: Int, maxHamming: Int,
+                       blocks: Int): DataFrame = {
+    require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      sigCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"plain identifiers required, got $idCol/$sigCol")
+    require(blocks >= 1 && bits % blocks == 0,
+      s"blocks=$blocks must divide bits=$bits")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"maxHamming=$maxHamming needs > hamming blocks for exact recall")
-    val width = 64 / blocks
-    val blk = hashed.select(col("doc_id"), col("ahash"),
+    val width = bits / blocks
+    val blk = sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig0"),
         explode(expr(s"transform(sequence(0, ${blocks - 1}), " +
-          s"b -> struct(b AS b, substring(ahash, b * $width + 1, $width)" +
+          s"b -> struct(b AS b, substring($sigCol, b * $width + 1, $width)" +
           " AS sig))")).as("_b"))
-      .select(col("doc_id"), col("ahash"),
+      .select(col("_id"), col("_sig0"),
         col("_b.b").as("b"), col("_b.sig").as("sig"))
     blk.as("x").join(blk.as("y"),
         col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.ahash").as("_ha"), col("y.ahash").as("_hb"))
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._sig0").as("_ha"), col("y._sig0").as("_hb"))
       .distinct()
       .withColumn("hamming", expr(
         "size(filter(zip_with(split(_ha, ''), split(_hb, ''), " +

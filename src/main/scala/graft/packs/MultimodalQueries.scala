@@ -113,6 +113,19 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup AUDIO pairs through the same hamming-banded operator as
+    // the image path (generalized over signature column/width): the
+    // 16-bit energy envelope splits into four 4-bit blocks; hamming ≤ 2
+    // < 4 blocks ⇒ one block matches verbatim (pigeonhole, exact
+    // recall) — loudness-profile near-dup matching without all-pairs.
+    "multimodal_audio_near_pairs" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      Multimodal.hammingNearPairs(
+          Multimodal.audioEnvelope(media, frames = 16).toDF(),
+          "doc_id", "envelope", bits = 16, maxHamming = 2, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -320,6 +333,54 @@ object MultimodalQueries extends QueryPack {
         |    AS n_mates
         |FROM env
         |ORDER BY doc_id""".stripMargin,
+
+    // The envelope chain (per-byte energy replay), then the 4-block
+    // index on the 16-bit signature and the candidate hamming count —
+    // the image-pairs oracle tail at width 4.
+    "multimodal_audio_near_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |chars AS (
+        |  SELECT doc_id, n,
+        |    CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) - 1
+        |      AS p,
+        |    ascii(unnest(string_split(text, ''))) AS v
+        |  FROM w),
+        |fr AS (
+        |  SELECT doc_id, (p * 16) // n AS f, CAST(sum(v) AS BIGINT) AS e
+        |  FROM chars GROUP BY doc_id, (p * 16) // n),
+        |tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total
+        |        FROM fr GROUP BY doc_id),
+        |grid AS (SELECT w.doc_id, r.f FROM w, range(0, 16) r(f)),
+        |bits AS (
+        |  SELECT g.doc_id, g.f,
+        |    CASE WHEN coalesce(fr.e, 0) * 16 > t.total THEN '1' ELSE '0'
+        |      END AS b
+        |  FROM grid g
+        |  LEFT JOIN fr ON fr.doc_id = g.doc_id AND fr.f = g.f
+        |  JOIN tot t ON t.doc_id = g.doc_id),
+        |env AS MATERIALIZED (
+        |  SELECT doc_id, string_agg(b, '' ORDER BY f) AS envelope
+        |  FROM bits GROUP BY doc_id),
+        |blk AS (
+        |  SELECT doc_id, envelope, r.b AS b,
+        |    substr(envelope, CAST(r.b * 4 + 1 AS INT), 4) AS sig
+        |  FROM env, range(0, 4) r(b)),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.envelope AS ha, y.envelope AS hb
+        |  FROM blk x JOIN blk y
+        |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |hm AS (
+        |  SELECT id_a, id_b, CAST(sum(CASE WHEN
+        |      substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM p, range(1, 17) r(i)
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, hamming FROM hm
+        |WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same geometry CTEs as the downsample oracle, fixed 8×8 grid: cell
     // value = Σ ascii of the up-to-3 chars at the sampled offset (ascii

@@ -278,4 +278,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e(5L).envelope === "0" * 8 + "1" * 8)
     assert(e(5L).n_ones === 8L)
   }
+
+  test("hammingNearPairs generalizes over signature width and column name") {
+    // 16-bit signatures in a non-default column, 4 blocks of 4: the
+    // same pigeonhole contract as the 64-bit image path. hamming-2
+    // flip confined to block 0 -> found; one flipped bit in EVERY
+    // block -> no shared block, never a candidate.
+    val zeros = "0" * 16
+    val flip2 = "11" + "0" * 14
+    val spread = ("1000") * 4
+    val sigs = Seq((0L, zeros), (1L, zeros), (2L, spread), (3L, flip2))
+      .toDF("doc_id", "envelope")
+    val pairs = Multimodal.hammingNearPairs(sigs, "doc_id", "envelope",
+        bits = 16, maxHamming = 2, blocks = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L, 0L), (0L, 3L, 2L), (1L, 3L, 2L)))
+    // parameter misuse is rejected: blocks must divide bits, and
+    // maxHamming >= blocks would break the pigeonhole recall guarantee
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingNearPairs(sigs, "doc_id", "envelope",
+        bits = 16, maxHamming = 2, blocks = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingNearPairs(sigs, "doc_id", "envelope",
+        bits = 16, maxHamming = 4, blocks = 4)
+    }
+  }
 }
