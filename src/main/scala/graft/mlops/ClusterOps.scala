@@ -263,16 +263,15 @@ object ClusterOps {
   /** Top-k eigenvectors by ORTHOGONAL (subspace) iteration — the
     * QR-in-SQL alternative to [[powerIterationComponents]]'s sequential
     * deflation: all k vectors advance together each round (V ← orth(G·V))
-    * and the orthogonalization is CLASSICAL Gram-Schmidt in long form —
-    * each u_c subtracts all projections of the ORIGINAL w_c in one
-    * batch; projection coefficients and norms are d-row aggregates, so
-    * every round is plain joins + groupBys over the (dim, comp) frame
-    * and the whole fit stays SQL-oracle-able. (At k = 2, classical and
-    * modified GS are arithmetically identical — one projection — which
-    * is the k the oracle pins; for k ≥ 3 in float, re-projecting
-    * against the running u_c (true MGS) is the numerical-stability
-    * upgrade to reach for, and the oracle would unroll it the same
-    * way.) Deterministic contract matches the
+    * and the orthogonalization is MODIFIED Gram-Schmidt in long form —
+    * u_c subtracts its projection onto each previous q_j SEQUENTIALLY,
+    * re-projecting the RUNNING residual (the numerically stable form:
+    * CGS's error grows with κ², MGS's with κ); projection coefficients
+    * and norms are d-row aggregates, so every round is plain joins +
+    * groupBys over the (dim, comp) frame and the whole fit stays
+    * SQL-oracle-able. (At k = 2 there is only one projection, so MGS ≡
+    * CGS and the k=2 oracle is unchanged; c8_orth_iter3 pins the k=3
+    * MGS unroll.) Deterministic contract matches the
     * deflation path exactly: fixed start V₀ = [e₁…e_k], fixed `iters`
     * rounds, zero-norm guard (a rank-deficient Gramian degrades trailing
     * components to the zero vector, never NaN), per-component sign
@@ -319,32 +318,31 @@ object ClusterOps {
         when(col("dim") === col("comp"), lit(1.0)).otherwise(lit(0.0)))
     for (_ <- 1 to iters) {
       val w = pinFresh(mul(v))
-      // Classical Gram-Schmidt, smallest comp first: u_c = w_c − Σ_{j<c}
-      // (q_j·w_c)·q_j, q_c = u_c/‖u_c‖ — all projections taken against
-      // the original w_c (see the scaladoc note on k ≥ 3). `qs`
-      // accumulates the already-orthonormalized prefix; frames ≤ d·k
-      // rows.
-      var qs: DataFrame = null
+      // Modified Gram-Schmidt, smallest comp first: u_c starts as w_c
+      // and subtracts its projection onto each previous q_j IN ORDER,
+      // each coefficient taken against the RUNNING residual
+      // (r_cj = q_j·u, u ← u − r_cj·q_j) — the stable form for k ≥ 3;
+      // identical arithmetic to CGS at k ≤ 2. Each coefficient is a
+      // 1-row aggregate crossJoined back (broadcast); frames ≤ d rows.
+      val qList = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (c <- 1 to k) {
-        val wc = w.where(col("comp") === c).select(col("dim"), col("w"))
-        val uc =
-          if (c == 1) wc
-          else {
-            val r = qs.join(wc, "dim")
-              .groupBy(col("comp")).agg(sum(col("v") * col("w")).as("r"))
-            val proj = qs.join(r, "comp")
-              .groupBy(col("dim")).agg(sum(col("r") * col("v")).as("p"))
-            wc.join(proj, "dim")
-              .select(col("dim"), (col("w") - col("p")).as("w"))
-          }
+        var uc = w.where(col("comp") === c).select(col("dim"), col("w"))
+        for (j <- 0 until c - 1) {
+          val qj = qList(j).select(col("dim"), col("v"))
+          val r = qj.join(uc, "dim")
+            .agg(sum(col("v") * col("w")).as("r"))
+          uc = uc.join(qj, "dim").crossJoin(r)
+            .select(col("dim"),
+              (col("w") - col("r") * col("v")).as("w"))
+        }
         val n = uc.agg(sqrt(sum(col("w") * col("w"))).as("n"))
         val qc = uc.crossJoin(n)
           .select(col("dim"), lit(c).as("comp"),
             when(col("n") > 0, col("w") / col("n")).otherwise(lit(0.0))
               .as("v"))
-        qs = if (qs == null) qc else qs.unionByName(qc)
+        qList += qc
       }
-      v = pinFresh(qs)
+      v = pinFresh(qList.reduce(_ unionByName _))
     }
     val lam = mul(v).groupBy(col("comp"))
       .agg(sqrt(sum(col("w") * col("w"))).as("l"))

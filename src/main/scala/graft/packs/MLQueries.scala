@@ -252,6 +252,17 @@ object MLQueries extends QueryPack {
         .orderBy(col("comp"), col("dim"))
     }),
 
+    // C8: top-3 by the same subspace iteration — the k where MODIFIED
+    // Gram-Schmidt first differs from classical (component 3 subtracts
+    // its q1 projection, then re-projects the RESIDUAL onto q2). The
+    // oracle unrolls every round's G·V and the full MGS ladder —
+    // sequential coefficient/residual CTEs, window normalizations.
+    "c8_orth_iter3" -> ((s, dir) => {
+      ClusterOps.orthogonalIteration(Tables(s, dir).embeddings,
+          "vec_id", "embedding", k = 3, iters = 8)
+        .orderBy(col("comp"), col("dim"))
+    }),
+
     // C5: truncated-SVD projection, deterministic form — every row
     // projected onto the fixed-round power-iteration component, so the
     // fit AND the transform carry a value-level oracle (was rows-only
@@ -618,10 +629,91 @@ object MLQueries extends QueryPack {
     sb.toString
   }
 
+  /** Unrolled orthogonal-iteration oracle, k=3 with TRUE MGS: per
+    * round, W = G·V for all three columns, q₁ a window normalization,
+    * then the modified-Gram-Schmidt ladder for components 2 and 3 —
+    * each projection coefficient is taken against the RUNNING residual
+    * (r31 = q₁·w₃, u31 = w₃ − r31·q₁, r32 = q₂·u31, u32 = u31 −
+    * r32·q₂), exactly the engine's sequential subtraction order.
+    * Zero-norm guard and sign rule mirror the engine; MATERIALIZED on
+    * every multiply-referenced frame keeps the chain linear.
+    */
+  private def orthIter3Oracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |g AS MATERIALIZED (
+        |  SELECT i.dim AS di, j.dim AS dj, sum(i.v * j.v) AS g
+        |  FROM pts i JOIN pts j ON i.vec_id = j.vec_id
+        |  GROUP BY i.dim, j.dim),
+        |v0 AS (SELECT DISTINCT di AS dim, c.comp,
+        |  CASE WHEN di = c.comp THEN 1.0 ELSE 0.0 END AS v
+        |  FROM g CROSS JOIN (VALUES (1), (2), (3)) c(comp))""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |w$t AS MATERIALIZED (
+        |  SELECT g.di AS dim, v.comp, sum(g.g * v.v) AS w
+        |  FROM g JOIN v${t - 1} v ON g.dj = v.dim
+        |  GROUP BY g.di, v.comp),
+        |q1_$t AS MATERIALIZED (
+        |  SELECT dim, 1 AS comp,
+        |    CASE WHEN sqrt(sum(w * w) OVER ()) > 0
+        |      THEN w / sqrt(sum(w * w) OVER ()) ELSE 0.0 END AS v
+        |  FROM w$t WHERE comp = 1),
+        |r21_$t AS (SELECT sum(q.v * w.w) AS r
+        |  FROM q1_$t q JOIN w$t w ON q.dim = w.dim AND w.comp = 2),
+        |u2_$t AS (SELECT w.dim, w.w - r21_$t.r * q.v AS w
+        |  FROM w$t w JOIN q1_$t q ON w.dim = q.dim CROSS JOIN r21_$t
+        |  WHERE w.comp = 2),
+        |q2_$t AS MATERIALIZED (
+        |  SELECT dim, 2 AS comp,
+        |    CASE WHEN sqrt(sum(w * w) OVER ()) > 0
+        |      THEN w / sqrt(sum(w * w) OVER ()) ELSE 0.0 END AS v
+        |  FROM u2_$t),
+        |r31_$t AS (SELECT sum(q.v * w.w) AS r
+        |  FROM q1_$t q JOIN w$t w ON q.dim = w.dim AND w.comp = 3),
+        |u31_$t AS MATERIALIZED (SELECT w.dim, w.w - r31_$t.r * q.v AS w
+        |  FROM w$t w JOIN q1_$t q ON w.dim = q.dim CROSS JOIN r31_$t
+        |  WHERE w.comp = 3),
+        |r32_$t AS (SELECT sum(q.v * u.w) AS r
+        |  FROM q2_$t q JOIN u31_$t u ON q.dim = u.dim),
+        |u32_$t AS (SELECT u.dim, u.w - r32_$t.r * q.v AS w
+        |  FROM u31_$t u JOIN q2_$t q ON u.dim = q.dim CROSS JOIN r32_$t),
+        |q3_$t AS (SELECT dim, 3 AS comp,
+        |  CASE WHEN sqrt(sum(w * w) OVER ()) > 0
+        |    THEN w / sqrt(sum(w * w) OVER ()) ELSE 0.0 END AS v
+        |  FROM u32_$t),
+        |v$t AS MATERIALIZED (
+        |  SELECT dim, comp, v FROM q1_$t
+        |  UNION ALL SELECT dim, comp, v FROM q2_$t
+        |  UNION ALL SELECT dim, comp, v FROM q3_$t)""".stripMargin)
+    }
+    sb.append(s""",
+      |wf AS MATERIALIZED (
+      |  SELECT g.di AS dim, v.comp, sum(g.g * v.v) AS w
+      |  FROM g JOIN v$iters v ON g.dj = v.dim
+      |  GROUP BY g.di, v.comp),
+      |lam AS (SELECT comp, sqrt(sum(w * w)) AS l FROM wf GROUP BY comp),
+      |sgn AS (SELECT comp, CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      |  FROM (SELECT comp, dim, v, row_number() OVER (
+      |      PARTITION BY comp ORDER BY abs(v) DESC, dim) AS rn
+      |    FROM v$iters) WHERE rn = 1)
+      |SELECT v.comp, v.dim, round(v.v * sgn.s, 6) + 0.0 AS v,
+      |  round(sqrt(lam.l), 4) + 0.0 AS sigma
+      |FROM v$iters v JOIN sgn ON v.comp = sgn.comp
+      |JOIN lam ON v.comp = lam.comp
+      |ORDER BY v.comp, v.dim""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "c4_svd_power" -> powerIterOracle(8),
     "c4_svd_power2" -> powerComponentsOracle(2, 8),
     "c7_orth_iter2" -> orthIter2Oracle(8),
+    "c8_orth_iter3" -> orthIter3Oracle(8),
     "c5_svd_project" -> powerProjectOracle(8),
 
     // Mirrors cvRidgeUnivariate exactly: same md5 fold assignment, same

@@ -205,6 +205,41 @@ class MLOpsSpec extends AnyFunSuite {
       s"sigma2 $s2 vs deflation $ds2")
   }
 
+  test("orthogonalIteration k=3: MGS block orthonormal, agrees with deflation") {
+    // k=3 is where modified Gram-Schmidt first differs from classical:
+    // component 3 re-projects its RESIDUAL onto q2. The block must
+    // still be orthonormal by construction, sigmas ordered, and the
+    // dominant component/energies must agree with the independent
+    // Hotelling-deflation algorithm (directions in the near-flat tail
+    // subspace are algorithm-sensitive; energies are not).
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = ClusterOps.orthogonalIteration(
+        emb, "vec_id", "embedding", k = 3, iters = 40)
+      .orderBy("comp", "dim").collect()
+    assert(rows.length === 192)
+    val vs = (0 until 3).map(c => rows.slice(c * 64, (c + 1) * 64)
+      .map(_.getDouble(2)))
+    val sig = (0 until 3).map(c => rows(c * 64).getDouble(3))
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = vs(a).zip(vs(b)).map { case (x, y) => x * y }.sum
+      if (a == b) assert(math.abs(dot - 1.0) < 1e-5, s"norm q${a + 1}=$dot")
+      else assert(math.abs(dot) < 1e-5, s"q${a + 1}.q${b + 1}=$dot")
+    }
+    assert(sig(0) >= sig(1) && sig(1) >= sig(2), s"sigma order $sig")
+    val defl = ClusterOps.powerIterationComponents(
+        emb, "vec_id", "embedding", k = 3, iters = 40)
+      .orderBy("comp", "dim").collect()
+    val d1 = defl.take(64).map(_.getDouble(2))
+    val cos1 = vs(0).zip(d1).map { case (a, b) => a * b }.sum
+    assert(cos1 > 0.999, s"top-component alignment cos=$cos1")
+    for (c <- 1 until 3) {
+      val ds = defl(c * 64).getDouble(3)
+      assert(math.abs(sig(c) - ds) / math.max(ds, 1e-9) < 5e-2,
+        s"sigma${c + 1} ${sig(c)} vs deflation $ds")
+    }
+  }
+
   test("svdProject invariants: norm contraction and decreasing reconstruction error") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
