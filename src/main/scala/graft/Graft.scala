@@ -505,6 +505,19 @@ object Graft {
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame =
     graft.operators.Graph.triangleCount(edges, srcCol, dstCol)
+  /** k-core by iterative peeling to the fixpoint (operators.Graph). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 20): DataFrame =
+    graft.operators.Graph.kCore(edges, srcCol, dstCol, k, maxRounds)
+  /** Skew-aware Fellegi–Sunter scoring: profiles the block key and
+    * salts hot blocks per its own advice (operators.Linkage).
+    */
+  def linkScorePairsSkewAware(a: DataFrame, aId: String, b: DataFrame,
+                              blockCols: Seq[String],
+                              rules: Seq[graft.operators.Linkage.FieldRule],
+                              maxSalt: Int = 64): DataFrame =
+    graft.operators.Linkage.scorePairsSkewAware(a, aId, b, blockCols,
+      rules, maxSalt)
   /** Distributed BPE merge learning: the tokenizer's merge table from
     * one corpus pass + vocabulary-sized merge rounds (text.Bpe).
     */

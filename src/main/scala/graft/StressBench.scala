@@ -282,6 +282,53 @@ object StressBench {
       graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
         .count()
     }
+    // Skew-realistic linkage: block keys drawn Zipf(1)-ish (the
+    // count_min construction — k = 2^(u/25000) puts P(k) ∝ 1/k over
+    // ~2^40 keys), so the top block alone holds ~2.5% of each side
+    // (25k rows at the 1M default → ~6e8 pairs in ONE block) while the
+    // tail blocks stay tiny. The plain equi-join lands that entire
+    // quadratic pair set on one task; this stage prices that
+    // straggler. The _salted twin runs the SAME records through
+    // scorePairsSkewAware, which profiles the key, takes its own
+    // salt_factor advice, and splits the hot blocks across sub-block
+    // tasks. The report line in between records what the advisor saw.
+    def zipfLinkSides(n: Long) = {
+      val base = spark.range(n).select(col("id"),
+        pow(lit(2.0), pmod(abs(hash(col("id"))), lit(1000000)) / lit(25000.0))
+          .cast("long").as("zb"),
+        (abs(hash(col("id") * 31)) % 10000).cast("double").as("bal"))
+      val a = base.select(col("id").as("id_a"), col("zb"), col("bal"))
+      val b = base.select(col("id").as("id_b"), col("zb"),
+        (round(col("bal") / 10) * 10).as("d_bal"))
+      (a, b)
+    }
+    timed("fs_linkage_zipf_plain") {
+      val (a, b) = zipfLinkSides(math.max(rows / 20L, 100000L))
+      val scored = graft.operators.Linkage.scorePairs(a, b, Seq("zb"), Seq(
+        graft.operators.Linkage.FieldRule("bal",
+          abs(col("bal") - col("d_bal")) <= 5, 2.3, -2.0)))
+      graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
+        .count()
+    }
+    timed("fs_linkage_zipf_report") {
+      val (a, _) = zipfLinkSides(math.max(rows / 20L, 100000L))
+      val rep = graft.operators.Diagnostics.keySkewReport(a, col("zb"))
+        .head()
+      println(s"""{"stage":"fs_linkage_zipf_report_detail","skew_ratio":${
+        rep.getAs[Double]("skew_ratio")},"top1_share":${
+        rep.getAs[Double]("top1_share")},"salt_factor":${
+        rep.getAs[Long]("salt_factor")}}""")
+      rep.getAs[Long]("n_keys")
+    }
+    timed("fs_linkage_zipf_salted") {
+      val (a, b) = zipfLinkSides(math.max(rows / 20L, 100000L))
+      val scored = graft.operators.Linkage.scorePairsSkewAware(a, "id_a", b,
+        Seq("zb"), Seq(
+          graft.operators.Linkage.FieldRule("bal",
+            abs(col("bal") - col("d_bal")) <= 5, 2.3, -2.0)))
+      graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
+        .count()
+    }
     // encode rows/200 docs × 200 4-char words (vocab ≈ 26^4) through a
     // 6-entry merge table: folds run once per DISTINCT word, the
     // corpus pays one explode + one vocabulary join

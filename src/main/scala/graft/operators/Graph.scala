@@ -120,4 +120,63 @@ object Graph {
         wedges.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** k-core of an undirected graph by iterative peeling (Seidman 1983;
+    * Batagelj–Zaveršnik's peel order, run level-synchronously): each
+    * round drops every node whose current degree is below `k` together
+    * with its incident edges, until no node falls below `k` (the
+    * fixpoint IS the k-core — the unique maximal subgraph of minimum
+    * degree k) or `maxRounds` is hit. On the near-dup similarity
+    * graph the 2-core separates genuine duplication families (every
+    * member pinned by ≥2 independent matches) from chains of
+    * borderline pairwise hits — the band-index noise filter.
+    *
+    * Determinism: peeling has no tie-breaking — any removal order
+    * reaches the same fixpoint, so level-synchronous rounds are safe
+    * to oracle round for round. Early exit when a round removes
+    * nothing (the remaining rounds would be no-ops, so a generously
+    * sized `maxRounds` costs nothing and an unrolled SQL oracle with
+    * the same round count agrees on output regardless of where
+    * convergence lands).
+    *
+    * Scale shape: each round is one degree aggregate plus two
+    * left-semi joins, all shuffled on node id — the same key every
+    * round; `localCheckpoint` truncates lineage per round (the
+    * Components loop discipline). Worst-case round count is the
+    * degeneracy peel depth, log-bounded on power-law graphs; the
+    * per-round survivor count (one scalar) is the only driver state.
+    *
+    * Returns (id, core_degree) for surviving nodes — their degree
+    * WITHIN the core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    var prevEdges = -1L
+    var curEdges = e.count()
+    var round = 0
+    while (round < maxRounds && curEdges != prevEdges && curEdges > 0) {
+      val deg = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select(col("v")).localCheckpoint()
+      val next = e
+        .join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
+        .localCheckpoint()
+      prevEdges = curEdges
+      curEdges = next.count()
+      e = next
+      round += 1
+    }
+    e.select(col("lo").as("id")).unionAll(e.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -170,6 +170,24 @@ object DedupQueries extends QueryPack {
       graft.operators.Graph.triangleCount(cand, "id_a", "id_b")
     }),
 
+    // 2-core of the near-dup graph (iterative peeling to the fixpoint):
+    // docs that survive are pinned by >= 2 independent banding matches
+    // WITHIN the core — chains of borderline pairwise hits peel away,
+    // dense duplication families remain. The structural noise filter
+    // run on band-index output before cluster survivors are chosen.
+    // Oracle unrolls 4 peel rounds (the fixture converges in 1; extra
+    // rounds are no-ops on both sides by the fixpoint argument in
+    // operators.Graph.kCore).
+    "graph_kcore" -> ((s, dir) => {
+      val sh = docShingles(s, dir).localCheckpoint()
+      val cand = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
+        "doc_id", rowsPerBand = 2)
+      graft.operators.Graph.kCore(cand, "id_a", "id_b", k = 2, maxRounds = 4)
+        .select(col("id").as("doc_id"), col("core_degree"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash Jaccard ESTIMATE vs exact on the banded candidates — the
     // estimator the signatures exist for, next to its ground truth.
     "dedup_minhash_estimate" -> ((s, dir) => {
@@ -714,6 +732,43 @@ object DedupQueries extends QueryPack {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_triangles""".stripMargin,
+
+    // Same banded edge set; 4 unrolled peel rounds (degree filter on
+    // both endpoints), then the surviving nodes with their in-core
+    // degree. Materialized per round — the PageRank-oracle inliner
+    // discipline.
+    "graph_kcore" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS (SELECT v, count(*) AS d FROM (
+           |    SELECT lo AS v FROM e${r - 1} UNION ALL SELECT hi AS v FROM e${r - 1})
+           |  GROUP BY v),
+           |e$r AS MATERIALIZED (
+           |  SELECT e${r - 1}.* FROM e${r - 1}
+           |  JOIN d$r da ON da.v = e${r - 1}.lo AND da.d >= 2
+           |  JOIN d$r db ON db.v = e${r - 1}.hi AND db.d >= 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig
+         |    AND x.doc_id < y.doc_id),
+         |$rounds
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM (SELECT lo AS id FROM e4 UNION ALL SELECT hi AS id FROM e4)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
 
     "dedup_minhash_estimate" ->
       s"""WITH $shingleCte,

@@ -236,6 +236,36 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("d_custkey"))
     }),
 
+    // The same linkage through the self-tuning skew-aware scorer: it
+    // profiles the block-key distribution (keySkewReport), and when the
+    // report recommends salting, splits hot blocks across sub-block
+    // tasks while replicating only the hot b-side rows — the scored
+    // pair set (and hence every match) is bit-identical to the plain
+    // plan, which is why this query shares er_link_customers' oracle
+    // values. At 100 TB this is the difference between the hot block's
+    // quadratic pair set landing on one straggler task and on
+    // salt_factor tasks.
+    "er_link_customers_salted" -> ((s, dir) => {
+      val cust = Tables(s, dir).customer
+      val a = cust.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+      val b = cust.select(col("c_custkey").as("d_custkey"),
+        substring(col("c_name"), -1, 1).as("d_tail"),
+        (round(col("c_acctbal") / 10) * 10).as("d_bal"),
+        col("c_nationkey"), col("c_mktsegment"))
+        .withColumn("bal_kb", floor(col("d_bal") / 1000).cast("long"))
+      val scored = Linkage.scorePairsSkewAware(a, "c_custkey", b,
+        Seq("c_nationkey", "c_mktsegment", "bal_kb"),
+        Seq(
+          Linkage.FieldRule("name_tail",
+            substring(col("c_name"), -1, 1) === col("d_tail"), 3.25, -4.17),
+          Linkage.FieldRule("balance",
+            abs(col("c_acctbal") - col("d_bal")) <= 5, 2.29, -2.5)))
+      Linkage.bestMatches(scored, "c_custkey", "d_custkey", threshold = 4.0)
+        .orderBy(col("d_custkey"))
+    }),
+
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
     // longer documents (weight = n_chars) are proportionally likelier,
     // every draw a pure function of the doc key — reproducible across
@@ -726,6 +756,33 @@ object ExtendedRelationalQueries extends QueryPack {
     // half-away-from-zero in both engines, so d_bal and the block
     // bucket replay exactly.
     "er_link_customers" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS d_custkey, right(c_name, 1) AS d_tail,
+        |    round(c_acctbal / 10) * 10 AS d_bal, c_nationkey, c_mktsegment,
+        |    CAST(floor(round(c_acctbal / 10) * 10 / 1000) AS BIGINT) AS bal_kb
+        |  FROM customer),
+        |p AS (
+        |  SELECT b.d_custkey, a.c_custkey,
+        |    round(CASE WHEN right(a.c_name, 1) = b.d_tail
+        |        THEN 3.25 ELSE -4.17 END +
+        |      CASE WHEN abs(a.c_acctbal - b.d_bal) <= 5
+        |        THEN 2.29 ELSE -2.5 END, 6) + 0.0 AS fs_score
+        |  FROM a JOIN b USING (c_nationkey, c_mktsegment, bal_kb)),
+        |m AS (
+        |  SELECT d_custkey, c_custkey, fs_score, row_number() OVER (
+        |      PARTITION BY d_custkey ORDER BY fs_score DESC, c_custkey) AS rn
+        |  FROM p WHERE fs_score >= 4.0)
+        |SELECT d_custkey, c_custkey AS best_c_custkey, fs_score
+        |FROM m WHERE rn = 1
+        |ORDER BY d_custkey""".stripMargin,
+
+    // Salting only re-partitions WHERE pairs are scored, never WHICH
+    // pairs are scored — the oracle is the same pair enumeration.
+    "er_link_customers_salted" ->
       """WITH a AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb

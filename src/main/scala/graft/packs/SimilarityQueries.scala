@@ -95,6 +95,21 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Greedy k-center coreset (farthest-point traversal): the
+    // diversity-maximizing 6-point training subset of the embedded
+    // corpus, 2-approximating the optimal 6-center cover. Selection
+    // order and per-selection radii are pure functions of the
+    // embedding column (seed + ties by lowest id), so the oracle
+    // unrolls all 6 rounds. The radii are non-increasing — the
+    // curation signal: stop selecting when the radius falls under the
+    // redundancy threshold.
+    "sim_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterCoreset(Tables(s, dir).embeddings,
+          "vec_id", "embedding", k = 6)
+        .select(col("sel_rank"), col("id").as("vec_id"), col("radius"))
+        .orderBy(col("sel_rank"))
+    }),
+
     // Product quantization + asymmetric-distance top-3: 4 subspaces of
     // 16 dims, 8-entry codebooks from 2 deterministic Lloyd rounds (the
     // c2_kmeans_lloyd seeding/round contract per subspace, all trained
@@ -393,6 +408,51 @@ object SimilarityQueries extends QueryPack {
         |FROM q
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    // 6 unrolled farthest-point rounds: each round one distance table
+    // to the newly selected point, a least() fold into the running
+    // min-distance, and an ORDER BY mind DESC, id LIMIT 1 argmax over
+    // the not-yet-selected — the engine's min-struct argmax literally.
+    // Selection comparisons run on unrounded doubles (the sim_ivf
+    // precedent); only the published radius rounds.
+    "sim_kcenter_coreset" -> {
+      val rounds = (1 to 5).map { r =>
+        val selected = ("SELECT id FROM s1" +:
+          (1 until r).map(i => s"SELECT id FROM m$i")).mkString(" UNION ")
+        val prev = if (r == 1) "c1" else s"c$r"
+        // m_r: argmax over cur frame c_r; c_{r+1}: fold in m_r's point
+        s"""m$r AS MATERIALIZED (
+           |  SELECT id, mind FROM $prev
+           |  WHERE id NOT IN ($selected)
+           |  ORDER BY mind DESC, id LIMIT 1),
+           |c${r + 1} AS MATERIALIZED (
+           |  SELECT c.id, least(c.mind, d.d2) AS mind
+           |  FROM $prev c JOIN (
+           |    SELECT p.id, sum((p.v - q.v) * (p.v - q.v)) AS d2
+           |    FROM pts p JOIN pts q ON p.dim = q.dim
+           |      AND q.id = (SELECT id FROM m$r)
+           |    GROUP BY p.id) d USING (id))""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to 6).map(r =>
+        s"""UNION ALL SELECT $r AS sel_rank, (SELECT id FROM m${r - 1}) AS vec_id,
+           |  round(sqrt((SELECT mind FROM m${r - 1})), 6) + 0.0 AS radius"""
+          .stripMargin).mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |s1 AS MATERIALIZED (SELECT min(id) AS id FROM pts),
+         |c1 AS MATERIALIZED (
+         |  SELECT p.id, sum((p.v - q.v) * (p.v - q.v)) AS mind
+         |  FROM pts p JOIN pts q ON p.dim = q.dim
+         |    AND q.id = (SELECT id FROM s1)
+         |  GROUP BY p.id),
+         |$rounds
+         |SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, radius FROM (
+         |SELECT 1 AS sel_rank, (SELECT id FROM s1) AS vec_id, 0.0 AS radius
+         |$out
+         |) ORDER BY sel_rank""".stripMargin
+    },
 
     // Full PQ replay: per-subspace Lloyd (2 unrolled rounds, seeds =
     // the 8 lowest vec_ids — dense 0-based, so cid = vec_id), encode,

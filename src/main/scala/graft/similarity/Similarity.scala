@@ -400,6 +400,77 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cid"))).as("_m"))
       .select(col(idCol), col("sub"), col("_m.cid").as("cid"))
 
+  /** Greedy k-center coreset (Gonzalez 1985; the farthest-point
+    * traversal behind coreset/data-pruning selection à la Sener &
+    * Savarese 2018): seed at the lowest id, then k−1 rounds of "select
+    * the point farthest (L2) from everything selected so far". The
+    * selected set 2-approximates the optimal k-center cover — the
+    * diversity-maximizing sample for curating a training subset from
+    * an embedded corpus.
+    *
+    * Determinism: seed and every tie (equal min-distances) break by
+    * lowest id, so the traversal is a pure function of the embedding
+    * column and an unrolled SQL oracle replays it round for round.
+    *
+    * Scale shape: the running min-distance frame is ONE column updated
+    * map-side per round against the newly selected vector (a 1-row
+    * broadcast crossJoin — never the full selected set: the classic
+    * O(nk) trick of folding mind = least(mind, d(x, new))). Each round
+    * costs one native-l2sq map pass + one min-struct argmax aggregate
+    * (map-side combinable, no sort); `localCheckpoint` truncates the
+    * per-round lineage. Total work O(n·k·d) — linear in the corpus,
+    * never quadratic; the only driver state is the round counter.
+    *
+    * Returns (sel_rank, id, radius): selection order and the L2
+    * distance (rounded, 6) from the selected point to its nearest
+    * prior selection — a non-increasing sequence whose tail bounds
+    * the cover radius of the whole corpus.
+    */
+  def kCenterCoreset(emb: DataFrame, idCol: String, arrCol: String,
+                     k: Int): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    require(k >= 1, s"k=$k must be positive")
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+      col(arrCol).cast("array<double>").as("_v")).localCheckpoint()
+    // checkpoint already materialized pts, so this count is a cached
+    // scan; k beyond the corpus would make the argmax aggregate empty
+    // mid-traversal and silently truncate the selection
+    val n = pts.count()
+    require(k <= n, s"k=$k exceeds the corpus size $n")
+    val seed = pts.agg(min(col("id")).as("_sid"))
+    var sel = pts.join(broadcast(seed), col("id") === col("_sid"))
+      .select(lit(1).as("sel_rank"), col("id"), col("_v"),
+        lit(0.0).as("_rad"))
+      .localCheckpoint()
+    var cur = pts
+      .crossJoin(broadcast(sel.select(col("_v").as("_sv"))))
+      .select(col("id"), col("_v"),
+        graft.plans.GraftExpressions.l2sq(col("_v"), col("_sv")).as("_mind"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      // argmax mind, ties to lowest id, over not-yet-selected points
+      val next = cur
+        .join(sel.select(col("id")), Seq("id"), "left_anti")
+        .agg(min(struct((-col("_mind")).as("nm"), col("id").as("nid"))).as("_x"))
+        .select(col("_x.nid").as("_nid"), (-col("_x.nm")).as("_nd"))
+      val nextRow = cur.crossJoin(broadcast(next))
+        .where(col("id") === col("_nid"))
+        .select(lit(r).as("sel_rank"), col("id"), col("_v"),
+          col("_nd").as("_rad"))
+        .localCheckpoint()
+      sel = sel.unionByName(nextRow).localCheckpoint()
+      cur = cur
+        .crossJoin(broadcast(nextRow.select(col("_v").as("_sv"))))
+        .select(col("id"), col("_v"),
+          least(col("_mind"),
+            graft.plans.GraftExpressions.l2sq(col("_v"), col("_sv")))
+            .as("_mind"))
+        .localCheckpoint()
+    }
+    sel.select(col("sel_rank"), col("id"),
+      (round(sqrt(col("_rad")), 6) + lit(0.0)).as("radius"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, arrCol: String): DataFrame =
     emb
       .withColumn("_v", col(arrCol).cast("array<double>"))

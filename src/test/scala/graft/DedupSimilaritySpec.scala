@@ -576,4 +576,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recallRr >= recallAdc,
       s"rerank recall $recallRr below pure-ADC recall $recallAdc")
   }
+
+  test("kCenterCoreset: farthest-point order, radii non-increasing, k=n covers all") {
+    import spark.implicits._
+    // 1-d line: ids 0..4 at 0, 1, 2, 10, 20
+    val emb = Seq((0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(2.0)),
+      (3L, Seq(10.0)), (4L, Seq(20.0))).toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterCoreset(emb, "vec_id", "embedding", k = 5)
+      .orderBy("sel_rank").as[(Int, Long, Double)].collect().toSeq
+    // seed 0; then 20 (farthest), 10, 2, 1 — classic farthest-first
+    assert(sel.map(_._2) === Seq(0L, 4L, 3L, 2L, 1L))
+    assert(sel.map(_._3) === Seq(0.0, 20.0, 10.0, 2.0, 1.0))
+    // radii (after the seed's 0) never increase
+    val radii = sel.map(_._3).drop(1)
+    assert(radii === radii.sorted.reverse)
+    // k beyond the corpus fails loudly instead of truncating silently
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(emb, "vec_id", "embedding", k = 6)
+    }
+    assert(e.getMessage.contains("exceeds the corpus size"))
+    // exact duplicates: radius hits 0 but ids never repeat
+    val dup = Seq((0L, Seq(0.0)), (1L, Seq(0.0)), (2L, Seq(5.0)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.kCenterCoreset(dup, "vec_id", "embedding", k = 3)
+      .orderBy("sel_rank").as[(Int, Long, Double)].collect().toSeq
+    assert(d.map(_._2) === Seq(0L, 2L, 1L))
+    assert(d.map(_._3) === Seq(0.0, 5.0, 0.0))
+  }
 }

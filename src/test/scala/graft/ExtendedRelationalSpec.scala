@@ -419,4 +419,35 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     // b=11: best is a=3 (tag only, 3.0-2.0=1.0) — under threshold, dropped
     assert(!best.contains(11L))
   }
+
+  test("salted FS linkage: scored pair set bit-identical to the plain plan") {
+    import graft.operators.Linkage
+    // block 0 is hot (6 a-rows vs 1-row cold blocks); salt=3 splits it
+    val a = (1L to 6L).map(i => (i, s"t${i % 2}", i * 10.0, 0)) ++
+      Seq((7L, "tx", 70.0, 1), (8L, "ty", 80.0, 2))
+    val b = Seq((10L, "t1", 12.0, 0), (11L, "t0", 41.0, 0),
+      (12L, "tx", 68.0, 1), (13L, "tz", 99.0, 2))
+    val aDf = a.toDF("id_a", "tag", "bal", "blk")
+    val bDf = b.toDF("id_b", "d_tag", "d_bal", "blk")
+    val rules = Seq(
+      Linkage.FieldRule("tag", col("tag") === col("d_tag"), 3.0, -3.0),
+      Linkage.FieldRule("bal", abs(col("bal") - col("d_bal")) <= 5, 2.0, -2.0))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("fs_score"))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val plain = canon(Linkage.scorePairs(aDf, bDf, Seq("blk"), rules))
+    val salted = canon(Linkage.scorePairsSalted(aDf, "id_a", bDf,
+      Seq("blk"), rules, salt = 3, hotThreshold = 2))
+    assert(salted === plain)
+    // hot block contributes 6x2 pairs, cold blocks 1x1 each
+    assert(plain.size === 14)
+    // skew-aware wrapper: report-driven parameters, same result set
+    val aware = canon(Linkage.scorePairsSkewAware(aDf, "id_a", bDf,
+      Seq("blk"), rules))
+    assert(aware === plain)
+    // degenerate salting (nothing hot) must also match exactly
+    val coldOnly = canon(Linkage.scorePairsSalted(aDf, "id_a", bDf,
+      Seq("blk"), rules, salt = 4, hotThreshold = 100))
+    assert(coldOnly === plain)
+  }
 }

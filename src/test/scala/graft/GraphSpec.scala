@@ -59,4 +59,28 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head()
     assert(s2 === ((4L, 0L, 0L)))
   }
+
+  test("kCore: cascading peel, tail chains drop, core degrees are in-core") {
+    // triangle {0,1,2} with a pendant chain 2-3-4-5: the chain peels
+    // CASCADING (5 first, then 4, then 3) — multi-round by construction
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(g, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // node 2 reports degree 2 (in-core), not its original 3
+    // k=3: the triangle itself dissolves -> empty
+    assert(Graph.kCore(g, "src", "dst", k = 3).count() === 0L)
+    // k=1 keeps every non-isolated node (degree >= 1 by existence)
+    assert(Graph.kCore(g, "src", "dst", k = 1).count() === 6L)
+    // maxRounds caps the peel: 1 round only strips node 5's edge
+    val partial = Graph.kCore(g, "src", "dst", k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // duplicates/direction/self-loops canonicalize before peeling
+    val messy = Seq((1L, 0L), (0L, 1L), (2L, 1L), (0L, 2L), (1L, 1L))
+      .toDF("src", "dst")
+    assert(Graph.kCore(messy, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
 }
