@@ -509,8 +509,29 @@ object Graft {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 20): DataFrame =
     graft.operators.Graph.kCore(edges, srcCol, dstCol, k, maxRounds)
-  /** Skew-aware Fellegi–Sunter scoring: profiles the block key and
-    * salts hot blocks per its own advice (operators.Linkage).
+  /** Fixed-round synchronous label-propagation communities with
+    * deterministic ties (operators.Graph).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame =
+    graft.operators.Graph.labelPropagation(edges, srcCol, dstCol, rounds)
+  /** Greedy k-center coreset selection over an embedding column
+    * (similarity.Similarity): the diversity-maximizing k-subset.
+    */
+  def kCenterCoreset(emb: DataFrame, idCol: String, arrCol: String,
+                     k: Int): DataFrame =
+    graft.similarity.Similarity.kCenterCoreset(emb, idCol, arrCol, k)
+  /** IVF top-k with a per-query exhaustive-fallback recall floor
+    * (similarity.Similarity.ivfTopKAdaptive).
+    */
+  def ivfTopKAdaptive(emb: DataFrame, queries: DataFrame, idCol: String,
+                      arrCol: String, centersLong: DataFrame,
+                      centerCol: String, nProbe: Int, k: Int,
+                      minCand: Int): DataFrame =
+    graft.similarity.Similarity.ivfTopKAdaptive(emb, queries, idCol,
+      arrCol, centersLong, centerCol, nProbe, k, minCand)
+  /** Skew-aware Fellegi–Sunter scoring: hot blocks split across
+    * per-block-sized sub-block counts (operators.Linkage).
     */
   def linkScorePairsSkewAware(a: DataFrame, aId: String, b: DataFrame,
                               blockCols: Seq[String],

@@ -261,6 +261,57 @@ object StressBench {
       graft.operators.Graph.triangleCount(
         chain.unionByName(hubs), "src", "dst").count()
     }
+    // k-core peeling with a CASCADE: rows/40 triangles, each vertex
+    // carrying a pendant 6-node path (21·T edges total). The paths
+    // dissolve tip-first over ~7 peel rounds — the multi-round regime
+    // the fixpoint loop exists for — while every triangle survives, so
+    // the returned core is exactly the 3·T triangle vertices. Prices
+    // the per-round degree-aggregate + two-semi-join machinery at ~10M
+    // edges.
+    timed("kcore_peel_cascade") {
+      val t = math.max(rows / 40L, 50000L)
+      val tri = spark.range(t).select(explode(array(
+        struct((col("id") * 3).as("src"), (col("id") * 3 + 1).as("dst")),
+        struct((col("id") * 3 + 1).as("src"), (col("id") * 3 + 2).as("dst")),
+        struct((col("id") * 3).as("src"), (col("id") * 3 + 2).as("dst"))))
+        .as("e")).select(col("e.src"), col("e.dst"))
+      val base = t * 3
+      val paths = spark.range(t * 3).select(explode(array(
+        (0 to 4).map(j => struct(
+          (lit(base) + col("id") * 6 + j).as("src"),
+          (lit(base) + col("id") * 6 + j + 1).as("dst"))): _*)).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val anchors = spark.range(t * 3).select(col("id").as("src"),
+        (lit(base) + col("id") * 6).as("dst"))
+      graft.operators.Graph.kCore(
+        tri.unionByName(paths).unionByName(anchors), "src", "dst",
+        k = 2, maxRounds = 10).count()
+    }
+    // fixed-round label propagation on the same chain+hub shape as
+    // pagerank: per-round cost is one edges⋈labels join + two
+    // aggregates at 1.1·rows/10 edges
+    timed("label_propagation_rounds") {
+      val nNodes = math.max(rows / 10L, 100000L)
+      val chain = spark.range(nNodes).select(col("id").as("src"),
+        pmod(col("id") + 1, lit(nNodes)).as("dst"))
+      val hubs = spark.range(nNodes).where(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("src"),
+          pmod(hash(col("id")), lit(1000)).cast("long").as("dst"))
+      graft.operators.Graph.labelPropagation(
+        chain.unionByName(hubs), "src", "dst", rounds = 4).count()
+    }
+    // farthest-point traversal at rows/20 64-dim vectors, k=8: each
+    // round is one native-l2sq map pass + a min-struct argmax — the
+    // O(n·k·d) running-min fold, never a pairwise matrix
+    timed("kcenter_coreset") {
+      val n = math.max(rows / 20L, 100000L)
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), " +
+          "i -> cast(hash(id, i) % 1000 as double) / 1000.0)").as("embedding"))
+      graft.similarity.Similarity.kCenterCoreset(
+        emb, "vec_id", "embedding", k = 8).count()
+    }
     // blocked Fellegi–Sunter linkage at 2×rows/10 records: block keys
     // keep ~16-row blocks, so the scored pair set stays ~16× the
     // record count, never quadratic in it
@@ -289,9 +340,9 @@ object StressBench {
     // tail blocks stay tiny. The plain equi-join lands that entire
     // quadratic pair set on one task; this stage prices that
     // straggler. The _salted twin runs the SAME records through
-    // scorePairsSkewAware, which profiles the key, takes its own
-    // salt_factor advice, and splits the hot blocks across sub-block
-    // tasks. The report line in between records what the advisor saw.
+    // scorePairsSkewAware: blocks past the per-task pair budget split
+    // across per-block-sized sub-block counts. The report line in
+    // between records what the diagnostic sees on this key.
     def zipfLinkSides(n: Long) = {
       val base = spark.range(n).select(col("id"),
         pow(lit(2.0), pmod(abs(hash(col("id"))), lit(1000000)) / lit(25000.0))
@@ -328,6 +379,38 @@ object StressBench {
             abs(col("bal") - col("d_bal")) <= 5, 2.3, -2.0)))
       graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
         .count()
+    }
+    // AQE-off twins: on a shuffle-joined plan, AQE's skew-join split
+    // already levels the hot block (the Spark-first mitigation), so the
+    // pair above measures salting as pure overhead. With AQE disabled —
+    // the regime of engines/configs without runtime re-plan, and of
+    // plans AQE cannot split — the plain join serializes the hot
+    // block's pair set on one task and the salted plan is what removes
+    // the straggler. These two stages price exactly that.
+    def aqeOff[T](f: => T): T = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    timed("fs_linkage_zipf_plain_noaqe") {
+      aqeOff {
+        val (a, b) = zipfLinkSides(math.max(rows / 20L, 100000L))
+        val scored = graft.operators.Linkage.scorePairs(a, b, Seq("zb"), Seq(
+          graft.operators.Linkage.FieldRule("bal",
+            abs(col("bal") - col("d_bal")) <= 5, 2.3, -2.0)))
+        graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
+          .count()
+      }
+    }
+    timed("fs_linkage_zipf_salted_noaqe") {
+      aqeOff {
+        val (a, b) = zipfLinkSides(math.max(rows / 20L, 100000L))
+        val scored = graft.operators.Linkage.scorePairsSkewAware(a, "id_a", b,
+          Seq("zb"), Seq(
+            graft.operators.Linkage.FieldRule("bal",
+              abs(col("bal") - col("d_bal")) <= 5, 2.3, -2.0)))
+        graft.operators.Linkage.bestMatches(scored, "id_a", "id_b", 2.0)
+          .count()
+      }
     }
     // encode rows/200 docs × 200 4-char words (vocab ≈ 26^4) through a
     // 6-entry merge table: folds run once per DISTINCT word, the

@@ -121,6 +121,59 @@ object Graph {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with
+    * deterministic tie-breaking: every node starts as its own label;
+    * each round it adopts its neighbors' most frequent label, ties to
+    * the smallest label id. A FIXED round count from that start (the
+    * pageRank determinism contract — no RNG, no convergence epsilon,
+    * and the asynchronous-update nondeterminism of classic LPA is
+    * deliberately traded away) makes every label a pure function of
+    * the edge set, so an unrolled SQL oracle replays the propagation
+    * round for round. On the near-dup graph, communities resolve
+    * finer than connected components: two duplication families joined
+    * by one borderline edge keep separate labels, where components
+    * would merge them.
+    *
+    * Scale shape: one edges⋈labels join + two aggregates per round
+    * (neighbor-label counts, then a min-struct argmax — both map-side
+    * combinable, no sort exchange), shuffled on node id every round;
+    * `localCheckpoint` truncates per-round lineage. Isolated nodes
+    * never appear (label sets are derived from the edge list); union
+    * callers' universes in afterwards if singletons matter.
+    *
+    * Returns (id, label) for every node incident to an edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst")),
+        struct(col("hi").as("src"), col("lo").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      .localCheckpoint()
+    var lab = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = e
+        .join(lab.select(col("id").as("dst"), col("label").as("_nl")), "dst")
+        .groupBy(col("src"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("src").as("id"))
+        .agg(min(struct((-col("_c")).as("nc"), col("_nl").as("nl"))).as("_m"))
+        .select(col("id"), col("_m.nl").as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** k-core of an undirected graph by iterative peeling (Seidman 1983;
     * Batagelj–Zaveršnik's peel order, run level-synchronously): each
     * round drops every node whose current degree is below `k` together

@@ -47,42 +47,54 @@ object Linkage {
       .withColumn("fs_score", (round(score, 6) + lit(0.0)))
   }
 
-  /** [[scorePairs]] with differential salting for skewed block keys —
-    * the straggler killer when one block holds a large share of both
-    * sides (a Zipfian block distribution puts the whole hot block's
-    * quadratic pair set in ONE task under the plain equi-join).
+  /** [[scorePairs]] with differential, per-block salting for skewed
+    * block keys — the straggler killer when one block holds a large
+    * share of both sides (a Zipfian block distribution puts the whole
+    * hot block's quadratic pair set in ONE task under the plain
+    * equi-join).
     *
     * Only blocks whose a-side row count exceeds `hotThreshold` are
-    * salted: a-side hot rows split into `salt` sub-blocks by a hash of
-    * `aId`; b-side hot rows replicate across all `salt` sub-blocks, so
-    * every original pair still meets exactly once and the scored pair
-    * set is BIT-IDENTICAL to the plain scorer's (spec-pinned). Cold
-    * blocks pass through with a constant sub-block — no replication
-    * cost outside the hot set. The hot-block key list is a
-    * groupBy-count the size of the block-key space, broadcast to both
-    * sides. Total pair work is unchanged (the quadratic term is a
-    * property of the block key, not the plan); what changes is that
-    * the hot block's pairs now land on `salt` tasks instead of one.
+    * salted, and each gets its OWN split factor sized to its rows:
+    * with c = ⌈rows / hotThreshold⌉ the block splits c² ways (capped
+    * at `maxSalt`), because splitting the a-side s ways leaves
+    * rows²/s pairs per task — the factor must grow with the SQUARE of
+    * the block to hold per-task pairs at ~hotThreshold². A-side hot
+    * rows hash into their block's sub-blocks by `aId`; b-side hot
+    * rows replicate across that block's sub-blocks, so every original
+    * pair still meets exactly once and the scored pair set is
+    * BIT-IDENTICAL to the plain scorer's (spec-pinned). Replication
+    * cost amortizes: each replicated b-row meets ~hotThreshold a-rows.
+    * Cold blocks pass through un-replicated with a constant sub-block.
+    *
+    * Sizing salt by the GLOBAL max/avg ratio instead (the key-skew
+    * report's single salt_factor, with hot = 2× the mean) was built
+    * and measured 2.7× SLOWER than the unsalted plan at 1M Zipf-keyed
+    * records — a mean-relative threshold salts most of a Zipf mass
+    * and a flat factor replicates the b-side everywhere (SCALE.md
+    * round 12). The threshold is absolute — a per-task pair budget —
+    * for that reason.
     */
   def scorePairsSalted(a: DataFrame, aId: String, b: DataFrame,
                        blockCols: Seq[String], rules: Seq[FieldRule],
-                       salt: Int, hotThreshold: Long): DataFrame = {
+                       maxSalt: Int = 64,
+                       hotThreshold: Long = 4096L): DataFrame = {
     require(rules.nonEmpty, "at least one field rule required")
     require(blockCols.nonEmpty, "at least one block column required")
-    require(salt >= 2, s"salt=$salt: a salted plan needs >= 2 sub-blocks")
+    require(maxSalt >= 2, s"maxSalt=$maxSalt: salting needs >= 2 sub-blocks")
     require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be positive")
     val keyCols = blockCols.map(col)
+    val c = ceil(col("_bn").cast("double") / lit(hotThreshold))
     val hot = a.groupBy(keyCols: _*).agg(count(lit(1)).as("_bn"))
       .where(col("_bn") > hotThreshold)
-      .select(keyCols :+ lit(1).as("_hot"): _*)
+      .select(keyCols :+ least(c * c, lit(maxSalt)).cast("int").as("_sn"): _*)
     val aS = a.join(broadcast(hot), blockCols, "left")
-      .withColumn("_salt", when(col("_hot").isNotNull,
-        pmod(xxhash64(col(aId)), lit(salt)).cast("int")).otherwise(lit(0)))
-      .drop("_hot")
+      .withColumn("_salt", when(col("_sn").isNotNull,
+        pmod(xxhash64(col(aId)), col("_sn")).cast("int")).otherwise(lit(0)))
+      .drop("_sn")
     val bS = b.join(broadcast(hot), blockCols, "left")
-      .withColumn("_salt", explode(when(col("_hot").isNotNull,
-        sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
-      .drop("_hot")
+      .withColumn("_salt", explode(when(col("_sn").isNotNull,
+        sequence(lit(0), col("_sn") - 1)).otherwise(array(lit(0)))))
+      .drop("_sn")
     val score = rules.map(r =>
       when(r.agree, lit(r.wAgree)).otherwise(lit(r.wDisagree))).reduce(_ + _)
     aS.join(bS, blockCols :+ "_salt")
@@ -90,26 +102,19 @@ object Linkage {
       .drop("_salt")
   }
 
-  /** Self-tuning scorer: profiles the a-side block-key distribution
-    * with [[Diagnostics.keySkewReport]] and follows its own advice —
-    * plain equi-join when the report says `salt_factor` 1, otherwise
-    * the differentially-salted plan with the recommended factor
-    * (capped at `maxSalt`; past ~64-way the per-task pair count is no
-    * longer the bottleneck) and hot = 2× the mean block size (the
-    * report's own hot-key definition). The report is one metadata-
-    * scale row — the only driver state this decision reads.
+  /** The linkage scorer to reach for when the block-key distribution
+    * is unknown: [[scorePairsSalted]] at its defaults. The hot-block
+    * count IS the skew profile — one groupBy over the a-side, cheaper
+    * than a full [[Diagnostics.keySkewReport]] pass — and a key with
+    * no block past the threshold degenerates to the plain plan plus
+    * one empty broadcast, so there is no report-then-decide step to
+    * pay for (the report remains the right tool for understanding a
+    * key; this is the right default for executing on one).
     */
   def scorePairsSkewAware(a: DataFrame, aId: String, b: DataFrame,
                           blockCols: Seq[String], rules: Seq[FieldRule],
-                          maxSalt: Int = 64): DataFrame = {
-    val rep = Diagnostics
-      .keySkewReport(a, struct(blockCols.map(col): _*))
-      .select(col("salt_factor"), col("avg_key_rows")).head()
-    val saltF = math.min(rep.getLong(0), maxSalt.toLong).toInt
-    if (saltF < 2) scorePairs(a, b, blockCols, rules)
-    else scorePairsSalted(a, aId, b, blockCols, rules, saltF,
-      hotThreshold = math.max(math.ceil(rep.getDouble(1) * 2).toLong, 1L))
-  }
+                          maxSalt: Int = 64): DataFrame =
+    scorePairsSalted(a, aId, b, blockCols, rules, maxSalt)
 
   /** One best match per right-side id: highest score wins, ties to the
     * lowest left id, pairs under `threshold` dropped entirely. The

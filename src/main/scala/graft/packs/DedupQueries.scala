@@ -170,6 +170,21 @@ object DedupQueries extends QueryPack {
       graft.operators.Graph.triangleCount(cand, "id_a", "id_b")
     }),
 
+    // Label-propagation communities over the near-dup graph, 4
+    // synchronous rounds with deterministic ties (most frequent
+    // neighbor label, then smallest) — finer than components: families
+    // bridged by one borderline candidate edge keep distinct labels.
+    "graph_label_communities" -> ((s, dir) => {
+      val sh = docShingles(s, dir).localCheckpoint()
+      val cand = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
+        "doc_id", rowsPerBand = 2)
+      graft.operators.Graph.labelPropagation(cand, "id_a", "id_b",
+          rounds = 4)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 2-core of the near-dup graph (iterative peeling to the fixpoint):
     // docs that survive are pinned by >= 2 independent banding matches
     // WITHIN the core — chains of borderline pairwise hits peel away,
@@ -732,6 +747,46 @@ object DedupQueries extends QueryPack {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_triangles""".stripMargin,
+
+    // Same banded edge set symmetrized; 4 unrolled propagation rounds,
+    // each one neighbor-label count + a (count DESC, label) argmax —
+    // the engine's min-struct argmax as a row_number window.
+    "graph_label_communities" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT src AS id, nl AS label FROM (
+           |    SELECT src, nl, row_number() OVER (
+           |      PARTITION BY src ORDER BY c DESC, nl) AS rn
+           |    FROM (SELECT e.src, l.label AS nl, count(*) AS c
+           |          FROM edges e JOIN l${r - 1} l ON l.id = e.dst
+           |          GROUP BY e.src, l.label) t) rk
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig
+         |    AND x.doc_id < y.doc_id),
+         |edges AS MATERIALIZED (
+         |  SELECT lo AS src, hi AS dst FROM cand
+         |  UNION ALL SELECT hi AS src, lo AS dst FROM cand),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id, src AS label FROM edges),
+         |$rounds
+         |SELECT id AS doc_id, label AS community FROM l4
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Same banded edge set; 4 unrolled peel rounds (degree filter on
     // both endpoints), then the surviving nodes with their in-core

@@ -236,15 +236,13 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("d_custkey"))
     }),
 
-    // The same linkage through the self-tuning skew-aware scorer: it
-    // profiles the block-key distribution (keySkewReport), and when the
-    // report recommends salting, splits hot blocks across sub-block
-    // tasks while replicating only the hot b-side rows — the scored
-    // pair set (and hence every match) is bit-identical to the plain
-    // plan, which is why this query shares er_link_customers' oracle
-    // values. At 100 TB this is the difference between the hot block's
-    // quadratic pair set landing on one straggler task and on
-    // salt_factor tasks.
+    // The same linkage through the skew-aware scorer: blocks past the
+    // per-task pair budget split across per-block-sized sub-block
+    // counts, replicating only the hot b-side rows — the scored pair
+    // set (and hence every match) is bit-identical to the plain plan,
+    // which is why this query shares er_link_customers' oracle values.
+    // At 100 TB this is the difference between a hot block's quadratic
+    // pair set landing on one straggler task and on c² balanced tasks.
     "er_link_customers_salted" -> ((s, dir) => {
       val cust = Tables(s, dir).customer
       val a = cust.select(col("c_custkey"), col("c_name"),

@@ -46,6 +46,23 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF with the exhaustive-fallback recall floor: nProbe=1 gating,
+    // but any query whose probed cell holds fewer than 50 candidates
+    // re-runs against the whole corpus (FAISS nprobe-escalation made
+    // one-shot). At sf0.01 the 41-63-member cells split the 10 queries
+    // across BOTH branches — the artifact pins the gate itself, not
+    // just one path; fell_back marks the branch per row.
+    "sim_ivf_adaptive" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      Similarity.ivfTopKAdaptive(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", centers, "cell", nProbe = 1, k = 3,
+          minCand = 50)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // LSH QUALITY, value-level (graduates the former rows-only
     // sim_ml_lsh_join): recall@5 of the deterministic sign-LSH bucket
     // candidates against brute-force cosine ground truth — every number
@@ -334,6 +351,67 @@ object SimilarityQueries extends QueryPack {
         |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
         |  FROM scored)
         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // The ivf replay with pr <= 1, plus the gate: LEFT JOIN candidate
+    // counts (0 for empty probes), under-50 queries swap to the
+    // brute-force pair set. Branches are disjoint by query, so one
+    // shared rank window serves both.
+    "sim_ivf_adaptive" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+        |assign AS (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |  FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |        FROM pts p JOIN ctr c ON p.dim = c.dim
+        |        GROUP BY p.vec_id, c.cell) d),
+        |cells AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          WHERE p.vec_id < 10
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE pr <= 1),
+        |cand AS MATERIALIZED (
+        |  SELECT pr.query_id, ce.neighbor_id
+        |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
+        |  WHERE pr.query_id <> ce.neighbor_id),
+        |under AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id
+        |  FROM embeddings q LEFT JOIN cand cd ON cd.query_id = q.vec_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY q.vec_id
+        |  HAVING count(cd.neighbor_id) < 50),
+        |allc AS (
+        |  SELECT query_id, neighbor_id, FALSE AS fell_back FROM cand
+        |  WHERE query_id NOT IN (SELECT query_id FROM under)
+        |  UNION ALL
+        |  SELECT u.query_id, e.vec_id AS neighbor_id, TRUE AS fell_back
+        |  FROM under u, embeddings e WHERE e.vec_id <> u.query_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.neighbor_id, cd.fell_back,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+        |  FROM allc cd
+        |  JOIN embeddings q ON q.vec_id = cd.query_id
+        |  JOIN embeddings n ON n.vec_id = cd.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, fell_back, cs, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+        |  round(cs, 4) AS cos, fell_back
         |FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
 

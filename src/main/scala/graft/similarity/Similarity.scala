@@ -90,6 +90,70 @@ object Similarity {
         round(col("_cos"), 4).as("cos"))
   }
 
+  /** [[ivfTopK]] with an exhaustive-fallback guarantee (the production
+    * hybrid: FAISS's nprobe-escalation made one-shot): queries whose
+    * probed cells hold fewer than `minCand` candidates re-run against
+    * the WHOLE corpus instead of returning an under-filled (or
+    * low-recall) top-k. The gate is per query — well-covered queries
+    * pay only their probed cells; only the sparse tail pays the
+    * brute-force scan, so the expected cost stays IVF-shaped while
+    * the recall floor becomes exact. `fell_back` marks which branch
+    * served each row (the observability column the threshold is tuned
+    * by). Both branches and the gate are deterministic arithmetic —
+    * fully SQL-oracle-able.
+    */
+  def ivfTopKAdaptive(emb: DataFrame, queries: DataFrame, idCol: String,
+                      arrCol: String, centersLong: DataFrame,
+                      centerCol: String, nProbe: Int, k: Int,
+                      minCand: Int): DataFrame = {
+    import graft.mlops.{ClusterOps, NaiveBayesOps}
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val cells = ClusterOps.assignToCenters(
+      NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol),
+      centersLong, idCol, centerCol)
+      .select(col(idCol).as("neighbor_id"), col(centerCol))
+    val qLong = NaiveBayesOps.toLongForm(queries, Seq(idCol), arrCol)
+    val qDists = qLong.join(broadcast(centersLong), "dim")
+      .groupBy(col(idCol), col(centerCol))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("qdist"))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("qdist").asc, col(centerCol))
+    val probes = qDists
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= nProbe)
+      .select(col(idCol).as("query_id"), col(centerCol))
+    val cand = probes.join(cells, centerCol)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .localCheckpoint() // feeds the gate AND the gated branch
+    // the gate: queries under minCand probed candidates fall back
+    val under = queries.select(col(idCol).as("query_id"))
+      .join(cand.groupBy(col("query_id")).agg(count(lit(1)).as("_nc")),
+        Seq("query_id"), "left")
+      .where(coalesce(col("_nc"), lit(0L)) < minCand)
+      .select(col("query_id"))
+      .localCheckpoint() // tiny: one row per falling-back query
+    val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
+    val cU = emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_c"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    def rank(pairs: DataFrame, fellBack: Boolean): DataFrame = pairs
+      .join(qU, "query_id")
+      .join(cU, "neighbor_id")
+      .withColumn("_cos",
+        graft.plans.GraftExpressions.cosine(col("_q"), col("_c")))
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"), lit(fellBack).as("fell_back"))
+    val gated = rank(
+      cand.join(under, Seq("query_id"), "left_anti")
+        .select(col("query_id"), col("neighbor_id")), fellBack = false)
+    val exhaustive = rank(
+      under.crossJoin(cU.select(col("neighbor_id")))
+        .where(col("query_id") =!= col("neighbor_id")), fellBack = true)
+    gated.unionByName(exhaustive)
+  }
+
   /** spark.ml BucketedRandomProjectionLSH wrapper — the library's
     * general-purpose (seeded random hyperplane) LSH for euclidean ANN;
     * `approxSimilarityJoin` / `approxNearestNeighbors` come with it. The

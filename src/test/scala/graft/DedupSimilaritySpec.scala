@@ -577,6 +577,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"rerank recall $recallRr below pure-ADC recall $recallAdc")
   }
 
+  test("ivfTopKAdaptive: sparse-cell queries fall back to exact, covered stay gated") {
+    import spark.implicits._
+    // label 0: 8 points near the origin; label 1: 2 points far away
+    val emb = ((0L to 7L).map(i => (i, Seq(1.0 + 0.01 * i, 0.0), 0)) ++
+      Seq((8L, Seq(100.0, 50.0), 1), (9L, Seq(100.0, 51.0), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val queries = emb.where(col("vec_id") === 0L || col("vec_id") === 9L)
+    val got = Similarity.ivfTopKAdaptive(emb, queries, "vec_id", "embedding",
+        centers, "cell", nProbe = 1, k = 3, minCand = 4)
+      .as[(Long, Long, Int, Double, Boolean)].collect()
+    // query 0 probes the 8-member cell: 7 candidates >= 4 -> gated
+    val q0 = got.filter(_._1 == 0L)
+    assert(q0.length === 3 && q0.forall(!_._5))
+    // query 9 probes the 2-member cell: 1 candidate < 4 -> exhaustive
+    val q9 = got.filter(_._1 == 9L).sortBy(_._3)
+    assert(q9.length === 3 && q9.forall(_._5))
+    // fallback output IS the brute-force top-3
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 9L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rnk").as[(Long, Long, Int, Double)].collect()
+    assert(q9.map(t => (t._2, t._3, t._4)).toSeq ===
+      bf.map(t => (t._2, t._3, t._4)).toSeq)
+  }
+
   test("kCenterCoreset: farthest-point order, radii non-increasing, k=n covers all") {
     import spark.implicits._
     // 1-d line: ids 0..4 at 0, 1, 2, 10, 20

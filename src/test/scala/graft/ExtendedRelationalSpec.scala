@@ -437,7 +437,7 @@ class ExtendedRelationalSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().sorted.toSeq
     val plain = canon(Linkage.scorePairs(aDf, bDf, Seq("blk"), rules))
     val salted = canon(Linkage.scorePairsSalted(aDf, "id_a", bDf,
-      Seq("blk"), rules, salt = 3, hotThreshold = 2))
+      Seq("blk"), rules, maxSalt = 3, hotThreshold = 2))
     assert(salted === plain)
     // hot block contributes 6x2 pairs, cold blocks 1x1 each
     assert(plain.size === 14)
@@ -447,7 +447,7 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(aware === plain)
     // degenerate salting (nothing hot) must also match exactly
     val coldOnly = canon(Linkage.scorePairsSalted(aDf, "id_a", bDf,
-      Seq("blk"), rules, salt = 4, hotThreshold = 100))
+      Seq("blk"), rules, maxSalt = 4, hotThreshold = 100))
     assert(coldOnly === plain)
   }
 }

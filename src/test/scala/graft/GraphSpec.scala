@@ -83,4 +83,31 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(messy, "src", "dst", k = 2)
       .as[(Long, Long)].collect().toMap === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
+
+  test("labelPropagation: cliques converge to min label, bridge keeps communities apart") {
+    // two triangles {0,1,2} and {10,11,12} joined by one bridge 2-10
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("src", "dst")
+    val lab = Graph.labelPropagation(g, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // each triangle agrees internally (the single bridge edge is
+    // outvoted by the two in-triangle neighbors) and the two stay
+    // DISTINCT — components would merge all 6. Label VALUES are just
+    // identifiers: they may travel across the bridge (community 2
+    // converges to label 2 here), only the partition is the contract.
+    assert(lab(0L) === lab(1L) && lab(1L) === lab(2L))
+    assert(lab(10L) === lab(11L) && lab(11L) === lab(12L))
+    assert(lab(0L) !== lab(10L))
+    assert(lab.values.toSet.size === 2)
+    // synchronous LPA's known oscillation on a lone edge (each node's
+    // only neighbor label is the other's, so labels swap every round)
+    // is exactly why the contract fixes the round count — pin it
+    val pair = Seq((5L, 6L)).toDF("src", "dst")
+    val p1 = Graph.labelPropagation(pair, "src", "dst", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(p1 === Map(5L -> 6L, 6L -> 5L)) // one swap after 1 round
+    val p2 = Graph.labelPropagation(pair, "src", "dst", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(p2 === Map(5L -> 5L, 6L -> 6L)) // swapped back after 2
+  }
 }
