@@ -515,6 +515,22 @@ object Graft {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame =
     graft.operators.Graph.labelPropagation(edges, srcCol, dstCol, rounds)
+  /** Cell-gated k-NN graph over an embedding column — every corpus
+    * point's top-k in-probe cosine neighbors (similarity.Similarity).
+    */
+  def knnGraphCells(emb: DataFrame, idCol: String, arrCol: String,
+                    centersLong: DataFrame, centerCol: String, k: Int,
+                    nProbe: Int = 1): DataFrame =
+    graft.similarity.Similarity.knnGraphCells(emb, idCol, arrCol,
+      centersLong, centerCol, k, nProbe)
+  /** Incremental-ingest near-dup provenance pairs against a static
+    * band index (dedup.Dedup.nearDupPairsAgainstIndex).
+    */
+  def nearDupPairsAgainstIndex(docs: DataFrame, indexBands: DataFrame,
+                               idCol: String, textCol: String,
+                               indexIdCol: String): DataFrame =
+    graft.dedup.Dedup.nearDupPairsAgainstIndex(docs, indexBands, idCol,
+      textCol, indexIdCol)
   /** Greedy k-center coreset selection over an embedding column
     * (similarity.Similarity): the diversity-maximizing k-subset.
     */

@@ -197,6 +197,38 @@ object Dedup {
       .dropDuplicates(idCol)
   }
 
+  /** Incremental-ingest near-dup CANDIDATE PAIRS: incoming docs against
+    * a static band index that carries its doc ids — the batch shape of
+    * daily-increment dedup at 100 TB, where the corpus index is a
+    * materialized (band, band_sig, id) table and each increment pays
+    * only its own signatures plus one bucket join; the existing corpus
+    * is never re-scanned. Where [[nearDupAgainstIndex]] only FLAGS
+    * incoming docs (the streaming gate), this returns (new_id,
+    * index_id, n_shared_bands) — the provenance a keeper policy needs
+    * (which existing doc collides, at what banding confidence:
+    * P[band agrees] = jaccard^rowsPerBand, so shared-band count is a
+    * monotone similarity signal before any verify step).
+    */
+  def nearDupPairsAgainstIndex(docs: DataFrame, indexBands: DataFrame,
+                               idCol: String, textCol: String,
+                               indexIdCol: String, n: Int = 3,
+                               numHashes: Int = 8,
+                               rowsPerBand: Int = 2): DataFrame = {
+    val nb = numHashes / rowsPerBand
+    val sig = inRowSignature(docs, idCol, textCol, n, numHashes)
+    val bandCols = s"transform(sequence(0, ${nb - 1}), " +
+      s"b -> concat_ws('-', transform(sequence(0, ${rowsPerBand - 1}), " +
+      s"j -> cast(sig[b * $rowsPerBand + j] as string))))"
+    sig
+      .select(col(idCol).as("new_id"),
+        posexplode(expr(bandCols)).as(Seq("band", "band_sig")))
+      .join(indexBands.select(col(indexIdCol).as("index_id"),
+        col("band"), col("band_sig")), Seq("band", "band_sig"))
+      .where(col("new_id") =!= col("index_id"))
+      .groupBy(col("new_id"), col("index_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** LSH banding: group `rowsPerBand` consecutive hashes into a band
     * signature string; docs sharing any (band, signature) are candidates.
     * Returns distinct candidate pairs (id_a < id_b).

@@ -170,6 +170,24 @@ object DedupQueries extends QueryPack {
       graft.operators.Graph.triangleCount(cand, "id_a", "id_b")
     }),
 
+    // Incremental-ingest dedup: the even-id half of the corpus is the
+    // materialized band index (the 100 TB side, built once); the
+    // odd-id half arrives as the increment and pays one signature pass
+    // + one bucket join. Output is keeper-policy provenance — which
+    // index doc each new doc collides with and across how many bands.
+    "dedup_incremental_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val index = Dedup.bandSignatures(
+        Dedup.minhashSignatures(
+          Dedup.shingles(docs.where(col("doc_id") % 2 === 0),
+            "doc_id", "text"),
+          "doc_id"),
+        "doc_id")
+      Dedup.nearDupPairsAgainstIndex(docs.where(col("doc_id") % 2 === 1),
+          index, "doc_id", "text", indexIdCol = "doc_id")
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
     // Label-propagation communities over the near-dup graph, 4
     // synchronous rounds with deterministic ties (most frequent
     // neighbor label, then smallest) — finer than components: families
@@ -747,6 +765,29 @@ object DedupQueries extends QueryPack {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
          |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_triangles""".stripMargin,
+
+    // Both halves' md5 minhash families recomputed from scratch; the
+    // pair set is the band equi-join filtered to odd(new) × even(index),
+    // counting agreeing bands.
+    "dedup_incremental_pairs" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT))
+         |SELECT s.doc_id AS new_id, i.doc_id AS index_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared_bands
+         |FROM bands s JOIN bands i
+         |  ON s.band = i.band AND s.band_sig = i.band_sig
+         |WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+         |GROUP BY s.doc_id, i.doc_id
+         |ORDER BY new_id, index_id""".stripMargin,
 
     // Same banded edge set symmetrized; 4 unrolled propagation rounds,
     // each one neighbor-label count + a (count DESC, label) argmax —

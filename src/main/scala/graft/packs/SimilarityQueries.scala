@@ -112,6 +112,21 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Cell-gated k-NN graph: every corpus point's top-3 cosine
+    // neighbors within its 2 probed cells — the batch all-points
+    // analog of ivf search and the input structure semantic dedup /
+    // graph clustering consume. Cost one cell-pair family, never the
+    // n² cross join.
+    "sim_knn_graph" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      Similarity.knnGraphCells(emb, "vec_id", "embedding", centers, "cell",
+          k = 3, nProbe = 2)
+        .orderBy(col("src_id"), col("rnk"))
+    }),
+
     // Greedy k-center coreset (farthest-point traversal): the
     // diversity-maximizing 6-point training subset of the embedded
     // corpus, 2-approximating the optimal 6-center cover. Selection
@@ -486,6 +501,45 @@ object SimilarityQueries extends QueryPack {
         |FROM q
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    // Top-2 probe assignment (the ivf probes CTE over ALL points),
+    // directed shared-cell pairs deduped, cosine + per-source rank.
+    "sim_knn_graph" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn <= 2),
+        |prs AS (
+        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT pr.src_id, pr.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+        |  FROM prs pr
+        |  JOIN embeddings q ON q.vec_id = pr.src_id
+        |  JOIN embeddings n ON n.vec_id = pr.neighbor_id),
+        |r AS (
+        |  SELECT src_id, neighbor_id, cs, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT src_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+        |  round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 3
+        |ORDER BY src_id, rnk""".stripMargin,
 
     // 6 unrolled farthest-point rounds: each round one distance table
     // to the newly selected point, a least() fold into the running

@@ -464,6 +464,66 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cid"))).as("_m"))
       .select(col(idCol), col("sub"), col("_m.cid").as("cid"))
 
+  /** Cell-gated k-NN GRAPH construction: every corpus point's top-k
+    * cosine neighbors among points sharing any of its `nProbe` probed
+    * centroid cells — the batch all-points analog of [[ivfTopK]]
+    * (queries = the whole corpus) and the input structure SemDeDup-
+    * style semantic dedup, graph clustering, and connectivity
+    * curation consume. Cost is Σ|cell|²·nProbe, never n²: the knob is
+    * centroid count, exactly the embeddingNearDupCells tradeoff (and
+    * like it, cross-cell true neighbors outside every shared probe
+    * are forgone by design — raise nProbe to recover boundary
+    * straddlers).
+    *
+    * Shape: one broadcast assignment pass, id-only directed-pair
+    * generation per cell (vectors re-joined after pair-gen so the
+    * in-row arrays stay 8-byte ids), one fused-codegen cosine per
+    * candidate, then a per-source top-k window. `maxCell` drops
+    * degenerate cells (the quadratic bombs) rather than letting one
+    * hot centroid own the wall clock.
+    */
+  def knnGraphCells(emb: DataFrame, idCol: String, arrCol: String,
+                    centersLong: DataFrame, centerCol: String, k: Int,
+                    nProbe: Int = 1, maxCell: Int = 1 << 16): DataFrame = {
+    import graft.mlops.{ClusterOps, NaiveBayesOps}
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    require(k >= 1, s"k=$k must be positive")
+    val pointsLong = NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol)
+    val cells =
+      if (nProbe == 1)
+        ClusterOps.assignToCenters(pointsLong, centersLong, idCol, centerCol)
+      else
+        ClusterOps.assignToCentersTopN(
+          pointsLong, centersLong, idCol, centerCol, nProbe)
+    val und = cells
+      .groupBy(col(centerCol))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .where(size(col("_ids")).between(2, maxCell.toLong * nProbe))
+      .select(explode(expr(
+        "flatten(transform(_ids, (a, i) -> " +
+          "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
+      .select(col("_p.id_a").as("src_id"), col("_p.id_b").as("neighbor_id"))
+    val directed = und.unionAll(und.select(
+      col("neighbor_id").as("src_id"), col("src_id").as("neighbor_id")))
+    // multi-probe emits a pair once per shared cell — dedupe the 16-byte
+    // id pairs BEFORE the vector join so each candidate scores once
+    val pairs = if (nProbe == 1) directed else directed.distinct()
+    val wK = Window.partitionBy(col("src_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    pairs
+      .join(emb.select(col(idCol).as("src_id"), col(arrCol).as("_va")),
+        "src_id")
+      .join(emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_vb")),
+        "neighbor_id")
+      .withColumn("_cos",
+        graft.plans.GraftExpressions.cosine(col("_va"), col("_vb")))
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= k)
+      .select(col("src_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"))
+  }
+
   /** Greedy k-center coreset (Gonzalez 1985; the farthest-point
     * traversal behind coreset/data-pruning selection à la Sener &
     * Savarese 2018): seed at the lowest id, then k−1 rounds of "select

@@ -152,6 +152,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(flagged === Set(100L))
   }
 
+  test("nearDupPairsAgainstIndex: provenance pairs with band counts, flag-consistent") {
+    val index = Dedup.bandSignatures(
+      Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"),
+        "doc_id"), "doc_id")
+    val incoming = Seq(
+      (100L, "a b c d e f"),      // exact text of docs 0 AND 1 (dups)
+      (101L, "p q r s t u v")     // novel -> no collision
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsAgainstIndex(incoming, index,
+        "doc_id", "text", indexIdCol = "doc_id")
+      .as[(Long, Long, Long)].collect()
+    // identical text agrees on ALL 4 bands against every exact copy;
+    // the near-dup doc 2 may collide on a strict subset of bands —
+    // n_shared_bands is the confidence gradient, never above 4
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((100L, 0L)) === 4L && byPair((100L, 1L)) === 4L)
+    assert(pairs.forall(p => p._3 >= 1L && p._3 <= 4L))
+    assert(byPair.get((100L, 2L)).forall(_ < 4L))
+    // the novel doc collides with nothing
+    assert(pairs.forall(_._1 === 100L))
+    // the pair set's new_ids are exactly the flag operator's output
+    val flagged = Dedup.nearDupAgainstIndex(incoming,
+        index.select("band", "band_sig").distinct(), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairs.map(_._1).toSet === flagged)
+  }
+
   test("minhash: identical docs share all signatures; banding finds them") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
@@ -575,6 +602,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
         truth.intersect(adc3).size.toDouble / truth.size)
     assert(recallRr >= recallAdc,
       s"rerank recall $recallRr below pure-ADC recall $recallAdc")
+  }
+
+  test("knnGraphCells: in-cell top-k per point, cross-cell excluded, probes recover") {
+    import spark.implicits._
+    // two tight clusters far apart; point 4 sits between but labeled 0
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(1.0, 0.1), 0), (2L, Seq(1.0, 0.2), 0),
+      (10L, Seq(-1.0, 0.0), 1), (11L, Seq(-1.0, 0.1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val g1 = Similarity.knnGraphCells(emb, "vec_id", "embedding",
+        centers, "cell", k = 2, nProbe = 1)
+      .as[(Long, Long, Int, Double)].collect()
+    // every point's neighbors stay in its own cell
+    assert(g1.filter(_._1 < 10L).forall(_._2 < 10L))
+    assert(g1.filter(_._1 >= 10L).forall(_._2 >= 10L))
+    // cluster 0 points get 2 neighbors each; cluster 1 only has 1
+    assert(g1.count(_._1 == 0L) === 2 && g1.count(_._1 == 10L) === 1)
+    // point 0's rank-1 neighbor is its nearest in-cluster mate
+    assert(g1.find(t => t._1 == 0L && t._3 == 1).get._2 === 1L)
+    // nProbe=2 probes BOTH cells here (only 2 exist): the graph
+    // becomes the full brute-force top-k
+    val g2 = Similarity.knnGraphCells(emb, "vec_id", "embedding",
+        centers, "cell", k = 2, nProbe = 2)
+      .as[(Long, Long, Int, Double)].collect()
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(g2.map(t => (t._1, t._2, t._3)).toSet ===
+      bf.map(t => (t._1, t._2, t._3)).toSet)
   }
 
   test("ivfTopKAdaptive: sparse-cell queries fall back to exact, covered stay gated") {
