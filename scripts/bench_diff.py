@@ -114,6 +114,28 @@ def main():
         return
     waived = waivers()
     cq, pq = cur["queries"], prev["queries"]
+    # Machine-speed normalization: both runs stamp cal_pre/cal_post — the
+    # wall time of a fixed deterministic CPU workload. When the current
+    # machine state is genuinely slower (same binary, same plan, idle
+    # loadavg — measured 2x run-to-run this round), every query inflates
+    # by roughly the calibration ratio; dividing it out separates plan
+    # changes from machine drift. Clamped to [1, 2.5]: normalization may
+    # only FORGIVE apparent regressions on a slower machine, never
+    # manufacture regressions on a faster one, and a >2.5x canary delta
+    # means something is wrong enough that numbers shouldn't be trusted
+    # in either direction.
+    def cal(d):
+        vals = [d.get("cal_pre"), d.get("cal_post")]
+        vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+        return sum(vals) / len(vals) if vals else None
+    cal_cur, cal_prev = cal(cur), cal(prev)
+    cal_ratio = 1.0
+    if cal_cur and cal_prev:
+        cal_ratio = min(max(cal_cur / cal_prev, 1.0), 2.5)
+        if cal_ratio > 1.1:
+            print(f"bench_diff: machine canary {cal_prev:.2f}s -> "
+                  f"{cal_cur:.2f}s; normalizing per-query gate by "
+                  f"{cal_ratio:.2f}x (slower machine state, not plans)")
     # A query that FAILS in the current run (Bench reports -1 and lists it
     # in `failed`) is the worst regression of all — never let it slip out
     # of the comparison silently. The bench-waiver escape hatch applies
@@ -130,8 +152,8 @@ def main():
     shared = [q for q in cq if q in pq and cq[q] > 0 and pq[q] > 0]
     regressions, improved = [], []
     for q in sorted(shared):
-        ratio = cq[q] / pq[q]
-        if ratio > THRESHOLD and cq[q] - pq[q] > ABS_GUARD:
+        ratio = cq[q] / pq[q] / cal_ratio
+        if ratio > THRESHOLD and cq[q] - pq[q] * cal_ratio > ABS_GUARD:
             regressions.append((q, pq[q], cq[q], ratio))
         elif ratio < 1 / THRESHOLD:
             improved.append((q, pq[q], cq[q], ratio))

@@ -91,6 +91,37 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Machine-speed canary: wall seconds for a fixed deterministic LCG
+    * workload on `threads` threads (one warm pass first — JIT outside
+    * the timed region). Stamped into the JSON before and after the
+    * suite: cross-round per-query comparisons divide out
+    * cal_now/cal_then to separate plan changes from machine-state
+    * drift (same-binary reruns this round measured 2× apart minutes
+    * apart with an idle loadavg — per-process guards cannot see a
+    * slower MACHINE, only a busier one; a fixed-work canary can).
+    */
+  private def cpuCalibrate(threads: Int = 32): Double = {
+    val itersPerThread = 100000000L
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    def burn(): Unit = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < itersPerThread) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      sink.addAndGet(x) // defeat dead-code elimination
+    }
+    def run(): Double = {
+      val ts = (1 to threads).map(_ => new Thread(() => burn()))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warm: JIT the loop + fault the stacks
+    run()
+  }
+
   def main(args: Array[String]): Unit = {
     // Pre-flight BEFORE SparkSession init (our own JVM hasn't generated
     // load yet, so the reading reflects ambient machine state). Up to
@@ -124,6 +155,7 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calPre = cpuCalibrate(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -236,6 +268,7 @@ object Bench {
           siblingsPost.map { case (pid, c) => s"$pid:$c" }.mkString(" "))
     }
     val poisonedFinal = poisoned || siblingsPost.nonEmpty
+    val calPost = cpuCalibrate(cpus.toInt)
     val qs = results.map { case (k, v, ok, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
@@ -247,7 +280,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"}}""")
     spark.stop()
   }
 }

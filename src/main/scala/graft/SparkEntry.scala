@@ -71,6 +71,12 @@ object SparkEntry {
     // ~20 codebook-training jobs of fixed scheduler overhead (5k
     // vectors), not operator throughput — StressBench measures them at
     // 1M vectors (pq_adc_topk / ivfpq_gated_topk).
+    // r12 additions — both single-pass scale paths (assignment/signature
+    // + one gated join), neither iterative: the round's OTHER new
+    // operators (kcore, label propagation, k-center, adaptive-ivf) stay
+    // correctness-only by the iterative-job-overhead policy above;
+    // StressBench prices them at representative scale instead.
+    "sim_knn_graph", "dedup_incremental_pairs",
     "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "text_phrase_search",
     "er_link_customers", "multimodal_decode_meta",

@@ -504,6 +504,11 @@ object Similarity {
           "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
           "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
       .select(col("_p.id_a").as("src_id"), col("_p.id_b").as("neighbor_id"))
+      // both union branches read this relation — checkpoint or the
+      // whole assignment + pair-gen subtree evaluates twice (the
+      // shingle-reuse lesson, visible as a duplicated Union arm in
+      // the physical plan)
+      .localCheckpoint()
     val directed = und.unionAll(und.select(
       col("neighbor_id").as("src_id"), col("src_id").as("neighbor_id")))
     // multi-probe emits a pair once per shared cell — dedupe the 16-byte
