@@ -531,6 +531,23 @@ object Graft {
                                indexIdCol: String): DataFrame =
     graft.dedup.Dedup.nearDupPairsAgainstIndex(docs, indexBands, idCol,
       textCol, indexIdCol)
+  /** Append an increment's band rows to the materialized index; the
+    * dedup_index_rebuild oracle pins merge ≡ full rebuild.
+    */
+  def mergeBandIndex(indexBands: DataFrame, docs: DataFrame,
+                     idCol: String, textCol: String): DataFrame =
+    graft.dedup.Dedup.mergeBandIndex(indexBands, docs, idCol, textCol)
+  /** SemDeDup end to end: cell-gated cosine pairs → components over
+    * the full universe → one survivor per semantic cluster.
+    */
+  def semanticPrune(emb: DataFrame, idCol: String, arrCol: String,
+                    centersLong: DataFrame, centerCol: String,
+                    threshold: Double, nProbe: Int = 2): DataFrame =
+    graft.dedup.Components.dedupClustersAll(
+      graft.dedup.Dedup.embeddingNearDupCells(emb, idCol, arrCol,
+        centersLong, centerCol, threshold, nProbe = nProbe),
+      "id_a", "id_b", emb.select(org.apache.spark.sql.functions.col(idCol)),
+      idCol)
   /** Greedy k-center coreset selection over an embedding column
     * (similarity.Similarity): the diversity-maximizing k-subset.
     */

@@ -229,6 +229,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Band-index MAINTENANCE across an increment: compute the incoming
+    * docs' band rows from in-row signatures (bit-identical to the
+    * aggregated path — spec-pinned) and append them to the
+    * materialized (id, band, band_sig) index. Append-only by design —
+    * at 100 TB the standing index is never shuffled or re-scanned, so
+    * re-ingesting an already-indexed id is the CALLER's invariant to
+    * hold (it would duplicate that id's rows). The oracle contract
+    * that makes this operator trustworthy: merging the increment into
+    * yesterday's index equals rebuilding the index from the full
+    * corpus, row for row (`dedup_index_rebuild`) — incremental
+    * maintenance introduces no drift.
+    */
+  def mergeBandIndex(indexBands: DataFrame, docs: DataFrame,
+                     idCol: String, textCol: String, n: Int = 3,
+                     numHashes: Int = 8,
+                     rowsPerBand: Int = 2): DataFrame = {
+    val nb = numHashes / rowsPerBand
+    val sig = inRowSignature(docs, idCol, textCol, n, numHashes)
+    val bandCols = s"transform(sequence(0, ${nb - 1}), " +
+      s"b -> concat_ws('-', transform(sequence(0, ${rowsPerBand - 1}), " +
+      s"j -> cast(sig[b * $rowsPerBand + j] as string))))"
+    val newRows = sig
+      .select(col(idCol),
+        posexplode(expr(bandCols)).as(Seq("band", "band_sig")))
+    indexBands.select(col(idCol), col("band"), col("band_sig"))
+      .unionByName(newRows)
+  }
+
   /** LSH banding: group `rowsPerBand` consecutive hashes into a band
     * signature string; docs sharing any (band, signature) are candidates.
     * Returns distinct candidate pairs (id_a < id_b).

@@ -513,6 +513,46 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Index maintenance invariant: merging the odd-id increment into
+    // the even-id index equals rebuilding the index from the full
+    // corpus, row for row — incremental ingest introduces no drift.
+    // (The even side builds via the AGGREGATED signature path, the
+    // increment via the IN-ROW path; their bit-parity is load-bearing
+    // here, not just spec-pinned.)
+    "dedup_index_rebuild" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val index = Dedup.bandSignatures(
+        Dedup.minhashSignatures(
+          Dedup.shingles(docs.where(col("doc_id") % 2 === 0),
+            "doc_id", "text"),
+          "doc_id"),
+        "doc_id")
+      Dedup.mergeBandIndex(index, docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("band"))
+    }),
+
+    // SemDeDup END TO END (Abbas et al. 2023): cosine pairs within the
+    // 2-probed centroid cells -> connected components over the
+    // semantic-dup graph -> one survivor per cluster over the FULL
+    // embedding universe (semantically unique vectors are singleton
+    // keepers). The keep/drop disposition a semantic dedup job emits —
+    // composition of two already-oracled stages, pinned as one
+    // artifact so the composed pipeline (not just its parts) is
+    // hash-checked.
+    "dedup_semantic_prune" -> ((s, dir) => {
+      val wComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      val edges = Dedup.embeddingNearDupCells(Tables(s, dir).embeddings,
+        "vec_id", "embedding", labelCenters(s, dir), "cell",
+        threshold = 0.45, nProbe = 2)
+      Components.dedupClustersAll(edges, "id_a", "id_b",
+          Tables(s, dir).embeddings.select(col("vec_id")), "vec_id")
+        .withColumn("cluster_size", count(lit(1)).over(wComp))
+        .select(col("id").as("vec_id"), col("comp").as("component"),
+          col("is_survivor"), col("cluster_size"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Winnowing (MOSS) fingerprints -> shared-passage candidates: local
     // similarity the whole-doc minhash can't see.
     "dedup_winnow_candidates" -> ((s, dir) => {
@@ -1373,6 +1413,66 @@ object DedupQueries extends QueryPack {
         |JOIN embeddings b ON b.vec_id = p.id_b
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The from-scratch rebuild IS the oracle: full-corpus md5 minhash
+    // bands, no even/odd distinction anywhere.
+    "dedup_index_rebuild" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h)
+         |SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |  string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)
+         |ORDER BY doc_id, band""".stripMargin,
+
+    // The cells2 pair replay feeding the clusters_total component
+    // fixpoint, universe = embeddings.
+    "dedup_semantic_prune" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT xa.vec_id AS id_a, xb.vec_id AS id_b
+        |  FROM assign xa JOIN assign xb ON xa.cell = xb.cell AND xa.vec_id < xb.vec_id),
+        |sem AS MATERIALIZED (
+        |  SELECT p.id_a, p.id_b
+        |  FROM cand p
+        |  JOIN embeddings a ON a.vec_id = p.id_a
+        |  JOIN embeddings b ON b.vec_id = p.id_b
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        |e AS (SELECT id_a AS a, id_b AS b FROM sem
+        |      UNION SELECT id_b, id_a FROM sem),
+        |cc(id, comp) AS (
+        |  SELECT DISTINCT a, a FROM e
+        |  UNION
+        |  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a),
+        |fix AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+        |final AS (
+        |  SELECT d.vec_id AS id, COALESCE(f.comp, d.vec_id) AS comp
+        |  FROM embeddings d LEFT JOIN fix f ON f.id = d.vec_id)
+        |SELECT id AS vec_id, CAST(comp AS BIGINT) AS component,
+        |  CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS INT) AS is_survivor,
+        |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+        |FROM final
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_winnow_candidates" ->
       """WITH toks AS (

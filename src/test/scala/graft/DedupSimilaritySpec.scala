@@ -179,6 +179,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.map(_._1).toSet === flagged)
   }
 
+  test("mergeBandIndex: incremental build equals from-scratch rebuild") {
+    def fullIndex(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandSignatures(
+        Dedup.minhashSignatures(Dedup.shingles(d, "doc_id", "text"),
+          "doc_id"), "doc_id")
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    val merged = Dedup.mergeBandIndex(fullIndex(evens), odds,
+        "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    val rebuilt = fullIndex(docs).as[(Long, Int, String)].collect().toSet
+    assert(merged === rebuilt)
+    // and the increment's rows really came through the in-row path:
+    // merging an empty increment is the identity
+    val id0 = Dedup.mergeBandIndex(fullIndex(evens),
+        odds.where(lit(false)), "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(id0 === fullIndex(evens).as[(Long, Int, String)].collect().toSet)
+  }
+
   test("minhash: identical docs share all signatures; banding finds them") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
