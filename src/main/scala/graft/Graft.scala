@@ -590,6 +590,20 @@ object Graft {
   def linkBestMatches(scored: DataFrame, idA: String, idB: String,
                       threshold: Double): DataFrame =
     graft.operators.Linkage.bestMatches(scored, idA, idB, threshold)
+  /** Fellegi–Sunter m/u/p by fixed-round EM — FieldRule-ready weights
+    * out (operators.Linkage.estimateMU).
+    */
+  def linkEstimateMU(pairs: DataFrame, agreeCols: Seq[(String, Column)],
+                     rounds: Int = 3): DataFrame =
+    graft.operators.Linkage.estimateMU(pairs, agreeCols, rounds)
+  /** Mutual-kNN label-propagation communities over an embedding column
+    * (similarity.Similarity.knnCommunities).
+    */
+  def knnCommunities(emb: DataFrame, idCol: String, arrCol: String,
+                     centersLong: DataFrame, centerCol: String, k: Int,
+                     nProbe: Int = 1, rounds: Int = 4): DataFrame =
+    graft.similarity.Similarity.knnCommunities(emb, idCol, arrCol,
+      centersLong, centerCol, k, nProbe, rounds)
   /** Greedy file-compaction plan over a file inventory (metadata scale). */
   def compactionBins(files: DataFrame, orderCols: Seq[Column],
                      sizeCol: Column, targetBytes: Long): DataFrame =

@@ -116,6 +116,74 @@ object Linkage {
                           maxSalt: Int = 64): DataFrame =
     scorePairsSalted(a, aId, b, blockCols, rules, maxSalt)
 
+  /** Fellegi–Sunter parameter ESTIMATION: m/u/p by fixed-round EM over
+    * blocked candidate pairs (Winkler 1988's unsupervised fit — the
+    * step that turns [[FieldRule]]'s "published or estimated
+    * parameters" from an assumption into an output). `pairs` carries
+    * one boolean agreement column per field (built by the caller from
+    * the same predicates the rules use); the latent match indicator
+    * is integrated out the standard way: per pair
+    * g = p·Π m^a(1−m)^(1−a) / (p·Π m^a(1−m)^(1−a) + (1−p)·Π u^a(1−u)^(1−a)),
+    * then m ← Σg·a/Σg, u ← Σ(1−g)a/Σ(1−g), p ← Σg/N per field.
+    *
+    * Determinism contract (the pageRank/c4 pattern): FIXED round count
+    * from fixed starts — every estimate is a pure arithmetic function
+    * of the pair set, so an unrolled SQL oracle replays the fit round
+    * for round. Each round is ONE aggregate over the pairs (2K+3
+    * scalars — map-side combinable); the only driver state is that
+    * one parameter row per round, metadata-scale by construction.
+    *
+    * Returns one row per field: (field, m, u, w_agree, w_disagree, p)
+    * with the log2 match weights ready to feed [[FieldRule]].
+    */
+  def estimateMU(pairs: DataFrame, agreeCols: Seq[(String, Column)],
+                 rounds: Int = 3, m0: Double = 0.9, u0: Double = 0.1,
+                 p0: Double = 0.1): DataFrame = {
+    require(agreeCols.nonEmpty, "at least one agreement field required")
+    require(rounds >= 1, s"rounds=$rounds must be positive")
+    val names = agreeCols.map(_._1)
+    val a = pairs.select(agreeCols.map { case (n, c) =>
+      c.cast("int").cast("double").as(s"_a_$n") }: _*).localCheckpoint()
+    var ms = names.map(_ => m0)
+    var us = names.map(_ => u0)
+    var p = p0
+    for (_ <- 1 to rounds) {
+      val wm = names.zip(ms).map { case (n, m) =>
+        col(s"_a_$n") * lit(m) + (lit(1.0) - col(s"_a_$n")) * lit(1.0 - m) }
+        .reduce(_ * _) * lit(p)
+      val wu = names.zip(us).map { case (n, u) =>
+        col(s"_a_$n") * lit(u) + (lit(1.0) - col(s"_a_$n")) * lit(1.0 - u) }
+        .reduce(_ * _) * lit(1.0 - p)
+      val g = (wm / (wm + wu)).as("_g")
+      val aggs =
+        Seq(sum(col("_g")).as("_sg"), count(lit(1)).cast("double").as("_n")) ++
+          names.map(n => sum(col("_g") * col(s"_a_$n")).as(s"_sga_$n")) ++
+          names.map(n => sum(col(s"_a_$n")).as(s"_sa_$n"))
+      val row = a.withColumn("_g", g)
+        .agg(aggs.head, aggs.tail: _*)
+        .head() // one metadata-scale row per round (the BPE argmax shape)
+      val sg = row.getAs[Double]("_sg")
+      val n = row.getAs[Double]("_n")
+      ms = names.map(nm => row.getAs[Double](s"_sga_$nm") / sg)
+      us = names.map(nm =>
+        (row.getAs[Double](s"_sa_$nm") - row.getAs[Double](s"_sga_$nm")) /
+          (n - sg))
+      p = sg / n
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    names.zip(ms.zip(us)).map { case (nm, (m, u)) =>
+      (nm,
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(u).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.log(m / u) / math.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.log((1 - m) / (1 - u)) / math.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("field", "m", "u", "w_agree", "w_disagree", "p")
+  }
+
   /** One best match per right-side id: highest score wins, ties to the
     * lowest left id, pairs under `threshold` dropped entirely. The
     * argmax is min(struct(−score, idA)) — an aggregate with map-side

@@ -264,6 +264,28 @@ object ExtendedRelationalQueries extends QueryPack {
         .orderBy(col("d_custkey"))
     }),
 
+    // Fellegi–Sunter parameter ESTIMATION: the m/u/p EM fit over the
+    // same blocked candidate pairs er_link_customers scores — the
+    // weights stop being hand-supplied constants and become an output
+    // (3 fixed EM rounds from m=0.9/u=0.1/p=0.1, fully unrolled in the
+    // oracle). The emitted w_agree/w_disagree are FieldRule-ready.
+    "er_estimate_mu" -> ((s, dir) => {
+      val cust = Tables(s, dir).customer
+      val a = cust.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+      val b = cust.select(col("c_custkey").as("d_custkey"),
+        substring(col("c_name"), -1, 1).as("d_tail"),
+        (round(col("c_acctbal") / 10) * 10).as("d_bal"),
+        col("c_nationkey"), col("c_mktsegment"))
+        .withColumn("bal_kb", floor(col("d_bal") / 1000).cast("long"))
+      val paired = a.join(b, Seq("c_nationkey", "c_mktsegment", "bal_kb"))
+      Linkage.estimateMU(paired, Seq(
+          ("name_tail", substring(col("c_name"), -1, 1) === col("d_tail")),
+          ("balance", abs(col("c_acctbal") - col("d_bal")) <= 5)))
+        .orderBy(col("field"))
+    }),
+
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
     // longer documents (weight = n_chars) are proportionally likelier,
     // every draw a pure function of the doc key — reproducible across
@@ -777,6 +799,61 @@ object ExtendedRelationalQueries extends QueryPack {
         |SELECT d_custkey, c_custkey AS best_c_custkey, fs_score
         |FROM m WHERE rn = 1
         |ORDER BY d_custkey""".stripMargin,
+
+    // 3 unrolled EM rounds over the blocked pair agreements. IEEE
+    // parity mirrored operation for operation: per-field term
+    // a·m + (1−a)(1−m), field product FIRST then ×p (the engine's
+    // reduce(_*_)*lit(p) association), M-step ratios identical,
+    // weights as ln()/ln(2) (both engines' log2-via-ln path).
+    "er_estimate_mu" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""t$r AS (
+           |  SELECT sum(g) AS sg, count(*) * 1.0 AS n,
+           |    sum(g * a1) AS sga1, sum(g * a2) AS sga2,
+           |    sum(a1) AS sa1, sum(a2) AS sa2
+           |  FROM (
+           |    SELECT a1, a2, wm / (wm + wu) AS g FROM (
+           |      SELECT a1, a2,
+           |        (a1 * p.m1 + (1 - a1) * (1 - p.m1)) *
+           |          (a2 * p.m2 + (1 - a2) * (1 - p.m2)) * p.p AS wm,
+           |        (a1 * p.u1 + (1 - a1) * (1 - p.u1)) *
+           |          (a2 * p.u2 + (1 - a2) * (1 - p.u2)) * (1 - p.p) AS wu
+           |      FROM ag CROSS JOIN pr${r - 1} p) w) q),
+           |pr$r AS (
+           |  SELECT sga1 / sg AS m1, sga2 / sg AS m2,
+           |    (sa1 - sga1) / (n - sg) AS u1, (sa2 - sga2) / (n - sg) AS u2,
+           |    sg / n AS p
+           |  FROM t$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH a AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey AS d_custkey, right(c_name, 1) AS d_tail,
+         |    round(c_acctbal / 10) * 10 AS d_bal, c_nationkey, c_mktsegment,
+         |    CAST(floor(round(c_acctbal / 10) * 10 / 1000) AS BIGINT) AS bal_kb
+         |  FROM customer),
+         |ag AS MATERIALIZED (
+         |  SELECT
+         |    CAST(CASE WHEN right(a.c_name, 1) = b.d_tail THEN 1 ELSE 0 END AS DOUBLE) AS a1,
+         |    CAST(CASE WHEN abs(a.c_acctbal - b.d_bal) <= 5 THEN 1 ELSE 0 END AS DOUBLE) AS a2
+         |  FROM a JOIN b USING (c_nationkey, c_mktsegment, bal_kb)),
+         |pr0 AS (SELECT 0.9 AS m1, 0.9 AS m2, 0.1 AS u1, 0.1 AS u2, 0.1 AS p),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 'name_tail' AS field, round(m1, 6) + 0.0 AS m,
+         |    round(u1, 6) + 0.0 AS u,
+         |    round(ln(m1 / u1) / ln(2), 6) + 0.0 AS w_agree,
+         |    round(ln((1 - m1) / (1 - u1)) / ln(2), 6) + 0.0 AS w_disagree,
+         |    round(p, 6) + 0.0 AS p FROM pr3
+         |  UNION ALL
+         |  SELECT 'balance', round(m2, 6) + 0.0, round(u2, 6) + 0.0,
+         |    round(ln(m2 / u2) / ln(2), 6) + 0.0,
+         |    round(ln((1 - m2) / (1 - u2)) / ln(2), 6) + 0.0,
+         |    round(p, 6) + 0.0 FROM pr3)
+         |ORDER BY field""".stripMargin
+    },
 
     // Salting only re-partitions WHERE pairs are scored, never WHICH
     // pairs are scored — the oracle is the same pair enumeration.

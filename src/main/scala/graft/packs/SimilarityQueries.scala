@@ -127,6 +127,20 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("src_id"), col("rnk"))
     }),
 
+    // Semantic communities over the mutual k-NN graph: reciprocal
+    // top-3 edges (hub edges die — a vector close to everything
+    // reciprocates few of its appearances), 4 label-propagation
+    // rounds, full-universe disposition with singletons kept.
+    "sim_knn_communities" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      Similarity.knnCommunities(emb, "vec_id", "embedding", centers,
+          "cell", k = 3, nProbe = 2, rounds = 4)
+        .orderBy(col("vec_id"))
+    }),
+
     // Greedy k-center coreset (farthest-point traversal): the
     // diversity-maximizing 6-point training subset of the embedded
     // corpus, 2-approximating the optimal 6-center cover. Selection
@@ -540,6 +554,65 @@ object SimilarityQueries extends QueryPack {
         |  round(cs, 4) AS cos
         |FROM r WHERE rnk <= 3
         |ORDER BY src_id, rnk""".stripMargin,
+
+    // The knn replay, reciprocity via EXISTS (mutual sets are already
+    // symmetric, so the canonicalized edge set is the set itself),
+    // then 4 unrolled label-propagation rounds and the universe join.
+    "sim_knn_communities" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT src AS id, nl AS label FROM (
+           |    SELECT src, nl, row_number() OVER (
+           |      PARTITION BY src ORDER BY c DESC, nl) AS rn
+           |    FROM (SELECT e.src, l.label AS nl, count(*) AS c
+           |          FROM edges e JOIN l${r - 1} l ON l.id = e.dst
+           |          GROUP BY e.src, l.label) t) rk
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |ptsl AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+         |          FROM pts p JOIN ctr c ON p.dim = c.dim
+         |          GROUP BY p.vec_id, c.cell) d) r
+         |  WHERE rn <= 2),
+         |prs AS (
+         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT pr.src_id, pr.neighbor_id,
+         |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+         |  FROM prs pr
+         |  JOIN embeddings q ON q.vec_id = pr.src_id
+         |  JOIN embeddings n ON n.vec_id = pr.neighbor_id),
+         |knn AS MATERIALIZED (
+         |  SELECT src_id, neighbor_id FROM (
+         |    SELECT src_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 3),
+         |edges AS MATERIALIZED (
+         |  SELECT a.src_id AS src, a.neighbor_id AS dst FROM knn a
+         |  WHERE EXISTS (SELECT 1 FROM knn b
+         |    WHERE b.src_id = a.neighbor_id AND b.neighbor_id = a.src_id)),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id, src AS label FROM edges),
+         |$rounds
+         |SELECT e.vec_id, COALESCE(l.label, e.vec_id) AS community
+         |FROM embeddings e LEFT JOIN l4 l ON l.id = e.vec_id
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // 6 unrolled farthest-point rounds: each round one distance table
     // to the newly selected point, a least() fold into the running

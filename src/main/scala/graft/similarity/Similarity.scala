@@ -529,6 +529,37 @@ object Similarity {
         round(col("_cos"), 4).as("cos"))
   }
 
+  /** Semantic communities over the MUTUAL k-NN graph: keep an edge
+    * only when each endpoint ranks in the other's top-k (the standard
+    * symmetrization that kills hub edges — a generic vector close to
+    * everything appears in many top-k lists but reciprocates few),
+    * then run fixed-round label propagation. Communities resolve finer
+    * than both components (no bridge-merging) and raw cells (a cell
+    * can hold several distinct semantic groups). Points with no
+    * mutual neighbor are singleton communities of themselves —
+    * returned over the FULL universe, one disposition per input row.
+    *
+    * Shape: the knn graph (one cell-gated pass), one self-join on the
+    * reversed pair for mutuality, `rounds` propagation rounds, one
+    * universe left join. All keyed by point id; nothing quadratic.
+    */
+  def knnCommunities(emb: DataFrame, idCol: String, arrCol: String,
+                     centersLong: DataFrame, centerCol: String, k: Int,
+                     nProbe: Int = 1, rounds: Int = 4): DataFrame = {
+    val g = knnGraphCells(emb, idCol, arrCol, centersLong, centerCol,
+      k, nProbe).localCheckpoint() // both sides of the mutuality join
+    val mutual = g.as("a").join(g.as("b"),
+        col("a.src_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.src_id"), "left_semi")
+      .select(col("src_id"), col("neighbor_id"))
+    val lab = graft.operators.Graph.labelPropagation(
+      mutual, "src_id", "neighbor_id", rounds)
+    emb.select(col(idCol).cast("long").as("id"))
+      .join(lab, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("community"))
+  }
+
   /** Greedy k-center coreset (Gonzalez 1985; the farthest-point
     * traversal behind coreset/data-pruning selection à la Sener &
     * Savarese 2018): seed at the lowest id, then k−1 rounds of "select

@@ -656,6 +656,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       bf.map(t => (t._1, t._2, t._3)).toSet)
   }
 
+  test("knnCommunities: mutual kNN splits clusters, hub demoted to singleton") {
+    import spark.implicits._
+    // two tight clusters + a hub between them: the hub's top-2 are in
+    // cluster A, but no A point reciprocates (their top-2 are in A) —
+    // mutuality leaves the hub with no edges
+    val emb = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(0.1, 1.0)), (2L, Seq(0.2, 1.0)),
+      (10L, Seq(100.0, -50.0)), (11L, Seq(100.1, -50.0)), (12L, Seq(100.2, -50.0)),
+      (5L, Seq(5.0, 1.0)))
+      .map { case (i, v) => (i, v, 0) }
+      .toDF("vec_id", "embedding", "label") // one cell: knn is complete
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val com = Similarity.knnCommunities(emb, "vec_id", "embedding",
+        centers, "cell", k = 2, nProbe = 1, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(com(0L) === com(1L) && com(1L) === com(2L))
+    assert(com(10L) === com(11L) && com(11L) === com(12L))
+    assert(com(0L) !== com(10L))
+    // the hub is its own singleton (full-universe disposition)
+    assert(com(5L) === 5L)
+    assert(!Set(com(0L), com(10L)).contains(com(5L)))
+  }
+
   test("ivfTopKAdaptive: sparse-cell queries fall back to exact, covered stay gated") {
     import spark.implicits._
     // label 0: 8 points near the origin; label 1: 2 points far away

@@ -420,6 +420,33 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(!best.contains(11L))
   }
 
+  test("estimateMU: EM separates match/non-match rates on planted pairs") {
+    import graft.operators.Linkage
+    // 20 planted matches (both fields agree) + 180 non-matches where
+    // agreement is rare and uncorrelated
+    val pairs = ((1 to 20).map(i => (i, true, true)) ++
+      (1 to 180).map(i => (i, i % 9 == 0, i % 13 == 0)))
+      .toDF("id", "t1", "t2")
+    val fit = Linkage.estimateMU(pairs, Seq(
+        ("f1", col("t1")), ("f2", col("t2"))), rounds = 3)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (f <- Seq("f1", "f2")) {
+      val (_, m, u, wa, wd, p) = fit(f)
+      assert(m > 0.8 && u < 0.2, s"$f: m=$m u=$u")
+      assert(wa > 0 && wd < 0)
+      assert(p > 0.05 && p < 0.25, s"prevalence $p off the ~10% plant")
+    }
+    // fixed rounds + fixed starts: the fit is a pure function (rerun
+    // bit-equal), and both fields report the SAME prevalence
+    val fit2 = Linkage.estimateMU(pairs, Seq(
+        ("f1", col("t1")), ("f2", col("t2"))), rounds = 3)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fit2 === fit)
+    assert(fit("f1")._6 === fit("f2")._6)
+  }
+
   test("salted FS linkage: scored pair set bit-identical to the plain plan") {
     import graft.operators.Linkage
     // block 0 is hot (6 a-rows vs 1-row cold blocks); salt=3 splits it
