@@ -300,6 +300,26 @@ object StressBench {
       graft.operators.Graph.labelPropagation(
         chain.unionByName(hubs), "src", "dst", rounds = 4).count()
     }
+    // corpus-wide kNN graph at rows/40 64-dim vectors, 1024 true
+    // clusters (center + unit noise, so group means ARE the centroids
+    // and cells stay balanced): native in-row argmin assignment, then
+    // Σ|cell|² in-cell cosine pairs (~2.4e8 at the 500k default) and a
+    // per-source top-5 — the all-points search pass semantic dedup
+    // consumes, never n².
+    timed("knn_graph_cells") {
+      val n = math.max(rows / 40L, 100000L)
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "cast(hash(pmod(id, 1024), i) % 1000 as double) + " +
+          "cast(hash(id, i) % 100 as double) / 100.0)").as("embedding"))
+      val coarse = graft.mlops.NaiveBayesOps.toLongForm(
+          emb.withColumn("cell", pmod(col("vec_id"), lit(1024))),
+          Seq("cell"), "embedding")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
+      graft.similarity.Similarity.knnGraphCells(
+        emb, "vec_id", "embedding", coarse, "cell", k = 5, nProbe = 1)
+        .count()
+    }
     // farthest-point traversal at rows/20 64-dim vectors, k=8: each
     // round is one native-l2sq map pass + a min-struct argmax — the
     // O(n·k·d) running-min fold, never a pairwise matrix

@@ -513,6 +513,27 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Quality-weighted survivor selection: min-id survivorship is
+    // arbitrary — production keeper policies keep the BEST copy. One
+    // keeper per dup cluster by argmax(n_chars, ties to lowest id)
+    // via a min-struct aggregate (map-side combinable, no window on
+    // the engine side), over the full universe.
+    "dedup_quality_survivors" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val cl = Components.dedupClustersAll(pipelineEdges(s, dir),
+          "id_a", "id_b", docs.select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      val keep = cl.groupBy(col("component"))
+        .agg(min(struct((-col("n_chars")).as("nq"),
+          col("doc_id").as("kid"))).as("_k"))
+        .select(col("component"), col("_k.kid").as("_kid"))
+      cl.join(keep, "component")
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("_kid")).as("is_keeper"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Index maintenance invariant: merging the odd-id increment into
     // the even-id index equals rebuilding the index from the full
     // corpus, row for row — incremental ingest introduces no drift.
@@ -1413,6 +1434,51 @@ object DedupQueries extends QueryPack {
         |JOIN embeddings b ON b.vec_id = p.id_b
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The clusters_total component fixpoint, keeper re-derived by a
+    // (n_chars DESC, id) window argmax per component.
+    "dedup_quality_survivors" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |ex AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM documents x JOIN documents y
+         |    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id),
+         |edges0 AS (SELECT id_a, id_b FROM ex UNION SELECT id_a, id_b FROM cand),
+         |e AS (SELECT id_a AS a, id_b AS b FROM edges0
+         |      UNION SELECT id_b, id_a FROM edges0),
+         |cc(id, comp) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a),
+         |fix AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         |q AS (
+         |  SELECT d.doc_id AS id, COALESCE(f.comp, d.doc_id) AS comp,
+         |    d.n_chars
+         |  FROM documents d LEFT JOIN fix f ON f.id = d.doc_id),
+         |k AS (
+         |  SELECT comp, id AS kid FROM (
+         |    SELECT comp, id, row_number() OVER (
+         |      PARTITION BY comp ORDER BY n_chars DESC, id) AS rn
+         |    FROM q) t
+         |  WHERE rn = 1)
+         |SELECT q.id AS doc_id, CAST(q.comp AS BIGINT) AS component,
+         |  q.id = k.kid AS is_keeper, q.n_chars
+         |FROM q JOIN k USING (comp)
+         |ORDER BY doc_id""".stripMargin,
 
     // The from-scratch rebuild IS the oracle: full-corpus md5 minhash
     // bands, no even/odd distinction anywhere.

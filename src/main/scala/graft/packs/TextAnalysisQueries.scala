@@ -45,6 +45,22 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Normalization-before-hashing (CCNet): case/punct variants of the
+    // same content collapse to one normalized hash — the key space raw
+    // md5 dedup misses. Dup-mate counts under the NORMALIZED key ride
+    // each row.
+    "text_normalize" -> ((s, dir) => {
+      val n = TextAnalysis.normalizeText(Tables(s, dir).documents, "text")
+        .select(col("doc_id"), length(col("text")).as("n_raw_chars"),
+          length(col("norm_text")).as("n_norm_chars"),
+          md5(col("norm_text")).as("norm_md5"))
+      val m = n.groupBy(col("norm_md5")).agg(count(lit(1)).as("n_mates"))
+      n.join(m, "norm_md5")
+        .select(col("doc_id"), col("n_raw_chars"), col("n_norm_chars"),
+          col("norm_md5"), col("n_mates"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(Tables(s, dir).documents, "doc_id", "text", n = 2)
         .orderBy(col("doc_id"))
@@ -397,6 +413,25 @@ object TextAnalysisQueries extends QueryPack {
         |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // regexp_replace needs the 'g' flag in DuckDB to mirror Spark's
+    // replace-all default; length() counts characters in both engines.
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, length(text) AS n_raw_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_raw_chars, length(norm_text) AS n_norm_chars,
+        |    md5(norm_text) AS norm_md5
+        |  FROM n),
+        |m AS (SELECT norm_md5, CAST(count(*) AS BIGINT) AS n_mates
+        |      FROM h GROUP BY norm_md5)
+        |SELECT h.doc_id, CAST(h.n_raw_chars AS INT) AS n_raw_chars,
+        |  CAST(h.n_norm_chars AS INT) AS n_norm_chars, h.norm_md5, m.n_mates
+        |FROM h JOIN m USING (norm_md5)
         |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

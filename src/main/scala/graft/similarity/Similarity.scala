@@ -475,12 +475,17 @@ object Similarity {
     * are forgone by design — raise nProbe to recover boundary
     * straddlers).
     *
-    * Shape: one broadcast assignment pass, id-only directed-pair
-    * generation per cell (vectors re-joined after pair-gen so the
-    * in-row arrays stay 8-byte ids), one fused-codegen cosine per
-    * candidate, then a per-source top-k window. `maxCell` drops
-    * degenerate cells (the quadratic bombs) rather than letting one
-    * hot centroid own the wall clock.
+    * Shape: one in-row assignment pass, then a cell-keyed SELF-JOIN
+    * with both vectors already attached — pairs are enumerated INSIDE
+    * the join and stream straight through the fused-codegen cosine
+    * into the top-k (WindowGroupLimit prunes per task before the rank
+    * exchange). The dedup-style alternative (id-only pair explode,
+    * vectors re-joined afterwards) was measured 543s at 500k×64d —
+    * the directed pair set crosses TWO vector joins, ~240 GB of
+    * array shuffle, where the self-join shuffles each vector once
+    * (this shape: 43s, SCALE.md round 12). `maxCell` drops degenerate
+    * cells BEFORE the join (the quadratic bombs) rather than letting
+    * one hot centroid own the wall clock.
     */
   def knnGraphCells(emb: DataFrame, idCol: String, arrCol: String,
                     centersLong: DataFrame, centerCol: String, k: Int,
@@ -488,41 +493,57 @@ object Similarity {
     import graft.mlops.{ClusterOps, NaiveBayesOps}
     graft.plans.GraftExpressions.register(emb.sparkSession)
     require(k >= 1, s"k=$k must be positive")
-    val pointsLong = NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol)
+    // Single-probe assignment runs IN-ROW over the packed broadcast
+    // centroid table via the native graft_nearest_cell argmin (the
+    // ivfPqTopK coarse-quantizer shape — the long-form join emits
+    // |corpus|·|cells| rows and OOMed at stress scale; tie rule
+    // identical to min(struct(d2, cell))). Multi-probe needs the
+    // top-N distance ranking, which stays on the long-form join.
     val cells =
-      if (nProbe == 1)
-        ClusterOps.assignToCenters(pointsLong, centersLong, idCol, centerCol)
-      else
+      if (nProbe == 1) {
+        val packed = centersLong
+          .groupBy(col(centerCol))
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+            .as("cv"))
+          .agg(expr(
+            s"sort_array(collect_list(struct(CAST($centerCol AS BIGINT)" +
+              " AS cell, cv)))").as("_cells"))
+        emb.crossJoin(broadcast(packed))
+          .select(col(idCol),
+            expr(s"graft_nearest_cell(CAST($arrCol AS ARRAY<DOUBLE>), _cells)")
+              .as(centerCol))
+      } else
         ClusterOps.assignToCentersTopN(
-          pointsLong, centersLong, idCol, centerCol, nProbe)
-    val und = cells
-      .groupBy(col(centerCol))
-      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
-      .where(size(col("_ids")).between(2, maxCell.toLong * nProbe))
-      .select(explode(expr(
-        "flatten(transform(_ids, (a, i) -> " +
-          "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
-          "b -> named_struct('id_a', a, 'id_b', b))))")).as("_p"))
-      .select(col("_p.id_a").as("src_id"), col("_p.id_b").as("neighbor_id"))
-      // both union branches read this relation — checkpoint or the
-      // whole assignment + pair-gen subtree evaluates twice (the
-      // shingle-reuse lesson, visible as a duplicated Union arm in
-      // the physical plan)
+          NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol),
+          centersLong, idCol, centerCol, nProbe)
+    // degenerate-cell guard runs on the ID-SIZED assignment, before
+    // any vector is attached
+    val okCells = cells.groupBy(col(centerCol))
+      .agg(count(lit(1)).as("_cn"))
+      .where(col("_cn").between(2, maxCell.toLong))
+      .select(col(centerCol))
+    val withVec = cells
+      .join(okCells, Seq(centerCol), "left_semi")
+      .join(emb.select(col(idCol), col(arrCol).as("_v")), idCol)
+      .select(col(centerCol), col(idCol), col("_v"))
+      // one materialization feeds both sides of the self-join —
+      // otherwise the whole assignment subtree evaluates twice (the
+      // shingle-reuse lesson)
       .localCheckpoint()
-    val directed = und.unionAll(und.select(
-      col("neighbor_id").as("src_id"), col("src_id").as("neighbor_id")))
-    // multi-probe emits a pair once per shared cell — dedupe the 16-byte
-    // id pairs BEFORE the vector join so each candidate scores once
-    val pairs = if (nProbe == 1) directed else directed.distinct()
+    val scored = withVec.as("a").join(withVec.as("b"),
+        col(s"a.$centerCol") === col(s"b.$centerCol") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("src_id"),
+        col(s"b.$idCol").as("neighbor_id"),
+        graft.plans.GraftExpressions.cosine(col("a._v"), col("b._v"))
+          .as("_cos"))
+    // multi-probe enumerates a pair once per shared cell — identical
+    // (src, neighbor, cos) rows, deduped on the slim scored triple
+    val pairs = if (nProbe == 1) scored else scored.distinct()
     val wK = Window.partitionBy(col("src_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
     pairs
-      .join(emb.select(col(idCol).as("src_id"), col(arrCol).as("_va")),
-        "src_id")
-      .join(emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_vb")),
-        "neighbor_id")
-      .withColumn("_cos",
-        graft.plans.GraftExpressions.cosine(col("_va"), col("_vb")))
       .withColumn("rnk", row_number().over(wK))
       .where(col("rnk") <= k)
       .select(col("src_id"), col("neighbor_id"), col("rnk"),

@@ -399,6 +399,20 @@ object TextAnalysis {
     * polynomial rolling hash over per-token hashes (exact integer
     * arithmetic — engine-portable).
     */
+  /** CCNet-style normalization BEFORE hashing (Wenzek et al. 2020 §4.1
+    * normalize the text for dedup, keep the raw text for training):
+    * lowercase, map every character outside [a-z0-9 ] to a space,
+    * collapse runs, trim. Case/punctuation variants of the same
+    * content then hash identically — the first pass of every web-scale
+    * exact-dedup pipeline, map-side and codegen'd end to end. Returns
+    * the input plus `norm_text`.
+    */
+  def normalizeText(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+        " +", " ")))
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),
