@@ -531,6 +531,12 @@ object Graft {
                                indexIdCol: String): DataFrame =
     graft.dedup.Dedup.nearDupPairsAgainstIndex(docs, indexBands, idCol,
       textCol, indexIdCol)
+  /** Exact Jaccard-threshold join by AllPairs prefix filtering — every
+    * pair above t, provably (dedup.Dedup.ppJoinPairs).
+    */
+  def ppJoinPairs(shingleDf: DataFrame, idCol: String,
+                  threshold: Double): DataFrame =
+    graft.dedup.Dedup.ppJoinPairs(shingleDf, idCol, threshold)
   /** Append an increment's band rows to the materialized index; the
     * dedup_index_rebuild oracle pins merge ≡ full rebuild.
     */

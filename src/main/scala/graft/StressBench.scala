@@ -300,6 +300,22 @@ object StressBench {
       graft.operators.Graph.labelPropagation(
         chain.unionByName(hubs), "src", "dst", rounds = 4).count()
     }
+    // exact-threshold jaccard join via prefix filtering at rows/1000
+    // docs × ~200 trigrams (rows/5 shingle rows): every 10th doc pair
+    // shares a 180-token prefix (J ≈ 0.82 ≥ the 0.8 gate), the rest
+    // draw from a 1e8 shingle universe so rarest-first prefixes are
+    // near-unique and the candidate join stays linear-ish — the
+    // selectivity regime the AllPairs filter is built for.
+    timed("ppjoin_exact_threshold") {
+      val nDocs = math.max(rows / 1000L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 200), i -> " +
+          "CASE WHEN id % 10 = 1 AND i <= 180 " +
+          "THEN concat('w', hash(id - 1, i) % 100000000) " +
+          "ELSE concat('w', hash(id, i) % 100000000) END)")).as("text"))
+      Dedup.ppJoinPairs(Dedup.shingles(docs, "doc_id", "text"),
+        "doc_id", threshold = 0.8).count()
+    }
     // corpus-wide kNN graph at rows/40 64-dim vectors, 1024 true
     // clusters (center + unit noise, so group means ARE the centroids
     // and cells stay balanced): native in-row argmin assignment, then

@@ -229,6 +229,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** EXACT Jaccard-threshold similarity join by prefix filtering
+    * (AllPairs — Bayardo, Ma & Srikant, WWW 2007; the PPJoin family's
+    * base filter): order each doc's distinct shingles rarest-first by
+    * global document frequency, index only the first
+    * |x| − ⌈t·|x|⌉ + 1 of them, and generate candidates by joining on
+    * those prefix shingles alone. Pigeonhole guarantee: J(a,b) ≥ t
+    * forces an overlap of at least ⌈t·max(|a|,|b|)⌉, so two docs
+    * sharing NO prefix shingle cannot reach the threshold — recall is
+    * EXACT, the property LSH banding trades away. The complement to
+    * minhash in the toolbox: banding for recall-tolerant web-scale
+    * sweeps, prefix filtering when the contract is "every pair above
+    * t, provably".
+    *
+    * Scale shape: one document-frequency aggregate, one in-doc sort
+    * (vocabulary-priced), a prefix-shingle equi-join on ids only,
+    * then exact verification on the candidate set via the one-array-
+    * row-per-doc join. Rarest-first ordering is what keeps prefix
+    * buckets small — a stopword lands in nobody's prefix unless the
+    * doc is nearly all stopwords. Selectivity improves as t rises
+    * (prefix shrinks); at web-dedup thresholds (t ≥ 0.8) prefixes are
+    * a few shingles per doc.
+    */
+  def ppJoinPairs(shingleDf: DataFrame, idCol: String,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold out of (0, 1]")
+    val sh = shingleDf.localCheckpoint() // feeds df-counts AND doc arrays
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val ordered = sh.join(dfreq, "shingle")
+      .groupBy(col(idCol))
+      .agg(expr("transform(sort_array(collect_list(struct(_df, shingle)))," +
+        " x -> x.shingle)").as("_toks"))
+      .localCheckpoint() // feeds prefix explode AND both verify sides
+    val pref = ordered.select(col(idCol), explode(expr(
+      s"slice(_toks, 1, size(_toks) - " +
+        s"cast(ceil(${threshold}D * size(_toks)) as int) + 1)"))
+      .as("shingle"))
+    val cand = pref.select(col(idCol).as("id_a"), col("shingle"))
+      .join(pref.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(ordered.select(col(idCol).as("id_a"), col("_toks").as("_aa")),
+        "id_a")
+      .join(ordered.select(col(idCol).as("id_b"), col("_toks").as("_ab")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("_aa")) + size(col("_ab")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Band-index MAINTENANCE across an increment: compute the incoming
     * docs' band rows from in-row signatures (bit-identical to the
     * aggregated path — spec-pinned) and append them to the

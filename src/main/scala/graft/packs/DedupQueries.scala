@@ -367,6 +367,15 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // EXACT threshold join by prefix filtering (AllPairs): every pair
+    // with trigram-set jaccard >= 0.3, provably — no LSH recall loss.
+    // The oracle is pure brute force; the prefix filter must reproduce
+    // it exactly or this query goes red.
+    "dedup_ppjoin_pairs" -> ((s, dir) => {
+      Dedup.ppJoinPairs(docShingles(s, dir), "doc_id", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // n-gram containment |A∩B|/min(|A|,|B|): subset-duplication pairs
     // Jaccard under-scores (quotes, embedded passages).
     "dedup_containment" -> ((s, dir) => {
@@ -1243,6 +1252,23 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sa ON sa.doc_id = t.id_a
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |WHERE t.i * 1.0 / (sa.n + sb.n - t.i) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute force IS the oracle: the prefix filter claims exact
+    // recall, so the reference computation has no prefix anywhere.
+    "dedup_ppjoin_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT t.id_a, t.id_b,
+         |  round(t.i * 1.0 / (sa.n + sb.n - t.i), 4) AS jaccard
+         |FROM inter t
+         |JOIN sizes sa ON sa.doc_id = t.id_a
+         |JOIN sizes sb ON sb.doc_id = t.id_b
+         |WHERE t.i * 1.0 / (sa.n + sb.n - t.i) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_segment_clean" ->

@@ -179,6 +179,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.map(_._1).toSet === flagged)
   }
 
+  test("ppJoinPairs: exact recall vs brute force at every threshold") {
+    // varied overlap structure incl. docs sharing only common shingles
+    val corpus = Seq(
+      (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"), (3L, "a b c q r s t u"),
+      (4L, "m n o p q r s t"), (5L, "z z2 z3 z4 a b c d")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, "doc_id", "text")
+    for (t <- Seq(0.1, 0.3, 0.6, 0.9)) {
+      val pp = Dedup.ppJoinPairs(sh, "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val bf = Dedup.jaccardPairs(sh, "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pp === bf, s"threshold $t: prefix filter diverged from brute force")
+    }
+    // exact dup pair present at the top threshold
+    assert(Dedup.ppJoinPairs(sh, "doc_id", 0.99)
+      .as[(Long, Long, Double)].collect().toSet === Set((0L, 1L, 1.0)))
+  }
+
   test("mergeBandIndex: incremental build equals from-scratch rebuild") {
     def fullIndex(d: org.apache.spark.sql.DataFrame) =
       Dedup.bandSignatures(
