@@ -80,26 +80,11 @@ object Linkage {
                        hotThreshold: Long = 4096L): DataFrame = {
     require(rules.nonEmpty, "at least one field rule required")
     require(blockCols.nonEmpty, "at least one block column required")
-    require(maxSalt >= 2, s"maxSalt=$maxSalt: salting needs >= 2 sub-blocks")
-    require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be positive")
-    val keyCols = blockCols.map(col)
-    val c = ceil(col("_bn").cast("double") / lit(hotThreshold))
-    val hot = a.groupBy(keyCols: _*).agg(count(lit(1)).as("_bn"))
-      .where(col("_bn") > hotThreshold)
-      .select(keyCols :+ least(c * c, lit(maxSalt)).cast("int").as("_sn"): _*)
-    val aS = a.join(broadcast(hot), blockCols, "left")
-      .withColumn("_salt", when(col("_sn").isNotNull,
-        pmod(xxhash64(col(aId)), col("_sn")).cast("int")).otherwise(lit(0)))
-      .drop("_sn")
-    val bS = b.join(broadcast(hot), blockCols, "left")
-      .withColumn("_salt", explode(when(col("_sn").isNotNull,
-        sequence(lit(0), col("_sn") - 1)).otherwise(array(lit(0)))))
-      .drop("_sn")
     val score = rules.map(r =>
       when(r.agree, lit(r.wAgree)).otherwise(lit(r.wDisagree))).reduce(_ + _)
-    aS.join(bS, blockCols :+ "_salt")
+    SkewJoin.saltedInnerJoin(a, col(aId), b, blockCols, maxSalt,
+        hotThreshold)
       .withColumn("fs_score", (round(score, 6) + lit(0.0)))
-      .drop("_salt")
   }
 
   /** The linkage scorer to reach for when the block-key distribution

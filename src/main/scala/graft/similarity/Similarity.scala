@@ -531,12 +531,18 @@ object Similarity {
       // otherwise the whole assignment subtree evaluates twice (the
       // shingle-reuse lesson)
       .localCheckpoint()
-    val scored = withVec.as("a").join(withVec.as("b"),
-        col(s"a.$centerCol") === col(s"b.$centerCol") &&
-          col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("src_id"),
-        col(s"b.$idCol").as("neighbor_id"),
-        graft.plans.GraftExpressions.cosine(col("a._v"), col("b._v"))
+    // the self-join runs through the shared per-key salted join: a
+    // cell at the maxCell cap still means |cell|² pairs, and without
+    // salting they all land on ONE task (AQE can't split inside a key)
+    val aSide = withVec.select(col(centerCol), col(idCol).as("src_id"),
+      col("_v").as("_va"))
+    val bSide = withVec.select(col(centerCol),
+      col(idCol).as("neighbor_id"), col("_v").as("_vb"))
+    val scored = graft.operators.SkewJoin
+      .saltedInnerJoin(aSide, col("src_id"), bSide, Seq(centerCol))
+      .where(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
           .as("_cos"))
     // multi-probe enumerates a pair once per shared cell — identical
     // (src, neighbor, cos) rows, deduped on the slim scored triple

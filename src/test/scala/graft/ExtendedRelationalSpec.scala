@@ -420,6 +420,28 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(!best.contains(11L))
   }
 
+  test("saltedInnerJoin: multiset-identical to the plain join, hot and cold") {
+    import graft.operators.SkewJoin
+    // hot key 0 (8 a-rows incl. a DUPLICATE row), cold keys 1, 2;
+    // b-side duplicates too — output must match as a MULTISET
+    val a = ((1L to 7L).map(i => (i, 0)) ++ Seq((1L, 0), (8L, 1), (9L, 2)))
+      .toDF("ida", "k")
+    val b = (Seq((20L, 0), (21L, 0), (21L, 0), (22L, 1), (23L, 3)))
+      .toDF("idb", "k")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("ida"), col("idb"))
+        .as[(Int, Long, Long)].collect().sorted.toSeq
+    val plain = canon(a.join(b, Seq("k")))
+    val salted = canon(SkewJoin.saltedInnerJoin(a, col("ida"), b, Seq("k"),
+      maxSalt = 4, hotThreshold = 3))
+    assert(salted === plain)
+    assert(plain.size === 8 * 3 + 1) // hot 8x3 + cold (8,1)x(22,1); key 2/3 unmatched
+    // nothing hot -> degenerates to the plain join
+    val cold = canon(SkewJoin.saltedInnerJoin(a, col("ida"), b, Seq("k"),
+      maxSalt = 4, hotThreshold = 100))
+    assert(cold === plain)
+  }
+
   test("estimateMU: EM separates match/non-match rates on planted pairs") {
     import graft.operators.Linkage
     // 20 planted matches (both fields agree) + 180 non-matches where
