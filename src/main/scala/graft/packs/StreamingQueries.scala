@@ -293,6 +293,30 @@ object StreamingQueries extends QueryPack {
       s.table(sink).distinct().orderBy(col("doc_id"))
     }),
 
+    // Self-referential near-dup gate (11th real-stream artifact): the
+    // band index GROWS with the stream — each bucket's min doc id
+    // lives in the keyed state store, arriving docs flag against the
+    // stream's own past and report the smallest sharer as provenance.
+    // Contract: doc X duplicates iff ANY lower-id doc shares a band —
+    // batch-replayable, so the oracle is one self-join.
+    "streaming_self_dedup_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/documents*.parquet")
+      val sink = s"selfdedup_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_selfdedup_ckpt").toString
+      val q = EventStreams.selfNearDupFlags(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("doc_id"))
+        .agg(min(col("dup_of_min")).as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The ANN tier's ingestion gate, as a real stream (the 10th
     // real-stream artifact): the static sign-LSH bucket index is built
     // from the even-id half of the embedding corpus; odd-id vectors
@@ -453,6 +477,35 @@ object StreamingQueries extends QueryPack {
         |SELECT DISTINCT s.doc_id AS doc_id
         |FROM bands s JOIN bands i ON s.band = i.band AND s.band_sig = i.band_sig
         |WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // One self-join on the recomputed md5 band table: smallest
+    // lower-id sharer per doc across all buckets.
+    "streaming_self_dedup_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |  JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(g.h AS INT) AS h,
+        |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+        |      AS minhash
+        |  FROM sh, generate_series(0, 7) g(h)
+        |  GROUP BY doc_id, g.h),
+        |bands AS (
+        |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+        |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+        |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT))
+        |SELECT s.doc_id AS doc_id, min(i.doc_id) AS dup_of
+        |FROM bands s JOIN bands i
+        |  ON s.band = i.band AND s.band_sig = i.band_sig
+        |  AND i.doc_id < s.doc_id
+        |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
     // Batch twin of the ANN gate: same sign buckets, same cosine, same

@@ -206,7 +206,60 @@ object EventStreams {
           Iterator.single(next)
       }
   }
+  /** Self-referential near-dup gate with a GROWING band index: where
+    * [[graft.dedup.Dedup.nearDupAgainstIndex]] checks a stream against
+    * a STATIC index, here the index is the stream's own past — each
+    * (band, band_sig) bucket keeps the minimum doc id seen so far in
+    * Spark's keyed state store, and an arriving doc is flagged when
+    * any of its buckets already holds a smaller id (emitting that
+    * smallest sharer as provenance). The semantic contract is batch-
+    * replayable: doc X is a duplicate iff ANY lower-id doc shares a
+    * band — a pure function of the doc set, independent of micro-batch
+    * boundaries, PROVIDED ingest order is id-monotone across batches
+    * (the natural incremental-ingest contract; within a batch ids are
+    * processed in ascending order explicitly). State is one long per
+    * occupied bucket — the same O(index) footprint a static band index
+    * costs, now maintained incrementally by the state store.
+    */
+  def selfNearDupFlags(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, numHashes: Int = 8,
+                       rowsPerBand: Int = 2): Dataset[BandDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nb = numHashes / rowsPerBand
+    val sig = graft.dedup.Dedup.inRowSignature(docs, idCol, textCol,
+      n, numHashes)
+    val bandCols = s"transform(sequence(0, ${nb - 1}), " +
+      s"b -> concat_ws('-', transform(sequence(0, ${rowsPerBand - 1}), " +
+      s"j -> cast(sig[b * $rowsPerBand + j] as string))))"
+    sig
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(expr(bandCols)).as(Seq("band", "band_sig")))
+      .select(concat_ws(":", col("band"), col("band_sig")).as("bucket"),
+        col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BandDup](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toArray.sorted
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val out = Array.newBuilder[BandDup]
+          ids.foreach { id =>
+            if (mn < id) out += BandDup(id, mn)
+            if (id < mn) mn = id
+          }
+          state.update(mn)
+          out.result().iterator
+      }
+  }
 }
+
+/** A flagged doc and the smallest earlier doc sharing the bucket —
+  * output row of [[EventStreams.selfNearDupFlags]].
+  */
+final case class BandDup(doc_id: Long, dup_of_min: Long)
 
 /** Running (class, term) token count — the keyed state and output row of
   * [[EventStreams.nbRunningCounts]].

@@ -304,4 +304,27 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop).passed)
   }
+
+  test("selfNearDupFlags: index grows across micro-batches, min sharer wins") {
+    // two parquet files with distinct mtimes -> two AvailableNow
+    // batches in mtime order under maxFilesPerTrigger=1
+    val root = Files.createTempDirectory("graft_selfdedup_").toString
+    Seq((0L, "a b c d e f"), (1L, "a b c d e f"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(root)
+    Thread.sleep(1500)
+    Seq((10L, "a b c d e f"), (11L, "p1 p2 p3 p4 p5 p6 p7"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(root)
+    val schema = spark.read.parquet(root).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(root)
+    val out = runToTable(
+        EventStreams.selfNearDupFlags(stream, "doc_id", "text").toDF(),
+        "t_selfdedup", mode = "update")
+      .groupBy(col("doc_id")).agg(min(col("dup_of_min")).as("dup_of"))
+      .as[(Long, Long)].collect().toMap
+    // doc 1 flags in batch 1 (same-batch smaller sharer 0); doc 10
+    // flags in batch 2 against STATE carried from batch 1 — and the
+    // provenance is the bucket MIN (0), not the latest sharer (1)
+    assert(out === Map(1L -> 0L, 10L -> 0L))
+  }
 }
