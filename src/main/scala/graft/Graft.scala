@@ -531,6 +531,20 @@ object Graft {
                                indexIdCol: String): DataFrame =
     graft.dedup.Dedup.nearDupPairsAgainstIndex(docs, indexBands, idCol,
       textCol, indexIdCol)
+  /** Distinct word n-gram shingles per doc (dedup.Dedup.shingles) —
+    * the input relation for the jaccard/ppJoin/minhash family.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame =
+    graft.dedup.Dedup.shingles(docs, idCol, textCol, n)
+  /** The id-carrying (id, band, band_sig) minhash band index — the
+    * materialized artifact the incremental-ingest family (provenance
+    * pairs, merge maintenance) joins against.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.dedup.Dedup.bandSignatures(
+      graft.dedup.Dedup.minhashSignatures(
+        graft.dedup.Dedup.shingles(docs, idCol, textCol), idCol), idCol)
   /** Exact Jaccard-threshold join by AllPairs prefix filtering — every
     * pair above t, provably (dedup.Dedup.ppJoinPairs).
     */
