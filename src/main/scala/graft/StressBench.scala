@@ -300,6 +300,21 @@ object StressBench {
       graft.operators.Graph.labelPropagation(
         chain.unionByName(hubs), "src", "dst", rounds = 4).count()
     }
+    // FS m/u/p EM fit over rows candidate pairs (10% planted matches
+    // where both fields agree; non-match agreement rare): 3 rounds,
+    // each ONE map-side-combinable aggregate over the pair scan — the
+    // fit costs three passes regardless of parameter count
+    timed("fs_estimate_mu_em") {
+      val n = rows
+      val pairs = spark.range(n).select(
+        (pmod(col("id"), lit(10)) === 0).as("t1_match"),
+        col("id"))
+        .select(col("id"),
+          (col("t1_match") || pmod(hash(col("id")), lit(9)) === 0).as("a1c"),
+          (col("t1_match") || pmod(hash(col("id") * 7), lit(13)) === 0).as("a2c"))
+      graft.operators.Linkage.estimateMU(pairs, Seq(
+        ("f1", col("a1c")), ("f2", col("a2c"))), rounds = 3).count()
+    }
     // exact-threshold jaccard join via prefix filtering at rows/1000
     // docs × ~200 trigrams (rows/5 shingle rows): every 10th doc pair
     // shares a 180-token prefix (J ≈ 0.82 ≥ the 0.8 gate), the rest
