@@ -331,6 +331,28 @@ object StressBench {
       Dedup.ppJoinPairs(Dedup.shingles(docs, "doc_id", "text"),
         "doc_id", threshold = 0.8).count()
     }
+    // the positional filter's regime: every doc carries 11 unique
+    // shingles, one of 20 HUB shingles (landing exactly last in the
+    // 12-slot prefix), and the same 44 corpus-wide commons (outside
+    // every prefix). Same-hub pairs flood the prefix join — ~1e7
+    // candidates at 20k docs — but their true jaccard is 0.67 < 0.8
+    // and the positional bound (45 < the required 50 overlap) kills
+    // every one BEFORE the distinct + array-verify; the prefix-only
+    // variant pays the full candidate set. Result set is empty by
+    // construction — this stage prices pure filtering.
+    timed("ppjoin_positional_hub") {
+      val nDocs = math.max(rows / 1000L, 10000L)
+      val uni = spark.range(nDocs).select(col("id").as("doc_id"),
+        explode(expr("transform(sequence(0, 10), " +
+          "j -> concat('u', id * 11 + j))")).as("shingle"))
+      val hub = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit("h"), pmod(col("id"), lit(20))).as("shingle"))
+      val com = spark.range(nDocs).select(col("id").as("doc_id"),
+        explode(expr("transform(sequence(0, 43), j -> concat('c', j))"))
+          .as("shingle"))
+      Dedup.ppJoinPairs(uni.unionByName(hub).unionByName(com),
+        "doc_id", threshold = 0.8).count()
+    }
     // corpus-wide kNN graph at rows/40 64-dim vectors, 1024 true
     // clusters (center + unit noise, so group means ARE the centroids
     // and cells stay balanced): native in-row argmin assignment, then

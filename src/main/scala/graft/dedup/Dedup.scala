@@ -262,13 +262,26 @@ object Dedup {
       .agg(expr("transform(sort_array(collect_list(struct(_df, shingle)))," +
         " x -> x.shingle)").as("_toks"))
       .localCheckpoint() // feeds prefix explode AND both verify sides
-    val pref = ordered.select(col(idCol), explode(expr(
-      s"slice(_toks, 1, size(_toks) - " +
-        s"cast(ceil(${threshold}D * size(_toks)) as int) + 1)"))
-      .as("shingle"))
-    val cand = pref.select(col(idCol).as("id_a"), col("shingle"))
-      .join(pref.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+    // prefix with POSITIONS: the positional filter (PPJoin, Xiao et
+    // al. WWW 2008) bounds the overlap reachable from a shared token
+    // at (pa, pb) by 1 + min(|a|−pa−1, |b|−pb−1); rows under the
+    // required overlap ⌈t/(1+t)·(|a|+|b|)⌉ can't contribute a
+    // qualifying pair. Exact: the FIRST common token's row always
+    // passes for a true pair (every common token sits at or after it
+    // on both sides), so filtering per occurrence loses nothing.
+    val pref = ordered
+      .select(col(idCol), size(col("_toks")).as("_n"),
+        posexplode(expr(s"slice(_toks, 1, size(_toks) - " +
+          s"cast(ceil(${threshold}D * size(_toks)) as int) + 1)"))
+          .as(Seq("_pos", "shingle")))
+    val cand = pref.select(col(idCol).as("id_a"), col("_n").as("_na"),
+        col("_pos").as("_pa"), col("shingle"))
+      .join(pref.select(col(idCol).as("id_b"), col("_n").as("_nb"),
+        col("_pos").as("_pb"), col("shingle")), "shingle")
       .where(col("id_a") < col("id_b"))
+      .where(lit(1) +
+        least(col("_na") - col("_pa") - 1, col("_nb") - col("_pb") - 1) >=
+        ceil(lit(threshold) / (1 + threshold) * (col("_na") + col("_nb"))))
       .select(col("id_a"), col("id_b"))
       .distinct()
     cand
