@@ -531,6 +531,13 @@ object Graft {
                                indexIdCol: String): DataFrame =
     graft.dedup.Dedup.nearDupPairsAgainstIndex(docs, indexBands, idCol,
       textCol, indexIdCol)
+  /** Overlapping token-window chunking for embedding/RAG preparation
+    * (text.TextAnalysis.chunkWindows).
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, strideTokens: Int): DataFrame =
+    graft.text.TextAnalysis.chunkWindows(docs, idCol, textCol,
+      windowTokens, strideTokens)
   /** Distinct word n-gram shingles per doc (dedup.Dedup.shingles) —
     * the input relation for the jaccard/ppJoin/minhash family.
     */

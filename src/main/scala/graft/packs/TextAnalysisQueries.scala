@@ -45,6 +45,17 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping token-window chunking (the embedding/RAG prep step):
+    // 16-token windows advancing by 12 — every token lands in >= 1
+    // chunk, boundary sentences in 2. One in-row transform + explode.
+    "text_chunk_windows" -> ((s, dir) => {
+      TextAnalysis.chunkWindows(Tables(s, dir).documents, "doc_id", "text",
+          windowTokens = 16, strideTokens = 12)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Normalization-before-hashing (CCNet): case/punct variants of the
     // same content collapse to one normalized hash — the key space raw
     // md5 dedup misses. Dup-mate counts under the NORMALIZED key ride
@@ -414,6 +425,25 @@ object TextAnalysisQueries extends QueryPack {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list slicing t[a:b] is 1-based inclusive — t[s+1:s+16]
+    // mirrors Spark's slice(_toks, s+1, 16); both clamp at the end.
+    "text_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |ch AS (
+        |  SELECT doc_id, CAST(s / 12 AS INT) AS chunk_id,
+        |    array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text
+        |  FROM (
+        |    SELECT doc_id, t, unnest(range(0,
+        |      CAST(greatest(0, ceil((len(t) - 16) / 12.0)) AS INT) * 12 + 1,
+        |      12)) AS s
+        |    FROM toks) u)
+        |SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens
+        |FROM ch
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // regexp_replace needs the 'g' flag in DuckDB to mirror Spark's
     // replace-all default; length() counts characters in both engines.

@@ -399,6 +399,32 @@ object TextAnalysis {
     * polynomial rolling hash over per-token hashes (exact integer
     * arithmetic — engine-portable).
     */
+  /** Overlapping token-window chunking — the embedding/RAG preparation
+    * step: split each doc into windows of `windowTokens` advancing by
+    * `strideTokens` (overlap = window − stride keeps sentences that
+    * straddle a boundary retrievable from at least one chunk), final
+    * partial window kept iff it adds tokens beyond the previous one.
+    * Entirely in-row (one transform over the token array, exploded) —
+    * map-side at any corpus size, ~window/stride× output amplification
+    * and nothing else.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens=$windowTokens must be positive")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"strideTokens=$strideTokens out of [1, windowTokens]")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, " +
+          s"cast(greatest(0D, ceil((size(_toks) - $windowTokens) / " +
+          s"${strideTokens}D)) as int) * $strideTokens, $strideTokens), " +
+          s"s -> concat_ws(' ', slice(_toks, s + 1, $windowTokens)))"))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** CCNet-style normalization BEFORE hashing (Wenzek et al. 2020 §4.1
     * normalize the text for dedup, keep the raw text for training):
     * lowercase, map every character outside [a-z0-9 ] to a space,

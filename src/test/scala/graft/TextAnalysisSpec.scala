@@ -274,4 +274,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].head()
     assert((fb._1, fb._2, fb._3) === plain && fb._4 === 0L)
   }
+
+  test("chunkWindows: full coverage with overlap, short docs one chunk") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than window
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")))  // exact 2 strides
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+        windowTokens = 4, strideTokens = 3)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0,3,6 -> windows of 4,4,4 covering all 10 tokens
+    assert(ch(1L).map(_._3) === Array("t1 t2 t3 t4", "t4 t5 t6 t7",
+      "t7 t8 t9 t10"))
+    assert(ch(1L).map(_._4).toSeq === Seq(4, 4, 4))
+    // doc 2 shorter than the window: exactly one (partial) chunk
+    assert(ch(2L).map(_._3) === Array("a b c"))
+    // doc 3 (8 toks): starts 0,3 cover 1..7 — NOT 8; ceil((8-4)/3)=2
+    // adds start 6 for the tail
+    assert(ch(3L).map(_._3).last === "u7 u8")
+    // every token of every doc appears in at least one chunk
+    for ((id, rows) <- ch) {
+      val toks = docs.where(col("doc_id") === id)
+        .as[(Long, String)].head()._2.split(" ").toSet
+      val covered = rows.flatMap(_._3.split(" ")).toSet
+      assert(toks === covered, s"doc $id coverage")
+    }
+  }
 }
