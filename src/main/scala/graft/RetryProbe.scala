@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
 object RetryProbe {
   private val injected = new AtomicBoolean(false)
   private val injectedDedup = new AtomicBoolean(false)
+  // object field, NOT a local: a local val is captured by VALUE into
+  // the task closure, so the executor-side CAS lands on a per-task
+  // copy and the driver read stays false (and the one-shot guard
+  // resets per attempt — attemptNumber()==0 is what actually bounds
+  // the injection)
+  private val injectedJoin = new AtomicBoolean(false)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -98,7 +104,41 @@ object RetryProbe {
     val chaosClusters = clusters(docsWith(failTextOnce(textExpr)))
     val ok2 = cleanClusters == chaosClusters && injectedDedup.get()
     println(s"""{"probe":"dedup_pipeline_task_retry","injected":${injectedDedup.get()},"match":${cleanClusters == chaosClusters},"clusters":${cleanClusters.size},"pass":$ok2}""")
+    // Probe 3: the per-block SALTED JOIN under task retry. The salt is
+    // pmod(xxhash64(split column), per-key factor) — pure row content —
+    // so a retried task re-salts every a-row into the SAME sub-block
+    // and the join output is reproduced exactly. A nondeterministic
+    // split (partition id, round-robin) would re-bucket rows on retry
+    // and silently drop/duplicate pairs mid-join; this drives the
+    // distinction. Failure injected into the a-side value column, so it
+    // fires inside the salted map stage.
+    val failLongOnce = udf { (x: Long) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0 &&
+          injectedJoin.compareAndSet(false, true)) {
+        throw new RuntimeException("injected failure (skew-join retry probe)")
+      }
+      x
+    }
+    // hot key 0 carries 5k a-rows (splits 2²=4 ways at threshold 2500)
+    val aJ = spark.range(20000).select(col("id").as("ida"),
+      when(col("id") < 5000, lit(0)).otherwise(pmod(col("id"), lit(97)))
+        .as("k")).repartition(8)
+    val bJ = spark.range(3000).select(col("id").as("idb"),
+      when(col("id") < 300, lit(0)).otherwise(pmod(col("id"), lit(97)))
+        .as("k")).repartition(8)
+    def joined(a: org.apache.spark.sql.DataFrame) =
+      graft.operators.SkewJoin.saltedInnerJoin(a, col("ida"), bJ,
+          Seq("k"), maxSalt = 8, hotThreshold = 2500)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("ida") * col("idb")).as("x"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val cleanJoin = joined(aJ)
+    val chaosJoin = joined(aJ.withColumn("ida", failLongOnce(col("ida"))))
+    val ok3 = cleanJoin == chaosJoin && injectedJoin.get()
+    println(s"""{"probe":"salted_join_task_retry","injected":${injectedJoin.get()},"match":${cleanJoin == chaosJoin},"keys":${cleanJoin.size},"pass":$ok3}""")
     spark.stop()
-    if (!ok || !ok2) sys.exit(1)
+    if (!ok || !ok2 || !ok3) sys.exit(1)
   }
 }
