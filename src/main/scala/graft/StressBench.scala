@@ -373,6 +373,26 @@ object StressBench {
         emb, "vec_id", "embedding", coarse, "cell", k = 5, nProbe = 1)
         .count()
     }
+    // one NN-descent refinement round over the knn_graph_cells output
+    // at the same geometry: undirected closure, neighbor-of-neighbor
+    // candidates (Σ deg² ≈ n·(2k)²) through the salted mid-keyed join
+    // with vectors attached before pair enumeration, re-ranked top-5
+    timed("knn_refine") {
+      val n = math.max(rows / 40L, 100000L)
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "cast(hash(pmod(id, 1024), i) % 1000 as double) + " +
+          "cast(hash(id, i) % 100 as double) / 100.0)").as("embedding"))
+      val coarse = graft.mlops.NaiveBayesOps.toLongForm(
+          emb.withColumn("cell", pmod(col("vec_id"), lit(1024))),
+          Seq("cell"), "embedding")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
+      val g = graft.similarity.Similarity.knnGraphCells(
+          emb, "vec_id", "embedding", coarse, "cell", k = 5, nProbe = 1)
+        .localCheckpoint()
+      graft.similarity.Similarity.knnRefine(
+        emb, "vec_id", "embedding", g, k = 5).count()
+    }
     // farthest-point traversal at rows/20 64-dim vectors, k=8: each
     // round is one native-l2sq map pass + a min-struct argmax — the
     // O(n·k·d) running-min fold, never a pairwise matrix

@@ -255,12 +255,30 @@ object Dedup {
                   threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold out of (0, 1]")
+    val spark = shingleDf.sparkSession
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
     val sh = shingleDf.localCheckpoint() // feeds df-counts AND doc arrays
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val ordered = sh.join(dfreq, "shingle")
+    // Vocabulary RANK-RECODING: dense global rank in rarest-first
+    // (df, shingle) order via range-sort + zipWithIndex — a scalable
+    // total order (no single-partition window; rank = position in the
+    // global sort, deterministic regardless of partition boundaries).
+    // Everything downstream runs on longs: the prefix candidate join
+    // keys on an 8-byte rank instead of a shingle string (the big
+    // exchange shrinks), doc arrays become strictly-increasing long
+    // arrays, and verification becomes a native merge with early exit
+    // (graft_sorted_overlap) instead of array_intersect's per-row
+    // string hash set. Rank↔shingle is a bijection, so every Jaccard
+    // value is unchanged. localCheckpoint pins the assignment against
+    // task retries (the salted-join chaos-probe discipline).
+    val vocab = dfreq.orderBy(col("_df"), col("shingle"))
+      .select(col("shingle")).as[String]
+      .rdd.zipWithIndex.toDF("shingle", "_rk")
+      .localCheckpoint()
+    val ordered = sh.join(vocab, "shingle")
       .groupBy(col(idCol))
-      .agg(expr("transform(sort_array(collect_list(struct(_df, shingle)))," +
-        " x -> x.shingle)").as("_toks"))
+      .agg(sort_array(collect_list(col("_rk"))).as("_toks"))
       .localCheckpoint() // feeds prefix explode AND both verify sides
     // prefix with POSITIONS: the positional filter (PPJoin, Xiao et
     // al. WWW 2008) bounds the overlap reachable from a shared token
@@ -269,27 +287,41 @@ object Dedup {
     // qualifying pair. Exact: the FIRST common token's row always
     // passes for a true pair (every common token sits at or after it
     // on both sides), so filtering per occurrence loses nothing.
+    // Both ⌈·⌉ bounds subtract 1e-9 before ceil: when the exact
+    // product is an integer, double arithmetic can land a hair ABOVE
+    // it (0.25·10 → 2.0000000000000004), and a raw ceil would
+    // over-tighten the exact filter and drop true boundary pairs with
+    // J == t. The epsilon is far below the 1/(na·nb) granularity of
+    // any real bound, so it can never LOOSEN a non-integer ceil.
     val pref = ordered
       .select(col(idCol), size(col("_toks")).as("_n"),
         posexplode(expr(s"slice(_toks, 1, size(_toks) - " +
-          s"cast(ceil(${threshold}D * size(_toks)) as int) + 1)"))
-          .as(Seq("_pos", "shingle")))
+          s"cast(ceil(${threshold}D * size(_toks) - 1e-9) as int) + 1)"))
+          .as(Seq("_pos", "_rk")))
     val cand = pref.select(col(idCol).as("id_a"), col("_n").as("_na"),
-        col("_pos").as("_pa"), col("shingle"))
+        col("_pos").as("_pa"), col("_rk"))
       .join(pref.select(col(idCol).as("id_b"), col("_n").as("_nb"),
-        col("_pos").as("_pb"), col("shingle")), "shingle")
+        col("_pos").as("_pb"), col("_rk")), "_rk")
       .where(col("id_a") < col("id_b"))
       .where(lit(1) +
         least(col("_na") - col("_pa") - 1, col("_nb") - col("_pb") - 1) >=
-        ceil(lit(threshold) / (1 + threshold) * (col("_na") + col("_nb"))))
+        ceil(lit(threshold) / (1 + threshold) * (col("_na") + col("_nb"))
+          - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // verification: required overlap from the sizes, then the native
+    // early-exit merge — a cold candidate exits after a few primitive
+    // comparisons; survivors report the EXACT intersection
     cand
       .join(ordered.select(col(idCol).as("id_a"), col("_toks").as("_aa")),
         "id_a")
       .join(ordered.select(col(idCol).as("id_b"), col("_toks").as("_ab")),
         "id_b")
-      .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
+      .withColumn("_req",
+        ceil(lit(threshold) / (1 + threshold) *
+          (size(col("_aa")) + size(col("_ab"))) - lit(1e-9)).cast("int"))
+      .withColumn("inter", graft.plans.GraftExpressions.sortedOverlap(
+        col("_aa"), col("_ab"), col("_req")))
       .withColumn("jaccard",
         col("inter") / (size(col("_aa")) + size(col("_ab")) - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -335,6 +367,90 @@ object Dedup {
     * signature shared by a huge near-duplicate cluster) by dropping it;
     * at 100 TB such buckets are exactly the ones you handle separately.
     */
+  /** LSH S-curve auto-tuner: solve (bands, rowsPerBand) from a target
+    * Jaccard threshold and a false-positive budget, closing the last
+    * manual knob in the banding surface. For every rowsPerBand
+    * r ∈ 1..numHashes (bands b = ⌊numHashes/r⌋), the collision
+    * probability of a pair at similarity j is the standard S-curve
+    * p(j) = 1 − (1 − jʳ)ᵇ (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+    * The tuner publishes the full curve family — p at the target
+    * threshold (catch probability) and p at `fpJaccard` (how often a
+    * clearly-dissimilar pair still collides) — and marks `chosen` the
+    * config maximizing catch probability SUBJECT TO the fp budget
+    * (ties: fewer bands = smaller index, then larger r). If no config
+    * meets the budget, the ranking degrades gracefully to the best
+    * catch probability overall rather than failing.
+    *
+    * Everything is a pure arithmetic function of the three scalars —
+    * numHashes rows total, a metadata-scale frame (the global window
+    * sorts ≤ numHashes rows; nothing here touches the corpus).
+    */
+  def tuneBands(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+                threshold: Double, fpJaccard: Double = 0.2,
+                fpBudget: Double = 0.05): DataFrame = {
+    require(numHashes >= 1, s"numHashes=$numHashes must be positive")
+    require(threshold > 0 && threshold < 1,
+      s"threshold=$threshold out of (0, 1)")
+    require(fpJaccard > 0 && fpJaccard < threshold,
+      s"fpJaccard=$fpJaccard must sit below the target threshold")
+    require(fpBudget > 0 && fpBudget < 1, s"fpBudget=$fpBudget out of (0, 1)")
+    val w = Window.orderBy(col("_meets").desc, col("_pt").desc,
+      col("bands").asc, col("rows_per_band").asc)
+    spark.range(1, numHashes + 1L)
+      .select(col("id").cast("int").as("rows_per_band"))
+      .withColumn("bands",
+        floor(lit(numHashes) / col("rows_per_band")).cast("int"))
+      .withColumn("_pt", lit(1.0) -
+        pow(lit(1.0) - pow(lit(threshold), col("rows_per_band")),
+          col("bands")))
+      .withColumn("_pfp", lit(1.0) -
+        pow(lit(1.0) - pow(lit(fpJaccard), col("rows_per_band")),
+          col("bands")))
+      .withColumn("_meets", (col("_pfp") <= lit(fpBudget)).cast("int"))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select(col("rows_per_band"), col("bands"),
+        (round(col("_pt"), 6) + lit(0.0)).as("p_at_threshold"),
+        (round(col("_pfp"), 6) + lit(0.0)).as("p_at_fp"),
+        col("chosen"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  /** The tuner's argmax as driver-side scalars — same arithmetic as
+    * [[tuneBands]] (Math.pow is what Spark's `pow` runs), no job.
+    * Returns (bands, rowsPerBand).
+    */
+  def tunedBandConfig(numHashes: Int, threshold: Double,
+                      fpJaccard: Double = 0.2,
+                      fpBudget: Double = 0.05): (Int, Int) = {
+    require(numHashes >= 1 && threshold > 0 && threshold < 1 &&
+      fpJaccard > 0 && fpJaccard < threshold && fpBudget > 0 && fpBudget < 1,
+      "tunedBandConfig: same domain as tuneBands")
+    (1 to numHashes).map { r =>
+      val b = numHashes / r
+      val pt = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      val pfp = 1.0 - math.pow(1.0 - math.pow(fpJaccard, r), b)
+      (if (pfp <= fpBudget) 0 else 1, -pt, b, r)
+    }.min match { case (_, _, b, r) => (b, r) }
+  }
+
+  /** [[minhashBandCandidates]] with the banding solved from a target
+    * threshold instead of a hand-picked rowsPerBand — the tuner wired
+    * in as the default path. `numHashes` must be the signature length
+    * `signatures` was built with. Hashes beyond bands·rowsPerBand are
+    * dropped so only FULL bands form — a trailing partial band of
+    * r′ < r rows would collide like an r′-row band and silently blow
+    * the fp budget the tuner just enforced.
+    */
+  def minhashBandCandidatesTuned(signatures: DataFrame, idCol: String,
+                                 numHashes: Int, threshold: Double,
+                                 fpJaccard: Double = 0.2,
+                                 fpBudget: Double = 0.05,
+                                 maxBucket: Int = 1 << 16): DataFrame = {
+    val (b, r) = tunedBandConfig(numHashes, threshold, fpJaccard, fpBudget)
+    minhashBandCandidates(signatures.where(col("h") < b * r), idCol, r,
+      maxBucket)
+  }
+
   def minhashBandCandidates(signatures: DataFrame, idCol: String,
                             rowsPerBand: Int = 2,
                             maxBucket: Int = 1 << 16): DataFrame = {

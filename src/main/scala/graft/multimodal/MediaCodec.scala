@@ -447,6 +447,44 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Minimal JPEG container SHELL: SOI + JFIF APP0 + SOF0 geometry +
+    * SOS + `data` standing in for the entropy-coded stream + EOI. The
+    * marker walk ([[decode]]) parses real geometry out of it; the
+    * entropy region is opaque bytes (pixel decode needs a full Huffman
+    * + DCT codec), which is exactly the case the decode-coverage
+    * surface must report as pixel-undecodable instead of hashing
+    * compressed garbage.
+    */
+  def encodeJpegShell(width: Int, height: Int,
+                      data: Array[Byte]): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"bad JPEG geometry ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 "JFIF"
+    be16(16)
+    out.write("JFIF".getBytes(US_ASCII), 0, 4); out.write(0)
+    out.write(1); out.write(1)         // version 1.1
+    out.write(0)                       // aspect-ratio units
+    be16(1); be16(1)                   // density 1x1
+    out.write(0); out.write(0)         // no thumbnail
+    marker(0xc0) // SOF0: 8-bit precision, one greyscale component
+    be16(11)
+    out.write(8)
+    be16(height); be16(width)
+    out.write(1)                       // component count
+    out.write(1); out.write(0x11); out.write(0) // id, 1x1 sampling, quant 0
+    marker(0xda) // SOS, one component
+    be16(8)
+    out.write(1); out.write(1); out.write(0)
+    out.write(0); out.write(0x3f); out.write(0)
+    out.write(data, 0, data.length)    // opaque entropy stand-in
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Binary PPM (P6) wrapping `data` as the raster. */
   def encodePpm(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0, s"bad PPM geometry ${width}x$height")

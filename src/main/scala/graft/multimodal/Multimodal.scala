@@ -212,6 +212,100 @@ object Multimodal {
       }
   }
 
+  /** [[encodeCorpus]] widened with a JPEG stratum (id % 5 == 4 wraps in
+    * a [[MediaCodec.encodeJpegShell]] container): the corpus real
+    * crawled data looks like — geometry parseable for every image, but
+    * one format whose PIXELS need an entropy codec the engine does not
+    * carry. Feeds the decode-coverage surface; the original four-way
+    * corpus keeps its own queries (and their hashes) unchanged.
+    */
+  def encodeCorpusWithJpeg(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val projected = docs.select(col("doc_id").cast("long"), col("text"))
+    val balanced =
+      if (docs.inputFiles.length < par) projected.repartition(par)
+      else projected
+    balanced
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val data = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = data.length
+        (id % 5) match {
+          case 0 =>
+            val w = 16 + n % 97
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodeBmp(w, h, data), "image/bmp")
+          case 1 =>
+            val ch = 1 + n % 2
+            MediaRecord(id,
+              MediaCodec.encodeWav(ch, 8000 + (n % 5) * 1000, 16, data),
+              "audio/wav")
+          case 2 =>
+            val w = 8 + n % 61
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodePpm(w, h, data), "image/ppm")
+          case 3 =>
+            val w = 12 + n % 71
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodePng(w, h, data), "image/png")
+          case _ =>
+            val w = 10 + n % 83
+            val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+            MediaRecord(id, MediaCodec.encodeJpegShell(w, h, data),
+              "image/jpeg")
+        }
+      }
+  }
+
+  /** The raster formats whose CONTENT region the engine can address as
+    * pixels (BMP/PPM slice in place, PNG inflates); everything else —
+    * JPEG above all — parses to geometry only. One predicate, shared by
+    * every pixel-touching stage, so "which formats are actually
+    * decoded" is a queryable fact instead of a silent iterator filter.
+    */
+  val pixelDecodableTypes: Seq[String] =
+    Seq("image/bmp", "image/ppm", "image/png")
+
+  /** Per-payload pixel-decodability disposition: the decoded metadata
+    * plus an explicit (pixel_decodable, skip_reason) pair. The
+    * visibility contract the aHash/downsample family needs at 100 TB:
+    * a mostly-JPEG crawl must show up as "N rows skipped:
+    * entropy codec required", never as silently-missing output rows.
+    */
+  def decodeStatus(media: Dataset[MediaRecord]): DataFrame =
+    decodeMedia(media).toDF()
+      .withColumn("pixel_decodable",
+        col("media_type").isin(pixelDecodableTypes: _*))
+      .withColumn("skip_reason",
+        when(col("pixel_decodable"), lit(null).cast("string"))
+          .when(col("media_type") === "image/jpeg",
+            lit("entropy codec required"))
+          .when(col("media_type").startsWith("image/"),
+            lit("unsupported image format"))
+          .when(col("media_type").startsWith("audio/"), lit("not an image"))
+          .otherwise(lit("unknown container")))
+
+  /** [[aHashImages]] with the skip set made explicit: one row per IMAGE
+    * payload — decoded rows carry their hash, undecodable ones (JPEG)
+    * carry `decoded = false` and null hash columns. Schema:
+    * (doc_id, media_type, ahash, n_ones, decoded).
+    */
+  def aHashImagesStatus(media: Dataset[MediaRecord]): DataFrame = {
+    val hashed = aHashImages(media).toDF()
+      .select(col("doc_id"), col("media_type"), col("ahash"),
+        col("n_ones"), lit(true).as("decoded"))
+    val skipped = decodeMedia(media).toDF()
+      .where(col("media_type").startsWith("image/") &&
+        !col("media_type").isin(pixelDecodableTypes: _*))
+      .select(col("doc_id"), col("media_type"),
+        lit(null).cast("string").as("ahash"),
+        lit(null).cast("long").as("n_ones"), lit(false).as("decoded"))
+    hashed.unionByName(skipped)
+  }
+
   /** PIXEL-LEVEL nearest-neighbor downsample over parsed image rasters —
     * the stage that processes media content, not just headers. For each
     * image payload: parse the container ([[MediaCodec.decodeWithContent]]
@@ -332,7 +426,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { m =>
         val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
-        if (!h.media_type.startsWith("image/")) Iterator.empty
+        // RASTER formats only — hashing a compressed (JPEG) entropy
+        // stream would emit a deterministic-but-meaningless signature;
+        // aHashImagesStatus reports those rows as skipped instead
+        if (!pixelDecodableTypes.contains(h.media_type)) Iterator.empty
         else {
           val buf = if (pngContent != null) pngContent else m.payload
           val base = if (pngContent != null) 0 else h.data_offset

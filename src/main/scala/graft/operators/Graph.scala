@@ -203,7 +203,19 @@ object Graph {
     * WITHIN the core.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, maxRounds: Int = 20): DataFrame = {
+            k: Int, maxRounds: Int = 20): DataFrame =
+    kCoreWithStatus(edges, srcCol, dstCol, k, maxRounds)._1
+
+  /** [[kCore]] plus the convergence signal: `_2` is true iff the peel
+    * reached its fixpoint within `maxRounds`. When false, the returned
+    * frame is a SUPERGRAPH of the true k-core (peeling stopped early —
+    * e.g. a pendant chain of ~2·maxRounds nodes at k=2 peels only two
+    * ends per round), and the caller decides whether to re-run with a
+    * deeper budget or accept the over-approximation. The flag costs
+    * nothing extra — it falls out of the loop's own edge counters.
+    */
+  def kCoreWithStatus(edges: DataFrame, srcCol: String, dstCol: String,
+                      k: Int, maxRounds: Int = 20): (DataFrame, Boolean) = {
     require(k >= 1, s"k=$k must be positive")
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
     var e = edges
@@ -229,7 +241,9 @@ object Graph {
       e = next
       round += 1
     }
-    e.select(col("lo").as("id")).unionAll(e.select(col("hi").as("id")))
+    val core = e.select(col("lo").as("id"))
+      .unionAll(e.select(col("hi").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    (core, curEdges == prevEdges || curEdges == 0)
   }
 }

@@ -120,15 +120,30 @@ object Linkage {
     *
     * Returns one row per field: (field, m, u, w_agree, w_disagree, p)
     * with the log2 match weights ready to feed [[FieldRule]].
+    *
+    * Degeneracy guards: a null agreement value would silently skew the
+    * sums against count(*), so null rows are dropped before the fit
+    * (an agreement predicate that can't decide a pair contributes no
+    * evidence); and the E-step responsibilities are clamped into
+    * (eps, n−eps) — on a pair set where every pair agrees on every
+    * field (or none does), the raw update divides by zero and every
+    * later round is NaN. The clamp keeps the fit finite and pins the
+    * parameters at the boundary the data actually supports; m/u are
+    * clamped the same way so the log2 weights stay finite.
     */
   def estimateMU(pairs: DataFrame, agreeCols: Seq[(String, Column)],
                  rounds: Int = 3, m0: Double = 0.9, u0: Double = 0.1,
                  p0: Double = 0.1): DataFrame = {
     require(agreeCols.nonEmpty, "at least one agreement field required")
     require(rounds >= 1, s"rounds=$rounds must be positive")
+    val eps = 1e-9
+    def clamp(x: Double, lo: Double, hi: Double): Double =
+      math.min(math.max(x, lo), hi)
     val names = agreeCols.map(_._1)
     val a = pairs.select(agreeCols.map { case (n, c) =>
-      c.cast("int").cast("double").as(s"_a_$n") }: _*).localCheckpoint()
+      c.cast("int").cast("double").as(s"_a_$n") }: _*)
+      .na.drop()
+      .localCheckpoint()
     var ms = names.map(_ => m0)
     var us = names.map(_ => u0)
     var p = p0
@@ -147,13 +162,15 @@ object Linkage {
       val row = a.withColumn("_g", g)
         .agg(aggs.head, aggs.tail: _*)
         .head() // one metadata-scale row per round (the BPE argmax shape)
-      val sg = row.getAs[Double]("_sg")
       val n = row.getAs[Double]("_n")
-      ms = names.map(nm => row.getAs[Double](s"_sga_$nm") / sg)
+      require(n > 0, "estimateMU: empty pair set after null-filtering")
+      val sg = clamp(row.getAs[Double]("_sg"), eps, n - eps)
+      ms = names.map(nm =>
+        clamp(row.getAs[Double](s"_sga_$nm") / sg, eps, 1 - eps))
       us = names.map(nm =>
-        (row.getAs[Double](s"_sa_$nm") - row.getAs[Double](s"_sga_$nm")) /
-          (n - sg))
-      p = sg / n
+        clamp((row.getAs[Double](s"_sa_$nm") -
+          row.getAs[Double](s"_sga_$nm")) / (n - sg), eps, 1 - eps))
+      p = clamp(sg / n, eps, 1 - eps)
     }
     val spark = pairs.sparkSession
     import spark.implicits._

@@ -36,6 +36,15 @@ object SkewJoin {
     require(keyCols.nonEmpty, "at least one join key required")
     require(maxSalt >= 2, s"maxSalt=$maxSalt: salting needs >= 2 sub-blocks")
     require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be positive")
+    // the bit-identical-to-plain-join contract depends on the temp
+    // columns being OURS: withColumn would silently overwrite a user
+    // column of the same name and the final drop would remove it from
+    // the output, where the plain join preserves it
+    val reserved = Seq("_salt", "_sn", "_bn")
+    for (df <- Seq(a, b); c <- reserved)
+      require(!df.columns.contains(c),
+        s"saltedInnerJoin input already carries reserved temp column '$c'" +
+          " — rename it before the join")
     val keys = keyCols.map(col)
     val c = ceil(col("_bn").cast("double") / lit(hotThreshold))
     val hot = a.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))

@@ -134,6 +134,16 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // LSH S-curve auto-tuner: the full (bands, rowsPerBand) curve
+    // family for a 16-hash signature at target J=0.8 with a 5% budget
+    // on J=0.2 collisions, `chosen` marking the solved config — the
+    // operator that closes the banding surface's last manual knob.
+    // Pure arithmetic over three scalars; the oracle unrolls
+    // 1−(1−jʳ)ᵇ directly.
+    "dedup_lsh_tune" -> ((s, dir) =>
+      Dedup.tuneBands(s, numHashes = 16, threshold = 0.8,
+        fpJaccard = 0.2, fpBudget = 0.05)),
+
     // Deterministic fixed-round PageRank over the near-dup similarity
     // graph (operators.Graph — the c4_svd_power determinism contract
     // applied to graph centrality): banded-minhash candidate pairs,
@@ -708,6 +718,31 @@ object DedupQueries extends QueryPack {
          |WHERE doc_id < 50
          |GROUP BY doc_id, g.h
          |ORDER BY doc_id, h""".stripMargin,
+
+    // The S-curve unrolled: p(j) = 1 − (1 − j^r)^b per candidate
+    // config, the same ranking (budget first, then catch probability,
+    // then index size) deciding `chosen`.
+    "dedup_lsh_tune" ->
+      """WITH cand AS (
+        |  SELECT CAST(r AS INT) AS rows_per_band,
+        |    CAST(16 // r AS INT) AS bands
+        |  FROM generate_series(1, 16) g(r)),
+        |p AS (
+        |  SELECT rows_per_band, bands,
+        |    1 - pow(1 - pow(0.8, rows_per_band), bands) AS pt,
+        |    1 - pow(1 - pow(0.2, rows_per_band), bands) AS pfp
+        |  FROM cand),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY CAST(pfp <= 0.05 AS INT) DESC, pt DESC,
+        |      bands ASC, rows_per_band ASC) AS rn
+        |  FROM p)
+        |SELECT rows_per_band, bands,
+        |  round(pt, 6) + 0.0 AS p_at_threshold,
+        |  round(pfp, 6) + 0.0 AS p_at_fp,
+        |  rn = 1 AS chosen
+        |FROM r
+        |ORDER BY rows_per_band""".stripMargin,
 
     // NOTE: this oracle (and dedup_components / dedup_pipeline_clusters
     // downstream of the same banding) models an UNCAPPED bucket self-join.

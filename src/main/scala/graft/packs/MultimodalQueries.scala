@@ -126,6 +126,31 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Pixel-decode COVERAGE over the JPEG-inclusive corpus: per parsed
+    // media type, how many payloads the engine can address as pixels
+    // and the explicit reason for the rest — the visibility contract a
+    // mostly-JPEG crawl needs (decode gaps must be queryable counts,
+    // never silently-missing rows).
+    "multimodal_decode_coverage" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpusWithJpeg(Tables(s, dir).documents)
+      Multimodal.decodeStatus(media)
+        .groupBy(col("media_type"), col("pixel_decodable"),
+          col("skip_reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("media_type"))
+    }),
+
+    // The aHash path's skip set made explicit: every IMAGE row gets a
+    // disposition — raster formats decoded (hash pinned by
+    // multimodal_image_ahash), JPEG visibly excluded with
+    // decoded=false, never silently dropped.
+    "multimodal_ahash_status" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpusWithJpeg(Tables(s, dir).documents)
+      Multimodal.aHashImagesStatus(media)
+        .select(col("doc_id"), col("media_type"), col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -138,6 +163,37 @@ object MultimodalQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // The id % 5 container mapping replayed: three raster strata are
+    // pixel-decodable, WAV is not an image, the JPEG shell needs the
+    // entropy codec.
+    "multimodal_decode_coverage" ->
+      """WITH t AS (
+        |  SELECT CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+        |      WHEN 2 THEN 'image/ppm' WHEN 3 THEN 'image/png'
+        |      ELSE 'image/jpeg' END AS media_type,
+        |    CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS pixel_decodable,
+        |    CASE WHEN CAST(doc_id % 5 AS INT) IN (0, 2, 3) THEN NULL
+        |      WHEN CAST(doc_id % 5 AS INT) = 4 THEN 'entropy codec required'
+        |      ELSE 'not an image' END AS skip_reason
+        |  FROM documents)
+        |SELECT media_type, pixel_decodable, skip_reason,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM t
+        |GROUP BY media_type, pixel_decodable, skip_reason
+        |ORDER BY media_type""".stripMargin,
+
+    // Every image row dispositioned: rasters decoded, JPEG visibly not.
+    "multimodal_ahash_status" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'image/bmp' WHEN 2 THEN 'image/ppm'
+        |    WHEN 3 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+        |  CAST(doc_id % 5 AS INT) <> 4 AS decoded
+        |FROM documents
+        |WHERE CAST(doc_id % 5 AS INT) <> 1
+        |ORDER BY doc_id""".stripMargin,
+
     // Mirrors encodeCorpus's length-derived container geometry (ascii
     // corpus ⇒ utf-8 bytes == chars, so the content region == text and
     // md5(text) is the data hash). PPM's data offset is its ASCII header

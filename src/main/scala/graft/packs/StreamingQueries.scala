@@ -306,7 +306,15 @@ object StreamingQueries extends QueryPack {
         .parquet(s"$dir/documents*.parquet")
       val sink = s"selfdedup_${UUID.randomUUID().toString.replace("-", "")}"
       val ckpt = Files.createTempDirectory("graft_selfdedup_ckpt").toString
-      val q = EventStreams.selfNearDupFlags(stream, "doc_id", "text")
+      // ttlMs stays 0 HERE deliberately: a bounded AvailableNow replay
+      // wants the full-history contract anyway, and Spark 4.1.2 has a
+      // planner bug combining AvailableNow with ProcessingTimeTimeout
+      // (NPE in PythonSQLMetrics init when the engine plans the extra
+      // timer batch — pinned by StreamingSpec's gate test). The
+      // unbounded-stream posture (ttlMs > 0, eviction + re-admission)
+      // is spec-pinned on a continuous-trigger stream instead.
+      val q = EventStreams
+        .selfNearDupFlags(stream, "doc_id", "text")
         .writeStream.format("memory").queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", ckpt)

@@ -44,6 +44,12 @@ object GraftExpressions {
     Md5PrefixLong(children.head, children(1))
   }
 
+  private def sortedOverlapBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      "graft_sorted_overlap expects (array_a, array_b, required)")
+    SortedOverlap(children(0), children(1), children(2))
+  }
+
   // Spark's OWN bloom machinery (the expressions behind the optimizer's
   // InjectRuntimeFilter), surfaced as callable functions: the built-in
   // rule only fires past multi-GB scan thresholds, so the explicit
@@ -94,6 +100,8 @@ object GraftExpressions {
         "graft_bloom_agg", bloomAggBuilder, "built-in")
       registry.createOrReplaceTempFunction(
         "graft_bloom_might_contain", bloomMightContainBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_sorted_overlap", sortedOverlapBuilder, "built-in")
     }
   }
 
@@ -111,6 +119,8 @@ object GraftExpressions {
     call_function("graft_bloom_agg", hashed, estItems, numBits)
   def bloomMightContain(bloom: Column, hashed: Column): Column =
     call_function("graft_bloom_might_contain", bloom, hashed)
+  def sortedOverlap(a: Column, b: Column, required: Column): Column =
+    call_function("graft_sorted_overlap", a, b, required)
 }
 
 /** `spark.sql.extensions`-pluggable registration — the production path:
@@ -166,6 +176,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_md5_prefix_long expects exactly 2 arguments")
         Md5PrefixLong(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName,
+        "graft_sorted_overlap"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_sorted_overlap expects (array_a, array_b, required)")
+        SortedOverlap(children(0), children(1), children(2))
       }))
   }
 }

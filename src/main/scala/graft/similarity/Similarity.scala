@@ -570,6 +570,84 @@ object Similarity {
     * reversed pair for mutuality, `rounds` propagation rounds, one
     * universe left join. All keyed by point id; nothing quadratic.
     */
+  /** One NN-descent refinement round over an existing k-NN graph (Dong
+    * et al. WWW 2011): re-rank each point's top-k among its current
+    * graph NEIGHBORHOOD'S neighborhood — candidates are the undirected
+    * edges plus every neighbor-of-my-neighbor — recovering cross-cell
+    * true neighbors the cell gate forgoes ([[knnGraphCells]] misses a
+    * boundary straddler exactly when no probed cell is shared; its
+    * true neighbors usually ARE reachable through a mutual
+    * intermediate). One fixed round keeps the operator a pure function
+    * of its input graph (deterministic, oracle-replayable); iterate
+    * externally for more rounds.
+    *
+    * Cost is O(Σ_m deg(m)²) candidate rows — n·(2k)²-ish on a healthy
+    * graph, never n². Two guards hold that at 100 TB: `maxDegree`
+    * drops hub INTERMEDIATES from the expansion (a node appearing in
+    * many top-k lists owns deg² pairs; its own edges remain candidates
+    * via the direct-edge union), and the mid-keyed self-join runs
+    * through [[graft.operators.SkewJoin.saltedInnerJoin]] so the pairs
+    * a surviving heavy mid does own spread across tasks instead of
+    * landing on one. Vectors attach BEFORE the mid join (the
+    * knnGraphCells lesson: enumerate pairs with both vectors already
+    * in-row; id-only pairs re-joined to vectors shuffled the corpus
+    * twice and measured 12.5× slower at stress scale).
+    */
+  def knnRefine(emb: DataFrame, idCol: String, arrCol: String,
+                graph: DataFrame, k: Int,
+                maxDegree: Int = 1 << 12): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    require(k >= 1, s"k=$k must be positive")
+    require(maxDegree >= 1, s"maxDegree=$maxDegree must be positive")
+    val und = graph
+      .select(col("src_id").cast("long").as("a"),
+        col("neighbor_id").cast("long").as("b"))
+      .unionAll(graph.select(col("neighbor_id").cast("long").as("a"),
+        col("src_id").cast("long").as("b")))
+      .distinct()
+      .localCheckpoint() // feeds the degree count and all three legs
+    // hub-intermediate guard on the ID-SIZED edge list (degree in the
+    // symmetric closure = out-degree + reciprocated in-degree)
+    val okMid = und.groupBy(col("b")).agg(count(lit(1)).as("_d"))
+      .where(col("_d") <= maxDegree.toLong)
+      .select(col("b").as("_mid"))
+    val vecs = emb.select(col(idCol).cast("long").as("_vid"),
+      col(arrCol).as("_v"))
+    val left = und.join(okMid, col("b") === col("_mid"), "left_semi")
+      .join(vecs, col("a") === col("_vid"))
+      .select(col("b").as("_m"), col("a").as("src_id"), col("_v").as("_va"))
+    val right = und.join(okMid, col("a") === col("_mid"), "left_semi")
+      .join(vecs, col("b") === col("_vid"))
+      .select(col("a").as("_m"), col("b").as("neighbor_id"),
+        col("_v").as("_vb"))
+    val expanded = graft.operators.SkewJoin
+      .saltedInnerJoin(left, col("src_id"), right, Seq("_m"))
+      .where(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
+          .as("_cos"))
+    // direct edges union in explicitly: two endpoints need not share a
+    // third neighbor, and the refinement must never score WORSE than
+    // the input graph
+    val direct = und
+      .join(vecs, col("a") === col("_vid"))
+      .select(col("a").as("src_id"), col("b").as("neighbor_id"),
+        col("_v").as("_va"))
+      .join(vecs, col("neighbor_id") === col("_vid"))
+      .select(col("src_id"), col("neighbor_id"),
+        graft.plans.GraftExpressions.cosine(col("_va"), col("_v"))
+          .as("_cos"))
+    // the same pair arrives once per shared intermediate — identical
+    // scored triples, deduped slim (the knnGraphCells nProbe pattern)
+    val wK = Window.partitionBy(col("src_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    expanded.unionAll(direct).distinct()
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= k)
+      .select(col("src_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"))
+  }
+
   def knnCommunities(emb: DataFrame, idCol: String, arrCol: String,
                      centersLong: DataFrame, centerCol: String, k: Int,
                      nProbe: Int = 1, rounds: Int = 4): DataFrame = {

@@ -123,15 +123,30 @@ object EventStreams {
         col("click_id"), col("purchase_ts"), col("value"))
   }
 
+  /** The shared timeout config for the `flatMapGroupsWithState` family:
+    * `ttlMs == 0` keeps the historical unbounded-state behavior
+    * (NoTimeout — only safe when key cardinality is structurally
+    * bounded, e.g. a vocabulary); `ttlMs > 0` arms a processing-time
+    * timeout per key, re-armed on every update, so a key idle past its
+    * TTL is EVICTED at the next micro-batch and its memory returns to
+    * the store. Eviction is the contract an unbounded stream needs:
+    * state is bounded by (arrival rate × TTL), not by total history.
+    */
+  private def timeoutConf(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (count, sum, max-seen-ts) accumulator emitted on every update — the
     * one stateful shape the built-in operators (windows/sessions/dedup)
     * don't cover: arbitrary user-defined state evolving across batches.
     * State is O(1) per key and partitioned by the groupBy, so it scales
-    * with distinct users, not events; pair with a timeout in production
-    * to bound key cardinality over time.
+    * with distinct users, not events; `ttlMs > 0` bounds key cardinality
+    * over time on an unbounded stream: a user idle past the TTL is
+    * evicted and restarts from zero on their next event.
     */
-  def runningUserStats(events: DataFrame): Dataset[UserRunning] = {
+  def runningUserStats(events: DataFrame,
+                       ttlMs: Long = 0L): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -140,16 +155,23 @@ object EventStreams {
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserRunning, UserRunning](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf(ttlMs)) {
         (user: Long, rows: Iterator[(Long, Double, Long)],
          state: GroupState[UserRunning]) =>
-          var acc = state.getOption.getOrElse(UserRunning(user, 0L, 0.0, Long.MinValue))
-          rows.foreach { case (_, v, t) =>
-            acc = UserRunning(user, acc.n_events + 1,
-              acc.sum_value + v, math.max(acc.last_seen, t))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var acc = state.getOption
+              .getOrElse(UserRunning(user, 0L, 0.0, Long.MinValue))
+            rows.foreach { case (_, v, t) =>
+              acc = UserRunning(user, acc.n_events + 1,
+                acc.sum_value + v, math.max(acc.last_seen, t))
+            }
+            state.update(acc)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            Iterator.single(acc)
           }
-          state.update(acc)
-          Iterator.single(acc)
       }
   }
 
@@ -186,24 +208,34 @@ object EventStreams {
     * it (the reference's `partial_fit`,
     * `splearn/naive_bayes.py:~L10-80`, as a live pipeline).
     */
-  def nbRunningCounts(docs: DataFrame): Dataset[NbTermCount] = {
+  def nbRunningCounts(docs: DataFrame,
+                      ttlMs: Long = 0L): Dataset[NbTermCount] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // default NoTimeout is sound HERE: keys are (class, term) — bounded
+    // by the vocabulary, not the stream; ttlMs > 0 opts into eviction
+    // (counts restart for terms idle past the TTL — a decayed model)
     docs
       .select(col("lang").cast("string"),
         explode(split(col("text"), " ")).as("term"))
       .as[(String, String)]
       .groupByKey(identity)
       .flatMapGroupsWithState[NbTermCount, NbTermCount](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf(ttlMs)) {
         (key: (String, String), rows: Iterator[(String, String)],
          state: GroupState[NbTermCount]) =>
-          val prev = state.getOption.map(_.count).getOrElse(0L)
-          var n = 0L
-          rows.foreach(_ => n += 1)
-          val next = NbTermCount(key._1, key._2, prev + n)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.map(_.count).getOrElse(0L)
+            var n = 0L
+            rows.foreach(_ => n += 1)
+            val next = NbTermCount(key._1, key._2, prev + n)
+            state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            Iterator.single(next)
+          }
       }
   }
   /** Self-referential near-dup gate with a GROWING band index: where
@@ -220,10 +252,29 @@ object EventStreams {
     * processed in ascending order explicitly). State is one long per
     * occupied bucket — the same O(index) footprint a static band index
     * costs, now maintained incrementally by the state store.
+    *
+    * Return contract — PER-BUCKET multiplicity: the operator emits one
+    * [[BandDup]] row per (doc, colliding bucket), so a doc sharing
+    * several bands with earlier docs appears several times, each row's
+    * `dup_of_min` the PER-BUCKET minimum sharer (not the doc's overall
+    * smallest). The stateful stage is keyed by bucket, so a cross-
+    * bucket reduction can't happen inside it without a second stateful
+    * shuffle; consumers wanting one provenance row per doc aggregate
+    * `groupBy(doc_id).agg(min(dup_of_min))` downstream (what the pack
+    * query and spec do).
+    *
+    * State TTL: bucket keys are corpus-proportional, so on an UNBOUNDED
+    * stream `ttlMs` must be set — it is the dedup horizon: a bucket
+    * idle past the TTL is evicted and its next arrival is re-admitted
+    * as fresh (not flagged), exactly the batch-replayable contract
+    * applied to a sliding corpus window. `ttlMs = 0` (NoTimeout)
+    * remains for bounded replays where the full-history contract is
+    * the point.
     */
   def selfNearDupFlags(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, numHashes: Int = 8,
-                       rowsPerBand: Int = 2): Dataset[BandDup] = {
+                       rowsPerBand: Int = 2,
+                       ttlMs: Long = 0L): Dataset[BandDup] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nb = numHashes / rowsPerBand
@@ -240,18 +291,24 @@ object EventStreams {
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, BandDup](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf(ttlMs)) {
         (_: String, rows: Iterator[(String, Long)],
          state: GroupState[Long]) =>
-          val ids = rows.map(_._2).toArray.sorted
-          var mn = state.getOption.getOrElse(Long.MaxValue)
-          val out = Array.newBuilder[BandDup]
-          ids.foreach { id =>
-            if (mn < id) out += BandDup(id, mn)
-            if (id < mn) mn = id
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._2).toArray.sorted
+            var mn = state.getOption.getOrElse(Long.MaxValue)
+            val out = Array.newBuilder[BandDup]
+            ids.foreach { id =>
+              if (mn < id) out += BandDup(id, mn)
+              if (id < mn) mn = id
+            }
+            state.update(mn)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
           }
-          state.update(mn)
-          out.result().iterator
       }
   }
 }

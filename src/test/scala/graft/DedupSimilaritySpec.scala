@@ -199,6 +199,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet === Set((0L, 1L, 1.0)))
   }
 
+  test("tuneBands: chosen config brackets the target; tuned wiring = manual") {
+    val curve = Dedup.tuneBands(spark, 16, 0.8, 0.2, 0.05)
+      .as[(Int, Int, Double, Double, Boolean)].collect()
+    assert(curve.length === 16)
+    val chosen = curve.filter(_._5)
+    assert(chosen.length === 1, "exactly one config is chosen")
+    val (r, b, pt, pfp, _) = chosen.head
+    assert((r, b) === ((3, 5)), s"16 hashes at t=0.8 solve to r=3,b=5")
+    assert(pt > 0.9, s"catch probability at the target is high: $pt")
+    assert(pfp <= 0.05, s"the chosen config meets the fp budget: $pfp")
+    // bracketing: the curve's steep midpoint (1/b)^(1/r) lies strictly
+    // between the fp point and the target threshold
+    val mid = math.pow(1.0 / b, 1.0 / r)
+    assert(mid > 0.2 && mid < 0.8, s"midpoint $mid outside (fp, target)")
+    // monotone S-curve sanity at the chosen config
+    def p(j: Double) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    assert(p(0.2) < p(0.5) && p(0.5) < p(0.8) && p(0.8) < p(0.95))
+    // wiring: the tuned candidate path equals the manual path at the
+    // solved (b, r) restricted to full bands
+    val corpus = Seq(
+      (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"), (3L, "m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingles(corpus, "doc_id", "text"), "doc_id", numHashes = 8)
+      .localCheckpoint()
+    assert(Dedup.tunedBandConfig(8, 0.8) === ((2, 3)))
+    val tuned = Dedup
+      .minhashBandCandidatesTuned(sig, "doc_id", 8, 0.8)
+      .as[(Long, Long)].collect().toSet
+    val manual = Dedup
+      .minhashBandCandidates(sig.where(col("h") < 6), "doc_id",
+        rowsPerBand = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(tuned === manual)
+    assert(tuned.contains((0L, 1L)), "exact dups must collide")
+  }
+
+  test("ppJoinPairs: FP-integer bound keeps the exact J == t boundary pair") {
+    // t=0.4, |A|=3, |B|=4, overlap exactly 2: required overlap
+    // t/(1+t)·7 = 2 exactly, but the double product lands at
+    // 2.0000000000000004 — an un-epsiloned ceil reads 3 and drops the
+    // pair (its best positional bound is exactly 2: the shared tokens
+    // are globally COMMON, df-ordered to the back of both docs).
+    val sh = Seq(
+      (0L, "u0"), (0L, "sh_a"), (0L, "sh_b"),
+      (1L, "u1"), (1L, "u2"), (1L, "sh_a"), (1L, "sh_b")
+    ).toDF("doc_id", "shingle")
+    val pp = Dedup.ppJoinPairs(sh, "doc_id", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp === Set((0L, 1L, 0.4)),
+      "boundary pair with J exactly == t must survive the prefix filter")
+    val bf = Dedup.jaccardPairs(sh, "doc_id", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp === bf)
+  }
+
   test("mergeBandIndex: incremental build equals from-scratch rebuild") {
     def fullIndex(d: org.apache.spark.sql.DataFrame) =
       Dedup.bandSignatures(
@@ -674,6 +731,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect()
     assert(g2.map(t => (t._1, t._2, t._3)).toSet ===
       bf.map(t => (t._1, t._2, t._3)).toSet)
+  }
+
+  test("knnRefine: one NN-descent round lifts recall over the cell-gated graph") {
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
+    // 40 points in 6-d, 4 overlapping clusters: cell gating at
+    // nProbe=2 of 4 cells forgoes some true cosine neighbors; one
+    // neighbor-of-neighbor round must recover recall, never lose it
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      val base = (i % 4).toDouble * 0.5
+      (i, Seq.fill(6)(rnd.nextDouble() + base), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val g = Similarity.knnGraphCells(emb, "vec_id", "embedding",
+      centers, "cell", k = 3, nProbe = 2).localCheckpoint()
+    val refined = Similarity.knnRefine(emb, "vec_id", "embedding", g, k = 3)
+    // cosine brute-force ground truth (same metric as the graph)
+    val bf = emb.select(col("vec_id").as("qid"), col("embedding").as("_q"))
+      .crossJoin(emb.select(col("vec_id").as("nid"),
+        col("embedding").as("_n")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.plans.GraftExpressions.cosine(col("_q"), col("_n")).as("cs"))
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("nid"))))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("nid"))
+      .as[(Long, Long)].collect().toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val gP = pairs(g)
+    val rP = pairs(refined)
+    val recallG = (gP & bf).size.toDouble / bf.size
+    val recallR = (rP & bf).size.toDouble / bf.size
+    assert(recallR >= recallG,
+      s"refinement lost recall: $recallR < $recallG")
+    assert(recallR > recallG,
+      s"fixture must exercise recovery (graph recall $recallG already" +
+        s" at refined $recallR)")
+    // deterministic: a rerun is value-identical
+    val rerun = Similarity.knnRefine(emb, "vec_id", "embedding", g, k = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(rerun === refined.as[(Long, Long, Int, Double)].collect().toSet)
   }
 
   test("knnCommunities: mutual kNN splits clusters, hub demoted to singleton") {

@@ -442,6 +442,62 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     assert(cold === plain)
   }
 
+  test("saltedInnerJoin: reserved temp column names are rejected, not clobbered") {
+    import graft.operators.SkewJoin
+    val a = Seq((1L, 0), (2L, 0)).toDF("ida", "k")
+    val bad = a.withColumn("_salt", lit(7))
+    for (df <- Seq(bad, a.withColumn("_sn", lit(1)),
+        a.withColumn("_bn", lit(1L)))) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedInnerJoin(df, col("ida"), a, Seq("k"))
+      }
+      assert(e.getMessage.contains("reserved temp column"))
+      val e2 = intercept[IllegalArgumentException] {
+        SkewJoin.saltedInnerJoin(a, col("ida"), df, Seq("k"))
+      }
+      assert(e2.getMessage.contains("reserved temp column"))
+    }
+  }
+
+  test("estimateMU: degenerate and null-bearing pair sets stay finite") {
+    import graft.operators.Linkage
+    // every pair agrees on every field: the raw E-step drives sg -> n
+    // and the u update divides by zero — the clamp must keep all
+    // parameters finite (pinned at the boundary the data supports)
+    val allAgree = (1 to 40).map(i => (i, true, true)).toDF("id", "t1", "t2")
+    val fitA = Linkage.estimateMU(allAgree,
+        Seq(("f1", col("t1")), ("f2", col("t2"))), rounds = 3)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+    assert(fitA.length === 2)
+    fitA.foreach { case (_, m, u, wa, wd, p) =>
+      for (v <- Seq(m, u, wa, wd, p))
+        assert(!v.isNaN && !v.isInfinite, s"non-finite parameter in $fitA")
+      assert(m > 0.9, "all-agree data must fit a high m")
+    }
+    // no pair ever agrees: the symmetric degeneracy (sg -> 0)
+    val noneAgree = (1 to 40).map(i => (i, false, false))
+      .toDF("id", "t1", "t2")
+    Linkage.estimateMU(noneAgree,
+        Seq(("f1", col("t1")), ("f2", col("t2"))), rounds = 3)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .foreach { case (_, m, u, wa, wd, p) =>
+        for (v <- Seq(m, u, wa, wd, p))
+          assert(!v.isNaN && !v.isInfinite)
+      }
+    // null agreement rows drop instead of skewing the sums: the fit
+    // over (planted + nulls) equals the fit over (planted alone)
+    val planted = ((1 to 20).map(i => (i, Some(true), Some(true))) ++
+      (1 to 180).map(i => (i, Some(i % 9 == 0), Some(i % 13 == 0))))
+    val withNulls = planted ++
+      (1 to 30).map(i => (1000 + i, None: Option[Boolean], Some(true)))
+    def fit(rows: Seq[(Int, Option[Boolean], Option[Boolean])]) =
+      Linkage.estimateMU(rows.toDF("id", "t1", "t2"),
+          Seq(("f1", col("t1")), ("f2", col("t2"))), rounds = 3)
+        .as[(String, Double, Double, Double, Double, Double)]
+        .collect().toSet
+    assert(fit(withNulls) === fit(planted))
+  }
+
   test("estimateMU: EM separates match/non-match rates on planted pairs") {
     import graft.operators.Linkage
     // 20 planted matches (both fields agree) + 180 non-matches where

@@ -84,6 +84,25 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("kCoreWithStatus: converged flag separates fixpoint from truncated peel") {
+    // a 50-node path at k=2 peels two endpoints per round (~25 rounds
+    // to empty): 20 rounds truncate — the result is a SUPERGRAPH of
+    // the true (empty) 2-core and the flag says so
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (partial, convPartial) =
+      Graph.kCoreWithStatus(chain, "src", "dst", k = 2, maxRounds = 20)
+    assert(!convPartial, "20 rounds cannot finish a 50-node chain peel")
+    assert(partial.count() > 0L)
+    // a generous budget reaches the fixpoint: empty core, converged
+    val (full, convFull) =
+      Graph.kCoreWithStatus(chain, "src", "dst", k = 2, maxRounds = 40)
+    assert(convFull && full.count() === 0L)
+    // a graph that converges non-empty also reports converged
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val (core, conv) = Graph.kCoreWithStatus(tri, "src", "dst", k = 2)
+    assert(conv && core.count() === 3L)
+  }
+
   test("labelPropagation: cliques converge to min label, bridge keeps communities apart") {
     // two triangles {0,1,2} and {10,11,12} joined by one bridge 2-10
     val g = Seq((0L, 1L), (1L, 2L), (0L, 2L),

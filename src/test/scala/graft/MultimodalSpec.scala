@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 
 import graft.multimodal.{MediaCodec, Multimodal}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Header-codec unit tests: encode → decode round trips, hand-built byte
@@ -14,6 +15,54 @@ class MultimodalSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val data = "the quick brown fox".getBytes(UTF_8)
+
+  test("JPEG shell: geometry parses; pixels visibly undecodable, never hashed") {
+    val p = MediaCodec.encodeJpegShell(33, 7, data)
+    val h = MediaCodec.decode(p)
+    assert(h.media_type === "image/jpeg")
+    assert(h.width === 33 && h.height === 7)
+    assert(h.data_len === p.length.toLong, "content region = whole payload")
+    // five-stratum corpus: wav excluded from the image surface, jpeg
+    // present but decoded=false with null hash, rasters hashed
+    val docs = (0L to 9L)
+      .map(i => (i, s"stratum $i carries some words for container payload"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.encodeCorpusWithJpeg(docs)
+    val status = Multimodal.aHashImagesStatus(media)
+      .as[(Long, String, Option[String], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(status.keySet === (0L to 9L).filter(_ % 5 != 1).toSet,
+      "every image row dispositioned; audio rows excluded")
+    for ((id, (_, mt, ahash, nOnes, decoded)) <- status) {
+      if (id % 5 == 4) {
+        assert(mt === "image/jpeg" && !decoded &&
+          ahash.isEmpty && nOnes.isEmpty, s"jpeg row $id must be skipped")
+      } else {
+        assert(decoded && ahash.exists(_.length == 64) && nOnes.nonEmpty,
+          s"raster row $id must carry its hash")
+      }
+    }
+    // decoded rows' hashes are EXACTLY aHashImages' output (the status
+    // surface adds visibility, it does not fork the signature)
+    val plain = Multimodal.aHashImages(media).toDF()
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(plain.keySet === status.keySet.filter(_ % 5 != 4))
+    plain.foreach { case (id, hash) =>
+      assert(status(id)._3.contains(hash))
+    }
+    // coverage disposition: decodable rasters, jpeg reasoned out
+    val cov = Multimodal.decodeStatus(media)
+      .select(col("media_type"), col("pixel_decodable"), col("skip_reason"))
+      .distinct()
+      .as[(String, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cov("image/bmp") === ((true, None)))
+    assert(cov("image/png") === ((true, None)))
+    assert(cov("image/ppm") === ((true, None)))
+    assert(cov("image/jpeg") === ((false, Some("entropy codec required"))))
+    assert(cov("audio/wav") === ((false, Some("not an image"))))
+  }
 
   test("BMP round trip and real field offsets") {
     val bmp = MediaCodec.encodeBmp(640, 480, data)

@@ -305,6 +305,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop).passed)
   }
 
+  /** Poll until `cond` holds (querying a live TTL stream: with
+    * ProcessingTimeTimeout configured the engine keeps running
+    * timer-check batches, so `noNewData` is never latched and
+    * `processAllAvailable` cannot be used as a barrier — condition
+    * polling is the correct wait primitive here).
+    */
+  private def eventually(what: String, timeoutMs: Long = 60000)
+                        (cond: => Boolean): Unit = {
+    val end = System.currentTimeMillis + timeoutMs
+    while (!cond && System.currentTimeMillis < end) Thread.sleep(200)
+    assert(cond, s"not reached within ${timeoutMs}ms: $what")
+  }
+
+  private def stateTotal(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+  test("selfNearDupFlags TTL: idle buckets evict, an expired bucket re-admits") {
+    // One continuous query (processing-time timeouts fire between
+    // micro-batches of the SAME query):
+    //   batch 1: docs 0,1 share all 4 buckets -> doc 1 flags, state = 4
+    //   idle past the 2s TTL -> all 4 buckets evict (state -> 0)
+    //   then doc 10 repeats doc 0's text -> its buckets were evicted,
+    //   so it RE-ADMITS (not flagged) and re-seeds state to 4
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().select(col("_1").as("doc_id"),
+      col("_2").as("text"))
+    val ttl = 2000L
+    val ckpt = Files.createTempDirectory("graft_ttl_ckpt_").toString
+    val q = EventStreams
+      .selfNearDupFlags(docs, "doc_id", "text", ttlMs = ttl).toDF()
+      .writeStream.format("memory").queryName("t_ttl_selfdedup")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((0L, "a b c d e f"), (1L, "a b c d e f"))
+      eventually("doc 1 flags against doc 0") {
+        spark.table("t_ttl_selfdedup").as[(Long, Long)].collect()
+          .toSet == Set((1L, 0L))
+      }
+      eventually("two same-text docs occupy one set of 4 buckets") {
+        stateTotal(q) == 4L
+      }
+      // no further data: the engine's timer-check batches must evict
+      // the idle buckets once the TTL passes
+      eventually("idle buckets evict after the TTL") {
+        stateTotal(q) == 0L
+      }
+      input.addData((10L, "a b c d e f"))
+      eventually("doc 10 re-seeds the evicted buckets") {
+        stateTotal(q) == 4L
+      }
+      assert(!spark.table("t_ttl_selfdedup").as[(Long, Long)].collect()
+        .exists(_._1 == 10L),
+        "doc 10's buckets expired — it re-admits as fresh, unflagged")
+    } finally q.stop()
+  }
+
+  test("runningUserStats TTL: an idle user's accumulator evicts and restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long)]
+    val events = input.toDF().select(col("_1").as("user_id"),
+      col("_3").as("ts"), col("_2").as("value"))
+    val ttl = 2000L
+    val ckpt = Files.createTempDirectory("graft_ttl_usr_ckpt_").toString
+    val q = EventStreams.runningUserStats(events, ttlMs = ttl).toDF()
+      .writeStream.format("memory").queryName("t_ttl_users")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((7L, 2.0, 100L), (7L, 3.0, 160L))
+      eventually("user 7's accumulator reaches (2, 5.0)") {
+        spark.table("t_ttl_users").as[(Long, Long, Double, Long)]
+          .collect().toSet.contains((7L, 2L, 5.0, 160L))
+      }
+      eventually("idle user evicts after the TTL") { stateTotal(q) == 0L }
+      // user 7 returns: the accumulator restarted from zero
+      input.addData((7L, 10.0, 600L))
+      eventually("post-eviction state restarts, not resumes") {
+        spark.table("t_ttl_users").as[(Long, Long, Double, Long)]
+          .collect().toSet.contains((7L, 1L, 10.0, 600L))
+      }
+      assert(!spark.table("t_ttl_users").as[(Long, Long, Double, Long)]
+        .collect().toSet.contains((7L, 3L, 15.0, 600L)),
+        "the pre-TTL accumulator must not survive eviction")
+    } finally q.stop()
+  }
+
   test("selfNearDupFlags: index grows across micro-batches, min sharer wins") {
     // two parquet files with distinct mtimes -> two AvailableNow
     // batches in mtime order under maxFilesPerTrigger=1
@@ -317,6 +407,10 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(root).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(root)
+    // NOTE: ttlMs must stay 0 under AvailableNow — Spark 4.1.2 crashes
+    // planning the extra timer batch (NPE in PythonSQLMetrics init)
+    // when ProcessingTimeTimeout meets the AvailableNow source wrapper;
+    // the TTL path is covered by the continuous-trigger tests above
     val out = runToTable(
         EventStreams.selfNearDupFlags(stream, "doc_id", "text").toDF(),
         "t_selfdedup", mode = "update")
