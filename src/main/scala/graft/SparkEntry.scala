@@ -77,6 +77,11 @@ object SparkEntry {
     // correctness-only by the iterative-job-overhead policy above;
     // StressBench prices them at representative scale instead.
     "sim_knn_graph", "dedup_incremental_pairs",
+    // r13 additions — sim_knn_refine is the one new single-pass scale
+    // path (closure + salted mid join + rank, no iteration);
+    // dedup_lsh_tune is metadata-scale (16 rows) and the multimodal
+    // coverage queries are count-only — all three stay correctness-only
+    "sim_knn_refine",
     "sim_ivf_topk", "sim_lsh_topk", "sim_quantize_int8",
     "text_quality", "text_fingerprint", "text_phrase_search",
     "er_link_customers", "multimodal_decode_meta",
