@@ -260,50 +260,195 @@ object Multimodal {
       }
   }
 
-  /** The raster formats whose CONTENT region the engine can address as
-    * pixels (BMP/PPM slice in place, PNG inflates); everything else —
-    * JPEG above all — parses to geometry only. One predicate, shared by
-    * every pixel-touching stage, so "which formats are actually
-    * decoded" is a queryable fact instead of a silent iterator filter.
+  /** The raster formats whose CONTENT region is addressable as pixels
+    * without an entropy codec (BMP/PPM slice in place, PNG inflates).
+    * JPEG is NOT in this list yet still often pixel-decodable: the
+    * engine carries a baseline-sequential greyscale decoder
+    * ([[JpegCodec]]); [[rasterOf]] is the single authority on whether
+    * a given payload's pixels are reachable.
     */
   val pixelDecodableTypes: Seq[String] =
     Seq("image/bmp", "image/ppm", "image/png")
 
-  /** Per-payload pixel-decodability disposition: the decoded metadata
-    * plus an explicit (pixel_decodable, skip_reason) pair. The
-    * visibility contract the aHash/downsample family needs at 100 TB:
-    * a mostly-JPEG crawl must show up as "N rows skipped:
-    * entropy codec required", never as silently-missing output rows.
+  /** The addressable 3-byte/pixel raster of an image payload, or None
+    * when its pixels are out of reach — the ONE predicate every
+    * pixel-touching stage (aHash, downsample, coverage) shares, so
+    * "which payloads are actually decoded" is a queryable fact
+    * instead of a per-operator iterator filter. BMP/PPM address the
+    * payload slice in place; PNG uses the already-inflated IDAT
+    * stream (None when truncated/bomb-capped); JPEG runs the baseline
+    * greyscale decode and expands grey to 3 bytes/pixel so the
+    * downstream raster model is uniform.
     */
-  def decodeStatus(media: Dataset[MediaRecord]): DataFrame =
-    decodeMedia(media).toDF()
-      .withColumn("pixel_decodable",
-        col("media_type").isin(pixelDecodableTypes: _*))
-      .withColumn("skip_reason",
-        when(col("pixel_decodable"), lit(null).cast("string"))
-          .when(col("media_type") === "image/jpeg",
-            lit("entropy codec required"))
-          .when(col("media_type").startsWith("image/"),
-            lit("unsupported image format"))
-          .when(col("media_type").startsWith("audio/"), lit("not an image"))
-          .otherwise(lit("unknown container")))
+  private[multimodal] def rasterOf(payload: Array[Byte],
+      h: DecodedHeader, pngContent: Array[Byte])
+      : Option[(Array[Byte], Int, Int, Int, Int)] =
+    h.media_type match {
+      case "image/bmp" | "image/ppm" =>
+        Some((payload, h.data_offset, h.data_len.toInt, h.width, h.height))
+      case "image/png" =>
+        if (pngContent == null) None
+        else Some((pngContent, 0, h.data_len.toInt, h.width, h.height))
+      case "image/jpeg" =>
+        JpegCodec.decodeGray(payload).map { case (w, ht, gray) =>
+          val rgb = new Array[Byte](w * ht * 3)
+          var i = 0
+          while (i < gray.length) {
+            val g = gray(i)
+            rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+            i += 1
+          }
+          (rgb, 0, rgb.length, w, ht)
+        }
+      case _ => None
+    }
+
+  /** Per-payload pixel-decodability disposition: parsed type plus an
+    * explicit (pixel_decodable, skip_reason) pair, decided by the same
+    * [[rasterOf]] the pixel stages run — for JPEG that means an actual
+    * baseline-decode attempt, not a type allowlist. The visibility
+    * contract the aHash/downsample family needs at 100 TB: a
+    * mostly-JPEG crawl must show up as countable decoded rows or "N
+    * rows skipped: entropy codec required", never as silently-missing
+    * output rows.
+    */
+  def decodeStatus(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
+        val decodable = rasterOf(m.payload, h, pngContent).isDefined
+        val reason: Option[String] =
+          if (decodable) None
+          else if (h.media_type == "image/jpeg")
+            Some("entropy codec required")
+          else if (h.media_type == "image/png") Some("corrupt png stream")
+          else if (h.media_type.startsWith("image/"))
+            Some("unsupported image format")
+          else if (h.media_type.startsWith("audio/")) Some("not an image")
+          else Some("unknown container")
+        (m.doc_id, h.media_type, decodable, reason)
+      }
+    }.toDF("doc_id", "media_type", "pixel_decodable", "skip_reason")
+  }
 
   /** [[aHashImages]] with the skip set made explicit: one row per IMAGE
-    * payload — decoded rows carry their hash, undecodable ones (JPEG)
-    * carry `decoded = false` and null hash columns. Schema:
-    * (doc_id, media_type, ahash, n_ones, decoded).
+    * payload — decoded rows (incl. baseline JPEGs) carry their hash,
+    * unreachable ones carry `decoded = false` and null hash columns.
+    * Schema: (doc_id, media_type, ahash, n_ones, decoded).
     */
   def aHashImagesStatus(media: Dataset[MediaRecord]): DataFrame = {
-    val hashed = aHashImages(media).toDF()
-      .select(col("doc_id"), col("media_type"), col("ahash"),
-        col("n_ones"), lit(true).as("decoded"))
-    val skipped = decodeMedia(media).toDF()
-      .where(col("media_type").startsWith("image/") &&
-        !col("media_type").isin(pixelDecodableTypes: _*))
-      .select(col("doc_id"), col("media_type"),
-        lit(null).cast("string").as("ahash"),
-        lit(null).cast("long").as("n_ones"), lit(false).as("decoded"))
-    hashed.unionByName(skipped)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
+        if (!h.media_type.startsWith("image/")) Iterator.empty
+        else rasterOf(m.payload, h, pngContent) match {
+          case Some((buf, base, contentLen, w, ht)) =>
+            val (bits, ones) = hashCells(buf, base, contentLen, w, ht)
+            Iterator.single((m.doc_id, h.media_type,
+              Option(bits), Option(ones), true))
+          case None =>
+            Iterator.single((m.doc_id, h.media_type,
+              None: Option[String], None: Option[Long], false))
+        }
+      }
+    }.toDF("doc_id", "media_type", "ahash", "n_ones", "decoded")
+  }
+
+  /** The 8×8 mean-threshold bit grid shared by [[aHashImages]] and
+    * [[aHashImagesStatus]] — exact integer arithmetic over the sampled
+    * raster bytes (cell value = sum of the up-to-3 content bytes at
+    * the nearest-neighbor position; threshold compares v·64 > Σv).
+    */
+  private def hashCells(buf: Array[Byte], base: Int, contentLen: Int,
+                        w: Int, ht: Int): (String, Long) = {
+    val cells = new Array[Long](64)
+    var total = 0L
+    var idx = 0
+    var oy = 0
+    while (oy < 8) {
+      val sy = (oy.toLong * ht / 8).toInt
+      var ox = 0
+      while (ox < 8) {
+        val sx = (ox.toLong * w / 8).toInt
+        val off = (sy.toLong * w + sx) * 3
+        var v = 0L
+        var k = 0
+        while (k < 3 && off + k < contentLen) {
+          v += (buf(base + (off + k).toInt) & 0xff)
+          k += 1
+        }
+        cells(idx) = v
+        total += v
+        idx += 1
+        ox += 1
+      }
+      oy += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var ones = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) * 64 > total) { sb.append('1'); ones += 1 }
+      else sb.append('0')
+      i += 1
+    }
+    (sb.toString, ones)
+  }
+
+  /** Whole-loop proof of the JPEG pixel path on REAL compressed data:
+    * build a deterministic greyscale raster per doc (text bytes tiled
+    * row-major, length-derived geometry), encode it as a genuine
+    * baseline JPEG ([[JpegCodec.encodeGray]] — real DCT, quantization,
+    * Huffman entropy coding), decode it back, and report geometry plus
+    * whether the reconstruction stayed within `tol` grey levels. The
+    * geometry and the tolerance verdict are exact integers an SQL
+    * oracle replays from the text length; the lossy pixel values
+    * themselves are pinned by spec (flat rasters round-trip exactly,
+    * gradients within quantization error).
+    *
+    * Scale shape: map-side partition-iterator encode+decode, no
+    * shuffle; cost is 2·64 multiplies/pixel (two DCT passes).
+    */
+  def jpegRoundTrip(docs: DataFrame, quality: Int = 95,
+                    tol: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val projected = docs.select(col("doc_id").cast("long"), col("text"))
+    val balanced =
+      if (docs.inputFiles.length < par) projected.repartition(par)
+      else projected
+    balanced.as[(Long, String)].map { case (id, text) =>
+      val data = Option(text).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = data.length
+      val w = 8 + n % 57
+      val h = math.max(1, (n + w - 1) / w)
+      val gray = new Array[Byte](w * h)
+      if (n > 0) {
+        var i = 0
+        while (i < gray.length) { gray(i) = data(i % n); i += 1 }
+      }
+      val enc = JpegCodec.encodeGray(w, h, gray, quality)
+      JpegCodec.decodeGray(enc) match {
+        case Some((dw, dh, px)) =>
+          var mx = 0
+          var i = 0
+          while (i < gray.length) {
+            val e = math.abs((gray(i) & 0xff) - (px(i) & 0xff))
+            if (e > mx) mx = e
+            i += 1
+          }
+          (id, dw, dh, dw.toLong * dh, mx,
+            dw == w && dh == h && mx <= tol)
+        case None => (id, -1, -1, -1L, -1, false)
+      }
+    }.toDF("doc_id", "width", "height", "n_px", "max_abs_err",
+      "within_tol")
   }
 
   /** PIXEL-LEVEL nearest-neighbor downsample over parsed image rasters —
@@ -338,16 +483,15 @@ object Multimodal {
       val digest = MessageDigest.getInstance("MD5")
       it.flatMap { m =>
         val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
-        if (!h.media_type.startsWith("image/")) Iterator.empty
-        else {
-          // Address content in place: PNG's region is the inflated
-          // buffer from offset 0; BMP/PPM's is the payload slice at
-          // data_offset — no copy.
-          val buf = if (pngContent != null) pngContent else m.payload
-          val base = if (pngContent != null) 0 else h.data_offset
-          val contentLen = h.data_len.toInt
-          val w = h.width
-          val ht = h.height
+        // Address content in place through the shared rasterOf: PNG's
+        // region is the inflated buffer from offset 0, BMP/PPM's is
+        // the payload slice at data_offset (no copy), baseline JPEG
+        // decodes to a grey-expanded raster. Unreachable pixels
+        // (non-image, corrupt PNG, unsupported JPEG variant) drop —
+        // decodeStatus is the queryable account of that skip set.
+        rasterOf(m.payload, h, pngContent) match {
+        case None => Iterator.empty
+        case Some((buf, base, contentLen, w, ht)) =>
           val longSide = math.max(w, ht)
           val ow = math.max(1, w * box / longSide)
           val oh = math.max(1, ht * box / longSide)
@@ -426,49 +570,15 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { m =>
         val (h, pngContent) = MediaCodec.decodeWithContent(m.payload)
-        // RASTER formats only — hashing a compressed (JPEG) entropy
-        // stream would emit a deterministic-but-meaningless signature;
-        // aHashImagesStatus reports those rows as skipped instead
-        if (!pixelDecodableTypes.contains(h.media_type)) Iterator.empty
-        else {
-          val buf = if (pngContent != null) pngContent else m.payload
-          val base = if (pngContent != null) 0 else h.data_offset
-          val contentLen = h.data_len.toInt
-          val w = h.width
-          val ht = h.height
-          val cells = new Array[Long](64)
-          var total = 0L
-          var idx = 0
-          var oy = 0
-          while (oy < 8) {
-            val sy = (oy.toLong * ht / 8).toInt
-            var ox = 0
-            while (ox < 8) {
-              val sx = (ox.toLong * w / 8).toInt
-              val off = (sy.toLong * w + sx) * 3
-              var v = 0L
-              var k = 0
-              while (k < 3 && off + k < contentLen) {
-                v += (buf(base + (off + k).toInt) & 0xff)
-                k += 1
-              }
-              cells(idx) = v
-              total += v
-              idx += 1
-              ox += 1
-            }
-            oy += 1
-          }
-          val sb = new java.lang.StringBuilder(64)
-          var ones = 0L
-          var i = 0
-          while (i < 64) {
-            if (cells(i) * 64 > total) { sb.append('1'); ones += 1 }
-            else sb.append('0')
-            i += 1
-          }
-          Iterator.single(ImageAHash(m.doc_id, h.media_type,
-            sb.toString, ones))
+        // reachable rasters only (incl. baseline JPEG via the full
+        // decode) — hashing a compressed entropy stream would emit a
+        // deterministic-but-meaningless signature; aHashImagesStatus
+        // reports unreachable rows as skipped instead
+        rasterOf(m.payload, h, pngContent) match {
+          case None => Iterator.empty
+          case Some((buf, base, contentLen, w, ht)) =>
+            val (bits, ones) = hashCells(buf, base, contentLen, w, ht)
+            Iterator.single(ImageAHash(m.doc_id, h.media_type, bits, ones))
         }
       }
     }

@@ -151,6 +151,21 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL JPEG pixels through the full loop: text-derived greyscale
+    // rasters → genuine baseline encode (DCT + quantization + Huffman)
+    // → decode → geometry + tolerance verdict. The oracle replays the
+    // length-derived geometry and demands within_tol literally true —
+    // any decoder regression (wrong size, drifting reconstruction,
+    // decode failure) flips a hashed column. Pixel values are pinned
+    // by spec (flat exact, gradient within quantization error).
+    "multimodal_jpeg_roundtrip" -> ((s, dir) => {
+      Multimodal.jpegRoundTrip(
+          Tables(s, dir).documents.where(col("doc_id") < 500))
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("within_tol"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -192,6 +207,24 @@ object MultimodalQueries extends QueryPack {
         |  CAST(doc_id % 5 AS INT) <> 4 AS decoded
         |FROM documents
         |WHERE CAST(doc_id % 5 AS INT) <> 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Length-derived raster geometry (ascii corpus: utf-8 bytes ==
+    // chars) + the literal tolerance verdict: the Spark side computes
+    // within_tol from the actual decode, the oracle asserts it true.
+    "multimodal_jpeg_roundtrip" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id,
+        |  CAST(8 + n % 57 AS INT) AS width,
+        |  CAST(greatest(1, (n + (8 + n % 57) - 1) // (8 + n % 57)) AS INT)
+        |    AS height,
+        |  CAST((8 + n % 57) *
+        |    greatest(1, (n + (8 + n % 57) - 1) // (8 + n % 57)) AS BIGINT)
+        |    AS n_px,
+        |  true AS within_tol
+        |FROM g
         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors encodeCorpus's length-derived container geometry (ascii

@@ -16,6 +16,80 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val data = "the quick brown fox".getBytes(UTF_8)
 
+  test("JPEG baseline codec: round trip within quantization error, totality") {
+    import graft.multimodal.JpegCodec
+    // smooth gradient: DCT-friendly, so quality-90 error stays small
+    val w = 37; val h = 21
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * 255) / (w - 1) + (y * 255) / (h - 1)) / 2).toByte
+    }
+    val jpeg = JpegCodec.encodeGray(w, h, gray, quality = 90)
+    // the container is a REAL JPEG: the existing marker walk reads it
+    val hdr = MediaCodec.decode(jpeg)
+    assert(hdr.media_type === "image/jpeg")
+    assert(hdr.width === w && hdr.height === h)
+    val Some((dw, dh, px)) = JpegCodec.decodeGray(jpeg)
+    assert(dw === w && dh === h && px.length === w * h)
+    val errs = gray.indices.map(i => math.abs((gray(i) & 0xff) - (px(i) & 0xff)))
+    assert(errs.max <= 12, s"max quantization error ${errs.max} too large")
+    assert(errs.sum.toDouble / errs.size <= 3.0,
+      s"mean error ${errs.sum.toDouble / errs.size} too large")
+    // flat block: DC-only, reconstructs exactly
+    val flat = Array.fill(16 * 16)(77.toByte)
+    val Some((_, _, fpx)) = JpegCodec.decodeGray(
+      JpegCodec.encodeGray(16, 16, flat, quality = 90))
+    assert(fpx.forall(_ == 77.toByte), "flat raster must round-trip exactly")
+    // determinism: encode is a pure function
+    assert(JpegCodec.encodeGray(w, h, gray, 90)
+      .sameElements(jpeg))
+    // totality: the opaque SHELL container has no tables -> None; a
+    // truncated real stream -> None; garbage -> None — never a throw
+    assert(JpegCodec.decodeGray(
+      MediaCodec.encodeJpegShell(8, 8, data)).isEmpty)
+    assert(JpegCodec.decodeGray(jpeg.take(jpeg.length / 2)).isEmpty)
+    assert(JpegCodec.decodeGray("not a jpeg at all".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("real JPEG flows through the pixel surfaces; the shell stays skipped") {
+    import graft.multimodal.{JpegCodec, MediaRecord}
+    val w = 24; val h = 16
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * 255) / (w - 1) + (y * 255) / (h - 1)) / 2).toByte
+    }
+    val real = JpegCodec.encodeGray(w, h, gray, quality = 90)
+    val shell = MediaCodec.encodeJpegShell(8, 8, data)
+    val media = Seq(
+      MediaRecord(1L, real, "image/jpeg"),
+      MediaRecord(2L, shell, "image/jpeg")).toDS()
+    // status: the real jpeg is decoded with a full hash, the shell not
+    val st = Multimodal.aHashImagesStatus(media)
+      .as[(Long, String, Option[String], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(st(1L)._5 && st(1L)._3.exists(_.length == 64))
+    assert(!st(2L)._5 && st(2L)._3.isEmpty)
+    // plain aHash emits exactly the decoded row
+    val hashed = Multimodal.aHashImages(media).toDF()
+      .as[(Long, String, String, Long)].collect()
+    assert(hashed.map(_._1).toSeq === Seq(1L))
+    assert(st(1L)._3.contains(hashed.head._3),
+      "status and plain surfaces share one signature")
+    // downsample reaches the decoded jpeg's pixels too
+    val ds = Multimodal.downsampleImages(media, box = 8)
+      .toDF().as[(Long, String, Int, Int, Int, Int, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ds.keySet === Set(1L))
+    assert(ds(1L)._3 === w && ds(1L)._4 === h)
+    assert(ds(1L)._7 > 0L, "sampled bytes come from decoded pixels")
+    // decodeStatus tells the two apart with the decode ATTEMPT
+    val cov = Multimodal.decodeStatus(media)
+      .select(col("doc_id"), col("pixel_decodable"), col("skip_reason"))
+      .as[(Long, Boolean, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(cov(1L)._2 && cov(1L)._3.isEmpty)
+    assert(!cov(2L)._2 && cov(2L)._3.contains("entropy codec required"))
+  }
+
   test("JPEG shell: geometry parses; pixels visibly undecodable, never hashed") {
     val p = MediaCodec.encodeJpegShell(33, 7, data)
     val h = MediaCodec.decode(p)
