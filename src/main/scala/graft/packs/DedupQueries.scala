@@ -144,6 +144,21 @@ object DedupQueries extends QueryPack {
       Dedup.tuneBands(s, numHashes = 16, threshold = 0.8,
         fpJaccard = 0.2, fpBudget = 0.05)),
 
+    // The tuner wired END TO END on the corpus: banding solved from
+    // (threshold 0.8, fp budget 0.05) over the 8-hash signatures —
+    // r=3, b=2, surplus hashes dropped so only FULL bands form — then
+    // the standard bucket-join candidate generation. The oracle
+    // replays the solved configuration literally (h < 6, band = h//3):
+    // if the tuner's argmax ever drifts, the banding changes and every
+    // row hash goes red.
+    "dedup_tuned_candidates" -> ((s, dir) => {
+      val sig = Dedup.minhashSignatures(docShingles(s, dir), "doc_id",
+        numHashes = 8)
+      Dedup.minhashBandCandidatesTuned(sig, "doc_id", numHashes = 8,
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Deterministic fixed-round PageRank over the near-dup similarity
     // graph (operators.Graph — the c4_svd_power determinism contract
     // applied to graph centrality): banded-minhash candidate pairs,
@@ -743,6 +758,27 @@ object DedupQueries extends QueryPack {
         |  rn = 1 AS chosen
         |FROM r
         |ORDER BY rows_per_band""".stripMargin,
+
+    // The solved (b=2, r=3) banding replayed literally: six of eight
+    // hashes, three rows per band.
+    "dedup_tuned_candidates" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 3 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig WHERE h < 6
+         |  GROUP BY doc_id, CAST(h // 3 AS INT))
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_sig = y.band_sig
+         |  AND x.doc_id < y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // NOTE: this oracle (and dedup_components / dedup_pipeline_clusters
     // downstream of the same banding) models an UNCAPPED bucket self-join.

@@ -780,6 +780,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val rerun = Similarity.knnRefine(emb, "vec_id", "embedding", g, k = 3)
       .as[(Long, Long, Int, Double)].collect().toSet
     assert(rerun === refined.as[(Long, Long, Int, Double)].collect().toSet)
+    // iterated descent: more rounds never lose recall, and a few
+    // rounds close most of the remaining gap to brute force
+    val r3 = Similarity.knnRefineIterated(emb, "vec_id", "embedding",
+      g, k = 3, rounds = 3)
+    val recall3 = (pairs(r3) & bf).size.toDouble / bf.size
+    assert(recall3 >= recallR,
+      s"round 3 recall $recall3 below round 1's $recallR")
+    assert(recall3 >= 0.9,
+      s"three rounds should approach brute force, got $recall3")
   }
 
   test("knnCommunities: mutual kNN splits clusters, hub demoted to singleton") {
