@@ -1,28 +1,30 @@
 package graft.multimodal
 
-/** Pure-JVM BASELINE-SEQUENTIAL greyscale JPEG codec (ITU-T T.81):
-  * 8-bit, one component, standard zigzag + canonical Huffman coding,
-  * double-precision DCT. Closes the "header walk only" gap for JPEG —
-  * real crawled corpora are mostly JPEG, and a pipeline that can't
-  * address their pixels can neither perceptual-hash nor downsample
-  * the bulk of a multimodal crawl.
+/** Pure-JVM BASELINE-SEQUENTIAL JPEG codec (ITU-T T.81): 8-bit,
+  * greyscale and YCbCr color (4:4:4 and 4:2:0 chroma subsampling),
+  * standard zigzag + canonical Huffman coding, double-precision DCT.
+  * Closes the "header walk only" gap for JPEG — real crawled corpora
+  * are mostly color JPEG, and a pipeline that can't address their
+  * pixels can neither perceptual-hash nor downsample the bulk of a
+  * multimodal crawl.
   *
-  * Scope is deliberate: baseline (SOF0), greyscale (1 component),
-  * 8-bit, no restart markers, no progressive/arithmetic modes. The
-  * decoder reads quant + Huffman tables FROM THE STREAM (it is not
-  * paired to this encoder's choices); anything outside the supported
-  * envelope — multi-component color, SOF2 progressive, malformed
-  * entropy data — returns None, never throws (the decode-totality
-  * contract of [[MediaCodec]]). The encoder exists to build real,
-  * self-contained fixtures: its output is a spec-conforming JPEG any
-  * baseline decoder reads.
+  * Scope is deliberate: baseline/extended-sequential Huffman (SOF0/1),
+  * up to 3 components with sampling factors in {1, 2}, 8-bit samples,
+  * no restart markers, no progressive/arithmetic/hierarchical modes.
+  * The decoder reads quantization and Huffman tables FROM THE STREAM
+  * (it is not paired to this encoder's choices); anything outside the
+  * supported envelope — CMYK, progressive, malformed entropy data —
+  * returns None, never throws (the decode-totality contract of
+  * [[MediaCodec]]). The encoder builds real, self-contained fixtures:
+  * its output is a spec-conforming JPEG any baseline decoder reads.
   *
   * Scale shape: both directions are per-payload, partition-iterator
-  * work — 64 multiplies/pixel for the O(64²)-per-block DCT, no
-  * shuffle, no driver state. Determinism: fixed double-precision
-  * cosine tables, fixed standard quantization (scaled by `quality`
-  * with the classic 5000/q | 200−2q rule), so encode∘decode is a pure
-  * function of (pixels, quality) — spec- and oracle-safe.
+  * work — 64 multiplies/pixel-per-component for the O(64²)-per-block
+  * DCT, no shuffle, no driver state. Determinism: fixed
+  * double-precision cosine tables, fixed standard quantization
+  * (scaled by `quality` with the classic 5000/q | 200−2q rule), fixed
+  * JFIF color matrices — encode∘decode is a pure function of
+  * (pixels, quality, subsampling), spec- and oracle-safe.
   */
 object JpegCodec {
 
@@ -34,8 +36,8 @@ object JpegCodec {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  // standard luminance quantization table (T.81 Annex K.1), zigzag order
-  // applied at emit time — stored here in RASTER order
+  // standard luminance / chrominance quantization tables (T.81 Annex
+  // K.1/K.2), RASTER order here — zigzag applied at emit time
   private val StdLumaQuant: Array[Int] = Array(
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -45,9 +47,20 @@ object JpegCodec {
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
+  private val StdChromaQuant: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
 
-  // standard luminance DC/AC Huffman specs (T.81 Annex K.3):
-  // counts[i] = number of codes of length i+1, then the value list
+  // standard luminance DC/AC Huffman specs (T.81 Annex K.3) — the
+  // encoder uses this one family for every component (legal: the DHT
+  // segment declares what the scan uses); the decoder reads whatever
+  // tables the stream carries
   private val DcBits: Array[Int] =
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val DcVals: Array[Int] = (0 to 11).toArray
@@ -122,12 +135,10 @@ object JpegCodec {
     out.result()
   }
 
-  private def quantTable(quality: Int): Array[Int] = {
+  private def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
     val q = math.min(100, math.max(1, quality))
     val scale = if (q < 50) 5000 / q else 200 - 2 * q
-    StdLumaQuant.map { v =>
-      math.min(255, math.max(1, (v * scale + 50) / 100))
-    }
+    base.map(v => math.min(255, math.max(1, (v * scale + 50) / 100)))
   }
 
   /** MSB-first bit accumulator with JPEG 0xFF byte stuffing. */
@@ -158,6 +169,122 @@ object JpegCodec {
     n
   }
 
+  // ---- encoder core ----------------------------------------------------
+
+  /** Forward DCT + quantization of one level-shifted 8×8 block. */
+  private def fdctQuant(block: Array[Double], quant: Array[Int],
+                        coef: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            s += block(yy * 8 + xx) * Cos(xx)(u) * Cos(yy)(v)
+            xx += 1
+          }
+          yy += 1
+        }
+        val f = 0.25 * c(u) * c(v) * s
+        val idx = v * 8 + u
+        coef(idx) = math.round(f / quant(idx)).toInt
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Entropy-code one quantized block; returns the new DC predictor. */
+  private def writeBlock(bw: BitWriter, coef: Array[Int], prevDc: Int,
+                         dcCodes: Map[Int, (Int, Int)],
+                         acCodes: Map[Int, (Int, Int)]): Int = {
+    def putMagnitude(v: Int, cat: Int): Unit =
+      if (cat > 0) bw.put(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    val dcDiff = coef(0) - prevDc
+    val dcCat = magnitudeCategory(dcDiff)
+    val (dcCode, dcLen) = dcCodes(dcCat)
+    bw.put(dcCode, dcLen)
+    putMagnitude(dcDiff, dcCat)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val ac = coef(Zigzag(k))
+      if (ac == 0) run += 1
+      else {
+        while (run > 15) {
+          val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
+        }
+        val cat = magnitudeCategory(ac)
+        val (cd, cl) = acCodes((run << 4) | cat)
+        bw.put(cd, cl)
+        putMagnitude(ac, cat)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+    coef(0)
+  }
+
+  /** Load one 8×8 block from a sample plane, edge-replicated, level
+    * shifted to [-128, 127].
+    */
+  private def loadBlock(plane: Array[Byte], pw: Int, ph: Int,
+                        bx: Int, by: Int, block: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx + x, pw - 1)
+        block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def writeHeaders(out: java.io.ByteArrayOutputStream,
+                           width: Int, height: Int,
+                           quants: Seq[Array[Int]],
+                           comps: Seq[(Int, Int, Int, Int)]): Unit = {
+    // comps: (id, hSamp, vSamp, quantId)
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    quants.zipWithIndex.foreach { case (qt, id) =>
+      marker(0xdb)
+      be16(2 + 1 + 64)
+      out.write(id)
+      var zi = 0
+      while (zi < 64) { out.write(qt(Zigzag(zi))); zi += 1 }
+    }
+    marker(0xc0) // SOF0
+    be16(8 + 3 * comps.size)
+    out.write(8); be16(height); be16(width)
+    out.write(comps.size)
+    comps.foreach { case (id, hs, vs, qid) =>
+      out.write(id); out.write((hs << 4) | vs); out.write(qid)
+    }
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      be16(2 + 1 + 16 + vals.length)
+      out.write(tc << 4)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xda) // SOS: every component reads DC table 0 / AC table 0
+    be16(6 + 2 * comps.size)
+    out.write(comps.size)
+    comps.foreach { case (id, _, _, _) => out.write(id); out.write(0x00) }
+    out.write(0); out.write(0x3f); out.write(0)
+  }
+
   /** Encode an 8-bit greyscale raster (row-major, w·h bytes) as a
     * baseline JPEG. Edge blocks replicate their border pixels.
     */
@@ -167,38 +294,12 @@ object JpegCodec {
       s"bad JPEG geometry ${width}x$height")
     require(gray.length == width * height,
       s"raster length ${gray.length} != ${width}x$height")
-    val quant = quantTable(quality)
+    val quant = scaledQuant(StdLumaQuant, quality)
     val dcCodes = canonicalCodes(DcBits, DcVals)
     val acCodes = canonicalCodes(AcBits, AcVals)
     val out = new java.io.ByteArrayOutputStream()
-    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    marker(0xdb) // DQT, table 0, 8-bit, zigzag order
-    be16(2 + 1 + 64)
-    out.write(0x00)
-    var zi = 0
-    while (zi < 64) { out.write(quant(Zigzag(zi))); zi += 1 }
-    marker(0xc0) // SOF0: 8-bit, 1 component, 1x1 sampling, quant 0
-    be16(11)
-    out.write(8); be16(height); be16(width)
-    out.write(1); out.write(1); out.write(0x11); out.write(0)
-    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4)
-      be16(2 + 1 + 16 + vals.length)
-      out.write(tc << 4) // class (0 DC / 1 AC), id 0
-      bits.foreach(out.write)
-      vals.foreach(out.write)
-    }
-    dht(0, DcBits, DcVals)
-    dht(1, AcBits, AcVals)
-    marker(0xda) // SOS: 1 component, DC table 0 / AC table 0
-    be16(8)
-    out.write(1); out.write(1); out.write(0x00)
-    out.write(0); out.write(0x3f); out.write(0)
+    writeHeaders(out, width, height, Seq(quant), Seq((1, 1, 1, 0)))
     val bw = new BitWriter(out)
-    def putMagnitude(v: Int, cat: Int): Unit =
-      if (cat > 0) bw.put(if (v < 0) v + (1 << cat) - 1 else v, cat)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
     var prevDc = 0
@@ -206,95 +307,200 @@ object JpegCodec {
     while (by < height) {
       var bx = 0
       while (bx < width) {
-        // load + level shift, edge-replicated
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by + y, height - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx + x, width - 1)
-            block(y * 8 + x) = (gray(sy * width + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // forward DCT + quantize
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var s = 0.0
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                s += block(yy * 8 + xx) * Cos(xx)(u) * Cos(yy)(v)
-                xx += 1
-              }
-              yy += 1
-            }
-            val f = 0.25 * c(u) * c(v) * s
-            val idx = v * 8 + u
-            coef(idx) = math.round(f / quant(idx)).toInt
-            u += 1
-          }
-          v += 1
-        }
-        // entropy-code the block in zigzag order
-        val dcDiff = coef(0) - prevDc
-        prevDc = coef(0)
-        val dcCat = magnitudeCategory(dcDiff)
-        val (dcCode, dcLen) = dcCodes(dcCat)
-        bw.put(dcCode, dcLen)
-        putMagnitude(dcDiff, dcCat)
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val ac = coef(Zigzag(k))
-          if (ac == 0) run += 1
-          else {
-            while (run > 15) {
-              val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16
-            }
-            val cat = magnitudeCategory(ac)
-            val (cd, cl) = acCodes((run << 4) | cat)
-            bw.put(cd, cl)
-            putMagnitude(ac, cat)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+        loadBlock(gray, width, height, bx, by, block)
+        fdctQuant(block, quant, coef)
+        prevDc = writeBlock(bw, coef, prevDc, dcCodes, acCodes)
         bx += 8
       }
       by += 8
     }
     bw.flushWithOnes()
-    marker(0xd9) // EOI
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 
-  /** Decode a baseline greyscale JPEG to (width, height, row-major
-    * 8-bit raster). None for anything outside the supported envelope
-    * (color, progressive, missing tables, truncated/invalid entropy
-    * data) — never throws.
+  /** Encode a 24-bit RGB raster (row-major, 3 bytes/pixel) as a color
+    * baseline JPEG: JFIF full-range YCbCr, luminance + chrominance
+    * standard quantization, 4:4:4 (`subsample = false`) or 4:2:0
+    * (`subsample = true`, chroma averaged over 2×2 blocks).
     */
-  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    try decodeGrayInner(p)
+  def encodeColor(width: Int, height: Int, rgb: Array[Byte],
+                  quality: Int = 90,
+                  subsample: Boolean = false): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"bad JPEG geometry ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"raster length ${rgb.length} != ${width}x${height}x3")
+    // RGB -> full-range YCbCr planes (JFIF)
+    val n = width * height
+    val yP = new Array[Byte](n)
+    val cbFull = new Array[Byte](n)
+    val crFull = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(i * 3) & 0xff
+      val g = rgb(i * 3 + 1) & 0xff
+      val b = rgb(i * 3 + 2) & 0xff
+      val y = 0.299 * r + 0.587 * g + 0.114 * b
+      val cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+      val cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+      yP(i) = math.min(255, math.max(0, math.round(y).toInt)).toByte
+      cbFull(i) = math.min(255, math.max(0, math.round(cb).toInt)).toByte
+      crFull(i) = math.min(255, math.max(0, math.round(cr).toInt)).toByte
+      i += 1
+    }
+    val (cw, ch, cbP, crP) =
+      if (!subsample) (width, height, cbFull, crFull)
+      else {
+        val cw0 = (width + 1) / 2
+        val ch0 = (height + 1) / 2
+        val cb = new Array[Byte](cw0 * ch0)
+        val cr = new Array[Byte](cw0 * ch0)
+        var cy = 0
+        while (cy < ch0) {
+          var cx = 0
+          while (cx < cw0) {
+            var sCb = 0; var sCr = 0; var cnt = 0
+            var dy = 0
+            while (dy < 2) {
+              val sy = cy * 2 + dy
+              var dx = 0
+              while (dx < 2) {
+                val sx = cx * 2 + dx
+                if (sx < width && sy < height) {
+                  sCb += cbFull(sy * width + sx) & 0xff
+                  sCr += crFull(sy * width + sx) & 0xff
+                  cnt += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            cb(cy * cw0 + cx) = ((sCb + cnt / 2) / cnt).toByte
+            cr(cy * cw0 + cx) = ((sCr + cnt / 2) / cnt).toByte
+            cx += 1
+          }
+          cy += 1
+        }
+        (cw0, ch0, cb, cr)
+      }
+    val lumaQ = scaledQuant(StdLumaQuant, quality)
+    val chromaQ = scaledQuant(StdChromaQuant, quality)
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val (ys, cs) = if (subsample) (2, 1) else (1, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, width, height, Seq(lumaQ, chromaQ),
+      Seq((1, ys, ys, 0), (2, cs, cs, 1), (3, cs, cs, 1)))
+    val bw = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    val mcuW = 8 * ys
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuW - 1) / mcuW
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // Y blocks (ys×ys per MCU, raster order within the MCU)
+        var byi = 0
+        while (byi < ys) {
+          var bxi = 0
+          while (bxi < ys) {
+            loadBlock(yP, width, height,
+              mx * mcuW + bxi * 8, my * mcuW + byi * 8, block)
+            fdctQuant(block, lumaQ, coef)
+            dcY = writeBlock(bw, coef, dcY, dcCodes, acCodes)
+            bxi += 1
+          }
+          byi += 1
+        }
+        // one Cb + one Cr block per MCU
+        loadBlock(cbP, cw, ch, mx * 8, my * 8, block)
+        fdctQuant(block, chromaQ, coef)
+        dcCb = writeBlock(bw, coef, dcCb, dcCodes, acCodes)
+        loadBlock(crP, cw, ch, mx * 8, my * 8, block)
+        fdctQuant(block, chromaQ, coef)
+        dcCr = writeBlock(bw, coef, dcCr, dcCodes, acCodes)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushWithOnes()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  /** Decode a baseline greyscale OR color JPEG to (width, height,
+    * row-major RGB raster, 3 bytes/pixel; greyscale replicates the
+    * grey value). None for anything outside the supported envelope —
+    * never throws.
+    */
+  def decodeRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try decodeInner(p)
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def decodeGrayInner(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** Single-component (greyscale) decode to a 1-byte/pixel raster;
+    * None for color streams (use [[decodeRgb]]) or unsupported input.
+    */
+  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val isGray =
+      try sniffComponents(p).contains(1)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!isGray) None
+    else decodeRgb(p).map { case (w, h, rgb) =>
+      val g = new Array[Byte](w * h)
+      var i = 0
+      while (i < g.length) { g(i) = rgb(i * 3); i += 1 }
+      (w, h, g)
+    }
+  }
+
+  /** Component count from the first SOF0/1 marker, if any. */
+  private def sniffComponents(p: Array[Byte]): Option[Int] = {
+    if (p == null || p.length < 4 ||
+      (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    def be16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    var off = 2
+    while (off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) return None
+      var mOff = off + 1
+      while (mOff < p.length && (p(mOff) & 0xff) == 0xff) mOff += 1
+      if (mOff + 2 >= p.length) return None
+      val m = p(mOff) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) off = mOff + 1
+      else if (m == 0xd9 || m == 0xda) return None
+      else {
+        val len = be16(mOff + 1)
+        if (len < 2 || mOff + 1 + len > p.length) return None
+        if (m == 0xc0 || m == 0xc1) return Some(p(mOff + 3 + 5) & 0xff)
+        off = mOff + 1 + len
+      }
+    }
+    None
+  }
+
+  private def decodeInner(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (p == null || p.length < 4 ||
       (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     def be16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
     var off = 2
     var width = 0
     var height = 0
-    var quantZig: Array[Int] = null   // zigzag-order table as streamed
-    var dcTable: Map[(Int, Int), Int] = null
-    var acTable: Map[(Int, Int), Int] = null
-    var sofQuantId = -1
+    val quantZig = new Array[Array[Int]](4)
+    val dcTables = new Array[Map[(Int, Int), Int]](4)
+    val acTables = new Array[Map[(Int, Int), Int]](4)
+    // per component: id, hSamp, vSamp, quantId, dcId, acId
+    var compIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
     var scanStart = -1
     while (scanStart < 0) {
       if (off + 2 > p.length) return None
@@ -318,40 +524,71 @@ object JpegCodec {
             while (q < mOff + 1 + len) {
               val pq = (p(q) & 0xff) >> 4
               val tq = p(q) & 0x0f
-              if (pq != 0) return None // 16-bit tables unsupported
+              if (pq != 0 || tq > 3) return None
               if (q + 1 + 64 > mOff + 1 + len) return None
-              if (tq == 0 || quantZig == null) {
-                quantZig = new Array[Int](64)
-                var i = 0
-                while (i < 64) { quantZig(i) = p(q + 1 + i) & 0xff; i += 1 }
-              }
+              val tbl = new Array[Int](64)
+              var i = 0
+              while (i < 64) { tbl(i) = p(q + 1 + i) & 0xff; i += 1 }
+              quantZig(tq) = tbl
               q += 65
             }
           case 0xc4 => // DHT: possibly several tables per segment
             var q = seg
             while (q < mOff + 1 + len) {
               val tc = (p(q) & 0xff) >> 4
+              val th = p(q) & 0x0f
+              if (tc > 1 || th > 3) return None
               if (q + 17 > mOff + 1 + len) return None
               val bits = Array.tabulate(16)(i => p(q + 1 + i) & 0xff)
-              val n = bits.sum
-              if (q + 17 + n > mOff + 1 + len) return None
-              val vals = Array.tabulate(n)(i => p(q + 17 + i) & 0xff)
+              val cnt = bits.sum
+              if (q + 17 + cnt > mOff + 1 + len) return None
+              val vals = Array.tabulate(cnt)(i => p(q + 17 + i) & 0xff)
               val tbl = canonicalDecode(bits, vals)
-              if (tc == 0) dcTable = tbl else acTable = tbl
-              q += 17 + n
+              if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
+              q += 17 + cnt
             }
           case 0xc0 | 0xc1 => // baseline / extended-sequential SOF
             if (len < 9) return None
             if ((p(seg) & 0xff) != 8) return None
             height = be16(seg + 1); width = be16(seg + 3)
             val ncomp = p(seg + 5) & 0xff
-            if (ncomp != 1) return None // greyscale only
-            sofQuantId = p(seg + 8) & 0xff
+            if (ncomp != 1 && ncomp != 3) return None
+            if (len < 8 + 3 * ncomp) return None
+            compIds = new Array[Int](ncomp)
+            compH = new Array[Int](ncomp)
+            compV = new Array[Int](ncomp)
+            compQ = new Array[Int](ncomp)
+            var ci = 0
+            while (ci < ncomp) {
+              val base = seg + 6 + 3 * ci
+              compIds(ci) = p(base) & 0xff
+              compH(ci) = (p(base + 1) & 0xff) >> 4
+              compV(ci) = p(base + 1) & 0x0f
+              compQ(ci) = p(base + 2) & 0xff
+              if (compH(ci) < 1 || compH(ci) > 2 ||
+                compV(ci) < 1 || compV(ci) > 2 || compQ(ci) > 3) return None
+              ci += 1
+            }
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
             return None // progressive / arithmetic / hierarchical
           case 0xda => // SOS
-            if ((p(seg) & 0xff) != 1) return None
+            if (compIds == null) return None
+            val ns = p(seg) & 0xff
+            if (ns != compIds.length) return None
+            if (len < 6 + 2 * ns) return None
+            compDc = new Array[Int](ns)
+            compAc = new Array[Int](ns)
+            var si = 0
+            while (si < ns) {
+              val cid = p(seg + 1 + 2 * si) & 0xff
+              val ci = compIds.indexOf(cid)
+              if (ci < 0) return None
+              compDc(ci) = (p(seg + 2 + 2 * si) & 0xff) >> 4
+              compAc(ci) = p(seg + 2 + 2 * si) & 0x0f
+              if (compDc(ci) > 3 || compAc(ci) > 3) return None
+              si += 1
+            }
             scanStart = mOff + 1 + len
           case 0xdd =>
             return None // DRI: restart intervals unsupported
@@ -360,12 +597,34 @@ object JpegCodec {
         if (scanStart < 0) off = mOff + 1 + len
       }
     }
-    if (width <= 0 || height <= 0 || quantZig == null ||
-      dcTable == null || acTable == null) return None
-    // dequantization table back in raster order
-    val quant = new Array[Int](64)
-    var zi = 0
-    while (zi < 64) { quant(Zigzag(zi)) = quantZig(zi); zi += 1 }
+    val ncomp = compIds.length
+    if (width <= 0 || height <= 0) return None
+    var ci = 0
+    while (ci < ncomp) {
+      if (quantZig(compQ(ci)) == null ||
+        dcTables(compDc(ci)) == null || acTables(compAc(ci)) == null)
+        return None
+      ci += 1
+    }
+    // dequantization tables back in raster order, per component
+    val quant = Array.tabulate(ncomp) { i =>
+      val z = quantZig(compQ(i))
+      val t = new Array[Int](64)
+      var zi = 0
+      while (zi < 64) { t(Zigzag(zi)) = z(zi); zi += 1 }
+      t
+    }
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // sample planes, MCU-padded
+    val planeW = Array.tabulate(ncomp)(i => mcusX * compH(i) * 8)
+    val planeH = Array.tabulate(ncomp)(i => mcusY * compV(i) * 8)
+    val planes = Array.tabulate(ncomp)(i => new Array[Byte](
+      planeW(i) * planeH(i)))
 
     // entropy reader: unstuffs 0xFF00, stops at any other marker
     var pos = scanStart
@@ -375,7 +634,7 @@ object JpegCodec {
     def nextBit(): Int = {
       if (bitCnt == 0) {
         if (pos >= p.length) { exhausted = true; return 0 }
-        var b = p(pos) & 0xff
+        val b = p(pos) & 0xff
         pos += 1
         if (b == 0xff) {
           if (pos >= p.length) { exhausted = true; return 0 }
@@ -412,62 +671,114 @@ object JpegCodec {
       else v
     }
 
-    val out = new Array[Byte](width * height)
     val coef = new Array[Int](64)
-    var prevDc = 0
-    var by = 0
-    while (by < height) {
-      var bx = 0
-      while (bx < width) {
-        java.util.Arrays.fill(coef, 0)
-        val dcSym = readCode(dcTable)
-        if (dcSym < 0) return None
-        prevDc += readMagnitude(dcSym)
-        coef(0) = prevDc * quant(0)
-        var k = 1
-        while (k < 64) {
-          val sym = readCode(acTable)
-          if (sym < 0) return None
-          if (sym == 0x00) k = 64 // EOB
-          else if (sym == 0xf0) k += 16 // ZRL
-          else {
-            k += (sym >> 4)
-            if (k > 63) return None
-            val idx = Zigzag(k)
-            coef(idx) = readMagnitude(sym & 0x0f) * quant(idx)
-            k += 1
-          }
-        }
-        if (exhausted) return None
-        // inverse DCT + level shift + clamp
-        var y = 0
-        while (y < 8) {
-          val oy = by + y
-          var x = 0
-          while (x < 8) {
-            val ox = bx + x
-            if (oy < height && ox < width) {
-              var s = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  s += c(u) * c(v) * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
-                  u += 1
+    val prevDc = new Array[Int](ncomp)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        ci = 0
+        while (ci < ncomp) {
+          val dcTbl = dcTables(compDc(ci))
+          val acTbl = acTables(compAc(ci))
+          val qt = quant(ci)
+          var byi = 0
+          while (byi < compV(ci)) {
+            var bxi = 0
+            while (bxi < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val dcSym = readCode(dcTbl)
+              if (dcSym < 0) return None
+              prevDc(ci) += readMagnitude(dcSym)
+              coef(0) = prevDc(ci) * qt(0)
+              var k = 1
+              while (k < 64) {
+                val sym = readCode(acTbl)
+                if (sym < 0) return None
+                if (sym == 0x00) k = 64 // EOB
+                else if (sym == 0xf0) k += 16 // ZRL
+                else {
+                  k += (sym >> 4)
+                  if (k > 63) return None
+                  val idx = Zigzag(k)
+                  coef(idx) = readMagnitude(sym & 0x0f) * qt(idx)
+                  k += 1
                 }
-                v += 1
               }
-              val px = math.round(0.25 * s + 128.0).toInt
-              out(oy * width + ox) =
-                math.min(255, math.max(0, px)).toByte
+              if (exhausted) return None
+              // inverse DCT + level shift + clamp into the plane
+              val ox0 = mx * compH(ci) * 8 + bxi * 8
+              val oy0 = my * compV(ci) * 8 + byi * 8
+              val pw = planeW(ci)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      s += c(u) * c(v) * coef(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val px = math.round(0.25 * s + 128.0).toInt
+                  planes(ci)((oy0 + y) * pw + (ox0 + x)) =
+                    math.min(255, math.max(0, px)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bxi += 1
             }
-            x += 1
+            byi += 1
           }
-          y += 1
+          ci += 1
         }
-        bx += 8
+        mx += 1
       }
-      by += 8
+      my += 1
+    }
+    // assemble RGB with nearest-sample chroma upsampling
+    val out = new Array[Byte](width * height * 3)
+    if (ncomp == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = planes(0)(y * pw + x)
+          val o = (y * width + x) * 3
+          out(o) = g; out(o + 1) = g; out(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(i: Int): Int = {
+            val sx = x * compH(i) / hMax
+            val sy = y * compV(i) / vMax
+            planes(i)(sy * planeW(i) + sx) & 0xff
+          }
+          val yv = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          val o = (y * width + x) * 3
+          def clamp(d: Double): Byte =
+            math.min(255, math.max(0, math.round(d).toInt)).toByte
+          out(o) = clamp(yv + 1.402 * cr)
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
     }
     Some((width, height, out))
   }

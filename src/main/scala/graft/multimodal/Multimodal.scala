@@ -290,14 +290,9 @@ object Multimodal {
         if (pngContent == null) None
         else Some((pngContent, 0, h.data_len.toInt, h.width, h.height))
       case "image/jpeg" =>
-        JpegCodec.decodeGray(payload).map { case (w, ht, gray) =>
-          val rgb = new Array[Byte](w * ht * 3)
-          var i = 0
-          while (i < gray.length) {
-            val g = gray(i)
-            rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
-            i += 1
-          }
+        // greyscale AND color baseline decode; decodeRgb already emits
+        // the uniform 3-byte/pixel model (grey replicated)
+        JpegCodec.decodeRgb(payload).map { case (w, ht, rgb) =>
           (rgb, 0, rgb.length, w, ht)
         }
       case _ => None
@@ -414,7 +409,7 @@ object Multimodal {
     * shuffle; cost is 2·64 multiplies/pixel (two DCT passes).
     */
   def jpegRoundTrip(docs: DataFrame, quality: Int = 95,
-                    tol: Int = 32): DataFrame = {
+                    tol: Int = 32, color: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
@@ -426,25 +421,30 @@ object Multimodal {
       val data = Option(text).getOrElse("")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val n = data.length
-      val w = 8 + n % 57
-      val h = math.max(1, (n + w - 1) / w)
-      val gray = new Array[Byte](w * h)
+      val bpp = if (color) 3 else 1
+      val w = if (color) 8 + n % 41 else 8 + n % 57
+      val h = math.max(1, (n + bpp * w - 1) / (bpp * w))
+      val raster = new Array[Byte](w * h * bpp)
       if (n > 0) {
         var i = 0
-        while (i < gray.length) { gray(i) = data(i % n); i += 1 }
+        while (i < raster.length) { raster(i) = data(i % n); i += 1 }
       }
-      val enc = JpegCodec.encodeGray(w, h, gray, quality)
-      JpegCodec.decodeGray(enc) match {
+      val enc =
+        if (color) JpegCodec.encodeColor(w, h, raster, quality)
+        else JpegCodec.encodeGray(w, h, raster, quality)
+      val dec =
+        if (color) JpegCodec.decodeRgb(enc) else JpegCodec.decodeGray(enc)
+      dec match {
         case Some((dw, dh, px)) =>
           var mx = 0
           var i = 0
-          while (i < gray.length) {
-            val e = math.abs((gray(i) & 0xff) - (px(i) & 0xff))
+          while (i < raster.length) {
+            val e = math.abs((raster(i) & 0xff) - (px(i) & 0xff))
             if (e > mx) mx = e
             i += 1
           }
           (id, dw, dh, dw.toLong * dh, mx,
-            dw == w && dh == h && mx <= tol)
+            dw == w && dh == h && px.length == raster.length && mx <= tol)
         case None => (id, -1, -1, -1L, -1, false)
       }
     }.toDF("doc_id", "width", "height", "n_px", "max_abs_err",

@@ -166,6 +166,20 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The COLOR loop: text bytes as interleaved RGB, 4:4:4 YCbCr
+    // encode (real color matrices + chrominance quantization) ->
+    // decode -> geometry + tolerance verdict, same oracle discipline
+    // as the greyscale twin. Chroma tolerance is wider: byte-noise
+    // chrominance pays the coarse chroma table.
+    "multimodal_jpeg_color_roundtrip" -> ((s, dir) => {
+      Multimodal.jpegRoundTrip(
+          Tables(s, dir).documents.where(col("doc_id") < 500),
+          quality = 95, tol = 64, color = true)
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("within_tol"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -223,6 +237,22 @@ object MultimodalQueries extends QueryPack {
         |  CAST((8 + n % 57) *
         |    greatest(1, (n + (8 + n % 57) - 1) // (8 + n % 57)) AS BIGINT)
         |    AS n_px,
+        |  true AS within_tol
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    // Color-geometry replay: w = 8 + n % 41, h = ceil(n / (3w)).
+    "multimodal_jpeg_color_roundtrip" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id,
+        |  CAST(8 + n % 41 AS INT) AS width,
+        |  CAST(greatest(1, (n + 3 * (8 + n % 41) - 1) // (3 * (8 + n % 41)))
+        |    AS INT) AS height,
+        |  CAST((8 + n % 41) *
+        |    greatest(1, (n + 3 * (8 + n % 41) - 1) // (3 * (8 + n % 41)))
+        |    AS BIGINT) AS n_px,
         |  true AS within_tol
         |FROM g
         |ORDER BY doc_id""".stripMargin,

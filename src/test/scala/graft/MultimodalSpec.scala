@@ -51,6 +51,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.decodeGray("not a jpeg at all".getBytes(UTF_8)).isEmpty)
   }
 
+  test("JPEG color codec: 4:4:4 and 4:2:0 round trips, chroma within tolerance") {
+    import graft.multimodal.JpegCodec
+    val w = 40; val h = 24
+    // smooth color field: R gradient on x, G gradient on y, B diagonal
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = ((x * 255) / (w - 1)).toByte
+      rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+      rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+    }
+    def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+      a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
+    // 4:4:4: every sample coded at full resolution
+    val full = JpegCodec.encodeColor(w, h, rgb, quality = 90)
+    val Some((fw, fh, fpx)) = JpegCodec.decodeRgb(full)
+    assert(fw === w && fh === h && fpx.length === w * h * 3)
+    assert(maxErr(rgb, fpx) <= 24,
+      s"4:4:4 error ${maxErr(rgb, fpx)} beyond color round-trip tolerance")
+    // 4:2:0: chroma quartered; smooth fields stay close
+    val sub = JpegCodec.encodeColor(w, h, rgb, quality = 90,
+      subsample = true)
+    val Some((sw, sh, spx)) = JpegCodec.decodeRgb(sub)
+    assert(sw === w && sh === h)
+    assert(maxErr(rgb, spx) <= 48,
+      s"4:2:0 error ${maxErr(rgb, spx)} beyond subsampled tolerance")
+    assert(sub.length < full.length,
+      "subsampling must shrink the payload on a color image")
+    // the marker walk sees a real color jpeg
+    val hdr = MediaCodec.decode(full)
+    assert(hdr.media_type === "image/jpeg" && hdr.width === w)
+    // decodeGray refuses color (decodeRgb is the color surface)
+    assert(JpegCodec.decodeGray(full).isEmpty)
+    // a color jpeg flows through the pixel surfaces
+    import graft.multimodal.MediaRecord
+    val media = Seq(MediaRecord(9L, full, "image/jpeg")).toDS()
+    val st = Multimodal.aHashImagesStatus(media)
+      .as[(Long, String, Option[String], Option[Long], Boolean)].collect()
+    assert(st.head._5 && st.head._3.exists(_.length == 64))
+    // grey round trip still exact on flat rasters (regression guard)
+    val flat = Array.fill(8 * 8)(200.toByte)
+    val Some((_, _, fg)) = JpegCodec.decodeGray(
+      JpegCodec.encodeGray(8, 8, flat, 90))
+    assert(fg.forall(_ == 200.toByte))
+  }
+
   test("real JPEG flows through the pixel surfaces; the shell stays skipped") {
     import graft.multimodal.{JpegCodec, MediaRecord}
     val w = 24; val h = 16
