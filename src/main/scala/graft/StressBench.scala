@@ -393,6 +393,32 @@ object StressBench {
       graft.similarity.Similarity.knnRefine(
         emb, "vec_id", "embedding", g, k = 5).count()
     }
+    // JPEG codec throughput at rows/2000 images (~64x48 color): full
+    // encode (RGB->YCbCr, 2x DCT-quantize per block family, Huffman)
+    // + full decode back to RGB per payload, partition-iterator — the
+    // per-core cost model for bringing a crawl's JPEGs into the
+    // perceptual-hash surfaces
+    timed("jpeg_codec_throughput") {
+      val n = math.max(rows / 2000L, 1000L)
+      val imgs = spark.range(n).select(col("id"))
+      imgs.as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = 64; val h = 48
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            rgb(i) = (((id + i) * 2654435761L >> 16) & 0xff).toByte
+            i += 1
+          }
+          val enc = graft.multimodal.JpegCodec
+            .encodeColor(w, h, rgb, quality = 85, subsample = true)
+          graft.multimodal.JpegCodec.decodeRgb(enc) match {
+            case Some((dw, dh, _)) => dw.toLong * dh
+            case None => -1L
+          }
+        }
+      }.filter(_ > 0).count()
+    }
     // farthest-point traversal at rows/20 64-dim vectors, k=8: each
     // round is one native-l2sq map pass + a min-struct argmax — the
     // O(n·k·d) running-min fold, never a pairwise matrix

@@ -699,6 +699,13 @@ object SimilarityQueries extends QueryPack {
     // Selection comparisons run on unrounded doubles (the sim_ivf
     // precedent); only the published radius rounds.
     "sim_kcenter_coreset" -> {
+      // NOTE (sf0.1 lesson): the newly-selected point must be reduced
+      // to its 64 (dim, v) rows in a SUBQUERY before the dim-keyed
+      // join — the earlier `pts q ON p.dim = q.dim AND q.id =
+      // (SELECT ...)` form let DuckDB run the dim join FIRST (128k ×
+      // 2k rows per round at sf0.1 → minutes/OOM) and filter the
+      // scalar afterwards; pre-restricting q makes each round's
+      // distance table 0.03s at sf0.1.
       val rounds = (1 to 5).map { r =>
         val selected = ("SELECT id FROM s1" +:
           (1 until r).map(i => s"SELECT id FROM m$i")).mkString(" UNION ")
@@ -712,8 +719,9 @@ object SimilarityQueries extends QueryPack {
            |  SELECT c.id, least(c.mind, d.d2) AS mind
            |  FROM $prev c JOIN (
            |    SELECT p.id, sum((p.v - q.v) * (p.v - q.v)) AS d2
-           |    FROM pts p JOIN pts q ON p.dim = q.dim
-           |      AND q.id = (SELECT id FROM m$r)
+           |    FROM pts p JOIN (
+           |      SELECT t.dim, t.v FROM pts t JOIN m$r mm ON t.id = mm.id) q
+           |      ON p.dim = q.dim
            |    GROUP BY p.id) d USING (id))""".stripMargin
       }.mkString(",\n")
       val out = (2 to 6).map(r =>
@@ -727,8 +735,9 @@ object SimilarityQueries extends QueryPack {
          |s1 AS MATERIALIZED (SELECT min(id) AS id FROM pts),
          |c1 AS MATERIALIZED (
          |  SELECT p.id, sum((p.v - q.v) * (p.v - q.v)) AS mind
-         |  FROM pts p JOIN pts q ON p.dim = q.dim
-         |    AND q.id = (SELECT id FROM s1)
+         |  FROM pts p JOIN (
+         |    SELECT t.dim, t.v FROM pts t JOIN s1 ss ON t.id = ss.id) q
+         |    ON p.dim = q.dim
          |  GROUP BY p.id),
          |$rounds
          |SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, radius FROM (
