@@ -157,18 +157,23 @@ object Dedup {
     * [[nearDupAgainstIndex]].
     */
   def inRowSignature(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, numHashes: Int = 8): DataFrame = {
+                     n: Int = 3, numHashes: Int = 8,
+                     passthroughCols: Seq[String] = Nil): DataFrame = {
     graft.plans.GraftExpressions.register(docs.sparkSession)
     val shingleExpr = s"transform(sequence(1, size(_toks) - ${n - 1}), " +
       s"i -> concat_ws(' ', ${(0 until n).map(k => s"_toks[i + ${k - 1}]").mkString(", ")}))"
+    // passthroughCols ride along UNPROJECTED (same attribute), so
+    // stream metadata pinned to them — a watermark above all — survives
+    // into the signature frame (the event-time gate depends on it)
     docs
-      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol) +: passthroughCols.map(col) :+
+        split(col(textCol), " ").as("_toks"): _*)
       .where(size(col("_toks")) >= n)
-      .select(col(idCol),
+      .select(col(idCol) +: passthroughCols.map(col) :+
         expr(s"aggregate(array_distinct($shingleExpr), " +
           s"array_repeat(9223372036854775807L, $numHashes), " +
           s"(acc, s) -> zip_with(acc, graft_md5_seed_hashes(s, $numHashes), " +
-          "(a, b) -> least(a, b)))").as("sig"))
+          "(a, b) -> least(a, b)))").as("sig"): _*)
   }
 
   /** Streaming near-dup gate: band the in-row signatures and join

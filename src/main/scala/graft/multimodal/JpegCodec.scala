@@ -599,6 +599,12 @@ object JpegCodec {
     }
     val ncomp = compIds.length
     if (width <= 0 || height <= 0) return None
+    // decode-bomb guard (the PNG zlib-cap discipline): the SOF header
+    // alone dictates plane allocation, so a 9-byte forgery declaring
+    // 32768×32768 would commit gigabytes per task BEFORE any entropy
+    // byte is validated. 64 MPx ≈ 192 MB of RGB — beyond any honest
+    // fixture, far below an allocation bomb.
+    if (width.toLong * height > (1L << 26)) return None
     var ci = 0
     while (ci < ncomp) {
       if (quantZig(compQ(ci)) == null ||

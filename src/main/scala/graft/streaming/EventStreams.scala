@@ -311,6 +311,72 @@ object EventStreams {
           }
       }
   }
+  /** [[selfNearDupFlags]] with an EVENT-TIME dedup horizon — the
+    * replay-deterministic TTL: a bucket expires when the stream's
+    * watermark passes (last event time seen in the bucket + horizonMs),
+    * so eviction is a function of the DATA's timestamps, not of wall
+    * clock — a checkpoint replay of the same events reproduces the
+    * same admit/flag decisions (processing-time TTLs cannot promise
+    * that; their deadlines move with the machine). Late data bounded
+    * by `watermarkDelay` re-arms its bucket like any arrival.
+    *
+    * Same per-bucket multiplicity contract as [[selfNearDupFlags]];
+    * state is (min doc id, max event time) per live bucket — bounded
+    * by event-rate × horizon on an unbounded stream. On a batch frame
+    * event-time timeouts never fire (no watermark progression), which
+    * degrades to exactly the full-history batch contract.
+    */
+  def selfNearDupFlagsEventTime(docs: DataFrame, idCol: String,
+                                textCol: String, tsCol: String,
+                                watermarkDelay: String, horizonMs: Long,
+                                n: Int = 3, numHashes: Int = 8,
+                                rowsPerBand: Int = 2): Dataset[BandDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(horizonMs > 0, s"horizonMs=$horizonMs must be positive")
+    val nb = numHashes / rowsPerBand
+    val sig = graft.dedup.Dedup.inRowSignature(
+      docs.withWatermark(tsCol, watermarkDelay), idCol, textCol,
+      n, numHashes, passthroughCols = Seq(tsCol))
+    val bandCols = s"transform(sequence(0, ${nb - 1}), " +
+      s"b -> concat_ws('-', transform(sequence(0, ${rowsPerBand - 1}), " +
+      s"j -> cast(sig[b * $rowsPerBand + j] as string))))"
+    sig
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol),
+        posexplode(expr(bandCols)).as(Seq("band", "band_sig")))
+      .select(concat_ws(":", col("band"), col("band_sig")).as("bucket"),
+        col("doc_id"), col(tsCol).as("_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), BandDup](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // ids ascend (the id-monotone ingest contract); track the
+            // bucket's max event time for the horizon
+            val arr = rows.toArray.sortBy(_._2)
+            var (mn, maxTs) =
+              state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+            val out = Array.newBuilder[BandDup]
+            arr.foreach { case (_, id, ts) =>
+              if (mn < id) out += BandDup(id, mn)
+              if (id < mn) mn = id
+              val t = ts.getTime
+              if (t > maxTs) maxTs = t
+            }
+            state.update((mn, maxTs))
+            // deadline = horizon past the newest member; never behind
+            // the watermark (late buckets would throw otherwise)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }
 
 /** A flagged doc and the smallest earlier doc sharing the bucket —

@@ -49,6 +49,24 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.encodeJpegShell(8, 8, data)).isEmpty)
     assert(JpegCodec.decodeGray(jpeg.take(jpeg.length / 2)).isEmpty)
     assert(JpegCodec.decodeGray("not a jpeg at all".getBytes(UTF_8)).isEmpty)
+    // decode-bomb guard: a forged SOF declaring a huge frame must be
+    // rejected BEFORE plane allocation, not OOM a scan task. Patch
+    // this fixture's SOF geometry bytes to 32768x32768 in place.
+    val bomb = jpeg.clone()
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0 && i + 1 < bomb.length) {
+        if ((bomb(i) & 0xff) == 0xff && (bomb(i + 1) & 0xff) == 0xc0) at = i
+        i += 1
+      }
+      at
+    }
+    assert(sofAt > 0)
+    bomb(sofAt + 5) = 0x80.toByte; bomb(sofAt + 6) = 0x00 // height 32768
+    bomb(sofAt + 7) = 0x80.toByte; bomb(sofAt + 8) = 0x00 // width 32768
+    assert(JpegCodec.decodeRgb(bomb).isEmpty,
+      "header-forged giant frame must be capped, not allocated")
   }
 
   test("JPEG color codec: 4:4:4 and 4:2:0 round trips, chroma within tolerance") {

@@ -395,6 +395,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("selfNearDupFlagsEventTime: horizon evicts by WATERMARK, not wall clock") {
+    // deterministic end to end: eviction follows event timestamps
+    // through the watermark — no sleeps, and a replay of the same
+    // batches reproduces the same admit/flag decisions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().select(col("_1").as("doc_id"),
+      col("_2").as("text"), col("_3").as("ts"))
+    val ckpt = Files.createTempDirectory("graft_ettl_ckpt_").toString
+    val q = EventStreams.selfNearDupFlagsEventTime(docs, "doc_id", "text",
+        "ts", watermarkDelay = "10 seconds", horizonMs = 60000L).toDF()
+      .writeStream.format("memory").queryName("t_ettl_selfdedup")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def flags() = spark.table("t_ettl_selfdedup")
+      .as[(Long, Long)].collect().toSet
+    try {
+      // batch 1: same text at t=100/110 -> doc 1 flags; wm -> 100s
+      input.addData((0L, "a b c d e f", t(100)), (1L, "a b c d e f", t(110)))
+      q.processAllAvailable()
+      assert(flags() === Set((1L, 0L)))
+      // batch 2: unrelated doc far in the future; during THIS batch the
+      // old watermark (100s) has not passed 110s+60s yet -> no evict;
+      // after it, wm -> 290s
+      input.addData((5L, "p q r s t u", t(300)))
+      q.processAllAvailable()
+      // batch 3: wm 290s now exceeds batch-1 buckets' 170s deadline ->
+      // they evict during this batch (doc 5's deadline 360s survives)
+      input.addData((6L, "g h i j k l", t(400)))
+      q.processAllAvailable()
+      // batch 4: doc 0's text returns AFTER the horizon -> re-admitted
+      input.addData((10L, "a b c d e f", t(410)))
+      q.processAllAvailable()
+      assert(!flags().exists(_._1 == 10L),
+        "a bucket expired by event time must re-admit")
+      assert(flags() === Set((1L, 0L)))
+      // live state: batch-1's buckets evicted in batch 3, and doc 5's
+      // (deadline 360s) in batch 4 once the watermark reached 390s —
+      // only docs 6 (460s) and 10 (470s) hold their 4 buckets
+      assert(stateTotal(q) === 8L,
+        "expired buckets must leave the store (16 without eviction)")
+    } finally q.stop()
+  }
+
   test("selfNearDupFlags: index grows across micro-batches, min sharer wins") {
     // two parquet files with distinct mtimes -> two AvailableNow
     // batches in mtime order under maxFilesPerTrigger=1
