@@ -250,7 +250,8 @@ object JpegCodec {
   private def writeHeaders(out: java.io.ByteArrayOutputStream,
                            width: Int, height: Int,
                            quants: Seq[Array[Int]],
-                           comps: Seq[(Int, Int, Int, Int)]): Unit = {
+                           comps: Seq[(Int, Int, Int, Int)],
+                           restartInterval: Int = 0): Unit = {
     // comps: (id, hSamp, vSamp, quantId)
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -278,6 +279,10 @@ object JpegCodec {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI
+      be16(4); be16(restartInterval)
+    }
     marker(0xda) // SOS: every component reads DC table 0 / AC table 0
     be16(6 + 2 * comps.size)
     out.write(comps.size)
@@ -326,11 +331,29 @@ object JpegCodec {
     */
   def encodeColor(width: Int, height: Int, rgb: Array[Byte],
                   quality: Int = 90,
-                  subsample: Boolean = false): Array[Byte] = {
+                  subsample: Boolean = false): Array[Byte] =
+    if (subsample)
+      encodeColorSampled(width, height, rgb, quality, 2, 2)
+    else
+      encodeColorSampled(width, height, rgb, quality, 1, 1)
+
+  /** General color encode with explicit luma sampling factors
+    * (hSamp, vSamp ∈ {1, 2}: (1,1) = 4:4:4, (2,2) = 4:2:0,
+    * (2,1) = 4:2:2) and optional RESTART MARKERS every
+    * `restartInterval` MCUs (`0` = none) — the two stream features a
+    * real crawl's encoders actually vary. Chroma is box-averaged over
+    * each hSamp×vSamp cell.
+    */
+  def encodeColorSampled(width: Int, height: Int, rgb: Array[Byte],
+                         quality: Int, hSamp: Int, vSamp: Int,
+                         restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
       s"bad JPEG geometry ${width}x$height")
     require(rgb.length == width * height * 3,
       s"raster length ${rgb.length} != ${width}x${height}x3")
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"sampling ${hSamp}x$vSamp out of the baseline envelope")
+    require(restartInterval >= 0, "restartInterval must be >= 0")
     // RGB -> full-range YCbCr planes (JFIF)
     val n = width * height
     val yP = new Array[Byte](n)
@@ -349,11 +372,12 @@ object JpegCodec {
       crFull(i) = math.min(255, math.max(0, math.round(cr).toInt)).toByte
       i += 1
     }
+    // chroma planes box-averaged over hSamp×vSamp cells
     val (cw, ch, cbP, crP) =
-      if (!subsample) (width, height, cbFull, crFull)
+      if (hSamp == 1 && vSamp == 1) (width, height, cbFull, crFull)
       else {
-        val cw0 = (width + 1) / 2
-        val ch0 = (height + 1) / 2
+        val cw0 = (width + hSamp - 1) / hSamp
+        val ch0 = (height + vSamp - 1) / vSamp
         val cb = new Array[Byte](cw0 * ch0)
         val cr = new Array[Byte](cw0 * ch0)
         var cy = 0
@@ -362,11 +386,11 @@ object JpegCodec {
           while (cx < cw0) {
             var sCb = 0; var sCr = 0; var cnt = 0
             var dy = 0
-            while (dy < 2) {
-              val sy = cy * 2 + dy
+            while (dy < vSamp) {
+              val sy = cy * vSamp + dy
               var dx = 0
-              while (dx < 2) {
-                val sx = cx * 2 + dx
+              while (dx < hSamp) {
+                val sx = cx * hSamp + dx
                 if (sx < width && sy < height) {
                   sCb += cbFull(sy * width + sx) & 0xff
                   sCr += crFull(sy * width + sx) & 0xff
@@ -388,28 +412,41 @@ object JpegCodec {
     val chromaQ = scaledQuant(StdChromaQuant, quality)
     val dcCodes = canonicalCodes(DcBits, DcVals)
     val acCodes = canonicalCodes(AcBits, AcVals)
-    val (ys, cs) = if (subsample) (2, 1) else (1, 1)
     val out = new java.io.ByteArrayOutputStream()
     writeHeaders(out, width, height, Seq(lumaQ, chromaQ),
-      Seq((1, ys, ys, 0), (2, cs, cs, 1), (3, cs, cs, 1)))
-    val bw = new BitWriter(out)
+      Seq((1, hSamp, vSamp, 0), (2, 1, 1, 1), (3, 1, 1, 1)),
+      restartInterval)
+    var bw = new BitWriter(out)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
     var dcY = 0; var dcCb = 0; var dcCr = 0
-    val mcuW = 8 * ys
+    val mcuW = 8 * hSamp
+    val mcuH = 8 * vSamp
     val mcusX = (width + mcuW - 1) / mcuW
-    val mcusY = (height + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    var mcuCount = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        // Y blocks (ys×ys per MCU, raster order within the MCU)
+        // restart boundary BEFORE this MCU (never before the first):
+        // byte-align, emit RSTn (cycling 0..7), reset DC predictors
+        if (restartInterval > 0 && mcuCount > 0 &&
+          mcuCount % restartInterval == 0) {
+          bw.flushWithOnes()
+          out.write(0xff); out.write(0xd0 + (rstIdx & 7))
+          rstIdx += 1
+          dcY = 0; dcCb = 0; dcCr = 0
+          bw = new BitWriter(out)
+        }
+        // Y blocks (hSamp×vSamp per MCU, raster order within the MCU)
         var byi = 0
-        while (byi < ys) {
+        while (byi < vSamp) {
           var bxi = 0
-          while (bxi < ys) {
+          while (bxi < hSamp) {
             loadBlock(yP, width, height,
-              mx * mcuW + bxi * 8, my * mcuW + byi * 8, block)
+              mx * mcuW + bxi * 8, my * mcuH + byi * 8, block)
             fdctQuant(block, lumaQ, coef)
             dcY = writeBlock(bw, coef, dcY, dcCodes, acCodes)
             bxi += 1
@@ -423,6 +460,7 @@ object JpegCodec {
         loadBlock(crP, cw, ch, mx * 8, my * 8, block)
         fdctQuant(block, chromaQ, coef)
         dcCr = writeBlock(bw, coef, dcCr, dcCodes, acCodes)
+        mcuCount += 1
         mx += 1
       }
       my += 1
@@ -501,6 +539,7 @@ object JpegCodec {
     var compQ: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
+    var restartInterval = 0
     var scanStart = -1
     while (scanStart < 0) {
       if (off + 2 > p.length) return None
@@ -590,8 +629,9 @@ object JpegCodec {
               si += 1
             }
             scanStart = mOff + 1 + len
-          case 0xdd =>
-            return None // DRI: restart intervals unsupported
+          case 0xdd => // DRI: restart interval in MCUs
+            if (len != 4) return None
+            restartInterval = be16(seg)
           case _ => // APPn / COM / others: skip
         }
         if (scanStart < 0) off = mOff + 1 + len
@@ -677,12 +717,32 @@ object JpegCodec {
       else v
     }
 
+    // restart boundary: byte-align, consume the RSTn marker (D0–D7),
+    // reset every DC predictor — mirrors the encoder's emission
+    def consumeRestart(): Boolean = {
+      bitCnt = 0
+      // a 1-padded final entropy byte of 0xFF carries a stuffed 0x00
+      // the bit reader never consumed — skip it before the marker
+      if (pos < p.length && (p(pos) & 0xff) == 0x00) pos += 1
+      if (pos + 2 > p.length) return false
+      if ((p(pos) & 0xff) != 0xff) return false
+      val m = p(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
     val coef = new Array[Int](64)
     val prevDc = new Array[Int](ncomp)
+    var mcuCount = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuCount > 0 &&
+          mcuCount % restartInterval == 0) {
+          if (!consumeRestart()) return None
+          java.util.Arrays.fill(prevDc, 0)
+        }
         ci = 0
         while (ci < ncomp) {
           val dcTbl = dcTables(compDc(ci))
@@ -743,6 +803,7 @@ object JpegCodec {
           }
           ci += 1
         }
+        mcuCount += 1
         mx += 1
       }
       my += 1

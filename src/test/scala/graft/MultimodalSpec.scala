@@ -115,6 +115,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fg.forall(_ == 200.toByte))
   }
 
+  test("JPEG 4:2:2 sampling and restart markers round-trip") {
+    import graft.multimodal.JpegCodec
+    val w = 36; val h = 20
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = ((x * 255) / (w - 1)).toByte
+      rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+      rgb(o + 2) = 96.toByte
+    }
+    def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+      a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
+    // 4:2:2: chroma halved horizontally only
+    val s422 = JpegCodec.encodeColorSampled(w, h, rgb, 90, 2, 1)
+    val Some((dw, dh, px)) = JpegCodec.decodeRgb(s422)
+    assert(dw === w && dh === h)
+    assert(maxErr(rgb, px) <= 48, s"4:2:2 error ${maxErr(rgb, px)}")
+    // restart markers every 2 MCUs: stream carries DRI + RSTn and the
+    // decoder resynchronizes predictors at each boundary — the
+    // reconstruction must equal the marker-free encoding's EXACTLY
+    // (restart points change the stream layout, not the math)
+    val plain = JpegCodec.encodeColorSampled(w, h, rgb, 90, 1, 1)
+    val rst = JpegCodec.encodeColorSampled(w, h, rgb, 90, 1, 1,
+      restartInterval = 2)
+    assert(rst.length > plain.length, "RSTn markers must be present")
+    val Some((_, _, pxPlain)) = JpegCodec.decodeRgb(plain)
+    val Some((_, _, pxRst)) = JpegCodec.decodeRgb(rst)
+    assert(pxPlain.sameElements(pxRst),
+      "restart markers must not change the reconstruction")
+    // 4:2:0 with restarts: both features compose
+    val rst420 = JpegCodec.encodeColorSampled(w, h, rgb, 90, 2, 2,
+      restartInterval = 1)
+    val Some((rw, rh, rpx)) = JpegCodec.decodeRgb(rst420)
+    assert(rw === w && rh === h && maxErr(rgb, rpx) <= 48)
+    // a corrupted restart marker is a decode failure, not a throw
+    val bad = rst.clone()
+    var i = 2
+    var patched = false
+    while (!patched && i + 1 < bad.length) {
+      val m = bad(i + 1) & 0xff
+      if ((bad(i) & 0xff) == 0xff && m >= 0xd0 && m <= 0xd7) {
+        bad(i + 1) = 0xc8.toByte // not a restart marker
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched)
+    assert(JpegCodec.decodeRgb(bad).isEmpty)
+  }
+
   test("real JPEG flows through the pixel surfaces; the shell stays skipped") {
     import graft.multimodal.{JpegCodec, MediaRecord}
     val w = 24; val h = 16
