@@ -599,11 +599,15 @@ object Similarity {
     graft.plans.GraftExpressions.register(emb.sparkSession)
     require(k >= 1, s"k=$k must be positive")
     require(maxDegree >= 1, s"maxDegree=$maxDegree must be positive")
-    val und = graph
+    // checkpoint the slim edge list BEFORE the symmetric union: the
+    // union's two branches would otherwise evaluate the caller's whole
+    // graph-build subtree twice (the r12 knn-graph union lesson)
+    val edges = graph
       .select(col("src_id").cast("long").as("a"),
         col("neighbor_id").cast("long").as("b"))
-      .unionAll(graph.select(col("neighbor_id").cast("long").as("a"),
-        col("src_id").cast("long").as("b")))
+      .localCheckpoint()
+    val und = edges
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint() // feeds the degree count and all three legs
     // hub-intermediate guard on the ID-SIZED edge list (degree in the
