@@ -281,9 +281,13 @@ object Dedup {
       .select(col("shingle")).as[String]
       .rdd.zipWithIndex.toDF("shingle", "_rk")
       .localCheckpoint()
+    // collect_set, not collect_list: the contract takes ANY shingleDf,
+    // and a duplicate (id, shingle) row must not double-count in the
+    // sorted-merge overlap the way it would in a list (set-Jaccard is
+    // the published semantics; array_intersect's old path deduped too)
     val ordered = sh.join(vocab, "shingle")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("_rk"))).as("_toks"))
+      .agg(sort_array(collect_set(col("_rk"))).as("_toks"))
       .localCheckpoint() // feeds prefix explode AND both verify sides
     // prefix with POSITIONS: the positional filter (PPJoin, Xiao et
     // al. WWW 2008) bounds the overlap reachable from a shared token
@@ -400,7 +404,7 @@ object Dedup {
       s"fpJaccard=$fpJaccard must sit below the target threshold")
     require(fpBudget > 0 && fpBudget < 1, s"fpBudget=$fpBudget out of (0, 1)")
     val w = Window.orderBy(col("_meets").desc, col("_pt").desc,
-      col("bands").asc, col("rows_per_band").asc)
+      col("bands").asc, col("rows_per_band").desc)
     spark.range(1, numHashes + 1L)
       .select(col("id").cast("int").as("rows_per_band"))
       .withColumn("bands",
@@ -434,8 +438,8 @@ object Dedup {
       val b = numHashes / r
       val pt = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
       val pfp = 1.0 - math.pow(1.0 - math.pow(fpJaccard, r), b)
-      (if (pfp <= fpBudget) 0 else 1, -pt, b, r)
-    }.min match { case (_, _, b, r) => (b, r) }
+      (if (pfp <= fpBudget) 0 else 1, -pt, b, -r)
+    }.min match { case (_, _, b, negR) => (b, -negR) }
   }
 
   /** [[minhashBandCandidates]] with the banding solved from a target

@@ -215,8 +215,9 @@ object Multimodal {
   /** [[encodeCorpus]] widened with a JPEG stratum (id % 5 == 4 wraps in
     * a [[MediaCodec.encodeJpegShell]] container): the corpus real
     * crawled data looks like — geometry parseable for every image, but
-    * one format whose PIXELS need an entropy codec the engine does not
-    * carry. Feeds the decode-coverage surface; the original four-way
+    * one stratum whose scan-less shell fails the attempted baseline
+    * entropy decode (a stand-in for the progressive/corrupt tail of a
+    * crawl). Feeds the decode-coverage surface; the original four-way
     * corpus keeps its own queries (and their hashes) unchanged.
     */
   def encodeCorpusWithJpeg(docs: DataFrame): Dataset[MediaRecord] = {
@@ -304,7 +305,7 @@ object Multimodal {
     * baseline-decode attempt, not a type allowlist. The visibility
     * contract the aHash/downsample family needs at 100 TB: a
     * mostly-JPEG crawl must show up as countable decoded rows or "N
-    * rows skipped: entropy codec required", never as silently-missing
+    * rows skipped: jpeg decode failed", never as silently-missing
     * output rows.
     */
   def decodeStatus(media: Dataset[MediaRecord]): DataFrame = {
@@ -317,7 +318,10 @@ object Multimodal {
         val reason: Option[String] =
           if (decodable) None
           else if (h.media_type == "image/jpeg")
-            Some("entropy codec required")
+            // the baseline codec DID attempt entropy decode; what's left
+            // undecodable is a progressive/CMYK/arith variant or a
+            // corrupt stream — say so, not "codec missing"
+            Some("jpeg decode failed (unsupported variant or corrupt stream)")
           else if (h.media_type == "image/png") Some("corrupt png stream")
           else if (h.media_type.startsWith("image/"))
             Some("unsupported image format")

@@ -750,7 +750,7 @@ object DedupQueries extends QueryPack {
         |r AS (
         |  SELECT *, row_number() OVER (
         |    ORDER BY CAST(pfp <= 0.05 AS INT) DESC, pt DESC,
-        |      bands ASC, rows_per_band ASC) AS rn
+        |      bands ASC, rows_per_band DESC) AS rn
         |  FROM p)
         |SELECT rows_per_band, bands,
         |  round(pt, 6) + 0.0 AS p_at_threshold,

@@ -193,8 +193,8 @@ object MultimodalQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     // The id % 5 container mapping replayed: three raster strata are
-    // pixel-decodable, WAV is not an image, the JPEG shell needs the
-    // entropy codec.
+    // pixel-decodable, WAV is not an image, the JPEG shell fails the
+    // attempted baseline entropy decode (no scan data).
     "multimodal_decode_coverage" ->
       """WITH t AS (
         |  SELECT CASE CAST(doc_id % 5 AS INT)
@@ -203,7 +203,8 @@ object MultimodalQueries extends QueryPack {
         |      ELSE 'image/jpeg' END AS media_type,
         |    CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS pixel_decodable,
         |    CASE WHEN CAST(doc_id % 5 AS INT) IN (0, 2, 3) THEN NULL
-        |      WHEN CAST(doc_id % 5 AS INT) = 4 THEN 'entropy codec required'
+        |      WHEN CAST(doc_id % 5 AS INT) = 4
+        |        THEN 'jpeg decode failed (unsupported variant or corrupt stream)'
         |      ELSE 'not an image' END AS skip_reason
         |  FROM documents)
         |SELECT media_type, pixel_decodable, skip_reason,

@@ -323,8 +323,10 @@ object EventStreams {
     * Same per-bucket multiplicity contract as [[selfNearDupFlags]];
     * state is (min doc id, max event time) per live bucket — bounded
     * by event-rate × horizon on an unbounded stream. On a batch frame
-    * event-time timeouts never fire (no watermark progression), which
-    * degrades to exactly the full-history batch contract.
+    * the deadline arm is skipped entirely (batch planning eliminates
+    * the watermark node, so the watermark APIs are unavailable and
+    * timeouts never fire regardless), which degrades to exactly the
+    * full-history batch contract.
     */
   def selfNearDupFlagsEventTime(docs: DataFrame, idCol: String,
                                 textCol: String, tsCol: String,
@@ -334,6 +336,12 @@ object EventStreams {
     val spark = docs.sparkSession
     import spark.implicits._
     require(horizonMs > 0, s"horizonMs=$horizonMs must be positive")
+    // Batch frames lose the watermark node (EliminateEventTimeWatermark),
+    // so GroupStateImpl has watermarkPresent=false and BOTH
+    // getCurrentWatermarkMs and setTimeoutTimestamp would throw. Timeouts
+    // never fire in batch anyway, so skipping the deadline arm gives the
+    // full-history batch contract the scaladoc promises.
+    val streaming = docs.isStreaming
     val nb = numHashes / rowsPerBand
     val sig = graft.dedup.Dedup.inRowSignature(
       docs.withWatermark(tsCol, watermarkDelay), idCol, textCol,
@@ -371,7 +379,7 @@ object EventStreams {
             state.update((mn, maxTs))
             // deadline = horizon past the newest member; never behind
             // the watermark (late buckets would throw otherwise)
-            state.setTimeoutTimestamp(
+            if (streaming) state.setTimeoutTimestamp(
               math.max(maxTs + horizonMs, state.getCurrentWatermarkMs + 1))
             out.result().iterator
           }

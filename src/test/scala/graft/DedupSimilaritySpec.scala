@@ -256,6 +256,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pp === bf)
   }
 
+  test("ppJoinPairs: duplicate (id, shingle) rows keep set-Jaccard semantics") {
+    // the public contract takes ANY shingleDf; a repeated row must not
+    // double-count in the sorted-merge overlap (collect_set guards it)
+    val distinctSh = Seq(
+      (0L, "a"), (0L, "b"), (0L, "c"),
+      (1L, "a"), (1L, "b"), (1L, "d"), (1L, "e")
+    ).toDF("doc_id", "shingle")
+    val dupSh = distinctSh.union(
+      Seq((0L, "a"), (1L, "b"), (1L, "b")).toDF("doc_id", "shingle"))
+    val clean = Dedup.ppJoinPairs(distinctSh, "doc_id", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val noisy = Dedup.ppJoinPairs(dupSh, "doc_id", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(clean === noisy, "row multiplicity must not change Jaccard")
+    assert(clean.map(p => (p._1, p._2)) === Set((0L, 1L)))
+    assert(clean.head._3 === 2.0 / 5.0)
+  }
+
   test("mergeBandIndex: incremental build equals from-scratch rebuild") {
     def fullIndex(d: org.apache.spark.sql.DataFrame) =
       Dedup.bandSignatures(

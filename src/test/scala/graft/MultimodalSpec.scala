@@ -201,7 +201,8 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), col("pixel_decodable"), col("skip_reason"))
       .as[(Long, Boolean, Option[String])].collect().map(r => r._1 -> r).toMap
     assert(cov(1L)._2 && cov(1L)._3.isEmpty)
-    assert(!cov(2L)._2 && cov(2L)._3.contains("entropy codec required"))
+    assert(!cov(2L)._2 && cov(2L)._3.contains(
+      "jpeg decode failed (unsupported variant or corrupt stream)"))
   }
 
   test("JPEG shell: geometry parses; pixels visibly undecodable, never hashed") {
@@ -248,7 +249,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(cov("image/bmp") === ((true, None)))
     assert(cov("image/png") === ((true, None)))
     assert(cov("image/ppm") === ((true, None)))
-    assert(cov("image/jpeg") === ((false, Some("entropy codec required"))))
+    assert(cov("image/jpeg") === ((false,
+      Some("jpeg decode failed (unsupported variant or corrupt stream)"))))
     assert(cov("audio/wav") === ((false, Some("not an image"))))
   }
 

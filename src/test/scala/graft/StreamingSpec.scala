@@ -440,6 +440,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("selfNearDupFlagsEventTime: a batch frame degrades to full history") {
+    // batch planning eliminates the watermark node, so the state
+    // function must not touch the watermark APIs (they throw with
+    // watermarkPresent=false) — the deadline arm is skipped and the
+    // result is the full-history batch contract, horizon ignored
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val docs = Seq(
+      (0L, "a b c d e f", t(100)), (1L, "a b c d e f", t(110)),
+      (5L, "p q r s t u", t(300)),
+      (10L, "a b c d e f", t(100000)) // far past any horizon
+    ).toDF("doc_id", "text", "ts")
+    val flags = EventStreams.selfNearDupFlagsEventTime(docs, "doc_id",
+        "text", "ts", watermarkDelay = "10 seconds", horizonMs = 60000L)
+      .collect().toSet
+    assert(flags === Set(graft.streaming.BandDup(1L, 0L),
+      graft.streaming.BandDup(10L, 0L)),
+      "batch mode keeps the whole history: doc 10 still flags vs doc 0")
+  }
+
   test("selfNearDupFlags: index grows across micro-batches, min sharer wins") {
     // two parquet files with distinct mtimes -> two AvailableNow
     // batches in mtime order under maxFilesPerTrigger=1
