@@ -157,6 +157,24 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("src_id"), col("rnk"))
     }),
 
+    // NN-descent with the convergence knob: iterate refinement rounds
+    // until a round changes zero directed edges (tol = 0: exact fixed
+    // point) or maxRounds = 2. Oracle-replayable because a fixed point
+    // is idempotent under further rounds — whether the loop ran 1 or
+    // 2 rounds, the result equals the unrolled 2-round twin.
+    "sim_knn_refine_converged" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      val g = Similarity.knnGraphCells(emb, "vec_id", "embedding", centers,
+        "cell", k = 3, nProbe = 2)
+      Similarity.knnRefineConverged(emb, "vec_id", "embedding", g,
+          k = 3, maxRounds = 2)
+        .graph
+        .orderBy(col("src_id"), col("rnk"))
+    }),
+
     // Greedy k-center coreset (farthest-point traversal): the
     // diversity-maximizing 6-point training subset of the embedded
     // corpus, 2-approximating the optimal 6-center cover. Selection
@@ -339,6 +357,66 @@ object SimilarityQueries extends QueryPack {
       |  JOIN dt ON dt.query_id = cd.query_id
       |    AND dt.sub = co.sub AND dt.cid = co.cid
       |  GROUP BY cd.query_id, cd.neighbor_id)""".stripMargin
+
+  /** Shared unrolled prefix of the NN-descent oracles: cell-gated knn
+    * build, symmetric closure, one refinement round ranked in `r2`.
+    * `sim_knn_refine` publishes r2's top-3; the converged twin chains
+    * a second identical round on top.
+    */
+  private val knnRefineRoundOne: String =
+    """WITH pts AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ptsl AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+      |assign AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+      |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+      |          FROM pts p JOIN ctr c ON p.dim = c.dim
+      |          GROUP BY p.vec_id, c.cell) d) r
+      |  WHERE rn <= 2),
+      |prs AS (
+      |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+      |  FROM assign a JOIN assign b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT pr.src_id, pr.neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+      |  FROM prs pr
+      |  JOIN embeddings q ON q.vec_id = pr.src_id
+      |  JOIN embeddings n ON n.vec_id = pr.neighbor_id),
+      |knn AS MATERIALIZED (
+      |  SELECT src_id, neighbor_id FROM (
+      |    SELECT src_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
+      |    FROM scored) t
+      |  WHERE rnk <= 3),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src_id AS a, neighbor_id AS b FROM knn
+      |    UNION ALL SELECT neighbor_id, src_id FROM knn) u),
+      |cand AS (
+      |  SELECT DISTINCT x.a AS src_id, y.b AS neighbor_id
+      |  FROM und x JOIN und y ON x.b = y.a
+      |  WHERE x.a <> y.b
+      |  UNION
+      |  SELECT a, b FROM und),
+      |sc2 AS (
+      |  SELECT c.src_id, c.neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.src_id
+      |  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+      |r2 AS MATERIALIZED (
+      |  SELECT src_id, neighbor_id, cs, row_number() OVER (
+      |    PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
+      |  FROM sc2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->

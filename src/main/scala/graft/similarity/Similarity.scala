@@ -676,6 +676,53 @@ object Similarity {
     g
   }
 
+  /** NN-descent with EARLY TERMINATION (the convergence knob of Dong
+    * et al. WWW 2011 §2.3): iterate [[knnRefine]] until a round
+    * changes at most `ceil(tol · |edges|)` directed edges — counted by
+    * an id-only anti-join of the new edge list against the previous
+    * one, an edge-sized aggregate, never a vector shuffle — or until
+    * `maxRounds`. On a converged graph a further round re-ranks the
+    * same candidate set to the same top-k, so every extra iteration
+    * is pure waste; real corpora converge in a handful of rounds
+    * while a fixed-count loop would keep paying the O(Σ deg²)
+    * expansion regardless. At 100 TB that skipped round is the whole
+    * point of the knob.
+    *
+    * Determinism: the changed-edge count is a pure function of the
+    * data, so the stop round replays identically. With `tol = 0`
+    * (stop only at an exact fixed point) the result is
+    * oracle-replayable by an unrolled `maxRounds`-round SQL twin —
+    * a fixed point is idempotent under further rounds, so stopping
+    * early cannot diverge from the fixed-count answer.
+    *
+    * Returns the refined graph plus the per-round changed-edge
+    * telemetry (driver-side scalars — one count per executed round,
+    * the curation signal for picking `maxRounds` on a new corpus).
+    */
+  def knnRefineConverged(emb: DataFrame, idCol: String, arrCol: String,
+                         graph: DataFrame, k: Int, maxRounds: Int,
+                         tol: Double = 0.0,
+                         maxDegree: Int = 1 << 12): RefineConverged = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
+    require(tol >= 0 && tol < 1, s"tol=$tol out of [0, 1)")
+    var g = graph.select(col("src_id"), col("neighbor_id")).localCheckpoint()
+    var full: DataFrame = graph
+    val changed = Seq.newBuilder[Long]
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      full = knnRefine(emb, idCol, arrCol, g, k, maxDegree).localCheckpoint()
+      val next = full.select(col("src_id"), col("neighbor_id"))
+      val delta = next.join(g, Seq("src_id", "neighbor_id"), "left_anti")
+        .count()
+      changed += delta
+      converged = delta <= math.ceil(tol * next.count()).toLong
+      g = next
+      r += 1
+    }
+    RefineConverged(full, r, changed.result())
+  }
+
   def knnCommunities(emb: DataFrame, idCol: String, arrCol: String,
                      centersLong: DataFrame, centerCol: String, k: Int,
                      nProbe: Int = 1, rounds: Int = 4): DataFrame = {
@@ -779,3 +826,13 @@ object Similarity {
             "0D, (acc, e) -> acc + e)")))
       .drop("_v", "_ma")
 }
+
+/** Result of [[Similarity.knnRefineConverged]]: the refined graph,
+  * the number of NN-descent rounds actually executed, and the
+  * directed-edge change count each round reported (monotone-ish
+  * decreasing on clusterable data; the last entry is at or under the
+  * tolerance when the loop stopped before `maxRounds`).
+  */
+final case class RefineConverged(graph: org.apache.spark.sql.DataFrame,
+                                 roundsRun: Int,
+                                 changedPerRound: Seq[Long])
