@@ -523,6 +523,26 @@ object Graft {
                     nProbe: Int = 1): DataFrame =
     graft.similarity.Similarity.knnGraphCells(emb, idCol, arrCol,
       centersLong, centerCol, k, nProbe)
+  /** NN-descent refinement of a k-NN graph with the convergence knob
+    * (similarity.Similarity.knnRefineConverged): iterate
+    * neighbor-of-neighbor re-ranking until a round changes at most
+    * `ceil(tol · |edges|)` directed edges (tol = 0: exact fixed point,
+    * the deterministic / oracle-replayable default) or `maxRounds`.
+    *
+    * Picking `maxRounds` on a NEW corpus: run once with a generous
+    * budget and read `changedPerRound` off the result — it is the
+    * per-round count of directed edges the round replaced, and on
+    * clusterable data it collapses fast (e.g. 120 → 14 → 0). Set
+    * `maxRounds` to where the sequence hits the noise floor; at
+    * 100 TB every round past that is a full O(Σ deg²) expansion spent
+    * re-deriving the graph it was handed.
+    */
+  def knnRefineConverged(emb: DataFrame, idCol: String, arrCol: String,
+                         graph: DataFrame, k: Int, maxRounds: Int,
+                         tol: Double = 0.0)
+      : graft.similarity.RefineConverged =
+    graft.similarity.Similarity.knnRefineConverged(emb, idCol, arrCol,
+      graph, k, maxRounds, tol)
   /** Incremental-ingest near-dup provenance pairs against a static
     * band index (dedup.Dedup.nearDupPairsAgainstIndex).
     */

@@ -710,65 +710,49 @@ object SimilarityQueries extends QueryPack {
 
     // The knn replay, then one NN-descent round: symmetric closure,
     // neighbor-of-neighbor candidates unioned with direct edges,
-    // re-scored and re-ranked per source.
-    "sim_knn_refine" ->
-      """WITH pts AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |ptsl AS (
-        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
-        |assign AS MATERIALIZED (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
-        |          FROM pts p JOIN ctr c ON p.dim = c.dim
-        |          GROUP BY p.vec_id, c.cell) d) r
-        |  WHERE rn <= 2),
-        |prs AS (
-        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
-        |  FROM assign a JOIN assign b
-        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        |scored AS (
-        |  SELECT pr.src_id, pr.neighbor_id,
-        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
-        |  FROM prs pr
-        |  JOIN embeddings q ON q.vec_id = pr.src_id
-        |  JOIN embeddings n ON n.vec_id = pr.neighbor_id),
-        |knn AS MATERIALIZED (
-        |  SELECT src_id, neighbor_id FROM (
-        |    SELECT src_id, neighbor_id, row_number() OVER (
-        |      PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
-        |    FROM scored) t
-        |  WHERE rnk <= 3),
-        |und AS MATERIALIZED (
-        |  SELECT DISTINCT a, b FROM (
-        |    SELECT src_id AS a, neighbor_id AS b FROM knn
-        |    UNION ALL SELECT neighbor_id, src_id FROM knn) u),
-        |cand AS (
-        |  SELECT DISTINCT x.a AS src_id, y.b AS neighbor_id
-        |  FROM und x JOIN und y ON x.b = y.a
-        |  WHERE x.a <> y.b
-        |  UNION
-        |  SELECT a, b FROM und),
-        |sc2 AS (
-        |  SELECT c.src_id, c.neighbor_id,
-        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
-        |  FROM cand c
-        |  JOIN embeddings q ON q.vec_id = c.src_id
-        |  JOIN embeddings n ON n.vec_id = c.neighbor_id),
-        |r2 AS (
-        |  SELECT src_id, neighbor_id, cs, row_number() OVER (
-        |    PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
-        |  FROM sc2)
+    // re-scored and re-ranked per source — the shared prefix verbatim,
+    // publishing round one's top-3.
+    "sim_knn_refine" -> (knnRefineRoundOne +
+      """
         |SELECT src_id, neighbor_id, CAST(rnk AS INT) AS rnk,
         |  round(cs, 4) AS cos
         |FROM r2 WHERE rnk <= 3
-        |ORDER BY src_id, rnk""".stripMargin,
+        |ORDER BY src_id, rnk""".stripMargin),
+
+    // The convergence knob's oracle: the engine iterates until a round
+    // changes zero directed edges (tol = 0) or maxRounds = 2; a fixed
+    // point is idempotent under further rounds, so whether the loop
+    // stopped after 1 round or ran both, the result equals this
+    // unrolled TWO-round twin — the shared prefix plus one more
+    // identical refinement round chained on round one's top-3.
+    "sim_knn_refine_converged" -> (knnRefineRoundOne +
+      """,
+        |knn2 AS MATERIALIZED (
+        |  SELECT src_id, neighbor_id FROM r2 WHERE rnk <= 3),
+        |und2 AS MATERIALIZED (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src_id AS a, neighbor_id AS b FROM knn2
+        |    UNION ALL SELECT neighbor_id, src_id FROM knn2) u),
+        |cand2 AS (
+        |  SELECT DISTINCT x.a AS src_id, y.b AS neighbor_id
+        |  FROM und2 x JOIN und2 y ON x.b = y.a
+        |  WHERE x.a <> y.b
+        |  UNION
+        |  SELECT a, b FROM und2),
+        |sc3 AS (
+        |  SELECT c.src_id, c.neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+        |  FROM cand2 c
+        |  JOIN embeddings q ON q.vec_id = c.src_id
+        |  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+        |r3 AS (
+        |  SELECT src_id, neighbor_id, cs, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM sc3)
+        |SELECT src_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+        |  round(cs, 4) AS cos
+        |FROM r3 WHERE rnk <= 3
+        |ORDER BY src_id, rnk""".stripMargin),
 
     // 6 unrolled farthest-point rounds: each round one distance table
     // to the newly selected point, a least() fold into the running

@@ -716,7 +716,14 @@ object Similarity {
       val delta = next.join(g, Seq("src_id", "neighbor_id"), "left_anti")
         .count()
       changed += delta
-      converged = delta <= math.ceil(tol * next.count()).toLong
+      // tol = 0 needs no denominator (converged ⇔ delta == 0), so the
+      // default path pays exactly ONE driver action per round — at
+      // 100 TB a second count() is a full pass over the checkpointed
+      // edge list per round, pure waste on the common exact-fixed-point
+      // setting. Only a relative tolerance prices the edge total.
+      converged =
+        if (tol == 0.0) delta == 0L
+        else delta <= math.ceil(tol * next.count()).toLong
       g = next
       r += 1
     }

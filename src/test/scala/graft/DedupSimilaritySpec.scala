@@ -809,6 +809,91 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"three rounds should approach brute force, got $recall3")
   }
 
+  test("knnRefineConverged: tol=0 early stop equals the fixed-count twin") {
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
+    // same clusterable fixture as the knnRefine test: NN-descent must
+    // reach an exact fixed point well inside the round budget
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      val base = (i % 4).toDouble * 0.5
+      (i, Seq.fill(6)(rnd.nextDouble() + base), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val g = Similarity.knnGraphCells(emb, "vec_id", "embedding",
+      centers, "cell", k = 3, nProbe = 2).localCheckpoint()
+    val conv = Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+      g, k = 3, maxRounds = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Double)].collect().toSet
+    // early stop cannot diverge from the fixed-count result: a fixed
+    // point is idempotent, so running the skipped rounds changes nothing
+    val fixed = Similarity.knnRefineIterated(emb, "vec_id", "embedding",
+      g, k = 3, rounds = 6)
+    assert(rows(conv.graph) === rows(fixed))
+    // telemetry shape: one changed-edge count per EXECUTED round
+    assert(conv.roundsRun >= 1 && conv.roundsRun <= 6)
+    assert(conv.changedPerRound.length === conv.roundsRun)
+    // the fixture must exercise both refinement and convergence: the
+    // first round changes edges, the loop terminates before maxRounds
+    // with a zero-change final round (the tol=0 stop condition)
+    assert(conv.changedPerRound.head > 0L,
+      s"fixture refined nothing: ${conv.changedPerRound}")
+    assert(conv.roundsRun < 6,
+      s"fixture never converged: ${conv.changedPerRound}")
+    assert(conv.changedPerRound.last === 0L)
+    // deterministic: a rerun replays the same stop round and telemetry
+    val rerun = Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+      g, k = 3, maxRounds = 6)
+    assert(rerun.roundsRun === conv.roundsRun)
+    assert(rerun.changedPerRound === conv.changedPerRound)
+    assert(rows(rerun.graph) === rows(conv.graph))
+  }
+
+  test("knnRefineConverged: tol>0 stops earlier and shares the telemetry prefix") {
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      val base = (i % 4).toDouble * 0.5
+      (i, Seq.fill(6)(rnd.nextDouble() + base), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val g = Similarity.knnGraphCells(emb, "vec_id", "embedding",
+      centers, "cell", k = 3, nProbe = 2).localCheckpoint()
+    val strict = Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+      g, k = 3, maxRounds = 6)
+    // a 90% relative tolerance accepts any round that changed at most
+    // ceil(0.9 · |edges|) directed edges — satisfied long before the
+    // exact fixed point, so the loose run must stop no later (and on
+    // this fixture strictly earlier than the zero-change round)
+    val loose = Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+      g, k = 3, maxRounds = 6, tol = 0.9)
+    assert(loose.roundsRun <= strict.roundsRun)
+    assert(loose.roundsRun < strict.roundsRun,
+      s"tol=0.9 did not stop earlier: loose=${loose.changedPerRound} " +
+        s"strict=${strict.changedPerRound}")
+    // both loops walk the SAME deterministic round sequence — the
+    // telemetry of the loose run is a prefix of the strict run's
+    assert(loose.changedPerRound ===
+      strict.changedPerRound.take(loose.roundsRun))
+    // the guard rails reject nonsense knobs
+    intercept[IllegalArgumentException] {
+      Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+        g, k = 3, maxRounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+        g, k = 3, maxRounds = 2, tol = 1.0)
+    }
+  }
+
   test("knnCommunities: mutual kNN splits clusters, hub demoted to singleton") {
     import spark.implicits._
     // two tight clusters + a hub between them: the hub's top-2 are in
