@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
   * waits up to SPARK_GRAFT_LOAD_RETRIES (default 3) times
   * SPARK_GRAFT_LOAD_WAIT (default 45s) for the box to go idle, and if
   * it is still busy stamps `"load_poisoned": true` rather than silently
-  * publishing a noise number. After the timed suite the sibling check
+  * publishing a noise number. Per-query breach retries additionally
+  * bracket the retry batch with the fixed-work CPU canary and stamp
+  * `retry_untrusted` when the machine would not certify (see the gate
+  * comment below — the r14 dedup_segment_clean failure mode). After the timed suite the sibling check
   * runs AGAIN (a stray JVM that starts mid-suite — the exact r8/r9
   * failure mode — must not yield a clean stamp; loadavg is not
   * re-checked post-suite because our own just-finished queries dominate
@@ -239,18 +242,51 @@ object Bench {
           t
         }
         val times = timedBatch()
-        if (times.size < runs) (name, -1.0, false, warmupFailed, false)
+        if (times.size < runs) (name, -1.0, false, warmupFailed, false, false)
         else {
           val med = times.sorted.apply(runs / 2)
           val breach = base.get(name).exists(b => b > 0 && med > b * gateRatio)
-          if (!breach) (name, med, true, warmupFailed, false)
+          if (!breach) (name, med, true, warmupFailed, false, false)
           else {
             System.err.println(f"[bench] $name median $med%.3fs breaches " +
               f"${gateRatio}x baseline ${base(name)}%.3fs " +
               f"(loadavg=${loadAvg1()}%.2f) - re-measuring")
+            // Per-query retry canary (r14 lesson): contention that spans
+            // BOTH batch windows defeats a bare better-of-two retry — the
+            // r14 driver artifact published dedup_segment_clean at 3.52s
+            // (isolated re-runs: 0.86–1.07s) because both batches ran
+            // minutes apart under the same degraded machine state while
+            // the SUITE-level pre/post canaries read healthy. So the
+            // canary moves to the retry itself: certify the machine
+            // immediately before the retry batch (waiting out degradation
+            // like the pre-flight does) and re-certify immediately after;
+            // a retry bracketed by a degraded canary is published as the
+            // better median but stamped `retry_untrusted` — the artifact
+            // says "this number was re-measured on a machine the canary
+            // would not certify" instead of silently passing it off as
+            // reconciled.
+            val canaryMax =
+              sys.env.getOrElse("SPARK_GRAFT_CANARY_RATIO", "1.3").toDouble
+            var waits = 0
+            var canaryNow = cpuCalibrate(cpus.toInt)
+            while (canaryNow > calPre * canaryMax && waits < retries) {
+              waits += 1
+              System.err.println(f"[bench] $name retry canary degraded " +
+                f"($canaryNow%.3fs vs pre-suite $calPre%.3fs); " +
+                f"wait $waits/$retries of ${retryWaitSec}s")
+              Thread.sleep(retryWaitSec * 1000L)
+              canaryNow = cpuCalibrate(cpus.toInt)
+            }
             val t2 = timedBatch()
+            val canaryPost = cpuCalibrate(cpus.toInt)
+            val trusted = canaryNow <= calPre * canaryMax &&
+              canaryPost <= calPre * canaryMax
+            if (!trusted)
+              System.err.println(f"[bench] $name retry ran on a degraded " +
+                f"machine (canary $canaryNow%.3f/$canaryPost%.3fs vs " +
+                f"pre-suite $calPre%.3fs) - stamping retry_untrusted")
             val med2 = if (t2.size < runs) med else t2.sorted.apply(runs / 2)
-            (name, math.min(med, med2), true, warmupFailed, true)
+            (name, math.min(med, med2), true, warmupFailed, true, !trusted)
           }
         }
       }
@@ -269,18 +305,20 @@ object Bench {
     }
     val poisonedFinal = poisoned || siblingsPost.nonEmpty
     val calPost = cpuCalibrate(cpus.toInt)
-    val qs = results.map { case (k, v, ok, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val warmupFailures = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }
+    val warmupFailures = results.collect { case (k, _, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val retried = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+    val retried = results.collect { case (k, _, _, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val retryUntrusted = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"retry_untrusted":$retryUntrusted,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"}}""")
     spark.stop()
   }
 }
