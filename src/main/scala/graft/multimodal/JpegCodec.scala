@@ -8,15 +8,18 @@ package graft.multimodal
   * pixels can neither perceptual-hash nor downsample the bulk of a
   * multimodal crawl.
   *
-  * Scope is deliberate: baseline/extended-sequential Huffman (SOF0/1),
-  * up to 3 components with sampling factors in {1, 2}, 8-bit samples,
-  * no restart markers, no progressive/arithmetic/hierarchical modes.
-  * The decoder reads quantization and Huffman tables FROM THE STREAM
-  * (it is not paired to this encoder's choices); anything outside the
-  * supported envelope — CMYK, progressive, malformed entropy data —
-  * returns None, never throws (the decode-totality contract of
-  * [[MediaCodec]]). The encoder builds real, self-contained fixtures:
-  * its output is a spec-conforming JPEG any baseline decoder reads.
+  * Scope: baseline/extended-sequential Huffman (SOF0/1), up to 3
+  * components with sampling factors in {1, 2}, 8-bit samples, restart
+  * markers (DRI/RSTn). [[decodeRgb]] additionally dispatches SOF2
+  * streams to [[JpegProgressive]] (spectral selection + successive
+  * approximation), covering the progressive crawl tail; arithmetic,
+  * hierarchical, and 4-component CMYK modes stay out. The decoder
+  * reads quantization and Huffman tables FROM THE STREAM (it is not
+  * paired to this encoder's choices); anything outside the supported
+  * envelope — CMYK, malformed entropy data — returns None, never
+  * throws (the decode-totality contract of [[MediaCodec]]). The
+  * encoder builds real, self-contained fixtures: its output is a
+  * spec-conforming JPEG any baseline decoder reads.
   *
   * Scale shape: both directions are per-payload, partition-iterator
   * work — 64 multiplies/pixel-per-component for the O(64²)-per-block
@@ -30,7 +33,7 @@ object JpegCodec {
 
   // zigzag index order (T.81 figure A.6): zigzag(k) = raster index of
   // the k-th coefficient in scan order
-  private val Zigzag: Array[Int] = Array(
+  private[multimodal] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -38,7 +41,7 @@ object JpegCodec {
 
   // standard luminance / chrominance quantization tables (T.81 Annex
   // K.1/K.2), RASTER order here — zigzag applied at emit time
-  private val StdLumaQuant: Array[Int] = Array(
+  private[multimodal] val StdLumaQuant: Array[Int] = Array(
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
     14, 13, 16, 24, 40, 57, 69, 56,
@@ -47,7 +50,7 @@ object JpegCodec {
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
-  private val StdChromaQuant: Array[Int] = Array(
+  private[multimodal] val StdChromaQuant: Array[Int] = Array(
     17, 18, 24, 47, 99, 99, 99, 99,
     18, 21, 26, 66, 99, 99, 99, 99,
     24, 26, 56, 99, 99, 99, 99, 99,
@@ -61,12 +64,12 @@ object JpegCodec {
   // encoder uses this one family for every component (legal: the DHT
   // segment declares what the scan uses); the decoder reads whatever
   // tables the stream carries
-  private val DcBits: Array[Int] =
+  private[multimodal] val DcBits: Array[Int] =
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val DcVals: Array[Int] = (0 to 11).toArray
-  private val AcBits: Array[Int] =
+  private[multimodal] val DcVals: Array[Int] = (0 to 11).toArray
+  private[multimodal] val AcBits: Array[Int] =
     Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
-  private val AcVals: Array[Int] = Array(
+  private[multimodal] val AcVals: Array[Int] = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
@@ -90,15 +93,15 @@ object JpegCodec {
     0xf9, 0xfa)
 
   // DCT basis: cos((2x+1)·u·π/16) — one shared 8×8 table
-  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+  private[multimodal] val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
     math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
-  private def c(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+  private[multimodal] def c(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
 
   /** Canonical Huffman code assignment: (code, length) per value, in
     * the T.81 order (lengths ascending, values in listed order).
     */
-  private def canonicalCodes(
+  private[multimodal] def canonicalCodes(
       bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     val out = Map.newBuilder[Int, (Int, Int)]
     var code = 0
@@ -117,7 +120,7 @@ object JpegCodec {
   }
 
   /** Decoder-side canonical table: (length, code) -> value. */
-  private def canonicalDecode(
+  private[multimodal] def canonicalDecode(
       bits: Array[Int], vals: Array[Int]): Map[(Int, Int), Int] = {
     val out = Map.newBuilder[(Int, Int), Int]
     var code = 0
@@ -135,14 +138,14 @@ object JpegCodec {
     out.result()
   }
 
-  private def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+  private[multimodal] def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
     val q = math.min(100, math.max(1, quality))
     val scale = if (q < 50) 5000 / q else 200 - 2 * q
     base.map(v => math.min(255, math.max(1, (v * scale + 50) / 100)))
   }
 
   /** MSB-first bit accumulator with JPEG 0xFF byte stuffing. */
-  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+  private[multimodal] final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var nbits = 0
     def put(value: Int, length: Int): Unit = {
@@ -162,7 +165,7 @@ object JpegCodec {
       if (nbits > 0) { put(0x7f, 8 - nbits); () }
   }
 
-  private def magnitudeCategory(v: Int): Int = {
+  private[multimodal] def magnitudeCategory(v: Int): Int = {
     var a = math.abs(v)
     var n = 0
     while (a != 0) { a >>= 1; n += 1 }
@@ -172,7 +175,7 @@ object JpegCodec {
   // ---- encoder core ----------------------------------------------------
 
   /** Forward DCT + quantization of one level-shifted 8×8 block. */
-  private def fdctQuant(block: Array[Double], quant: Array[Int],
+  private[multimodal] def fdctQuant(block: Array[Double], quant: Array[Int],
                         coef: Array[Int]): Unit = {
     var v = 0
     while (v < 8) {
@@ -232,7 +235,7 @@ object JpegCodec {
   /** Load one 8×8 block from a sample plane, edge-replicated, level
     * shifted to [-128, 127].
     */
-  private def loadBlock(plane: Array[Byte], pw: Int, ph: Int,
+  private[multimodal] def loadBlock(plane: Array[Byte], pw: Int, ph: Int,
                         bx: Int, by: Int, block: Array[Double]): Unit = {
     var y = 0
     while (y < 8) {
@@ -478,7 +481,14 @@ object JpegCodec {
     * never throws.
     */
   def decodeRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    try decodeInner(p)
+    try {
+      decodeInner(p).orElse {
+        // baseline path refuses SOF2 streams; hand those to the
+        // progressive decoder (the ~8–10% crawl tail)
+        if (sniffSof(p).exists(_._1 == 0xc2)) JpegProgressive.decode(p)
+        else None
+      }
+    }
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -487,7 +497,9 @@ object JpegCodec {
     */
   def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val isGray =
-      try sniffComponents(p).contains(1)
+      try sniffSof(p).exists { case (sof, comps) =>
+        (sof == 0xc0 || sof == 0xc1 || sof == 0xc2) && comps == 1
+      }
       catch { case scala.util.control.NonFatal(_) => false }
     if (!isGray) None
     else decodeRgb(p).map { case (w, h, rgb) =>
@@ -498,11 +510,21 @@ object JpegCodec {
     }
   }
 
-  /** Component count from the first SOF0/1 marker, if any. */
-  private def sniffComponents(p: Array[Byte]): Option[Int] = {
+  /** Frame classification for triage: the first SOFn marker and its
+    * component count, walking the segment chain like the decoder does
+    * (entropy-free — safe on arbitrary crawl bytes). This is what lets
+    * a decode-coverage report split "implement SOF2" (progressive,
+    * ~8–10% of a real crawl) from "drop the file" (corrupt stream) from
+    * "needs a color transform" (4-component CMYK/YCCK) instead of one
+    * undifferentiated failure bucket. None when the payload is not a
+    * JPEG or no SOF segment survives before SOS/EOI/truncation.
+    */
+  def sniffSof(p: Array[Byte]): Option[(Int, Int)] = {
     if (p == null || p.length < 4 ||
       (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     def be16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    val sofMarkers = Set(0xc0, 0xc1, 0xc2, 0xc3, 0xc5, 0xc6, 0xc7,
+      0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf)
     var off = 2
     while (off + 4 <= p.length) {
       if ((p(off) & 0xff) != 0xff) return None
@@ -515,7 +537,10 @@ object JpegCodec {
       else {
         val len = be16(mOff + 1)
         if (len < 2 || mOff + 1 + len > p.length) return None
-        if (m == 0xc0 || m == 0xc1) return Some(p(mOff + 3 + 5) & 0xff)
+        if (sofMarkers(m)) {
+          if (len < 9) return None
+          return Some((m, p(mOff + 3 + 5) & 0xff))
+        }
         off = mOff + 1 + len
       }
     }

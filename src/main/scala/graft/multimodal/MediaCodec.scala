@@ -455,10 +455,21 @@ object MediaCodec {
     * surface must report as pixel-undecodable instead of hashing
     * compressed garbage.
     */
-  def encodeJpegShell(width: Int, height: Int,
-                      data: Array[Byte]): Array[Byte] = {
+  /** Geometry-parseable JPEG container with an OPAQUE entropy stand-in
+    * (no DQT/DHT, `data` as the scan bytes) — always undecodable, by
+    * design: the fixture for the triage surface. `sofMarker` and
+    * `components` select the undecodability CLASS a real crawl shows:
+    * the default SOF0/1-component shell reads as a corrupt baseline
+    * stream, `sofMarker = 0xc2` as progressive, `components = 4` as
+    * CMYK/YCCK — the three buckets `decodeStatus` must tell apart.
+    */
+  def encodeJpegShell(width: Int, height: Int, data: Array[Byte],
+                      sofMarker: Int = 0xc0,
+                      components: Int = 1): Array[Byte] = {
     require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
       s"bad JPEG geometry ${width}x$height")
+    require(components >= 1 && components <= 4,
+      s"components=$components out of [1, 4]")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -470,15 +481,24 @@ object MediaCodec {
     out.write(0)                       // aspect-ratio units
     be16(1); be16(1)                   // density 1x1
     out.write(0); out.write(0)         // no thumbnail
-    marker(0xc0) // SOF0: 8-bit precision, one greyscale component
-    be16(11)
+    marker(sofMarker)                  // SOFn: 8-bit precision
+    be16(8 + 3 * components)
     out.write(8)
     be16(height); be16(width)
-    out.write(1)                       // component count
-    out.write(1); out.write(0x11); out.write(0) // id, 1x1 sampling, quant 0
-    marker(0xda) // SOS, one component
-    be16(8)
-    out.write(1); out.write(1); out.write(0)
+    out.write(components)
+    var c = 0
+    while (c < components) {           // id, 1x1 sampling, quant 0
+      out.write(c + 1); out.write(0x11); out.write(0)
+      c += 1
+    }
+    marker(0xda) // SOS over every component
+    be16(6 + 2 * components)
+    out.write(components)
+    c = 0
+    while (c < components) {
+      out.write(c + 1); out.write(0)
+      c += 1
+    }
     out.write(0); out.write(0x3f); out.write(0)
     out.write(data, 0, data.length)    // opaque entropy stand-in
     marker(0xd9) // EOI

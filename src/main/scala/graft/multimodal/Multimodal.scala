@@ -255,8 +255,23 @@ object Multimodal {
           case _ =>
             val w = 10 + n % 83
             val h = math.max(1, (n + 3 * w - 1) / (3 * w))
-            MediaRecord(id, MediaCodec.encodeJpegShell(w, h, data),
-              "image/jpeg")
+            // three sub-variants of the real-crawl JPEG tail, cycled
+            // deterministically within the stratum so the coverage
+            // query exercises every triage bucket: a corrupt baseline
+            // shell, a REAL progressive (SOF2) encode the progressive
+            // decoder brings into the pixel surfaces, and a
+            // 4-component CMYK shell
+            val payload = ((id / 5) % 3) match {
+              case 0 => MediaCodec.encodeJpegShell(w, h, data)
+              case 1 =>
+                val gw = 10 + n % 83
+                val gh = math.max(1, (n + gw - 1) / gw)
+                JpegProgressive.encodeGray(gw, gh,
+                  java.util.Arrays.copyOf(data, gw * gh))
+              case _ => MediaCodec.encodeJpegShell(w, h, data,
+                components = 4)
+            }
+            MediaRecord(id, payload, "image/jpeg")
         }
       }
   }
@@ -318,10 +333,25 @@ object Multimodal {
         val reason: Option[String] =
           if (decodable) None
           else if (h.media_type == "image/jpeg")
-            // the baseline codec DID attempt entropy decode; what's left
-            // undecodable is a progressive/CMYK/arith variant or a
-            // corrupt stream — say so, not "codec missing"
-            Some("jpeg decode failed (unsupported variant or corrupt stream)")
+            // the baseline codec DID attempt entropy decode; classify
+            // what's left by its SOF frame type so triage can tell
+            // "implement SOF2" (~8–10% of a real crawl is progressive)
+            // from "needs the CMYK transform" from "drop the file" —
+            // one undifferentiated failure bucket hides that decision
+            Some(JpegCodec.sniffSof(m.payload) match {
+              case Some((s, _)) if s == 0xc9 || s == 0xcb || s == 0xcd =>
+                "arithmetic-coded jpeg not supported"
+              case Some((_, comps)) if comps == 4 =>
+                "cmyk/ycck jpeg (4-component) not supported"
+              case Some((s, _)) if s == 0xc2 || s == 0xc6 ||
+                  s == 0xca || s == 0xce =>
+                // the progressive decoder DID attempt this stream
+                "corrupt progressive jpeg stream (entropy decode failed)"
+              case Some(_) =>
+                "corrupt baseline jpeg stream (entropy decode failed)"
+              case None =>
+                "corrupt jpeg stream (no SOF marker)"
+            })
           else if (h.media_type == "image/png") Some("corrupt png stream")
           else if (h.media_type.startsWith("image/"))
             Some("unsupported image format")

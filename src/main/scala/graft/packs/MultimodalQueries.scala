@@ -137,7 +137,7 @@ object MultimodalQueries extends QueryPack {
         .groupBy(col("media_type"), col("pixel_decodable"),
           col("skip_reason"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("media_type"))
+        .orderBy(col("media_type"), col("skip_reason"))
     }),
 
     // The aHash path's skip set made explicit: every IMAGE row gets a
@@ -193,33 +193,42 @@ object MultimodalQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     // The id % 5 container mapping replayed: three raster strata are
-    // pixel-decodable, WAV is not an image, the JPEG shell fails the
-    // attempted baseline entropy decode (no scan data).
+    // pixel-decodable, WAV is not an image, and the JPEG stratum's
+    // three cycled sub-variants ((doc_id / 5) % 3) split into a REAL
+    // progressive encode (decodable — the SOF2 decoder at work) and
+    // the two distinct triage reasons the SOF sniff reports.
     "multimodal_decode_coverage" ->
       """WITH t AS (
         |  SELECT CASE CAST(doc_id % 5 AS INT)
         |      WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
         |      WHEN 2 THEN 'image/ppm' WHEN 3 THEN 'image/png'
         |      ELSE 'image/jpeg' END AS media_type,
-        |    CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS pixel_decodable,
+        |    CAST(doc_id % 5 AS INT) IN (0, 2, 3)
+        |      OR (CAST(doc_id % 5 AS INT) = 4
+        |          AND CAST((doc_id // 5) % 3 AS INT) = 1) AS pixel_decodable,
         |    CASE WHEN CAST(doc_id % 5 AS INT) IN (0, 2, 3) THEN NULL
-        |      WHEN CAST(doc_id % 5 AS INT) = 4
-        |        THEN 'jpeg decode failed (unsupported variant or corrupt stream)'
+        |      WHEN CAST(doc_id % 5 AS INT) = 4 THEN
+        |        CASE CAST((doc_id // 5) % 3 AS INT)
+        |          WHEN 0 THEN 'corrupt baseline jpeg stream (entropy decode failed)'
+        |          WHEN 1 THEN NULL
+        |          ELSE 'cmyk/ycck jpeg (4-component) not supported' END
         |      ELSE 'not an image' END AS skip_reason
         |  FROM documents)
         |SELECT media_type, pixel_decodable, skip_reason,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM t
         |GROUP BY media_type, pixel_decodable, skip_reason
-        |ORDER BY media_type""".stripMargin,
+        |ORDER BY media_type, skip_reason""".stripMargin,
 
-    // Every image row dispositioned: rasters decoded, JPEG visibly not.
+    // Every image row dispositioned: rasters AND real progressive
+    // JPEGs decoded, the corrupt/CMYK tail visibly not.
     "multimodal_ahash_status" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS INT)
         |    WHEN 0 THEN 'image/bmp' WHEN 2 THEN 'image/ppm'
         |    WHEN 3 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
-        |  CAST(doc_id % 5 AS INT) <> 4 AS decoded
+        |  CAST(doc_id % 5 AS INT) <> 4
+        |    OR CAST((doc_id // 5) % 3 AS INT) = 1 AS decoded
         |FROM documents
         |WHERE CAST(doc_id % 5 AS INT) <> 1
         |ORDER BY doc_id""".stripMargin,

@@ -202,7 +202,121 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Boolean, Option[String])].collect().map(r => r._1 -> r).toMap
     assert(cov(1L)._2 && cov(1L)._3.isEmpty)
     assert(!cov(2L)._2 && cov(2L)._3.contains(
-      "jpeg decode failed (unsupported variant or corrupt stream)"))
+      "corrupt baseline jpeg stream (entropy decode failed)"))
+  }
+
+  test("JPEG triage: SOF sniff splits progressive / CMYK / corrupt shells") {
+    import graft.multimodal.{JpegCodec, MediaRecord}
+    val base = MediaCodec.encodeJpegShell(8, 8, data)
+    val prog = MediaCodec.encodeJpegShell(8, 8, data, sofMarker = 0xc2)
+    val cmyk = MediaCodec.encodeJpegShell(8, 8, data, components = 4)
+    assert(JpegCodec.sniffSof(base) === Some((0xc0, 1)))
+    assert(JpegCodec.sniffSof(prog) === Some((0xc2, 1)))
+    assert(JpegCodec.sniffSof(cmyk) === Some((0xc0, 4)))
+    assert(JpegCodec.sniffSof("not a jpeg".getBytes) === None)
+    // SOI then immediate EOI: valid marker chain, no frame
+    assert(JpegCodec.sniffSof(Array(0xff, 0xd8, 0xff, 0xd9)
+      .map(_.toByte)) === None)
+    // all three shells are geometry-parseable JPEGs and none decodes
+    Seq(base, prog, cmyk).foreach { p =>
+      assert(MediaCodec.decode(p).media_type === "image/jpeg")
+      assert(JpegCodec.decodeRgb(p).isEmpty)
+    }
+    // decodeStatus routes each to its distinct triage bucket
+    val media = Seq(
+      MediaRecord(1L, base, "image/jpeg"),
+      MediaRecord(2L, prog, "image/jpeg"),
+      MediaRecord(3L, cmyk, "image/jpeg")).toDS()
+    val rs = Multimodal.decodeStatus(media)
+      .select(col("doc_id"), col("skip_reason"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(rs(1L).contains(
+      "corrupt baseline jpeg stream (entropy decode failed)"))
+    assert(rs(2L).contains("corrupt progressive jpeg stream (entropy decode failed)"))
+    assert(rs(3L).contains("cmyk/ycck jpeg (4-component) not supported"))
+  }
+
+  test("progressive JPEG: SA + spectral-selection round trip equals baseline exactly") {
+    import graft.multimodal.{JpegCodec, JpegProgressive, MediaRecord}
+    val w = 37; val h = 21
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * 255) / (w - 1) + (y * 255) / (h - 1)) / 2).toByte
+    }
+    val prog = JpegProgressive.encodeGray(w, h, gray, quality = 90)
+    // the stream is REALLY progressive, and the generic header walk
+    // still reads its geometry
+    assert(JpegCodec.sniffSof(prog) === Some((0xc2, 1)))
+    assert(MediaCodec.decode(prog).media_type === "image/jpeg")
+    assert(MediaCodec.decode(prog).width === w)
+    // decode through the PUBLIC dispatch (decodeRgb tries baseline,
+    // hands SOF2 to the progressive decoder)
+    val Some((dw, dh, px)) = JpegCodec.decodeGray(prog)
+    assert(dw === w && dh === h)
+    // progressive transport is lossless over the quantized
+    // coefficients: the reconstruction must equal the BASELINE
+    // encoding of the same raster at the same quality BIT FOR BIT —
+    // any drift in any scan path (DC/AC first, DC/AC refinement, EOB
+    // runs, correction bits) breaks this equality
+    val Some((_, _, basePx)) = JpegCodec.decodeGray(
+      JpegCodec.encodeGray(w, h, gray, quality = 90))
+    assert(px.sameElements(basePx),
+      "progressive reconstruction must equal baseline exactly")
+    // color: same exact-equality contract against the 4:4:4 baseline
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = ((x * 255) / (w - 1)).toByte
+      rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+      rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+    }
+    val cProg = JpegProgressive.encodeColor(w, h, rgb, quality = 90)
+    assert(JpegCodec.sniffSof(cProg) === Some((0xc2, 3)))
+    val Some((cw2, ch2, cPx)) = JpegCodec.decodeRgb(cProg)
+    assert(cw2 === w && ch2 === h)
+    val Some((_, _, cBase)) = JpegCodec.decodeRgb(
+      JpegCodec.encodeColor(w, h, rgb, quality = 90))
+    assert(cPx.sameElements(cBase),
+      "progressive color reconstruction must equal 4:4:4 baseline")
+    // high-frequency + low-amplitude sweeps: land coefficients on
+    // every successive-approximation boundary (newly-significant in
+    // first scans vs in refinement scans, long zero runs → ZRL and
+    // EOB-run paths on both sides)
+    for (amp <- 1 to 12) {
+      val cb = Array.tabulate(16 * 16) { i =>
+        val x = i % 16; val y = i / 16
+        (128 + (if ((x + y) % 2 == 0) amp else -amp)).toByte
+      }
+      val pr = JpegProgressive.encodeGray(16, 16, cb, quality = 90)
+      val ba = JpegCodec.encodeGray(16, 16, cb, quality = 90)
+      val Some((_, _, pPx)) = JpegCodec.decodeGray(pr)
+      val Some((_, _, bPx)) = JpegCodec.decodeGray(ba)
+      assert(pPx.sameElements(bPx), s"checkerboard amp=$amp diverged")
+    }
+    // dense pseudo-noise at low quality: broad (run, size) coverage
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(24 * 24)((rnd.nextInt(256) - 128).toByte)
+    val nProg = JpegProgressive.encodeGray(24, 24, noise, quality = 50)
+    val nBase = JpegCodec.encodeGray(24, 24, noise, quality = 50)
+    val Some((_, _, nP)) = JpegCodec.decodeGray(nProg)
+    val Some((_, _, nB)) = JpegCodec.decodeGray(nBase)
+    assert(nP.sameElements(nB), "noise raster diverged")
+    // determinism + totality: truncation and garbage fail clean
+    assert(JpegProgressive.encodeGray(w, h, gray, 90).sameElements(prog))
+    assert(JpegCodec.decodeRgb(prog.take(prog.length / 2)).isEmpty)
+    assert(JpegProgressive.decode("junk".getBytes(UTF_8)).isEmpty)
+    assert(JpegProgressive.decode(
+      JpegCodec.encodeGray(w, h, gray, 90)).isEmpty,
+      "progressive decoder must refuse baseline frames")
+    // a real progressive payload flows through the pixel surfaces
+    val media = Seq(MediaRecord(5L, prog, "image/jpeg")).toDS()
+    val st = Multimodal.aHashImagesStatus(media)
+      .as[(Long, String, Option[String], Option[Long], Boolean)].collect()
+    assert(st.head._5 && st.head._3.exists(_.length == 64))
+    val cov = Multimodal.decodeStatus(media)
+      .select(col("pixel_decodable"), col("skip_reason"))
+      .as[(Boolean, Option[String])].collect().head
+    assert(cov._1 && cov._2.isEmpty)
   }
 
   test("JPEG shell: geometry parses; pixels visibly undecodable, never hashed") {
@@ -211,8 +325,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.media_type === "image/jpeg")
     assert(h.width === 33 && h.height === 7)
     assert(h.data_len === p.length.toLong, "content region = whole payload")
-    // five-stratum corpus: wav excluded from the image surface, jpeg
-    // present but decoded=false with null hash, rasters hashed
+    // five-stratum corpus: wav excluded from the image surface; jpeg
+    // id 4 ((4/5)%3=0: corrupt baseline shell) skipped with null hash,
+    // jpeg id 9 ((9/5)%3=1: REAL progressive encode) decoded and
+    // hashed like the rasters
     val docs = (0L to 9L)
       .map(i => (i, s"stratum $i carries some words for container payload"))
       .toDF("doc_id", "text")
@@ -223,12 +339,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(status.keySet === (0L to 9L).filter(_ % 5 != 1).toSet,
       "every image row dispositioned; audio rows excluded")
     for ((id, (_, mt, ahash, nOnes, decoded)) <- status) {
-      if (id % 5 == 4) {
+      if (id == 4L) {
         assert(mt === "image/jpeg" && !decoded &&
           ahash.isEmpty && nOnes.isEmpty, s"jpeg row $id must be skipped")
       } else {
         assert(decoded && ahash.exists(_.length == 64) && nOnes.nonEmpty,
-          s"raster row $id must carry its hash")
+          s"row $id must carry its hash")
       }
     }
     // decoded rows' hashes are EXACTLY aHashImages' output (the status
@@ -236,22 +352,25 @@ class MultimodalSpec extends AnyFunSuite {
     val plain = Multimodal.aHashImages(media).toDF()
       .as[(Long, String, String, Long)].collect()
       .map(r => r._1 -> r._3).toMap
-    assert(plain.keySet === status.keySet.filter(_ % 5 != 4))
+    assert(plain.keySet === status.keySet - 4L)
     plain.foreach { case (id, hash) =>
       assert(status(id)._3.contains(hash))
     }
-    // coverage disposition: decodable rasters, jpeg reasoned out
+    // coverage disposition: rasters AND the real progressive jpeg
+    // decodable; the corrupt-baseline shell carries its triage reason
     val cov = Multimodal.decodeStatus(media)
       .select(col("media_type"), col("pixel_decodable"), col("skip_reason"))
       .distinct()
       .as[(String, Boolean, Option[String])].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(cov("image/bmp") === ((true, None)))
-    assert(cov("image/png") === ((true, None)))
-    assert(cov("image/ppm") === ((true, None)))
-    assert(cov("image/jpeg") === ((false,
-      Some("jpeg decode failed (unsupported variant or corrupt stream)"))))
-    assert(cov("audio/wav") === ((false, Some("not an image"))))
+    val byType = cov.groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(byType("image/bmp") === Set((true, None)))
+    assert(byType("image/png") === Set((true, None)))
+    assert(byType("image/ppm") === Set((true, None)))
+    assert(byType("audio/wav") === Set((false, Some("not an image"))))
+    assert(byType("image/jpeg") === Set(
+      (true, None),
+      (false, Some("corrupt baseline jpeg stream (entropy decode failed)"))))
   }
 
   test("BMP round trip and real field offsets") {
