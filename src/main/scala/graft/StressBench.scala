@@ -407,15 +407,21 @@ object StressBench {
     // records rounds_run/changed_per_round — rounds_run < max_rounds
     // is the early-exit evidence; the wall-clock delta vs
     // knn_refine_fixed (same maxRounds, no knob) is the saving.
+    // 2048 clusters keep the per-cell candidate list ~|cell|·nProbe
+    // ≈ 500 at 500k rows — the cell self-join stays ~500M slim pairs
+    // (the r13 knn_graph_cells budget); 256 cells at this n would
+    // enumerate ~4B pairs and fill the shuffle disk. Radius 320 keeps
+    // the adjacent-cluster chord (~0.98) at the same overlap-to-noise
+    // ratio the 100k tuning measured, so the convergence shape holds.
     def circleVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
       expr("transform(sequence(1, 64), i -> CASE " +
-        "WHEN i = 1 THEN 40.0 * cos(2 * pi() * pmod(id, 256) / 256) " +
-        "WHEN i = 2 THEN 40.0 * sin(2 * pi() * pmod(id, 256) / 256) " +
+        "WHEN i = 1 THEN 320.0 * cos(2 * pi() * pmod(id, 2048) / 2048) " +
+        "WHEN i = 2 THEN 320.0 * sin(2 * pi() * pmod(id, 2048) / 2048) " +
         "ELSE cast(hash(id, i) % 1000 as double) / 1000.0 END)")
         .as("embedding"))
     def circleGraph(emb: org.apache.spark.sql.DataFrame) = {
       val coarse = graft.mlops.NaiveBayesOps.toLongForm(
-          emb.withColumn("cell", pmod(col("vec_id"), lit(256))),
+          emb.withColumn("cell", pmod(col("vec_id"), lit(2048))),
           Seq("cell"), "embedding")
         .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
       // nProbe=2 seeds cross-cell edges (one adjacent side per point);
@@ -432,7 +438,10 @@ object StressBench {
     // stages exist to price).
     if (only.forall(s => s.contains("knn_refine_converged") ||
         s.contains("knn_refine_fixed"))) {
-      val refineMaxRounds = 6
+      // a generous ceiling, as a user who does NOT know the
+      // convergence round would set it — the knob's job is to find
+      // the real stopping point under it
+      val refineMaxRounds = 8
       val n = math.max(rows / 40L, 100000L)
       // emb stays a cheap synthetic projection (recomputed per use) —
       // checkpointing 500k×64d vectors alongside the per-round edge

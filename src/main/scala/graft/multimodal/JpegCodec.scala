@@ -8,15 +8,16 @@ package graft.multimodal
   * pixels can neither perceptual-hash nor downsample the bulk of a
   * multimodal crawl.
   *
-  * Scope: baseline/extended-sequential Huffman (SOF0/1), up to 3
-  * components with sampling factors in {1, 2}, 8-bit samples, restart
-  * markers (DRI/RSTn). [[decodeRgb]] additionally dispatches SOF2
-  * streams to [[JpegProgressive]] (spectral selection + successive
-  * approximation), covering the progressive crawl tail; arithmetic,
-  * hierarchical, and 4-component CMYK modes stay out. The decoder
-  * reads quantization and Huffman tables FROM THE STREAM (it is not
-  * paired to this encoder's choices); anything outside the supported
-  * envelope — CMYK, malformed entropy data — returns None, never
+  * Scope: baseline/extended-sequential Huffman (SOF0/1), 1-, 3-, and
+  * 4-component frames (greyscale, YCbCr, Adobe CMYK/YCCK via the
+  * APP14 transform tag) with sampling factors in {1, 2}, 8-bit
+  * samples, restart markers (DRI/RSTn). [[decodeRgb]] additionally
+  * dispatches SOF2 streams to [[JpegProgressive]] (spectral selection
+  * + successive approximation), covering the progressive crawl tail;
+  * arithmetic and hierarchical modes stay out. The decoder reads
+  * quantization and Huffman tables FROM THE STREAM (it is not paired
+  * to this encoder's choices); anything outside the supported
+  * envelope — malformed entropy data included — returns None, never
   * throws (the decode-totality contract of [[MediaCodec]]). The
   * encoder builds real, self-contained fixtures: its output is a
   * spec-conforming JPEG any baseline decoder reads.
@@ -254,11 +255,21 @@ object JpegCodec {
                            width: Int, height: Int,
                            quants: Seq[Array[Int]],
                            comps: Seq[(Int, Int, Int, Int)],
-                           restartInterval: Int = 0): Unit = {
+                           restartInterval: Int = 0,
+                           adobeTransform: Option[Int] = None): Unit = {
     // comps: (id, hSamp, vSamp, quantId)
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xd8) // SOI
+    adobeTransform.foreach { t =>
+      marker(0xee) // APP14 "Adobe": the color-transform tag
+      be16(14)
+      out.write("Adobe".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII), 0, 5)
+      be16(100) // version
+      be16(0); be16(0) // flags
+      out.write(t)
+    }
     quants.zipWithIndex.foreach { case (qt, id) =>
       marker(0xdb)
       be16(2 + 1 + 64)
@@ -473,6 +484,84 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode an RGB raster plus a K (black-ink) plane as a 4-component
+    * Adobe CMYK (`ycck = false`, APP14 transform 0) or YCCK
+    * (`ycck = true`, transform 2) baseline JPEG — the print-workflow
+    * fixtures the 4-component decode path needs. Values follow the
+    * Adobe INVERTED-ink convention the decoder applies (R = C'·K'/255),
+    * so with a flat 255 K plane the stored leading planes are the RGB
+    * (CMYK) or JFIF YCbCr (YCCK) values directly.
+    */
+  def encodeCmyk(width: Int, height: Int, rgb: Array[Byte],
+                 k: Array[Byte], quality: Int = 90,
+                 ycck: Boolean = false): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"bad JPEG geometry ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"raster length ${rgb.length} != ${width}x${height}x3")
+    require(k.length == width * height,
+      s"K plane length ${k.length} != ${width}x$height")
+    val n = width * height
+    val p0 = new Array[Byte](n)
+    val p1 = new Array[Byte](n)
+    val p2 = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(i * 3) & 0xff
+      val g = rgb(i * 3 + 1) & 0xff
+      val b = rgb(i * 3 + 2) & 0xff
+      if (ycck) {
+        val y = 0.299 * r + 0.587 * g + 0.114 * b
+        val cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        val cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        p0(i) = math.min(255, math.max(0, math.round(y).toInt)).toByte
+        p1(i) = math.min(255, math.max(0, math.round(cb).toInt)).toByte
+        p2(i) = math.min(255, math.max(0, math.round(cr).toInt)).toByte
+      } else {
+        p0(i) = r.toByte; p1(i) = g.toByte; p2(i) = b.toByte
+      }
+      i += 1
+    }
+    val lumaQ = scaledQuant(StdLumaQuant, quality)
+    val chromaQ = scaledQuant(StdChromaQuant, quality)
+    val quants = if (ycck) Seq(lumaQ, chromaQ) else Seq(lumaQ)
+    // YCCK: chroma-quantize the Cb/Cr planes; CMYK: one table for all
+    val compSpecs =
+      if (ycck) Seq((1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1), (4, 1, 1, 0))
+      else Seq((1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0), (4, 1, 1, 0))
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, width, height, quants, compSpecs,
+      adobeTransform = Some(if (ycck) 2 else 0))
+    val bw = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val planes = Array(p0, p1, p2, k)
+    val planeQ = compSpecs.map(s => if (s._4 == 0) lumaQ else chromaQ)
+    val prevDc = new Array[Int](4)
+    val bwX = (width + 7) / 8
+    val bhY = (height + 7) / 8
+    var by = 0
+    while (by < bhY) {
+      var bx = 0
+      while (bx < bwX) {
+        var ci = 0
+        while (ci < 4) {
+          loadBlock(planes(ci), width, height, bx * 8, by * 8, block)
+          fdctQuant(block, planeQ(ci), coef)
+          prevDc(ci) = writeBlock(bw, coef, prevDc(ci), dcCodes, acCodes)
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushWithOnes()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   // ---- decoder ---------------------------------------------------------
 
   /** Decode a baseline greyscale OR color JPEG to (width, height,
@@ -565,6 +654,10 @@ object JpegCodec {
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var restartInterval = 0
+    // Adobe APP14 color-transform tag: -1 = absent, 0 = raw CMYK,
+    // 1 = YCbCr, 2 = YCCK — decides how a 4-component frame's planes
+    // map to RGB
+    var adobeTransform = -1
     var scanStart = -1
     while (scanStart < 0) {
       if (off + 2 > p.length) return None
@@ -616,7 +709,7 @@ object JpegCodec {
             if ((p(seg) & 0xff) != 8) return None
             height = be16(seg + 1); width = be16(seg + 3)
             val ncomp = p(seg + 5) & 0xff
-            if (ncomp != 1 && ncomp != 3) return None
+            if (ncomp != 1 && ncomp != 3 && ncomp != 4) return None
             if (len < 8 + 3 * ncomp) return None
             compIds = new Array[Int](ncomp)
             compH = new Array[Int](ncomp)
@@ -657,6 +750,11 @@ object JpegCodec {
           case 0xdd => // DRI: restart interval in MCUs
             if (len != 4) return None
             restartInterval = be16(seg)
+          case 0xee => // APP14 "Adobe": color-transform tag
+            if (len >= 14 &&
+              p(seg) == 'A' && p(seg + 1) == 'd' && p(seg + 2) == 'o' &&
+              p(seg + 3) == 'b' && p(seg + 4) == 'e')
+              adobeTransform = p(seg + 11) & 0xff
           case _ => // APPn / COM / others: skip
         }
         if (scanStart < 0) off = mOff + 1 + len
@@ -848,7 +946,7 @@ object JpegCodec {
         }
         y += 1
       }
-    } else {
+    } else if (ncomp == 3) {
       var y = 0
       while (y < height) {
         var x = 0
@@ -867,6 +965,46 @@ object JpegCodec {
           out(o) = clamp(yv + 1.402 * cr)
           out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
           out(o + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      // 4-component Adobe CMYK/YCCK (the print-workflow tail of a real
+      // crawl). Adobe stores INVERTED ink values (the libjpeg
+      // convention): plain CMYK maps R = C'·K'/255 directly; YCCK
+      // (transform 2) first runs the YCbCr math on the leading three
+      // planes, then multiplies by K'. An absent APP14 on a 4-comp
+      // frame is treated as raw CMYK (transform 0), also per libjpeg.
+      val ycck = adobeTransform == 2
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(i: Int): Int = {
+            val sx = x * compH(i) / hMax
+            val sy = y * compV(i) / vMax
+            planes(i)(sy * planeW(i) + sx) & 0xff
+          }
+          def clamp(d: Double): Double =
+            math.min(255.0, math.max(0.0, d))
+          val k = sample(3).toDouble
+          val (c0, m0, y0) =
+            if (ycck) {
+              val yv = sample(0).toDouble
+              val cb = sample(1) - 128.0
+              val cr = sample(2) - 128.0
+              (clamp(yv + 1.402 * cr),
+                clamp(yv - 0.344136 * cb - 0.714136 * cr),
+                clamp(yv + 1.772 * cb))
+            } else
+              (sample(0).toDouble, sample(1).toDouble, sample(2).toDouble)
+          val o = (y * width + x) * 3
+          def px(v: Double): Byte =
+            math.min(255, math.max(0, math.round(v * k / 255.0).toInt)).toByte
+          out(o) = px(c0)
+          out(o + 1) = px(m0)
+          out(o + 2) = px(y0)
           x += 1
         }
         y += 1

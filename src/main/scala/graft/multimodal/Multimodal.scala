@@ -255,19 +255,31 @@ object Multimodal {
           case _ =>
             val w = 10 + n % 83
             val h = math.max(1, (n + 3 * w - 1) / (3 * w))
-            // three sub-variants of the real-crawl JPEG tail, cycled
+            // four sub-variants of the real-crawl JPEG tail, cycled
             // deterministically within the stratum so the coverage
             // query exercises every triage bucket: a corrupt baseline
-            // shell, a REAL progressive (SOF2) encode the progressive
-            // decoder brings into the pixel surfaces, and a
-            // 4-component CMYK shell
-            val payload = ((id / 5) % 3) match {
+            // shell, a REAL progressive (SOF2) encode, a REAL Adobe
+            // YCCK (4-component) encode — both decoded into the pixel
+            // surfaces — and a scan-less CMYK shell (corrupt)
+            val payload = ((id / 5) % 4) match {
               case 0 => MediaCodec.encodeJpegShell(w, h, data)
               case 1 =>
                 val gw = 10 + n % 83
                 val gh = math.max(1, (n + gw - 1) / gw)
                 JpegProgressive.encodeGray(gw, gh,
                   java.util.Arrays.copyOf(data, gw * gh))
+              case 2 =>
+                val cw = 10 + n % 43
+                val ch = math.max(1, (n + 3 * cw - 1) / (3 * cw))
+                val rgb = new Array[Byte](cw * ch * 3)
+                val k = new Array[Byte](cw * ch)
+                if (n > 0) {
+                  var i = 0
+                  while (i < rgb.length) { rgb(i) = data(i % n); i += 1 }
+                  i = 0
+                  while (i < k.length) { k(i) = data(i % n); i += 1 }
+                }
+                JpegCodec.encodeCmyk(cw, ch, rgb, k, ycck = true)
               case _ => MediaCodec.encodeJpegShell(w, h, data,
                 components = 4)
             }
@@ -341,8 +353,13 @@ object Multimodal {
             Some(JpegCodec.sniffSof(m.payload) match {
               case Some((s, _)) if s == 0xc9 || s == 0xcb || s == 0xcd =>
                 "arithmetic-coded jpeg not supported"
+              case Some((s, comps)) if comps == 4 &&
+                  (s == 0xc2 || s == 0xc6 || s == 0xca || s == 0xce) =>
+                // 4-component decode is baseline-only
+                "progressive cmyk/ycck jpeg not supported"
               case Some((_, comps)) if comps == 4 =>
-                "cmyk/ycck jpeg (4-component) not supported"
+                // the 4-component Adobe decode DID attempt this stream
+                "corrupt cmyk/ycck jpeg stream (entropy decode failed)"
               case Some((s, _)) if s == 0xc2 || s == 0xc6 ||
                   s == 0xca || s == 0xce =>
                 // the progressive decoder DID attempt this stream
@@ -483,6 +500,68 @@ object Multimodal {
       }
     }.toDF("doc_id", "width", "height", "n_px", "max_abs_err",
       "within_tol")
+  }
+
+  /** Progressive-vs-baseline EQUIVALENCE loop: per document, build the
+    * text-derived grey and color rasters (the [[jpegRoundTrip]]
+    * geometries), encode each BOTH ways (baseline SOF0 and progressive
+    * SOF2 with the six-stage successive-approximation scan script),
+    * decode both, and report whether the reconstructions match BIT FOR
+    * BIT. Progressive transport is lossless over the quantized
+    * coefficients, so exact equality is the invariant — any drift in
+    * any scan path (DC/AC first, refinement, EOB runs, correction
+    * bits) flips a hashed boolean. `prog_is_sof2` pins that the
+    * progressive stream really is progressive, not a baseline
+    * fallback. Same 100 TB shape as the other codec loops: per-payload
+    * partition-iterator work, no shuffle.
+    */
+  def jpegProgressiveEquivalence(docs: DataFrame,
+                                 quality: Int = 95): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val projected = docs.select(col("doc_id").cast("long"), col("text"))
+    val balanced =
+      if (docs.inputFiles.length < par) projected.repartition(par)
+      else projected
+    balanced.as[(Long, String)].map { case (id, text) =>
+      val data = Option(text).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = data.length
+      def cyclic(len: Int): Array[Byte] = {
+        val a = new Array[Byte](len)
+        if (n > 0) {
+          var i = 0
+          while (i < len) { a(i) = data(i % n); i += 1 }
+        }
+        a
+      }
+      val gw = 8 + n % 57
+      val gh = math.max(1, (n + gw - 1) / gw)
+      val gray = cyclic(gw * gh)
+      val gProg = JpegProgressive.encodeGray(gw, gh, gray, quality)
+      val gBase = JpegCodec.encodeGray(gw, gh, gray, quality)
+      val greyExact =
+        (JpegCodec.decodeGray(gProg), JpegCodec.decodeGray(gBase)) match {
+          case (Some((w1, h1, p1)), Some((w2, h2, p2))) =>
+            w1 == w2 && h1 == h2 && p1.sameElements(p2)
+          case _ => false
+        }
+      val progSof2 = JpegCodec.sniffSof(gProg).exists(_._1 == 0xc2)
+      val cw = 8 + n % 41
+      val ch = math.max(1, (n + 3 * cw - 1) / (3 * cw))
+      val rgb = cyclic(cw * ch * 3)
+      val cProg = JpegProgressive.encodeColor(cw, ch, rgb, quality)
+      val cBase = JpegCodec.encodeColor(cw, ch, rgb, quality)
+      val colorExact =
+        (JpegCodec.decodeRgb(cProg), JpegCodec.decodeRgb(cBase)) match {
+          case (Some((w1, h1, p1)), Some((w2, h2, p2))) =>
+            w1 == w2 && h1 == h2 && p1.sameElements(p2)
+          case _ => false
+        }
+      (id, gw, gh, gw.toLong * gh, progSof2, greyExact, colorExact)
+    }.toDF("doc_id", "width", "height", "n_px", "prog_is_sof2",
+      "grey_exact", "color_exact")
   }
 
   /** PIXEL-LEVEL nearest-neighbor downsample over parsed image rasters —

@@ -180,6 +180,21 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PROGRESSIVE JPEG through the full loop, pinned by the strongest
+    // property the format offers: progressive transport is lossless
+    // over the quantized coefficients, so the SOF2 reconstruction must
+    // equal the baseline reconstruction of the same raster BIT FOR BIT
+    // (grey AND 4:4:4 color, successive-approximation scan script).
+    // The oracle replays the geometry and demands all three booleans
+    // literally true — any scan-path drift flips a hashed column.
+    "multimodal_jpeg_progressive_roundtrip" -> ((s, dir) => {
+      Multimodal.jpegProgressiveEquivalence(
+          Tables(s, dir).documents.where(col("doc_id") < 300))
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("prog_is_sof2"), col("grey_exact"), col("color_exact"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-size chunking (audio/blob shape) with per-chunk hashes.
     "multimodal_chunks" -> ((s, dir) => {
       val media = Multimodal.toMedia(
@@ -194,9 +209,10 @@ object MultimodalQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     // The id % 5 container mapping replayed: three raster strata are
     // pixel-decodable, WAV is not an image, and the JPEG stratum's
-    // three cycled sub-variants ((doc_id / 5) % 3) split into a REAL
-    // progressive encode (decodable — the SOF2 decoder at work) and
-    // the two distinct triage reasons the SOF sniff reports.
+    // four cycled sub-variants ((doc_id / 5) % 4) split into two REAL
+    // decodable encodes (progressive SOF2 and Adobe YCCK — both
+    // decoders at work) and the two distinct corrupt-stream triage
+    // reasons the SOF sniff reports.
     "multimodal_decode_coverage" ->
       """WITH t AS (
         |  SELECT CASE CAST(doc_id % 5 AS INT)
@@ -205,13 +221,14 @@ object MultimodalQueries extends QueryPack {
         |      ELSE 'image/jpeg' END AS media_type,
         |    CAST(doc_id % 5 AS INT) IN (0, 2, 3)
         |      OR (CAST(doc_id % 5 AS INT) = 4
-        |          AND CAST((doc_id // 5) % 3 AS INT) = 1) AS pixel_decodable,
+        |          AND CAST((doc_id // 5) % 4 AS INT) IN (1, 2))
+        |      AS pixel_decodable,
         |    CASE WHEN CAST(doc_id % 5 AS INT) IN (0, 2, 3) THEN NULL
         |      WHEN CAST(doc_id % 5 AS INT) = 4 THEN
-        |        CASE CAST((doc_id // 5) % 3 AS INT)
+        |        CASE CAST((doc_id // 5) % 4 AS INT)
         |          WHEN 0 THEN 'corrupt baseline jpeg stream (entropy decode failed)'
-        |          WHEN 1 THEN NULL
-        |          ELSE 'cmyk/ycck jpeg (4-component) not supported' END
+        |          WHEN 3 THEN 'corrupt cmyk/ycck jpeg stream (entropy decode failed)'
+        |          ELSE NULL END
         |      ELSE 'not an image' END AS skip_reason
         |  FROM documents)
         |SELECT media_type, pixel_decodable, skip_reason,
@@ -220,15 +237,15 @@ object MultimodalQueries extends QueryPack {
         |GROUP BY media_type, pixel_decodable, skip_reason
         |ORDER BY media_type, skip_reason""".stripMargin,
 
-    // Every image row dispositioned: rasters AND real progressive
-    // JPEGs decoded, the corrupt/CMYK tail visibly not.
+    // Every image row dispositioned: rasters AND the real progressive
+    // / YCCK encodes decoded, the corrupt tail visibly not.
     "multimodal_ahash_status" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS INT)
         |    WHEN 0 THEN 'image/bmp' WHEN 2 THEN 'image/ppm'
         |    WHEN 3 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
         |  CAST(doc_id % 5 AS INT) <> 4
-        |    OR CAST((doc_id // 5) % 3 AS INT) = 1 AS decoded
+        |    OR CAST((doc_id // 5) % 4 AS INT) IN (1, 2) AS decoded
         |FROM documents
         |WHERE CAST(doc_id % 5 AS INT) <> 1
         |ORDER BY doc_id""".stripMargin,
@@ -248,6 +265,25 @@ object MultimodalQueries extends QueryPack {
         |    greatest(1, (n + (8 + n % 57) - 1) // (8 + n % 57)) AS BIGINT)
         |    AS n_px,
         |  true AS within_tol
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    // Grey-geometry replay + the three literal invariants: the stream
+    // is SOF2, and both reconstructions equal baseline exactly.
+    "multimodal_jpeg_progressive_roundtrip" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CAST(8 + n % 57 AS INT) AS width,
+        |  CAST(greatest(1, (n + (8 + n % 57) - 1) // (8 + n % 57)) AS INT)
+        |    AS height,
+        |  CAST((8 + n % 57) *
+        |    greatest(1, (n + (8 + n % 57) - 1) // (8 + n % 57)) AS BIGINT)
+        |    AS n_px,
+        |  true AS prog_is_sof2,
+        |  true AS grey_exact,
+        |  true AS color_exact
         |FROM g
         |ORDER BY doc_id""".stripMargin,
 

@@ -233,7 +233,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rs(1L).contains(
       "corrupt baseline jpeg stream (entropy decode failed)"))
     assert(rs(2L).contains("corrupt progressive jpeg stream (entropy decode failed)"))
-    assert(rs(3L).contains("cmyk/ycck jpeg (4-component) not supported"))
+    assert(rs(3L).contains("corrupt cmyk/ycck jpeg stream (entropy decode failed)"))
   }
 
   test("progressive JPEG: SA + spectral-selection round trip equals baseline exactly") {
@@ -317,6 +317,63 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("pixel_decodable"), col("skip_reason"))
       .as[(Boolean, Option[String])].collect().head
     assert(cov._1 && cov._2.isEmpty)
+  }
+
+  test("CMYK/YCCK JPEG: 4-component Adobe decode round-trips") {
+    import graft.multimodal.{JpegCodec, MediaRecord}
+    val w = 32; val h = 18
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      rgb(o) = ((x * 255) / (w - 1)).toByte
+      rgb(o + 1) = ((y * 255) / (h - 1)).toByte
+      rgb(o + 2) = (((x + y) * 255) / (w + h - 2)).toByte
+    }
+    val fullK = Array.fill(w * h)(255.toByte)
+    def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+      a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
+    // plain CMYK (transform 0): with K' = 255 the stored leading
+    // planes ARE the RGB values — per-channel greyscale accuracy
+    val cmyk = JpegCodec.encodeCmyk(w, h, rgb, fullK, ycck = false)
+    assert(JpegCodec.sniffSof(cmyk) === Some((0xc0, 4)))
+    val Some((dw, dh, px)) = JpegCodec.decodeRgb(cmyk)
+    assert(dw === w && dh === h && px.length === w * h * 3)
+    assert(maxErr(rgb, px) <= 24, s"CMYK error ${maxErr(rgb, px)}")
+    // YCCK (transform 2): YCbCr math on the leading planes, then K —
+    // the dominant real-world 4-component variant (Adobe print chain)
+    val ycck = JpegCodec.encodeCmyk(w, h, rgb, fullK, ycck = true)
+    assert(JpegCodec.sniffSof(ycck) === Some((0xc0, 4)))
+    val Some((_, _, ypx)) = JpegCodec.decodeRgb(ycck)
+    assert(maxErr(rgb, ypx) <= 24, s"YCCK error ${maxErr(rgb, ypx)}")
+    // a VARYING K plane scales every channel: expected = rgb·K/255
+    val gradK = Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1)).toByte)
+    val varK = JpegCodec.encodeCmyk(w, h, rgb, gradK, ycck = false)
+    val Some((_, _, vpx)) = JpegCodec.decodeRgb(varK)
+    val expected = Array.tabulate(w * h * 3) { i =>
+      val kv = gradK(i / 3) & 0xff
+      (((rgb(i) & 0xff) * kv + 127) / 255).toByte
+    }
+    assert(maxErr(expected, vpx) <= 32,
+      s"K-scaled error ${maxErr(expected, vpx)}")
+    // decode totality + triage: the scan-less 4-component shell fails
+    // with the corrupt-cmyk reason; a REAL ycck payload is decodable
+    assert(JpegCodec.decodeRgb(ycck.take(ycck.length / 2)).isEmpty)
+    val media = Seq(
+      MediaRecord(1L, ycck, "image/jpeg"),
+      MediaRecord(2L, MediaCodec.encodeJpegShell(8, 8, data,
+        components = 4), "image/jpeg")).toDS()
+    val rs = Multimodal.decodeStatus(media)
+      .select(col("doc_id"), col("pixel_decodable"), col("skip_reason"))
+      .as[(Long, Boolean, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(rs(1L)._2 && rs(1L)._3.isEmpty)
+    assert(!rs(2L)._2 && rs(2L)._3.contains(
+      "corrupt cmyk/ycck jpeg stream (entropy decode failed)"))
+    // and the ycck payload flows into the perceptual-hash surface
+    val st = Multimodal.aHashImagesStatus(media)
+      .as[(Long, String, Option[String], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(st(1L)._5 && st(1L)._3.exists(_.length == 64))
+    assert(!st(2L)._5)
   }
 
   test("JPEG shell: geometry parses; pixels visibly undecodable, never hashed") {
