@@ -1273,7 +1273,8 @@ object Dedup {
           pointsLong, centersLong, idCol, centerCol)
       else
         graft.mlops.ClusterOps.assignToCentersTopN(
-          pointsLong, centersLong, idCol, centerCol, nProbe)
+          emb, idCol, arrCol, centersLong, centerCol, nProbe)
+          .select(col(idCol), col(centerCol))
     // Effective cap scales with nProbe: multi-probe grows every cell's
     // id list ~nProbe-fold, so a fixed cutoff would trip nProbe× earlier
     // than single-probe on the same data — and a tripped cell silently

@@ -32,6 +32,12 @@ object GraftExpressions {
     NearestCell(children.head, children(1))
   }
 
+  private def nearestCellsBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      "graft_nearest_cells expects (vec, cells, n)")
+    NearestCellsTopN(children(0), children(1), children(2))
+  }
+
   private def md5SeedBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
       "graft_md5_seed_hashes expects exactly 2 arguments")
@@ -93,6 +99,8 @@ object GraftExpressions {
       registry.createOrReplaceTempFunction(
         "graft_nearest_cell", nearestCellBuilder, "built-in")
       registry.createOrReplaceTempFunction(
+        "graft_nearest_cells", nearestCellsBuilder, "built-in")
+      registry.createOrReplaceTempFunction(
         "graft_md5_seed_hashes", md5SeedBuilder, "built-in")
       registry.createOrReplaceTempFunction(
         "graft_md5_prefix_long", md5PrefixBuilder, "built-in")
@@ -111,6 +119,8 @@ object GraftExpressions {
   def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def nearestCell(vec: Column, cells: Column): Column =
     call_function("graft_nearest_cell", vec, cells)
+  def nearestCells(vec: Column, cells: Column, n: Column): Column =
+    call_function("graft_nearest_cells", vec, cells, n)
   def md5SeedHashes(c: Column, n: Column): Column =
     call_function("graft_md5_seed_hashes", c, n)
   def md5PrefixLong(c: Column, n: Column): Column =
@@ -158,6 +168,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_nearest_cell expects exactly 2 arguments")
         NearestCell(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCellsTopN].getName,
+        "graft_nearest_cells"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_nearest_cells expects (vec, cells, n)")
+        NearestCellsTopN(children(0), children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_seed_hashes"),

@@ -493,12 +493,12 @@ object Similarity {
     import graft.mlops.{ClusterOps, NaiveBayesOps}
     graft.plans.GraftExpressions.register(emb.sparkSession)
     require(k >= 1, s"k=$k must be positive")
-    // Single-probe assignment runs IN-ROW over the packed broadcast
-    // centroid table via the native graft_nearest_cell argmin (the
-    // ivfPqTopK coarse-quantizer shape — the long-form join emits
-    // |corpus|·|cells| rows and OOMed at stress scale; tie rule
-    // identical to min(struct(d2, cell))). Multi-probe needs the
-    // top-N distance ranking, which stays on the long-form join.
+    // BOTH probe settings assign IN-ROW over the packed broadcast
+    // centroid table: nProbe=1 via the native graft_nearest_cell
+    // argmin, nProbe>1 via the graft_nearest_cells top-N (the
+    // long-form join it replaced emitted |corpus|·|cells|·d rows —
+    // ~65B at 500k×2048×64d, a 28-minute stage; the in-row form is
+    // seconds). Tie rule identical to min(struct(d2, cell)).
     val cells =
       if (nProbe == 1) {
         val packed = centersLong
@@ -514,9 +514,9 @@ object Similarity {
             expr(s"graft_nearest_cell(CAST($arrCol AS ARRAY<DOUBLE>), _cells)")
               .as(centerCol))
       } else
-        ClusterOps.assignToCentersTopN(
-          NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol),
-          centersLong, idCol, centerCol, nProbe)
+        ClusterOps.assignToCentersTopN(emb, idCol, arrCol,
+          centersLong, centerCol, nProbe)
+          .select(col(idCol), col(centerCol))
     // degenerate-cell guard runs on the ID-SIZED assignment, before
     // any vector is attached
     val okCells = cells.groupBy(col(centerCol))

@@ -183,4 +183,60 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.toLowerCase.contains("array"), bad.getMessage)
   }
+
+  test("graft_nearest_cells: in-row top-N matches the ranked join twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    plans.GraftExpressions.register(spark)
+    // 40 points, 6 cells in 4-d; engineered exact ties (points
+    // equidistant to two centers) exercise the (d2, cell) tie rule
+    val rnd = new scala.util.Random(3)
+    val pts = (0L until 40L).map { i =>
+      (i, Array.fill(4)(rnd.nextInt(20).toDouble))
+    }
+    val centers = (0L until 6L).map { c =>
+      (c, Array.fill(4)((c * 3).toDouble))
+    }
+    val emb = pts.toDF("id", "v")
+    val centersLong = centers.toDF("cell", "cv")
+      .select(col("cell"), posexplode(col("cv")).as(Seq("_d", "c")))
+      .select(col("cell"), (col("_d") + 1).as("dim"), col("c"))
+    val fast = graft.mlops.ClusterOps.assignToCentersTopN(
+        emb, "id", "v", centersLong, "cell", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // the ranked long-form twin this expression replaced
+    val slow = emb
+      .select(col("id"), posexplode(col("v")).as(Seq("_d", "pv")))
+      .select(col("id"), (col("_d") + 1).as("dim"), col("pv"))
+      .join(centersLong, "dim")
+      .groupBy(col("id"), col("cell"))
+      .agg(sum(pow(col("pv") - col("c"), 2)).as("d2"))
+      .withColumn("probe_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("d2"), col("cell"))))
+      .where(col("probe_rank") <= 3)
+      .select(col("id"), col("cell"), col("probe_rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast === slow)
+    // n beyond the cell count returns every cell, still ranked
+    val all = graft.mlops.ClusterOps.assignToCentersTopN(
+        emb, "id", "v", centersLong, "cell", n = 99)
+      .groupBy(col("id")).agg(count(lit(1)).as("n"), max("probe_rank").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(all.forall(r => r._2 == 6L && r._3 == 6L))
+    // n = 1 agrees with the single-probe native argmin
+    val one = graft.mlops.ClusterOps.assignToCentersTopN(
+        emb, "id", "v", centersLong, "cell", n = 1)
+      .select(col("id"), col("cell")).as[(Long, Long)].collect().toMap
+    val packed = centersLong.groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cv"))
+      .agg(expr("sort_array(collect_list(struct(CAST(cell AS BIGINT)" +
+        " AS cell, cv)))").as("_cells"))
+    val argmin = emb.crossJoin(broadcast(packed))
+      .select(col("id"),
+        expr("graft_nearest_cell(CAST(v AS ARRAY<DOUBLE>), _cells)").as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(one === argmin)
+  }
 }
