@@ -523,6 +523,21 @@ object Graft {
                     nProbe: Int = 1): DataFrame =
     graft.similarity.Similarity.knnGraphCells(emb, idCol, arrCol,
       centersLong, centerCol, k, nProbe)
+  /** [[knnGraphCells]] with the degenerate-cell cap AUTO-TUNED from the
+    * cell-load histogram: the cap is the largest cell size whose
+    * cumulative directed-pair cost fits `pairBudget`, so total join
+    * work is bounded by the budget however skewed the assignment —
+    * `onTuned` reports (cap, projected pairs). Inspect the ledger
+    * itself via Similarity.cellLoadHistogram before committing a
+    * budget on a new corpus.
+    */
+  def knnGraphCellsBudget(emb: DataFrame, idCol: String, arrCol: String,
+                          centersLong: DataFrame, centerCol: String, k: Int,
+                          pairBudget: Long, nProbe: Int = 1,
+                          onTuned: (Long, Long) => Unit = (_, _) => ())
+      : DataFrame =
+    graft.similarity.Similarity.knnGraphCellsBudget(emb, idCol, arrCol,
+      centersLong, centerCol, k, pairBudget, nProbe, onTuned)
   /** NN-descent refinement of a k-NN graph with the convergence knob
     * (similarity.Similarity.knnRefineConverged): iterate
     * neighbor-of-neighbor re-ranking until a round changes at most

@@ -175,6 +175,24 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("src_id"), col("rnk"))
     }),
 
+    // maxCell auto-tuning table: the cell-load histogram with the
+    // cumulative directed-pair ledger, against a deliberately FINER
+    // deterministic centroid set (label × vec_id-residue, 30 cells)
+    // so the sizes spread and the 8n budget splits the table — the
+    // largest within_budget row is the cap knnGraphCellsBudget picks.
+    "sim_cell_budget_tune" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val fine = emb.withColumn("fcell",
+        col("label").cast("long") * 3 + pmod(col("vec_id"), lit(3)))
+      val centers = NaiveBayesOps.toLongForm(fine, Seq("fcell"), "embedding")
+        .groupBy(col("fcell").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      val budget = 8L * emb.count()
+      Similarity.cellLoadHistogram(emb, "vec_id", "embedding", centers,
+          "cell", pairBudget = budget, nProbe = 2)
+        .orderBy(col("cell_size"))
+    }),
+
     // Greedy k-center coreset (farthest-point traversal): the
     // diversity-maximizing 6-point training subset of the embedded
     // corpus, 2-approximating the optimal 6-center cover. Selection
@@ -648,6 +666,43 @@ object SimilarityQueries extends QueryPack {
         |  round(cs, 4) AS cos
         |FROM r WHERE rnk <= 3
         |ORDER BY src_id, rnk""".stripMargin,
+
+    // Assignment replay against the finer label×residue centroids,
+    // then the histogram + cumulative ledger. DuckDB sums BIGINT into
+    // HUGEINT — both running totals cast back to BIGINT to match the
+    // engine's long columns.
+    "sim_cell_budget_tune" ->
+      """WITH pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |base AS (
+        |  SELECT CAST(label AS BIGINT) * 3 + vec_id % 3 AS fcell,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT fcell AS cell, dim, avg(v) AS c
+        |        FROM base GROUP BY fcell, dim),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |          FROM pts p JOIN ctr c ON p.dim = c.dim
+        |          GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn <= 2),
+        |hist AS (SELECT cell, count(*) AS cs FROM assign GROUP BY cell),
+        |sizes AS (SELECT cs AS cell_size, count(*) AS n_cells
+        |          FROM hist GROUP BY cs),
+        |cum AS (
+        |  SELECT cell_size, n_cells,
+        |    cell_size * (cell_size - 1) * n_cells AS pairs,
+        |    CAST(sum(cell_size * (cell_size - 1) * n_cells)
+        |      OVER (ORDER BY cell_size) AS BIGINT) AS cum_pairs
+        |  FROM sizes)
+        |SELECT cell_size, n_cells, pairs, cum_pairs,
+        |  cum_pairs <= (SELECT 8 * count(*) FROM embeddings) AS within_budget
+        |FROM cum ORDER BY cell_size""".stripMargin,
 
     // The knn replay, reciprocity via EXISTS (mutual sets are already
     // symmetric, so the canonicalized edge set is the set itself),

@@ -464,6 +464,112 @@ object Similarity {
       .agg(min(struct(col("d2"), col("cid"))).as("_m"))
       .select(col(idCol), col("sub"), col("_m.cid").as("cid"))
 
+  /** Centroid-cell assignment shared by the cell-gated family
+    * ([[knnGraphCells]], [[cellLoadHistogram]]): (id, cell) with each
+    * point in its `nProbe` nearest cells. BOTH probe settings assign
+    * IN-ROW over the packed broadcast centroid table: nProbe=1 via the
+    * native graft_nearest_cell argmin, nProbe>1 via the
+    * graft_nearest_cells top-N (the long-form join it replaced emitted
+    * |corpus|·|cells|·d rows — ~65B at 500k×2048×64d, a 28-minute
+    * stage; the in-row form is seconds). Tie rule identical to
+    * min(struct(d2, cell)).
+    */
+  def assignCells(emb: DataFrame, idCol: String, arrCol: String,
+                  centersLong: DataFrame, centerCol: String,
+                  nProbe: Int = 1): DataFrame = {
+    import graft.mlops.ClusterOps
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    if (nProbe == 1) {
+      val packed = centersLong
+        .groupBy(col(centerCol))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+          .as("cv"))
+        .agg(expr(
+          s"sort_array(collect_list(struct(CAST($centerCol AS BIGINT)" +
+            " AS cell, cv)))").as("_cells"))
+      emb.crossJoin(broadcast(packed))
+        .select(col(idCol),
+          expr(s"graft_nearest_cell(CAST($arrCol AS ARRAY<DOUBLE>), _cells)")
+            .as(centerCol))
+    } else
+      ClusterOps.assignToCentersTopN(emb, idCol, arrCol,
+        centersLong, centerCol, nProbe)
+        .select(col(idCol), col(centerCol))
+  }
+
+  /** Cell-load histogram with a cumulative pair-cost ledger — the
+    * tuning table for [[knnGraphCells]]'s `maxCell` knob. One row per
+    * DISTINCT cell size s: how many cells have exactly s members
+    * (`n_cells`), the directed non-self pairs those cells enumerate
+    * (`pairs` = s·(s−1)·n_cells — the join's work, pre-dedup under
+    * multi-probe), the running total if the cap were set to s
+    * (`cum_pairs`, ascending in s), and whether that running total
+    * fits `pairBudget` (`within_budget`). Because cum_pairs is
+    * monotone in s, within_budget is a prefix — the largest true row
+    * IS the cap to pass as `maxCell`.
+    *
+    * Scale: the corpus-sized work is the assignment pass (map-side,
+    * broadcast centroids) and one count-per-cell aggregation; the
+    * histogram itself is ≤ one row per distinct size ≤ |cells| —
+    * metadata-scale, so the single-partition cumulative window is on
+    * a centroid-count-sized frame, never the corpus.
+    */
+  def cellLoadHistogram(emb: DataFrame, idCol: String, arrCol: String,
+                        centersLong: DataFrame, centerCol: String,
+                        pairBudget: Long, nProbe: Int = 1): DataFrame = {
+    require(pairBudget >= 0, s"pairBudget=$pairBudget must be >= 0")
+    val cells = assignCells(emb, idCol, arrCol, centersLong, centerCol, nProbe)
+    val wCum = Window.orderBy(col("cell_size"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.groupBy(col(centerCol))
+      .agg(count(lit(1)).as("cell_size"))
+      .groupBy(col("cell_size"))
+      .agg(count(lit(1)).as("n_cells"))
+      .withColumn("pairs",
+        col("cell_size") * (col("cell_size") - 1) * col("n_cells"))
+      .withColumn("cum_pairs", sum(col("pairs")).over(wCum))
+      .withColumn("within_budget", col("cum_pairs") <= lit(pairBudget))
+      .select(col("cell_size"), col("n_cells"), col("pairs"),
+        col("cum_pairs"), col("within_budget"))
+  }
+
+  /** [[knnGraphCells]] with `maxCell` AUTO-TUNED from the cell-load
+    * histogram: the cap is the largest cell size whose cumulative
+    * directed-pair cost still fits `pairBudget`, so the self-join's
+    * total work is bounded by the caller's budget no matter how skewed
+    * the assignment came out — the a-priori guess the fixed knob
+    * requires ("is 2^16 right for THIS corpus?") becomes a measured
+    * decision. Cells above the cap are dropped exactly as the manual
+    * knob drops them (their members keep only edges through their
+    * other probes, or none). If even the size-2 cells blow the budget
+    * the graph is EMPTY — `onTuned` reports (cap=1, projectedPairs=0)
+    * and the caller should raise the budget or refine the centroids.
+    *
+    * Driver motion: ONE aggregate row (cap + projected pairs) — the
+    * histogram never leaves the cluster. The assignment pass runs
+    * twice (once sizing, once building); it is the map-side cheap
+    * part, and threading the materialized assignment through would
+    * couple the two plans' lifetimes for a pass that costs seconds
+    * where the gated join costs minutes.
+    */
+  def knnGraphCellsBudget(emb: DataFrame, idCol: String, arrCol: String,
+                          centersLong: DataFrame, centerCol: String, k: Int,
+                          pairBudget: Long, nProbe: Int = 1,
+                          onTuned: (Long, Long) => Unit = (_, _) => ())
+      : DataFrame = {
+    val pick = cellLoadHistogram(emb, idCol, arrCol, centersLong, centerCol,
+        pairBudget, nProbe)
+      .where(col("within_budget"))
+      .agg(max(col("cell_size")).as("cap"), max(col("cum_pairs")).as("pp"))
+      .collect()(0)
+    val cap = if (pick.isNullAt(0)) 1L else pick.getLong(0)
+    val projected = if (pick.isNullAt(1)) 0L else pick.getLong(1)
+    onTuned(cap, projected)
+    knnGraphCells(emb, idCol, arrCol, centersLong, centerCol, k,
+      nProbe, math.min(cap, Int.MaxValue.toLong).toInt)
+  }
+
   /** Cell-gated k-NN GRAPH construction: every corpus point's top-k
     * cosine neighbors among points sharing any of its `nProbe` probed
     * centroid cells — the batch all-points analog of [[ivfTopK]]
@@ -490,33 +596,8 @@ object Similarity {
   def knnGraphCells(emb: DataFrame, idCol: String, arrCol: String,
                     centersLong: DataFrame, centerCol: String, k: Int,
                     nProbe: Int = 1, maxCell: Int = 1 << 16): DataFrame = {
-    import graft.mlops.{ClusterOps, NaiveBayesOps}
-    graft.plans.GraftExpressions.register(emb.sparkSession)
     require(k >= 1, s"k=$k must be positive")
-    // BOTH probe settings assign IN-ROW over the packed broadcast
-    // centroid table: nProbe=1 via the native graft_nearest_cell
-    // argmin, nProbe>1 via the graft_nearest_cells top-N (the
-    // long-form join it replaced emitted |corpus|·|cells|·d rows —
-    // ~65B at 500k×2048×64d, a 28-minute stage; the in-row form is
-    // seconds). Tie rule identical to min(struct(d2, cell)).
-    val cells =
-      if (nProbe == 1) {
-        val packed = centersLong
-          .groupBy(col(centerCol))
-          .agg(expr(
-            "transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
-            .as("cv"))
-          .agg(expr(
-            s"sort_array(collect_list(struct(CAST($centerCol AS BIGINT)" +
-              " AS cell, cv)))").as("_cells"))
-        emb.crossJoin(broadcast(packed))
-          .select(col(idCol),
-            expr(s"graft_nearest_cell(CAST($arrCol AS ARRAY<DOUBLE>), _cells)")
-              .as(centerCol))
-      } else
-        ClusterOps.assignToCentersTopN(emb, idCol, arrCol,
-          centersLong, centerCol, nProbe)
-          .select(col(idCol), col(centerCol))
+    val cells = assignCells(emb, idCol, arrCol, centersLong, centerCol, nProbe)
     // degenerate-cell guard runs on the ID-SIZED assignment, before
     // any vector is attached
     val okCells = cells.groupBy(col(centerCol))

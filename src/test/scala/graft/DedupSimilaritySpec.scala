@@ -751,6 +751,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
       bf.map(t => (t._1, t._2, t._3)).toSet)
   }
 
+  test("cellLoadHistogram: sizes, pair ledger, and the budget prefix") {
+    import spark.implicits._
+    // three well-separated clusters of sizes 2 / 3 / 5: one histogram
+    // row each, the pair ledger 2 → 8 → 28, and a budget of 10 splits
+    // the table after size 3
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(1.0, 0.1), 0),
+      (10L, Seq(0.0, 1.0), 1), (11L, Seq(0.1, 1.0), 1), (12L, Seq(0.2, 1.0), 1),
+      (20L, Seq(-1.0, 0.0), 2), (21L, Seq(-1.0, 0.1), 2),
+      (22L, Seq(-1.0, 0.2), 2), (23L, Seq(-1.0, 0.3), 2),
+      (24L, Seq(-1.0, 0.4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val hist = Similarity.cellLoadHistogram(emb, "vec_id", "embedding",
+        centers, "cell", pairBudget = 10L)
+      .orderBy(col("cell_size"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(hist === Seq(
+      (2L, 1L, 2L, 2L, true),
+      (3L, 1L, 6L, 8L, true),
+      (5L, 1L, 20L, 28L, false)))
+  }
+
+  test("knnGraphCellsBudget: picks the ledger cap, matches the manual knob") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(1.0, 0.1), 0),
+      (10L, Seq(0.0, 1.0), 1), (11L, Seq(0.1, 1.0), 1), (12L, Seq(0.2, 1.0), 1),
+      (20L, Seq(-1.0, 0.0), 2), (21L, Seq(-1.0, 0.1), 2),
+      (22L, Seq(-1.0, 0.2), 2), (23L, Seq(-1.0, 0.3), 2),
+      (24L, Seq(-1.0, 0.4), 2))
+      .toDF("vec_id", "embedding", "label")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Double)].collect().toSet
+    // budget 10 → cap 3 (cum 8 fits, the size-5 cell would push to 28):
+    // the size-5 cluster is dropped, exactly the manual maxCell=3 graph
+    var tuned = (0L, 0L)
+    val auto = Similarity.knnGraphCellsBudget(emb, "vec_id", "embedding",
+      centers, "cell", k = 2, pairBudget = 10L,
+      onTuned = (c, p) => tuned = (c, p))
+    assert(tuned === ((3L, 8L)))
+    assert(rows(auto) === rows(Similarity.knnGraphCells(emb, "vec_id",
+      "embedding", centers, "cell", k = 2, maxCell = 3)))
+    assert(rows(auto).nonEmpty && rows(auto).forall(_._1 < 20L))
+    // a generous budget keeps every cell — identical to the default knob
+    val all = Similarity.knnGraphCellsBudget(emb, "vec_id", "embedding",
+      centers, "cell", k = 2, pairBudget = 100L,
+      onTuned = (c, p) => tuned = (c, p))
+    assert(tuned === ((5L, 28L)))
+    assert(rows(all) === rows(Similarity.knnGraphCells(emb, "vec_id",
+      "embedding", centers, "cell", k = 2)))
+    // a budget below even the size-2 cells yields the EMPTY graph and
+    // reports cap=1 / zero projected pairs — the caller's signal to
+    // raise the budget or refine the centroids
+    val none = Similarity.knnGraphCellsBudget(emb, "vec_id", "embedding",
+      centers, "cell", k = 2, pairBudget = 1L,
+      onTuned = (c, p) => tuned = (c, p))
+    assert(tuned === ((1L, 0L)))
+    assert(rows(none).isEmpty)
+  }
+
   test("knnRefine: one NN-descent round lifts recall over the cell-gated graph") {
     import spark.implicits._
     graft.plans.GraftExpressions.register(spark)
