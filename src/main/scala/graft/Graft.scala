@@ -501,6 +501,27 @@ object Graft {
                     frames: Int = 16)
       : org.apache.spark.sql.Dataset[graft.multimodal.AudioEnvelope] =
     graft.multimodal.Multimodal.audioEnvelope(media, frames)
+  /** Container-level video metadata scan (AVI header walk / MP4 box
+    * walk) — map-side, frame bytes untouched (multimodal.Multimodal).
+    */
+  def videoMeta(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
+      : org.apache.spark.sql.Dataset[graft.multimodal.VideoMeta] =
+    graft.multimodal.Multimodal.videoMeta(media)
+  /** Every `stride`-th MJPEG-AVI frame, sliced + decoded + digested
+    * (multimodal.Multimodal).
+    */
+  def videoFrameFeatures(
+      media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+      stride: Int = 1)
+      : org.apache.spark.sql.Dataset[graft.multimodal.VideoFrameFeature] =
+    graft.multimodal.Multimodal.videoFrameFeatures(media, stride)
+  /** Videos sharing ≥ minShared distinct frame digests, hot-frame
+    * (boilerplate) gated (multimodal.Multimodal).
+    */
+  def videoNearDupPairs(frames: DataFrame, minShared: Int = 2,
+                        maxVideosPerFrame: Int = 1024): DataFrame =
+    graft.multimodal.Multimodal.videoNearDupPairs(frames, minShared,
+      maxVideosPerFrame)
   /** Exact triangle census (compact-forward) — see operators.Graph. */
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame =

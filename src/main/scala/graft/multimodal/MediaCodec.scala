@@ -63,6 +63,12 @@ object MediaCodec {
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
       p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
       decodeWav(p)
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ')
+      decodeAvi(p)
+    else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' &&
+      p(7) == 'p')
+      decodeMp4(p)
     else if (p(0) == 'P' && p(1) == '6') decodePpm(p)
     else if (isPngSignature(p)) decodePng(p)
     else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
@@ -150,6 +156,217 @@ object MediaCodec {
     if (blockAlign <= 0) return Unknown
     DecodedHeader("audio/wav", 0, 0, dataLen / blockAlign, channels, rate,
       dataOffset, dataLen)
+  }
+
+  /** AVI (RIFF form 'AVI '): the video-container twin of the WAV walk.
+    * `LIST hdrl` carries the MainAVIHeader (`avih`: frame count, canvas
+    * geometry) and one `strl` per stream (`strh`: fps as dwRate/dwScale
+    * for the 'vids' stream); `LIST movi` is the frame-chunk region —
+    * reported as the content slice so [[aviVideoFrames]] can address
+    * individual frames without re-walking the header. `sample_rate`
+    * carries the video fps (rounded), `channels` stays 0.
+    */
+  private def decodeAvi(p: Array[Byte]): DecodedHeader = {
+    var width = 0
+    var height = 0
+    var nFrames = 0L
+    var fps = 0
+    var moviOffset = -1
+    var moviLen = 0L
+    // top-level RIFF chunk walk; LIST chunks expose their form type in
+    // the first 4 data bytes
+    var off = 12
+    val end = math.min(p.length.toLong, 8L + le32(p, 4)).toInt
+    while (off + 8 <= end) {
+      val id = new String(p, off, 4, US_ASCII)
+      val size = le32(p, off + 4)
+      if (size < 0 || off + 8 + size.toLong > end) return Unknown
+      if (id == "LIST" && size >= 4) {
+        val form = new String(p, off + 8, 4, US_ASCII)
+        if (form == "hdrl") {
+          // nested walk of the header list only — avih + strl/strh
+          var ho = off + 12
+          val hend = off + 8 + size
+          while (ho + 8 <= hend) {
+            val hid = new String(p, ho, 4, US_ASCII)
+            val hsize = le32(p, ho + 4)
+            if (hsize < 0 || ho + 8 + hsize.toLong > hend) return Unknown
+            if (hid == "avih" && hsize >= 40) {
+              nFrames = le32(p, ho + 8 + 16).toLong & 0xffffffffL
+              width = le32(p, ho + 8 + 32)
+              height = le32(p, ho + 8 + 36)
+            } else if (hid == "LIST" && hsize >= 4 &&
+              new String(p, ho + 8, 4, US_ASCII) == "strl") {
+              var so = ho + 12
+              val send = ho + 8 + hsize
+              while (so + 8 <= send) {
+                val sid = new String(p, so, 4, US_ASCII)
+                val ssize = le32(p, so + 4)
+                if (ssize < 0 || so + 8 + ssize.toLong > send) return Unknown
+                if (sid == "strh" && ssize >= 36 &&
+                  new String(p, so + 8, 4, US_ASCII) == "vids") {
+                  val scale = le32(p, so + 8 + 20)
+                  val rate = le32(p, so + 8 + 24)
+                  if (scale > 0 && rate > 0)
+                    fps = math.round(rate.toDouble / scale).toInt
+                }
+                so += 8 + ssize + (ssize & 1)
+              }
+            }
+            ho += 8 + hsize + (hsize & 1)
+          }
+        } else if (form == "movi") {
+          moviOffset = off + 12
+          moviLen = (size - 4).toLong
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (width <= 0 || height <= 0 || moviOffset < 0) Unknown
+    else DecodedHeader("video/avi", width, height, nFrames, 0, fps,
+      moviOffset, moviLen)
+  }
+
+  /** The individual video-frame payloads of an MJPEG AVI: every `##dc`
+    * / `##db` chunk in the movi region, in stream order — each slice is
+    * a complete still-image stream (a full JPEG for MJPG). Malformed
+    * chunk sizes end the walk (totality over crawl garbage); non-video
+    * chunks (audio `##wb`, index) are skipped.
+    */
+  def aviVideoFrames(p: Array[Byte]): Seq[Array[Byte]] = {
+    val h = decode(p)
+    if (h.media_type != "video/avi") return Seq.empty
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = h.data_offset
+    val end = math.min(p.length.toLong, h.data_offset + h.data_len).toInt
+    while (off + 8 <= end) {
+      val id = new String(p, off, 4, US_ASCII)
+      val size = le32(p, off + 4)
+      if (size < 0 || off + 8 + size.toLong > end) return out.result()
+      if (id.length == 4 && id.charAt(0).isDigit && id.charAt(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db")))
+        out += java.util.Arrays.copyOfRange(p, off + 8, off + 8 + size)
+      off += 8 + size + (size & 1)
+    }
+    out.result()
+  }
+
+  // ---- MP4 (ISO base media file format) --------------------------------
+
+  private def be32u(p: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(p, off, 4).getInt.toLong & 0xffffffffL
+
+  /** Iterate the boxes of `[from, to)`, calling `f(type, dataOff,
+    * dataEnd)` per box. Returns false on a malformed size — the caller
+    * maps the whole payload to [[Unknown]] (strictness is safe: crawl
+    * garbage classifying as unknown is the conservative disposition).
+    * 64-bit largesize and size-0 ("to end of file") boxes are treated
+    * as malformed — our parse targets metadata boxes, all far below
+    * 4 GiB.
+    */
+  private def walkBoxes(p: Array[Byte], from: Int, to: Int)
+      (f: (String, Int, Int) => Unit): Boolean = {
+    var off = from
+    while (off + 8 <= to) {
+      val size = be32u(p, off)
+      if (size < 8 || off + size > to) return false
+      val btype = new String(p, off + 4, 4, US_ASCII)
+      f(btype, off + 8, (off + size).toInt)
+      off += size.toInt
+    }
+    true
+  }
+
+  /** MP4/ISO-BMFF metadata walk: `moov/mvhd` (timescale, duration),
+    * the VIDEO `trak`'s `tkhd` (16.16 fixed-point canvas), `stbl/stsz`
+    * (sample count = frame count), `stbl/stsd` (codec fourcc — carried
+    * in [[VideoStreamInfo]] via [[mp4Info]]). The mdat region is the
+    * content slice. This is the typed-metadata posture for codecs the
+    * engine does not decode (H.264/AAC): geometry, duration, and frame
+    * counts are queryable at scan time, payload stays opaque.
+    */
+  private def decodeMp4(p: Array[Byte]): DecodedHeader =
+    mp4Info(p) match {
+      case None => Unknown
+      case Some(i) => DecodedHeader("video/mp4", i.width, i.height,
+        i.n_frames, 0, i.timescale, i.data_offset, i.data_len)
+    }
+
+  /** Codec-aware MP4 fields beyond the uniform [[DecodedHeader]]. */
+  final case class VideoStreamInfo(
+      width: Int, height: Int, n_frames: Long, timescale: Int,
+      duration: Long, vcodec: String, data_offset: Int, data_len: Long)
+
+  def mp4Info(p: Array[Byte]): Option[VideoStreamInfo] = {
+    if (p == null || p.length < 12 ||
+      new String(p, 4, 4, US_ASCII) != "ftyp") return None
+    var timescale = 0
+    var duration = 0L
+    var width = 0
+    var height = 0
+    var nFrames = 0L
+    var vcodec = ""
+    var mdatOff = -1
+    var mdatLen = 0L
+    var ok = true
+    ok &= walkBoxes(p, 0, p.length) { (t, d0, d1) =>
+      t match {
+        case "moov" =>
+          ok &= walkBoxes(p, d0, d1) { (mt, m0, m1) =>
+            mt match {
+              case "mvhd" if m1 - m0 >= 20 && p(m0) == 0 =>
+                // version-0 fullbox: ctime/mtime then timescale+duration
+                timescale = be32u(p, m0 + 12).toInt
+                duration = be32u(p, m0 + 16)
+              case "trak" =>
+                var w = 0; var h = 0; var frames = 0L
+                var codec = ""; var isVideo = false
+                walkBoxes(p, m0, m1) { (tt, t0, t1) =>
+                  tt match {
+                    case "tkhd" if t1 - t0 >= 84 && p(t0) == 0 =>
+                      w = (be32u(p, t0 + 76) >> 16).toInt
+                      h = (be32u(p, t0 + 80) >> 16).toInt
+                    case "mdia" =>
+                      walkBoxes(p, t0, t1) { (dt, e0, e1) =>
+                        dt match {
+                          case "hdlr" if e1 - e0 >= 12 =>
+                            isVideo =
+                              new String(p, e0 + 8, 4, US_ASCII) == "vide"
+                          case "minf" =>
+                            walkBoxes(p, e0, e1) { (ft, g0, g1) =>
+                              if (ft == "stbl")
+                                walkBoxes(p, g0, g1) { (st, s0, s1) =>
+                                  st match {
+                                    case "stsz" if s1 - s0 >= 12 =>
+                                      frames = be32u(p, s0 + 8)
+                                    case "stsd" if s1 - s0 >= 16 =>
+                                      codec =
+                                        new String(p, s0 + 12, 4, US_ASCII)
+                                    case _ =>
+                                  }
+                                }
+                            }
+                          case _ =>
+                        }
+                      }
+                    case _ =>
+                  }
+                }
+                if (isVideo) {
+                  width = w; height = h; nFrames = frames; vcodec = codec
+                }
+              case _ =>
+            }
+          }
+        case "mdat" =>
+          mdatOff = d0
+          mdatLen = (d1 - d0).toLong
+        case _ =>
+      }
+    }
+    if (!ok || timescale <= 0 || width <= 0 || height <= 0) None
+    else Some(VideoStreamInfo(width, height, nFrames, timescale, duration,
+      vcodec, math.max(mdatOff, 0), mdatLen))
   }
 
   /** Binary PPM (P6): ASCII "P6", then width, height, maxval as decimal
@@ -386,6 +603,174 @@ object MediaCodec {
     putLe32(buf, data.length)
     buf.put(data)
     buf.array()
+  }
+
+  /** MJPEG AVI: a genuine RIFF/AVI mux of complete JPEG still frames —
+    * `LIST hdrl` (avih + one 'vids'/'MJPG' strl), `LIST movi` with one
+    * word-aligned `00dc` chunk per frame, and a standard AVI 1.0 `idx1`
+    * (offsets relative to the movi form fourcc, keyframe-flagged — MJPEG
+    * frames are all intra). fps rides dwRate/dwScale = fps/1. Decoders
+    * that read AVI (this file's [[decodeAvi]] walk included) see real
+    * geometry and can slice every frame back out byte-identical.
+    */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty,
+      s"bad AVI params ${width}x$height fps=$fps frames=${frames.length}")
+    def padded(n: Int): Int = n + (n & 1)
+    val moviData = 4 + frames.map(f => 8 + padded(f.length)).sum
+    val idx1Data = 16 * frames.length
+    val strlData = 4 + 8 + 56 + 8 + 40
+    val hdrlData = 4 + 8 + 56 + 8 + strlData
+    val riffData = 4 + 8 + hdrlData + 8 + moviData + 8 + idx1Data
+    val buf = ByteBuffer.allocate(8 + riffData)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes(US_ASCII))
+    fourcc("RIFF"); putLe32(buf, riffData); fourcc("AVI ")
+    fourcc("LIST"); putLe32(buf, hdrlData); fourcc("hdrl")
+    fourcc("avih"); putLe32(buf, 56)
+    putLe32(buf, 1000000 / fps)           // dwMicroSecPerFrame
+    putLe32(buf, 0); putLe32(buf, 0)      // maxBytesPerSec, padding
+    putLe32(buf, 0x10)                    // AVIF_HASINDEX
+    putLe32(buf, frames.length)           // dwTotalFrames
+    putLe32(buf, 0); putLe32(buf, 1)      // initialFrames, dwStreams
+    putLe32(buf, 0)                       // suggestedBufferSize
+    putLe32(buf, width); putLe32(buf, height)
+    (0 until 4).foreach(_ => putLe32(buf, 0)) // dwReserved
+    fourcc("LIST"); putLe32(buf, strlData); fourcc("strl")
+    fourcc("strh"); putLe32(buf, 56)
+    fourcc("vids"); fourcc("MJPG")
+    putLe32(buf, 0)                       // dwFlags
+    putLe32(buf, 0)                       // wPriority + wLanguage
+    putLe32(buf, 0)                       // dwInitialFrames
+    putLe32(buf, 1)                       // dwScale
+    putLe32(buf, fps)                     // dwRate
+    putLe32(buf, 0)                       // dwStart
+    putLe32(buf, frames.length)           // dwLength (frames)
+    putLe32(buf, 0); putLe32(buf, -1)     // bufferSize, quality
+    putLe32(buf, 0)                       // dwSampleSize (varies)
+    buf.putShort(0.toShort); buf.putShort(0.toShort)   // rcFrame l,t
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    fourcc("strf"); putLe32(buf, 40)
+    putLe32(buf, 40)                      // biSize
+    putLe32(buf, width); putLe32(buf, height)
+    buf.putShort(1.toShort); buf.putShort(24.toShort)  // planes, bpp
+    fourcc("MJPG")                        // biCompression
+    putLe32(buf, width * height * 3)      // biSizeImage
+    putLe32(buf, 0); putLe32(buf, 0)      // x/y pels per meter
+    putLe32(buf, 0); putLe32(buf, 0)      // clrUsed, clrImportant
+    fourcc("LIST"); putLe32(buf, moviData)
+    val moviFormPos = buf.position()
+    fourcc("movi")
+    val offsets = frames.map { f =>
+      val rel = buf.position() - moviFormPos
+      fourcc("00dc"); putLe32(buf, f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+      rel
+    }
+    fourcc("idx1"); putLe32(buf, idx1Data)
+    frames.zip(offsets).foreach { case (f, rel) =>
+      fourcc("00dc")
+      putLe32(buf, 0x10)                  // AVIIF_KEYFRAME
+      putLe32(buf, rel)
+      putLe32(buf, f.length)
+    }
+    buf.array()
+  }
+
+  /** Minimal valid ISO-BMFF MP4: ftyp('isom') + moov(mvhd, one video
+    * trak with tkhd 16.16 geometry, mdia(mdhd/hdlr'vide'/minf(stbl(stsd
+    * 'avc1' visual sample entry, stts, stsz per-sample sizes, stco)))) +
+    * mdat carrying `data`. The H.264 bitstream itself is NOT claimed —
+    * the mdat payload is opaque, exactly the typed-metadata posture
+    * real pipelines take for codecs they do not decode: every metadata
+    * field ([[mp4Info]] reads them back) is genuine, the frame bytes
+    * are whatever the caller supplies. Samples split `data` evenly
+    * (first samples 1 byte longer when it does not divide).
+    */
+  def encodeMp4Shell(width: Int, height: Int, timescale: Int,
+                     duration: Long, nSamples: Int,
+                     data: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && nSamples > 0,
+      s"bad MP4 params ${width}x$height ts=$timescale n=$nSamples")
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+        v.toByte)
+    def box(btype: String)(body: => Array[Byte]): Array[Byte] = {
+      val b = body
+      be32(8 + b.length) ++ btype.getBytes(US_ASCII) ++ b
+    }
+    val sampleSizes = {
+      val base = data.length / nSamples
+      val extra = data.length % nSamples
+      (0 until nSamples).map(i => if (i < extra) base + 1 else base)
+    }
+    val ftyp = box("ftyp")(
+      "isom".getBytes(US_ASCII) ++ be32(0) ++ "isom".getBytes(US_ASCII))
+    val mvhd = box("mvhd")(
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(duration.toInt) ++ be32(0x00010000) ++
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        // identity matrix
+        be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000) ++
+        new Array[Byte](24) ++ be32(2))            // next_track_ID
+    val tkhd = box("tkhd")(
+      be32(3) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(duration.toInt) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++                      // layer..volume+pad
+        be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000) ++
+        be32(width << 16) ++ be32(height << 16))
+    val mdhd = box("mdhd")(
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(duration.toInt) ++ Array[Byte](0x55, (0xc4 & 0xff).toByte) ++
+        Array[Byte](0, 0))
+    val hdlr = box("hdlr")(
+      be32(0) ++ be32(0) ++ "vide".getBytes(US_ASCII) ++
+        new Array[Byte](12) ++ Array[Byte](0))
+    val stsd = box("stsd")(be32(0) ++ be32(1) ++ box("avc1") {
+      new Array[Byte](6) ++ Array[Byte](0, 1) ++    // data_ref_index
+        new Array[Byte](16) ++                      // pre_defined/reserved
+        Array[Byte]((width >> 8).toByte, width.toByte,
+          (height >> 8).toByte, height.toByte) ++
+        be32(0x00480000) ++ be32(0x00480000) ++     // 72 dpi
+        be32(0) ++ Array[Byte](0, 1) ++             // frame_count = 1
+        new Array[Byte](32) ++                      // compressorname
+        Array[Byte](0, 24) ++ Array[Byte](-1, -1)   // depth, pre_defined
+    })
+    val stts = box("stts")(
+      be32(0) ++ be32(1) ++ be32(nSamples) ++
+        be32(math.max(1, (duration / nSamples).toInt)))
+    val stsz = box("stsz")(
+      be32(0) ++ be32(0) ++ be32(nSamples) ++
+        sampleSizes.flatMap(be32).toArray)
+    // stco chunk offset = absolute mdat data position: everything
+    // before mdat's payload is ftyp + moov + mdat header
+    val stblNoStco = stsd ++ stts ++ stsz
+    def assemble(stcoOff: Int): (Array[Byte], Int) = {
+      val stco = box("stco")(be32(0) ++ be32(1) ++ be32(stcoOff))
+      val stbl = box("stbl")(stblNoStco ++ stco)
+      val dinf = box("dinf")(box("dref")(
+        be32(0) ++ be32(1) ++ box("url ")(be32(1))))
+      val vmhd = box("vmhd")(be32(1) ++ new Array[Byte](8))
+      val minf = box("minf")(vmhd ++ dinf ++ stbl)
+      val mdia = box("mdia")(mdhd ++ hdlr ++ minf)
+      val trak = box("trak")(tkhd ++ mdia)
+      val moov = box("moov")(mvhd ++ trak)
+      (moov, ftyp.length + moov.length + 8)
+    }
+    // moov length does not depend on the stco VALUE (fixed 4-byte
+    // field) — assemble once with 0 to learn the offset, then for real
+    val (probe, realOff) = assemble(0)
+    val (moov, _) = assemble(realOff)
+    assert(moov.length == probe.length)
+    out.write(ftyp); out.write(moov)
+    out.write(box("mdat")(data))
+    out.toByteArray
   }
 
   /** PNG (8-bit grayscale IHDR) wrapping `data` as the IDAT stream. The

@@ -49,6 +49,34 @@ final case class DownsampledImage(
     px_sum: Long,
     raster_hash: String)
 
+/** Container-level video metadata — one row per payload, every field
+  * read from the actual container bytes (RIFF/AVI header walk or ISO
+  * BMFF box walk). `rate` is the AVI fps / the MP4 movie timescale;
+  * `frames_walked` is the number of video-frame chunks the movi walk
+  * actually finds for AVI (a header-vs-content cross-check), 0 for MP4
+  * where frames stay opaque inside mdat.
+  */
+final case class VideoMeta(
+    doc_id: Long,
+    container: String,
+    width: Int,
+    height: Int,
+    n_frames: Long,
+    rate: Int,
+    frames_walked: Long)
+
+/** One sampled video frame: container-relative index, the frame's OWN
+  * decoded geometry (MJPEG frames are complete JPEGs), and a digest of
+  * the frame bytes for exact frame-level dedup across videos.
+  */
+final case class VideoFrameFeature(
+    doc_id: Long,
+    frame_idx: Int,
+    width: Int,
+    height: Int,
+    decode_ok: Boolean,
+    frame_hash: String)
+
 final case class ImageAHash(
     doc_id: Long,
     media_type: String,
@@ -286,6 +314,161 @@ object Multimodal {
             MediaRecord(id, payload, "image/jpeg")
         }
       }
+  }
+
+  /** Wrap a text corpus as genuine VIDEO containers: even doc_ids
+    * become MJPEG AVIs whose frames are REAL baseline JPEGs (encoded by
+    * [[JpegCodec]] from rasters derived deterministically from the text
+    * bytes), odd doc_ids become MP4 shells with genuine box-level
+    * metadata and an opaque mdat (the honest posture for codecs the
+    * engine does not decode). Geometry is length-derived so an SQL
+    * oracle recomputes every metadata field from `documents`:
+    *   AVI (id%2=0): frame w = 8 + n%25, h = max(1, ceil(n/w)),
+    *                 frames = 2 + n%4, fps = 6 + n%24; frame f's grey
+    *                 raster is a 64-pixel avalanche-mixed marker seeded
+    *                 on (hash(text), f) followed by the text bytes
+    *                 rotated by f. The random-valued marker makes
+    *                 frames byte-distinct within a video AND across
+    *                 different texts (quantization cannot collapse 64
+    *                 uncorrelated pixels), while equal-text docs
+    *                 produce identical frame SETS — the planted
+    *                 structure the frame-level dedup queries recover
+    *   MP4 (id%2=1): w = 16 + n%101, h = 16 + n%59, timescale = 600,
+    *                 duration = 100·(1 + n%50), samples = 1 + n%30
+    */
+  def encodeVideoCorpus(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val projected = docs.select(col("doc_id").cast("long"), col("text"))
+    val balanced =
+      if (docs.inputFiles.length < par) projected.repartition(par)
+      else projected
+    balanced.as[(Long, String)].map { case (id, text) =>
+      val data = Option(text).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = data.length
+      if (id % 2 == 0) {
+        val w = 8 + n % 25
+        val h = math.max(1, (n + w - 1) / w)
+        val nf = 2 + n % 4
+        // FNV-1a over the text bytes: the marker prefix below must be
+        // a function of the WHOLE content, not just its length —
+        // small frames (w·h ≤ 64) are all marker, and a length-only
+        // marker made same-length different-text docs share frames
+        var contentHash = 0x811c9dc5
+        var ci = 0
+        while (ci < n) {
+          contentHash = (contentHash ^ (data(ci) & 0xff)) * 0x01000193
+          ci += 1
+        }
+        val frames = (0 until nf).map { f =>
+          val seed = contentHash * 31 + f
+          val raster = Array.tabulate(w * h) { j =>
+            if (j < 64) {
+              // avalanche mix of (seed, j): any text difference flips
+              // the whole 64-pixel marker, so distinct texts can never
+              // quantize-collapse to identical JPEG frames, and frame
+              // index f keeps frames distinct WITHIN a video
+              var v = seed ^ (j * 0x9E3779B9)
+              v *= 0x85EBCA6B
+              v ^= v >>> 13
+              v.toByte
+            } else if (n > 0) data((j - 64 + f) % n)
+            else 0.toByte
+          }
+          JpegCodec.encodeGray(w, h, raster)
+        }
+        MediaRecord(id, MediaCodec.encodeAviMjpeg(w, h, 6 + n % 24, frames),
+          "video/avi")
+      } else
+        MediaRecord(id, MediaCodec.encodeMp4Shell(16 + n % 101, 16 + n % 59,
+          timescale = 600, duration = 100L * (1 + n % 50),
+          nSamples = 1 + n % 30, data = data), "video/mp4")
+    }
+  }
+
+  /** Container-level metadata scan over a video corpus: one map-side
+    * pass, no shuffle — the 100 TB shape is "parse headers at scan
+    * time, never touch frame bytes you don't need". For AVI the movi
+    * walk also counts the actual frame chunks (`frames_walked`), so a
+    * header/content mismatch (truncated tail, lying index) is a
+    * queryable fact rather than a downstream surprise.
+    */
+  def videoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      val h = MediaCodec.decode(m.payload)
+      val walked =
+        if (h.media_type == "video/avi")
+          MediaCodec.aviVideoFrames(m.payload).length.toLong
+        else 0L
+      VideoMeta(m.doc_id, h.media_type, h.width, h.height, h.n_frames,
+        h.sample_rate, walked)
+    }
+  }
+
+  /** Frame sampling over MJPEG AVI payloads: every `stride`-th frame
+    * chunk is sliced out of the movi region and decoded as the complete
+    * JPEG it is — geometry from ITS OWN SOF header, frame-bytes digest
+    * for exact cross-video frame dedup. Non-AVI payloads contribute no
+    * rows (MP4 frames are opaque — see [[videoMeta]]). This is the real
+    * row-explosion stage [[sampleFrames]] stubs: output rows =
+    * Σ ceil(n_frames/stride), each carrying a decoded frame, payloads
+    * never duplicated beyond the emitted slices.
+    */
+  def videoFrameFeatures(media: Dataset[MediaRecord],
+                         stride: Int = 1): Dataset[VideoFrameFeature] = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val frames = MediaCodec.aviVideoFrames(m.payload)
+        (0 until frames.length by stride).iterator.map { i =>
+          val fb = frames(i)
+          digest.reset()
+          digest.update(fb)
+          val hash = digest.digest().map(b => f"${b & 0xff}%02x").mkString
+          JpegCodec.decodeGray(fb) match {
+            case Some((fw, fh, _)) =>
+              VideoFrameFeature(m.doc_id, i, fw, fh, decode_ok = true, hash)
+            case None =>
+              VideoFrameFeature(m.doc_id, i, 0, 0, decode_ok = false, hash)
+          }
+        }
+      }
+    }
+  }
+
+  /** Frame-level video near-dup: videos sharing at least `minShared`
+    * DISTINCT frame digests (re-encodes, re-containerizations, and
+    * clip-with-shared-footage all surface; a frame repeated within one
+    * video counts once). Hash-keyed equi-join — linear in Σ per-frame
+    * group², never |videos|². Frames appearing in more than
+    * `maxVideosPerFrame` videos are dropped before the join: ubiquitous
+    * boilerplate (black frames, intro cards) is the stop-word of frame
+    * space, and one such frame would otherwise quadratically own the
+    * stage — same posture as the hot-shingle gate in text dedup.
+    */
+  def videoNearDupPairs(frames: DataFrame, minShared: Int = 2,
+                        maxVideosPerFrame: Int = 1024): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val vf = frames.select(col("doc_id"), col("frame_hash")).distinct()
+    val hot = vf.groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("_nv"))
+      .where(col("_nv") > maxVideosPerFrame)
+      .select(col("frame_hash"))
+    val cold = vf.join(hot, Seq("frame_hash"), "left_anti")
+    cold.select(col("frame_hash"), col("doc_id").as("a_id"))
+      .join(cold.select(col("frame_hash"), col("doc_id").as("b_id")),
+        Seq("frame_hash"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
   }
 
   /** The raster formats whose CONTENT region is addressable as pixels

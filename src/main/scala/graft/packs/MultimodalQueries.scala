@@ -39,6 +39,44 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // VIDEO metadata scan: genuine MJPEG-AVI / MP4 containers, every
+    // field read back from the container bytes (RIFF header walk, ISO
+    // BMFF box walk); frames_walked cross-checks the AVI movi region
+    // against the declared frame count.
+    "multimodal_video_meta" -> ((s, dir) => {
+      val media = Multimodal.encodeVideoCorpus(
+        Tables(s, dir).documents.where(col("doc_id") < 400))
+      Multimodal.videoMeta(media).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // VIDEO frame sampling: every 2nd MJPEG frame sliced from the movi
+    // region and decoded as the complete JPEG it is — geometry from
+    // each frame's own SOF header, literal decode_ok.
+    "multimodal_video_frames" -> ((s, dir) => {
+      val media = Multimodal.encodeVideoCorpus(
+        Tables(s, dir).documents.where(col("doc_id") < 400))
+      Multimodal.videoFrameFeatures(media, stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("decode_ok"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Frame-level video near-dup over frame digests: the corpus plus a
+    // re-ingested copy (doc_id + 100000, same text ⇒ byte-identical
+    // frame sets). Recovered pairs = every equal-text pair across the
+    // widened corpus — planted twins AND any natural text duplicates —
+    // each sharing all 2 + n%4 of its frames.
+    "multimodal_video_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .where(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+      val again = docs.withColumn("doc_id", col("doc_id") + 100000)
+      val media = Multimodal.encodeVideoCorpus(docs.unionByName(again))
+      val frames = Multimodal.videoFrameFeatures(media, stride = 1).toDF()
+      Multimodal.videoNearDupPairs(frames, minShared = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Aspect-preserving resize geometry for a 224-box over the PARSED
     // image dimensions (audio rows have no geometry and are excluded).
     "multimodal_resize_fit" -> ((s, dir) => {
@@ -302,6 +340,66 @@ object MultimodalQueries extends QueryPack {
         |  true AS within_tol
         |FROM g
         |ORDER BY doc_id""".stripMargin,
+
+    // Container-geometry replay from documents: every field of both
+    // video strata is a pure function of the text byte length and the
+    // doc_id parity stratum; frames_walked literally equals the
+    // declared frame count for AVI (the movi walk must find them all).
+    "multimodal_video_meta" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'video/avi'
+        |       ELSE 'video/mp4' END AS container,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + n % 25
+        |            ELSE 16 + n % 101 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN greatest(1, (n + (8 + n % 25) - 1) // (8 + n % 25))
+        |            ELSE 16 + n % 59 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + n % 4
+        |            ELSE 1 + n % 30 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 6 + n % 24
+        |            ELSE 600 END AS INT) AS rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + n % 4
+        |            ELSE 0 END AS BIGINT) AS frames_walked
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Sampled-frame replay: indices 0,2,… below the frame count, each
+    // frame's SOF geometry equal to the encode geometry, decode_ok
+    // literally true (the frames are this engine's own baseline JPEGs).
+    "multimodal_video_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 2 = 0),
+        |f AS (
+        |  SELECT doc_id, n, unnest(range(0, 2 + n % 4, 2)) AS frame_idx
+        |  FROM g)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(8 + n % 25 AS INT) AS width,
+        |  CAST(greatest(1, (n + (8 + n % 25) - 1) // (8 + n % 25)) AS INT)
+        |    AS height,
+        |  true AS decode_ok
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Frame sets are a pure function of the text, so the recovered
+    // near-dup pairs are exactly the equal-text pairs of the widened
+    // corpus, each sharing all 2 + n%4 of its (always byte-distinct)
+    // frames. Null-safe text equality: two null-text docs produce
+    // identical all-marker frames.
+    "multimodal_video_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+        |u AS (
+        |  SELECT doc_id, text, n FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, n FROM d)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(2 + a.n % 4 AS BIGINT) AS shared_frames
+        |FROM u a JOIN u b
+        |  ON a.text IS NOT DISTINCT FROM b.text AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Mirrors encodeCorpus's length-derived container geometry (ascii
     // corpus ⇒ utf-8 bytes == chars, so the content region == text and

@@ -479,6 +479,93 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.n_frames === 2L && h.data_len === 4L) // 1ch*16bit frames
   }
 
+  test("MJPEG AVI round trip: header walk, frame slicing, frames decode") {
+    import graft.multimodal.JpegCodec
+    val (w, h) = (24, 16)
+    val frames = (0 until 3).map { f =>
+      val grey = Array.tabulate(w * h)(i => ((i * 7 + f * 31) % 251).toByte)
+      JpegCodec.encodeGray(w, h, grey)
+    }
+    val avi = MediaCodec.encodeAviMjpeg(w, h, fps = 12, frames)
+    val hdr = MediaCodec.decode(avi)
+    assert(hdr.media_type === "video/avi")
+    assert(hdr.width === w && hdr.height === h)
+    assert(hdr.n_frames === 3L && hdr.sample_rate === 12)
+    // every frame slices back byte-identical and is itself a decodable JPEG
+    val sliced = MediaCodec.aviVideoFrames(avi)
+    assert(sliced.length === 3)
+    sliced.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want))
+      val dec = JpegCodec.decodeGray(got)
+      assert(dec.isDefined && dec.get._1 === w && dec.get._2 === h)
+    }
+    // a WAV is still a WAV: the RIFF dispatch keys on the form type
+    assert(MediaCodec.decode(MediaCodec.encodeWav(1, 8000, 16, data))
+      .media_type === "audio/wav")
+    // truncation is total: garbage in, Unknown out, no exception
+    assert(MediaCodec.decode(avi.slice(0, 40)).media_type === "unknown")
+    assert(MediaCodec.aviVideoFrames(avi.slice(0, 40)).isEmpty)
+  }
+
+  test("MP4 shell: box walk reads back geometry, codec, samples; mdat opaque") {
+    val payload = "not real h264, and never claimed to be".getBytes(UTF_8)
+    val mp4 = MediaCodec.encodeMp4Shell(width = 320, height = 180,
+      timescale = 600, duration = 1800, nSamples = 5, data = payload)
+    val hdr = MediaCodec.decode(mp4)
+    assert(hdr.media_type === "video/mp4")
+    assert(hdr.width === 320 && hdr.height === 180)
+    assert(hdr.n_frames === 5L && hdr.sample_rate === 600)
+    assert(hdr.data_len === payload.length.toLong)
+    val info = MediaCodec.mp4Info(mp4).get
+    assert(info.vcodec === "avc1" && info.duration === 1800L)
+    // the mdat slice is the payload verbatim
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(mp4, hdr.data_offset,
+        hdr.data_offset + hdr.data_len.toInt), payload))
+    // totality: truncated box sizes classify unknown, never throw
+    assert(MediaCodec.decode(mp4.slice(0, 60)).media_type === "unknown")
+    assert(MediaCodec.mp4Info("ftypnope".getBytes(US_ASCII)).isEmpty)
+  }
+
+  test("video pipeline: meta scan, stride sampling, planted near-dup, hot-frame gate") {
+    import graft.multimodal.MediaRecord
+    val docs = Seq(
+      (0L, "shared footage shared footage shared footage!"),
+      (2L, "completely different reel of text here........"),  // same length as 0
+      (4L, "short"),
+      (100L, "shared footage shared footage shared footage!"), // twin of 0
+      (1L, "an mp4 side doc")).toDF("doc_id", "text")
+    val media = Multimodal.encodeVideoCorpus(docs)
+    // meta: every field a function of (parity, n); AVI walk finds all frames
+    val meta = Multimodal.videoMeta(media).collect().map(m => m.doc_id -> m).toMap
+    val n0 = 45
+    assert(meta(0L).container === "video/avi")
+    assert(meta(0L).width === 8 + n0 % 25 && meta(0L).n_frames === 2 + n0 % 4)
+    assert(meta(0L).frames_walked === meta(0L).n_frames)
+    assert(meta(1L).container === "video/mp4" && meta(1L).frames_walked === 0L)
+    // stride-2 sampling: indices 0,2,… and every sampled frame decodes
+    val sampled = Multimodal.videoFrameFeatures(media, stride = 2).collect()
+    assert(sampled.forall(f => f.frame_idx % 2 == 0 && f.decode_ok))
+    assert(sampled.count(_.doc_id == 0L) ===
+      (meta(0L).n_frames.toInt + 1) / 2)
+    // frames within one video are byte-distinct; equal-text twins share
+    // ALL frames; different-text same-length docs share none
+    val all = Multimodal.videoFrameFeatures(media, stride = 1).toDF()
+    val byDoc = all.select("doc_id", "frame_hash").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(byDoc(0L).size.toLong === meta(0L).n_frames)
+    assert(byDoc(0L) === byDoc(100L))
+    assert(byDoc(0L).intersect(byDoc(2L)).isEmpty)
+    val pairs = Multimodal.videoNearDupPairs(all, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 100L, meta(0L).n_frames)))
+    // hot-frame gate: a frame present in more videos than the cap is a
+    // stop-word — with the cap below the twin multiplicity no pair
+    // survives (the shared frames are exactly the ubiquitous ones)
+    assert(Multimodal.videoNearDupPairs(all, minShared = 2,
+      maxVideosPerFrame = 1).collect().isEmpty)
+  }
+
   test("PPM round trip, comments, and malformed headers") {
     val ppm = MediaCodec.encodePpm(320, 200, data)
     val h = MediaCodec.decode(ppm)
