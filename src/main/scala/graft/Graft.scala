@@ -522,6 +522,13 @@ object Graft {
                         maxVideosPerFrame: Int = 1024): DataFrame =
     graft.multimodal.Multimodal.videoNearDupPairs(frames, minShared,
       maxVideosPerFrame)
+  /** Maximal runs of consecutive shared frames between video pairs —
+    * clip-level dedup with start offsets (multimodal.Multimodal).
+    */
+  def videoSharedClips(frames: DataFrame, minRun: Int = 2,
+                       maxVideosPerFrame: Int = 1024): DataFrame =
+    graft.multimodal.Multimodal.videoSharedClips(frames, minRun,
+      maxVideosPerFrame)
   /** Exact triangle census (compact-forward) — see operators.Graph. */
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame =

@@ -3,6 +3,7 @@ package graft.multimodal
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Opaque media record: bytes + typed metadata. The Spark-side contract
@@ -336,7 +337,8 @@ object Multimodal {
     *   MP4 (id%2=1): w = 16 + n%101, h = 16 + n%59, timescale = 600,
     *                 duration = 100·(1 + n%50), samples = 1 + n%30
     */
-  def encodeVideoCorpus(docs: DataFrame): Dataset[MediaRecord] = {
+  def encodeVideoCorpus(docs: DataFrame,
+                        frameSeedOffset: Int = 0): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
@@ -362,7 +364,12 @@ object Multimodal {
           contentHash = (contentHash ^ (data(ci) & 0xff)) * 0x01000193
           ci += 1
         }
-        val frames = (0 until nf).map { f =>
+        // frame CONTENT is a pure function of (text, f + offset): two
+        // corpora encoded with offsets differing by d overlap in
+        // nf − |d| frames — the planted partial-clip structure the
+        // shared-clip detector recovers
+        val frames = (0 until nf).map { fi =>
+          val f = fi + frameSeedOffset
           val seed = contentHash * 31 + f
           val raster = Array.tabulate(w * h) { j =>
             if (j < 64) {
@@ -469,6 +476,52 @@ object Multimodal {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared_frames"))
       .where(col("shared_frames") >= minShared)
+  }
+
+  /** Shared-CLIP detection: maximal runs of consecutive frames two
+    * videos share (same digests, same order, same spacing) — the
+    * sequence-aware upgrade of [[videoNearDupPairs]]. A re-upload
+    * containing a clip of another video surfaces as one row per shared
+    * clip with both start offsets and the run length; frame-COUNT
+    * overlap alone cannot tell a clip from scattered boilerplate hits.
+    *
+    * Shape: hash-keyed join to matched index pairs (hot-frame gated,
+    * like the pair counter), then gaps-and-islands per (a, b, index
+    * offset): consecutive a-indices at a fixed a−b offset belong to one
+    * island (`a_idx − row_number` is constant exactly on consecutive
+    * runs). The window partitions by (pair, offset) — cardinality is
+    * matched-pair-sized, never corpus-sized. Requires stride-1 frame
+    * features (sampling gaps would split every run).
+    */
+  def videoSharedClips(frames: DataFrame, minRun: Int = 2,
+                       maxVideosPerFrame: Int = 1024): DataFrame = {
+    require(minRun >= 1, s"minRun=$minRun must be >= 1")
+    // one index per (video, digest): a frame repeated within a video
+    // keeps its first position, so islands stay well-defined
+    val vf = frames.groupBy(col("doc_id"), col("frame_hash"))
+      .agg(min(col("frame_idx")).as("frame_idx"))
+    val hot = vf.groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("_nv"))
+      .where(col("_nv") > maxVideosPerFrame)
+      .select(col("frame_hash"))
+    val cold = vf.join(hot, Seq("frame_hash"), "left_anti")
+    val matched = cold
+      .select(col("frame_hash"), col("doc_id").as("a_id"),
+        col("frame_idx").as("a_idx"))
+      .join(cold.select(col("frame_hash"), col("doc_id").as("b_id"),
+        col("frame_idx").as("b_idx")), Seq("frame_hash"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("_off", col("a_idx") - col("b_idx"))
+    val wIsl = Window.partitionBy(col("a_id"), col("b_id"), col("_off"))
+      .orderBy(col("a_idx"))
+    matched
+      .withColumn("_island", col("a_idx") - row_number().over(wIsl))
+      .groupBy(col("a_id"), col("b_id"), col("_off"), col("_island"))
+      .agg(min(col("a_idx")).as("a_start"), min(col("b_idx")).as("b_start"),
+        count(lit(1)).as("run_len"))
+      .where(col("run_len") >= minRun)
+      .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"),
+        col("run_len"))
   }
 
   /** The raster formats whose CONTENT region is addressable as pixels

@@ -77,6 +77,23 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Shared-CLIP detection: the corpus plus a copy whose frame seeds
+    // shift by one (a re-upload starting one frame in) — every
+    // equal-text pair shares a contiguous nf−|Δoffset| run, recovered
+    // with both start offsets by the gaps-and-islands pass.
+    "multimodal_video_clips" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .where(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+      val orig = Multimodal.encodeVideoCorpus(docs)
+      val shifted = Multimodal.encodeVideoCorpus(
+        docs.withColumn("doc_id", col("doc_id") + 100000),
+        frameSeedOffset = 1)
+      val frames = Multimodal.videoFrameFeatures(
+        orig.union(shifted), stride = 1).toDF()
+      Multimodal.videoSharedClips(frames, minRun = 2)
+        .orderBy(col("a_id"), col("b_id"), col("a_start"))
+    }),
+
     // Aspect-preserving resize geometry for a 224-box over the PARSED
     // image dimensions (audio rows have no geometry and are excluded).
     "multimodal_resize_fit" -> ((s, dir) => {
@@ -400,6 +417,31 @@ object MultimodalQueries extends QueryPack {
         |FROM u a JOIN u b
         |  ON a.text IS NOT DISTINCT FROM b.text AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Clip replay: frame content is a pure function of (text, seed), so
+    // two videos overlap in exactly nf − |off_a − off_b| consecutive
+    // frames when their texts match — one island per pair, start
+    // offsets from the offset difference. a_start/b_start are INTs on
+    // the engine side (frame indices), run_len a count.
+    "multimodal_video_clips" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+        |u AS (
+        |  SELECT doc_id, text, n, 0 AS off FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, n, 1 AS off FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    2 + a.n % 4 AS nf, a.off AS offa, b.off AS offb
+        |  FROM u a JOIN u b
+        |    ON a.text IS NOT DISTINCT FROM b.text AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  CAST(greatest(0, offb - offa) AS INT) AS a_start,
+        |  CAST(greatest(0, offa - offb) AS INT) AS b_start,
+        |  CAST(nf - abs(offa - offb) AS BIGINT) AS run_len
+        |FROM p WHERE nf - abs(offa - offb) >= 2
+        |ORDER BY a_id, b_id, a_start""".stripMargin,
 
     // Mirrors encodeCorpus's length-derived container geometry (ascii
     // corpus ⇒ utf-8 bytes == chars, so the content region == text and

@@ -566,6 +566,37 @@ class MultimodalSpec extends AnyFunSuite {
       maxVideosPerFrame = 1).collect().isEmpty)
   }
 
+  test("videoSharedClips: islands separate contiguous clips from scattered hits") {
+    // synthetic frame table — the operator is pure dataframe logic over
+    // (doc_id, frame_idx, frame_hash); hashes stand in for digests.
+    // video 1 vs 2: frames 2..4 of 1 appear at 0..2 of 2 (one clip),
+    // plus an isolated shared frame at (7, 9) — island of 1, dropped.
+    // video 1 vs 3: same THREE hashes but scattered (0,3,6) — every
+    // island is length 1 at a different offset, so no clip row.
+    val rows = Seq(
+      (1L, 0, "u0"), (1L, 1, "u1"), (1L, 2, "A"), (1L, 3, "B"),
+      (1L, 4, "C"), (1L, 5, "u5"), (1L, 6, "u6"), (1L, 7, "X"),
+      (2L, 0, "A"), (2L, 1, "B"), (2L, 2, "C"), (2L, 3, "v3"),
+      (2L, 9, "X"),
+      (3L, 0, "A"), (3L, 3, "B"), (3L, 6, "C"))
+      .toDF("doc_id", "frame_idx", "frame_hash")
+    val clips = Multimodal.videoSharedClips(rows, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    assert(clips.toSeq === Seq((1L, 2L, 2, 0, 3L)))
+    // minRun = 1 also surfaces the isolated hit and the scattered
+    // singles — count-level overlap, no longer clip-shaped
+    val loose = Multimodal.videoSharedClips(rows, minRun = 1)
+      .collect()
+    // (1,2): the clip + isolated X; (1,3) and (2,3): three scattered
+    // singles each — A/B/C land at pairwise-different offsets
+    assert(loose.length === 2 + 3 + 3)
+    // the ubiquitous-frame gate drops hashes shared too widely: with a
+    // cap of 1 every shared hash is boilerplate and nothing survives
+    assert(Multimodal.videoSharedClips(rows, minRun = 1,
+      maxVideosPerFrame = 1).collect().isEmpty)
+  }
+
   test("PPM round trip, comments, and malformed headers") {
     val ppm = MediaCodec.encodePpm(320, 200, data)
     val h = MediaCodec.decode(ppm)
