@@ -489,6 +489,40 @@ object StressBench {
         }
       }.filter(_ > 0).count()
     }
+    // VIDEO pipeline end-to-end at rows/2000 MJPEG AVIs x 8 frames of
+    // 64x48 grey: mux (8 real JPEG encodes + RIFF assembly per video),
+    // demux + per-frame JPEG decode + digest (videoFrameFeatures), then
+    // the frame-level near-dup join. Every 50th video reuses its
+    // predecessor's content seed, so the join has real hits to count —
+    // the returned number is the planted-pair count, a correctness
+    // check riding the throughput stage.
+    timed("video_mjpeg_pipeline") {
+      val nVid = math.max(rows / 2000L, 1000L)
+      val media = spark.range(nVid).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val seedId = if (id % 50 == 1) id - 1 else id
+          val w = 64; val h = 48; val nf = 8
+          val frames = (0 until nf).map { f =>
+            val raster = new Array[Byte](w * h)
+            var j = 0
+            while (j < raster.length) {
+              raster(j) =
+                ((((seedId * 131 + f) * 2654435761L + j * 40503L) >> 12)
+                  & 0xff).toByte
+              j += 1
+            }
+            graft.multimodal.JpegCodec.encodeGray(w, h, raster)
+          }
+          graft.multimodal.MediaRecord(id,
+            graft.multimodal.MediaCodec.encodeAviMjpeg(w, h, 24, frames),
+            "video/avi")
+        }
+      }
+      val frames = graft.multimodal.Multimodal
+        .videoFrameFeatures(media, stride = 1)
+      graft.multimodal.Multimodal
+        .videoNearDupPairs(frames.toDF(), minShared = 4).count()
+    }
     // farthest-point traversal at rows/20 64-dim vectors, k=8: each
     // round is one native-l2sq map pass + a min-struct argmax — the
     // O(n·k·d) running-min fold, never a pairwise matrix
