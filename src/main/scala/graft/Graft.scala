@@ -501,6 +501,22 @@ object Graft {
                     frames: Int = 16)
       : org.apache.spark.sql.Dataset[graft.multimodal.AudioEnvelope] =
     graft.multimodal.Multimodal.audioEnvelope(media, frames)
+  /** Spectral audio sub-fingerprints: Haitsma–Kalker sign bits over an
+    * integer-exact Walsh–Hadamard filter bank (multimodal.Multimodal).
+    */
+  def audioSpectralPrints(
+      media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+      frameLen: Int = 16, bands: Int = 8)
+      : org.apache.spark.sql.Dataset[graft.multimodal.AudioSpectralPrint] =
+    graft.multimodal.Multimodal.audioSpectralPrints(media, frameLen, bands)
+  /** Audio pairs sharing ≥ minShared shingled spectral prints,
+    * hot-shingle (silence/boilerplate) gated (multimodal.Multimodal).
+    */
+  def audioNearDupPairs(prints: DataFrame, shingle: Int = 4,
+                        minShared: Int = 2,
+                        maxDocsPerShingle: Int = 1024): DataFrame =
+    graft.multimodal.Multimodal.audioNearDupPairs(prints, shingle,
+      minShared, maxDocsPerShingle)
   /** Container-level video metadata scan (AVI header walk / MP4 box
     * walk) — map-side, frame bytes untouched (multimodal.Multimodal).
     */

@@ -523,6 +523,38 @@ object StressBench {
       graft.multimodal.Multimodal
         .videoNearDupPairs(frames.toDF(), minShared = 4).count()
     }
+    // AUDIO pipeline end-to-end at rows/200 WAVs of 2048 16-bit mono
+    // samples: synth PCM + RIFF mux, spectral-print extraction (128
+    // WHT frames per payload), then the shingled-print near-dup join.
+    // Every 50th doc reuses its predecessor's sample seed — the
+    // returned number is the planted-pair count, a correctness check
+    // riding the throughput stage (same discipline as the video one).
+    timed("audio_spectral_pipeline") {
+      val nDoc = math.max(rows / 200L, 10000L)
+      val nSamp = 2048
+      val media = spark.range(nDoc).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val seedId = if (id % 50 == 1) id - 1 else id
+          val pcm = new Array[Byte](nSamp * 2)
+          var i = 0
+          while (i < nSamp) {
+            val v = (((seedId * 131 + i) * 2654435761L >> 14) & 0xffff)
+              .toInt.toShort
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          graft.multimodal.MediaRecord(id,
+            graft.multimodal.MediaCodec.encodeWav(1, 16000, 16, pcm),
+            "audio/wav")
+        }
+      }
+      val prints = graft.multimodal.Multimodal
+        .audioSpectralPrints(media, frameLen = 16, bands = 8)
+      graft.multimodal.Multimodal
+        .audioNearDupPairs(prints.toDF(), shingle = 4, minShared = 8)
+        .count()
+    }
     // farthest-point traversal at rows/20 64-dim vectors, k=8: each
     // round is one native-l2sq map pass + a min-struct argmax — the
     // O(n·k·d) running-min fold, never a pairwise matrix

@@ -91,6 +91,16 @@ final case class AudioEnvelope(
     n_ones: Long,
     energy: Long)
 
+/** One spectral sub-fingerprint per audio frame (Haitsma–Kalker shape):
+  * `print` is the bands−1 bit string of band-energy difference signs vs
+  * the previous frame, `energy` the frame's total spectral energy.
+  */
+final case class AudioSpectralPrint(
+    doc_id: Long,
+    frame_idx: Int,
+    print: String,
+    energy: Long)
+
 /** Multimodal-column plumbing (north-star extension).
   *
   * The decode stage runs REAL header parsers ([[MediaCodec]]: BMP, RIFF
@@ -974,6 +984,158 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Spectral audio sub-fingerprints — the Haitsma–Kalker (ISMIR 2002)
+    * bit derivation over an integer-exact transform: decode the WAV PCM
+    * stream (channel 0; 16-bit little-endian signed or 8-bit offset
+    * samples), cut it into non-overlapping `frameLen`-sample frames,
+    * Walsh–Hadamard-transform each frame (the integer-exact stand-in
+    * for the FFT filter bank — same energy-compaction role, zero
+    * floating point, so every bit is DuckDB-oracle-replayable), sum
+    * squared coefficients into `bands` equal bands, and emit per frame
+    * t ≥ 1 the (bands−1)-bit sign string
+    * `bit(b) = [ (E_t(b)−E_t(b+1)) − (E_{t−1}(b)−E_{t−1}(b+1)) > 0 ]`
+    * — the energy-difference-of-differences that makes the print
+    * invariant to volume scaling and robust to re-encoding, the
+    * property the loudness-only [[audioEnvelope]] lacks. Frame 0 has
+    * no predecessor and emits nothing; a payload shorter than two
+    * complete frames drops.
+    *
+    * Map-side per payload, no shuffle; overflow-safe by construction
+    * (|coeff| ≤ frameLen·2¹⁵ so Σ coeff² ≤ frameLen³·2³⁰ ≪ 2⁶³ for any
+    * frameLen ≤ 256).
+    */
+  def audioSpectralPrints(media: Dataset[MediaRecord],
+                          frameLen: Int = 16,
+                          bands: Int = 8): Dataset[AudioSpectralPrint] = {
+    require(frameLen >= 2 && (frameLen & (frameLen - 1)) == 0 &&
+      frameLen <= 256, s"frameLen=$frameLen must be a power of two in 2..256")
+    require(bands >= 2 && frameLen % bands == 0,
+      s"bands=$bands must be >= 2 and divide frameLen=$frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val width = frameLen / bands
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val h = MediaCodec.decode(m.payload)
+        if (h.media_type != "audio/wav" || h.n_frames <= 0) Iterator.empty
+        else {
+          val blockAlign = (h.data_len / h.n_frames).toInt
+          val bytesPerSample = blockAlign / math.max(h.channels, 1)
+          if (bytesPerSample != 1 && bytesPerSample != 2) Iterator.empty
+          else {
+            val nSamples = h.n_frames.toInt
+            val nFrames = nSamples / frameLen
+            if (nFrames < 2) Iterator.empty
+            else {
+              val prevE = new Array[Long](bands)
+              val curE = new Array[Long](bands)
+              val a = new Array[Long](frameLen)
+              (0 until nFrames).iterator.flatMap { t =>
+                var j = 0
+                while (j < frameLen) {
+                  val p = h.data_offset + (t * frameLen + j) * blockAlign
+                  a(j) =
+                    if (bytesPerSample == 2)
+                      ((m.payload(p) & 0xff) |
+                        (m.payload(p + 1) << 8)).toShort.toLong
+                    else (m.payload(p) & 0xff).toLong - 128L
+                  j += 1
+                }
+                // in-place fast Walsh–Hadamard: natural (Hadamard)
+                // order, W[k] = Σ_j (−1)^popcount(k&j) · x[j]
+                var half = 1
+                while (half < frameLen) {
+                  var i = 0
+                  while (i < frameLen) {
+                    var q = i
+                    while (q < i + half) {
+                      val x = a(q); val y = a(q + half)
+                      a(q) = x + y; a(q + half) = x - y
+                      q += 1
+                    }
+                    i += 2 * half
+                  }
+                  half *= 2
+                }
+                var total = 0L
+                var b = 0
+                while (b < bands) {
+                  var e = 0L
+                  var k = b * width
+                  while (k < (b + 1) * width) { e += a(k) * a(k); k += 1 }
+                  curE(b) = e
+                  total += e
+                  b += 1
+                }
+                val out =
+                  if (t == 0) Iterator.empty
+                  else {
+                    val sb = new java.lang.StringBuilder(bands - 1)
+                    var bb = 0
+                    while (bb < bands - 1) {
+                      val d = (curE(bb) - curE(bb + 1)) -
+                        (prevE(bb) - prevE(bb + 1))
+                      sb.append(if (d > 0) '1' else '0')
+                      bb += 1
+                    }
+                    Iterator.single(AudioSpectralPrint(
+                      m.doc_id, t, sb.toString, total))
+                  }
+                System.arraycopy(curE, 0, prevE, 0, bands)
+                out
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Audio near-dup over [[audioSpectralPrints]] output: documents
+    * sharing at least `minShared` DISTINCT `shingle`-frame print runs —
+    * matching on a RUN of consecutive sub-fingerprints (concatenated
+    * print strings at consecutive frame indices) rather than one frame's
+    * handful of bits, because a (bands−1)-bit single print has only
+    * 2^(bands−1) values and would collide corpus-wide. The shingled key
+    * also time-aligns for free: a re-encode or a shifted re-upload
+    * matches wherever any `shingle` consecutive frames coincide. Same
+    * scale posture as [[videoNearDupPairs]]: key-equality join, never
+    * all-pairs; shingles appearing in more than `maxDocsPerShingle`
+    * documents (the silence/boilerplate stop-words of print space) are
+    * dropped before the join so no hot key owns the stage
+    * quadratically. Requires DENSE per-doc frame indices (the
+    * [[audioSpectralPrints]] emission): shingles are built from
+    * row-adjacent prints, so a sampled/filtered input would silently
+    * shingle across gaps — the videoSharedClips stride-1 rule.
+    */
+  def audioNearDupPairs(prints: DataFrame, shingle: Int = 4,
+                        minShared: Int = 2,
+                        maxDocsPerShingle: Int = 1024): DataFrame = {
+    require(shingle >= 1, s"shingle=$shingle must be >= 1")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val wNext = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val shingled = prints
+      .withColumn("_sh", concat_ws("",
+        (0 until shingle).map(i => lead(col("print"), i).over(wNext)): _*))
+      // a complete shingle concatenates exactly `shingle` prints; the
+      // per-doc tail windows are shorter (lead -> null drops from
+      // concat_ws) and are cut by length
+      .where(length(col("_sh")) === lit(shingle) * length(col("print")))
+      .select(col("doc_id"), col("_sh"))
+      .distinct()
+    val hot = shingled.groupBy(col("_sh"))
+      .agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") > maxDocsPerShingle)
+      .select(col("_sh"))
+    val cold = shingled.join(hot, Seq("_sh"), "left_anti")
+    cold.select(col("_sh"), col("doc_id").as("a_id"))
+      .join(cold.select(col("_sh"), col("doc_id").as("b_id")), Seq("_sh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
   }
 
   /** Near-duplicate image pairs over [[aHashImages]] output — the Manku

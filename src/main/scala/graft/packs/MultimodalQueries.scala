@@ -181,6 +181,31 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Spectral audio sub-fingerprints: Haitsma–Kalker sign bits over an
+    // integer-exact Walsh–Hadamard filter bank (16-sample frames, 8
+    // bands) — every bit re-derivable from the content bytes, so the
+    // oracle replays byte → 16-bit LE sample → WHT coefficient → band
+    // energy → difference-of-differences sign, exactly.
+    "multimodal_audio_spectral" -> ((s, dir) => {
+      val media = Multimodal.encodeCorpus(Tables(s, dir).documents)
+      Multimodal.audioSpectralPrints(media, frameLen = 16, bands = 8).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Audio near-dup over shingled spectral prints: the corpus plus a
+    // re-ingested copy (doc_id + 100000, same text ⇒ byte-identical
+    // WAVs ⇒ identical print streams). Every twin with ≥5 prints shares
+    // all its 4-frame shingles; pairs surface via the shingle-keyed
+    // join, never all-pairs.
+    "multimodal_audio_spectral_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.where(col("doc_id") < 400)
+      val again = docs.withColumn("doc_id", col("doc_id") + 100000)
+      val media = Multimodal.encodeCorpus(docs.unionByName(again))
+      val prints = Multimodal.audioSpectralPrints(media).toDF()
+      Multimodal.audioNearDupPairs(prints, shingle = 4, minShared = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Pixel-decode COVERAGE over the JPEG-inclusive corpus: per parsed
     // media type, how many payloads the engine can address as pixels
     // and the explicit reason for the rest — the visibility contract a
@@ -260,6 +285,63 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
+
+  /** Shared DuckDB replay of the audio spectral-print chain
+    * ([[graft.multimodal.Multimodal.audioSpectralPrints]] at
+    * frameLen=16, bands=8). Expects a CTE `w(doc_id, text, n, ch)`
+    * selecting the WAV stratum; emits CTEs through
+    * `pr(doc_id, t, print)` and `tot(doc_id, t, energy)`. Chain:
+    * char → byte (ascii corpus) → channel-0 16-bit LE sample →
+    * Walsh–Hadamard coefficient by definition (sign = parity of
+    * popcount(k & j), the O(n²) twin of the engine's butterfly) →
+    * per-band squared-coefficient energy → Haitsma–Kalker
+    * difference-of-differences sign bits, frames t ≥ 1 only.
+    */
+  private val spectralChainSql: String =
+    """geo AS (
+      |  SELECT doc_id, ch, (n // (2 * ch)) // 16 AS nfr FROM w),
+      |chars AS (
+      |  SELECT doc_id, ch,
+      |    CAST(generate_subscripts(string_split(text, ''), 1) AS BIGINT) - 1
+      |      AS p,
+      |    CAST(ascii(unnest(string_split(text, ''))) AS BIGINT) AS v
+      |  FROM w),
+      |samp AS (
+      |  SELECT c.doc_id, c.p // (2 * c.ch) AS s,
+      |    CAST(sum(CASE WHEN c.p % (2 * c.ch) = 0 THEN c.v
+      |                  WHEN c.p % (2 * c.ch) = 1 THEN 256 * c.v
+      |                  ELSE 0 END) AS BIGINT) AS x
+      |  FROM chars c JOIN geo g ON g.doc_id = c.doc_id
+      |  WHERE c.p < g.nfr * 16 * 2 * c.ch
+      |  GROUP BY c.doc_id, c.p // (2 * c.ch)),
+      |coef AS (
+      |  SELECT s.doc_id, s.s // 16 AS t, r.k AS k,
+      |    CAST(sum(CASE WHEN
+      |        bit_count(CAST(r.k AS BIGINT) & CAST(s.s % 16 AS BIGINT))
+      |          % 2 = 0
+      |      THEN s.x ELSE -s.x END) AS BIGINT) AS c
+      |  FROM samp s, range(0, 16) r(k)
+      |  GROUP BY s.doc_id, s.s // 16, r.k),
+      |be AS (
+      |  SELECT doc_id, t, k // 2 AS b, CAST(sum(c * c) AS BIGINT) AS e
+      |  FROM coef GROUP BY doc_id, t, k // 2),
+      |tot AS (
+      |  SELECT doc_id, t, CAST(sum(e) AS BIGINT) AS energy
+      |  FROM be GROUP BY doc_id, t),
+      |d AS (
+      |  SELECT x.doc_id, x.t, x.b, x.e - y.e AS dd
+      |  FROM be x JOIN be y
+      |    ON y.doc_id = x.doc_id AND y.t = x.t AND y.b = x.b + 1),
+      |bits AS (
+      |  SELECT cur.doc_id, cur.t, cur.b,
+      |    CASE WHEN cur.dd - prv.dd > 0 THEN '1' ELSE '0' END AS bit
+      |  FROM d cur JOIN d prv
+      |    ON prv.doc_id = cur.doc_id AND prv.t = cur.t - 1
+      |    AND prv.b = cur.b),
+      |pr AS (
+      |  SELECT doc_id, t, string_agg(bit, '' ORDER BY b) AS print
+      |  FROM bits GROUP BY doc_id, t),
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The id % 5 container mapping replayed: three raster strata are
@@ -686,6 +768,61 @@ object MultimodalQueries extends QueryPack {
         |SELECT id_a, id_b, hamming FROM hm
         |WHERE hamming <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Per-bit replay of the spectral chain (shared prefix below): the
+    // ascii corpus makes char == byte, so the oracle rebuilds the PCM
+    // stream and re-derives every Walsh–Hadamard coefficient by its
+    // O(n²) definition — sign = parity of popcount(k & j) — then the
+    // band energies and the HK difference-of-differences bits.
+    "multimodal_audio_spectral" ->
+      ("""WITH w AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(1 + length(text) % 2 AS BIGINT) AS ch
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |""".stripMargin + spectralChainSql +
+        """fin AS (
+          |  SELECT p.doc_id, CAST(p.t AS INT) AS frame_idx, p.print,
+          |    tt.energy
+          |  FROM pr p JOIN tot tt ON tt.doc_id = p.doc_id AND tt.t = p.t)
+          |SELECT doc_id, frame_idx, print, energy FROM fin
+          |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // The spectral chain over the widened corpus, then 4-print shingles
+    // (window leads), the >1024-doc stop-word gate, and the shingle-
+    // keyed pair count — the engine's audioNearDupPairs replayed.
+    "multimodal_audio_spectral_pairs" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 400),
+        |w AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(1 + length(text) % 2 AS BIGINT) AS ch
+        |  FROM base WHERE doc_id % 4 = 1),
+        |""".stripMargin + spectralChainSql +
+        """shg AS (
+          |  SELECT doc_id, t, print,
+          |    lead(print, 1) OVER (PARTITION BY doc_id ORDER BY t) AS p1,
+          |    lead(print, 2) OVER (PARTITION BY doc_id ORDER BY t) AS p2,
+          |    lead(print, 3) OVER (PARTITION BY doc_id ORDER BY t) AS p3
+          |  FROM pr),
+          |shd AS (
+          |  SELECT DISTINCT doc_id, print || p1 || p2 || p3 AS sh
+          |  FROM shg WHERE p3 IS NOT NULL),
+          |hot AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) > 1024),
+          |cold AS (
+          |  SELECT doc_id, sh FROM shd
+          |  WHERE sh NOT IN (SELECT sh FROM hot)),
+          |pairs AS (
+          |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+          |    CAST(count(*) AS BIGINT) AS shared_shingles
+          |  FROM cold x JOIN cold y
+          |    ON x.sh = y.sh AND x.doc_id < y.doc_id
+          |  GROUP BY x.doc_id, y.doc_id
+          |  HAVING count(*) >= 2)
+          |SELECT a_id, b_id, shared_shingles FROM pairs
+          |ORDER BY a_id, b_id""".stripMargin),
 
     // Same geometry CTEs as the downsample oracle, fixed 8×8 grid: cell
     // value = Σ ascii of the up-to-3 chars at the sampled offset (ascii

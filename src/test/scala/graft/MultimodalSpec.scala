@@ -837,4 +837,100 @@ class MultimodalSpec extends AnyFunSuite {
         bits = 16, maxHamming = 4, blocks = 4)
     }
   }
+
+  private def pcm16(samples: Seq[Int]): Array[Byte] =
+    samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+
+  test("audioSpectralPrints: WHT band layout, HK sign bits, signed LE, stereo ch0") {
+    import graft.multimodal.MediaRecord
+    // three constant 16-sample frames (levels 1, 3, 2): all spectral
+    // energy in coefficient 0 (band 0), so only bit 0 can fire and it
+    // tracks the frame-energy step sign; frame 0 emits nothing
+    val mono = Seq.fill(16)(1) ++ Seq.fill(16)(3) ++ Seq.fill(16)(2)
+    val dsM = spark.createDataset(Seq(MediaRecord(
+      1L, MediaCodec.encodeWav(1, 8000, 16, pcm16(mono)), "audio/wav")))
+    val outM = Multimodal.audioSpectralPrints(dsM, frameLen = 16, bands = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(outM.map(_.frame_idx).toSeq === Seq(1, 2))
+    assert(outM(0).print === "1000000") // (16·3)² > (16·1)²
+    assert(outM(1).print === "0000000") // (16·2)² < (16·3)²
+    assert(outM(0).energy === 48L * 48L) // W[0] = 16·3, all other coeffs 0
+    // band indexing: x[j] = 5·(−1)^popcount(j&13) concentrates W[13]
+    // (band 6 of 8 at width 2), then a constant-2 frame moves the
+    // energy to band 0 — bits 0, 5, 6 are each hand-derivable
+    val f0 = (0 until 16).map(j =>
+      if (Integer.bitCount(j & 13) % 2 == 0) 5 else -5)
+    val banded = f0 ++ Seq.fill(16)(2)
+    val dsB = spark.createDataset(Seq(MediaRecord(
+      2L, MediaCodec.encodeWav(1, 8000, 16, pcm16(banded)), "audio/wav")))
+    val outB = Multimodal.audioSpectralPrints(dsB, frameLen = 16, bands = 8)
+      .collect()
+    assert(outB.length === 1 && outB(0).frame_idx === 1)
+    // E0 = [0,…,0, 6400(b6), 0]; E1 = [1024(b0), 0,…]:
+    // b0: (1024−0)−(0−0)=+ → 1; b5: (0−0)−(0−6400)=+ → 1;
+    // b6: (0−0)−(6400−0)=− → 0; others 0−0 → 0
+    assert(outB(0).print === "1000010")
+    assert(outB(0).energy === 1024L)
+    // signed 16-bit LE: constant −256 (bytes 00 FF) → W[0] = −4096,
+    // energy (−4096)² — an unsigned read would square 65280·16 instead
+    val dsN = spark.createDataset(Seq(MediaRecord(
+      3L, MediaCodec.encodeWav(1, 8000, 16, pcm16(Seq.fill(32)(-256))),
+      "audio/wav")))
+    val outN = Multimodal.audioSpectralPrints(dsN).collect()
+    assert(outN.length === 1 && outN(0).energy === 4096L * 4096L)
+    // stereo: channel 0 carries the mono fixture, channel 1 loud junk —
+    // prints must equal the mono run (channel-0 selection, blockAlign 4)
+    val stereo = mono.zipWithIndex.flatMap { case (s, i) =>
+      Seq(s, 999 - i)
+    }
+    val dsS = spark.createDataset(Seq(MediaRecord(
+      4L, MediaCodec.encodeWav(2, 8000, 16, pcm16(stereo)), "audio/wav")))
+    val outS = Multimodal.audioSpectralPrints(dsS).collect().sortBy(_.frame_idx)
+    assert(outS.map(p => (p.frame_idx, p.print, p.energy)).toSeq ===
+      outM.map(p => (p.frame_idx, p.print, p.energy)).toSeq)
+    // shorter than two complete frames (31 samples) emits nothing, and
+    // non-audio payloads are skipped entirely
+    val dsT = spark.createDataset(Seq(
+      MediaRecord(5L, MediaCodec.encodeWav(1, 8000, 16,
+        pcm16(Seq.fill(31)(7))), "audio/wav"),
+      MediaRecord(6L, MediaCodec.encodeBmp(4, 4, Array.fill(48)(1.toByte)),
+        "image/bmp")))
+    assert(Multimodal.audioSpectralPrints(dsT).collect().isEmpty)
+    // parameter misuse rejected: non-power-of-two frame, non-dividing bands
+    intercept[IllegalArgumentException] {
+      Multimodal.audioSpectralPrints(dsM, frameLen = 24)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.audioSpectralPrints(dsM, frameLen = 16, bands = 3)
+    }
+  }
+
+  test("audioNearDupPairs: shingled print join, minShared, hot-shingle gate") {
+    // six prints → three 4-shingles per doc; docs 1 and 2 identical,
+    // doc 3 shares only the first shingle (then diverges)
+    val v = Seq("0000001", "0000010", "0000011", "0000100", "0000101",
+      "0000110")
+    val rows =
+      v.zipWithIndex.map { case (p, i) => (1L, i + 1, p) } ++
+        v.zipWithIndex.map { case (p, i) => (2L, i + 1, p) } ++
+        (v.take(4) ++ Seq("1111111", "1111110")).zipWithIndex
+          .map { case (p, i) => (3L, i + 1, p) }
+    val prints = rows.toDF("doc_id", "frame_idx", "print")
+    val pairs = Multimodal.audioNearDupPairs(prints, shingle = 4,
+        minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 3L)))
+    // the shared first shingle lives in all 3 docs: maxDocsPerShingle=2
+    // drops it as a stop-word, and the twins still match on the other 2
+    val gated = Multimodal.audioNearDupPairs(prints, shingle = 4,
+        minShared = 2, maxDocsPerShingle = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gated === Set((1L, 2L, 2L)))
+    // minShared=1 surfaces the partial overlap too
+    val loose = Multimodal.audioNearDupPairs(prints, shingle = 4,
+        minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose === Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }
