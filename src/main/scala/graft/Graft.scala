@@ -590,7 +590,8 @@ object Graft {
     *
     * Picking `maxRounds` on a NEW corpus: run once with a generous
     * budget and read `changedPerRound` off the result — it is the
-    * per-round count of directed edges the round replaced, and on
+    * per-round size of the symmetric difference between the round's
+    * edge set and the previous one (additions + removals), and on
     * clusterable data it collapses fast (e.g. 120 → 14 → 0). Set
     * `maxRounds` to where the sequence hits the noise floor; at
     * 100 TB every round past that is a full O(Σ deg²) expansion spent

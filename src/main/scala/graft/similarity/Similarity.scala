@@ -759,10 +759,15 @@ object Similarity {
 
   /** NN-descent with EARLY TERMINATION (the convergence knob of Dong
     * et al. WWW 2011 §2.3): iterate [[knnRefine]] until a round
-    * changes at most `ceil(tol · |edges|)` directed edges — counted by
-    * an id-only anti-join of the new edge list against the previous
-    * one, an edge-sized aggregate, never a vector shuffle — or until
-    * `maxRounds`. On a converged graph a further round re-ranks the
+    * changes at most `ceil(tol · |edges|)` directed edges — the
+    * SYMMETRIC difference (additions PLUS removals) of the new edge
+    * set vs the previous one, an id-only edge-sized aggregate, never
+    * a vector shuffle — or until `maxRounds`. Counting both sides
+    * matters on the first round: an input graph with per-source
+    * degree > k is cut down to k edges per source, and a
+    * removals-blind count would read that round as a fixed point
+    * even though the next round re-ranks a genuinely different
+    * graph. On a converged graph a further round re-ranks the
     * same candidate set to the same top-k, so every extra iteration
     * is pure waste; real corpora converge in a handful of rounds
     * while a fixed-count loop would keep paying the O(Σ deg²)
@@ -786,7 +791,11 @@ object Similarity {
                          maxDegree: Int = 1 << 12): RefineConverged = {
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be positive")
     require(tol >= 0 && tol < 1, s"tol=$tol out of [0, 1)")
-    var g = graph.select(col("src_id"), col("neighbor_id")).localCheckpoint()
+    // distinct: the loop compares EDGE SETS round over round, and the
+    // caller's graph may carry duplicate rows (knnRefine itself
+    // dedupes internally, so the refined output is unaffected)
+    var g = graph.select(col("src_id"), col("neighbor_id")).distinct()
+      .localCheckpoint()
     var full: DataFrame = graph
     val changed = Seq.newBuilder[Long]
     var r = 0
@@ -794,17 +803,30 @@ object Similarity {
     while (r < maxRounds && !converged) {
       full = knnRefine(emb, idCol, arrCol, g, k, maxDegree).localCheckpoint()
       val next = full.select(col("src_id"), col("neighbor_id"))
-      val delta = next.join(g, Seq("src_id", "neighbor_id"), "left_anti")
-        .count()
+      // symmetric difference AND the new-edge total in ONE driver
+      // action: tag each side, group by edge (both sides are
+      // duplicate-free, so a group size of 1 means exactly-one-side),
+      // then fold to two scalars. At 100 TB every extra action is a
+      // full pass over the checkpointed edge list per round — the
+      // previous shape (anti-join count + a second count() for the
+      // tol denominator) paid two.
+      val tagged = next.select(col("src_id"), col("neighbor_id"),
+          lit(1L).as("_in_next"))
+        .unionAll(g.select(col("src_id"), col("neighbor_id"),
+          lit(0L).as("_in_next")))
+      val scalars = tagged.groupBy(col("src_id"), col("neighbor_id"))
+        .agg(sum(col("_in_next")).as("_n"), count(lit(1)).as("_c"))
+        .agg(
+          coalesce(sum(when(col("_c") === 1L, 1L).otherwise(0L)), lit(0L))
+            .as("_delta"),
+          coalesce(sum(col("_n")), lit(0L)).as("_total"))
+        .head()
+      val delta = scalars.getLong(0)
+      val total = scalars.getLong(1)
       changed += delta
-      // tol = 0 needs no denominator (converged ⇔ delta == 0), so the
-      // default path pays exactly ONE driver action per round — at
-      // 100 TB a second count() is a full pass over the checkpointed
-      // edge list per round, pure waste on the common exact-fixed-point
-      // setting. Only a relative tolerance prices the edge total.
       converged =
         if (tol == 0.0) delta == 0L
-        else delta <= math.ceil(tol * next.count()).toLong
+        else delta <= math.ceil(tol * total).toLong
       g = next
       r += 1
     }
@@ -917,9 +939,11 @@ object Similarity {
 
 /** Result of [[Similarity.knnRefineConverged]]: the refined graph,
   * the number of NN-descent rounds actually executed, and the
-  * directed-edge change count each round reported (monotone-ish
-  * decreasing on clusterable data; the last entry is at or under the
-  * tolerance when the loop stopped before `maxRounds`).
+  * directed-edge change count each round reported — the symmetric
+  * difference (additions + removals) of the round's edge set vs the
+  * previous one (monotone-ish decreasing on clusterable data; the
+  * last entry is at or under the tolerance when the loop stopped
+  * before `maxRounds`).
   */
 final case class RefineConverged(graph: org.apache.spark.sql.DataFrame,
                                  roundsRun: Int,

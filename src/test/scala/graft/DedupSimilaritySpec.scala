@@ -962,6 +962,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnRefineConverged: removals count — degree>k input is not a false fixed point") {
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
+    // two tight, far-apart clusters, k=1: the fixed point g* maps each
+    // point to its within-cluster nearest. Feeding g* PLUS cross-cluster
+    // junk edges (per-source degree 2 > k) makes round 1 a pure-removal
+    // round: the re-rank keeps the g* edge and drops the junk, adding
+    // nothing. A removals-blind delta would read 0 and stop with the
+    // telemetry claiming the input was already converged.
+    val emb = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(0.05, 1.0)), (2L, Seq(0.4, 1.0)),
+      (10L, Seq(100.0, -50.0)), (11L, Seq(100.5, -50.0)),
+      (12L, Seq(104.0, -50.0)))
+      .toDF("vec_id", "embedding")
+    val gStar = Seq((0L, 1L), (1L, 0L), (2L, 1L), (10L, 11L), (11L, 10L),
+      (12L, 11L)).toDF("src_id", "neighbor_id")
+    // confirm the fixture: g* really is a k=1 fixed point
+    val once = Similarity.knnRefine(emb, "vec_id", "embedding", gStar, k = 1)
+      .select("src_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(once === gStar.as[(Long, Long)].collect().toSet,
+      s"fixture is not a fixed point: $once")
+    val junk = Seq((0L, 12L), (1L, 10L), (2L, 12L), (10L, 2L), (11L, 0L),
+      (12L, 0L)).toDF("src_id", "neighbor_id")
+    val conv = Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+      gStar.unionAll(junk), k = 1, maxRounds = 4)
+    // round 1 removes the 6 junk edges (counted), round 2 confirms the
+    // fixed point — a one-sided count would have stopped after round 1
+    // with changedPerRound = [0]
+    assert(conv.roundsRun === 2, s"telemetry: ${conv.changedPerRound}")
+    assert(conv.changedPerRound === Seq(6L, 0L))
+    assert(conv.graph.select("src_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet ===
+      gStar.as[(Long, Long)].collect().toSet)
+    // duplicate input rows are edge-set semantics, not separate edges:
+    // duplicating g* changes neither the stop round nor the telemetry
+    val dup = Similarity.knnRefineConverged(emb, "vec_id", "embedding",
+      gStar.unionAll(gStar), k = 1, maxRounds = 4)
+    assert(dup.roundsRun === 1 && dup.changedPerRound === Seq(0L))
+  }
+
   test("knnCommunities: mutual kNN splits clusters, hub demoted to singleton") {
     import spark.implicits._
     // two tight clusters + a hub between them: the hub's top-2 are in
