@@ -538,8 +538,16 @@ object StressBench {
           val pcm = new Array[Byte](nSamp * 2)
           var i = 0
           while (i < nSamp) {
-            val v = (((seedId * 131 + i) * 2654435761L >> 14) & 0xffff)
-              .toInt.toShort
+            // full-avalanche per-sample mix (splitmix64-style
+            // finalizer): a weak mix here makes docs differ by a
+            // near-constant PCM offset, which the volume-invariant
+            // prints are BUILT to ignore — the whole corpus then
+            // shares its shingles and the join measures a pathology,
+            // not throughput
+            var hm = seedId * 0x9E3779B97F4A7C15L +
+              i * 0xC2B2AE3D27D4EB4FL
+            hm ^= hm >>> 29; hm *= 0xBF58476D1CE4E5B9L; hm ^= hm >>> 32
+            val v = (hm & 0xffffL).toShort
             pcm(2 * i) = (v & 0xff).toByte
             pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1
