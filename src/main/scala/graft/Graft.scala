@@ -301,6 +301,28 @@ object Graft {
   /** PII detection + typed-placeholder redaction (email/IPv4/phone). */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.piiStats(docs, idCol, textCol)
+  /** Canonical URL form: lowercase scheme/host, www./fragment strip,
+    * default-port drop, tracking-param removal, param sort, trailing
+    * slash trim. Map-side Column expression (text.Urls).
+    */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.text.Urls.canonicalizeUrl(url)
+  /** Registered domain (eTLD+1) of a URL's host, multi-label public
+    * suffixes respected (text.Urls).
+    */
+  def registeredDomain(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.text.Urls.registeredDomain(graft.text.Urls.hostOf(url))
+  /** Keep at most `cap` rows per domain, best-first by `order` (must
+    * be a total order); salted two-phase top-N so a hot domain never
+    * owns one task (text.Urls).
+    */
+  def perDomainCap(df: DataFrame, domain: org.apache.spark.sql.Column,
+                   order: Seq[org.apache.spark.sql.Column],
+                   key: org.apache.spark.sql.Column, cap: Int,
+                   salts: Int = 32): DataFrame =
+    graft.text.Urls.perDomainCap(df, domain, order, key, cap, salts)
   /** DSIR importance weights: target-vs-corpus bigram likelihood ratio. */
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame =

@@ -21,6 +21,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextAnalysisQueries,
+    UrlQueries,
     MultimodalQueries,
     StreamingQueries
   )
