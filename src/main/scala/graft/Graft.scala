@@ -327,6 +327,26 @@ object Graft {
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     TextAnalysis.importanceWeights(docs, target, idCol, textCol)
+  /** CCNet line-level dedup: every distinct (trimmed) line keeps exactly
+    * its first occurrence; documents reassembled (text.LineDedup).
+    */
+  def dedupLinesKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                          delim: String = "\n"): DataFrame =
+    graft.text.LineDedup.keepFirstLines(docs, idCol, textCol, delim)
+  /** Boilerplate-line removal: lines in >= `minDocs` distinct documents
+    * removed everywhere, first copy included (text.LineDedup).
+    */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int, delim: String = "\n"): DataFrame =
+    graft.text.LineDedup.dropFrequentLines(docs, idCol, textCol, minDocs,
+      delim)
+  /** Duplicated-line report (line, n_docs, n_occs) — read this before
+    * picking [[dropBoilerplateLines]]' threshold (text.LineDedup).
+    */
+  def duplicateLineStats(docs: DataFrame, idCol: String, textCol: String,
+                         delim: String = "\n", minDocs: Int = 2): DataFrame =
+    graft.text.LineDedup.duplicateLineStats(docs, idCol, textCol, delim,
+      minDocs)
 
   // ---- training-mix / splits / preprocessing ----
   /** Deterministic md5 per-mille train/val/test assignment. */

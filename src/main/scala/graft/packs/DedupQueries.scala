@@ -3,6 +3,7 @@ package graft.packs
 import graft.QueryPack
 import graft.core.Tables
 import graft.dedup.{Components, Dedup, SuffixRank}
+import graft.text.LineDedup
 import graft.mlops.NaiveBayesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -616,8 +617,66 @@ object DedupQueries extends QueryPack {
             "doc_id", "text", k = 4, w = 4),
           "doc_id", minShared = 2)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- line-level corpus dedup (CCNet/RefinedWeb stage) -------------
+    // The documents table is single-line, so each query derives a
+    // deterministic multi-line page from (doc_id, text) via
+    // [[multiLineSql]] — one SQL fragment evaluated by expr() on the
+    // engine side and spliced verbatim into the oracle, the same
+    // no-drift fixture pattern as UrlQueries.rawUrlSql. The fixture
+    // plants the three populations a crawl has: nav/cookie headers in
+    // EVERY page, footers in a third each, quoted blocks shared by
+    // ~1/35 of pages, and unique body lines (plus a blank line for
+    // short docs, exercising the blank-exempt path).
+
+    // Which lines repeat, and how widely — the report a curation run
+    // reads before picking dropFrequentLines' threshold.
+    "dedup_line_stats" -> ((s, dir) => {
+      LineDedup.duplicateLineStats(multiLineDocs(s, dir), "doc_id", "page")
+        .orderBy(col("n_docs").desc, col("n_occs").desc, col("line"))
+    }),
+
+    // CCNet keep-first: every distinct line survives exactly once,
+    // at its globally first (doc_id, pos); documents reassembled.
+    "dedup_line_keepfirst" -> ((s, dir) => {
+      LineDedup.keepFirstLines(multiLineDocs(s, dir), "doc_id", "page")
+        .orderBy(col("doc_id"))
+    }),
+
+    // RefinedWeb boilerplate stance: a line in >= 3 distinct docs is
+    // chrome — removed everywhere, including its first copy.
+    "dedup_line_boilerplate" -> ((s, dir) => {
+      LineDedup.dropFrequentLines(multiLineDocs(s, dir), "doc_id", "page",
+          minDocs = 3)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Deterministic multi-line page fixture shared verbatim by engine
+    * (via `expr`) and oracle (spliced): header + cookie banner on every
+    * page, two body slices of the doc's own text, a quoted block on
+    * doc_id % 7 == 0 (5 variants), and one of three footers. Both
+    * dialects accept chr(10), substr, CASE, %, ||, CAST AS STRING.
+    * Docs shorter than 81 chars make the second body slice '' — a
+    * blank line, exercising the blank-exempt path at every SF.
+    */
+  private val multiLineSql: String =
+    """'Home | About | Contact | Sign in' || chr(10) ||
+      |'This site uses cookies to improve your experience' || chr(10) ||
+      |substr(text, 1, 80) || chr(10) ||
+      |CASE WHEN doc_id % 7 = 0
+      |  THEN 'Shared quotation block ' || CAST(doc_id % 5 AS STRING) || chr(10)
+      |  ELSE '' END ||
+      |substr(text, 81, 80) || chr(10) ||
+      |CASE doc_id % 3
+      |  WHEN 0 THEN 'Copyright 2024 Example Corp'
+      |  WHEN 1 THEN 'All rights reserved'
+      |  ELSE 'Subscribe to our newsletter' END""".stripMargin
+
+  private def multiLineDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), expr(multiLineSql).as("page"))
 
   private val simhashPairsOracle: String =
     s"""WITH $shingleCte,
@@ -1676,7 +1735,65 @@ object DedupQueries extends QueryPack {
           |SELECT n AS n_positions, true AS rank_is_permutation,
           |  CAST((n - 1) // greatest(1, n // 64) AS BIGINT) AS sampled_pairs,
           |  true AS lcp_sample_ok
-          |FROM nn""".stripMargin
+          |FROM nn""".stripMargin,
+
+      "dedup_line_stats" ->
+        (lineCte +
+          """
+          |SELECT trim(line) AS line,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(count(*) AS BIGINT) AS n_occs
+          |FROM l WHERE trim(line) <> ''
+          |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY n_docs DESC, n_occs DESC, line""".stripMargin),
+
+      // Keep-first replayed as a window: rank each trimmed line's
+      // occurrences by (doc_id, pos); rank 1 survives. Blank lines are
+      // policy-exempt (always kept). The engine's min-struct keeper +
+      // hash join equals rank 1 by construction.
+      "dedup_line_keepfirst" ->
+        (lineCte +
+          """,
+          |k AS (
+          |  SELECT doc_id, pos, line,
+          |    CASE WHEN trim(line) = '' THEN TRUE
+          |      ELSE row_number() OVER (PARTITION BY trim(line)
+          |             ORDER BY doc_id, pos) = 1 END AS keep
+          |  FROM l)
+          |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+          |  CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
+          |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+          |    FILTER (WHERE keep), '') AS text_clean
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+      "dedup_line_boilerplate" ->
+        (lineCte +
+          """,
+          |f AS (
+          |  SELECT trim(line) AS tl FROM l WHERE trim(line) <> ''
+          |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+          |k AS (
+          |  SELECT doc_id, pos, line,
+          |    (trim(line) = '' OR trim(line) NOT IN (SELECT tl FROM f))
+          |      AS keep
+          |  FROM l)
+          |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+          |  CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed,
+          |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+          |    FILTER (WHERE keep), '') AS text_clean
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   }
+
+  /** Shared oracle prefix for the line-dedup family: rebuild the
+    * multi-line page fixture (same fragment the engine evaluates) and
+    * explode it to l(doc_id, pos, line) with 0-based positions.
+    */
+  private def lineCte: String =
+    s"""WITH raw AS (SELECT doc_id, $multiLineSql AS page FROM documents),
+       |lt AS (SELECT doc_id, string_split(page, chr(10)) AS lns FROM raw),
+       |l AS (
+       |  SELECT doc_id, s AS pos, lns[s + 1] AS line
+       |  FROM (SELECT doc_id, lns, unnest(range(0, len(lns))) AS s
+       |        FROM lt) u)""".stripMargin
 }

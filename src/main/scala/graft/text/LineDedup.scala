@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level corpus deduplication — the CCNet / RefinedWeb curation
+  * stage that runs BETWEEN html extraction and document-level dedup:
+  * boilerplate ("Home | About", cookie banners, copyright footers) and
+  * widely-quoted passages repeat across millions of pages even when no
+  * two whole documents match, and removing them is the single largest
+  * quality win per byte in a web-crawl pipeline (Wenzek et al. 2020,
+  * "CCNet"; Penedo et al. 2023, "RefinedWeb").
+  *
+  * Two removal policies, both exact-hash at line granularity:
+  *  - [[keepFirstLines]]: every distinct line keeps exactly its first
+  *    occurrence (global order by (id, pos)); later copies are dropped.
+  *    This is CCNet's paragraph dedup specialized to lines.
+  *  - [[dropFrequentLines]]: lines appearing in ≥ `minDocs` distinct
+  *    documents are treated as boilerplate and removed EVERYWHERE
+  *    (including the first copy) — the RefinedWeb/Gopher stance that a
+  *    line repeated across many unrelated pages is navigation chrome,
+  *    not content.
+  *
+  * Blank lines (trim = "") are exempt from both policies: they carry
+  *  paragraph structure, not content, and hashing them would collapse
+  *  every paragraph break in the corpus into one "duplicate".
+  *
+  * 100 TB posture: the explode is linear and map-side; the dedup key is
+  * the 16-byte md5 of the trimmed line, so the keeper aggregation
+  * shuffles hashes, not text, and `min`/`count` partial-aggregate
+  * map-side before the exchange. The join back to the exploded frame is
+  * keyed on that hash with a ONE-ROW-PER-KEY build side, so the classic
+  * hot keys (a cookie banner present in half the crawl) are handled by
+  * AQE's skew-join split — the keeper side replicates for free.
+  * Reassembly groups by document id, bounded by single-document size.
+  * Nothing here is quadratic and no driver-side state grows with the
+  * corpus.
+  */
+object LineDedup {
+
+  /** One row per line: (idCol, pos, line, _k) where `_k` is
+    * md5(trim(line)) and blank lines get a NULL key (policy-exempt).
+    * `delim` is taken literally (regex-quoted).
+    */
+  def lines(docs: DataFrame, idCol: String, textCol: String,
+            delim: String = "\n"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
+      .withColumn("_k",
+        when(trim(col("line")) === "", lit(null).cast("string"))
+          .otherwise(md5(trim(col("line")))))
+
+  /** Per-duplicated-line report: the trimmed line, how many distinct
+    * documents carry it, and total occurrences — the table a curation
+    * run inspects before choosing [[dropFrequentLines]]'s threshold.
+    * Grouping is by line hash; `min` recovers the (unique) trimmed text
+    * deterministically.
+    */
+  def duplicateLineStats(docs: DataFrame, idCol: String, textCol: String,
+                         delim: String = "\n", minDocs: Int = 2): DataFrame =
+    lines(docs, idCol, textCol, delim)
+      .where(col("_k").isNotNull)
+      .groupBy(col("_k"))
+      .agg(min(trim(col("line"))).as("line"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("line"), col("n_docs"), col("n_occs"))
+
+  /** Keep-first global line dedup. Returns one row per input document:
+    * (idCol, n_lines, n_kept, text_clean) with kept lines re-joined by
+    * `delim` in original position order; a document whose every line
+    * lost the keep-first race gets (n_kept = 0, text_clean = "").
+    * Requires `idCol` orderable (the keeper is min (id, pos)).
+    */
+  def keepFirstLines(docs: DataFrame, idCol: String, textCol: String,
+                     delim: String = "\n"): DataFrame = {
+    val ln = lines(docs, idCol, textCol, delim)
+    val keyed = ln.where(col("_k").isNotNull)
+    val keepers = keyed.groupBy(col("_k"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    val kept = keyed.join(keepers, "_k")
+      .where(col(idCol) === col(s"_first.$idCol") &&
+        col("pos") === col("_first.pos"))
+      .select(col(idCol), col("pos"), col("line"))
+      .unionByName(ln.where(col("_k").isNull)
+        .select(col(idCol), col("pos"), col("line")))
+    reassemble(docs, kept, idCol, textCol, delim, keptCol = "n_kept")
+  }
+
+  /** Boilerplate removal: drop EVERY occurrence of any non-blank line
+    * present in ≥ `minDocs` distinct documents. Returns one row per
+    * input document: (idCol, n_lines, n_removed, text_clean).
+    */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int, delim: String = "\n"): DataFrame = {
+    val ln = lines(docs, idCol, textCol, delim)
+    val frequent = ln.where(col("_k").isNotNull)
+      .groupBy(col("_k"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_k"))
+    val kept = ln.join(frequent, Seq("_k"), "left_anti")
+      .select(col(idCol), col("pos"), col("line"))
+    val out = reassemble(docs, kept, idCol, textCol, delim,
+      keptCol = "n_kept")
+    out.select(col(idCol), col("n_lines"),
+      (col("n_lines") - col("n_kept")).as("n_removed"), col("text_clean"))
+  }
+
+  /** Join kept (id, pos, line) rows back to one row per document, with a
+    * left join from the original docs so zero-kept documents survive as
+    * (0, ""). `n_lines` is computed map-side from the original text.
+    */
+  private def reassemble(docs: DataFrame, kept: DataFrame, idCol: String,
+                         textCol: String, delim: String,
+                         keptCol: String): DataFrame = {
+    val agg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as(keptCol),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        delim).as("text_clean"))
+    docs.select(col(idCol),
+        size(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as("n_lines"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col(keptCol), lit(0)).as(keptCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+}
