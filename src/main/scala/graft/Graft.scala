@@ -327,6 +327,22 @@ object Graft {
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     TextAnalysis.importanceWeights(docs, target, idCol, textCol)
+  /** Visible text of an HTML page: script/style/comment subtrees
+    * dropped, tags to spaces, common entities decoded, whitespace
+    * collapsed. Pure map-side Column (text.Html).
+    */
+  def htmlToText(html: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.text.Html.stripTags(html)
+  /** jusText-style main-content extraction: block segmentation, keep
+    * blocks with >= minWords words and link density <= maxLinkDensity
+    * (text.Html).
+    */
+  def htmlMainContent(docs: DataFrame, idCol: String, htmlCol: String,
+                      minWords: Int = 5, maxLinkDensity: Double = 0.33)
+      : DataFrame =
+    graft.text.Html.mainContent(docs, idCol, htmlCol, minWords,
+      maxLinkDensity)
   /** CCNet line-level dedup: every distinct (trimmed) line keeps exactly
     * its first occurrence; documents reassembled (text.LineDedup).
     */

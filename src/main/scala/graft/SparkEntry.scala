@@ -22,6 +22,7 @@ object SparkEntry {
     SimilarityQueries,
     TextAnalysisQueries,
     UrlQueries,
+    HtmlQueries,
     MultimodalQueries,
     StreamingQueries
   )
