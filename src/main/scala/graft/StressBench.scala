@@ -783,6 +783,62 @@ object StressBench {
       graft.text.TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
         Seq("alpha", "beta", "gamma")).count()
     }
+    // rows/20 docs x 20 lines: 2 lines shared by EVERY doc (the hot-key
+    // stressor — one line hash carrying nDocs occurrences through the
+    // keeper join), 3 lines shared per doc_id%1000 group, 15 unique.
+    // Ground truth is exact, so both stages double as at-scale
+    // correctness checks: boilerplate removes exactly 5 lines/doc;
+    // keep-first keeps 15*nDocs uniques + 2 hot + 3*1000 group lines.
+    def lineCorpus(nDocs: Long) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws("\n",
+        lit("Home | About | Contact"),
+        lit("This site uses cookies"),
+        concat(lit("group line a "), pmod(col("id"), lit(1000))),
+        concat(lit("group line b "), pmod(col("id"), lit(1000))),
+        concat(lit("group line c "), pmod(col("id"), lit(1000))),
+        expr("concat_ws('\n', transform(sequence(1, 15), " +
+          "i -> concat('unique ', id, ' ', i)))")).as("text"))
+    timed("line_dedup_boilerplate") {
+      val nDocs = math.max(rows / 20L, 200000L)
+      val s = graft.text.LineDedup.dropFrequentLines(
+          lineCorpus(nDocs), "doc_id", "text", minDocs = 100)
+        .agg(sum("n_removed"), sum("n_lines")).head()
+      require(s.getLong(0) == 5L * nDocs && s.getLong(1) == 20L * nDocs,
+        s"boilerplate ground truth: $s vs nDocs=$nDocs")
+      20L * nDocs
+    }
+    timed("line_dedup_keepfirst") {
+      val nDocs = math.max(rows / 20L, 200000L)
+      val s = graft.text.LineDedup.keepFirstLines(
+          lineCorpus(nDocs), "doc_id", "text")
+        .agg(sum("n_kept")).head()
+      require(s.getLong(0) == 15L * nDocs + 2L + 3L * 1000L,
+        s"keepfirst ground truth: ${s.getLong(0)} vs nDocs=$nDocs")
+      20L * nDocs
+    }
+    // rows/40 synthetic pages through the full jusText pipeline
+    // (strip-invisible, block split, per-block density, reassembly):
+    // regex-throughput stage, every page keeps exactly its one prose
+    // block and drops the nav + footer chrome.
+    timed("html_main_content_extract") {
+      val nPages = math.max(rows / 40L, 200000L)
+      val pages = spark.range(nPages).select(col("id").as("doc_id"),
+        concat(
+          lit("<html><head><style>x{color:#333}</style>" +
+            "<script>var a = \"</div>\";</script></head><body>" +
+            "<div><a href='/'>Home</a> <a href='/a'>About</a> " +
+            "<a href='/c'>Contact us</a></div><p>"),
+          expr("concat_ws(' ', transform(sequence(1, 30), " +
+            "i -> concat('w', abs(hash(id, i)) % 1000)))"),
+          lit("</p><div class='f'>&copy; 2024 <a href='/t'>Terms</a> " +
+            "<a href='/p'>Privacy</a></div></body></html>")).as("page"))
+      val s = graft.text.Html.mainContent(pages, "doc_id", "page")
+        .agg(sum("n_kept"), sum("n_blocks")).head()
+      require(s.getLong(0) == nPages && s.getLong(1) == 3L * nPages,
+        s"main-content ground truth: $s vs nPages=$nPages")
+      nPages
+    }
     spark.stop()
   }
 }
