@@ -327,6 +327,20 @@ object Graft {
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     TextAnalysis.importanceWeights(docs, target, idCol, textCol)
+  /** End-to-end crawl-curation disposition: URL gate -> HTML main
+    * content -> quality gate -> exact dedup -> survivor, one row per
+    * page (text.Curation). Pair with [[curationFunnel]] for the rollup.
+    */
+  def curationDisposition(docs: DataFrame, idCol: String, urlCol: String,
+                          htmlCol: String, minTextWords: Int = 10)
+      : DataFrame =
+    graft.text.Curation.disposition(docs, idCol, urlCol, htmlCol,
+      minTextWords)
+  /** Funnel rollup of [[curationDisposition]]: docs surviving each
+    * successive stage.
+    */
+  def curationFunnel(disposition: DataFrame): DataFrame =
+    graft.text.Curation.funnel(disposition)
   /** Visible text of an HTML page: script/style/comment subtrees
     * dropped, tags to spaces, common entities decoded, whitespace
     * collapsed. Pure map-side Column (text.Html).

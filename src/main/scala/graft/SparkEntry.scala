@@ -23,6 +23,7 @@ object SparkEntry {
     TextAnalysisQueries,
     UrlQueries,
     HtmlQueries,
+    CurationQueries,
     MultimodalQueries,
     StreamingQueries
   )

@@ -97,15 +97,17 @@ object HtmlQueries extends QueryPack {
   private val blockBoundarySql =
     "'(?i)</(?:p|div|h[1-6]|li|ul|ol|table|tr)>|<br ?/?>'"
 
-  /** Shared CTE prefix: page fixture -> invisible-free -> block rows
-    * nb(doc_id, pos, block_text, n_words, link_density).
+  /** Block chain over an arbitrary page fragment, WITHOUT the leading
+    * `WITH` so composing packs (CurationQueries) can splice it into a
+    * larger chain: pg -> segs -> b -> t -> nb(doc_id, pos, block_text,
+    * n_words, link_density).
     */
-  private def blockCte: String =
-    s"""WITH raw AS (SELECT doc_id, $rawHtmlSql AS page FROM documents),
+  private[packs] def blockChain(pageSql: String): String =
+    s"""pg AS (SELECT doc_id, $pageSql AS page FROM documents),
        |segs AS (
        |  SELECT doc_id, string_split_regex(${duckInvisible("page")},
        |    $blockBoundarySql) AS sg
-       |  FROM raw),
+       |  FROM pg),
        |b AS (
        |  SELECT doc_id, s AS pos, sg[s + 1] AS seg
        |  FROM (SELECT doc_id, sg, unnest(range(0, len(sg))) AS s
@@ -133,7 +135,7 @@ object HtmlQueries extends QueryPack {
          |FROM raw ORDER BY doc_id""".stripMargin,
 
     "html_block_stats" ->
-      (blockCte +
+      ("WITH " + blockChain(rawHtmlSql) +
         """
         |SELECT doc_id, pos, block_text, n_words,
         |  round(link_density, 4) AS link_density,
@@ -141,7 +143,7 @@ object HtmlQueries extends QueryPack {
         |FROM nb ORDER BY doc_id, pos""".stripMargin),
 
     "html_main_content" ->
-      (blockCte +
+      ("WITH " + blockChain(rawHtmlSql) +
         """
         |SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
         |  CAST(count(*) FILTER (WHERE n_words >= 5

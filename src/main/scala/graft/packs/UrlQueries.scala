@@ -23,7 +23,7 @@ object UrlQueries extends QueryPack {
     * `expr`) and oracle (spliced) — Spark SQL and DuckDB both accept
     * this dialect subset (CASE, %, ||, CAST AS STRING).
     */
-  private val rawUrlSql: String =
+  private[packs] val rawUrlSql: String =
     """CASE doc_id % 8
       |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || CAST(doc_id AS STRING) || '/'
       |  WHEN 1 THEN 'https://news.example.co.uk/story?utm_source=tw&b=2&a=1#frag'
@@ -84,7 +84,7 @@ object UrlQueries extends QueryPack {
     * suffix table. `u` expects `doc_id`; emits `host`, `canon`,
     * `domain`.
     */
-  private val urlChainSql: String =
+  private[packs] val urlChainSql: String =
     s"""u AS (
        |  SELECT doc_id, n_chars, $rawUrlSql AS url_raw FROM documents),
        |p AS (

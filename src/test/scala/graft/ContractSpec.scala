@@ -22,6 +22,19 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("curation capstone funnel is exact on sf0.001") {
+    // Hand-derived over the 500-doc corpus and the fixture residues:
+    // url fails   = |{id ≡ 5 (mod 8)}|                        = 62
+    // quality     = |{id ≡ 5 (mod 13)} \ url fails|           = 39 - 5
+    // dup drops   = qualified {id ≡ 0 (mod 11)} = 46 - 4 - 5 = 37 docs
+    //               in 4 clusters -> 33 non-keepers
+    val f = SparkEntry.queries("curation_funnel")(spark,
+        "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f === Map("a_input" -> 500L, "b_url_ok" -> 438L,
+      "c_quality_ok" -> 404L, "d_survivor" -> 371L))
+  }
+
   test("multimodal decode: parsed type/hash survive the Spark round trip") {
     // doc_id 6 -> doc_id%4=2 -> PPM container; n=5 -> w=8+5%61=13, h=1
     val docs = Seq((6L, "hello")).toDF("doc_id", "text")
