@@ -89,5 +89,11 @@ object SparkEntry {
     "text_quality", "text_fingerprint", "text_phrase_search",
     "er_link_customers", "multimodal_decode_meta",
     "multimodal_downsample", "multimodal_image_ahash",
-    "window_tumbling_events")
+    "window_tumbling_events",
+    // r15 continuation — the new curation front end's scale paths:
+    // line keep-first (two hash shuffles + reassembly; the boilerplate
+    // twin adds only a COUNT DISTINCT threshold agg and stays
+    // correctness-only), jusText extraction (pure map-side regex), and
+    // the capstone disposition (the whole funnel in one plan)
+    "dedup_line_keepfirst", "html_main_content", "curation_disposition")
 }
