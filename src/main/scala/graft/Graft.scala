@@ -301,6 +301,11 @@ object Graft {
   /** PII detection + typed-placeholder redaction (email/IPv4/phone). */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.piiStats(docs, idCol, textCol)
+  /** Unicode-script / charset triage: per-script char counts, U+FFFD,
+    * mojibake digraphs, dominant script. Map-side (text.TextAnalysis).
+    */
+  def scriptStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.scriptStats(docs, idCol, textCol)
   /** Canonical URL form: lowercase scheme/host, www./fragment strip,
     * default-port drop, tracking-param removal, param sort, trailing
     * slash trim. Map-side Column expression (text.Urls).

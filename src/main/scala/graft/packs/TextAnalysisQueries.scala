@@ -224,8 +224,33 @@ object TextAnalysisQueries extends QueryPack {
       TextAnalysis.phraseMatchCounts(Tables(s, dir).documents,
           "doc_id", "text", Seq("slow", "hash", "batch"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unicode-script / charset triage over a fixture planting Han,
+    // Cyrillic, accented-Latin, and mojibake/U+FFFD strata (the corpus
+    // itself is pure ASCII). Map-side regexp_count only.
+    "text_script_mix" -> ((s, dir) => {
+      TextAnalysis.scriptStats(
+          Tables(s, dir).documents
+            .select(col("doc_id"), expr(scriptTextSql).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Script-mix fixture, shared verbatim engine/oracle (Scala \uXXXX
+    * escapes resolve to literal characters before either engine parses
+    * the SQL). Residues: 1 = Han-dominant, 2 = Cyrillic-dominant,
+    * 3 = accented Latin, 4 = mojibake digraphs + U+FFFD, else ASCII.
+    */
+  private val scriptTextSql: String =
+    """CASE doc_id % 5
+      |  WHEN 1 THEN substr(text, 1, 8) || ' 中文语料质量检测数据管道'
+      |  WHEN 2 THEN substr(text, 1, 8) || ' русский текст корпуса'
+      |  WHEN 3 THEN substr(text, 1, 40) || ' café résumé naïve 2024'
+      |  WHEN 4 THEN substr(text, 1, 40) || ' bad Ã© quote â€™ nbÂ sp � end'
+      |  ELSE text
+      |END""".stripMargin
 
   /** Unrolled BPE oracle: per round, pair counting from the symbol
     * arrays (list_transform over positions), the argmax (ORDER BY
@@ -668,6 +693,33 @@ object TextAnalysisQueries extends QueryPack {
         |JOIN (SELECT doc_id, pos - 2 AS pos FROM idx WHERE term = 'batch') d2
         |  USING (doc_id, pos)
         |GROUP BY d0.doc_id
-        |ORDER BY d0.doc_id""".stripMargin
+        |ORDER BY d0.doc_id""".stripMargin,
+
+    // Script counts replayed with RE2's \p{Script} classes (Java spells
+    // them \p{IsScript} — same Unicode tables). length() is characters
+    // in DuckDB and UTF-16 units in Spark: equal on this BMP fixture.
+    "text_script_mix" ->
+      (s"""WITH sx AS (SELECT doc_id, $scriptTextSql AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(length(t) AS INT) AS n_chars,
+         |    CAST(len(regexp_extract_all(t, '\\p{Latin}')) AS INT)
+         |      AS n_latin,
+         |    CAST(len(regexp_extract_all(t, '\\p{Han}')) AS INT) AS n_han,
+         |    CAST(len(regexp_extract_all(t, '\\p{Cyrillic}')) AS INT)
+         |      AS n_cyrillic,
+         |    CAST(len(regexp_extract_all(t, '[0-9]')) AS INT) AS n_digit,
+         |    CAST(len(regexp_extract_all(t, '�')) AS INT)
+         |      AS n_replacement,
+         |    CAST(len(regexp_extract_all(t,
+         |      'Ã©|â€™|Â ')) AS INT)
+         |      AS n_mojibake
+         |  FROM sx)
+         |SELECT *, CASE
+         |    WHEN n_han > n_latin AND n_han >= n_cyrillic THEN 'han'
+         |    WHEN n_cyrillic > n_latin AND n_cyrillic > n_han
+         |      THEN 'cyrillic'
+         |    WHEN n_latin > 0 THEN 'latin'
+         |    ELSE 'other' END AS dominant_script
+         |FROM c ORDER BY doc_id""".stripMargin)
   )
 }

@@ -439,6 +439,44 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
         " +", " ")))
 
+  /** Unicode-script / charset diagnostics — the triage a multilingual
+    * crawl runs before language ID: per-script character counts (Latin,
+    * Han, Cyrillic via Java's \p{IsXxx} script classes), digits, U+FFFD
+    * replacement characters (a decoder already gave up upstream), and
+    * the classic UTF-8-read-as-Latin-1 mojibake digraphs ("Ã©", "â€™",
+    * "Â " + NBSP) that survive re-encoding and poison tokenizers (the
+    * ftfy failure class). `dominant_script` prefers latin unless
+    * strictly dominated — deterministic, no ratio thresholds to drift.
+    *
+    * All counts are regexp_count over one row at a time: map-side,
+    * codegen'd, zero shuffle — free at 100 TB next to the scan itself.
+    * Counts are per CHARACTER (fixtures and crawl text here are BMP;
+    * supplementary-plane codepoints would count 2 in Spark's UTF-16
+    * `length` but regexp_count still sees one match per character).
+    */
+  def scriptStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pat: String) = regexp_count(t, lit(pat)).cast("int")
+    docs.select(col(idCol),
+        length(t).cast("int").as("n_chars"),
+        cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("\ufffd").as("n_replacement"),
+        // markers spelled as escapes: \u00c3\u00a9 = "Ã©",
+        // \u00e2\u20ac\u2122 = "â€™", \u00c2 + NBSP = "Â\u00a0"
+        cnt("\u00c3\u00a9|\u00e2\u20ac\u2122|\u00c2\u00a0")
+          .as("n_mojibake"))
+      .withColumn("dominant_script",
+        when(col("n_han") > col("n_latin") &&
+          col("n_han") >= col("n_cyrillic"), lit("han"))
+          .when(col("n_cyrillic") > col("n_latin") &&
+            col("n_cyrillic") > col("n_han"), lit("cyrillic"))
+          .when(col("n_latin") > 0, lit("latin"))
+          .otherwise(lit("other")))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),

@@ -303,4 +303,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(toks === covered, s"doc $id coverage")
     }
   }
+  test("scriptStats: per-script counts, mojibake markers, dominance") {
+    val docs = Seq(
+      (1L, "hello world 42"),                       // ascii latin
+      (2L, "\u4e2d\u6587\u8bed\u6599 ok"),          // 4 han > 2 latin
+      (3L, "\u0440\u0443\u0441\u0441\u043a\u0438\u0439 ab"),  // 7 cyr > 2 latin
+      (4L, "caf\u00e9 \u00c3\u00a9 \u00e2\u20ac\u2122 x\u00c2\u00a0y \ufffd"),
+      (5L, "12345")                                 // digits only
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptStats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(2) === 10 && r(1L).getInt(5) === 2 &&
+      r(1L).getString(8) === "latin")
+    assert(r(2L).getInt(3) === 4 && r(2L).getString(8) === "han")
+    assert(r(3L).getInt(4) === 7 && r(3L).getString(8) === "cyrillic")
+    // caf\u00e9(4 latin) + markers: \u00c3\u00a9, \u00e2\u20ac\u2122, \u00c2+NBSP; one U+FFFD
+    assert(r(4L).getInt(7) === 3, s"mojibake ${r(4L)}")
+    assert(r(4L).getInt(6) === 1)
+    assert(r(5L).getInt(5) === 5 && r(5L).getString(8) === "other")
+  }
+
 }
