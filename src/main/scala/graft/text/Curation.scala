@@ -41,6 +41,10 @@ object Curation {
       Urls.registeredDomain(Urls.hostOf(col(urlCol))))
     val mc = Html.mainContent(withDomain, idCol, htmlCol,
       blockMinWords, blockMaxLinkDensity)
+    // d0 feeds BOTH the keeper aggregation and the output row — without
+    // the checkpoint the whole HTML-extraction subtree would execute
+    // twice (the r7 shingle-relation lesson; at 100 TB that is a second
+    // full pass over the crawl).
     val d0 = withDomain.select(col(idCol), col("domain"))
       .join(mc, idCol)
       .withColumn("url_ok", col("domain") =!= "")
@@ -48,6 +52,7 @@ object Curation {
         when(col("main_text") === "", lit(0))
           .otherwise(size(split(col("main_text"), "\\s+"))))
       .withColumn("quality_ok", col("n_words") >= minTextWords)
+      .localCheckpoint()
     val keepers = d0.where(col("url_ok") && col("quality_ok"))
       .groupBy(md5(col("main_text")).as("_h"))
       .agg(min(col(idCol)).as("_kid"))

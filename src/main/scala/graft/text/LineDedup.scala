@@ -73,25 +73,33 @@ object LineDedup {
     * `delim` in original position order; a document whose every line
     * lost the keep-first race gets (n_kept = 0, text_clean = "").
     * Requires `idCol` orderable (the keeper is min (id, pos)).
+    *
+    * Plan shape: the exploded frame is LEFT-joined to the keeper table
+    * and the keep verdict carried as a flag into ONE grouped reassembly
+    * pass — every document keeps a row (all its lines are in the
+    * flagged frame), so no join back to the original docs is needed.
+    * The corpus is scanned twice (keeper aggregation + flagged join);
+    * at 100 TB recomputing the map-side explode beats materializing the
+    * exploded corpus to executor disks.
     */
   def keepFirstLines(docs: DataFrame, idCol: String, textCol: String,
                      delim: String = "\n"): DataFrame = {
     val ln = lines(docs, idCol, textCol, delim)
-    val keyed = ln.where(col("_k").isNotNull)
-    val keepers = keyed.groupBy(col("_k"))
+    val keepers = ln.where(col("_k").isNotNull)
+      .groupBy(col("_k"))
       .agg(min(struct(col(idCol), col("pos"))).as("_first"))
-    val kept = keyed.join(keepers, "_k")
-      .where(col(idCol) === col(s"_first.$idCol") &&
-        col("pos") === col("_first.pos"))
-      .select(col(idCol), col("pos"), col("line"))
-      .unionByName(ln.where(col("_k").isNull)
-        .select(col(idCol), col("pos"), col("line")))
-    reassemble(docs, kept, idCol, textCol, delim, keptCol = "n_kept")
+    val flagged = ln.join(keepers, Seq("_k"), "left")
+      .withColumn("_keep", col("_k").isNull ||
+        (col(idCol) === col(s"_first.$idCol") &&
+          col("pos") === col("_first.pos")))
+    reassemble(flagged, idCol, delim)
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("text_clean"))
   }
 
   /** Boilerplate removal: drop EVERY occurrence of any non-blank line
     * present in ≥ `minDocs` distinct documents. Returns one row per
-    * input document: (idCol, n_lines, n_removed, text_clean).
+    * input document: (idCol, n_lines, n_removed, text_clean). Same
+    * flagged one-pass reassembly as [[keepFirstLines]].
     */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Int, delim: String = "\n"): DataFrame = {
@@ -100,34 +108,32 @@ object LineDedup {
       .groupBy(col("_k"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .where(col("_nd") >= minDocs)
-      .select(col("_k"))
-    val kept = ln.join(frequent, Seq("_k"), "left_anti")
-      .select(col(idCol), col("pos"), col("line"))
-    val out = reassemble(docs, kept, idCol, textCol, delim,
-      keptCol = "n_kept")
-    out.select(col(idCol), col("n_lines"),
-      (col("n_lines") - col("n_kept")).as("n_removed"), col("text_clean"))
+      .select(col("_k"), lit(true).as("_freq"))
+    val flagged = ln.join(frequent, Seq("_k"), "left")
+      .withColumn("_keep", col("_k").isNull || col("_freq").isNull)
+    reassemble(flagged, idCol, delim)
+      .select(col(idCol), col("n_lines"),
+        (col("n_lines") - col("n_kept")).as("n_removed"), col("text_clean"))
   }
 
-  /** Join kept (id, pos, line) rows back to one row per document, with a
-    * left join from the original docs so zero-kept documents survive as
-    * (0, ""). `n_lines` is computed map-side from the original text.
+  /** One grouped pass over flagged (id, pos, line, _keep) rows:
+    * n_lines = all lines, n_kept = flagged true, text_clean = kept
+    * lines re-joined in position order (collect_list skips the
+    * null-valued dropped lines; bounded by single-document size).
+    * Dropped lines contribute only their count, so their text is
+    * nulled BEFORE the reassembly exchange — a corpus that is 30%
+    * boilerplate shuffles 30% fewer line bytes.
     */
-  private def reassemble(docs: DataFrame, kept: DataFrame, idCol: String,
-                         textCol: String, delim: String,
-                         keptCol: String): DataFrame = {
-    val agg = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).cast("int").as(keptCol),
-      array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line")),
-        delim).as("text_clean"))
-    docs.select(col(idCol),
-        size(split(col(textCol),
-          java.util.regex.Pattern.quote(delim))).as("n_lines"))
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col(keptCol), lit(0)).as(keptCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
-  }
+  private def reassemble(flagged: DataFrame, idCol: String,
+                         delim: String): DataFrame =
+    flagged
+      .select(col(idCol), col("_keep"),
+        when(col("_keep"), struct(col("pos"), col("line"))).as("_pl"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("_keep"), 1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(col("_pl"))),
+            s => s.getField("line")),
+          delim).as("text_clean"))
 }
