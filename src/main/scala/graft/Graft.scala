@@ -482,6 +482,18 @@ object Graft {
   def decodeMedia(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.MediaMeta] =
     graft.multimodal.Multimodal.decodeMedia(media)
+  /** PDF → text: page-tree walk, stream inflate, Tj/'/TJ show strings;
+    * one row per page, damage attributable per page (multimodal.PdfCodec).
+    */
+  def pdfPageTexts(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
+      : org.apache.spark.sql.Dataset[graft.multimodal.PdfPageText] =
+    graft.multimodal.Multimodal.pdfPageTexts(media)
+  /** PDF structure triage: version, page/object counts, filter and
+    * /Encrypt flags (multimodal.PdfCodec).
+    */
+  def pdfDocMeta(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
+      : org.apache.spark.sql.Dataset[graft.multimodal.PdfDocMeta] =
+    graft.multimodal.Multimodal.pdfDocMeta(media)
 
   // ---- sketches, graph, layout, mixing (round-11 additions) ----
   /** Fixed-size count-min sketch (oracle-replayable md5 family); the

@@ -101,6 +101,24 @@ final case class AudioSpectralPrint(
     print: String,
     energy: Long)
 
+/** Per-document PDF header/structure facts ([[PdfCodec.pdfMeta]]). */
+final case class PdfDocMeta(
+    doc_id: Long,
+    version: String,
+    n_pages: Int,
+    n_objects: Int,
+    compressed: Boolean,
+    encrypted: Boolean)
+
+/** One extracted PDF page ([[PdfCodec.pdfText]]): `text` is the page's
+  * Tj/TJ show strings, lines joined by '\n'.
+  */
+final case class PdfPageText(
+    doc_id: Long,
+    page: Int,
+    text: String,
+    n_chars: Int)
+
 /** Multimodal-column plumbing (north-star extension).
   *
   * The decode stage runs REAL header parsers ([[MediaCodec]]: BMP, RIFF
@@ -347,6 +365,60 @@ object Multimodal {
     *   MP4 (id%2=1): w = 16 + n%101, h = 16 + n%59, timescale = 600,
     *                 duration = 100·(1 + n%50), samples = 1 + n%30
     */
+  /** PDF corpus fixture: each doc's tokens paginate into 40-token
+    * pages of 8-token lines; even ids flate-compress every content
+    * stream, ids % 3 == 0 emit every 2nd line as a TJ array (same
+    * text, different operator). Deterministic from (doc_id, text), so
+    * the text oracle replays pagination in SQL without parsing a byte.
+    */
+  def encodePdfCorpus(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val projected = docs.select(col("doc_id").cast("long"), col("text"))
+    val balanced =
+      if (docs.inputFiles.length < par) projected.repartition(par)
+      else projected
+    balanced.as[(Long, String)].map { case (id, text) =>
+      val toks = Option(text).getOrElse("").split(" ")
+      val pages = toks.grouped(40)
+        .map(_.grouped(8).map(_.mkString(" ")).toSeq).toSeq
+      MediaRecord(id,
+        PdfCodec.encodePdf(pages, compress = id % 2 == 0,
+          tjEvery = if (id % 3 == 0) 2 else 0),
+        "application/pdf")
+    }
+  }
+
+  /** Header/structure facts per PDF — the triage row (encrypted and
+    * damaged files surface here with n_pages = 0, never an exception).
+    */
+  def pdfDocMeta(media: Dataset[MediaRecord]): Dataset[PdfDocMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      PdfCodec.pdfMeta(r.payload) match {
+        case Some(m) => PdfDocMeta(r.doc_id, m.version, m.nPages,
+          m.nObjects, m.compressed, m.encrypted)
+        case None => PdfDocMeta(r.doc_id, "", 0, 0,
+          compressed = false, encrypted = false)
+      }
+    }
+  }
+
+  /** One row per extracted page; a damaged page yields text = "" (the
+    * drop stays attributable), a non-PDF payload yields no rows.
+    */
+  def pdfPageTexts(media: Dataset[MediaRecord]): Dataset[PdfPageText] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      PdfCodec.pdfText(r.payload).toSeq.flatMap(_.zipWithIndex.map {
+        case (t, i) => PdfPageText(r.doc_id, i, t, t.length)
+      })
+    }
+  }
+
   def encodeVideoCorpus(docs: DataFrame,
                         frameSeedOffset: Int = 0): Dataset[MediaRecord] = {
     val spark = docs.sparkSession

@@ -50,6 +50,25 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PDF structure triage: version/pages/objects/filters parsed from
+    // real xref'd documents (even ids FlateDecode-compressed).
+    "multimodal_pdf_meta" -> ((s, dir) => {
+      Multimodal.pdfDocMeta(
+          Multimodal.encodePdfCorpus(Tables(s, dir).documents)).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // PDF text extraction end to end: object scan -> page tree walk ->
+    // content-stream inflate -> Tj/'/TJ show strings. The oracle
+    // replays the fixture's pagination (40-token pages, 8-token lines)
+    // straight from the documents table — decode(encode(text)) == text
+    // per page, across compressed/uncompressed and Tj/TJ strata.
+    "multimodal_pdf_text" -> ((s, dir) => {
+      Multimodal.pdfPageTexts(
+          Multimodal.encodePdfCorpus(Tables(s, dir).documents)).toDF()
+        .orderBy(col("doc_id"), col("page"))
+    }),
+
     // VIDEO frame sampling: every 2nd MJPEG frame sliced from the movi
     // region and decoded as the complete JPEG it is — geometry from
     // each frame's own SOF header, literal decode_ok.
@@ -344,6 +363,48 @@ object MultimodalQueries extends QueryPack {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // PDF structure facts derived from the fixture arithmetic: object
+    // count = catalog + pages node + font + 2 per page; even ids
+    // compress. The engine must recover each from real parsed bytes.
+    "multimodal_pdf_meta" ->
+      """SELECT doc_id, '1.4' AS version,
+        |  CAST(ceil(len(string_split(text, ' ')) / 40.0) AS INT)
+        |    AS n_pages,
+        |  CAST(3 + 2 * ceil(len(string_split(text, ' ')) / 40.0) AS INT)
+        |    AS n_objects,
+        |  (doc_id % 2 = 0) AS compressed, false AS encrypted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Pagination replayed from the raw tokens: page p carries tokens
+    // [40p+1 .. 40p+40] as ceil(k/8) lines of 8 joined by \n. DuckDB
+    // list slices clamp at the array end, mirroring Scala grouped().
+    "multimodal_pdf_text" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(range(0, CAST(ceil(n / 40.0) AS INT))) AS p
+        |  FROM tok),
+        |ln AS (
+        |  SELECT doc_id, t, n, p,
+        |    unnest(range(0,
+        |      CAST(ceil(least(40, n - p * 40) / 8.0) AS INT))) AS l
+        |  FROM pg),
+        |lt AS (
+        |  SELECT doc_id, p, l,
+        |    array_to_string(
+        |      t[p * 40 + l * 8 + 1 : least(p * 40 + l * 8 + 8, n)], ' ')
+        |      AS line
+        |  FROM ln),
+        |pt AS (
+        |  SELECT doc_id, p, string_agg(line, chr(10) ORDER BY l) AS text
+        |  FROM lt GROUP BY doc_id, p)
+        |SELECT doc_id, CAST(p AS INT) AS page, text,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM pt ORDER BY doc_id, page""".stripMargin,
+
     // The id % 5 container mapping replayed: three raster strata are
     // pixel-decodable, WAV is not an image, and the JPEG stratum's
     // four cycled sub-variants ((doc_id / 5) % 4) split into two REAL

@@ -933,4 +933,67 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(loose === Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
+  test("pdf: round-trip across compression and TJ strata, with escapes") {
+    import graft.multimodal.PdfCodec
+    val pages = Seq(
+      Seq("plain first line", "text (with parens) and \\ backslash"),
+      Seq("second page here", "tail"))
+    for (compress <- Seq(false, true); tj <- Seq(0, 2)) {
+      val pdf = PdfCodec.encodePdf(pages, compress, tj)
+      assert(PdfCodec.pdfText(pdf).get ===
+        pages.map(_.mkString("\n")).toVector, s"c=$compress tj=$tj")
+      val m = PdfCodec.pdfMeta(pdf).get
+      assert(m.version === "1.4" && m.nPages === 2 && m.nObjects === 7)
+      assert(m.compressed === compress && !m.encrypted)
+    }
+  }
+
+  test("pdf: nested page tree and indirect /Length parse") {
+    import graft.multimodal.PdfCodec
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // hand-built: Pages -> [Pages -> [Page], Page], /Length indirect
+    val body =
+      """%PDF-1.7
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj
+        |3 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj
+        |4 0 obj << /Type /Page /Parent 3 0 R /Contents 6 0 R >> endobj
+        |5 0 obj << /Type /Page /Parent 2 0 R /Contents 7 0 R >> endobj
+        |6 0 obj << /Length 8 0 R >>
+        |stream
+        |BT (inner page) Tj ET
+        |endstream
+        |endobj
+        |7 0 obj << /Length 19 >>
+        |stream
+        |BT (outer) Tj ET
+        |endstream
+        |endobj
+        |8 0 obj 21 endobj
+        |trailer << /Size 9 /Root 1 0 R >>
+        |%%EOF
+        |""".stripMargin
+    val pdf = body.getBytes(ISO_8859_1)
+    assert(PdfCodec.pdfText(pdf).get === Vector("inner page", "outer"))
+    assert(PdfCodec.pdfMeta(pdf).get.nPages === 2)
+  }
+
+  test("pdf: damage and triage never throw") {
+    import graft.multimodal.PdfCodec
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    assert(PdfCodec.pdfText("not a pdf at all".getBytes(ISO_8859_1)).isEmpty)
+    assert(PdfCodec.pdfMeta(Array[Byte](1, 2, 3)).isEmpty)
+    // oversized /Length -> that page extracts as "", document survives
+    val ok = PdfCodec.encodePdf(Seq(Seq("good")), compress = false)
+    val broken = new String(ok, ISO_8859_1)
+      .replaceFirst("/Length \\d+", "/Length 999999")
+      .getBytes(ISO_8859_1)
+    assert(PdfCodec.pdfText(broken).get === Vector(""))
+    // /Encrypt in the trailer is surfaced, not decrypted
+    val enc = new String(ok, ISO_8859_1)
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+      .getBytes(ISO_8859_1)
+    assert(PdfCodec.pdfMeta(enc).get.encrypted)
+  }
+
 }
