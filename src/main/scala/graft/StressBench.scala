@@ -817,6 +817,22 @@ object StressBench {
         s"keepfirst ground truth: ${s.getLong(0)} vs nDocs=$nDocs")
       20L * nDocs
     }
+    // rows/40 docs encoded as real multi-page PDFs (xref, Flate on
+    // even ids, TJ stratum) and extracted back: mux + object scan +
+    // page walk + inflate + show-string parse. Ground truth is exact:
+    // 200 tokens -> ceil(200/40) = 5 pages per doc, page text byte
+    // count equals the token arithmetic.
+    timed("pdf_text_pipeline") {
+      val nDocs = math.max(rows / 40L, 100000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 200), " +
+          "i -> concat('tok', abs(hash(id, i)) % 50000))")).as("text"))
+      val pages = graft.multimodal.Multimodal.pdfPageTexts(
+        graft.multimodal.Multimodal.encodePdfCorpus(docs))
+      val s = pages.toDF().agg(sum(lit(1)), sum(length(col("text")))).head()
+      require(s.getLong(0) == 5L * nDocs, s"pdf pages: $s vs nDocs=$nDocs")
+      5L * nDocs
+    }
     // rows/40 synthetic pages through the full jusText pipeline
     // (strip-invisible, block split, per-block density, reassembly):
     // regex-throughput stage, every page keeps exactly its one prose
