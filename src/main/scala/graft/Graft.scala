@@ -494,6 +494,12 @@ object Graft {
   def pdfDocMeta(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.PdfDocMeta] =
     graft.multimodal.Multimodal.pdfDocMeta(media)
+  /** WARC archive → one row per record: framing, HTTP status/headers,
+    * body digest; gzip-member and plain transports (multimodal.WarcCodec).
+    */
+  def warcRecords(archives: org.apache.spark.sql.Dataset[graft.multimodal.WarcArchive])
+      : org.apache.spark.sql.Dataset[graft.multimodal.WarcRecordRow] =
+    graft.multimodal.Multimodal.warcRecords(archives)
 
   // ---- sketches, graph, layout, mixing (round-11 additions) ----
   /** Fixed-size count-min sketch (oracle-replayable md5 family); the

@@ -119,6 +119,25 @@ final case class PdfPageText(
     text: String,
     n_chars: Int)
 
+/** One web archive (WARC-style): many records framed into one opaque
+  * payload row ([[WarcCodec]]).
+  */
+final case class WarcArchive(
+    archive_id: Long,
+    payload: Array[Byte],
+    n_records: Int)
+
+/** One record pulled out of a [[WarcArchive]]. */
+final case class WarcRecordRow(
+    archive_id: Long,
+    rec_idx: Int,
+    warc_type: String,
+    url: String,
+    http_status: Int,
+    content_type: String,
+    n_bytes: Int,
+    body_md5: String)
+
 /** Multimodal-column plumbing (north-star extension).
   *
   * The decode stage runs REAL header parsers ([[MediaCodec]]: BMP, RIFF
@@ -416,6 +435,49 @@ object Multimodal {
       PdfCodec.pdfText(r.payload).toSeq.flatMap(_.zipWithIndex.map {
         case (t, i) => PdfPageText(r.doc_id, i, t, t.length)
       })
+    }
+  }
+
+  /** WARC-archive corpus fixture: `perArchive` consecutive docs per
+    * archive (records ordered by doc_id), each doc one HTTP 200
+    * text/plain response at `https://example.com/doc/<id>`; even
+    * archive ids use per-record gzip members, odd ids plain framing —
+    * both transports must yield identical records.
+    */
+  def encodeWarcCorpus(docs: DataFrame,
+                       perArchive: Int = 10): Dataset[WarcArchive] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col("doc_id").cast("long") / perArchive).cast("long")
+        .as("archive_id"), col("doc_id").cast("long"), col("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, it) =>
+        val recs = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+          (s"https://example.com/doc/$id", 200, "text/plain",
+            Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        WarcArchive(aid,
+          WarcCodec.encodeWarc(recs, gzipPerRecord = aid % 2 == 0),
+          recs.length)
+      }
+  }
+
+  /** Record extraction: one row per archived record, map-side over the
+    * archive payloads (bytes never shuffle; the exchange is the encode
+    * side's grouping only).
+    */
+  def warcRecords(archives: Dataset[WarcArchive]): Dataset[WarcRecordRow] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.flatMap { a =>
+      WarcCodec.decodeWarc(a.payload).zipWithIndex.map { case (r, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        WarcRecordRow(a.archive_id, i, r.warcType, r.targetUri,
+          r.httpStatus, r.contentType, r.body.length,
+          md.digest(r.body).map("%02x".format(_)).mkString)
+      }
     }
   }
 

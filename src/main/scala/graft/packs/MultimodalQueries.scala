@@ -50,6 +50,17 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC transport round trip: 10-doc archives (even archive ids
+    // gzip-member-per-record, odd plain), records re-extracted with
+    // framing, HTTP status/headers, and body digests — the
+    // CommonCrawl-shaped ingest container in front of the html/text
+    // stages. Oracle replays every field from the documents table.
+    "multimodal_warc_records" -> ((s, dir) => {
+      Multimodal.warcRecords(
+          Multimodal.encodeWarcCorpus(Tables(s, dir).documents)).toDF()
+        .orderBy(col("archive_id"), col("rec_idx"))
+    }),
+
     // PDF structure triage: version/pages/objects/filters parsed from
     // real xref'd documents (even ids FlateDecode-compressed).
     "multimodal_pdf_meta" -> ((s, dir) => {
@@ -363,6 +374,22 @@ object MultimodalQueries extends QueryPack {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Every WARC field recomputed from the raw corpus: archive/record
+    // placement from doc_id arithmetic, the URL string, the HTTP
+    // constants the writer frames, and the body digest. The engine
+    // must recover each from real (possibly gzip-member) archive
+    // bytes — transport equality across both framings is implicit in
+    // the single shared expectation.
+    "multimodal_warc_records" ->
+      """SELECT CAST(doc_id // 10 AS BIGINT) AS archive_id,
+        |  CAST(doc_id % 10 AS INT) AS rec_idx,
+        |  'response' AS warc_type,
+        |  'https://example.com/doc/' || CAST(doc_id AS STRING) AS url,
+        |  200 AS http_status, 'text/plain' AS content_type,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY archive_id, rec_idx""".stripMargin,
+
     // PDF structure facts derived from the fixture arithmetic: object
     // count = catalog + pages node + font + 2 per page; even ids
     // compress. The engine must recover each from real parsed bytes.

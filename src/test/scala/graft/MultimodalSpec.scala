@@ -996,4 +996,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PdfCodec.pdfMeta(enc).get.encrypted)
   }
 
+  test("warc: framing, gzip members, mixed types, binary bodies, damage") {
+    import graft.multimodal.WarcCodec
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // binary body containing CRLFCRLF — Content-Length framing must not
+    // be fooled by scan-for-separator
+    val tricky = ("abc\r\n\r\ndef").getBytes(ISO_8859_1)
+    val recs = Seq(
+      ("https://a/1", 200, "text/html", "<p>one</p>".getBytes(ISO_8859_1)),
+      ("https://a/2", 404, "text/plain", tricky))
+    for (gz <- Seq(false, true)) {
+      val out = WarcCodec.decodeWarc(WarcCodec.encodeWarc(recs, gz))
+      assert(out.length === 2, s"gz=$gz")
+      assert(out(0).targetUri === "https://a/1" && out(0).httpStatus === 200)
+      assert(out(1).httpStatus === 404 &&
+        out(1).body.toSeq === tricky.toSeq, s"gz=$gz")
+    }
+    // non-response record types are carried through with their type
+    val mixed = ("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: https://a/3\r\nContent-Length: 4\r\n\r\nBODY\r\n\r\n")
+      .getBytes(ISO_8859_1) ++ WarcCodec.encodeWarc(recs.take(1), false)
+    val m = WarcCodec.decodeWarc(mixed)
+    assert(m.map(_.warcType) === Seq("request", "response"))
+    // truncation: the walk returns the parsed prefix, never throws
+    val whole = WarcCodec.encodeWarc(recs, false)
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length / 2)
+    assert(WarcCodec.decodeWarc(cut).length <= 1)
+    assert(WarcCodec.decodeWarc("garbage".getBytes(ISO_8859_1)).isEmpty)
+  }
+
 }
