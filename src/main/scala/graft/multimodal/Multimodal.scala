@@ -481,6 +481,21 @@ object Multimodal {
     }
   }
 
+  /** Record bodies as text: (archive_id, rec_idx, url, body) — the
+    * hand-off row between the transport layer and the html/curation
+    * stages (UTF-8 decode of the framed body bytes).
+    */
+  def warcBodies(archives: Dataset[WarcArchive]): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives.flatMap { a =>
+      WarcCodec.decodeWarc(a.payload).zipWithIndex.map { case (r, i) =>
+        (a.archive_id, i, r.targetUri,
+          new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toDF("archive_id", "rec_idx", "url", "body")
+  }
+
   def encodeVideoCorpus(docs: DataFrame,
                         frameSeedOffset: Int = 0): Dataset[MediaRecord] = {
     val spark = docs.sparkSession

@@ -72,6 +72,25 @@ object CurationQueries extends QueryPack {
     // names prefixed for a stable sort).
     "curation_funnel" -> ((s, dir) => {
       Curation.funnel(disposition(s, dir)).orderBy(col("stage"))
+    }),
+
+    // The FULL CommonCrawl-shaped path: the same pages travel as WARC
+    // archives (gzip members on even archive ids), records are
+    // re-extracted, doc ids recovered from the record URLs, and the
+    // curation funnel runs on the transported bytes. The oracle is
+    // BYTE-IDENTICAL to curation_disposition's — the driver hash pins
+    // transport invariance end to end.
+    "curation_warc_pipeline" -> ((s, dir) => {
+      val archives = graft.multimodal.Multimodal.encodeWarcCorpus(
+        Tables(s, dir).documents
+          .select(col("doc_id"), expr(pageSql).as("text")))
+      val pages = graft.multimodal.Multimodal.warcBodies(archives)
+        .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("body").as("page"))
+        .withColumn("url_raw", expr(UrlQueries.rawUrlSql))
+      Curation.disposition(pages, "doc_id", "url_raw", "page",
+          minTextWords = minWords)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -112,6 +131,13 @@ object CurationQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "curation_disposition" ->
+      (dispositionCte +
+        """
+        |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
+        |  quality_ok, is_exact_dup, survivor
+        |FROM d3 ORDER BY doc_id""".stripMargin),
+
+    "curation_warc_pipeline" ->
       (dispositionCte +
         """
         |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
