@@ -346,6 +346,16 @@ object Graft {
     */
   def curationFunnel(disposition: DataFrame): DataFrame =
     graft.text.Curation.funnel(disposition)
+  /** [[curationDisposition]] as an ingest STREAM: stateless gates +
+    * one keyed exact-dedup state (first-epoch-wins keeper, optional
+    * TTL). Works on batch frames too (streaming.EventStreams).
+    */
+  def curationGateStream(pages: DataFrame, idCol: String, urlCol: String,
+                         htmlCol: String, minTextWords: Int = 10,
+                         ttlMs: Long = 0L)
+      : org.apache.spark.sql.Dataset[graft.streaming.CurationVerdict] =
+    graft.streaming.EventStreams.curationGate(pages, idCol, urlCol,
+      htmlCol, minTextWords, ttlMs)
   /** Visible text of an HTML page: script/style/comment subtrees
     * dropped, tags to spaces, common entities decoded, whitespace
     * collapsed. Pure map-side Column (text.Html).

@@ -33,7 +33,7 @@ object CurationQueries extends QueryPack {
   /** Capstone page fixture (CASE order matters: the stub wins over the
     * dup body when both residues hit). Shared verbatim engine/oracle.
     */
-  private val pageSql: String =
+  private[packs] val pageSql: String =
     """'<html><head><script>var t = "</div>"; track(1);</script></head><body>' ||
       |'<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact us</a></div>' ||
       |'<p>' ||
@@ -49,7 +49,7 @@ object CurationQueries extends QueryPack {
       |'<div class="footer">&copy; 2024 <a href="/tos">Terms</a> <a href="/priv">Privacy</a></div>' ||
       |'</body></html>'""".stripMargin
 
-  private val minWords = 10
+  private[packs] val minWords = 10
 
   /** The per-document funnel disposition (engine side): the generic
     * [[graft.text.Curation]] operator over the two fixture columns.
@@ -98,7 +98,7 @@ object CurationQueries extends QueryPack {
     * (pg..nb from HtmlQueries, over THIS pack's page fixture) + funnel
     * CTEs, ending in d3 = the disposition.
     */
-  private def dispositionCte: String =
+  private[packs] def dispositionCte: String =
     s"""WITH ${UrlQueries.urlChainSql},
        |${HtmlQueries.blockChain(pageSql)},
        |mc AS (

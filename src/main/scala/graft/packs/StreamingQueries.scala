@@ -325,6 +325,35 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The curation funnel as an INGEST STREAM (13th real-stream
+    // artifact): stateless gates — URL parse + IN-ROW jusText main
+    // content + quality — run as the exact Column algebra the batch
+    // path uses, and exact content dedup is the stream's one keyed
+    // state (min qualified doc id per content hash). Single
+    // AvailableNow batch ⇒ verdicts equal the batch min-id keeper, so
+    // the oracle is BYTE-IDENTICAL to curation_disposition's: the
+    // driver hash pins batch/stream unification of the whole funnel.
+    "streaming_curation_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/documents*.parquet")
+        .select(col("doc_id"),
+          expr(UrlQueries.rawUrlSql).as("url_raw"),
+          expr(CurationQueries.pageSql).as("page"))
+      val sink = s"curgate_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_curgate_ckpt").toString
+      val q = EventStreams
+        .curationGate(stream, "doc_id", "url_raw", "page",
+          minTextWords = CurationQueries.minWords)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("doc_id"))
+    }),
+
     // The ANN tier's ingestion gate, as a real stream (the 10th
     // real-stream artifact): the static sign-LSH bucket index is built
     // from the even-id half of the embedding corpus; odd-id vectors
@@ -363,6 +392,15 @@ object StreamingQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // The batch disposition oracle verbatim — single-batch stream
+    // verdicts must hash-equal the batch funnel.
+    "streaming_curation_gate" ->
+      (CurationQueries.dispositionCte +
+        """
+        |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
+        |  quality_ok, is_exact_dup, survivor
+        |FROM d3 ORDER BY doc_id""".stripMargin),
+
     // Spark `split(text, " ")` and DuckDB `string_split(text, ' ')` agree
     // on empty tokens, mirroring the n1 tokenization contract.
     "l5_streaming_nb_counts" ->

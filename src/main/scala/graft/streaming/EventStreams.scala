@@ -385,7 +385,90 @@ object EventStreams {
           }
       }
   }
+
+  /** The crawl-curation funnel as an INGEST STREAM: the stateless
+    * gates (URL parse, in-row jusText main content, quality) run as
+    * the same Column algebra the batch path uses
+    * ([[graft.text.Html.mainContentCol]] — no stateful operator, so
+    * this composes with exactly ONE keyed state below), and exact
+    * content dedup is the stream's only state: per content hash, the
+    * smallest QUALIFIED doc id ever admitted. Within one micro-batch
+    * the verdicts equal the batch [[graft.text.Curation.disposition]]
+    * min-id keeper; across batches the keeper is first-epoch-wins —
+    * the streaming contract every gate in this pack uses. `ttlMs` > 0
+    * bounds state on unbounded streams (processing-time eviction;
+    * the event-time variant of [[selfNearDupFlagsEventTime]] applies
+    * the same way if replay determinism is needed).
+    */
+  def curationGate(pages: DataFrame, idCol: String, urlCol: String,
+                   htmlCol: String, minTextWords: Int = 10,
+                   ttlMs: Long = 0L): Dataset[CurationVerdict] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val gated = pages.select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.text.Urls.registeredDomain(
+          graft.text.Urls.hostOf(col(urlCol))).as("domain"),
+        graft.text.Html.mainContentCol(col(htmlCol)).as("_mc"))
+      .select(col("doc_id"), col("domain"),
+        (col("domain") =!= "").as("url_ok"),
+        col("_mc.n_blocks").as("n_blocks"),
+        col("_mc.n_kept").as("n_kept"),
+        when(col("_mc.main_text") === "", lit(0))
+          .otherwise(size(split(col("_mc.main_text"), "\\s+")))
+          .as("n_words"),
+        md5(col("_mc.main_text")).as("h"))
+      .withColumn("quality_ok", col("n_words") >= minTextWords)
+      .as[GatedPage]
+    gated.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, CurationVerdict](
+        OutputMode.Update, timeoutConf(ttlMs)) {
+        (_: String, rows: Iterator[GatedPage], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toArray.sortBy(_.doc_id)
+            // first-epoch-wins: an ADMITTED keeper is never displaced
+            // by a smaller id arriving later (the pack-wide streaming
+            // contract); with no prior state the batch's smallest
+            // qualified id is the keeper — which on a single
+            // AvailableNow batch is exactly the batch min-id rule.
+            val batchMin = rs.iterator
+              .filter(r => r.url_ok && r.quality_ok)
+              .map(_.doc_id).minOption
+            val keeper = state.getOption
+              .orElse(batchMin).getOrElse(Long.MaxValue)
+            if (keeper != Long.MaxValue) {
+              state.update(keeper)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            rs.iterator.map { r =>
+              val qualified = r.url_ok && r.quality_ok
+              val dup = qualified && r.doc_id != keeper
+              CurationVerdict(r.doc_id, r.domain, r.url_ok, r.n_blocks,
+                r.n_kept, r.n_words, r.quality_ok, dup, qualified && !dup)
+            }
+          }
+      }
+  }
 }
+
+/** Stateless-gate row feeding [[EventStreams.curationGate]]'s keyed
+  * dedup state.
+  */
+final case class GatedPage(doc_id: Long, domain: String, url_ok: Boolean,
+                           n_blocks: Int, n_kept: Int, n_words: Int,
+                           h: String, quality_ok: Boolean)
+
+/** Per-page verdict row of [[EventStreams.curationGate]] — the same
+  * columns the batch disposition emits.
+  */
+final case class CurationVerdict(doc_id: Long, domain: String,
+                                 url_ok: Boolean, n_blocks: Int,
+                                 n_kept: Int, n_words: Int,
+                                 quality_ok: Boolean,
+                                 is_exact_dup: Boolean, survivor: Boolean)
 
 /** A flagged doc and the smallest earlier doc sharing the bucket —
   * output row of [[EventStreams.selfNearDupFlags]].

@@ -96,32 +96,49 @@ object Html {
         col("link_density"))
   }
 
+  /** [[mainContent]] as ONE in-row Column: block split, per-block
+    * strip + density, keep rule, and re-join all happen inside
+    * higher-order array functions on the single page value — zero
+    * shuffle, streamable (no stateful operator), and array order IS
+    * page order so no position bookkeeping is needed. Returns
+    * struct(n_blocks, n_kept, main_text).
+    */
+  def mainContentCol(html: Column, minWords: Int = 5,
+                     maxLinkDensity: Double = 0.33): Column = {
+    val segs = split(dropInvisible(html), blockBoundary)
+    val scored = transform(segs, seg => {
+      val bt = stripTags(seg)
+      val lc = length(array_join(transform(
+        regexp_extract_all(seg, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        a => trim(regexp_replace(a, "<[^>]*>", ""))), ""))
+      struct(bt.as("bt"), lc.as("lc"))
+    })
+    val nonEmpty = filter(scored, s => s.getField("bt") =!= "")
+    val kept = filter(nonEmpty, s =>
+      size(split(s.getField("bt"), " ")) >= minWords &&
+        s.getField("lc").cast("double") /
+          greatest(length(s.getField("bt")), lit(1)).cast("double")
+          <= maxLinkDensity)
+    struct(
+      size(nonEmpty).as("n_blocks"),
+      size(kept).as("n_kept"),
+      array_join(transform(kept, s => s.getField("bt")), "\n")
+        .as("main_text"))
+  }
+
   /** jusText-style main-content extraction: keep blocks with
     * >= `minWords` words and link density <= `maxLinkDensity`, re-join
     * in page order. Returns one row per input document:
     * (idCol, n_blocks, n_kept, main_text) — n_blocks counts non-empty
     * blocks; a fully-boilerplate page yields (n_kept = 0, "").
+    * Implemented on [[mainContentCol]]: pure map-side, zero shuffle.
     */
   def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 5, maxLinkDensity: Double = 0.33)
-      : DataFrame = {
-    val b = textBlocks(docs, idCol, htmlCol)
-    val agg = b.groupBy(col(idCol)).agg(
-      count(lit(1)).cast("int").as("n_blocks"),
-      count(when(col("n_words") >= minWords &&
-        col("link_density") <= maxLinkDensity, 1)).cast("int").as("n_kept"),
-      array_join(
-        transform(
-          array_sort(collect_list(when(col("n_words") >= minWords &&
-            col("link_density") <= maxLinkDensity,
-            struct(col("pos"), col("block_text"))))),
-          s => s.getField("block_text")),
-        "\n").as("main_text"))
-    docs.select(col(idCol))
-      .join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_blocks"), lit(0)).as("n_blocks"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        coalesce(col("main_text"), lit("")).as("main_text"))
-  }
+      : DataFrame =
+    docs.select(col(idCol),
+        mainContentCol(col(htmlCol), minWords, maxLinkDensity).as("_mc"))
+      .select(col(idCol), col("_mc.n_blocks").as("n_blocks"),
+        col("_mc.n_kept").as("n_kept"),
+        col("_mc.main_text").as("main_text"))
 }

@@ -485,4 +485,52 @@ class StreamingSpec extends AnyFunSuite {
     // provenance is the bucket MIN (0), not the latest sharer (1)
     assert(out === Map(1L -> 0L, 10L -> 0L))
   }
+  test("curationGate: batch-frame verdicts equal Curation.disposition") {
+    val docs = Seq(
+      (1L, "https://ok.example.com/a",
+        "<p>one two three four five six seven eight nine ten eleven</p>"),
+      (2L, "not a url",
+        "<p>one two three four five six seven eight nine ten eleven</p>"),
+      (3L, "https://ok.example.com/c", "<p>tiny</p>"),
+      (4L, "https://ok.example.com/d",
+        "<p>one two three four five six seven eight nine ten eleven</p>")
+    ).toDF("doc_id", "url", "html")
+    val stream = EventStreams.curationGate(docs, "doc_id", "url", "html")
+      .toDF().orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.text.Curation.disposition(docs, "doc_id", "url",
+        "html").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+    // and the fixture exercises all verdicts: 1 keeps, 2 fails url,
+    // 3 fails quality, 4 is the dup
+    assert(stream.map(r => (r.head, r.last)) ===
+      Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+  }
+
+  test("curationGate: cross-batch keeper is first-epoch-wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val pages = input.toDF().select(col("_1").as("doc_id"),
+      col("_2").as("url"), col("_3").as("html"))
+    val ckpt = Files.createTempDirectory("graft_curgate_ckpt_").toString
+    val q = EventStreams.curationGate(pages, "doc_id", "url", "html")
+      .toDF()
+      .writeStream.format("memory").queryName("t_curgate")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      val body = "<p>one two three four five six seven eight nine ten</p>"
+      input.addData((7L, "https://x.example.com/a", body))
+      q.processAllAvailable()
+      // a SMALLER id arriving later still loses: the epoch-1 keeper holds
+      input.addData((3L, "https://x.example.com/b", body))
+      q.processAllAvailable()
+      val out = spark.table("t_curgate")
+        .select("doc_id", "is_exact_dup", "survivor")
+        .as[(Long, Boolean, Boolean)].collect()
+        .map { case (k, a, b) => k -> ((a, b)) }.toMap
+      assert(out(7L) === ((false, true)))
+      assert(out(3L) === ((true, false)))
+    } finally q.stop()
+  }
+
 }
