@@ -356,6 +356,13 @@ object Graft {
       : org.apache.spark.sql.Dataset[graft.streaming.CurationVerdict] =
     graft.streaming.EventStreams.curationGate(pages, idCol, urlCol,
       htmlCol, minTextWords, ttlMs)
+  /** Markdown -> plain text: fixed regex rule chain (fenced code
+    * dropped, links/images to their text, emphasis unwrapped), all
+    * map-side (text.Markdown).
+    */
+  def markdownToText(md: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.text.Markdown.markdownToText(md)
   /** Visible text of an HTML page: script/style/comment subtrees
     * dropped, tags to spaces, common entities decoded, whitespace
     * collapsed. Pure map-side Column (text.Html).

@@ -833,6 +833,23 @@ object StressBench {
       require(s.getLong(0) == 5L * nDocs, s"pdf pages: $s vs nDocs=$nDocs")
       5L * nDocs
     }
+    // rows/40 docs through the WARC transport: group into 10-record
+    // archives (half gzip-member, half plain), extract every record
+    // back map-side. Ground truth exact: record count and body byte
+    // sum must survive the round trip.
+    timed("warc_transport_pipeline") {
+      val nDocs = math.max(rows / 40L, 100000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 100), " +
+          "i -> concat('w', abs(hash(id, i)) % 50000))")).as("text"))
+      val recs = graft.multimodal.Multimodal.warcRecords(
+        graft.multimodal.Multimodal.encodeWarcCorpus(docs))
+      val expected = docs.agg(sum(length(col("text")))).head().getLong(0)
+      val s = recs.toDF().agg(count(lit(1)), sum(col("n_bytes"))).head()
+      require(s.getLong(0) == nDocs && s.getLong(1) == expected,
+        s"warc ground truth: $s vs ($nDocs, $expected)")
+      nDocs
+    }
     // rows/40 synthetic pages through the full jusText pipeline
     // (strip-invisible, block split, per-block density, reassembly):
     // regex-throughput stage, every page keeps exactly its one prose

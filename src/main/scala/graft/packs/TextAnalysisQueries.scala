@@ -226,6 +226,18 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Markdown -> plain text over a fixture wrapping each doc in the
+    // common syntax (headers, emphasis, links/images, fenced + inline
+    // code, lists, blockquotes, rules). Map-side regex chain only.
+    "text_markdown_strip" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.text.Markdown.markdownToText(expr(markdownSql))
+            .as("text_plain"))
+        .withColumn("n_chars", length(col("text_plain")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode-script / charset triage over a fixture planting Han,
     // Cyrillic, accented-Latin, and mojibake/U+FFFD strata (the corpus
     // itself is pure ASCII). Map-side regexp_count only.
@@ -237,6 +249,21 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Markdown fixture, shared verbatim engine/oracle: every construct
+    * the strip chain handles, body slices from the doc's own text.
+    */
+  private val markdownSql: String =
+    """'# Doc ' || CAST(doc_id AS STRING) || chr(10) ||
+      |'## Intro *section*' || chr(10) ||
+      |'Some **bold** and *light* text with a [link](https://example.com/' || CAST(doc_id AS STRING) || ') here' || chr(10) ||
+      |'```' || chr(10) || 'dropped_code(' || CAST(doc_id AS STRING) || ');' || chr(10) || '```' || chr(10) ||
+      |'- item one' || chr(10) ||
+      |'- ' || substr(text, 1, 60) || chr(10) ||
+      |'> quoted ' || substr(text, 61, 40) || chr(10) ||
+      |'Inline `code_span` and snake_case stay' || chr(10) ||
+      |'---' || chr(10) ||
+      |'![logo](https://img.example.com/l.png) done'""".stripMargin
 
   /** Script-mix fixture, shared verbatim engine/oracle (Scala \uXXXX
     * escapes resolve to literal characters before either engine parses
@@ -694,6 +721,22 @@ object TextAnalysisQueries extends QueryPack {
         |  USING (doc_id, pos)
         |GROUP BY d0.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+
+    // The SAME rule chain (graft.text.Markdown.steps) folded into
+    // nested DuckDB regexp_replace: patterns are written to the
+    // RE2 ∩ java.util.regex subset, replacements translate $1 -> \1,
+    // and every step takes the 'g' flag to mirror Spark's
+    // replace-all default.
+    "text_markdown_strip" ->
+      s"""WITH m AS (SELECT doc_id, $markdownSql AS md FROM documents),
+         |t AS (SELECT doc_id, trim(${
+           graft.text.Markdown.steps.foldLeft("md") { case (acc, (pat, rep)) =>
+             s"regexp_replace($acc, '${pat.replace("'", "''")}', '${
+               rep.replace("$", "\\")}', 'g')"
+           }}) AS text_plain FROM m)
+         |SELECT doc_id, text_plain,
+         |  CAST(length(text_plain) AS INT) AS n_chars
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // Script counts replayed with RE2's \p{Script} classes (Java spells
     // them \p{IsScript} — same Unicode tables). length() is characters

@@ -323,4 +323,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(5L).getInt(5) === 5 && r(5L).getString(8) === "other")
   }
 
+  test("markdownToText: rules, ordering, and survivors") {
+    import graft.text.Markdown.markdownToText
+    def strip(md: String): String = {
+      val df = Seq((1L, md)).toDF("doc_id", "md")
+      df.select(markdownToText(col("md"))).collect()(0).getString(0)
+    }
+    assert(strip("# Title\nBody **bold** *em* _und_") ===
+      "Title Body bold em und")
+    assert(strip("[text](http://x) ![alt](http://y)") === "text alt")
+    // fenced code drops entirely, INCLUDING markdown inside it
+    assert(strip("a\n```\n# not a header\n[x](y)\n```\nb") === "a b")
+    assert(strip("`inline_kept` snake_case stays") ===
+      "inline_kept snake_case stays")
+    assert(strip("- one\n2. two\n> quote\n---\nend") ===
+      "one two quote end")
+  }
+
 }
