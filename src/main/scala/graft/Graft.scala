@@ -328,6 +328,18 @@ object Graft {
                    key: org.apache.spark.sql.Column, cap: Int,
                    salts: Int = 32): DataFrame =
     graft.text.Urls.perDomainCap(df, domain, order, key, cap, salts)
+  /** robots.txt rules for an agent (RFC 9309 subset): exact-agent
+    * group shadows `*`, rules compiled to LIKE patterns (text.Robots).
+    */
+  def robotsRules(robots: DataFrame, domainCol: String, bodyCol: String,
+                  agent: String = "*"): DataFrame =
+    graft.text.Robots.rules(robots, domainCol, bodyCol, agent)
+  /** Per-URL robots decision: longest rule wins, Allow wins ties, no
+    * match allows (text.Robots).
+    */
+  def robotsDecisions(urls: DataFrame, rules: DataFrame, keyCol: String,
+                      domainCol: String, pathCol: String): DataFrame =
+    graft.text.Robots.decisions(urls, rules, keyCol, domainCol, pathCol)
   /** DSIR importance weights: target-vs-corpus bigram likelihood ratio. */
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame =

@@ -61,6 +61,29 @@ object UrlQueries extends QueryPack {
         .orderBy(col("domain"))
     }),
 
+    // Crawl politeness: robots.txt parsed per registered domain and
+    // every fixture URL decided under agent `graftbot` (RFC 9309:
+    // exact-agent group SHADOWS `*`, longest rule wins, Allow wins
+    // ties, `$`/`*` rule syntax, empty Disallow is a no-op). The
+    // robots bodies are a second shared fixture keyed by the SAME
+    // domains the URL fixture produces.
+    "url_robots_decisions" -> ((s, dir) => {
+      val uq = Tables(s, dir).documents
+        .select(col("doc_id"), expr(rawUrlSql).as("url_raw"))
+        .withColumn("domain",
+          Urls.registeredDomain(Urls.hostOf(col("url_raw"))))
+        .where(col("domain") =!= "")
+        .withColumn("path", Urls.pathOf(col("url_raw")))
+        .select(col("doc_id"), col("domain"), col("path"))
+      val robots = uq.select(col("domain")).distinct()
+        .withColumn("body", expr(robotsSql))
+      graft.text.Robots.decisions(uq,
+          graft.text.Robots.rules(robots, "domain", "body",
+            agent = "graftbot"),
+          "doc_id", "domain", "path")
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain-flood guard: keep the 100 largest docs per registered
     // domain (ties to lowest doc_id). Engine runs the two-phase salted
     // top-N (hot domains spread over salt partitions, final window
@@ -78,6 +101,31 @@ object UrlQueries extends QueryPack {
         .orderBy(col("domain"), col("domain_rank"))
     })
   )
+
+  /** robots.txt fixture per fixture domain: exercises badbot-group
+    * skipping, exact-agent (`graftbot`) shadowing of `*`, anchored and
+    * wildcard rules, a no-op empty Disallow, and an Allow/Disallow
+    * length tie. Shared verbatim engine/oracle.
+    */
+  private val robotsSql: String =
+    """CASE domain
+      |  WHEN 'example.com' THEN
+      |    'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10) ||
+      |    chr(10) || 'User-agent: *' || chr(10) ||
+      |    'Disallow: /img/*.jpg$' || chr(10) || 'Allow: /img/' || chr(10) ||
+      |    'Disallow: /search' || chr(10) || 'Disallow:'
+      |  WHEN 'example.co.uk' THEN
+      |    'User-agent: graftbot' || chr(10) || 'Disallow: /sto' || chr(10) ||
+      |    'Allow: /story' || chr(10) || chr(10) ||
+      |    'User-agent: *' || chr(10) || 'Disallow: /'
+      |  WHEN 'blog.github.io' THEN
+      |    'User-agent: *' || chr(10) || 'Disallow: /private'
+      |  WHEN 'example.com.au' THEN
+      |    'User-agent: *' || chr(10) || 'Disallow: /p/'
+      |  ELSE
+      |    'User-agent: *' || chr(10) || 'Allow: /a' || chr(10) ||
+      |    'Disallow: /a'
+      |END""".stripMargin
 
   /** DuckDB mirror of [[graft.text.Urls]]: the same regexes, the same
     * list pipeline (split → filter tracking → sort → join), the same
@@ -147,6 +195,78 @@ object UrlQueries extends QueryPack {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM c WHERE domain <> ''
          |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // Full REP replay: line split -> directive parse -> UA-run group
+    // ids (lag/sum windows) -> agent selection (exact 'graftbot'
+    // shadows '*') -> rule LIKE-pattern compile (same escape order as
+    // the engine: \, %, _, then * -> %) -> longest-match/allow-ties
+    // decision via one ranked window. LIKE needs ESCAPE '\' spelled
+    // out in DuckDB to mirror Spark's default escape.
+    "url_robots_decisions" ->
+      (s"""WITH $urlChainSql,
+          |uq AS (
+          |  SELECT k.doc_id, c.domain, k.path
+          |  FROM k JOIN c ON k.doc_id = c.doc_id
+          |  WHERE c.domain <> ''),
+          |rb AS (SELECT domain, $robotsSql AS body
+          |       FROM (SELECT DISTINCT domain FROM uq) dd),
+          |""".stripMargin +
+        """l0 AS (SELECT domain, s AS idx, ls[s + 1] AS raw
+          |  FROM (SELECT domain, ls, unnest(range(0, len(ls))) AS s
+          |        FROM (SELECT domain, string_split(body, chr(10)) AS ls
+          |              FROM rb) a) b),
+          |lf AS (SELECT domain, idx,
+          |    lower(regexp_extract(line, '^([^:]*):', 1)) AS dir,
+          |    trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS value
+          |  FROM (SELECT domain, idx,
+          |          trim(regexp_replace(raw, '#.*$', '')) AS line
+          |        FROM l0) c2
+          |  WHERE line <> ''),
+          |g2 AS (SELECT *, sum(ua_start) OVER (PARTITION BY domain
+          |    ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM (SELECT *, CASE WHEN is_ua AND NOT coalesce(
+          |          lag(is_ua) OVER (PARTITION BY domain ORDER BY idx),
+          |          FALSE) THEN 1 ELSE 0 END AS ua_start
+          |        FROM (SELECT *, (dir = 'user-agent') AS is_ua
+          |              FROM lf) g0) g1),
+          |ga AS (SELECT domain, grp,
+          |    max(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END)
+          |      AS ex,
+          |    max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS st
+          |  FROM g2 WHERE is_ua GROUP BY domain, grp),
+          |rr0 AS (SELECT g2.domain, g2.dir, g2.value, ga.ex, ga.st
+          |  FROM g2 JOIN ga ON g2.domain = ga.domain AND g2.grp = ga.grp
+          |  WHERE g2.dir IN ('allow', 'disallow') AND g2.value <> ''),
+          |ae AS (SELECT domain, max(ex) AS any_ex FROM rr0
+          |       GROUP BY domain),
+          |rr AS (SELECT rr0.domain, rr0.value AS rule_path,
+          |    (rr0.dir = 'allow') AS is_allow,
+          |    CAST(length(rr0.value) AS INT) AS rule_len,
+          |    (rr0.value LIKE '%$') AS anch,
+          |    replace(replace(replace(replace(
+          |      CASE WHEN rr0.value LIKE '%$'
+          |        THEN substr(rr0.value, 1, length(rr0.value) - 1)
+          |        ELSE rr0.value END,
+          |      '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS wild
+          |  FROM rr0 JOIN ae ON rr0.domain = ae.domain
+          |  WHERE CASE WHEN ae.any_ex = 1 THEN rr0.ex = 1
+          |        ELSE rr0.st = 1 END),
+          |rl AS (SELECT domain, rule_path, is_allow, rule_len,
+          |    CASE WHEN anch THEN wild ELSE wild || '%' END AS pat
+          |  FROM rr),
+          |dec AS (SELECT uq.doc_id, uq.domain, uq.path, rl.rule_path,
+          |    rl.is_allow, rl.rule_len,
+          |    (uq.path LIKE rl.pat ESCAPE '\') AS m
+          |  FROM uq JOIN rl ON uq.domain = rl.domain),
+          |win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY m DESC, rule_len DESC, is_allow DESC,
+          |      rule_path DESC) AS rn
+          |  FROM dec)
+          |SELECT doc_id, domain, path,
+          |  CASE WHEN m THEN is_allow ELSE TRUE END AS allowed,
+          |  CASE WHEN m THEN rule_path ELSE '' END AS rule
+          |FROM win WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin),
 
     "url_domain_cap" ->
       s"""WITH $urlChainSql,

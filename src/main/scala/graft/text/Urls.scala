@@ -54,7 +54,10 @@ object Urls {
   private def portOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)", 1)
 
-  private def pathOf(url: Column): Column =
+  /** URL path with trailing slashes trimmed — the robots-decision and
+    * canonicalization path form.
+    */
+  def pathOf(url: Column): Column =
     regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
