@@ -18,6 +18,16 @@ class ContractSpec extends AnyFunSuite {
     assert(qs.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("every registered query is DuckDB-oracled (zero-no_oracle invariant)") {
+    // The r14 verdict's one red row was a query registered without its
+    // oracle — the driver silently downgrades those to a rows-only
+    // check. The surface has been 100% oracled since; a new query
+    // must ship its oracle in the same commit to keep this green.
+    val unOracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unOracled.isEmpty,
+      s"queries without a DuckDB oracle: ${unOracled.toSeq.sorted.mkString(",")}")
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
