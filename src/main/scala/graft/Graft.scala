@@ -101,6 +101,29 @@ object Graft {
     val cand = Dedup.minhashBandCandidates(sig, idCol)
     Dedup.jaccardPairs(sh, idCol, threshold, candidates = Some(cand))
   }
+  /** Two-stage fuzzy dedup, edit-distance flavor: banded-minhash
+    * candidates verified by exact Levenshtein ratio <= maxRatio
+    * (candidate-bounded, never corpus-quadratic).
+    */
+  def editVerifiedNearDuplicates(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 maxRatio: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingles(docs, idCol, textCol), idCol)
+    val cand = Dedup.minhashBandCandidates(sig, idCol)
+    cand
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("_ta")),
+        "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("_tb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
+        round(levenshtein(col("_ta"), col("_tb")).cast("double") /
+          greatest(length(col("_ta")), length(col("_tb"))), 4)
+          .as("edit_ratio"))
+      .where(col("edit_ratio") <= maxRatio)
+  }
   /** SimHash near-duplicate pairs at scale: Manku multi-block candidate
     * index over wide signatures, exact recall within `maxHamming`.
     */

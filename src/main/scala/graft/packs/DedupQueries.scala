@@ -135,6 +135,30 @@ object DedupQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Two-stage fuzzy dedup, edit-distance flavor: banded-minhash
+    // candidates VERIFIED by exact Levenshtein ratio — the other
+    // standard verify next to the Jaccard one above (MinHash gates,
+    // an exact metric decides). Cost is candidate-bounded, never
+    // corpus-quadratic; both engines ship levenshtein natively.
+    "dedup_edit_verify" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val sig = Dedup.minhashSignatures(docShingles(s, dir), "doc_id",
+        numHashes = 8)
+      val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("_ta")),
+          "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("_tb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
+          round(levenshtein(col("_ta"), col("_tb")).cast("double") /
+            greatest(length(col("_ta")), length(col("_tb"))), 4)
+            .as("edit_ratio"))
+        .withColumn("verified", col("edit_ratio") <= 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // LSH S-curve auto-tuner: the full (bands, rowsPerBand) curve
     // family for a 16-hash signature at target J=0.8 with a 5% budget
     // on J=0.2 collisions, `chosen` marking the solved config — the
@@ -874,6 +898,37 @@ object DedupQueries extends QueryPack {
          |JOIN sizes sa ON sa.doc_id = t.id_a
          |JOIN sizes sb ON sb.doc_id = t.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same banding chain as dedup_minhash_candidates, then exact
+    // Levenshtein on the candidate pair texts; `verified` compares
+    // the ROUNDED ratio on both sides so the boundary cannot drift.
+    "dedup_edit_verify" ->
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id, CAST(g.h AS INT) AS h,
+         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+         |      AS minhash
+         |  FROM sh, generate_series(0, 7) g(h)
+         |  GROUP BY doc_id, g.h),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |ed AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+         |    round(levenshtein(a.text, b.text) * 1.0 /
+         |      greatest(length(a.text), length(b.text)), 4) AS edit_ratio
+         |  FROM cand c
+         |  JOIN documents a ON a.doc_id = c.id_a
+         |  JOIN documents b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, edit_dist, edit_ratio,
+         |  (edit_ratio <= 0.3) AS verified
+         |FROM ed ORDER BY id_a, id_b""".stripMargin,
 
     // Unrolled 6-round PageRank replay. Every CTE referenced more than
     // once is MATERIALIZED (the DuckDB inliner would otherwise expand

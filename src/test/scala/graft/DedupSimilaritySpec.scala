@@ -1082,4 +1082,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(d.map(_._2) === Seq(0L, 2L, 1L))
     assert(d.map(_._3) === Seq(0.0, 5.0, 0.0))
   }
+  test("edit-distance verify: hand-pinned distances over forced candidates") {
+    // identical 6-shingle prefix forces a shared band; the tail
+    // differences give known distances
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base + " tail one"),
+      (2L, base + " tail two"),           // dist 3 vs doc 1 (one->two)
+      (3L, base + " completely different ending here now")
+    ).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingles(docs, "doc_id", "text", n = 3)
+    val sig = graft.dedup.Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+    val cand = graft.dedup.Dedup.minhashBandCandidates(sig, "doc_id",
+      rowsPerBand = 2)
+    val pairs = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("_ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("_tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ta"), col("_tb")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"banding must pair the twins: $pairs")
+    assert(pairs((1L, 2L)) === 3)   // "one" -> "two": o->t, n->w, e->o
+  }
+
 }
