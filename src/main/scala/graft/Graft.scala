@@ -112,6 +112,22 @@ object Graft {
     val sig = Dedup.minhashSignatures(
       Dedup.shingles(docs, idCol, textCol), idCol)
     val cand = Dedup.minhashBandCandidates(sig, idCol)
+    editVerifyPairs(cand, docs, idCol, textCol)
+      .where(col("edit_ratio") <= maxRatio)
+  }
+
+  /** Exact-Levenshtein verdict columns for candidate pairs (id_a, id_b):
+    * attaches both texts and emits `edit_dist` + `edit_ratio`. The
+    * O(|a|·|b|) levenshtein is evaluated ONCE per pair — the ratio is
+    * derived from the `edit_dist` column in a second projection, and
+    * CollapseProject keeps a non-cheap alias referenced twice
+    * un-inlined, so this does not rely on codegen subexpression
+    * elimination. A both-empty pair is ratio 0.0 by definition
+    * (identical empties ARE duplicates — not a null to drop).
+    */
+  def editVerifyPairs(cand: DataFrame, docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     cand
       .join(docs.select(col(idCol).as("id_a"), col(textCol).as("_ta")),
         "id_a")
@@ -119,10 +135,11 @@ object Graft {
         "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
-        round(levenshtein(col("_ta"), col("_tb")).cast("double") /
-          greatest(length(col("_ta")), length(col("_tb"))), 4)
+        greatest(length(col("_ta")), length(col("_tb"))).as("_maxlen"))
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        when(col("_maxlen") === 0, lit(0.0))
+          .otherwise(round(col("edit_dist").cast("double") / col("_maxlen"), 4))
           .as("edit_ratio"))
-      .where(col("edit_ratio") <= maxRatio)
   }
   /** SimHash near-duplicate pairs at scale: Manku multi-block candidate
     * index over wide signatures, exact recall within `maxHamming`.

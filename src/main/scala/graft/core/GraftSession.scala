@@ -31,6 +31,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Spark 4.1's checksummed checkpoint writer commits state through
+      // an async awaitResult that intermittently dies with
+      // InterruptedException under load (CANNOT_WRITE_STATE_STORE,
+      // observed killing a live TTL stream mid-suite). Checksums detect
+      // checkpoint-file corruption on remote DFS — worthless on the
+      // local-tmpdir checkpoints this harness uses, so turn the flaky
+      // path off; a cluster deployment can re-enable it per job.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
     master.fold(b)(b.master)
   }

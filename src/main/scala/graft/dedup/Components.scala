@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over candidate-pair edges — the cluster-resolution
   * step of a dedup pipeline: near-duplicate PAIRS (from banding, simhash
@@ -64,7 +65,7 @@ object Components {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           onRounds: Int => Unit = _ => ()): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+
     // The adjacency (both directions of every edge) is the loop's
     // biggest relation and every round joins it on dst. Materialize it
     // once; DISK_ONLY because each round streams it exactly once —
@@ -245,9 +246,10 @@ object Components {
   def provenanceClusters(edgesProv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The tagged edge set fans out to BOTH the components loop and the
-    // provenance aggregation — checkpoint it once or every detector
+    // provenance aggregation — materialize it once or every detector
     // (minhash banding, simhash blocking, cosine pairs) runs twice.
-    val edges = edgesProv.localCheckpoint()
+    // Corpus-proportional → DISK_ONLY persist (r9 criterion).
+    val edges = edgesProv.persist(StorageLevel.DISK_ONLY)
     val comp = dedupClusters(
       edges.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
     val clusterSrc = edges

@@ -263,7 +263,9 @@ object Dedup {
     val spark = shingleDf.sparkSession
     import spark.implicits._
     graft.plans.GraftExpressions.register(spark)
-    val sh = shingleDf.localCheckpoint() // feeds df-counts AND doc arrays
+    // feeds df-counts AND doc arrays; corpus-sized → DISK_ONLY persist
+    // (r9 durability criterion)
+    val sh = shingleDf.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     // Vocabulary RANK-RECODING: dense global rank in rarest-first
     // (df, shingle) order via range-sort + zipWithIndex — a scalable
@@ -275,12 +277,15 @@ object Dedup {
     // arrays, and verification becomes a native merge with early exit
     // (graft_sorted_overlap) instead of array_intersect's per-row
     // string hash set. Rank↔shingle is a bijection, so every Jaccard
-    // value is unchanged. localCheckpoint pins the assignment against
-    // task retries (the salted-join chaos-probe discipline).
+    // value is unchanged. DISK_ONLY persist (r9 criterion — the vocab
+    // is distinct-shingle-sized, i.e. corpus-scale): the (df, shingle)
+    // sort is a TOTAL order, so zipWithIndex is deterministic and a
+    // lost block recomputes to the identical rank assignment — the
+    // retry-pinning localCheckpoint once bought is no longer needed.
     val vocab = dfreq.orderBy(col("_df"), col("shingle"))
       .select(col("shingle")).as[String]
       .rdd.zipWithIndex.toDF("shingle", "_rk")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // collect_set, not collect_list: the contract takes ANY shingleDf,
     // and a duplicate (id, shingle) row must not double-count in the
     // sorted-merge overlap the way it would in a list (set-Jaccard is
@@ -288,7 +293,10 @@ object Dedup {
     val ordered = sh.join(vocab, "shingle")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("_rk"))).as("_toks"))
-      .localCheckpoint() // feeds prefix explode AND both verify sides
+      // feeds prefix explode AND both verify sides; one array row per
+      // doc carrying every shingle rank = corpus-sized → DISK_ONLY
+      // persist (r9 criterion)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // prefix with POSITIONS: the positional filter (PPJoin, Xiao et
     // al. WWW 2008) bounds the overlap reachable from a shared token
     // at (pa, pb) by 1 + min(|a|−pa−1, |b|−pb−1); rows under the
@@ -1151,14 +1159,15 @@ object Dedup {
                    maxDf: Int = 1 << 16): DataFrame =
     candidates match {
       case Some(c) =>
-        // One array row per doc, localCheckpointed: the relation feeds BOTH
-        // pair sides (id_a and id_b joins), and without the checkpoint each
-        // side re-runs the whole upstream shingle explode — measured 2.0×
-        // on the driver bench (r5→r6 regression). The checkpoint is one
-        // row per doc, far smaller than the shingle relation it replaces.
+        // One array row per doc, materialized once: the relation feeds
+        // BOTH pair sides (id_a and id_b joins), and without it each
+        // side re-runs the whole upstream shingle explode — measured
+        // 2.0× on the driver bench (r5→r6 regression). One row per doc
+        // but each row carries ALL the doc's shingles — corpus-sized,
+        // so DISK_ONLY persist per the r9 durability criterion.
         val arrs = shingleDf.groupBy(col(idCol))
           .agg(collect_list(col("shingle")).as("_arr"))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         c.join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa")), "id_a")
           .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab")), "id_b")
           .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))

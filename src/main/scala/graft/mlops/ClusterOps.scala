@@ -233,6 +233,8 @@ object ClusterOps {
                                k: Int, iters: Int = 8): DataFrame = {
     require(k >= 1, s"k=$k must be positive")
     require(iters >= 1, s"iters=$iters must be positive")
+    // d²-row frame (feature-dim squared, corpus-independent) — slim by
+    // the r9 criterion; localCheckpoint across this file is fine
     var g = gramianLongForm(df, arrCol).localCheckpoint()
     // One fixed-round loop over the current Gramian: returns the
     // UNROUNDED unit vector and the 1-row λ = ‖G·v‖ frame.

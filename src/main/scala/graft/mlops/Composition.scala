@@ -172,6 +172,142 @@ object Composition {
       .agg(round(avg(resid * resid), 4).as("avg_mse"))
   }
 
+  /** P4 GENERIC pipeline grid search (reference SparkGridSearchCV over
+    * an arbitrary estimator, `splearn/grid_search.py:~L10-100`):
+    * deterministic md5-fold CV over a REAL two-stage text pipeline —
+    * CountVectorizer (vocabulary cap, the transformer axis) feeding
+    * multinomial Naive Bayes (Laplace α, the estimator axis) — scored
+    * by held-out accuracy. Unlike [[cvRidgeUnivariate]] this crosses
+    * two DIFFERENT component families' params in one grid, the thing
+    * the reference's generic wrapper did with a driver loop; here the
+    * whole |caps|×|alphas| grid is one declarative plan.
+    *
+    * Every choice is deterministic so a SQL oracle replays it:
+    * folds are md5-assigned from `idCol`; the per-fold training
+    * vocabulary is the top-`cap` terms by (training count DESC, term
+    * ASC); NB is closed-form on training counts with α-smoothing over
+    * the REALIZED vocab size; prediction is argmax of prior + Σ tf·logP
+    * over in-vocabulary tokens (OOV dropped — CountVectorizer
+    * semantics), ties to the lexicographically first class; a held-out
+    * doc with no in-vocabulary token scores on priors alone.
+    *
+    * Scale shape: two corpus passes (token counts, held-out tf) —
+    * independent of grid size; everything else is vocab- or
+    * grid-sized and broadcast. The per-(fold,cap) vocab and the model
+    * matrix are k·Σcaps·|classes| rows. `chosen` marks the best grid
+    * point (accuracy DESC, cap ASC, alpha ASC).
+    *
+    * Returns one row per grid point:
+    * (vocab_cap, alpha, cv_accuracy, chosen).
+    */
+  def cvNbPipelineGrid(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String, caps: Seq[Int],
+                       alphas: Seq[Double], k: Int = 2): DataFrame = {
+    require(k >= 2, s"k=$k folds must be at least 2")
+    require(caps.nonEmpty && alphas.nonEmpty, "empty param grid")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"),
+      pmod(GraftFunctions.md5Long(col(idCol).cast("string"), 8), lit(k))
+        .cast("int").as("fold"),
+      col(labelCol).as("label"), col(textCol).as("text"))
+    val toks = base.select(col("id"), col("fold"), col("label"),
+      explode(split(col("text"), " ")).as("term"))
+    val folds = (0 until k).toDF("fold")
+    val classes = base.select(col("label")).distinct()
+    val capsDf = caps.toDF("vocab_cap")
+    val alphasDf = alphas.toDF("alpha")
+
+    // ---- CountVectorizer stage: per-fold training vocabulary ----
+    // one corpus pass; training count for held-out fold f = total − f's
+    val tCounts = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("_ct"))
+    val ftCounts = toks.groupBy(col("fold"), col("term"))
+      .agg(count(lit(1)).as("_cft"))
+    val maxCap = caps.max
+    val wVocab = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fold"))
+      .orderBy(col("_train").desc, col("term"))
+    val ranked = broadcast(folds).crossJoin(tCounts)
+      .join(ftCounts, Seq("fold", "term"), "left")
+      .select(col("fold"), col("term"),
+        (col("_ct") - coalesce(col("_cft"), lit(0L))).as("_train"))
+      .where(col("_train") > 0)
+      .withColumn("_rk", row_number().over(wVocab))
+      .where(col("_rk") <= maxCap)
+    val vocab = ranked.join(broadcast(capsDf), col("_rk") <= col("vocab_cap"))
+      .select(col("fold"), col("vocab_cap"), col("term"))
+    val vsize = vocab.groupBy(col("fold"), col("vocab_cap"))
+      .agg(count(lit(1)).as("_vsz"))
+
+    // ---- NB stage: smoothed log-likelihoods on training counts ----
+    val ltCounts = toks.groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("_clt"))
+    val fltCounts = toks.groupBy(col("fold"), col("label"), col("term"))
+      .agg(count(lit(1)).as("_cflt"))
+    val vlc = vocab.crossJoin(broadcast(classes.select(col("label").as("cls"))))
+      .join(ltCounts.withColumnRenamed("label", "cls"), Seq("cls", "term"), "left")
+      .join(fltCounts.withColumnRenamed("label", "cls"),
+        Seq("fold", "cls", "term"), "left")
+      .select(col("fold"), col("vocab_cap"), col("cls"), col("term"),
+        (coalesce(col("_clt"), lit(0L)) - coalesce(col("_cflt"), lit(0L)))
+          .cast("double").as("_tlt"))
+    val classTotals = vlc.groupBy(col("fold"), col("vocab_cap"), col("cls"))
+      .agg(sum(col("_tlt")).as("_ctot"))
+    val lp = vlc
+      .join(classTotals, Seq("fold", "vocab_cap", "cls"))
+      .join(vsize, Seq("fold", "vocab_cap"))
+      .crossJoin(broadcast(alphasDf))
+      .select(col("fold"), col("vocab_cap"), col("alpha"), col("cls"),
+        col("term"),
+        log((col("_tlt") + col("alpha")) /
+          (col("_ctot") + col("alpha") * col("_vsz"))).as("_lp"))
+    // training priors per (held-out fold, class)
+    val labelDocs = base.groupBy(col("label")).agg(count(lit(1)).as("_ndl"))
+    val flDocs = base.groupBy(col("fold"), col("label"))
+      .agg(count(lit(1)).as("_ndfl"))
+    val foldDocs = base.groupBy(col("fold")).agg(count(lit(1)).as("_ndf"))
+    val nDocs = base.agg(count(lit(1)).as("_nd"))
+    val priors = broadcast(folds).crossJoin(classes)
+      .join(labelDocs, "label")
+      .join(flDocs, Seq("fold", "label"), "left")
+      .join(foldDocs, "fold")
+      .crossJoin(broadcast(nDocs))
+      .select(col("fold"), col("label").as("cls"),
+        log((col("_ndl") - coalesce(col("_ndfl"), lit(0L))).cast("double") /
+          (col("_nd") - col("_ndf"))).as("_prior"))
+
+    // ---- held-out evaluation: second corpus pass ----
+    val tf = toks.groupBy(col("fold"), col("id"), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+    val docScores = tf.join(lp, Seq("fold", "term"))
+      .groupBy(col("fold"), col("vocab_cap"), col("alpha"), col("id"),
+        col("cls"))
+      .agg(sum(col("_tf") * col("_lp")).as("_ll"))
+    // docs×grid×classes universe so an all-OOV doc still scores (priors)
+    val universe = base.select(col("fold"), col("id"),
+        col("label").as("actual"))
+      .crossJoin(broadcast(capsDf.crossJoin(alphasDf)))
+      .crossJoin(broadcast(classes.select(col("label").as("cls"))))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vocab_cap"), col("alpha"), col("id"))
+      .orderBy(col("_score").desc, col("cls"))
+    val preds = universe
+      .join(docScores, Seq("fold", "vocab_cap", "alpha", "id", "cls"), "left")
+      .join(priors, Seq("fold", "cls"))
+      .withColumn("_score", coalesce(col("_ll"), lit(0.0)) + col("_prior"))
+      .withColumn("_rn", row_number().over(wDoc))
+      .where(col("_rn") === 1)
+    val scoresByGrid = preds.groupBy(col("vocab_cap"), col("alpha"))
+      .agg((round(avg((col("cls") === col("actual")).cast("int")), 4)
+        + lit(0.0)).as("cv_accuracy"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cv_accuracy").desc, col("vocab_cap"), col("alpha"))
+    scoresByGrid
+      .withColumn("chosen",
+        (row_number().over(wBest) === 1).cast("int"))
+  }
+
   /** Grid-searched logistic regression over an embedding column. */
   def gridSearchLogistic(df: DataFrame, featuresArr: String, labelCol: String,
                          regParams: Seq[Double] = Seq(0.0, 0.1),

@@ -102,6 +102,53 @@ object LinearOps {
         round(avg(col("_icept")), 6).as("intercept_avg"),
         count(lit(1)).as("n_blocks"))
 
+  /** L1 classification completeness — the reference's block-averaged
+    * LOGISTIC fit (`splearn/linear_model/logistic.py:~L10-60`:
+    * per-block `fit` then `__add__` = parameter average). Each block
+    * runs the same deterministic zero-init full-batch GD as
+    * [[logisticGdIterations]] — all blocks SIMULTANEOUSLY, the block id
+    * carried through the weight frame, so the whole per-block family is
+    * still two aggregations per step over one long-form relation (never
+    * a driver loop over blocks) — then coefficients average unweighted
+    * across blocks, exactly the reference's one-shot merge algebra
+    * (including its bias on heterogeneous blocks — the global
+    * [[fitLogistic]] stays the strictly-stronger path, as with
+    * [[blockAveragedOlsFit]]).
+    *
+    * Returns (dim, w_avg, n_blocks). Fully SQL-oracle-able: fixed
+    * iterations, no RNG, no intercept.
+    */
+  def blockAveragedLogisticGd(pointsLong: DataFrame, labels: DataFrame,
+                              idCol: String, blockCol: String,
+                              labelCol: String, iters: Int,
+                              lr: Double): DataFrame = {
+    var w = pointsLong.select(col(blockCol), col("dim")).distinct()
+      .withColumn("w", lit(0.0))
+    var i = 0
+    (1 to iters).foreach { _ =>
+      i += 1
+      val margins = pointsLong
+        .join(broadcast(w), Seq(blockCol, "dim"))
+        .groupBy(col(blockCol), col(idCol))
+        .agg(sum(col("v") * col("w")).as("m"))
+      val errs = margins.join(labels, idCol)
+        .select(col(blockCol), col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col(labelCol)).as("err"))
+      val grad = pointsLong.join(errs, Seq(blockCol, idCol))
+        .groupBy(col(blockCol), col("dim"))
+        .agg(avg(col("err") * col("v")).as("g"))
+      w = w.join(grad, Seq(blockCol, "dim"))
+        .select(col(blockCol), col("dim"),
+          (col("w") - lit(lr) * col("g")).as("w"))
+      // same analyzer-blowup guard as logisticGdIterations — the frame
+      // is blocks×dims rows, metadata-scale
+      if (i % 8 == 0) w = w.localCheckpoint()
+    }
+    w.groupBy(col("dim"))
+      .agg((round(avg(col("w")), 6) + lit(0.0)).as("w_avg"),
+        count(lit(1)).as("n_blocks"))
+  }
+
   /** spark.ml logistic regression over an Array[Float] embedding column. */
   /** Bivariate OLS with intercept, closed form: one aggregation computes
     * the 8 sufficient statistics (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2²,

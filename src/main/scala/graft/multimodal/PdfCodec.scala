@@ -180,8 +180,11 @@ object PdfCodec {
         case '<' => // hex string
           i += 1; val s = i
           while (i < end && p(i) != '>') i += 1
+          // keep hex digits only: the spec ignores whitespace, and crawl
+          // files contain arbitrary junk (<XYZ>) that must not throw
           val hex = new String(p, s, i - s, ISO_8859_1)
-            .filterNot(c => ws(c.toByte))
+            .filter(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')
+              || (c >= 'A' && c <= 'F'))
           i += 1
           val padded = if (hex.length % 2 == 1) hex + "0" else hex
           PStr(padded.grouped(2)
@@ -190,7 +193,9 @@ object PdfCodec {
           val s = i
           while (i < end && ((p(i) >= '0' && p(i) <= '9') || p(i) == '+'
             || p(i) == '-' || p(i) == '.')) i += 1
-          val first = new String(p, s, i - s, ISO_8859_1)
+          // degenerate tokens ('-', '+.', '1.2.3') appear in damaged
+          // crawl bytes — toDoubleOption, never throw inside a Spark task
+          val first = new String(p, s, i - s, ISO_8859_1).toDoubleOption
           // lookahead for "G R" (indirect reference)
           val save = i
           skipWs()
@@ -202,11 +207,11 @@ object PdfCodec {
             if (i < end && p(i) == 'R' &&
               (i + 1 >= end || ws(p(i + 1)) || delim(p(i + 1)))) {
               i += 1
-              return PRef(first.toDouble.toInt)
+              return first.map(v => PRef(v.toInt)).getOrElse(PNull)
             }
             i = save2; i = save
           } else i = save
-          PNum(first.toDouble)
+          first.map(PNum.apply).getOrElse(PNull)
         case 't' if end - i >= 4 => i += 4; PNum(1) // true
         case 'f' if end - i >= 5 => i += 5; PNum(0) // false
         case 'n' if end - i >= 4 => i += 4; PNull   // null
@@ -272,14 +277,17 @@ object PdfCodec {
           back(c => c == ' ' || c == '\r' || c == '\n')
           val numEnd = j
           back(c => c >= '0' && c <= '9')
-          if (j < numEnd) {
-            val num = new String(p, j + 1, numEnd - j, ISO_8859_1).toInt
-            var e = i + 3
-            while (e + 6 <= n && !(p(e) == 'e' && p(e + 1) == 'n' &&
-              p(e + 2) == 'd' && p(e + 3) == 'o' && p(e + 4) == 'b' &&
-              p(e + 5) == 'j')) e += 1
-            if (!out.contains(num)) out(num) = (i + 3, math.min(e, n))
-            i = e
+          // toIntOption: a >10-digit run in binary stream bytes before
+          // 'obj' must not overflow-throw; skip the bogus match instead
+          new String(p, j + 1, numEnd - j, ISO_8859_1).toIntOption match {
+            case Some(num) =>
+              var e = i + 3
+              while (e + 6 <= n && !(p(e) == 'e' && p(e + 1) == 'n' &&
+                p(e + 2) == 'd' && p(e + 3) == 'o' && p(e + 4) == 'b' &&
+                p(e + 5) == 'j')) e += 1
+              if (!out.contains(num)) out(num) = (i + 3, math.min(e, n))
+              i = e
+            case None => ()
           }
         }
       }
@@ -395,12 +403,16 @@ object PdfCodec {
 
   def pdfMeta(p: Array[Byte]): Option[PdfInfo] = {
     if (!isPdf(p)) return None
-    val version = new String(p, 5, 3, ISO_8859_1)
-    val objs = scanObjects(p)
-    val pages = rootPages(p, objs)
-    val encrypted = trailerDict(p).exists(_.v.contains("Encrypt"))
-    val compressed = new String(p, ISO_8859_1).contains("/FlateDecode")
-    Some(PdfInfo(version, pages.length, objs.size, compressed, encrypted))
+    // crawl bytes are hostile: any residual parser edge degrades to None
+    // (triaged as damaged) rather than failing the whole Spark task
+    try {
+      val version = new String(p, 5, 3, ISO_8859_1)
+      val objs = scanObjects(p)
+      val pages = rootPages(p, objs)
+      val encrypted = trailerDict(p).exists(_.v.contains("Encrypt"))
+      val compressed = new String(p, ISO_8859_1).contains("/FlateDecode")
+      Some(PdfInfo(version, pages.length, objs.size, compressed, encrypted))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Text-show extraction from one content stream: Tj and ' emit one
@@ -449,18 +461,21 @@ object PdfCodec {
     */
   def pdfText(p: Array[Byte]): Option[Vector[String]] = {
     if (!isPdf(p)) return None
-    val objs = scanObjects(p)
-    val pages = rootPages(p, objs)
-    Some(pages.map { page =>
-      val contentRefs = page.v.get("Contents") match {
-        case Some(PRef(n)) => Vector(n)
-        case Some(PArr(a)) => a.collect { case PRef(n) => n }.toVector
-        case _ => Vector.empty
-      }
-      contentRefs
-        .flatMap(n => objs.get(n).flatMap(streamBytes(p, _, objs)))
-        .flatMap(streamText)
-        .mkString("\n")
-    })
+    // same hostile-bytes posture as pdfMeta: degrade, never throw
+    try {
+      val objs = scanObjects(p)
+      val pages = rootPages(p, objs)
+      Some(pages.map { page =>
+        val contentRefs = page.v.get("Contents") match {
+          case Some(PRef(n)) => Vector(n)
+          case Some(PArr(a)) => a.collect { case PRef(n) => n }.toVector
+          case _ => Vector.empty
+        }
+        contentRefs
+          .flatMap(n => objs.get(n).flatMap(streamBytes(p, _, objs)))
+          .flatMap(streamText)
+          .mkString("\n")
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * size stays O(1) over iterations — the Components loop discipline.
   * State is one rank row per node; the dangling sum is a 1-row frame,
   * never driver-collected.
+  *
+  * Durability (r16 sweep): every checkpointed frame here is SLIM
+  * (two scalar columns per node/edge) and ITERATED — lineage
+  * truncation is the point, so these sites keep `localCheckpoint`
+  * under the r9 criterion's slim-frame carve-out; a cluster
+  * deployment wanting executor-loss recovery sets a reliable
+  * `checkpointDir` and swaps to `checkpoint()` per job.
   */
 object Graph {
 

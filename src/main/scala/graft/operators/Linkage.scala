@@ -140,10 +140,13 @@ object Linkage {
     def clamp(x: Double, lo: Double, hi: Double): Double =
       math.min(math.max(x, lo), hi)
     val names = agreeCols.map(_._1)
+    // candidate-pair-sized and re-read every EM round (the round loop
+    // only updates driver scalars, so lineage does not grow) — DISK_ONLY
+    // persist per the r9 durability criterion
     val a = pairs.select(agreeCols.map { case (n, c) =>
       c.cast("int").cast("double").as(s"_a_$n") }: _*)
       .na.drop()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var ms = names.map(_ => m0)
     var us = names.map(_ => u0)
     var p = p0

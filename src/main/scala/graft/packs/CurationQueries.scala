@@ -61,6 +61,17 @@ object CurationQueries extends QueryPack {
           expr(pageSql).as("page")),
       "doc_id", "url_raw", "page", minTextWords = minWords)
 
+  /** The scored funnel (engine side): disposition + the deterministic
+    * logistic quality gate (2-step GD on 4 content features — see
+    * [[graft.text.Curation.scoredDisposition]]).
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Curation.scoredDisposition(
+      Tables(s, dir).documents
+        .select(col("doc_id"), expr(UrlQueries.rawUrlSql).as("url_raw"),
+          expr(pageSql).as("page")),
+      "doc_id", "url_raw", "page", minTextWords = minWords)
+
   val queries: Map[String, Q] = Map(
     // One row per input page: every gate's verdict plus the final
     // keep/drop — the artifact a curation run writes next to the corpus.
@@ -68,10 +79,20 @@ object CurationQueries extends QueryPack {
       disposition(s, dir).orderBy(col("doc_id"))
     }),
 
+    // The model-scored gate (CCNet's "LM + quality features" stage):
+    // a deterministic in-corpus logistic on (word count, kept-block
+    // ratio, stopword ratio, mean bigram LM score), margin and verdict
+    // per page — the graded generalization of the hard quality gate,
+    // with the whole train+score loop unrolled in the oracle.
+    "curation_scored" -> ((s, dir) => {
+      scored(s, dir).orderBy(col("doc_id"))
+    }),
+
     // The funnel rollup: docs surviving each successive stage (stage
-    // names prefixed for a stable sort).
+    // names prefixed for a stable sort) — now INCLUDING the scored
+    // gate as stage e (r16: the funnel follows the full pipeline).
     "curation_funnel" -> ((s, dir) => {
-      Curation.funnel(disposition(s, dir)).orderBy(col("stage"))
+      Curation.funnel(scored(s, dir)).orderBy(col("stage"))
     }),
 
     // The FULL CommonCrawl-shaped path: the same pages travel as WARC
@@ -129,6 +150,83 @@ object CurationQueries extends QueryPack {
        |      AND NOT coalesce(kid <> d1.doc_id, FALSE)) AS survivor
        |  FROM d1 LEFT JOIN kp ON md5(d1.main_text) = kp.h)""".stripMargin
 
+  /** The scored chain appended to [[dispositionCte]]: features (f1–f4)
+    * from the extracted main text, the corpus bigram LM, the 2-step GD
+    * unroll (l4 pattern), and the in-row margin. Every CTE referenced
+    * more than once is MATERIALIZED (the DuckDB inliner gotcha — d3
+    * alone carries the whole HTML chain).
+    */
+  private[packs] def scoredCte: String =
+    dispositionCte +
+      """,
+        |d3m AS MATERIALIZED (SELECT * FROM d3),
+        |tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(main_text, '\s+') AS ts
+        |  FROM d3m WHERE main_text <> ''),
+        |sr AS (SELECT doc_id,
+        |    len(list_filter(ts, t ->
+        |      t IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
+        |      / len(ts) AS f3
+        |  FROM tk),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, ts[CAST(s AS INT)] AS w1,
+        |    ts[CAST(s AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 1)))
+        |          AS s
+        |        FROM tk WHERE len(ts) >= 2) z),
+        |bi2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |un2 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |lmx AS (SELECT g.doc_id,
+        |    CAST(round(ln(b.c12 * 1.0 / u.c1) * 1e6, 0) AS BIGINT) AS m
+        |  FROM bg g JOIN bi2 b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |  JOIN un2 u ON g.w1 = u.w1),
+        |lm2 AS (SELECT doc_id, count(*) AS nb, CAST(sum(m) AS BIGINT) AS sm
+        |        FROM lmx GROUP BY 1),
+        |ftx AS MATERIALIZED (
+        |  SELECT d3m.doc_id, d3m.domain, d3m.url_ok, d3m.n_blocks,
+        |    d3m.n_kept, d3m.n_words, d3m.quality_ok, d3m.is_exact_dup,
+        |    d3m.survivor,
+        |    d3m.n_words / 100.0 AS f1,
+        |    d3m.n_kept * 1.0 / greatest(d3m.n_blocks, 1) AS f2,
+        |    coalesce(sr.f3, 0.0) AS f3,
+        |    coalesce(lm2.sm * 1.0 / lm2.nb / 1e6, 0.0) AS f4,
+        |    CAST(d3m.url_ok AND d3m.quality_ok AS DOUBLE) AS y
+        |  FROM d3m LEFT JOIN sr ON d3m.doc_id = sr.doc_id
+        |  LEFT JOIN lm2 ON d3m.doc_id = lm2.doc_id),
+        |ptsx AS MATERIALIZED (
+        |  SELECT doc_id, 1 AS dim, f1 AS v FROM ftx
+        |  UNION ALL SELECT doc_id, 2, f2 FROM ftx
+        |  UNION ALL SELECT doc_id, 3, f3 FROM ftx
+        |  UNION ALL SELECT doc_id, 4, f4 FROM ftx),
+        |gw1 AS MATERIALIZED (
+        |  SELECT dim, -0.1 * avg((0.5 - f.y) * p.v) AS w
+        |  FROM ptsx p JOIN ftx f ON p.doc_id = f.doc_id GROUP BY dim),
+        |gm2 AS (SELECT p.doc_id, sum(p.v * gw1.w) AS m
+        |  FROM ptsx p JOIN gw1 ON p.dim = gw1.dim GROUP BY p.doc_id),
+        |ge2 AS (SELECT gm2.doc_id, 1.0 / (1.0 + exp(-gm2.m)) - f.y AS err
+        |  FROM gm2 JOIN ftx f ON gm2.doc_id = f.doc_id),
+        |gg2 AS (SELECT p.dim, avg(ge2.err * p.v) AS g
+        |  FROM ptsx p JOIN ge2 ON p.doc_id = ge2.doc_id GROUP BY p.dim),
+        |gw2 AS (SELECT gw1.dim, gw1.w - 0.1 * gg2.g AS w
+        |  FROM gw1 JOIN gg2 ON gw1.dim = gg2.dim),
+        |wr AS (SELECT
+        |    max(CASE WHEN dim = 1 THEN w END) AS w1,
+        |    max(CASE WHEN dim = 2 THEN w END) AS w2,
+        |    max(CASE WHEN dim = 3 THEN w END) AS w3,
+        |    max(CASE WHEN dim = 4 THEN w END) AS w4
+        |  FROM gw2),
+        |scored AS (
+        |  SELECT ftx.doc_id, ftx.domain, ftx.url_ok, ftx.n_blocks,
+        |    ftx.n_kept, ftx.n_words, ftx.quality_ok, ftx.is_exact_dup,
+        |    ftx.survivor,
+        |    round(ftx.f1 * wr.w1 + ftx.f2 * wr.w2 + ftx.f3 * wr.w3 +
+        |      ftx.f4 * wr.w4, 6) + 0.0 AS quality_margin
+        |  FROM ftx CROSS JOIN wr),
+        |sfin AS (
+        |  SELECT *, (quality_margin > 0.0) AS score_ok,
+        |    (survivor AND quality_margin > 0.0) AS survivor_scored
+        |  FROM scored)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "curation_disposition" ->
       (dispositionCte +
@@ -136,6 +234,14 @@ object CurationQueries extends QueryPack {
         |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
         |  quality_ok, is_exact_dup, survivor
         |FROM d3 ORDER BY doc_id""".stripMargin),
+
+    "curation_scored" ->
+      (scoredCte +
+        """
+        |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
+        |  quality_ok, is_exact_dup, survivor, quality_margin, score_ok,
+        |  survivor_scored
+        |FROM sfin ORDER BY doc_id""".stripMargin),
 
     "curation_warc_pipeline" ->
       (dispositionCte +
@@ -145,19 +251,22 @@ object CurationQueries extends QueryPack {
         |FROM d3 ORDER BY doc_id""".stripMargin),
 
     "curation_funnel" ->
-      (dispositionCte +
+      (scoredCte +
         """,
-        |f AS (
+        |f AS MATERIALIZED (
         |  SELECT CAST(count(*) AS BIGINT) AS a_input,
         |    CAST(count(*) FILTER (WHERE url_ok) AS BIGINT) AS b_url_ok,
         |    CAST(count(*) FILTER (WHERE url_ok AND quality_ok) AS BIGINT)
         |      AS c_quality_ok,
-        |    CAST(count(*) FILTER (WHERE survivor) AS BIGINT) AS d_survivor
-        |  FROM d3)
+        |    CAST(count(*) FILTER (WHERE survivor) AS BIGINT) AS d_survivor,
+        |    CAST(count(*) FILTER (WHERE survivor_scored) AS BIGINT)
+        |      AS e_scored
+        |  FROM sfin)
         |SELECT 'a_input' AS stage, a_input AS n_docs FROM f
         |UNION ALL SELECT 'b_url_ok', b_url_ok FROM f
         |UNION ALL SELECT 'c_quality_ok', c_quality_ok FROM f
         |UNION ALL SELECT 'd_survivor', d_survivor FROM f
+        |UNION ALL SELECT 'e_scored', e_scored FROM f
         |ORDER BY stage""".stripMargin)
   )
 }

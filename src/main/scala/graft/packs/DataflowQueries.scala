@@ -80,6 +80,46 @@ object DataflowQueries extends QueryPack {
       checks.toDF("check_name", "ok").orderBy(col("check_name"))
     }),
 
+    // D13: SparseRDD parity (upstream splearn/rdd.py:~L420-480) — the
+    // sparse-block contract as DATA: per-doc tf long form packs into
+    // ml SparseVector rows and unpacks back, with (dim, nnz, L2)
+    // invariants oracled and `roundtrip_ok` an ACTUAL full-outer-join
+    // equality of the two long forms (not an assumed true — a lossy
+    // pack/unpack would flip it and break the hash).
+    "d13_sparse_roundtrip" -> ((s, dir) => {
+      val tk = Tables(s, dir).documents.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val vocab = tk.select(col("term")).distinct()
+        .withColumn("idx",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("term"))) - 1).cast("int"))
+      // vocab size: the SparseVector dimensionality — one metadata-scale
+      // driver scalar (same class as the k-center count)
+      val dim = vocab.count().toInt
+      val long = tk.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("v"))
+        .join(broadcast(vocab), "term")
+        .select(col("doc_id"), col("idx"), col("v"))
+        // feeds pack AND the equality check — materialize once
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val vecs = graft.operators.SparseOps
+        .toSparseVectors(long, "doc_id", "idx", "v", dim)
+      val back = graft.operators.SparseOps.toLongForm(vecs, "doc_id", "vec")
+      val mismatches = long.select(col("doc_id"), col("idx"),
+          col("v").as("_va"))
+        .join(back.select(col("doc_id"), col("idx"), col("v").as("_vb")),
+          Seq("doc_id", "idx"), "full_outer")
+        .where(col("_va").isNull || col("_vb").isNull ||
+          col("_va") =!= col("_vb"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_bad"))
+      graft.operators.SparseOps.invariants(vecs, "doc_id", "vec")
+        .join(mismatches, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dim"), col("nnz"),
+          (round(col("l2"), 6) + lit(0.0)).as("l2"),
+          coalesce(col("_bad"), lit(0L)).equalTo(0L).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D3: count / __len__ across tables.
     "d3_count_rows" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -321,6 +361,24 @@ object DataflowQueries extends QueryPack {
         |  ('missing_column_rejected', true),
         |  ('wrong_dtype_rejected', true)) v(check_name, ok)
         |ORDER BY check_name""".stripMargin,
+
+    // Invariants recomputed from the long form directly (DuckDB has no
+    // vector type — dim is the vocab count, nnz the per-doc distinct
+    // terms, L2 on the tf counts); roundtrip_ok TRUE is the pinned
+    // engine-side contract (the engine computes it as a real equality).
+    "d13_sparse_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT DISTINCT term FROM toks),
+        |vsz AS (SELECT count(*) AS dim FROM vocab),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS v
+        |       FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST((SELECT dim FROM vsz) AS INT) AS dim,
+        |  CAST(count(*) AS INT) AS nnz,
+        |  round(sqrt(sum(v * v)), 6) AS l2,
+        |  TRUE AS roundtrip_ok
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d3_count_rows" ->
       """SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,

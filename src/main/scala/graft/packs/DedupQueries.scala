@@ -7,6 +7,7 @@ import graft.text.LineDedup
 import graft.mlops.NaiveBayesOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication (north-star extension): exact, MinHash+LSH banding,
   * SimHash, n-gram Jaccard, embedding-cosine — every stage oracle-checked
@@ -128,7 +129,9 @@ object DedupQueries extends QueryPack {
     // verify-side arrays — checkpoint so the explode runs once (the r6
     // driver bench measured 2.0× without it).
     "dedup_minhash_candidates" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
       val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
       Dedup.jaccardPairs(sh, "doc_id", threshold = 0.0, candidates = Some(cand))
@@ -145,16 +148,7 @@ object DedupQueries extends QueryPack {
       val sig = Dedup.minhashSignatures(docShingles(s, dir), "doc_id",
         numHashes = 8)
       val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("text").as("_ta")),
-          "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("text").as("_tb")),
-          "id_b")
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
-          round(levenshtein(col("_ta"), col("_tb")).cast("double") /
-            greatest(length(col("_ta")), length(col("_tb"))), 4)
-            .as("edit_ratio"))
+      graft.Graft.editVerifyPairs(cand, docs, "doc_id", "text")
         .withColumn("verified", col("edit_ratio") <= 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -194,7 +188,9 @@ object DedupQueries extends QueryPack {
     // centrality-weighted canonical-selection signal. The oracle
     // unrolls all 6 rounds as materialized CTEs.
     "graph_pagerank" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val cand = Dedup.minhashBandCandidates(
         Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
         "doc_id", rowsPerBand = 2)
@@ -213,7 +209,9 @@ object DedupQueries extends QueryPack {
     // rich) from chains of borderline pairwise matches — the structural
     // check on banding output before survivors are chosen.
     "graph_triangles" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val cand = Dedup.minhashBandCandidates(
         Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
         "doc_id", rowsPerBand = 2)
@@ -243,7 +241,9 @@ object DedupQueries extends QueryPack {
     // neighbor label, then smallest) — finer than components: families
     // bridged by one borderline candidate edge keep distinct labels.
     "graph_label_communities" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val cand = Dedup.minhashBandCandidates(
         Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
         "doc_id", rowsPerBand = 2)
@@ -262,7 +262,9 @@ object DedupQueries extends QueryPack {
     // rounds are no-ops on both sides by the fixpoint argument in
     // operators.Graph.kCore).
     "graph_kcore" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val cand = Dedup.minhashBandCandidates(
         Dedup.minhashSignatures(sh, "doc_id", numHashes = 8),
         "doc_id", rowsPerBand = 2)
@@ -274,7 +276,9 @@ object DedupQueries extends QueryPack {
     // MinHash Jaccard ESTIMATE vs exact on the banded candidates — the
     // estimator the signatures exist for, next to its ground truth.
     "dedup_minhash_estimate" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
       val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
       val est = Dedup.minhashEstimate(sig, "doc_id", cand, numHashes = 8)
@@ -401,7 +405,9 @@ object DedupQueries extends QueryPack {
     // candidate set. This is the form the bench measures; the ungated
     // all-pairs twin is dedup_ngram_jaccard_exact below.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = docShingles(s, dir).localCheckpoint()
+      // shingle relation is corpus-sized → DISK_ONLY persist (r9
+      // durability criterion), still materialized once for all readers
+      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
       val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
       val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
       Dedup.jaccardPairs(sh, "doc_id", threshold = 0.05,
@@ -510,10 +516,13 @@ object DedupQueries extends QueryPack {
     // oracle derives from the documents table), so the DuckDB oracle
     // pins them without replaying the SA build.
     "dedup_sa_invariants" -> ((s, dir) => {
+      // token stream and LCP frame are corpus-sized and re-read —
+      // DISK_ONLY persist per the r9 durability criterion
       val stream = Dedup.corpusTokenStream(
           Tables(s, dir).documents, "doc_id", "text")
-        .localCheckpoint()
-      val lcp = SuffixRank.lcpArray(stream, "pos", "tok").localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
+      val lcp = SuffixRank.lcpArray(stream, "pos", "tok")
+        .persist(StorageLevel.DISK_ONLY)
       val n = stream.count()
       val step = math.max(1L, n / 64L)
       val inv = lcp.agg(
@@ -921,8 +930,11 @@ object DedupQueries extends QueryPack {
          |ed AS (
          |  SELECT c.id_a, c.id_b,
          |    CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
-         |    round(levenshtein(a.text, b.text) * 1.0 /
-         |      greatest(length(a.text), length(b.text)), 4) AS edit_ratio
+         |    CASE WHEN greatest(length(a.text), length(b.text)) = 0
+         |         THEN 0.0::DOUBLE
+         |         ELSE round(levenshtein(a.text, b.text) * 1.0 /
+         |           greatest(length(a.text), length(b.text)), 4)
+         |    END AS edit_ratio
          |  FROM cand c
          |  JOIN documents a ON a.doc_id = c.id_a
          |  JOIN documents b ON b.doc_id = c.id_b)

@@ -43,6 +43,32 @@ object MLQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // N9: model-quality lang-id — char-TRIGRAM multinomial NB (the
+    // fastText-class feature space real curation runs use) over a
+    // CONFUSABLE fixture: every doc's words are the same shared
+    // vocabulary (word-level signal ≈ none, cf. n3's ~chance per-class
+    // accuracy on minority langs), and each language differs only by a
+    // deterministic ASCII morphology suffix ([[langSurfaceSql]], shared
+    // verbatim engine/oracle like the URL fixture) — so separation must
+    // come from sub-word character patterns, which trigram NB recovers
+    // near-perfectly. Output reports per-class accuracy (O(classes)
+    // rows), pinning the separation measurably.
+    "n9_nb_lang_chartrigram" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("surface", expr(langSurfaceSql))
+      val tri = docs.select(col("doc_id"),
+        explode(expr("""CASE WHEN length(surface) >= 3
+          THEN transform(sequence(1, length(surface) - 2),
+            i -> substring(surface, i, 3))
+          ELSE array() END""")).as("term"))
+      val classDocs = docs.select(col("doc_id"), col("lang"))
+      val preds = NaiveBayesOps.multinomialPredict(tri, "doc_id", "term",
+          classDocs, "lang")
+        .join(classDocs.withColumnRenamed("lang", "actual"), "doc_id")
+      NaiveBayesOps.accuracyByClass(preds, "pred", "actual")
+        .orderBy(col("class"))
+    }),
+
     // N3b: predict_proba — numerically-stable softmax of the per-doc
     // log-posteriors (reference predict_proba, splearn/naive_bayes.py).
     "n5_nb_predict_proba" -> ((s, dir) => {
@@ -195,6 +221,24 @@ object MLQueries extends QueryPack {
       LinearOps.logisticGdIterations(pts, labels, "vec_id", "y",
           iters = 2, lr = 0.1)
         .select(col("dim"), (round(col("w"), 6) + lit(0.0)).as("w"))
+        .orderBy(col("dim"))
+    }),
+
+    // L1 classification: the reference's block-averaged logistic —
+    // per-block deterministic 2-step GD (md5-assigned 2 blocks, all
+    // blocks fit in one plan) then unweighted coefficient average, the
+    // splearn __add__ merge algebra. The oracle unrolls both GD steps
+    // per block and averages.
+    "l1_block_averaged_logistic" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .withColumn("blk", pmod(graft.functions.GraftFunctions
+          .md5Long(col("vec_id").cast("string"), 8), lit(2)).cast("int"))
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id", "blk"),
+        "embedding")
+      val labels = emb.select(col("vec_id"),
+        (col("label") % 2).cast("double").as("y"))
+      LinearOps.blockAveragedLogisticGd(pts, labels, "vec_id", "blk", "y",
+          iters = 2, lr = 0.1)
         .orderBy(col("dim"))
     }),
 
@@ -424,6 +468,19 @@ object MLQueries extends QueryPack {
           col("l_extendedprice") / lit(1000.0),
           lambdas = Seq(0.0, 100.0, 10000.0), k = 3)
         .orderBy(col("feature"), col("grid_idx"))
+    }),
+
+    // P4 GENERIC pipeline grid search: CountVectorizer vocab cap ×
+    // NB Laplace α over a real two-stage text pipeline, md5-2-fold CV,
+    // held-out accuracy per grid point, `chosen` on the best. Every
+    // step deterministic (top-cap vocab with (count DESC, term) ties,
+    // closed-form NB, argmax ties to first class) so the oracle unrolls
+    // the whole grid in SQL — the estimator-agnostic surface upstream's
+    // SparkGridSearchCV wrapped with a driver loop.
+    "cv_grid_search_pipeline" -> ((s, dir) => {
+      Composition.cvNbPipelineGrid(Tables(s, dir).documents, "doc_id",
+          "text", "lang", caps = Seq(8, 32), alphas = Seq(0.5, 1.0), k = 2)
+        .orderBy(col("vocab_cap"), col("alpha"))
     }),
 
     // Multi-feature linear regression via spark.ml — solver="normal"
@@ -709,6 +766,26 @@ object MLQueries extends QueryPack {
     sb.toString
   }
 
+  /** Confusable-language surface fixture for n9: per-lang ASCII
+    * morphology suffix appended to EVERY word of the shared-vocabulary
+    * text (replace each space with "sfx ", then close the last word) —
+    * identical word stems across languages, discriminative only at the
+    * character level. ONE fragment evaluated by `expr()` on the engine
+    * side and spliced verbatim into the oracle (the UrlQueries fixture
+    * discipline: the two sides cannot drift). Dialect-shared subset
+    * only: replace / CASE / `||` — no lambdas (Spark `transform` vs
+    * DuckDB `list_transform` differ). `||` kept at line ENDS per the
+    * double-stripMargin trap.
+    */
+  private[packs] val langSurfaceSql: String =
+    """replace(text, ' ',
+      |  CASE lang WHEN 'de' THEN 'sch ' WHEN 'fr' THEN 'eux '
+      |       WHEN 'es' THEN 'cion ' WHEN 'zh' THEN 'xua '
+      |       ELSE 'ing ' END) ||
+      |CASE lang WHEN 'de' THEN 'sch' WHEN 'fr' THEN 'eux'
+      |     WHEN 'es' THEN 'cion' WHEN 'zh' THEN 'xua'
+      |     ELSE 'ing' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c4_svd_power" -> powerIterOracle(8),
     "c4_svd_power2" -> powerComponentsOracle(2, 8),
@@ -807,6 +884,106 @@ object MLQueries extends QueryPack {
         |FROM r JOIN m ON r.feature = m.feature AND r.fold = m.fold
         |GROUP BY m.feature, m.grid_idx, m.lambda
         |ORDER BY m.feature, m.grid_idx""".stripMargin,
+
+    // Full grid unroll: per-fold top-cap vocab (complement counts,
+    // (count DESC, term) rank), α-smoothed NB on training counts over
+    // the realized vocab, priors on training doc shares, argmax with
+    // prior-only fallback for all-OOV docs — the engine plan replayed
+    // CTE for CTE. alpha VALUES are cast to DOUBLE (DuckDB would
+    // otherwise type them DECIMAL and drift the smoothing arithmetic).
+    "cv_grid_search_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS INT) AS fold,
+        |    lang AS label, text FROM documents),
+        |toks AS (SELECT id, fold, label,
+        |    unnest(string_split(text, ' ')) AS term FROM base),
+        |folds AS (SELECT * FROM (VALUES (0), (1)) f(fold)),
+        |classes AS (SELECT DISTINCT label FROM base),
+        |caps AS (SELECT * FROM (VALUES (8), (32)) c(vocab_cap)),
+        |alphas AS (SELECT CAST(a AS DOUBLE) AS alpha
+        |           FROM (VALUES (0.5), (1.0)) x(a)),
+        |tc AS (SELECT term, count(*) AS ct FROM toks GROUP BY term),
+        |ftc AS (SELECT fold, term, count(*) AS cft FROM toks
+        |        GROUP BY fold, term),
+        |ranked AS (
+        |  SELECT f.fold, t.term,
+        |    row_number() OVER (PARTITION BY f.fold
+        |      ORDER BY (t.ct - coalesce(x.cft, 0)) DESC, t.term) AS rk
+        |  FROM folds f CROSS JOIN tc t
+        |  LEFT JOIN ftc x ON x.fold = f.fold AND x.term = t.term
+        |  WHERE t.ct - coalesce(x.cft, 0) > 0),
+        |vocab AS (SELECT r.fold, c.vocab_cap, r.term
+        |  FROM ranked r JOIN caps c ON r.rk <= c.vocab_cap),
+        |vsz AS (SELECT fold, vocab_cap, count(*) AS vsz FROM vocab
+        |        GROUP BY 1, 2),
+        |ltc AS (SELECT label AS cls, term, count(*) AS clt FROM toks
+        |        GROUP BY 1, 2),
+        |fltc AS (SELECT fold, label AS cls, term, count(*) AS cflt
+        |         FROM toks GROUP BY 1, 2, 3),
+        |vlc AS (
+        |  SELECT v.fold, v.vocab_cap, cl.label AS cls, v.term,
+        |    CAST(coalesce(l.clt, 0) - coalesce(fl.cflt, 0) AS DOUBLE) AS tlt
+        |  FROM vocab v CROSS JOIN classes cl
+        |  LEFT JOIN ltc l ON l.cls = cl.label AND l.term = v.term
+        |  LEFT JOIN fltc fl ON fl.fold = v.fold AND fl.cls = cl.label
+        |    AND fl.term = v.term),
+        |ctot AS (SELECT fold, vocab_cap, cls, sum(tlt) AS ctot FROM vlc
+        |         GROUP BY 1, 2, 3),
+        |lp AS (
+        |  SELECT v.fold, v.vocab_cap, a.alpha, v.cls, v.term,
+        |    ln((v.tlt + a.alpha) / (c.ctot + a.alpha * z.vsz)) AS lp
+        |  FROM vlc v
+        |  JOIN ctot c ON c.fold = v.fold AND c.vocab_cap = v.vocab_cap
+        |    AND c.cls = v.cls
+        |  JOIN vsz z ON z.fold = v.fold AND z.vocab_cap = v.vocab_cap
+        |  CROSS JOIN alphas a),
+        |ndl AS (SELECT label, count(*) AS ndl FROM base GROUP BY label),
+        |ndfl AS (SELECT fold, label, count(*) AS ndfl FROM base
+        |         GROUP BY 1, 2),
+        |ndf AS (SELECT fold, count(*) AS ndf FROM base GROUP BY fold),
+        |nd AS (SELECT count(*) AS nd FROM base),
+        |priors AS (
+        |  SELECT f.fold, cl.label AS cls,
+        |    ln(CAST(l.ndl - coalesce(x.ndfl, 0) AS DOUBLE) /
+        |       ((SELECT nd FROM nd) - d.ndf)) AS prior
+        |  FROM folds f CROSS JOIN classes cl
+        |  JOIN ndl l ON l.label = cl.label
+        |  LEFT JOIN ndfl x ON x.fold = f.fold AND x.label = cl.label
+        |  JOIN ndf d ON d.fold = f.fold),
+        |tf AS (SELECT fold, id, term, count(*) AS tf FROM toks
+        |       GROUP BY 1, 2, 3),
+        |ds AS (
+        |  SELECT t.fold, p.vocab_cap, p.alpha, t.id, p.cls,
+        |    sum(t.tf * p.lp) AS ll
+        |  FROM tf t JOIN lp p ON p.fold = t.fold AND p.term = t.term
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |univ AS (
+        |  SELECT b.fold, b.id, b.label AS actual, g.vocab_cap, g.alpha,
+        |    cl.label AS cls
+        |  FROM base b
+        |  CROSS JOIN (SELECT * FROM caps CROSS JOIN alphas) g
+        |  CROSS JOIN classes cl),
+        |scored AS (
+        |  SELECT u.vocab_cap, u.alpha, u.id, u.actual, u.cls,
+        |    coalesce(d.ll, 0.0) + p.prior AS score
+        |  FROM univ u
+        |  LEFT JOIN ds d ON d.fold = u.fold AND d.vocab_cap = u.vocab_cap
+        |    AND d.alpha = u.alpha AND d.id = u.id AND d.cls = u.cls
+        |  JOIN priors p ON p.fold = u.fold AND p.cls = u.cls),
+        |preds AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vocab_cap, alpha, id
+        |    ORDER BY score DESC, cls) AS rn FROM scored),
+        |acc AS (
+        |  SELECT vocab_cap, alpha,
+        |    round(avg(CASE WHEN cls = actual THEN 1 ELSE 0 END), 4)
+        |      AS cv_accuracy
+        |  FROM preds WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT vocab_cap, alpha, cv_accuracy,
+        |  CAST(CASE WHEN row_number() OVER (ORDER BY cv_accuracy DESC,
+        |      vocab_cap, alpha) = 1 THEN 1 ELSE 0 END AS INT) AS chosen
+        |FROM acc ORDER BY vocab_cap, alpha""".stripMargin,
 
     "n1_multinomial_nb_fit" ->
       """WITH toks AS (
@@ -948,6 +1125,70 @@ object MLQueries extends QueryPack {
         |  round(n_correct * 1.0 / n_docs, 4) + 0.0 AS accuracy
         |FROM u
         |ORDER BY class""".stripMargin,
+
+    // n6's NB chain over char TRIGRAMS of the morphology-suffixed
+    // surface fixture (spliced verbatim — see langSurfaceSql).
+    "n9_nb_lang_chartrigram" ->
+      (s"""WITH sur AS (
+          |  SELECT doc_id, lang, $langSurfaceSql AS surface
+          |  FROM documents),
+          |""".stripMargin +
+        """tri AS (
+          |  SELECT doc_id, substr(surface, CAST(s AS INT), 3) AS term
+          |  FROM (SELECT doc_id, surface,
+          |          unnest(range(1, greatest(length(surface) - 1, 1))) AS s
+          |        FROM sur) tx),
+          |langs AS (SELECT doc_id, lang FROM documents),
+          |toksl AS (SELECT t.doc_id, l.lang, t.term
+          |          FROM tri t JOIN langs l ON t.doc_id = l.doc_id),
+          |counts AS (SELECT lang, term, count(*) AS cnt FROM toksl
+          |           GROUP BY lang, term),
+          |classes AS (SELECT DISTINCT lang FROM langs),
+          |vocab AS (SELECT DISTINCT term FROM toksl),
+          |vs AS (SELECT count(*) AS v FROM vocab),
+          |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ct
+          |           FROM counts GROUP BY lang),
+          |lp AS (
+          |  SELECT c.lang, vo.term,
+          |    ln((coalesce(k.cnt, 0) + 1.0) / (t.ct + 1.0 * (SELECT v FROM vs)))
+          |      AS lpv
+          |  FROM classes c CROSS JOIN vocab vo
+          |  LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+          |  JOIN totals t ON t.lang = c.lang),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tri
+          |       GROUP BY doc_id, term),
+          |n AS (SELECT count(*) AS nd FROM documents),
+          |priors AS (SELECT lang, ln(count(*) * 1.0 / (SELECT nd FROM n))
+          |             AS prior
+          |           FROM langs GROUP BY lang),
+          |scores AS (
+          |  SELECT tf.doc_id, lp.lang, sum(tf.tf * lp.lpv) AS ll
+          |  FROM tf JOIN lp ON tf.term = lp.term
+          |  GROUP BY tf.doc_id, lp.lang),
+          |ranked AS (
+          |  SELECT s.doc_id, s.lang,
+          |    row_number() OVER (PARTITION BY s.doc_id
+          |                       ORDER BY s.ll + p.prior DESC, s.lang) AS rn
+          |  FROM scores s JOIN priors p ON s.lang = p.lang),
+          |preds AS (
+          |  SELECT r.doc_id, r.lang AS pred, l.lang AS actual
+          |  FROM ranked r JOIN langs l ON r.doc_id = l.doc_id
+          |  WHERE r.rn = 1),
+          |per AS (
+          |  SELECT actual AS class, count(*) AS n_docs,
+          |    CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_correct
+          |  FROM preds GROUP BY actual),
+          |overall AS (
+          |  SELECT 'ALL' AS class, count(*) AS n_docs,
+          |    CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_correct
+          |  FROM preds),
+          |u AS (SELECT * FROM per UNION ALL SELECT * FROM overall)
+          |SELECT class, n_docs, n_correct,
+          |  round(n_correct * 1.0 / n_docs, 4) + 0.0 AS accuracy
+          |FROM u
+          |ORDER BY class""".stripMargin),
 
     "n2_gaussian_nb_fit" ->
       """SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 6) AS theta,
@@ -1242,6 +1483,40 @@ object MLQueries extends QueryPack {
         |SELECT w1.dim AS dim, round(w1.w - 0.1 * g2.g, 6) + 0.0 AS w
         |FROM w1 JOIN g2 ON w1.dim = g2.dim
         |ORDER BY w1.dim""".stripMargin,
+
+    // l4's two-step unroll with a blk column threaded through every
+    // CTE (weights zero-init per block, so step 1 is -lr·avg((σ(0)−y)·v)
+    // within the block), then the cross-block coefficient average.
+    "l1_block_averaged_logistic" ->
+      """WITH pts AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS INT) AS blk,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+        |w1 AS (
+        |  SELECT blk, dim, -0.1 * avg((0.5 - l.y) * p.v) AS w
+        |  FROM pts p JOIN lab l ON p.vec_id = l.vec_id
+        |  GROUP BY blk, dim),
+        |m2 AS (
+        |  SELECT p.blk, p.vec_id, sum(p.v * w1.w) AS m
+        |  FROM pts p JOIN w1 ON p.blk = w1.blk AND p.dim = w1.dim
+        |  GROUP BY p.blk, p.vec_id),
+        |e2 AS (
+        |  SELECT m2.blk, m2.vec_id, 1.0 / (1.0 + exp(-m2.m)) - l.y AS err
+        |  FROM m2 JOIN lab l ON m2.vec_id = l.vec_id),
+        |g2 AS (
+        |  SELECT p.blk, p.dim, avg(e2.err * p.v) AS g
+        |  FROM pts p JOIN e2 ON p.vec_id = e2.vec_id
+        |  GROUP BY p.blk, p.dim),
+        |wb AS (
+        |  SELECT w1.blk, w1.dim, w1.w - 0.1 * g2.g AS w
+        |  FROM w1 JOIN g2 ON w1.blk = g2.blk AND w1.dim = g2.dim)
+        |SELECT dim, round(avg(w), 6) + 0.0 AS w_avg,
+        |  CAST(count(*) AS BIGINT) AS n_blocks
+        |FROM wb GROUP BY dim ORDER BY dim""".stripMargin,
 
     "c2_kmeans_lloyd" ->
       """WITH pts AS (

@@ -247,7 +247,10 @@ object SimilarityQueries extends QueryPack {
         .withColumn("_d2", graft.plans.GraftExpressions.l2sq(
           col("_q").cast("array<double>"), col("_c").cast("array<double>")))
         .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+        .select(col("query_id"), col("neighbor_id"))
+        // correctness-twin scale only, but swap to the uniform r9
+        // primitive anyway (slim id-pairs, read by both consumers)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val hit = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))

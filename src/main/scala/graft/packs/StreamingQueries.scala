@@ -335,8 +335,12 @@ object StreamingQueries extends QueryPack {
     // driver hash pins batch/stream unification of the whole funnel.
     "streaming_curation_gate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // NO maxFilesPerTrigger here: the batch-oracle equality needs the
+      // whole corpus in ONE micro-batch (first-epoch-wins would diverge
+      // from the batch min-id keeper if a smaller doc_id in a dup
+      // cluster landed in a later file), so verdicts must be
+      // file-layout independent
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(s"$dir/documents*.parquet")
         .select(col("doc_id"),
           expr(UrlQueries.rawUrlSql).as("url_raw"),

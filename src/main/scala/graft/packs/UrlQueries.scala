@@ -63,7 +63,9 @@ object UrlQueries extends QueryPack {
 
     // Crawl politeness: robots.txt parsed per registered domain and
     // every fixture URL decided under agent `graftbot` (RFC 9309:
-    // exact-agent group SHADOWS `*`, longest rule wins, Allow wins
+    // exact-agent group SHADOWS `*` — even when the exact group is
+    // EMPTY, in which case everything is allowed (example.com.au
+    // exercises this) — longest rule wins, Allow wins
     // ties, `$`/`*` rule syntax, empty Disallow is a no-op). The
     // robots bodies are a second shared fixture keyed by the SAME
     // domains the URL fixture produces.
@@ -121,7 +123,8 @@ object UrlQueries extends QueryPack {
       |  WHEN 'blog.github.io' THEN
       |    'User-agent: *' || chr(10) || 'Disallow: /private'
       |  WHEN 'example.com.au' THEN
-      |    'User-agent: *' || chr(10) || 'Disallow: /p/'
+      |    'User-agent: *' || chr(10) || 'Disallow: /p/' || chr(10) ||
+      |    chr(10) || 'User-agent: graftbot'
       |  ELSE
       |    'User-agent: *' || chr(10) || 'Allow: /a' || chr(10) ||
       |    'Disallow: /a'
@@ -237,7 +240,7 @@ object UrlQueries extends QueryPack {
           |rr0 AS (SELECT g2.domain, g2.dir, g2.value, ga.ex, ga.st
           |  FROM g2 JOIN ga ON g2.domain = ga.domain AND g2.grp = ga.grp
           |  WHERE g2.dir IN ('allow', 'disallow') AND g2.value <> ''),
-          |ae AS (SELECT domain, max(ex) AS any_ex FROM rr0
+          |ae AS (SELECT domain, max(ex) AS any_ex FROM ga
           |       GROUP BY domain),
           |rr AS (SELECT rr0.domain, rr0.value AS rule_path,
           |    (rr0.dir = 'allow') AS is_allow,
@@ -256,8 +259,8 @@ object UrlQueries extends QueryPack {
           |  FROM rr),
           |dec AS (SELECT uq.doc_id, uq.domain, uq.path, rl.rule_path,
           |    rl.is_allow, rl.rule_len,
-          |    (uq.path LIKE rl.pat ESCAPE '\') AS m
-          |  FROM uq JOIN rl ON uq.domain = rl.domain),
+          |    coalesce(uq.path LIKE rl.pat ESCAPE '\', FALSE) AS m
+          |  FROM uq LEFT JOIN rl ON uq.domain = rl.domain),
           |win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY m DESC, rule_len DESC, is_allow DESC,
           |      rule_path DESC) AS rn

@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over embedding columns (north-star
   * extension).
@@ -124,14 +125,19 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(centerCol))
     val cand = probes.join(cells, centerCol)
       .where(col("query_id") =!= col("neighbor_id"))
-      .localCheckpoint() // feeds the gate AND the gated branch
+      // feeds the gate AND the gated branch; workload-sized (queries ×
+      // probed candidates), so DISK_ONLY persist per the r9 durability
+      // criterion — lineage stays, a lost block recomputes from the scan
+      .persist(StorageLevel.DISK_ONLY)
     // the gate: queries under minCand probed candidates fall back
     val under = queries.select(col(idCol).as("query_id"))
       .join(cand.groupBy(col("query_id")).agg(count(lit(1)).as("_nc")),
         Seq("query_id"), "left")
       .where(coalesce(col("_nc"), lit(0L)) < minCand)
       .select(col("query_id"))
-      .localCheckpoint() // tiny: one row per falling-back query
+      // tiny: one row per falling-back query — localCheckpoint is safe
+      // here by the r9 criterion (metadata-scale, trivially re-run)
+      .localCheckpoint()
     val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
     val cU = emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_c"))
     val wK = Window.partitionBy(col("query_id"))
@@ -234,7 +240,10 @@ object Similarity {
     // 100 TB train on a bounded deterministic sample (pass
     // Sampling.deterministicSample's output as `emb`) — codebook
     // quality needs thousands of vectors per code, not the corpus —
-    // so the pinned frame stays executor-memory-sized.
+    // so the pinned frame stays executor-memory-sized. localCheckpoint
+    // is acceptable by the r9 criterion BECAUSE of that sample-size
+    // contract (a lost executor re-runs a sample-scale training job,
+    // not a corpus pass).
     val pts = pqLongForm(emb, idCol, arrCol, dsub).localCheckpoint()
     val seedIds = pts.select(col(idCol)).distinct()
       .orderBy(col(idCol)).limit(ksub)
@@ -374,8 +383,12 @@ object Similarity {
           .as(centerCol))
     val codes = pqEncode(emb, idCol, arrCol, pqCenters, dsub)
       .select(col(idCol).as("neighbor_id"), col("sub"), col("cid"))
-    // query side: nProbe nearest cells + ADC distance tables, one explode
-    val qLong = pqLongForm(queries, idCol, arrCol, dsub).localCheckpoint()
+    // query side: nProbe nearest cells + ADC distance tables, one
+    // explode. Re-read twice (cell probes + distance tables) and sized
+    // by the query workload — which in self-query/backfill runs IS the
+    // corpus — so DISK_ONLY persist per the r9 durability criterion.
+    val qLong = pqLongForm(queries, idCol, arrCol, dsub)
+      .persist(StorageLevel.DISK_ONLY)
     val qDists = qLong
       .join(broadcast(coarseLong.select(col(centerCol), col("dim"), col("c"))),
         "dim")
@@ -610,8 +623,11 @@ object Similarity {
       .select(col(centerCol), col(idCol), col("_v"))
       // one materialization feeds both sides of the self-join —
       // otherwise the whole assignment subtree evaluates twice (the
-      // shingle-reuse lesson)
-      .localCheckpoint()
+      // shingle-reuse lesson). Carries every vector (corpus-sized), so
+      // DISK_ONLY persist per the r9 durability criterion: lineage
+      // survives, a lost block recomputes from the scan instead of
+      // killing the job.
+      .persist(StorageLevel.DISK_ONLY)
     // the self-join runs through the shared per-key salted join: a
     // cell at the maxCell cap still means |cell|² pairs, and without
     // salting they all land on ONE task (AQE can't split inside a key)
@@ -680,17 +696,21 @@ object Similarity {
     graft.plans.GraftExpressions.register(emb.sparkSession)
     require(k >= 1, s"k=$k must be positive")
     require(maxDegree >= 1, s"maxDegree=$maxDegree must be positive")
-    // checkpoint the slim edge list BEFORE the symmetric union: the
+    // materialize the slim edge list BEFORE the symmetric union: the
     // union's two branches would otherwise evaluate the caller's whole
-    // graph-build subtree twice (the r12 knn-graph union lesson)
+    // graph-build subtree twice (the r12 knn-graph union lesson).
+    // n·k rows of two longs but still corpus-proportional and re-read —
+    // DISK_ONLY persist per the r9 durability criterion (the lineage
+    // back to the caller's graph survives executor loss).
     val edges = graph
       .select(col("src_id").cast("long").as("a"),
         col("neighbor_id").cast("long").as("b"))
-      .localCheckpoint()
+      .persist(StorageLevel.DISK_ONLY)
     val und = edges
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint() // feeds the degree count and all three legs
+      // feeds the degree count and all three legs — same r9 treatment
+      .persist(StorageLevel.DISK_ONLY)
     // hub-intermediate guard on the ID-SIZED edge list (degree in the
     // symmetric closure = out-degree + reciprocated in-degree)
     val okMid = und.groupBy(col("b")).agg(count(lit(1)).as("_d"))
@@ -751,7 +771,13 @@ object Similarity {
     var g = graph
     var r = 0
     while (r < rounds) {
-      g = knnRefine(emb, idCol, arrCol, g, k, maxDegree).localCheckpoint()
+      // iterated frame: lineage truncation is the point here (the plan
+      // would grow per round), so localCheckpoint stays — the Components
+      // loop discipline — but at DISK_ONLY so the edge list is not
+      // duplicated in storage memory across rounds. Durability waiver
+      // as in Components: a reliable checkpoint dir is the cluster fix.
+      g = knnRefine(emb, idCol, arrCol, g, k, maxDegree)
+        .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
       r += 1
     }
     g
@@ -794,14 +820,17 @@ object Similarity {
     // distinct: the loop compares EDGE SETS round over round, and the
     // caller's graph may carry duplicate rows (knnRefine itself
     // dedupes internally, so the refined output is unaffected)
+    // iterated loop frames: localCheckpoint (lineage truncation — the
+    // Components discipline) at DISK_ONLY; see knnRefineIterated's note
     var g = graph.select(col("src_id"), col("neighbor_id")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
     var full: DataFrame = graph
     val changed = Seq.newBuilder[Long]
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      full = knnRefine(emb, idCol, arrCol, g, k, maxDegree).localCheckpoint()
+      full = knnRefine(emb, idCol, arrCol, g, k, maxDegree)
+        .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
       val next = full.select(col("src_id"), col("neighbor_id"))
       // symmetric difference AND the new-edge total in ONE driver
       // action: tag each side, group by edge (both sides are
@@ -836,8 +865,10 @@ object Similarity {
   def knnCommunities(emb: DataFrame, idCol: String, arrCol: String,
                      centersLong: DataFrame, centerCol: String, k: Int,
                      nProbe: Int = 1, rounds: Int = 4): DataFrame = {
+    // both sides of the mutuality join read this; corpus-proportional
+    // edge list — DISK_ONLY persist per the r9 durability criterion
     val g = knnGraphCells(emb, idCol, arrCol, centersLong, centerCol,
-      k, nProbe).localCheckpoint() // both sides of the mutuality join
+      k, nProbe).persist(StorageLevel.DISK_ONLY)
     val mutual = g.as("a").join(g.as("b"),
         col("a.src_id") === col("b.neighbor_id") &&
           col("a.neighbor_id") === col("b.src_id"), "left_semi")
@@ -880,23 +911,34 @@ object Similarity {
                      k: Int): DataFrame = {
     graft.plans.GraftExpressions.register(emb.sparkSession)
     require(k >= 1, s"k=$k must be positive")
+    // corpus-sized with vectors and read every round — DISK_ONLY
+    // persist per the r9 durability criterion (count() below
+    // materializes it eagerly)
     val pts = emb.select(col(idCol).cast("long").as("id"),
-      col(arrCol).cast("array<double>").as("_v")).localCheckpoint()
-    // checkpoint already materialized pts, so this count is a cached
-    // scan; k beyond the corpus would make the argmax aggregate empty
-    // mid-traversal and silently truncate the selection
+      col(arrCol).cast("array<double>").as("_v"))
+      .persist(StorageLevel.DISK_ONLY)
+    // the count doubles as the eager materialization; k beyond the
+    // corpus would make the argmax aggregate empty mid-traversal and
+    // silently truncate the selection
     val n = pts.count()
     require(k <= n, s"k=$k exceeds the corpus size $n")
     val seed = pts.agg(min(col("id")).as("_sid"))
+    // sel / nextRow are ≤ k rows (metadata-scale): plain localCheckpoint
+    // is fine by the r9 criterion, and the truncation keeps the k-round
+    // union plan flat
     var sel = pts.join(broadcast(seed), col("id") === col("_sid"))
       .select(lit(1).as("sel_rank"), col("id"), col("_v"),
         lit(0.0).as("_rad"))
       .localCheckpoint()
+    // cur is corpus-sized AND iterated: lineage truncation is required
+    // (the min-fold plan would nest k deep), so localCheckpoint stays —
+    // the Components loop discipline — at DISK_ONLY to keep k rounds of
+    // blocks out of storage memory. Durability waiver as in Components.
     var cur = pts
       .crossJoin(broadcast(sel.select(col("_v").as("_sv"))))
       .select(col("id"), col("_v"),
         graft.plans.GraftExpressions.l2sq(col("_v"), col("_sv")).as("_mind"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
     for (r <- 2 to k) {
       // argmax mind, ties to lowest id, over not-yet-selected points
       val next = cur
@@ -915,7 +957,7 @@ object Similarity {
           least(col("_mind"),
             graft.plans.GraftExpressions.l2sq(col("_v"), col("_sv")))
             .as("_mind"))
-        .localCheckpoint()
+        .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
     }
     sel.select(col("sel_rank"), col("id"),
       (round(sqrt(col("_rad")), 6) + lit(0.0)).as("radius"))

@@ -420,7 +420,15 @@ object EventStreams {
         md5(col("_mc.main_text")).as("h"))
       .withColumn("quality_ok", col("n_words") >= minTextWords)
       .as[GatedPage]
-    gated.groupByKey(_.h)
+    // Only QUALIFIED pages reach the keyed state: a gated page's
+    // verdict (dup=false, survivor=false) never depends on it, and at
+    // crawl scale every chrome-only/empty page shares h = md5("") — one
+    // group that would otherwise collect ALL failed pages of a
+    // micro-batch into a single task (an OOM-shaped hot key the batch
+    // path dodges with its one-row-per-key build side). The gated rows
+    // take the stateless branch and the two are unioned.
+    val isQualified = col("url_ok") && col("quality_ok")
+    val statefulVerdicts = gated.filter(isQualified).groupByKey(_.h)
       .flatMapGroupsWithState[Long, CurationVerdict](
         OutputMode.Update, timeoutConf(ttlMs)) {
         (_: String, rows: Iterator[GatedPage], state: GroupState[Long]) =>
@@ -428,29 +436,30 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
+            // all rows here are qualified dups of ONE content hash —
+            // bounded by the true duplicate multiplicity, not by the
+            // micro-batch's failure count
             val rs = rows.toArray.sortBy(_.doc_id)
             // first-epoch-wins: an ADMITTED keeper is never displaced
             // by a smaller id arriving later (the pack-wide streaming
             // contract); with no prior state the batch's smallest
             // qualified id is the keeper — which on a single
             // AvailableNow batch is exactly the batch min-id rule.
-            val batchMin = rs.iterator
-              .filter(r => r.url_ok && r.quality_ok)
-              .map(_.doc_id).minOption
-            val keeper = state.getOption
-              .orElse(batchMin).getOrElse(Long.MaxValue)
-            if (keeper != Long.MaxValue) {
-              state.update(keeper)
-              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-            }
+            val keeper = state.getOption.getOrElse(rs.head.doc_id)
+            state.update(keeper)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             rs.iterator.map { r =>
-              val qualified = r.url_ok && r.quality_ok
-              val dup = qualified && r.doc_id != keeper
+              val dup = r.doc_id != keeper
               CurationVerdict(r.doc_id, r.domain, r.url_ok, r.n_blocks,
-                r.n_kept, r.n_words, r.quality_ok, dup, qualified && !dup)
+                r.n_kept, r.n_words, r.quality_ok, dup, !dup)
             }
           }
       }
+    val statelessVerdicts = gated.filter(!isQualified)
+      .map(r => CurationVerdict(r.doc_id, r.domain, r.url_ok, r.n_blocks,
+        r.n_kept, r.n_words, r.quality_ok,
+        is_exact_dup = false, survivor = false))
+    statefulVerdicts.union(statelessVerdicts)
   }
 }
 

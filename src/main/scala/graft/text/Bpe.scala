@@ -64,7 +64,12 @@ object Bpe {
   }
 
   /** Distinct-word frequency table with initial per-character symbol
-    * arrays — the one corpus-sized pass both trainers share.
+    * arrays — the one corpus-sized pass both trainers share. The RESULT
+    * is vocabulary-sized (post-aggregation, orders of magnitude below
+    * the corpus), so localCheckpoint here and on the per-round merge
+    * frames below is within the r9 durability criterion: a lost block
+    * re-runs a vocab-scale job, and the per-round truncation is what
+    * keeps the `merges`-deep fold plan flat.
     */
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs

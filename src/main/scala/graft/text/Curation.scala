@@ -36,15 +36,31 @@ object Curation {
   def disposition(docs: DataFrame, idCol: String, urlCol: String,
                   htmlCol: String, minTextWords: Int = 10,
                   blockMinWords: Int = 5,
-                  blockMaxLinkDensity: Double = 0.33): DataFrame = {
+                  blockMaxLinkDensity: Double = 0.33): DataFrame =
+    dispositionFull(docs, idCol, urlCol, htmlCol, minTextWords,
+      blockMinWords, blockMaxLinkDensity)
+      .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
+        col("n_kept"), col("n_words"), col("quality_ok"),
+        col("is_exact_dup"), col("survivor"))
+
+  /** [[disposition]] before the output projection — keeps `main_text`
+    * for stages that score the extracted content ([[scoredDisposition]]).
+    */
+  private def dispositionFull(docs: DataFrame, idCol: String,
+                              urlCol: String, htmlCol: String,
+                              minTextWords: Int, blockMinWords: Int,
+                              blockMaxLinkDensity: Double): DataFrame = {
     val withDomain = docs.withColumn("domain",
       Urls.registeredDomain(Urls.hostOf(col(urlCol))))
     val mc = Html.mainContent(withDomain, idCol, htmlCol,
       blockMinWords, blockMaxLinkDensity)
     // d0 feeds BOTH the keeper aggregation and the output row — without
-    // the checkpoint the whole HTML-extraction subtree would execute
+    // the materialization the whole HTML-extraction subtree would run
     // twice (the r7 shingle-relation lesson; at 100 TB that is a second
-    // full pass over the crawl).
+    // full pass over the crawl). DISK_ONLY persist, NOT localCheckpoint:
+    // d0 carries main_text, i.e. it is corpus-sized, and localCheckpoint
+    // blocks are unrecoverable after executor loss (the r9 criterion) —
+    // persist keeps the lineage so a lost block recomputes from the scan.
     val d0 = withDomain.select(col(idCol), col("domain"))
       .join(mc, idCol)
       .withColumn("url_ok", col("domain") =!= "")
@@ -52,7 +68,7 @@ object Curation {
         when(col("main_text") === "", lit(0))
           .otherwise(size(split(col("main_text"), "\\s+"))))
       .withColumn("quality_ok", col("n_words") >= minTextWords)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val keepers = d0.where(col("url_ok") && col("quality_ok"))
       .groupBy(md5(col("main_text")).as("_h"))
       .agg(min(col(idCol)).as("_kid"))
@@ -63,16 +79,123 @@ object Curation {
           coalesce(col("_kid") =!= col(idCol), lit(false)))
       .withColumn("survivor",
         col("url_ok") && col("quality_ok") && !col("is_exact_dup"))
-      .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
-        col("n_kept"), col("n_words"), col("quality_ok"),
-        col("is_exact_dup"), col("survivor"))
   }
 
-  /** Funnel rollup of [[disposition]]: docs surviving each successive
-    * stage, stage names prefixed for a stable sort.
+  /** Optional model-scored gate on top of [[disposition]]: a
+    * deterministic logistic quality classifier
+    * ([[graft.mlops.LinearOps.logisticGdIterations]] — zero-init
+    * full-batch GD, no RNG) trained IN-CORPUS on the rule gates' own
+    * verdict (y = url_ok ∧ quality_ok) over four content features of
+    * the extracted main text:
+    *
+    *   f1 word count (scaled /100), f2 kept-block ratio,
+    *   f3 stopword ratio, f4 mean bigram LM score (micro-nat
+    *   quantized, the [[TextAnalysis.bigramLmScore]] arithmetic over
+    *   a model fit on the extracted corpus itself).
+    *
+    * The learned margin generalizes the hard gates into a graded score
+    * — the CCNet "LM + quality features" stage — while staying fully
+    * SQL-oracle-able (fixed iterations; `score_ok` compares the
+    * ROUNDED margin so the boundary cannot drift between engines).
+    * Output = [[disposition]] columns + (quality_margin, score_ok,
+    * survivor_scored = survivor ∧ score_ok).
+    *
+    * Scale shape: one extra pass over the persisted extracted corpus
+    * for features + the bigram model (both keyed aggregations), GD on
+    * a 4-dim long form (weights are a 1-row broadcast), margin in-row.
+    */
+  def scoredDisposition(docs: DataFrame, idCol: String, urlCol: String,
+                        htmlCol: String, minTextWords: Int = 10,
+                        blockMinWords: Int = 5,
+                        blockMaxLinkDensity: Double = 0.33,
+                        stopwords: Seq[String] =
+                          TextAnalysis.DefaultStopwords,
+                        iters: Int = 2, lr: Double = 0.1): DataFrame = {
+    val d3 = dispositionFull(docs, idCol, urlCol, htmlCol, minTextWords,
+        blockMinWords, blockMaxLinkDensity)
+      // read by features, the bigram model, and the final join —
+      // corpus-sized (carries main_text) ⇒ DISK_ONLY (r9 criterion)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val tk = d3.where(col("main_text") =!= "")
+      .select(col(idCol), split(col("main_text"), "\\s+").as("_ts"))
+    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
+    val stopRatio = tk.select(col(idCol),
+      (size(expr(s"filter(_ts, t -> array_contains($stopArr, t))")) *
+        lit(1.0) / size(col("_ts"))).as("_f3"))
+    // corpus bigram model over the extracted texts (micro-nat quantized
+    // per transition — order-independent integer sums per doc)
+    val grams = tk.where(size(col("_ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(_ts) - 1),
+          |  i -> struct(element_at(_ts, i) AS w1,
+          |              element_at(_ts, i + 1) AS w2))""".stripMargin))
+        .as("_g"))
+      .select(col(idCol), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
+    val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = grams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col(idCol),
+        round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
+          .as("_m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nb"), sum(col("_m")).as("_sm"))
+    val feats = d3
+      .join(stopRatio, Seq(idCol), "left")
+      .join(lm, Seq(idCol), "left")
+      .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
+        col("n_kept"), col("n_words"), col("quality_ok"),
+        col("is_exact_dup"), col("survivor"),
+        (col("n_words") / lit(100.0)).as("f1"),
+        (col("n_kept") * lit(1.0) / greatest(col("n_blocks"), lit(1)))
+          .as("f2"),
+        coalesce(col("_f3"), lit(0.0)).as("f3"),
+        coalesce(col("_sm") * lit(1.0) / col("_nb") / lit(1e6), lit(0.0))
+          .as("f4"))
+    val pts = feats.select(col(idCol), explode(expr(
+        """array(struct(1 AS dim, f1 AS v), struct(2 AS dim, f2 AS v),
+          |      struct(3 AS dim, f3 AS v), struct(4 AS dim, f4 AS v))"""
+          .stripMargin)).as("_p"))
+      .select(col(idCol), col("_p.dim").as("dim"), col("_p.v").as("v"))
+    val labels = feats.select(col(idCol),
+      (col("url_ok") && col("quality_ok")).cast("double").as("y"))
+    val w = graft.mlops.LinearOps
+      .logisticGdIterations(pts, labels, idCol, "y", iters, lr)
+    val wRow = w.agg(
+      max(when(col("dim") === 1, col("w"))).as("w1"),
+      max(when(col("dim") === 2, col("w"))).as("w2"),
+      max(when(col("dim") === 3, col("w"))).as("w3"),
+      max(when(col("dim") === 4, col("w"))).as("w4"))
+    feats.crossJoin(broadcast(wRow))
+      // in-row fixed-order dot product: the one FP expression both
+      // engines evaluate identically by construction
+      .withColumn("quality_margin",
+        round(col("f1") * col("w1") + col("f2") * col("w2") +
+          col("f3") * col("w3") + col("f4") * col("w4"), 6) + lit(0.0))
+      .withColumn("score_ok", col("quality_margin") > 0.0)
+      .withColumn("survivor_scored", col("survivor") && col("score_ok"))
+      .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
+        col("n_kept"), col("n_words"), col("quality_ok"),
+        col("is_exact_dup"), col("survivor"), col("quality_margin"),
+        col("score_ok"), col("survivor_scored"))
+  }
+
+  /** Funnel rollup of [[disposition]] (or [[scoredDisposition]] — the
+    * scored stage appears when its column is present): docs surviving
+    * each successive stage, stage names prefixed for a stable sort.
     */
   def funnel(disposition: DataFrame): DataFrame =
-    disposition.agg(
+    if (disposition.columns.contains("survivor_scored"))
+      disposition.agg(
+          count(lit(1)).as("a_input"),
+          count(when(col("url_ok"), 1)).as("b_url_ok"),
+          count(when(col("url_ok") && col("quality_ok"), 1))
+            .as("c_quality_ok"),
+          count(when(col("survivor"), 1)).as("d_survivor"),
+          count(when(col("survivor_scored"), 1)).as("e_scored"))
+        .selectExpr("stack(5, 'a_input', a_input, 'b_url_ok', b_url_ok, " +
+          "'c_quality_ok', c_quality_ok, 'd_survivor', d_survivor, " +
+          "'e_scored', e_scored) AS (stage, n_docs)")
+    else disposition.agg(
         count(lit(1)).as("a_input"),
         count(when(col("url_ok"), 1)).as("b_url_ok"),
         count(when(col("url_ok") && col("quality_ok"), 1))

@@ -100,11 +100,41 @@ object LineDedup {
     * present in ≥ `minDocs` distinct documents. Returns one row per
     * input document: (idCol, n_lines, n_removed, text_clean). Same
     * flagged one-pass reassembly as [[keepFirstLines]].
+    *
+    * The frequent-key detection is TWO-PHASE (the r15 100M-line run
+    * showed the single exact COUNT DISTINCT spilling — 175.5s, 6.6×
+    * for 5× data, vs keep-first's clean scaling):
+    *
+    *  1. a PRE-GATE of map-side-combinable aggregates only — no
+    *     per-key distinct sets: `n_occs >= minDocs` is an EXACT
+    *     necessary condition (a line in ≥ N distinct docs occurs ≥ N
+    *     times), and for large thresholds (minDocs ≥ 25) an HLL
+    *     `approx_count_distinct` (rsd 0.05) adds a second cut at 20%
+    *     slack — ~4σ below the true count, so a genuinely frequent key
+    *     passes with near-certainty (and a missed one merely stays in
+    *     the corpus: a false-negative for a heuristic boilerplate
+    *     threshold, never a wrong removal).
+    *  2. the EXACT countDistinct verdict, unchanged, over only the
+    *     lines whose key survived the gate — distinct-set state now
+    *     bounded by the boilerplate-candidate mass instead of every
+    *     unique line in the corpus.
+    *
+    * At small minDocs the HLL cut is off and the verdict is exact by
+    * construction; the oracle is unchanged either way.
     */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Int, delim: String = "\n"): DataFrame = {
     val ln = lines(docs, idCol, textCol, delim)
-    val frequent = ln.where(col("_k").isNotNull)
+    val nb = ln.where(col("_k").isNotNull)
+    val gate = nb.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_no"),
+        approx_count_distinct(col(idCol), 0.05).as("_nda"))
+      .where(col("_no") >= minDocs.toLong &&
+        (if (minDocs >= 25)
+          col("_nda") >= math.ceil(minDocs * 0.8).toLong
+        else lit(true)))
+      .select(col("_k"))
+    val frequent = nb.join(gate, Seq("_k"), "left_semi")
       .groupBy(col("_k"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .where(col("_nd") >= minDocs)

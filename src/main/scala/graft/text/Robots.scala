@@ -59,8 +59,11 @@ object Robots {
     val ruleRows = grouped
       .where(col("dir").isin("allow", "disallow") && col("value") =!= "")
       .join(groupAgents, Seq(domainCol, "grp"))
-    // RFC: the exact-agent group shadows `*` when any exists
-    val hasExact = ruleRows.groupBy(col(domainCol))
+    // RFC: the exact-agent group shadows `*` when any exists — derived
+    // from the UA lines themselves (groupAgents), NOT from rule rows,
+    // so an exact group with zero rules still shadows `*` (most
+    // specific group governs even when empty ⇒ everything allowed)
+    val hasExact = groupAgents.groupBy(col(domainCol))
       .agg(max(col("_exact")).as("_anyExact"))
     ruleRows.join(hasExact, domainCol)
       .where(when(col("_anyExact") === 1, col("_exact") === 1)

@@ -511,13 +511,17 @@ object TextAnalysis {
     * (each join keyed and partial-pruned by the accumulating candidate
     * set), never the corpus; a LIKE/regex scan — the thing this
     * replaces — reads every byte of every document per query. The index
-    * is checkpointed once so the L lookups don't re-tokenize the corpus
-    * L times. Only docs with ≥1 occurrence return (inner joins).
+    * is materialized once so the L lookups don't re-tokenize the corpus
+    * L times — DISK_ONLY persist, not localCheckpoint: the positional
+    * index is BIGGER than the corpus (one row per token) and the r9
+    * durability criterion applies. Only docs with ≥1 occurrence return
+    * (inner joins).
     */
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val idx = positionalIndex(docs, idCol, textCol).localCheckpoint()
+    val idx = positionalIndex(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val first = idx.where(col("term") === phrase.head)
       .select(col(idCol), col("pos"))
     phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>

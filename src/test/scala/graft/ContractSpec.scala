@@ -38,11 +38,15 @@ class ContractSpec extends AnyFunSuite {
     // quality     = |{id ≡ 5 (mod 13)} \ url fails|           = 39 - 5
     // dup drops   = qualified {id ≡ 0 (mod 11)} = 46 - 4 - 5 = 37 docs
     //               in 4 clusters -> 33 non-keepers
+    // e_scored: the in-corpus logistic gate is trained ON the rule
+    // gates' verdict and the fixture's quality classes are separable
+    // in its feature space, so the learned margin agrees with the rule
+    // gates exactly — every survivor passes the scored stage too.
     val f = SparkEntry.queries("curation_funnel")(spark,
         "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(f === Map("a_input" -> 500L, "b_url_ok" -> 438L,
-      "c_quality_ok" -> 404L, "d_survivor" -> 371L))
+      "c_quality_ok" -> 404L, "d_survivor" -> 371L, "e_scored" -> 371L))
   }
 
   test("multimodal decode: parsed type/hash survive the Spark round trip") {

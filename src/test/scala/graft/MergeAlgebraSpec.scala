@@ -108,4 +108,38 @@ class MergeAlgebraSpec extends AnyFunSuite {
         math.abs(q - gq) <= 1e-9 * (1 + math.abs(gq))
     }, "moment partition invariance")
   }
+
+  test("block-averaged coefficient merge: permutation/pairing invariant") {
+    // The splearn __add__ algebra LinearOps.blockAveragedLogisticGd /
+    // blockAveragedOlsFit implement: an UNWEIGHTED mean over per-block
+    // coefficient vectors. The mean is sum/k — invariant to block
+    // order, and mergeable from any disjoint pairing of (sum, count)
+    // partials (that pair IS the associative-commutative state; the
+    // mean itself is only computed once at the end).
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-1e3, 1e3))
+    val gen = for {
+      ws <- Gen.nonEmptyListOf(vecGen.map(_.take(4)))
+      cut <- Gen.choose(0, ws.length)
+    } yield (ws.map(_.padTo(4, 0.0)), cut)
+    def mean(ws: Seq[Seq[Double]]): Seq[Double] =
+      ws.transpose.map(c => c.sum / c.size)
+    check(Prop.forAll(gen) { case (ws, cut) =>
+      // permutation invariance (reversal = an odd permutation)
+      val p1 = mean(ws).zip(mean(ws.reverse))
+        .forall { case (a, b) => math.abs(a - b) <= 1e-9 * (1 + math.abs(a)) }
+      // partial (sum, n) pairs merge to the global mean for any split
+      val (a, b) = ws.splitAt(cut)
+      def partial(s: Seq[Seq[Double]]): (Seq[Double], Long) =
+        (s.transpose.map(_.sum) match {
+          case Nil => Seq.fill(4)(0.0)
+          case x => x
+        }, s.size.toLong)
+      val (sa, na) = partial(a); val (sb, nb) = partial(b)
+      val merged = sa.zip(sb).map { case (x, y) => x + y }
+        .map(_ / (na + nb))
+      val p2 = merged.zip(mean(ws))
+        .forall { case (m0, g) => math.abs(m0 - g) <= 1e-9 * (1 + math.abs(g)) }
+      p1 && p2
+    }, "block-average merge invariance")
+  }
 }

@@ -996,6 +996,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PdfCodec.pdfMeta(enc).get.encrypted)
   }
 
+  test("pdf: hostile lexer bytes never throw (hex junk, bare signs, overflow)") {
+    import graft.multimodal.PdfCodec
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val ok = PdfCodec.encodePdf(Seq(Seq("good line")), compress = false)
+    val okText = PdfCodec.pdfText(ok).get
+    // invalid hex-string chars inside an object body: <XYZ>
+    val hexJunk = new String(ok, ISO_8859_1)
+      .replace("/Type /Catalog", "/Type /Catalog /ID <XY0Z9!>")
+      .getBytes(ISO_8859_1)
+    assert(PdfCodec.pdfText(hexJunk).get === okText)
+    // degenerate numeric tokens '-' and '+.' where a number is expected
+    val badNum = new String(ok, ISO_8859_1)
+      .replace("/MediaBox [0 0 612 792]", "/MediaBox [- +. 612 792]")
+      .getBytes(ISO_8859_1)
+    assert(PdfCodec.pdfText(badNum).get === okText)
+    // a >10-digit run right before 'obj' in stream-ish bytes: would
+    // previously Integer-overflow-throw in scanObjects
+    val overflow = (new String(ok, ISO_8859_1) +
+      "\n99999999999 0 obj\n<< >>\nendobj\n").getBytes(ISO_8859_1)
+    assert(PdfCodec.pdfText(overflow).get === okText)
+    assert(PdfCodec.pdfMeta(overflow).nonEmpty)
+    // pure binary garbage after a valid header must not throw either
+    val garbage = ("%PDF-1.4\n" + new String(Array.tabulate(4096)(i =>
+      ((i * 131 + 7) % 251).toByte).map(_.toChar))).getBytes(ISO_8859_1)
+    PdfCodec.pdfText(garbage) // Option either way; must not throw
+    PdfCodec.pdfMeta(garbage)
+  }
+
   test("warc: framing, gzip members, mixed types, binary bodies, damage") {
     import graft.multimodal.WarcCodec
     import java.nio.charset.StandardCharsets.ISO_8859_1

@@ -59,6 +59,22 @@ class RobotsSpec extends AnyFunSuite {
       robotsBody = shadowed)
     assert(g("/story") === ((true, "/story")))
     assert(g("/else") === ((true, "")))   // graftbot group has no Disallow
+    // RFC 9309: an exact group with ZERO rules still shadows `*`
+    // (most specific group governs even when empty => all allowed)
+    val emptyExact =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |""".stripMargin
+    val e = decide(Seq("/story", "/else"), agent = "graftbot",
+      robotsBody = emptyExact)
+    assert(e("/story") === ((true, "")))
+    assert(e("/else") === ((true, "")))
+    // ...while an agent with no exact group still gets the `*` rules
+    val s2 = decide(Seq("/story"), agent = "otherbot",
+      robotsBody = emptyExact)
+    assert(s2("/story") === ((false, "/")))
   }
 
   test("$ anchors, literal _ is not a wildcard, empty Disallow no-op") {
