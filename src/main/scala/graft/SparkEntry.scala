@@ -95,5 +95,10 @@ object SparkEntry {
     // twin adds only a COUNT DISTINCT threshold agg and stays
     // correctness-only), jusText extraction (pure map-side regex), and
     // the capstone disposition (the whole funnel in one plan)
-    "dedup_line_keepfirst", "html_main_content", "curation_disposition")
+    "dedup_line_keepfirst", "html_main_content", "curation_disposition",
+    // r16 — the new model-stage plans: the scored funnel (disposition +
+    // in-corpus logistic gate), the declarative pipeline grid (two
+    // corpus passes independent of grid size), and the uniform
+    // three-family score reduction
+    "curation_scored", "cv_grid_search_pipeline", "ml_score_uniform")
 }

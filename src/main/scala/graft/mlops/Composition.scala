@@ -191,9 +191,12 @@ object Composition {
     * semantics), ties to the lexicographically first class; a held-out
     * doc with no in-vocabulary token scores on priors alone.
     *
-    * Scale shape: two corpus passes (token counts, held-out tf) —
-    * independent of grid size; everything else is vocab- or
-    * grid-sized and broadcast. The per-(fold,cap) vocab and the model
+    * Scale shape: ONE corpus tokenization pass, materialized at the
+    * finest grain (fold, id, label, term, tf) — every coarser
+    * statistic (global/per-fold/per-class term counts, held-out tf) is
+    * an exact integer re-sum of that persisted frame, and none of it
+    * depends on grid size; everything else is vocab- or grid-sized
+    * and broadcast. The per-(fold,cap) vocab and the model
     * matrix are k·Σcaps·|classes| rows. `chosen` marks the best grid
     * point (accuracy DESC, cap ASC, alpha ASC).
     *
@@ -213,17 +216,28 @@ object Composition {
       col(labelCol).as("label"), col(textCol).as("text"))
     val toks = base.select(col("id"), col("fold"), col("label"),
       explode(split(col("text"), " ")).as("term"))
+    // THE one corpus pass: the finest-grain aggregate (fold, id, label,
+    // term, tf) every statistic below derives from — id→(fold, label)
+    // is functional, so every coarser count is an exact integer re-sum
+    // of _tf. Without this the explode + scan re-ran once per derived
+    // aggregation (measured 13.2s at sf0.1; the derived re-aggs over
+    // the persisted frame are a fraction of a corpus pass each).
+    // Corpus-sized and re-read five times → DISK_ONLY (r9 criterion).
+    val tfFull = toks.groupBy(col("fold"), col("id"), col("label"),
+        col("term"))
+      .agg(count(lit(1)).as("_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val folds = (0 until k).toDF("fold")
     val classes = base.select(col("label")).distinct()
     val capsDf = caps.toDF("vocab_cap")
     val alphasDf = alphas.toDF("alpha")
 
     // ---- CountVectorizer stage: per-fold training vocabulary ----
-    // one corpus pass; training count for held-out fold f = total − f's
-    val tCounts = toks.groupBy(col("term"))
-      .agg(count(lit(1)).as("_ct"))
-    val ftCounts = toks.groupBy(col("fold"), col("term"))
-      .agg(count(lit(1)).as("_cft"))
+    // training count for held-out fold f = total − f's
+    val tCounts = tfFull.groupBy(col("term"))
+      .agg(sum(col("_tf")).as("_ct"))
+    val ftCounts = tfFull.groupBy(col("fold"), col("term"))
+      .agg(sum(col("_tf")).as("_cft"))
     val maxCap = caps.max
     val wVocab = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fold"))
@@ -241,10 +255,10 @@ object Composition {
       .agg(count(lit(1)).as("_vsz"))
 
     // ---- NB stage: smoothed log-likelihoods on training counts ----
-    val ltCounts = toks.groupBy(col("label"), col("term"))
-      .agg(count(lit(1)).as("_clt"))
-    val fltCounts = toks.groupBy(col("fold"), col("label"), col("term"))
-      .agg(count(lit(1)).as("_cflt"))
+    val ltCounts = tfFull.groupBy(col("label"), col("term"))
+      .agg(sum(col("_tf")).as("_clt"))
+    val fltCounts = tfFull.groupBy(col("fold"), col("label"), col("term"))
+      .agg(sum(col("_tf")).as("_cflt"))
     val vlc = vocab.crossJoin(broadcast(classes.select(col("label").as("cls"))))
       .join(ltCounts.withColumnRenamed("label", "cls"), Seq("cls", "term"), "left")
       .join(fltCounts.withColumnRenamed("label", "cls"),
@@ -277,9 +291,9 @@ object Composition {
         log((col("_ndl") - coalesce(col("_ndfl"), lit(0L))).cast("double") /
           (col("_nd") - col("_ndf"))).as("_prior"))
 
-    // ---- held-out evaluation: second corpus pass ----
-    val tf = toks.groupBy(col("fold"), col("id"), col("term"))
-      .agg(count(lit(1)).as("_tf"))
+    // ---- held-out evaluation: the same materialized pass ----
+    val tf = tfFull.select(col("fold"), col("id"), col("term"),
+      col("_tf"))
     val docScores = tf.join(lp, Seq("fold", "term"))
       .groupBy(col("fold"), col("vocab_cap"), col("alpha"), col("id"),
         col("cls"))

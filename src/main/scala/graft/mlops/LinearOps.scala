@@ -124,9 +124,7 @@ object LinearOps {
                               lr: Double): DataFrame = {
     var w = pointsLong.select(col(blockCol), col("dim")).distinct()
       .withColumn("w", lit(0.0))
-    var i = 0
     (1 to iters).foreach { _ =>
-      i += 1
       val margins = pointsLong
         .join(broadcast(w), Seq(blockCol, "dim"))
         .groupBy(col(blockCol), col(idCol))
@@ -140,9 +138,10 @@ object LinearOps {
       w = w.join(grad, Seq(blockCol, "dim"))
         .select(col(blockCol), col("dim"),
           (col("w") - lit(lr) * col("g")).as("w"))
-      // same analyzer-blowup guard as logisticGdIterations — the frame
-      // is blocks×dims rows, metadata-scale
-      if (i % 8 == 0) w = w.localCheckpoint()
+      // same per-step materialization as logisticGdIterations (analyzer
+      // blowup AND 2^i broadcast re-execution) — the frame is
+      // blocks×dims rows, metadata-scale
+      w = w.localCheckpoint()
     }
     w.groupBy(col("dim"))
       .agg((round(avg(col("w")), 6) + lit(0.0)).as("w_avg"),
@@ -325,36 +324,50 @@ object LinearOps {
     * points: margins per row, then the gradient avg((σ(m)−y)·x) per
     * dim. Weights are O(dims) — broadcast-sized driver-free state.
     */
+  /** One un-materialized GD step: weights in, weights out. Exposed
+    * package-private so PlanSpec can pin the step's SHAPE (model state
+    * rides a broadcast hash join, never a shuffle of the weight side) —
+    * the materializing loop below erases the joins from the returned
+    * frame's plan, so the step is where the property is visible.
+    */
+  private[graft] def gdStep(pointsLong: DataFrame, labels: DataFrame,
+                            idCol: String, labelCol: String, lr: Double,
+                            w: DataFrame): DataFrame = {
+    val margins = pointsLong
+      .join(broadcast(w), "dim")
+      .groupBy(col(idCol))
+      .agg(sum(col("v") * col("w")).as("m"))
+    val errs = margins.join(labels, idCol)
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col(labelCol)).as("err"))
+    val grad = pointsLong.join(errs, idCol)
+      .groupBy(col("dim"))
+      .agg(avg(col("err") * col("v")).as("g"))
+    w.join(grad, "dim")
+      .select(col("dim"), (col("w") - lit(lr) * col("g")).as("w"))
+  }
+
   def logisticGdIterations(pointsLong: DataFrame, labels: DataFrame,
                            idCol: String, labelCol: String,
                            iters: Int, lr: Double): DataFrame = {
     var w = pointsLong.select(col("dim")).distinct()
       .withColumn("w", lit(0.0))
-    var i = 0
     (1 to iters).foreach { _ =>
-      i += 1
-      val margins = pointsLong
-        .join(broadcast(w), "dim")
-        .groupBy(col(idCol))
-        .agg(sum(col("v") * col("w")).as("m"))
-      val errs = margins.join(labels, idCol)
-        .select(col(idCol),
-          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col(labelCol)).as("err"))
-      val grad = pointsLong.join(errs, idCol)
-        .groupBy(col("dim"))
-        .agg(avg(col("err") * col("v")).as("g"))
-      w = w.join(grad, "dim")
-        .select(col("dim"), (col("w") - lit(lr) * col("g")).as("w"))
-      // Materialize the O(dims) weight frame every few steps: the lazily
-      // composed plan otherwise nests the whole corpus lineage per
-      // iteration, and past ~20 steps ANALYSIS cost (DeduplicateRelations
-      // over the exponentially-referenced tree) dwarfs execution — the
-      // measured failure mode was a driver OOM inside the analyzer at 80
-      // iterations. The checkpointed frame is `dims` rows; per-step
-      // oracle mirroring is unaffected (values identical, only lineage
-      // is cut). Low iteration counts (the 2-step oracle twin) never
-      // trigger it.
-      if (i % 8 == 0) w = w.localCheckpoint()
+      w = gdStep(pointsLong, labels, idCol, labelCol, lr, w)
+      // Materialize the O(dims) weight frame EVERY step. Two distinct
+      // failure modes without it: (a) analysis cost — past ~20 steps
+      // DeduplicateRelations over the exponentially-referenced tree
+      // dwarfs execution (measured driver OOM in the analyzer at 80
+      // iterations); (b) EXECUTION blowup even at 2 steps — w_i appears
+      // twice in w_{i+1}'s tree (the update join + the next margins'
+      // broadcast), so un-materialized weights re-run every prior
+      // step's margins/errs/grad chain 2^i times (measured ~7.5s of
+      // repeated tiny shuffle jobs on a 20k-row long form inside
+      // curation_scored; ~1s with per-step materialization). The
+      // checkpointed frame is `dims` rows — metadata-scale, the r9
+      // slim-frame carve-out — and values are identical step for step,
+      // so oracle mirroring is unaffected.
+      w = w.localCheckpoint()
     }
     w
   }

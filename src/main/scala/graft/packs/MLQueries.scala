@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.mlops.{ClusterOps, Composition, LinearOps, NaiveBayesOps}
+import graft.mlops.{ClusterOps, Composition, LinearOps, NaiveBayesOps, Scoring}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.functions._
 
@@ -494,6 +494,43 @@ object MLQueries extends QueryPack {
           (round(element_at(col("coefficients"), 1), 3) + lit(0.0)).as("b1"),
           (round(element_at(col("coefficients"), 2), 3) + lit(0.0)).as("b2"),
           (round(element_at(col("coefficients"), 3), 3) + lit(0.0)).as("b3"))
+    }),
+
+    // base.py parity: the ONE scoring entry point every estimator
+    // family shares (ClassifierMixin accuracy, RegressorMixin R²,
+    // KMeans negative inertia) — three families' predictions routed
+    // through the SAME Scoring.score dispatch, one summary row each.
+    "ml_score_uniform" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val docTokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val classDocs = docs.select(col("doc_id"), col("lang"))
+      val nbPreds = NaiveBayesOps.multinomialPredict(docTokens, "doc_id",
+          "term", classDocs, "lang")
+        .join(classDocs.withColumnRenamed("lang", "actual"), "doc_id")
+      val clf = Scoring.score(nbPreds, "classify", "actual", "pred")
+        .select(lit("nb_multinomial").as("estimator"), col("kind"),
+          col("n"), col("score"))
+      val fit = LinearOps.olsFit(t.lineitem, "l_quantity",
+        "l_extendedprice")
+      val regPreds = t.lineitem.crossJoin(broadcast(fit))
+        .select(col("l_extendedprice").as("actual"),
+          (col("intercept") + col("slope") * col("l_quantity")).as("pred"))
+      val reg = Scoring.score(regPreds, "regress", "actual", "pred")
+        .select(lit("ols_univariate").as("estimator"), col("kind"),
+          col("n"), col("score"))
+      val emb = t.embeddings
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding")
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("center_label"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      val assign = ClusterOps.assignToCenters(pts, centers, "vec_id",
+        "center_label")
+      val clu = Scoring.score(assign, "cluster", "", "dist2")
+        .select(lit("kmeans_assign").as("estimator"), col("kind"),
+          col("n"), col("score"))
+      clf.unionByName(reg).unionByName(clu).orderBy(col("estimator"))
     })
   )
 
@@ -1723,6 +1760,92 @@ object MLQueries extends QueryPack {
          |SELECT
          |    $betas
          |FROM m""".stripMargin
-    }
+    },
+
+    // The three family scores unrolled: the n6 NB-predict chain to an
+    // overall accuracy, the l2 fit chain to in-sample R² (SStot as
+    // var_pop·n, the engine's stable one-pass form), and the c1 center
+    // chain to −Σ nearest-dist².
+    "ml_score_uniform" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |langs AS (SELECT doc_id, lang FROM documents),
+        |toksl AS (SELECT t.doc_id, l.lang, t.term
+        |          FROM toks t JOIN langs l ON t.doc_id = l.doc_id),
+        |counts AS (SELECT lang, term, count(*) AS cnt FROM toksl GROUP BY lang, term),
+        |classes AS (SELECT DISTINCT lang FROM langs),
+        |vocab AS (SELECT DISTINCT term FROM toksl),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ct FROM counts GROUP BY lang),
+        |lp AS (
+        |  SELECT c.lang, vo.term,
+        |    ln((coalesce(k.cnt, 0) + 1.0) / (t.ct + 1.0 * (SELECT v FROM vs))) AS lpv
+        |  FROM classes c CROSS JOIN vocab vo
+        |  LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |  JOIN totals t ON t.lang = c.lang),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |priors AS (SELECT lang, ln(count(*) * 1.0 / (SELECT nd FROM nd)) AS prior
+        |           FROM langs GROUP BY lang),
+        |scores AS (
+        |  SELECT tf.doc_id, lp.lang, sum(tf.tf * lp.lpv) AS ll
+        |  FROM tf JOIN lp ON tf.term = lp.term
+        |  GROUP BY tf.doc_id, lp.lang),
+        |ranked AS (
+        |  SELECT s.doc_id, s.lang,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY s.ll + p.prior DESC, s.lang) AS rn
+        |  FROM scores s JOIN priors p ON s.lang = p.lang),
+        |nbpreds AS (
+        |  SELECT r.doc_id, r.lang AS pred, l.lang AS actual
+        |  FROM ranked r JOIN langs l ON r.doc_id = l.doc_id
+        |  WHERE r.rn = 1),
+        |clf AS (
+        |  SELECT 'nb_multinomial' AS estimator, 'accuracy' AS kind,
+        |    count(*) AS n,
+        |    round(avg(CASE WHEN pred = actual THEN 1.0 ELSE 0.0 END), 4)
+        |      + 0.0 AS score
+        |  FROM nbpreds),
+        |fit AS (
+        |  SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+        |    round(avg(l_extendedprice) -
+        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 6)
+        |      AS intercept
+        |  FROM lineitem),
+        |regp AS (
+        |  SELECT l_extendedprice AS actual,
+        |    fit.intercept + fit.slope * l_quantity AS pred
+        |  FROM lineitem, fit),
+        |reg AS (
+        |  SELECT 'ols_univariate' AS estimator, 'r2' AS kind,
+        |    count(*) AS n,
+        |    round(CASE WHEN var_pop(actual) = 0 THEN 0.0
+        |      ELSE 1.0 - sum((actual - pred) * (actual - pred)) /
+        |        (var_pop(actual) * count(*)) END, 4) + 0.0 AS score
+        |  FROM regp),
+        |pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS center_label, dim, avg(v) AS c
+        |        FROM ptsl GROUP BY label, dim),
+        |d AS (
+        |  SELECT p.vec_id, c.center_label,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN ctr c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.center_label),
+        |nearest AS (SELECT vec_id, min(dist2) AS dist2 FROM d GROUP BY vec_id),
+        |clu AS (
+        |  SELECT 'kmeans_assign' AS estimator, 'neg_inertia' AS kind,
+        |    count(*) AS n, round(-sum(dist2), 4) + 0.0 AS score
+        |  FROM nearest),
+        |u AS (SELECT * FROM clf UNION ALL SELECT * FROM reg
+        |      UNION ALL SELECT * FROM clu)
+        |SELECT estimator, kind, n, score FROM u
+        |ORDER BY estimator""".stripMargin
   )
 }

@@ -131,14 +131,25 @@ object Curation {
           |              element_at(_ts, i + 1) AS w2))""".stripMargin))
         .as("_g"))
       .select(col(idCol), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
-    val bi = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val lm = grams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
-      .select(col(idCol),
+    // ONE bigram explode: the per-(doc, transition) multiplicity frame
+    // every LM statistic derives from — corpus counts are re-sums of
+    // _ng and the per-doc micro-nat sum weights the (identical) rounded
+    // transition score by its repeat count, exact long arithmetic
+    // either way. Without this the explode ran once per consumer
+    // (corpus totals ×2 + the per-doc join). Corpus-sized, re-read 3× →
+    // DISK_ONLY (r9 criterion).
+    val g3 = grams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_ng"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bi = g3.groupBy(col("w1"), col("w2")).agg(sum(col("_ng")).as("c12"))
+    val uni = g3.groupBy(col("w1")).agg(sum(col("_ng")).as("c1"))
+    val lm = g3.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col(idCol), col("_ng"),
         round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
           .as("_m"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_nb"), sum(col("_m")).as("_sm"))
+      .agg(sum(col("_ng")).as("_nb"),
+        sum(col("_ng") * col("_m")).as("_sm"))
     val feats = d3
       .join(stopRatio, Seq(idCol), "left")
       .join(lm, Seq(idCol), "left")
@@ -151,6 +162,11 @@ object Curation {
         coalesce(col("_f3"), lit(0.0)).as("f3"),
         coalesce(col("_sm") * lit(1.0) / col("_nb") / lit(1e6), lit(0.0))
           .as("f4"))
+      // read by the GD long form, the labels, AND the final margin
+      // projection; persisted AFTER the projection so the materialized
+      // frame is 13 scalar columns per doc (main_text stays behind in
+      // d3) — corpus-proportional and re-read → DISK_ONLY (r9 criterion)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val pts = feats.select(col(idCol), explode(expr(
         """array(struct(1 AS dim, f1 AS v), struct(2 AS dim, f2 AS v),
           |      struct(3 AS dim, f3 AS v), struct(4 AS dim, f4 AS v))"""
