@@ -872,6 +872,77 @@ object StressBench {
         s"main-content ground truth: $s vs nPages=$nPages")
       nPages
     }
+    // rows/100 docs, 4 classes, 21 tokens each: every doc carries its
+    // class marker + 20 tokens from a 12-token background pool. The
+    // declarative grid (cap 4 vs 16 × α 0.5 vs 1.0, md5 2-fold CV) has
+    // EXACT ground truth: cap-4 vocabulary = the 4 most frequent
+    // background tokens (~333k occurrences each vs 50k per marker), so
+    // markers fall out and accuracy ≈ chance; cap-16 admits the whole
+    // 16-term vocabulary, the held-out marker separates every doc, and
+    // accuracy is exactly 1.0 — chosen must be (16, 0.5) by the
+    // (accuracy DESC, cap ASC, alpha ASC) rule (both alphas tie at 1.0).
+    timed("nb_grid_cv") {
+      val nDocs = math.max(rows / 100L, 100000L)
+      val docs = spark.range(nDocs).select(
+        col("id"),
+        concat(lit("cls"), pmod(col("id"), lit(4))).as("lang_label"),
+        concat(concat(lit("marker"), pmod(col("id"), lit(4))), lit(" "),
+          expr("concat_ws(' ', transform(sequence(1, 20), " +
+            "i -> concat('bg', abs(hash(id, i)) % 12)))")).as("text"))
+      val grid = graft.mlops.Composition.cvNbPipelineGrid(docs, "id",
+          "text", "lang_label", caps = Seq(4, 16), alphas = Seq(0.5, 1.0),
+          k = 2)
+        .collect()
+      val chosen = grid.filter(_.getAs[Int]("chosen") == 1)
+      require(chosen.length == 1 &&
+        chosen(0).getAs[Int]("vocab_cap") == 16 &&
+        chosen(0).getAs[Double]("alpha") == 0.5 &&
+        chosen(0).getAs[Double]("cv_accuracy") == 1.0,
+        s"grid ground truth: ${grid.mkString(";")}")
+      nDocs
+    }
+    // rows/40 pages through the FULL scored funnel (URL gate → jusText
+    // extraction → quality gate → exact dedup → in-corpus logistic
+    // gate). Disjoint id%100 populations give exact set arithmetic:
+    // cls 0-9 malformed URL (good page), cls 10-19 chrome-only page,
+    // cls 20-24 exact-dup clusters keyed by id%1000 (50 clusters of
+    // nPages/1000 docs), the rest unique prose. Expected funnel:
+    // input n, url_ok 0.9n, quality_ok 0.8n, survivors 0.75n + 50
+    // keepers — and the learned gate must agree with the rule gates
+    // (failed pages have all-zero features ⇒ margin 0, survivors have
+    // the shared good-page feature vector ⇒ positive margin), so
+    // e_scored == d_survivor EXACTLY at any scale.
+    timed("curation_scored_gate") {
+      val nPages = math.max(rows / 40L, 200000L) / 1000L * 1000L
+      val pages = spark.range(nPages).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) < 10, lit("not a url"))
+          .otherwise(concat(lit("https://site"), pmod(col("id"), lit(1000)),
+            lit(".com/p"), col("id"))).as("url"),
+        concat(
+          lit("<html><body><div><a href='/'>Home</a> " +
+            "<a href='/a'>About</a> <a href='/c'>Contact</a></div>"),
+          when(pmod(col("id"), lit(100)).between(10, 19), lit(""))
+            .otherwise(concat(lit("<p>the "),
+              when(pmod(col("id"), lit(100)).between(20, 24),
+                expr("concat_ws(' ', transform(sequence(1, 14), " +
+                  "i -> concat('d', id % 1000, 'x', i)))"))
+                .otherwise(expr("concat_ws(' ', transform(sequence(1, 14), " +
+                  "i -> concat('u', id, 'x', i)))")),
+              lit(" of</p>"))),
+          lit("</body></html>")).as("page"))
+      val f = graft.text.Curation.funnel(
+          graft.text.Curation.scoredDisposition(pages, "doc_id", "url",
+            "page"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(f("a_input") == nPages &&
+        f("b_url_ok") == nPages * 90L / 100L &&
+        f("c_quality_ok") == nPages * 80L / 100L &&
+        f("d_survivor") == nPages * 75L / 100L + 50L &&
+        f("e_scored") == f("d_survivor"),
+        s"scored funnel ground truth: $f vs nPages=$nPages")
+      nPages
+    }
     spark.stop()
   }
 }

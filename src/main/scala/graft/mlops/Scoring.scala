@@ -68,4 +68,43 @@ object Scoring {
       s"Scoring.score: unknown estimator kind '$other' " +
         "(expected classify | regress | cluster)")
   }
+
+  /** Segmented scoring: the SAME model's score per group — the
+    * model-monitoring twin of [[score]] ("which segment does the global
+    * model underserve"), and the evaluation counterpart of the
+    * many-models fits ([[LinearOps.olsFitGrouped]] FITS one model per
+    * group; this EVALUATES one model across groups). Still one
+    * map-side-combinable aggregation keyed by the group — a million
+    * segments cost exactly one shuffle. Output:
+    * (group, kind, n, score), group cast to string so the surface is
+    * uniform across key types.
+    */
+  def scoreBy(preds: DataFrame, kind: String, groupCol: String,
+              actualCol: String, predCol: String): DataFrame = {
+    val g = col(groupCol).cast("string").as("group")
+    kind match {
+      case "classify" =>
+        preds.groupBy(g).agg(count(lit(1)).as("n"),
+            (round(avg((col(predCol) === col(actualCol)).cast("double")), 4)
+              + lit(0.0)).as("score"))
+          .select(col("group"), lit("accuracy").as("kind"), col("n"),
+            col("score"))
+      case "regress" =>
+        val r = col(actualCol) - col(predCol)
+        preds.groupBy(g).agg(count(lit(1)).as("n"), sum(r * r).as("_ssr"),
+            var_pop(col(actualCol)).as("_vp"))
+          .select(col("group"), lit("r2").as("kind"), col("n"),
+            (round(when(col("_vp") === 0.0, lit(0.0))
+              .otherwise(lit(1.0) - col("_ssr") / (col("_vp") * col("n"))),
+              4) + lit(0.0)).as("score"))
+      case "cluster" =>
+        preds.groupBy(g).agg(count(lit(1)).as("n"),
+            (round(-sum(col(predCol)), 4) + lit(0.0)).as("score"))
+          .select(col("group"), lit("neg_inertia").as("kind"), col("n"),
+            col("score"))
+      case other => throw new IllegalArgumentException(
+        s"Scoring.scoreBy: unknown estimator kind '$other' " +
+          "(expected classify | regress | cluster)")
+    }
+  }
 }

@@ -531,6 +531,38 @@ object MLQueries extends QueryPack {
         .select(lit("kmeans_assign").as("estimator"), col("kind"),
           col("n"), col("score"))
       clf.unionByName(reg).unionByName(clu).orderBy(col("estimator"))
+    }),
+
+    // Segmented scoring (the model-monitoring view): ONE global model's
+    // score per segment through the same Scoring dispatch — the global
+    // OLS fit's R² per l_returnflag (which segment does the global line
+    // underserve) and per-center negative inertia of the fixed-center
+    // assignment. The many-models twin olsFitGrouped FITS per group;
+    // this EVALUATES one fit across groups, one keyed aggregation each.
+    "ml_score_by_group" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val fit = LinearOps.olsFit(t.lineitem, "l_quantity",
+        "l_extendedprice")
+      val regPreds = t.lineitem.crossJoin(broadcast(fit))
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("actual"),
+          (col("intercept") + col("slope") * col("l_quantity")).as("pred"))
+      val reg = Scoring.scoreBy(regPreds, "regress", "l_returnflag",
+          "actual", "pred")
+        .select(lit("ols_univariate").as("estimator"), col("group"),
+          col("kind"), col("n"), col("score"))
+      val emb = t.embeddings
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding")
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("center_label"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      val assign = ClusterOps.assignToCenters(pts, centers, "vec_id",
+        "center_label")
+      val clu = Scoring.scoreBy(assign, "cluster", "center_label", "",
+          "dist2")
+        .select(lit("kmeans_assign").as("estimator"), col("group"),
+          col("kind"), col("n"), col("score"))
+      reg.unionByName(clu).orderBy(col("estimator"), col("group"))
     })
   )
 
@@ -1846,6 +1878,58 @@ object MLQueries extends QueryPack {
         |u AS (SELECT * FROM clf UNION ALL SELECT * FROM reg
         |      UNION ALL SELECT * FROM clu)
         |SELECT estimator, kind, n, score FROM u
-        |ORDER BY estimator""".stripMargin
+        |ORDER BY estimator""".stripMargin,
+
+    // Segmented twins of the two non-classifier legs: per-returnflag R²
+    // of the one global fit (per-group var_pop · n as SStot), and
+    // per-center −Σ dist² of the fixed-center assignment.
+    "ml_score_by_group" ->
+      """WITH fit AS (
+        |  SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+        |    round(avg(l_extendedprice) -
+        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 6)
+        |      AS intercept
+        |  FROM lineitem),
+        |regp AS (
+        |  SELECT l_returnflag, l_extendedprice AS actual,
+        |    fit.intercept + fit.slope * l_quantity AS pred
+        |  FROM lineitem, fit),
+        |reg AS (
+        |  SELECT 'ols_univariate' AS estimator,
+        |    CAST(l_returnflag AS VARCHAR) AS "group", 'r2' AS kind,
+        |    count(*) AS n,
+        |    round(CASE WHEN var_pop(actual) = 0 THEN 0.0
+        |      ELSE 1.0 - sum((actual - pred) * (actual - pred)) /
+        |        (var_pop(actual) * count(*)) END, 4) + 0.0 AS score
+        |  FROM regp GROUP BY l_returnflag),
+        |pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS center_label, dim, avg(v) AS c
+        |        FROM ptsl GROUP BY label, dim),
+        |d AS (
+        |  SELECT p.vec_id, c.center_label,
+        |    sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |  FROM pts p JOIN ctr c ON p.dim = c.dim
+        |  GROUP BY p.vec_id, c.center_label),
+        |a AS (
+        |  SELECT vec_id, center_label, dist2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY dist2, center_label) AS rn
+        |  FROM d),
+        |clu AS (
+        |  SELECT 'kmeans_assign' AS estimator,
+        |    CAST(center_label AS VARCHAR) AS "group",
+        |    'neg_inertia' AS kind, count(*) AS n,
+        |    round(-sum(dist2), 4) + 0.0 AS score
+        |  FROM a WHERE rn = 1 GROUP BY center_label),
+        |u AS (SELECT * FROM reg UNION ALL SELECT * FROM clu)
+        |SELECT estimator, "group", kind, n, score FROM u
+        |ORDER BY estimator, "group"""".stripMargin
   )
 }

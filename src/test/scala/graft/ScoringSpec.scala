@@ -49,6 +49,26 @@ class ScoringSpec extends AnyFunSuite {
     assert(r.getDouble(2) == -8.0)
   }
 
+  test("scoreBy: per-segment scores, group key cast to string") {
+    val preds = Seq(("x", 1.0, 1.0), ("x", 2.0, 2.0),
+      ("y", 1.0, 1.0), ("y", 2.0, 4.0)).toDF("seg", "actual", "pred")
+    val rows = Scoring.scoreBy(preds, "regress", "seg", "actual", "pred")
+      .orderBy("group").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "y"))
+    assert(rows(0).getDouble(3) == 1.0) // exact fit in segment x
+    // segment y: SSres = 4, var_pop = 0.25, n = 2 ⇒ 1 − 4/0.5 = −7.0
+    assert(rows(1).getDouble(3) == -7.0)
+    val assign = Seq((1L, 7, 1.5), (2L, 7, 2.5), (3L, 8, 4.0))
+      .toDF("id", "center", "dist2")
+    val c = Scoring.scoreBy(assign, "cluster", "center", "", "dist2")
+      .orderBy("group").collect()
+    assert(c.map(r => (r.getString(0), r.getDouble(3))).toSeq ==
+      Seq(("7", -4.0), ("8", -4.0)))
+    intercept[IllegalArgumentException] {
+      Scoring.scoreBy(preds, "rank", "seg", "actual", "pred")
+    }
+  }
+
   test("score: unknown kind fails loudly") {
     val df = Seq((1, 1)).toDF("actual", "pred")
     val e = intercept[IllegalArgumentException] {
