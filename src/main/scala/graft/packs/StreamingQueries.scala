@@ -358,6 +358,42 @@ object StreamingQueries extends QueryPack {
       s.table(sink).orderBy(col("doc_id"))
     }),
 
+    // The scored funnel as TRAIN-OFFLINE / SCORE-ONLINE (14th
+    // real-stream artifact): the batch fit exports the deployable
+    // model — 4 weight doubles + the bigram LM score table
+    // (Curation.scoredGateModel) — and the stream applies the margin
+    // IN-ROW (LM attached as a broadcast map row; zero extra state
+    // beyond the exact-dedup keeper). Single AvailableNow batch with
+    // the full LM ⇒ verdicts byte-equal the batch scoredDisposition,
+    // so the oracle is curation_scored's verbatim.
+    "streaming_curation_scored" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pageCols = (d: org.apache.spark.sql.DataFrame) => d.select(
+        col("doc_id"), expr(UrlQueries.rawUrlSql).as("url_raw"),
+        expr(CurationQueries.pageSql).as("page"))
+      // offline training pass: weights (collected — 4 doubles, the
+      // driver-held-params pattern) + the LM table (static side)
+      val (wRow, lmTable) = graft.text.Curation.scoredGateModel(
+        pageCols(docs), "doc_id", "url_raw", "page",
+        minTextWords = CurationQueries.minWords)
+      val w = wRow.head()
+      val weights = Seq(w.getDouble(0), w.getDouble(1), w.getDouble(2),
+        w.getDouble(3))
+      val stream = pageCols(s.readStream.schema(docs.schema)
+        .parquet(s"$dir/documents*.parquet"))
+      val sink = s"curscore_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_curscore_ckpt").toString
+      val q = EventStreams
+        .scoredCurationGate(stream, "doc_id", "url_raw", "page",
+          weights, lmTable, minTextWords = CurationQueries.minWords)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("doc_id"))
+    }),
+
     // The ANN tier's ingestion gate, as a real stream (the 10th
     // real-stream artifact): the static sign-LSH bucket index is built
     // from the even-id half of the embedding corpus; odd-id vectors
@@ -404,6 +440,16 @@ object StreamingQueries extends QueryPack {
         |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
         |  quality_ok, is_exact_dup, survivor
         |FROM d3 ORDER BY doc_id""".stripMargin),
+
+    // The batch scored oracle verbatim — train-offline/score-online on
+    // one AvailableNow batch must hash-equal the batch scored funnel.
+    "streaming_curation_scored" ->
+      (CurationQueries.scoredCte +
+        """
+        |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
+        |  quality_ok, is_exact_dup, survivor, quality_margin, score_ok,
+        |  survivor_scored
+        |FROM sfin ORDER BY doc_id""".stripMargin),
 
     // Spark `split(text, " ")` and DuckDB `string_split(text, ' ')` agree
     // on empty tokens, mirroring the n1 tokenization contract.

@@ -461,6 +461,123 @@ object EventStreams {
         is_exact_dup = false, survivor = false))
     statefulVerdicts.union(statelessVerdicts)
   }
+
+  /** [[curationGate]] + the MODEL-SCORED stage, as the deploy path runs
+    * it: weights trained OFFLINE on a batch corpus
+    * ([[graft.text.Curation.scoredGateModel]]) and the bigram LM shipped
+    * as a bounded score table — the stream applies the margin IN-ROW
+    * (zero additional state; exact dedup stays the one keyed state).
+    *
+    * The LM table is packed into a single map row and attached by a
+    * constant-key stream-static broadcast join; per-doc scoring is a
+    * higher-order lookup over the doc's transitions — mean micro-nats
+    * over the transitions the table KNOWS, which equals the batch f4
+    * exactly when the table is the full corpus LM and degrades
+    * gracefully when a deployment ships a top-M cut. All other feature
+    * arithmetic is the batch Column algebra verbatim, and the margin
+    * multiplies the exact weight doubles the batch fit produced, so on
+    * a single AvailableNow batch with the full LM the verdicts are
+    * BYTE-IDENTICAL to [[graft.text.Curation.scoredDisposition]].
+    */
+  def scoredCurationGate(pages: DataFrame, idCol: String, urlCol: String,
+                         htmlCol: String, weights: Seq[Double],
+                         lm: DataFrame,
+                         stopwords: Seq[String] =
+                           graft.text.TextAnalysis.DefaultStopwords,
+                         minTextWords: Int = 10,
+                         ttlMs: Long = 0L): Dataset[ScoredCurationVerdict] = {
+    require(weights.length == 4, s"need 4 weights, got ${weights.length}")
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // the deployable LM artifact as ONE map row (bounded by contract —
+    // a production gate ships a top-M table, the codebook pattern)
+    val lmMap = lm.agg(map_from_entries(collect_list(struct(
+        concat(col("w1"), lit(" "), col("w2")).as("k"), col("m").as("v"))))
+        .as("_lm"))
+      .withColumn("_k", lit(1))
+    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
+    val scored = pages.select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.text.Urls.registeredDomain(
+          graft.text.Urls.hostOf(col(urlCol))).as("domain"),
+        graft.text.Html.mainContentCol(col(htmlCol)).as("_mc"))
+      .select(col("doc_id"), col("domain"),
+        (col("domain") =!= "").as("url_ok"),
+        col("_mc.n_blocks").as("n_blocks"),
+        col("_mc.n_kept").as("n_kept"),
+        when(col("_mc.main_text") === "", lit(0))
+          .otherwise(size(split(col("_mc.main_text"), "\\s+")))
+          .as("n_words"),
+        md5(col("_mc.main_text")).as("h"),
+        col("_mc.main_text").as("_mt"))
+      .withColumn("quality_ok", col("n_words") >= minTextWords)
+      .withColumn("_k", lit(1))
+      .join(broadcast(lmMap), "_k")
+      .withColumn("_ts", split(col("_mt"), "\\s+"))
+      // f1-f3: the batch feature algebra verbatim
+      .withColumn("f1", col("n_words") / lit(100.0))
+      .withColumn("f2",
+        col("n_kept") * lit(1.0) / greatest(col("n_blocks"), lit(1)))
+      .withColumn("f3", when(col("_mt") === "", lit(0.0))
+        .otherwise(
+          size(expr(s"filter(_ts, t -> array_contains($stopArr, t))")) *
+            lit(1.0) / size(col("_ts"))))
+      // f4: in-row LM lookup — per-transition micro-nat longs the batch
+      // per-doc sums weight by multiplicity, here with multiplicity via
+      // the repeated array entries; unknown transitions drop out
+      .withColumn("_ms",
+        when(col("_mt") =!= "" && size(col("_ts")) >= 2, expr(
+          """filter(transform(sequence(1, size(_ts) - 1),
+            |  i -> element_at(_lm, concat(element_at(_ts, i), ' ',
+            |                              element_at(_ts, i + 1)))),
+            |  v -> v IS NOT NULL)""".stripMargin))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("f4", when(size(col("_ms")) === 0, lit(0.0))
+        .otherwise(
+          expr("aggregate(_ms, CAST(0 AS BIGINT), (a, v) -> a + v)") *
+            lit(1.0) / size(col("_ms")) / lit(1e6)))
+      .withColumn("quality_margin",
+        round(col("f1") * lit(weights(0)) + col("f2") * lit(weights(1)) +
+          col("f3") * lit(weights(2)) + col("f4") * lit(weights(3)), 6)
+          + lit(0.0))
+      .withColumn("score_ok", col("quality_margin") > 0.0)
+      .select(col("doc_id"), col("domain"), col("url_ok"),
+        col("n_blocks"), col("n_kept"), col("n_words"), col("quality_ok"),
+        col("h"), col("quality_margin"), col("score_ok"))
+      .as[ScoredGatedPage]
+    // same state discipline as curationGate: only rule-qualified pages
+    // reach the keyed dedup state (score_ok does NOT gate dedup — the
+    // batch path dedups among url+quality qualified regardless of
+    // score); gated pages take the stateless branch
+    val isQualified = col("url_ok") && col("quality_ok")
+    val statefulVerdicts = scored.filter(isQualified).groupByKey(_.h)
+      .flatMapGroupsWithState[Long, ScoredCurationVerdict](
+        OutputMode.Update, timeoutConf(ttlMs)) {
+        (_: String, rows: Iterator[ScoredGatedPage],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toArray.sortBy(_.doc_id)
+            val keeper = state.getOption.getOrElse(rs.head.doc_id)
+            state.update(keeper)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            rs.iterator.map { r =>
+              val dup = r.doc_id != keeper
+              ScoredCurationVerdict(r.doc_id, r.domain, r.url_ok,
+                r.n_blocks, r.n_kept, r.n_words, r.quality_ok, dup, !dup,
+                r.quality_margin, r.score_ok, !dup && r.score_ok)
+            }
+          }
+      }
+    val statelessVerdicts = scored.filter(!isQualified)
+      .map(r => ScoredCurationVerdict(r.doc_id, r.domain, r.url_ok,
+        r.n_blocks, r.n_kept, r.n_words, r.quality_ok,
+        is_exact_dup = false, survivor = false, r.quality_margin,
+        r.score_ok, survivor_scored = false))
+    statefulVerdicts.union(statelessVerdicts)
+  }
 }
 
 /** Stateless-gate row feeding [[EventStreams.curationGate]]'s keyed
@@ -478,6 +595,28 @@ final case class CurationVerdict(doc_id: Long, domain: String,
                                  n_kept: Int, n_words: Int,
                                  quality_ok: Boolean,
                                  is_exact_dup: Boolean, survivor: Boolean)
+
+/** Stateless-gate row of [[EventStreams.scoredCurationGate]]: the
+  * [[GatedPage]] fields plus the in-row model score.
+  */
+final case class ScoredGatedPage(doc_id: Long, domain: String,
+                                 url_ok: Boolean, n_blocks: Int,
+                                 n_kept: Int, n_words: Int,
+                                 quality_ok: Boolean, h: String,
+                                 quality_margin: Double, score_ok: Boolean)
+
+/** Per-page verdict row of [[EventStreams.scoredCurationGate]] — the
+  * batch scoredDisposition columns.
+  */
+final case class ScoredCurationVerdict(doc_id: Long, domain: String,
+                                       url_ok: Boolean, n_blocks: Int,
+                                       n_kept: Int, n_words: Int,
+                                       quality_ok: Boolean,
+                                       is_exact_dup: Boolean,
+                                       survivor: Boolean,
+                                       quality_margin: Double,
+                                       score_ok: Boolean,
+                                       survivor_scored: Boolean)
 
 /** A flagged doc and the smallest earlier doc sharing the bucket —
   * output row of [[EventStreams.selfNearDupFlags]].

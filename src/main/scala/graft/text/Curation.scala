@@ -111,6 +111,53 @@ object Curation {
                         stopwords: Seq[String] =
                           TextAnalysis.DefaultStopwords,
                         iters: Int = 2, lr: Double = 0.1): DataFrame = {
+    val (feats, wRow, _) = scoredCore(docs, idCol, urlCol, htmlCol,
+      minTextWords, blockMinWords, blockMaxLinkDensity, stopwords, iters,
+      lr)
+    feats.crossJoin(broadcast(wRow))
+      // in-row fixed-order dot product: the one FP expression both
+      // engines evaluate identically by construction
+      .withColumn("quality_margin",
+        round(col("f1") * col("w1") + col("f2") * col("w2") +
+          col("f3") * col("w3") + col("f4") * col("w4"), 6) + lit(0.0))
+      .withColumn("score_ok", col("quality_margin") > 0.0)
+      .withColumn("survivor_scored", col("survivor") && col("score_ok"))
+      .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
+        col("n_kept"), col("n_words"), col("quality_ok"),
+        col("is_exact_dup"), col("survivor"), col("quality_margin"),
+        col("score_ok"), col("survivor_scored"))
+  }
+
+  /** The DEPLOYABLE scored-gate model: train on a batch corpus, ship
+    * the artifacts, score a stream. Returns (weights row — the 1-row
+    * (w1..w4) frame the batch margin broadcasts, UNROUNDED so a deploy
+    * path multiplies the identical doubles; bigram LM score table —
+    * one (w1, w2, m) row per distinct transition, m the same micro-nat
+    * long the batch per-doc sums use). The LM table is corpus-bigram-
+    * sized here; a production deployment bounds it (top-M by count —
+    * the CCNet pattern of shipping a fixed LM), which
+    * [[graft.streaming.EventStreams.scoredCurationGate]]'s mean-over-
+    * known-transitions degrades to gracefully.
+    */
+  def scoredGateModel(docs: DataFrame, idCol: String, urlCol: String,
+                      htmlCol: String, minTextWords: Int = 10,
+                      blockMinWords: Int = 5,
+                      blockMaxLinkDensity: Double = 0.33,
+                      stopwords: Seq[String] =
+                        TextAnalysis.DefaultStopwords,
+                      iters: Int = 2, lr: Double = 0.1)
+      : (DataFrame, DataFrame) = {
+    val (_, wRow, lmTable) = scoredCore(docs, idCol, urlCol, htmlCol,
+      minTextWords, blockMinWords, blockMaxLinkDensity, stopwords, iters,
+      lr)
+    (wRow, lmTable)
+  }
+
+  private def scoredCore(docs: DataFrame, idCol: String, urlCol: String,
+                         htmlCol: String, minTextWords: Int,
+                         blockMinWords: Int, blockMaxLinkDensity: Double,
+                         stopwords: Seq[String], iters: Int, lr: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     val d3 = dispositionFull(docs, idCol, urlCol, htmlCol, minTextWords,
         blockMinWords, blockMaxLinkDensity)
       // read by features, the bigram model, and the final join —
@@ -181,18 +228,13 @@ object Curation {
       max(when(col("dim") === 2, col("w"))).as("w2"),
       max(when(col("dim") === 3, col("w"))).as("w3"),
       max(when(col("dim") === 4, col("w"))).as("w4"))
-    feats.crossJoin(broadcast(wRow))
-      // in-row fixed-order dot product: the one FP expression both
-      // engines evaluate identically by construction
-      .withColumn("quality_margin",
-        round(col("f1") * col("w1") + col("f2") * col("w2") +
-          col("f3") * col("w3") + col("f4") * col("w4"), 6) + lit(0.0))
-      .withColumn("score_ok", col("quality_margin") > 0.0)
-      .withColumn("survivor_scored", col("survivor") && col("score_ok"))
-      .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
-        col("n_kept"), col("n_words"), col("quality_ok"),
-        col("is_exact_dup"), col("survivor"), col("quality_margin"),
-        col("score_ok"), col("survivor_scored"))
+    // the distinct-transition score table (the deployable LM artifact):
+    // the same micro-nat long the per-doc sums above weight by _ng
+    val lmTable = bi.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
+          .as("m"))
+    (feats, wRow, lmTable)
   }
 
   /** Funnel rollup of [[disposition]] (or [[scoredDisposition]] — the

@@ -506,6 +506,62 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, true), (2L, false), (3L, false), (4L, false)))
   }
 
+  test("scoredCurationGate: batch model + stream scoring equals " +
+    "scoredDisposition") {
+    val docs = Seq(
+      (1L, "https://ok.example.com/a",
+        "<p>the one two three four five six seven eight nine of</p>"),
+      (2L, "not a url",
+        "<p>the one two three four five six seven eight nine of</p>"),
+      (3L, "https://ok.example.com/c", "<p>tiny</p>"),
+      (4L, "https://ok.example.com/d",
+        "<p>the one two three four five six seven eight nine of</p>"),
+      (5L, "https://ok.example.com/e",
+        "<p>the nine eight seven six five four three two one of</p>")
+    ).toDF("doc_id", "url", "html")
+    // train offline, export the model, score the same corpus "online"
+    val (wRow, lmTable) = graft.text.Curation.scoredGateModel(docs,
+      "doc_id", "url", "html")
+    val w = wRow.head()
+    val stream = EventStreams.scoredCurationGate(docs, "doc_id", "url",
+        "html", Seq(w.getDouble(0), w.getDouble(1), w.getDouble(2),
+          w.getDouble(3)), lmTable)
+      .toDF().orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.text.Curation.scoredDisposition(docs, "doc_id",
+        "url", "html").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+    // the fixture exercises every verdict: 1 survives scored, 2 fails
+    // url (margin still computed — good page), 3 fails quality
+    // (margin 0 ⇒ score_ok false), 4 dups 1, 5 unique word order (its
+    // LM transitions differ from 1's)
+    assert(stream.map(r => (r.head, r.last)) ===
+      Seq((1L, true), (2L, false), (3L, false), (4L, false), (5L, true)))
+  }
+
+  test("scoredCurationGate: truncated LM degrades to known-transition " +
+    "mean, never null") {
+    val docs = Seq((1L, "https://ok.example.com/a",
+      "<p>the one two three four five six seven eight nine of</p>"))
+      .toDF("doc_id", "url", "html")
+    val (wRow, lmTable) = graft.text.Curation.scoredGateModel(docs,
+      "doc_id", "url", "html")
+    val w = wRow.head()
+    val ws = Seq(w.getDouble(0), w.getDouble(1), w.getDouble(2),
+      w.getDouble(3))
+    // ship only 3 of the transitions (a top-M cut): margin must still
+    // be defined and score over the known subset
+    val cut = lmTable.limit(3)
+    val out = EventStreams.scoredCurationGate(docs, "doc_id", "url",
+        "html", ws, cut)
+      .toDF().select("quality_margin").head()
+    assert(!out.isNullAt(0))
+    // and an EMPTY model zeroes f4 rather than failing
+    val none = EventStreams.scoredCurationGate(docs, "doc_id", "url",
+        "html", ws, lmTable.limit(0))
+      .toDF().select("quality_margin").head()
+    assert(!none.isNullAt(0))
+  }
+
   test("curationGate: cross-batch keeper is first-epoch-wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
