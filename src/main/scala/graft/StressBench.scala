@@ -943,6 +943,29 @@ object StressBench {
         s"scored funnel ground truth: $f vs nPages=$nPages")
       nPages
     }
+    // rows/10 docs, 10 tokens each, SKEWED components (c0 carries 70%
+    // — exactly the giant partition the bucketed two-phase threshold
+    // exists to never globally sort). Budgets = 40% of each
+    // component's token mass; with uniform 10-token docs the kept
+    // count per component is exactly floor(budget/10), so the total is
+    // exact ground truth computed from the 4-row budget table.
+    timed("mixture_budget") {
+      val nDocs = math.max(rows / 10L, 1000000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 7, lit("c0"))
+          .otherwise(concat(lit("c"), pmod(col("id"), lit(3)) + 1))
+          .as("comp"),
+        lit(10L).as("tokens"))
+      val budgets = docs.groupBy(col("comp"))
+        .agg((sum(col("tokens")) * 2L / 5L).cast("long").as("budget"))
+      val expected = budgets.collect()
+        .map(_.getAs[Long]("budget") / 10L).sum
+      val n = graft.operators.Mixture
+        .mixToBudget(docs, "doc_id", "comp", "tokens", budgets)
+        .count()
+      require(n == expected, s"mixture ground truth: $n vs $expected")
+      nDocs
+    }
     spark.stop()
   }
 }

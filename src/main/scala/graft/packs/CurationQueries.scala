@@ -95,6 +95,23 @@ object CurationQueries extends QueryPack {
       Curation.funnel(scored(s, dir)).orderBy(col("stage"))
     }),
 
+    // Mixture assembly: each lang component deterministically
+    // downsampled to a 40%-of-its-tokens budget in md5-priority order
+    // (Mixture.mixToBudget — the bucketed two-phase threshold, NO
+    // per-component global window). Output is the kept docs themselves,
+    // so the oracle's naive running-total window pins the bucketed
+    // path's bit-identical verdict per doc.
+    "curation_mix_budget" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      val budgets = d.groupBy(col("lang"))
+        .agg(floor(sum(col("tokens")) * lit(0.4)).cast("long")
+          .as("budget"))
+      graft.operators.Mixture
+        .mixToBudget(d, "doc_id", "lang", "tokens", budgets)
+        .orderBy(col("doc_id"))
+    }),
+
     // The FULL CommonCrawl-shaped path: the same pages travel as WARC
     // archives (gzip members on even archive ids), records are
     // re-extracted, doc ids recovered from the record URLs, and the
@@ -228,6 +245,27 @@ object CurationQueries extends QueryPack {
         |  FROM scored)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The NAIVE formulation the engine's bucketed two-phase threshold
+    // must equal bit for bit: per-lang running token total in
+    // (md5-priority, id) order, keep while ≤ the 40% budget.
+    "curation_mix_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |        CAST(floor(sum(tokens) * 0.4) AS BIGINT) AS budget
+        |      FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, d.tokens, b.budget,
+        |    sum(d.tokens) OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d JOIN b ON d.lang = b.lang)
+        |SELECT doc_id, lang, tokens FROM r
+        |WHERE run <= budget ORDER BY doc_id""".stripMargin,
+
     "curation_disposition" ->
       (dispositionCte +
         """
