@@ -439,6 +439,12 @@ object Graft {
     graft.text.LineDedup.keepFirstLines(docs, idCol, textCol, delim)
   /** Boilerplate-line removal: lines in >= `minDocs` distinct documents
     * removed everywhere, first copy included (text.LineDedup).
+    *
+    * Contract note for `minDocs` >= 25: the scale path adds an HLL
+    * pre-gate, so with probability ~3e-5 per boundary key a truly
+    * frequent line is RETAINED (never wrongly removed) — see
+    * [[graft.text.LineDedup.dropFrequentLines]] for the exact
+    * semantics and why the relaxation is one-sided.
     */
   def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                            minDocs: Int, delim: String = "\n"): DataFrame =

@@ -239,16 +239,12 @@ object Composition {
     val ftCounts = tfFull.groupBy(col("fold"), col("term"))
       .agg(sum(col("_tf")).as("_cft"))
     val maxCap = caps.max
-    val wVocab = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fold"))
-      .orderBy(col("_train").desc, col("term"))
-    val ranked = broadcast(folds).crossJoin(tCounts)
+    val trainCounts = broadcast(folds).crossJoin(tCounts)
       .join(ftCounts, Seq("fold", "term"), "left")
       .select(col("fold"), col("term"),
         (col("_ct") - coalesce(col("_cft"), lit(0L))).as("_train"))
       .where(col("_train") > 0)
-      .withColumn("_rk", row_number().over(wVocab))
-      .where(col("_rk") <= maxCap)
+    val ranked = topTermsPerFold(trainCounts, maxCap)
     val vocab = ranked.join(broadcast(capsDf), col("_rk") <= col("vocab_cap"))
       .select(col("fold"), col("vocab_cap"), col("term"))
     val vsize = vocab.groupBy(col("fold"), col("vocab_cap"))
@@ -276,7 +272,15 @@ object Composition {
         col("term"),
         log((col("_tlt") + col("alpha")) /
           (col("_ctot") + col("alpha") * col("_vsz"))).as("_lp"))
-    // training priors per (held-out fold, class)
+    // training priors per (held-out fold, class). Degenerate-class
+    // convention, explicit on BOTH engines: a class whose every doc
+    // fell into the held-out fold has zero training docs — Spark's
+    // non-ANSI log(0) is NULL while DuckDB's ln(0) is -inf, so without
+    // the guard the parity was accidental (both happen to sort last
+    // under the desc argmax) and a doc scoring only on priors yielded
+    // null score rows. Pin the prior to -1e9: finite, never wins the
+    // argmax, identical doubles on both sides (the oracle mirrors the
+    // same CASE).
     val labelDocs = base.groupBy(col("label")).agg(count(lit(1)).as("_ndl"))
     val flDocs = base.groupBy(col("fold"), col("label"))
       .agg(count(lit(1)).as("_ndfl"))
@@ -288,8 +292,10 @@ object Composition {
       .join(foldDocs, "fold")
       .crossJoin(broadcast(nDocs))
       .select(col("fold"), col("label").as("cls"),
-        log((col("_ndl") - coalesce(col("_ndfl"), lit(0L))).cast("double") /
-          (col("_nd") - col("_ndf"))).as("_prior"))
+        when(col("_ndl") - coalesce(col("_ndfl"), lit(0L)) > 0,
+          log((col("_ndl") - coalesce(col("_ndfl"), lit(0L))).cast("double") /
+            (col("_nd") - col("_ndf"))))
+          .otherwise(lit(-1e9)).as("_prior"))
 
     // ---- held-out evaluation: the same materialized pass ----
     val tf = tfFull.select(col("fold"), col("id"), col("term"),
@@ -320,6 +326,39 @@ object Composition {
     scoresByGrid
       .withColumn("chosen",
         (row_number().over(wBest) === 1).cast("int"))
+  }
+
+  /** Exact top-`maxCap` terms per fold by (train count DESC, term ASC),
+    * TWO-PHASE so no task ever sorts a whole fold's vocabulary: phase 1
+    * ranks within (fold, md5-salt bucket) and keeps each bucket's top
+    * maxCap — an exact necessary condition, since a term's global rank
+    * within its fold is ≥ its rank within any subset containing it —
+    * then phase 2 runs the original window over the survivors, now at
+    * most salts·maxCap rows per fold. At web scale (10⁸–10⁹ distinct
+    * terms by Heaps' law) the single `row_number() OVER (PARTITION BY
+    * fold)` this replaces was a near-global one-task-per-fold sort —
+    * the same shape [[graft.text.Urls.perDomainCap]] and the SuffixRank
+    * range-partitioned rank eliminate. Output = input columns + `_rk`
+    * (the exact global per-fold rank, ≤ maxCap). Ordering is total
+    * (term tiebreak), so both phases are deterministic.
+    */
+  private[graft] def topTermsPerFold(trainCounts: DataFrame, maxCap: Int,
+                                     salts: Int = 32): DataFrame = {
+    require(salts >= 1, s"salts=$salts must be positive")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fold"), col("_salt"))
+      .orderBy(col("_train").desc, col("term"))
+    val wVocab = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fold"))
+      .orderBy(col("_train").desc, col("term"))
+    trainCounts
+      .withColumn("_salt",
+        pmod(GraftFunctions.md5Long(col("term"), 8), lit(salts)))
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= maxCap)
+      .withColumn("_rk", row_number().over(wVocab))
+      .where(col("_rk") <= maxCap)
+      .drop("_salt", "_r1")
   }
 
   /** Grid-searched logistic regression over an embedding column. */

@@ -1015,8 +1015,10 @@ object MLQueries extends QueryPack {
         |nd AS (SELECT count(*) AS nd FROM base),
         |priors AS (
         |  SELECT f.fold, cl.label AS cls,
-        |    ln(CAST(l.ndl - coalesce(x.ndfl, 0) AS DOUBLE) /
-        |       ((SELECT nd FROM nd) - d.ndf)) AS prior
+        |    CASE WHEN l.ndl - coalesce(x.ndfl, 0) > 0
+        |      THEN ln(CAST(l.ndl - coalesce(x.ndfl, 0) AS DOUBLE) /
+        |              ((SELECT nd FROM nd) - d.ndf))
+        |      ELSE -1e9 END AS prior
         |  FROM folds f CROSS JOIN classes cl
         |  JOIN ndl l ON l.label = cl.label
         |  LEFT JOIN ndfl x ON x.fold = f.fold AND x.label = cl.label

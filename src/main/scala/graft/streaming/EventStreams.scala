@@ -485,17 +485,30 @@ object EventStreams {
                          stopwords: Seq[String] =
                            graft.text.TextAnalysis.DefaultStopwords,
                          minTextWords: Int = 10,
-                         ttlMs: Long = 0L): Dataset[ScoredCurationVerdict] = {
+                         ttlMs: Long = 0L,
+                         lmMaxEntries: Long = 1L << 22)
+      : Dataset[ScoredCurationVerdict] = {
     require(weights.length == 4, s"need 4 weights, got ${weights.length}")
     val spark = pages.sparkSession
     import spark.implicits._
-    // the deployable LM artifact as ONE map row (bounded by contract —
-    // a production gate ships a top-M table, the codebook pattern)
+    // The deployable LM artifact packs into ONE map row and broadcasts;
+    // the top-M bound is ENFORCED, not assumed — a caller handing the
+    // raw corpus-bigram table of a web-scale fit would otherwise OOM
+    // the single-row aggregation/broadcast (r16 advice). `lm` is the
+    // static side, so the count is one cheap batch action at stream
+    // definition time.
+    val lmCount = lm.count()
+    require(lmCount <= lmMaxEntries,
+      s"LM table has $lmCount entries, above the broadcastable bound " +
+        s"$lmMaxEntries — ship a top-M cut (ORDER BY count DESC LIMIT M)," +
+        s" the CCNet pattern this gate's mean-over-known-transitions " +
+        s"degrades to gracefully")
     val lmMap = lm.agg(map_from_entries(collect_list(struct(
         concat(col("w1"), lit(" "), col("w2")).as("k"), col("m").as("v"))))
         .as("_lm"))
       .withColumn("_k", lit(1))
-    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
+    // literal Columns, never spliced SQL (see Curation.scoredCore)
+    val stopArr = array(stopwords.map(lit): _*)
     val scored = pages.select(
         col(idCol).cast("long").as("doc_id"),
         graft.text.Urls.registeredDomain(
@@ -520,7 +533,7 @@ object EventStreams {
         col("n_kept") * lit(1.0) / greatest(col("n_blocks"), lit(1)))
       .withColumn("f3", when(col("_mt") === "", lit(0.0))
         .otherwise(
-          size(expr(s"filter(_ts, t -> array_contains($stopArr, t))")) *
+          size(filter(col("_ts"), t => array_contains(stopArr, t))) *
             lit(1.0) / size(col("_ts"))))
       // f4: in-row LM lookup — per-transition micro-nat longs the batch
       // per-doc sums weight by multiplicity, here with multiplicity via

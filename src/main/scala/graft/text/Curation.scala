@@ -38,18 +38,24 @@ object Curation {
                   blockMinWords: Int = 5,
                   blockMaxLinkDensity: Double = 0.33): DataFrame =
     dispositionFull(docs, idCol, urlCol, htmlCol, minTextWords,
-      blockMinWords, blockMaxLinkDensity)
+      blockMinWords, blockMaxLinkDensity)._1
       .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
         col("n_kept"), col("n_words"), col("quality_ok"),
         col("is_exact_dup"), col("survivor"))
 
   /** [[disposition]] before the output projection — keeps `main_text`
     * for stages that score the extracted content ([[scoredDisposition]]).
+    * Returns (frame, d0 persist handle): d0 is the result's live
+    * lineage here, but the scored paths supersede it with their own
+    * materialization and unpersist it — without the handle the four
+    * DISK_ONLY frames of a scored invocation accumulated across a pack
+    * run (r16 advice).
     */
   private def dispositionFull(docs: DataFrame, idCol: String,
                               urlCol: String, htmlCol: String,
                               minTextWords: Int, blockMinWords: Int,
-                              blockMaxLinkDensity: Double): DataFrame = {
+                              blockMaxLinkDensity: Double)
+      : (DataFrame, DataFrame) = {
     val withDomain = docs.withColumn("domain",
       Urls.registeredDomain(Urls.hostOf(col(urlCol))))
     val mc = Html.mainContent(withDomain, idCol, htmlCol,
@@ -72,13 +78,14 @@ object Curation {
     val keepers = d0.where(col("url_ok") && col("quality_ok"))
       .groupBy(md5(col("main_text")).as("_h"))
       .agg(min(col(idCol)).as("_kid"))
-    d0.withColumn("_h", md5(col("main_text")))
+    val out = d0.withColumn("_h", md5(col("main_text")))
       .join(keepers, Seq("_h"), "left")
       .withColumn("is_exact_dup",
         col("url_ok") && col("quality_ok") &&
           coalesce(col("_kid") =!= col(idCol), lit(false)))
       .withColumn("survivor",
         col("url_ok") && col("quality_ok") && !col("is_exact_dup"))
+    (out, d0)
   }
 
   /** Optional model-scored gate on top of [[disposition]]: a
@@ -111,10 +118,16 @@ object Curation {
                         stopwords: Seq[String] =
                           TextAnalysis.DefaultStopwords,
                         iters: Int = 2, lr: Double = 0.1): DataFrame = {
-    val (feats, wRow, _) = scoredCore(docs, idCol, urlCol, htmlCol,
+    val parts = scoredCore(docs, idCol, urlCol, htmlCol,
       minTextWords, blockMinWords, blockMaxLinkDensity, stopwords, iters,
       lr)
-    feats.crossJoin(broadcast(wRow))
+    // scoredCore's GD actions materialized every persisted frame; the
+    // output below reads only `feats`, so the upstream intermediates
+    // (d0, d3, g3) release now instead of leaking for the session
+    // (feats stays — it is the result's direct source; a lost block
+    // recomputes through the full lineage, the r9 criterion).
+    Seq(parts.d0, parts.d3, parts.g3).foreach(_.unpersist(false))
+    parts.feats.crossJoin(broadcast(parts.wRow))
       // in-row fixed-order dot product: the one FP expression both
       // engines evaluate identically by construction
       .withColumn("quality_margin",
@@ -147,27 +160,48 @@ object Curation {
                         TextAnalysis.DefaultStopwords,
                       iters: Int = 2, lr: Double = 0.1)
       : (DataFrame, DataFrame) = {
-    val (_, wRow, lmTable) = scoredCore(docs, idCol, urlCol, htmlCol,
+    val parts = scoredCore(docs, idCol, urlCol, htmlCol,
       minTextWords, blockMinWords, blockMaxLinkDensity, stopwords, iters,
       lr)
-    (wRow, lmTable)
+    // Materialize the deployable LM artifact, then release every
+    // training intermediate: the returned lmTable is the ONE persisted
+    // frame a model-export invocation leaves behind (it IS the shipped
+    // artifact; callers done with it should unpersist()).
+    val lmT = parts.lmTable
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    lmT.count()
+    Seq(parts.d0, parts.d3, parts.g3, parts.feats)
+      .foreach(_.unpersist(false))
+    (parts.wRow, lmT)
   }
+
+  /** The scored-gate training intermediates: the persisted frames a
+    * caller must release once its outputs are materialized.
+    */
+  private case class ScoredParts(feats: DataFrame, wRow: DataFrame,
+                                 lmTable: DataFrame, d0: DataFrame,
+                                 d3: DataFrame, g3: DataFrame)
 
   private def scoredCore(docs: DataFrame, idCol: String, urlCol: String,
                          htmlCol: String, minTextWords: Int,
                          blockMinWords: Int, blockMaxLinkDensity: Double,
                          stopwords: Seq[String], iters: Int, lr: Double)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val d3 = dispositionFull(docs, idCol, urlCol, htmlCol, minTextWords,
-        blockMinWords, blockMaxLinkDensity)
+      : ScoredParts = {
+    val (dispo, d0) = dispositionFull(docs, idCol, urlCol, htmlCol,
+      minTextWords, blockMinWords, blockMaxLinkDensity)
+    val d3 = dispo
       // read by features, the bigram model, and the final join —
       // corpus-sized (carries main_text) ⇒ DISK_ONLY (r9 criterion)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val tk = d3.where(col("main_text") =!= "")
       .select(col(idCol), split(col("main_text"), "\\s+").as("_ts"))
-    val stopArr = s"array(${stopwords.map(w => s"'$w'").mkString(",")})"
+    // stopwords ride as literal Columns, never spliced SQL text — a
+    // caller-supplied word containing a quote must stay a value, not
+    // become syntax (r16 advice; lit() is injection-free for all of
+    // them)
+    val stopArr = array(stopwords.map(lit): _*)
     val stopRatio = tk.select(col(idCol),
-      (size(expr(s"filter(_ts, t -> array_contains($stopArr, t))")) *
+      (size(filter(col("_ts"), t => array_contains(stopArr, t))) *
         lit(1.0) / size(col("_ts"))).as("_f3"))
     // corpus bigram model over the extracted texts (micro-nat quantized
     // per transition — order-independent integer sums per doc)
@@ -234,7 +268,7 @@ object Curation {
       .select(col("w1"), col("w2"),
         round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
           .as("m"))
-    (feats, wRow, lmTable)
+    ScoredParts(feats, wRow, lmTable, d0, d3, g3)
   }
 
   /** Funnel rollup of [[disposition]] (or [[scoredDisposition]] — the

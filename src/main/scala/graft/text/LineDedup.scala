@@ -121,6 +121,20 @@ object LineDedup {
     *
     * At small minDocs the HLL cut is off and the verdict is exact by
     * construction; the oracle is unchanged either way.
+    *
+    * RELAXED CONTRACT (minDocs >= 25, explicit per the r16 advice):
+    * because of the HLL cut, "removed if present in >= minDocs distinct
+    * docs" is probabilistic at the boundary — a line whose sketch lands
+    * ~4σ low (P ≈ 3e-5 per key, rsd 0.05 at 20% slack) survives the
+    * gate's second cut and is RETAINED. The relaxation is strictly
+    * one-sided: phase 2's exact countDistinct still decides every
+    * removal, so no line is ever wrongly removed; the only failure mode
+    * is boilerplate kept, which a threshold heuristic tolerates.
+    * Callers needing the exact contract at large minDocs should pass
+    * the corpus twice with minDocs < 25 semantics in mind or accept the
+    * documented tail. Fixtures for exact-ground-truth comparison at
+    * minDocs >= 25 should avoid keys within the sketch's noise band of
+    * the threshold (the StressBench fixture plants keys at >= 2x).
     */
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Int, delim: String = "\n"): DataFrame = {

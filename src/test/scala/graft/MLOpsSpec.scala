@@ -390,4 +390,28 @@ class MLOpsSpec extends AnyFunSuite {
     assert(g((1, 2)) === 14.0) // 2+12
     assert(g((2, 2)) === 20.0) // 4+16
   }
+
+  test("topTermsPerFold two-phase == single global window on a tie-heavy fixture") {
+    // 400 terms across 2 folds, counts drawn from only 4 distinct values
+    // so nearly every rank decision is a term-name tiebreak — the case
+    // where a pre-aggregation that dropped a tied term would diverge.
+    val rows = for {
+      fold <- 0 to 1
+      i <- 0 until 400
+    } yield (fold, f"t$i%03d", (i % 4 + 1).toLong)
+    val df = rows.toDF("fold", "term", "_train")
+    val cap = 25
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fold")).orderBy(col("_train").desc, col("term"))
+    val naive = df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= cap)
+      .select("fold", "term", "_train", "_rk")
+      .as[(Int, String, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    for (salts <- Seq(1, 4, 32, 128)) {
+      val two = graft.mlops.Composition.topTermsPerFold(df, cap, salts)
+        .select("fold", "term", "_train", "_rk")
+        .as[(Int, String, Long, Int)].collect().sortBy(r => (r._1, r._4))
+      assert(two.toSeq === naive.toSeq, s"salts=$salts diverged")
+    }
+  }
 }
