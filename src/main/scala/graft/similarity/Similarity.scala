@@ -623,11 +623,14 @@ object Similarity {
       .select(col(centerCol), col(idCol), col("_v"))
       // one materialization feeds both sides of the self-join —
       // otherwise the whole assignment subtree evaluates twice (the
-      // shingle-reuse lesson). Carries every vector (corpus-sized), so
-      // DISK_ONLY persist per the r9 durability criterion: lineage
-      // survives, a lost block recomputes from the scan instead of
-      // killing the job.
-      .persist(StorageLevel.DISK_ONLY)
+      // shingle-reuse lesson). Carries every vector (corpus-sized) and
+      // is re-read HOT in the same job (both self-join sides), so
+      // MEMORY_AND_DISK_SER: identical executor-loss recoverability
+      // (persist preserves lineage either way) without forcing every
+      // re-read through disk — the r16 durability sweep's DISK_ONLY
+      // here was needlessly pessimistic (the round's one real bench
+      // debit; SCALE.md r17 A/B).
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // the self-join runs through the shared per-key salted join: a
     // cell at the maxCell cap still means |cell|² pairs, and without
     // salting they all land on ONE task (AQE can't split inside a key)
@@ -699,18 +702,21 @@ object Similarity {
     // materialize the slim edge list BEFORE the symmetric union: the
     // union's two branches would otherwise evaluate the caller's whole
     // graph-build subtree twice (the r12 knn-graph union lesson).
-    // n·k rows of two longs but still corpus-proportional and re-read —
-    // DISK_ONLY persist per the r9 durability criterion (the lineage
-    // back to the caller's graph survives executor loss).
+    // n·k rows of two longs, corpus-proportional and re-read HOT
+    // several times within this one job — MEMORY_AND_DISK_SER, not
+    // DISK_ONLY: lineage (and so executor-loss recoverability) is
+    // identical under any persist level, and the r16 sweep's DISK_ONLY
+    // forced every re-read through disk for a ~33% wall cost
+    // (5.98s→ the r15 band; SCALE.md r17 A/B).
     val edges = graph
       .select(col("src_id").cast("long").as("a"),
         col("neighbor_id").cast("long").as("b"))
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val und = edges
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      // feeds the degree count and all three legs — same r9 treatment
-      .persist(StorageLevel.DISK_ONLY)
+      // feeds the degree count and all three legs — same treatment
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // hub-intermediate guard on the ID-SIZED edge list (degree in the
     // symmetric closure = out-degree + reciprocated in-degree)
     val okMid = und.groupBy(col("b")).agg(count(lit(1)).as("_d"))
