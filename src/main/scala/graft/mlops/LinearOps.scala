@@ -372,6 +372,100 @@ object LinearOps {
     w
   }
 
+  /** ONE-VS-REST multiclass for the deterministic GD family — the
+    * reference's `SGDClassifier.fit(classes=…)` semantics
+    * (`splearn/linear_model/stochastic_gradient.py:~L10-70`: sklearn
+    * SGD is multiclass via OvR). Every class's binary problem trains
+    * SIMULTANEOUSLY in one plan: the class id rides through the weight
+    * frame exactly like [[blockAveragedLogisticGd]]'s block id, so each
+    * step is still two aggregations over one long-form relation — never
+    * a driver loop over classes. Weights zero-init, `iters` full-batch
+    * steps, rate `lr`, no intercept, no RNG: the whole fit unrolls into
+    * a SQL oracle with `cls` threaded through every CTE.
+    *
+    * Returns (cls, dim, w). Weight state is O(classes × dims) —
+    * broadcast-sized; the per-step materialization rule of
+    * [[logisticGdIterations]] applies unchanged (the frame is
+    * referenced by both the update join and the next broadcast).
+    */
+  def logisticGdOvr(pointsLong: DataFrame, labels: DataFrame,
+                    idCol: String, labelCol: String,
+                    iters: Int, lr: Double): DataFrame = {
+    val classes = labels.select(col(labelCol).as("cls")).distinct()
+    // per-class binary targets: y=1 iff the row's label IS the class
+    val binLabels = labels.crossJoin(broadcast(classes))
+      .select(col(idCol), col("cls"),
+        (col(labelCol) === col("cls")).cast("double").as("_y"))
+    var w = pointsLong.select(col("dim")).distinct()
+      .crossJoin(broadcast(classes))
+      .withColumn("w", lit(0.0))
+    (1 to iters).foreach { _ =>
+      val margins = pointsLong
+        .join(broadcast(w), "dim") // fans each point out to every class
+        .groupBy(col("cls"), col(idCol))
+        .agg(sum(col("v") * col("w")).as("m"))
+      val errs = margins.join(binLabels, Seq(idCol, "cls"))
+        .select(col("cls"), col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("_y")).as("err"))
+      val grad = pointsLong.join(errs, idCol)
+        .groupBy(col("cls"), col("dim"))
+        .agg(avg(col("err") * col("v")).as("g"))
+      w = w.join(grad, Seq("cls", "dim"))
+        .select(col("cls"), col("dim"),
+          (col("w") - lit(lr) * col("g")).as("w"))
+      // classes×dims rows — metadata-scale; same 2^i/analyzer rationale
+      // as logisticGdIterations
+      w = w.localCheckpoint()
+    }
+    w
+  }
+
+  /** OvR predict: per-row margins against every class's weight vector
+    * (one broadcast join + one aggregation), argmax by (margin DESC,
+    * cls ASC) for determinism. Returns (idCol, pred, margin) with the
+    * winning margin rounded to `roundTo`.
+    */
+  def logisticOvrPredict(pointsLong: DataFrame, weights: DataFrame,
+                         idCol: String, roundTo: Int = 4): DataFrame = {
+    val margins = pointsLong
+      .join(broadcast(weights), "dim")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("v") * col("w")).as("m"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("m").desc, col("cls"))
+    margins.withColumn("_rn", row_number().over(win))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("cls").as("pred"),
+        (round(col("m"), roundTo) + lit(0.0)).as("margin"))
+  }
+
+  /** Weighted 1-D OLS — sklearn's `sample_weight` for the closed-form
+    * family (upstream estimators pass it straight to sklearn per block;
+    * `splearn/linear_model/base.py`). Weighted moments in ONE pass:
+    * slope = (Σw·Σwxy − Σwx·Σwy) / (Σw·Σwxx − (Σwx)²), intercept =
+    * (Σwy − slope·Σwx)/Σw. Integer weights reproduce exactly the fit
+    * on a row-replicated corpus (w ≡ repeat count); a weight column of
+    * ones reproduces [[olsFit]] (MLOpsSpec pins both). The natural
+    * cable for the DSIR/temperature outputs this library computes:
+    * fit on the mixture-reweighted corpus without materializing it.
+    */
+  def olsFitWeighted(df: DataFrame, xCol: String, yCol: String,
+                     wCol: String, roundTo: Int = 4): DataFrame = {
+    val slope = (col("sw") * col("swxy") - col("swx") * col("swy")) /
+      nullif(col("sw") * col("swxx") - col("swx") * col("swx"), lit(0.0))
+    df.agg(
+      sum(col(wCol)).as("sw"),
+      sum(col(wCol) * col(xCol)).as("swx"),
+      sum(col(wCol) * col(yCol)).as("swy"),
+      sum(col(wCol) * col(xCol) * col(xCol)).as("swxx"),
+      sum(col(wCol) * col(xCol) * col(yCol)).as("swxy"))
+      .select(
+        (round(slope, roundTo) + lit(0.0)).as("slope"),
+        (round((col("swy") - slope * col("swx")) / col("sw"), roundTo)
+          + lit(0.0)).as("intercept"))
+  }
+
   def fitLogistic(df: DataFrame, featuresArr: String, labelCol: String,
                   maxIter: Int = 20): DataFrame = {
     val prepared = df.withColumn("features",

@@ -44,6 +44,38 @@ object NaiveBayesOps {
         roundDigits.fold(raw)(d => round(raw, d)).as("log_prob"))
   }
 
+  /** [[multinomialFit]] with sklearn's `sample_weight`: every token row
+    * carries its document's weight and all sufficient statistics become
+    * weighted sums — `wcnt` = Σw replaces the count, the class totals
+    * and smoothing follow. Integer weights reproduce exactly the fit on
+    * a corpus with each doc replicated w times (the sample_weight
+    * semantics; MLOpsSpec pins the equivalence), and an all-ones weight
+    * column reproduces the unweighted fit. The natural cable for the
+    * mixture/temperature rates this library computes: an NB fit on the
+    * reweighted corpus without materializing the resample.
+    */
+  def multinomialFitWeighted(tokens: DataFrame, classCol: String,
+                             termCol: String, weightCol: String,
+                             alpha: Double = 1.0,
+                             roundDigits: Option[Int] = Some(6)): DataFrame = {
+    val counts = tokens.groupBy(col(classCol), col(termCol))
+      .agg(sum(col(weightCol).cast("double")).as("wcnt"))
+    val classes = tokens.select(col(classCol)).distinct()
+    val vocab = tokens.select(col(termCol)).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("_v"))
+    val totals = counts.groupBy(col(classCol))
+      .agg(sum(col("wcnt")).as("class_total"))
+    val raw = log((col("wcnt") + lit(alpha)) /
+      (col("class_total") + lit(alpha) * col("_v")))
+    broadcast(classes).crossJoin(vocab)
+      .join(counts, Seq(classCol, termCol), "left")
+      .na.fill(0.0, Seq("wcnt"))
+      .join(totals, Seq(classCol))
+      .crossJoin(broadcast(vsize))
+      .select(col(classCol), col(termCol), col("wcnt"),
+        roundDigits.fold(raw)(d => round(raw, d)).as("log_prob"))
+  }
+
   /** Full (doc, class) log-posterior scores:
     * log prior + Σ_term count·log P(term|class) — the shared core of
     * predict / predict_proba / score. Unrounded: the argmax and softmax

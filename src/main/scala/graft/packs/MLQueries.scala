@@ -224,6 +224,55 @@ object MLQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // L4c: OvR MULTICLASS for the GD family (upstream SGDClassifier is
+    // multiclass via one-vs-rest) — 3 classes (label % 3), every class's
+    // 2-step zero-init binary GD in ONE plan (class id through the
+    // weight frame), then argmax over per-class margins. The oracle
+    // threads cls through l4's unroll and mirrors the argmax window.
+    "l8_logreg_ovr" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding")
+      val labels = emb.select(col("vec_id"),
+        (col("label") % 3).cast("int").as("y3"))
+      val w = LinearOps.logisticGdOvr(pts, labels, "vec_id", "y3",
+        iters = 2, lr = 0.1)
+      LinearOps.logisticOvrPredict(pts, w, "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // sample_weight for the closed-form family (sklearn-wide fit
+    // signature), cabled to the DSIR importance weights this library
+    // already computes: weighted 1-D OLS of distinct-token count on
+    // token count over documents, w = exp(mean bigram log-ratio) — the
+    // mixture-reweighted fit without materializing the resample.
+    "l9_weighted_ols" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val iw = graft.text.TextAnalysis.importanceWeights(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text")
+      val feats = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("double").as("x"),
+          size(array_distinct(split(col("text"), " "))).cast("double")
+            .as("y"))
+        .join(iw, "doc_id")
+        .withColumn("w",
+          exp(col("sum_mnat") / (col("n_bigrams") * lit(1e6))))
+      LinearOps.olsFitWeighted(feats, "x", "y", "w")
+    }),
+
+    // The weighted-NB twin: integer doc weights (1 + doc_id % 3 — the
+    // repeat-count reading of sample_weight), every NB sufficient
+    // statistic a weighted sum. MLOpsSpec separately pins weighted fit
+    // == fit on the row-replicated corpus.
+    "n10_weighted_nb_fit" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("w", (lit(1) + pmod(col("doc_id"), lit(3)))
+          .cast("double"))
+      val toks = docs.select(col("lang"), col("w"),
+        explode(split(col("text"), " ")).as("term"))
+      NaiveBayesOps.multinomialFitWeighted(toks, "lang", "term", "w")
+        .orderBy(col("lang"), col("term"))
+    }),
+
     // L1 classification: the reference's block-averaged logistic —
     // per-block deterministic 2-step GD (md5-assigned 2 blocks, all
     // blocks fit in one plan) then unweighted coefficient average, the
@@ -1554,6 +1603,125 @@ object MLQueries extends QueryPack {
         |SELECT w1.dim AS dim, round(w1.w - 0.1 * g2.g, 6) + 0.0 AS w
         |FROM w1 JOIN g2 ON w1.dim = g2.dim
         |ORDER BY w1.dim""".stripMargin,
+
+    // l4's two-step unroll with cls threaded through every CTE (binary
+    // target y = 1 iff label%3 = cls), one extra margins pass with the
+    // final weights, argmax window (m DESC, cls) — the OvR convention.
+    "l8_logreg_ovr" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label % 3 AS INT) AS y3 FROM embeddings),
+        |classes AS (SELECT DISTINCT y3 AS cls FROM lab),
+        |bl AS (
+        |  SELECT l.vec_id, c.cls,
+        |    CASE WHEN l.y3 = c.cls THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lab l CROSS JOIN classes c),
+        |w1 AS (
+        |  SELECT b.cls, p.dim, -0.1 * avg((0.5 - b.y) * p.v) AS w
+        |  FROM pts p JOIN bl b ON p.vec_id = b.vec_id
+        |  GROUP BY b.cls, p.dim),
+        |m2 AS (
+        |  SELECT w1.cls, p.vec_id, sum(p.v * w1.w) AS m
+        |  FROM pts p JOIN w1 ON p.dim = w1.dim
+        |  GROUP BY w1.cls, p.vec_id),
+        |e2 AS (
+        |  SELECT m2.cls, m2.vec_id, 1.0 / (1.0 + exp(-m2.m)) - b.y AS err
+        |  FROM m2 JOIN bl b ON b.vec_id = m2.vec_id AND b.cls = m2.cls),
+        |g2 AS (
+        |  SELECT e2.cls, p.dim, avg(e2.err * p.v) AS g
+        |  FROM pts p JOIN e2 ON p.vec_id = e2.vec_id
+        |  GROUP BY e2.cls, p.dim),
+        |w2 AS (
+        |  SELECT w1.cls, w1.dim, w1.w - 0.1 * g2.g AS w
+        |  FROM w1 JOIN g2 ON w1.cls = g2.cls AND w1.dim = g2.dim),
+        |mf AS (
+        |  SELECT w2.cls, p.vec_id, sum(p.v * w2.w) AS m
+        |  FROM pts p JOIN w2 ON p.dim = w2.dim
+        |  GROUP BY w2.cls, p.vec_id)
+        |SELECT vec_id, cls AS pred, round(m, 4) + 0.0 AS margin
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY m DESC, cls) AS rn FROM mf)
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // The DSIR chain of text_importance_weights feeding weighted OLS
+    // moments: w = exp(sum_mnat / (n_bigrams * 1e6)); docs with < 2
+    // tokens have no bigrams and drop out of the fit on both engines.
+    "l9_weighted_ols" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |flat AS (SELECT doc_id, lang, g.w1 AS w1, g.w2 AS w2 FROM grams),
+        |bit AS (SELECT w1, w2, count(*) AS c12_t FROM flat
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |unit AS (SELECT w1, count(*) AS c1_t FROM flat
+        |  WHERE lang = 'en' GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v_t FROM flat
+        |  WHERE lang = 'en'),
+        |bic AS (SELECT w1, w2, count(*) AS c12_c FROM flat GROUP BY 1, 2),
+        |unic AS (SELECT w1, count(*) AS c1_c FROM flat GROUP BY 1),
+        |vc AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v_c FROM flat),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |    CAST(round(ln((coalesce(c12_t, 0) + CAST(1.0 AS DOUBLE)) /
+        |      (coalesce(c1_t, 0) + v_t)) * 1e6, 0) AS BIGINT)
+        |    - CAST(round(ln((c12_c + CAST(1.0 AS DOUBLE)) /
+        |      (c1_c + v_c)) * 1e6, 0) AS BIGINT) AS d
+        |  FROM flat f
+        |  LEFT JOIN bit USING (w1, w2)
+        |  LEFT JOIN unit USING (w1)
+        |  JOIN bic USING (w1, w2)
+        |  JOIN unic USING (w1), vt, vc),
+        |iw AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(d) AS BIGINT) AS sum_mnat
+        |  FROM scored GROUP BY doc_id),
+        |feats AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS x,
+        |    CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+        |      AS y,
+        |    exp(CAST(i.sum_mnat AS DOUBLE) / (i.n_bigrams * 1e6)) AS w
+        |  FROM documents d JOIN iw i ON d.doc_id = i.doc_id),
+        |s AS (
+        |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+        |    sum(w * x * x) AS swxx, sum(w * x * y) AS swxy
+        |  FROM feats)
+        |SELECT
+        |  round((sw * swxy - swx * swy) /
+        |    nullif(sw * swxx - swx * swx, 0.0), 4) + 0.0 AS slope,
+        |  round((swy - (sw * swxy - swx * swy) /
+        |    nullif(sw * swxx - swx * swx, 0.0) * swx) / sw, 4) + 0.0
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    "n10_weighted_nb_fit" ->
+      """WITH dw AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(1 + doc_id % 3 AS DOUBLE) AS w FROM documents),
+        |toks AS (
+        |  SELECT lang, w, unnest(string_split(text, ' ')) AS term FROM dw),
+        |counts AS (SELECT lang, term, sum(w) AS wcnt FROM toks
+        |           GROUP BY 1, 2),
+        |classes AS (SELECT DISTINCT lang FROM toks),
+        |vocab AS (SELECT DISTINCT term FROM toks),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, sum(wcnt) AS class_total FROM counts
+        |           GROUP BY lang)
+        |SELECT c.lang, vo.term, coalesce(k.wcnt, 0.0) + 0.0 AS wcnt,
+        |  round(ln((coalesce(k.wcnt, 0.0) + 1.0) /
+        |    (t.class_total + 1.0 * (SELECT v FROM vs))), 6) AS log_prob
+        |FROM classes c
+        |CROSS JOIN vocab vo
+        |LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |JOIN totals t ON t.lang = c.lang
+        |ORDER BY 1, 2""".stripMargin,
 
     // l4's two-step unroll with a blk column threaded through every
     // CTE (weights zero-init per block, so step 1 is -lr·avg((σ(0)−y)·v)

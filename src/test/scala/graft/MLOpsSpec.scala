@@ -391,6 +391,66 @@ class MLOpsSpec extends AnyFunSuite {
     assert(g((2, 2)) === 20.0) // 4+16
   }
 
+  test("olsFitWeighted: ones == unweighted; integer weights == replicated rows") {
+    val df = Seq((1.0, 2.1, 1.0), (2.0, 3.9, 2.0), (3.0, 6.2, 3.0),
+      (4.0, 7.8, 1.0), (5.0, 10.1, 2.0)).toDF("x", "y", "w")
+    val unweighted = LinearOps.olsFit(df, "x", "y")
+      .as[(Double, Double)].head()
+    val ones = LinearOps.olsFitWeighted(df.withColumn("w1", lit(1.0)),
+      "x", "y", "w1", roundTo = 6).as[(Double, Double)].head()
+    assert(math.abs(ones._1 - unweighted._1) < 1e-5 &&
+      math.abs(ones._2 - unweighted._2) < 1e-5)
+    // integer weights == the fit on a row-replicated corpus
+    val replicated = df.withColumn("_i",
+        explode(sequence(lit(1), col("w").cast("int"))))
+    val wFit = LinearOps.olsFitWeighted(df, "x", "y", "w", roundTo = 6)
+      .as[(Double, Double)].head()
+    val rFit = LinearOps.olsFit(replicated, "x", "y")
+      .as[(Double, Double)].head()
+    assert(math.abs(wFit._1 - rFit._1) < 1e-5 &&
+      math.abs(wFit._2 - rFit._2) < 1e-5)
+  }
+
+  test("multinomialFitWeighted: ones == unweighted; integer weights == replication") {
+    val toks = Seq(("pos", "good", 2.0), ("pos", "bad", 1.0),
+      ("neg", "bad", 3.0), ("neg", "good", 1.0)).toDF("cls", "term", "w")
+    val ones = NaiveBayesOps.multinomialFitWeighted(
+        toks.withColumn("w1", lit(1.0)), "cls", "term", "w1")
+      .select("cls", "term", "log_prob").as[(String, String, Double)]
+      .collect().map(t => ((t._1, t._2), t._3)).toMap
+    val plain = NaiveBayesOps.multinomialFit(toks, "cls", "term")
+      .select("cls", "term", "log_prob").as[(String, String, Double)]
+      .collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(ones.keySet === plain.keySet)
+    ones.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-9) }
+    val repl = toks.withColumn("_i",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val wFit = NaiveBayesOps.multinomialFitWeighted(toks, "cls", "term", "w")
+      .select("cls", "term", "log_prob").as[(String, String, Double)]
+      .collect().map(t => ((t._1, t._2), t._3)).toMap
+    val rFit = NaiveBayesOps.multinomialFit(repl, "cls", "term")
+      .select("cls", "term", "log_prob").as[(String, String, Double)]
+      .collect().map(t => ((t._1, t._2), t._3)).toMap
+    wFit.foreach { case (k, v) => assert(math.abs(v - rFit(k)) < 1e-9) }
+  }
+
+  test("logisticGdOvr + predict recovers a separable 3-class fixture") {
+    val pts = Seq(
+      (1L, 1, 5.0), (1L, 2, 0.2), (2L, 1, 4.5), (2L, 2, -0.1),
+      (3L, 1, 0.1), (3L, 2, 5.0), (4L, 1, -0.2), (4L, 2, 4.8),
+      (5L, 1, -5.0), (5L, 2, -4.8), (6L, 1, -4.6), (6L, 2, -5.1))
+      .toDF("id", "dim", "v")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 2), (6L, 2))
+      .toDF("id", "y")
+    val w = LinearOps.logisticGdOvr(pts, labels, "id", "y",
+      iters = 5, lr = 0.5)
+    assert(w.count() === 6) // 3 classes x 2 dims
+    val preds = LinearOps.logisticOvrPredict(pts, w, "id")
+      .select("id", "pred").as[(Long, Int)].collect().toMap
+    val truth = Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2)
+    assert(preds === truth)
+  }
+
   test("topTermsPerFold two-phase == single global window on a tie-heavy fixture") {
     // 400 terms across 2 folds, counts drawn from only 4 distinct values
     // so nearly every rank decision is a term-name tiebreak — the case
