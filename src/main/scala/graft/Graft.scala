@@ -6,7 +6,7 @@ import graft.operators.{Blocking, Relational}
 import graft.similarity.Similarity
 import graft.stats.Moments
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** One-import facade over the engine — the surface a sparkit-learn user
   * lands on when switching. Names follow the reference's vocabulary
@@ -895,4 +895,11 @@ object Graft {
   def olsFitGrouped(df: DataFrame, group: Column, x: Column,
                     y: Column): DataFrame =
     graft.mlops.LinearOps.olsFitGrouped(df, group, x, y)
+  /** Persist a named bundle of model DataFrames to parquet (mlops.ModelIO). */
+  def saveModelBundle(spark: SparkSession, path: String,
+                      parts: Map[String, DataFrame]): Unit =
+    graft.mlops.ModelIO.saveBundle(spark, path, parts)
+  /** Load a model bundle saved by [[saveModelBundle]]; refuses schema drift. */
+  def loadModelBundle(spark: SparkSession, path: String): Map[String, DataFrame] =
+    graft.mlops.ModelIO.loadBundle(spark, path)
 }

@@ -104,6 +104,39 @@ object NaiveBayesOps {
       .withColumn("score", col("ll") + col("prior"))
   }
 
+  /** Predict from a PERSISTED model instead of refitting: `model` is a
+    * [[multinomialFit]]-shaped frame (classCol, termCol, log_prob) and
+    * `classDocCounts` a (classCol, n_docs) prior table — exactly what
+    * [[graft.mlops.ModelIO]] round-trips. Same argmax convention as
+    * [[multinomialPredict]]; OOV terms (absent from the model vocab)
+    * drop out, CountVectorizer-style, and a doc with no in-vocab term
+    * is absent from the output (it has no posterior under the model).
+    * Because parquet preserves doubles bit-exactly, predictions from a
+    * saved-then-loaded model are row-identical to the fitted one.
+    */
+  def multinomialPredictFromModel(docTokens: DataFrame, docCol: String,
+                                  termCol: String, model: DataFrame,
+                                  classCol: String,
+                                  classDocCounts: DataFrame): DataFrame = {
+    val counts = docTokens.groupBy(col(docCol), col(termCol))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = classDocCounts.agg(sum(col("n_docs")).as("_n"))
+    val priors = classDocCounts.crossJoin(broadcast(nDocs))
+      .select(col(classCol), log(col("n_docs") / col("_n")).as("prior"))
+    val scores = counts
+      .join(model.select(col(classCol), col(termCol),
+        col("log_prob").as("_lp")), Seq(termCol))
+      .groupBy(col(docCol), col(classCol))
+      .agg(sum(col("tf") * col("_lp")).as("ll"))
+      .join(broadcast(priors), Seq(classCol))
+      .withColumn("score", col("ll") + col("prior"))
+    val w = Window.partitionBy(col(docCol))
+      .orderBy(col("score").desc, col(classCol))
+    scores.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(docCol), col(classCol).as("pred"))
+  }
+
   /** Multinomial NB predict: argmax over classes of the log-posterior;
     * tie-break on class name for determinism.
     */

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.mlops.{ClusterOps, Composition, LinearOps, NaiveBayesOps, Scoring}
+import graft.mlops.{ClusterOps, Composition, LinearOps, ModelIO, NaiveBayesOps, Scoring}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.functions._
 
@@ -271,6 +271,34 @@ object MLQueries extends QueryPack {
         explode(split(col("text"), " ")).as("term"))
       NaiveBayesOps.multinomialFitWeighted(toks, "lang", "term", "w")
         .orderBy(col("lang"), col("term"))
+    }),
+
+    // P6 persistence contract (upstream estimators pickled for free):
+    // fit NB, SAVE the model bundle (log-prob matrix + class-doc
+    // priors) to parquet, LOAD it back, and predict with BOTH the
+    // fitted and the loaded model — the output carries both
+    // predictions per doc and the oracle emits one prediction twice,
+    // so the driver hash pins save → load → identical-predictions.
+    "ml_model_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      val fit = NaiveBayesOps.multinomialFit(
+        toks.select(col("lang"), col("term")), "lang", "term")
+      val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_nb"
+      ModelIO.saveBundle(s, path,
+        Map("nb_log_prob" -> fit, "nb_class_docs" -> priors))
+      val loaded = ModelIO.loadBundle(s, path)
+      val docTokens = toks.select(col("doc_id"), col("term"))
+      val pf = NaiveBayesOps.multinomialPredictFromModel(docTokens,
+          "doc_id", "term", fit, "lang", priors)
+        .withColumnRenamed("pred", "pred_fit")
+      val pl = NaiveBayesOps.multinomialPredictFromModel(docTokens,
+          "doc_id", "term", loaded("nb_log_prob"), "lang",
+          loaded("nb_class_docs"))
+        .withColumnRenamed("pred", "pred_loaded")
+      pf.join(pl, "doc_id").orderBy(col("doc_id"))
     }),
 
     // L1 classification: the reference's block-averaged logistic —
@@ -1700,6 +1728,51 @@ object MLQueries extends QueryPack {
         |    nullif(sw * swxx - swx * swx, 0.0) * swx) / sw, 4) + 0.0
         |    AS intercept
         |FROM s""".stripMargin,
+
+    // The fitted model IS the rounded-6 n1 matrix; parquet preserves
+    // those doubles bit-exactly, so fit-side and loaded-side argmax are
+    // one computation — the oracle scores once and emits it twice.
+    "ml_model_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |langs AS (SELECT doc_id, lang FROM documents),
+        |toksl AS (SELECT t.doc_id, l.lang, t.term
+        |          FROM toks t JOIN langs l ON t.doc_id = l.doc_id),
+        |counts AS (SELECT lang, term, count(*) AS cnt FROM toksl
+        |           GROUP BY lang, term),
+        |classes AS (SELECT DISTINCT lang FROM langs),
+        |vocab AS (SELECT DISTINCT term FROM toksl),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS ct
+        |           FROM counts GROUP BY lang),
+        |lp AS (
+        |  SELECT c.lang, vo.term,
+        |    round(ln((coalesce(k.cnt, 0) + 1.0) /
+        |      (t.ct + 1.0 * (SELECT v FROM vs))), 6) AS lpv
+        |  FROM classes c CROSS JOIN vocab vo
+        |  LEFT JOIN counts k ON k.lang = c.lang AND k.term = vo.term
+        |  JOIN totals t ON t.lang = c.lang),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       GROUP BY doc_id, term),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |pri AS (
+        |  SELECT lang, ln(count(*) * 1.0 / (SELECT n FROM nd)) AS prior
+        |  FROM documents GROUP BY lang),
+        |scores AS (
+        |  SELECT tf.doc_id, lp.lang,
+        |    sum(tf.tf * lp.lpv) + any_value(p.prior) AS score
+        |  FROM tf JOIN lp ON tf.term = lp.term
+        |  JOIN pri p ON p.lang = lp.lang
+        |  GROUP BY tf.doc_id, lp.lang),
+        |preds AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang) AS rn
+        |  FROM scores)
+        |SELECT doc_id, lang AS pred_fit, lang AS pred_loaded
+        |FROM preds WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "n10_weighted_nb_fit" ->
       """WITH dw AS (

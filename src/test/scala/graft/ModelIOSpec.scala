@@ -1,0 +1,70 @@
+package graft
+
+import graft.mlops.ModelIO
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistence contract: save → load is row-identical (parquet keeps
+  * doubles bit-exact) across the deployable model families — OLS
+  * coefficient rows, PQ codebooks (array-typed), minhash band indexes,
+  * scored-gate weight rows — and load refuses tampered bundles.
+  */
+class ModelIOSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_modelio_spec/$name"
+
+  test("bundle round-trip is row-identical across model families") {
+    val ols = Seq((2.513456, -1.000001)).toDF("slope", "intercept")
+    val codebook = Seq(
+      (0, 1, Seq(0.1, -0.25, 3.5)),
+      (1, 2, Seq(1.5, 2.5, -0.125))).toDF("cell", "sub", "centroid")
+    val bands = Seq((0, 123456789L, 1L), (1, -987654321L, 2L))
+      .toDF("band", "bucket", "doc_id")
+    val gate = Seq((0.015625, -2.5, 0.75, 1.0e-7))
+      .toDF("w1", "w2", "w3", "w4")
+    val parts = Map("ols" -> ols, "pq_codebook" -> codebook,
+      "band_index" -> bands, "gate_weights" -> gate)
+    val path = tmp("families")
+    ModelIO.saveBundle(spark, path, parts)
+    val loaded = ModelIO.loadBundle(spark, path)
+    assert(loaded.keySet === parts.keySet)
+    parts.foreach { case (n, df) =>
+      assert(loaded(n).schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ===
+        df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq,
+        s"schema of $n")
+      val a = df.collect().map(_.toString).sorted.toSeq
+      val b = loaded(n).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"rows of part $n")
+    }
+  }
+
+  test("save is an overwrite: a second bundle fully replaces the first") {
+    val path = tmp("overwrite")
+    ModelIO.saveBundle(spark, path, Map("m" -> Seq((1L, 2L)).toDF("a", "b")))
+    ModelIO.saveBundle(spark, path, Map("m" -> Seq((9L, 8L)).toDF("a", "b")))
+    val rows = ModelIO.loadBundle(spark, path)("m")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((9L, 8L)))
+  }
+
+  test("saveBundle rejects path-shaped part names and empty bundles") {
+    intercept[IllegalArgumentException] {
+      ModelIO.saveBundle(spark, tmp("bad"),
+        Map("../evil" -> Seq(1).toDF("x")))
+    }
+    intercept[IllegalArgumentException] {
+      ModelIO.saveBundle(spark, tmp("bad"), Map.empty)
+    }
+  }
+
+  test("loadBundle refuses schema drift behind the manifest's back") {
+    val path = tmp("drift")
+    ModelIO.saveBundle(spark, path,
+      Map("m" -> Seq((1L, 0.5)).toDF("a", "b")))
+    Seq(("x", 1)).toDF("a", "c").write.mode("overwrite")
+      .parquet(s"$path/parts/m")
+    intercept[IllegalArgumentException] { ModelIO.loadBundle(spark, path) }
+  }
+}
