@@ -463,6 +463,32 @@ object StressBench {
           rounds = refineMaxRounds).count()
       }
     }
+    // The graph ANN QUERY path at the same boundary-heavy circle
+    // geometry (rows/40 = 500k vectors at the default, 2048 cells):
+    // 1024 queries (one per even cell — ids 0..1023 are spread across
+    // distinct cells by the id%2048 assignment) enter at their coarse
+    // cell and walk 2 bounded-beam rounds over the prebuilt k-NN
+    // graph. The graph build is outside the timed region (it is the
+    // index; the stage prices SEARCH) — frontier state is 1024×16
+    // rows, candidates ≤ queries × beam × (k+1) per round, and no
+    // corpus scan recurs after the entry probe.
+    if (only.forall(_.contains("graph_search_topk"))) {
+      val n = math.max(rows / 40L, 100000L)
+      val emb = circleVecs(n)
+      val g = circleGraph(emb)
+      timed("graph_search_topk") {
+        val got = graft.similarity.Similarity.graphSearchTopK(
+          emb, emb.where(col("vec_id") < 1024), "vec_id", "embedding",
+          graft.mlops.NaiveBayesOps.toLongForm(
+              emb.withColumn("cell", pmod(col("vec_id"), lit(2048))),
+              Seq("cell"), "embedding")
+            .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c")),
+          "cell", g, k = 10, rounds = 2, beam = 16).count()
+        require(got == 1024L * 10,
+          s"graph search ground truth: $got rows vs expected 10240")
+        got
+      }
+    }
     // JPEG codec throughput at rows/2000 images (~64x48 color): full
     // encode (RGB->YCbCr, 2x DCT-quantize per block family, Huffman)
     // + full decode back to RGB per payload, partition-iterator — the

@@ -127,6 +127,24 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("src_id"), col("rnk"))
     }),
 
+    // Graph ANN query path (HNSW-style search over the built k-NN
+    // graph): enter at the query's coarse cell (top-8 by cosine), walk
+    // neighbor-of-neighbor for 2 bounded-beam rounds, emit top-3. The
+    // oracle unrolls the graph build, the entry probe, and both beam
+    // rounds; recall >= adaptive IVF's is pinned in DedupSimilaritySpec.
+    "sim_graph_search_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+        .groupBy(col("label").as("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+      val g = Similarity.knnGraphCells(emb, "vec_id", "embedding", centers,
+        "cell", k = 3, nProbe = 2)
+      Similarity.graphSearchTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", centers, "cell", g, k = 3,
+          rounds = 2, beam = 8)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Semantic communities over the mutual k-NN graph: reciprocal
     // top-3 edges (hub edges die — a vector close to everything
     // reciprocates few of its appearances), 4 label-propagation
@@ -439,7 +457,93 @@ object SimilarityQueries extends QueryPack {
       |    PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
       |  FROM sc2)""".stripMargin
 
+  /** Unrolled graph-search oracle: one shared distance/rank table
+    * feeds both the 2-probe graph-build assignment and the 1-probe
+    * entry membership; then the entry beam (f0) and two expansion
+    * rounds (f1, f2), each a UNION-dedup of walked edges with the
+    * previous frontier, scored and beam-cut at 8. Every frontier CTE
+    * is referenced twice downstream → MATERIALIZED (the inliner rule).
+    */
+  private def graphSearchOracle(queryPred: String, beam: Int,
+                                k: Int): String = {
+    def beamCte(name: String, candCte: String): String = s"""
+      |$name AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cs FROM (
+      |    SELECT sc.*, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs DESC, neighbor_id) AS rn
+      |    FROM (SELECT c.query_id, c.neighbor_id,
+      |            list_cosine_similarity(q.embedding::DOUBLE[],
+      |              n.embedding::DOUBLE[]) AS cs
+      |          FROM $candCte c
+      |          JOIN embeddings q ON q.vec_id = c.query_id
+      |          JOIN embeddings n ON n.vec_id = c.neighbor_id) sc) t
+      |  WHERE rn <= $beam)""".stripMargin
+    s"""WITH pts AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ptsl AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl
+      |        GROUP BY label, dim),
+      |rnks AS MATERIALIZED (
+      |  SELECT vec_id, cell, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+      |  FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+      |        FROM pts p JOIN ctr c ON p.dim = c.dim
+      |        GROUP BY p.vec_id, c.cell) d),
+      |assign AS MATERIALIZED (SELECT vec_id, cell FROM rnks WHERE rn <= 2),
+      |a1 AS MATERIALIZED (SELECT vec_id, cell FROM rnks WHERE rn = 1),
+      |prs AS (
+      |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+      |  FROM assign a JOIN assign b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |gsc AS (
+      |  SELECT pr.src_id, pr.neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[],
+      |      n.embedding::DOUBLE[]) AS cs
+      |  FROM prs pr
+      |  JOIN embeddings q ON q.vec_id = pr.src_id
+      |  JOIN embeddings n ON n.vec_id = pr.neighbor_id),
+      |g AS MATERIALIZED (
+      |  SELECT src_id, neighbor_id FROM (
+      |    SELECT src_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rnk
+      |    FROM gsc) t
+      |  WHERE rnk <= 3),
+      |e0 AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+      |  FROM a1 q JOIN a1 m ON q.cell = m.cell AND q.vec_id <> m.vec_id
+      |  WHERE $queryPred),""".stripMargin +
+      beamCte("f0", "e0") + s""",
+      |c1 AS (
+      |  SELECT DISTINCT f.query_id, g.neighbor_id
+      |  FROM f0 f JOIN g ON g.src_id = f.neighbor_id
+      |  WHERE f.query_id <> g.neighbor_id
+      |  UNION
+      |  SELECT query_id, neighbor_id FROM f0),""".stripMargin +
+      beamCte("f1", "c1") + s""",
+      |c2 AS (
+      |  SELECT DISTINCT f.query_id, g.neighbor_id
+      |  FROM f1 f JOIN g ON g.src_id = f.neighbor_id
+      |  WHERE f.query_id <> g.neighbor_id
+      |  UNION
+      |  SELECT query_id, neighbor_id FROM f1),""".stripMargin +
+      beamCte("f2", "c2") + s"""
+      |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+      |  round(cs, 4) AS cos
+      |FROM (SELECT f.*, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cs DESC, neighbor_id) AS rn FROM f2 f) t
+      |WHERE rn <= $k
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_graph_search_topk" ->
+      graphSearchOracle("q.vec_id < 10", beam = 8, k = 3),
+
     "sim_topk_bruteforce" ->
       """WITH p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

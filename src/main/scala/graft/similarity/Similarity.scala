@@ -623,14 +623,14 @@ object Similarity {
       .select(col(centerCol), col(idCol), col("_v"))
       // one materialization feeds both sides of the self-join —
       // otherwise the whole assignment subtree evaluates twice (the
-      // shingle-reuse lesson). Carries every vector (corpus-sized) and
-      // is re-read HOT in the same job (both self-join sides), so
-      // MEMORY_AND_DISK_SER: identical executor-loss recoverability
-      // (persist preserves lineage either way) without forcing every
-      // re-read through disk — the r16 durability sweep's DISK_ONLY
-      // here was needlessly pessimistic (the round's one real bench
-      // debit; SCALE.md r17 A/B).
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // shingle-reuse lesson). Carries every vector (corpus-sized) —
+      // DISK_ONLY, and measured, not just principled: the r17 A/B
+      // tried MEMORY_AND_DISK_SER here and the 500k-vector StressBench
+      // graph build OOM'd the 8g heap — a FAT frame cached in-heap
+      // competes with the Σ|cell|² self-join's execution memory, the
+      // exact pressure DISK_ONLY avoids (SCALE.md r17). The slim
+      // edge frames in knnRefine are where memory caching is safe.
+      .persist(StorageLevel.DISK_ONLY)
     // the self-join runs through the shared per-key salted join: a
     // cell at the maxCell cap still means |cell|² pairs, and without
     // salting they all land on ONE task (AQE can't split inside a key)
@@ -653,6 +653,87 @@ object Similarity {
       .withColumn("rnk", row_number().over(wK))
       .where(col("rnk") <= k)
       .select(col("src_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"))
+  }
+
+  /** Greedy BEAM SEARCH over a built k-NN graph — the HNSW-style query
+    * path on top of [[knnGraphCells]]/[[knnRefine]]'s index: enter at
+    * the query's IVF coarse cell (top-`beam` members by exact cosine),
+    * then `rounds` expansions walk neighbor-of-neighbor through the
+    * graph's directed edges, re-ranking a bounded frontier each round.
+    * The candidate set grows along the graph's geometry instead of the
+    * cell partition, so a query near a cell boundary recovers true
+    * neighbors the pure IVF probe forgoes — recall@k is pinned ≥ the
+    * adaptive-IVF baseline on a boundary-heavy fixture
+    * (DedupSimilaritySpec) and the whole search is deterministic
+    * (fixed rounds, ties (cos DESC, id)), so it unrolls into a SQL
+    * oracle round for round.
+    *
+    * 100 TB shape: after the one entry probe (the query's single
+    * nearest cell), every step is a KEYED join — frontier×graph on the
+    * source id, candidates×vectors on the point id — with the frontier
+    * bounded at queries×beam rows and candidates at
+    * queries×beam×(graph degree+1) per round. No corpus scan recurs;
+    * the graph edge list (n·k rows) is the only corpus-scale relation
+    * and it is touched once per round, keyed. Frontier state is
+    * batch-of-queries-sized (localCheckpoint per round: it is
+    * referenced twice per round — expansion join + union — the 2^i
+    * re-execution lesson; metadata-scale by the r9 slim-frame
+    * carve-out).
+    */
+  def graphSearchTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                      arrCol: String, centersLong: DataFrame,
+                      centerCol: String, graph: DataFrame, k: Int,
+                      rounds: Int = 2, beam: Int = 8): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    require(k >= 1, s"k=$k must be positive")
+    require(beam >= k, s"beam=$beam must be >= k=$k")
+    require(rounds >= 0, s"rounds=$rounds must be non-negative")
+    // corpus cell membership (each point's single nearest cell) and the
+    // query's entry cell — the native in-row argmin ([[assignCells]]
+    // nProbe=1: broadcast packed centroids, map-side, no long-form
+    // blowup; the first cut used the dim-keyed long-form join and
+    // OOM'd the 500k stress build — 32M exploded rows × centers).
+    val cells = assignCells(emb, idCol, arrCol, centersLong, centerCol, 1)
+      .select(col(idCol).as("neighbor_id"), col(centerCol))
+    val entryCell = assignCells(queries, idCol, arrCol, centersLong,
+      centerCol, 1)
+      .select(col(idCol).as("query_id"), col(centerCol))
+    val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
+    val cU = emb.select(col(idCol).as("neighbor_id"), col(arrCol).as("_c"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    // candidates arrive as SLIM deduped (query, point) pairs; vectors
+    // attach per candidate (keyed joins), exact cosine, top-beam
+    def scoreAndBeam(pairs: DataFrame): DataFrame = pairs
+      .join(qU, "query_id")
+      .join(cU, "neighbor_id")
+      .withColumn("_cos",
+        graft.plans.GraftExpressions.cosine(col("_q"), col("_c")))
+      .withColumn("_rn", row_number().over(wBeam))
+      .where(col("_rn") <= beam)
+      .select(col("query_id"), col("neighbor_id"), col("_cos"))
+    var frontier = scoreAndBeam(
+      entryCell.join(cells, centerCol)
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")))
+      .localCheckpoint()
+    val edges = graph.select(col("src_id").as("_e_src"),
+      col("neighbor_id").as("_e_dst"))
+    (1 to rounds).foreach { _ =>
+      val expanded = frontier
+        .select(col("query_id"), col("neighbor_id").as("_e_src"))
+        .join(edges, "_e_src")
+        .select(col("query_id"), col("_e_dst").as("neighbor_id"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .unionByName(frontier.select(col("query_id"), col("neighbor_id")))
+        .distinct()
+      frontier = scoreAndBeam(expanded).localCheckpoint()
+    }
+    frontier
+      .withColumn("rnk", row_number().over(wBeam))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("_cos"), 4).as("cos"))
   }
 

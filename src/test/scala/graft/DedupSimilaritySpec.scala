@@ -438,6 +438,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gated.toSeq === exact.toSeq)
   }
 
+  test("graphSearchTopK recall beats single-probe adaptive IVF on boundary queries") {
+    // unit vectors by angle; cells = the two axes, so assignment splits
+    // at 45 degrees — queries at 44/46 degrees sit ON the boundary and
+    // their true neighbors straddle it (the case the cell probe misses
+    // and the graph walk recovers)
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq(
+      0L -> v(44), 1L -> v(5), 2L -> v(20), 3L -> v(43),
+      4L -> v(47), 5L -> v(70), 6L -> v(85), 7L -> v(46)
+    ).toDF("vec_id", "embedding")
+    val centers = Seq((0L, 1, 1.0), (0L, 2, 0.0), (1L, 1, 0.0), (1L, 2, 1.0))
+      .toDF("cell", "dim", "c")
+    val queries = emb.where(col("vec_id").isin(0L, 7L))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val truth = topSets(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 3))
+    val ivf = topSets(Similarity.ivfTopKAdaptive(emb, queries,
+      "vec_id", "embedding", centers, "cell", nProbe = 1, k = 3,
+      minCand = 1))
+    val g = Similarity.knnGraphCells(emb, "vec_id", "embedding", centers,
+      "cell", k = 2, nProbe = 2)
+    val graph = topSets(Similarity.graphSearchTopK(emb, queries,
+      "vec_id", "embedding", centers, "cell", g, k = 3,
+      rounds = 2, beam = 8))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    val (rIvf, rGraph) = (recall(ivf), recall(graph))
+    assert(rGraph >= rIvf,
+      s"graph recall $rGraph must be >= adaptive-IVF recall $rIvf")
+    assert(rGraph === 1.0, s"graph walk should recover all boundary " +
+      s"neighbors on this fixture, got $rGraph")
+    assert(rIvf < 1.0, "fixture must actually defeat the single probe")
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f))
