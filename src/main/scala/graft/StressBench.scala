@@ -793,6 +793,24 @@ object StressBench {
           "i -> chr(97 + abs(hash(id, i)) % 26))")).as("text"))
       graft.text.Bpe.learnMerges(docs, "text", merges = 6).count()
     }
+    // Unigram-LM tokenizer ENCODE throughput at rows tokens (rows/200
+    // docs x 200 tokens, 500-term surface vocabulary): train (2
+    // Viterbi-EM rounds — vocabulary-scale, amortized) then encode,
+    // whose corpus-scale cost is one explode + one distinct-word join
+    // (the Bpe.applyMerges shape); the per-word DP runs once per
+    // DISTINCT word, never per token instance.
+    timed("unigram_encode") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 200), " +
+          "i -> concat('t', abs(hash(id, i)) % 500))")).as("text"))
+      val vocab = graft.text.Unigram.learn(docs, "text", maxPieceLen = 4,
+        seedMultiTopK = 256, emRounds = 2, vocabSize = 300)
+      val n = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+        vocab, maxPieceLen = 4).count()
+      require(n == nDocs, s"unigram encode ground truth: $n vs $nDocs")
+      rows
+    }
     // rows tokens across rows/200 docs, 500-term vocabulary, a 3-term
     // phrase planted in every 100th doc: index build (one explode +
     // checkpoint) + three posting-list joins. The regex twin this

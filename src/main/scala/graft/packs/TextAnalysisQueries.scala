@@ -216,6 +216,30 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM tokenizer (Kudo 2018, the SentencePiece family):
+    // substring seeding (chars + two-phase top-24 multi-char), 2
+    // deterministic Viterbi-EM rounds over the distinct-word table,
+    // prune to vocab 40. The oracle replays the seed, both EM rounds
+    // (the in-row DP fold as a list_reduce), and the prune.
+    "unigram_learn" -> ((s, dir) => {
+      graft.text.Unigram.learn(Tables(s, dir).documents, "text",
+          maxPieceLen = 4, seedMultiTopK = 24, emRounds = 2,
+          vocabSize = 40)
+        .orderBy(col("piece"))
+    }),
+
+    // The encode side: Viterbi-segment each distinct word under the
+    // learned vocab, join documents — per-doc word/token counts and
+    // the exact integer micro-nat score (order-independent sums).
+    "unigram_encode_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val vocab = graft.text.Unigram.learn(docs, "text",
+        maxPieceLen = 4, seedMultiTopK = 24, emRounds = 2, vocabSize = 40)
+      graft.text.Unigram.encodeStats(docs, "doc_id", "text", vocab,
+          maxPieceLen = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-phrase search through the positional inverted index: the
     // 3-term phrase joins its three posting lists on (doc, pos−i) —
     // cost bounded by those lists, not the corpus (the regex-scan twin
@@ -395,7 +419,134 @@ object TextAnalysisQueries extends QueryPack {
     sb.toString
   }
 
+  /** The DuckDB twin of Unigram's in-row Viterbi fold: outer
+    * list_reduce over positions (the position rides in x[1].np), inner
+    * reduce picks the best (score DESC, piece-count ASC, seg ASC)
+    * extension among candidates ending at that position. No line
+    * starts with a margin char, so splicing into stripMargin'd CTE
+    * text is safe (the double-stripMargin trap).
+    */
+  private val unigramFoldSql: String =
+    "list_reduce(" +
+      " list_concat([[{'s': 0.0, 'np': 0, 'seg': '', 'm': CAST(0 AS BIGINT)}]]," +
+      "  list_transform(range(1, len(w) + 1)," +
+      "   i -> [{'s': CAST(i AS DOUBLE), 'np': i, 'seg': ''," +
+      "          'm': CAST(0 AS BIGINT)}]))," +
+      " (acc, x) -> list_append(acc," +
+      "  list_reduce(" +
+      "   list_concat([{'s': -1e18, 'np': 0, 'seg': ''," +
+      "                 'm': CAST(0 AS BIGINT)}]," +
+      "    list_transform(list_filter(cands, c -> c.e = x[1].np)," +
+      "     c -> {'s': acc[c.e - c.l + 1].s + c.lp," +
+      "           'np': acc[c.e - c.l + 1].np + 1," +
+      "           'seg': acc[c.e - c.l + 1].seg || chr(31) || c.piece," +
+      "           'm': acc[c.e - c.l + 1].m +" +
+      "                CAST(round(c.lp * 1e6, 0) AS BIGINT)}))," +
+      "   (b, d) -> CASE WHEN d.s > b.s OR (d.s = b.s AND (d.np < b.np" +
+      "       OR (d.np = b.np AND d.seg < b.seg))) THEN d ELSE b END)))[-1]"
+
+  /** Candidate-array CTE body over vocabulary CTE `vsrc`: per distinct
+    * word, the (e, l, lp, piece) structs for every substring found in
+    * the vocab, list-ordered by (e, l) — the sort_array twin.
+    */
+  private def unigramCandsSql(lmax: Int, vsrc: String): String =
+    s"""  SELECT s.w, s.cnt, list(struct_pack(e := s.e, l := s.l,
+      |      lp := v.lp, piece := s.piece) ORDER BY s.e, s.l) AS cands
+      |  FROM (SELECT w, cnt, u.e AS e, u.l AS l, u.piece AS piece FROM (
+      |      SELECT w, cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+      |        e -> list_transform(range(1, least($lmax, e) + 1),
+      |          l -> struct_pack(e := e, l := l,
+      |            piece := w[e - l + 1 : e]))))) AS u
+      |      FROM wt) q) s
+      |  JOIN $vsrc v ON v.piece = s.piece
+      |  GROUP BY s.w, s.cnt""".stripMargin
+
+  /** Unrolled unigram-LM training chain: word table, substring seed
+    * (chars + top-`seedK` multi), `rounds` Viterbi-EM rounds, prune to
+    * `vocabSize` as CTE `fin`.
+    */
+  private def unigramChain(lmax: Int, seedK: Int, rounds: Int,
+                           vocabSize: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH wt AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+      |  WHERE len(w) > 0 GROUP BY w),
+      |subs AS (
+      |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+      |    SELECT cnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+      |      e -> list_transform(range(1, least($lmax, e) + 1),
+      |        l -> w[e - l + 1 : e])))) AS piece
+      |    FROM wt) z GROUP BY piece),
+      |sel0 AS (
+      |  SELECT piece, pcnt FROM subs WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, pcnt FROM (
+      |    SELECT piece, pcnt,
+      |      row_number() OVER (ORDER BY pcnt DESC, piece) AS r
+      |    FROM subs WHERE len(piece) >= 2) t WHERE r <= $seedK),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece, pcnt, round(ln(pcnt /
+      |    (SELECT CAST(sum(pcnt) AS DOUBLE) FROM sel0)), 6) + 0.0 AS lp
+      |  FROM sel0)""".stripMargin)
+    for (r <- 1 to rounds) sb.append(s""",
+      |cd$r AS (
+      |${unigramCandsSql(lmax, s"v${r - 1}")}),
+      |vt$r AS (SELECT w, cnt, $unigramFoldSql AS best FROM cd$r),
+      |us$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS used FROM (
+      |    SELECT cnt, unnest(list_filter(string_split(best.seg, chr(31)),
+      |      p -> len(p) > 0)) AS piece FROM vt$r) z GROUP BY piece),
+      |nv$r AS MATERIALIZED (
+      |  SELECT v.piece, CAST(coalesce(u.used, 0) +
+      |    CASE WHEN len(v.piece) = 1 THEN 1 ELSE 0 END AS BIGINT) AS pcnt
+      |  FROM v${r - 1} v LEFT JOIN us$r u USING (piece)),
+      |v$r AS MATERIALIZED (
+      |  SELECT piece, pcnt, round(ln(pcnt /
+      |    (SELECT CAST(sum(pcnt) AS DOUBLE) FROM nv$r WHERE pcnt > 0)), 6)
+      |    + 0.0 AS lp
+      |  FROM nv$r WHERE pcnt > 0)""".stripMargin)
+    sb.append(s""",
+      |uchars AS MATERIALIZED (
+      |  SELECT piece, pcnt FROM v$rounds WHERE len(piece) = 1),
+      |fin0 AS (
+      |  SELECT piece, pcnt FROM uchars
+      |  UNION ALL
+      |  SELECT piece, pcnt FROM (
+      |    SELECT piece, pcnt,
+      |      row_number() OVER (ORDER BY pcnt DESC, piece) AS r
+      |    FROM v$rounds WHERE len(piece) >= 2) t
+      |  WHERE r <= $vocabSize - (SELECT count(*) FROM uchars)),
+      |fin AS MATERIALIZED (
+      |  SELECT piece, pcnt, round(ln(pcnt /
+      |    (SELECT CAST(sum(pcnt) AS DOUBLE) FROM fin0)), 6) + 0.0 AS lp
+      |  FROM fin0)""".stripMargin)
+    sb.toString
+  }
+
+  private def unigramLearnOracle(lmax: Int, seedK: Int, rounds: Int,
+                                 vocabSize: Int): String =
+    unigramChain(lmax, seedK, rounds, vocabSize) + """
+      |SELECT piece, pcnt, lp FROM fin ORDER BY piece""".stripMargin
+
+  private def unigramEncodeOracle(lmax: Int, seedK: Int, rounds: Int,
+                                  vocabSize: Int): String =
+    unigramChain(lmax, seedK, rounds, vocabSize) + s""",
+      |cdE AS (
+      |${unigramCandsSql(lmax, "fin")}),
+      |vtE AS MATERIALIZED (SELECT w, $unigramFoldSql AS best FROM cdE)
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(e.best.np) AS BIGINT) AS n_tokens_uni,
+      |  CAST(sum(e.best.m) AS BIGINT) AS score_mnat
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |      FROM documents) d
+      |JOIN vtE e ON d.w = e.w
+      |WHERE len(d.w) > 0
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "unigram_learn" -> unigramLearnOracle(4, 24, 2, 40),
+    "unigram_encode_stats" -> unigramEncodeOracle(4, 24, 2, 40),
     "bpe_learn_merges" -> bpeOracle(6),
     "bpe_encode_stats" -> bpeEncodeOracle(6),
     "bpe_vocab_cap" -> bpeVocabCapOracle(4),

@@ -340,4 +340,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       "one two quote end")
   }
 
+  test("unigram learn: repeated bigram becomes a piece; Viterbi prefers it") {
+    import spark.implicits._
+    val docs = Seq("abab abab ab", "abab ab ab").toDF("text")
+    val vocab = graft.text.Unigram.learn(docs, "text", maxPieceLen = 2,
+      seedMultiTopK = 2, emRounds = 2, vocabSize = 4)
+    val rows = vocab.select("piece", "pcnt")
+      .as[(String, Long)].collect().toMap
+    // 'ab' dominates every segmentation; 'ba' never survives a round
+    assert(rows.contains("ab"), s"vocab was $rows")
+    assert(!rows.contains("ba"), s"vocab was $rows")
+    val enc = graft.text.Unigram.encodeStats(docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      "doc_id", "text", vocab, maxPieceLen = 2)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens_uni")).head().getLong(0)
+    // abab -> [ab, ab] (2), ab -> [ab] (1): 2+2+1 + 2+1+1 = 9 tokens
+    assert(enc === 9L, s"total unigram tokens $enc")
+  }
+
+  test("unigram encode under a chars-only vocab counts every character") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc ab a"), (2L, "ccc")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L, -1.0), ("b", 1L, -1.5), ("c", 1L, -2.0))
+      .toDF("piece", "pcnt", "lp")
+    val got = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+        vocab, maxPieceLen = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_tokens_uni")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 6L), (2L, 1L, 3L)))
+  }
+
 }
