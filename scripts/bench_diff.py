@@ -62,14 +62,41 @@ def round_num(p):
     return int(m.group(1)) if m else -1
 
 
-def latest_baseline():
-    """Most recent BENCH_r*.json with a parseable, NON-POISONED line.
+def canary_band():
+    """(cal_healthy, degraded_factor) from CANARY.json, or (None, 1.5).
 
-    A load-poisoned artifact committed for the record must not become
-    the silent comparison baseline: its inflated numbers would turn the
-    next clean round into phantom improvements and mask real
-    regressions. Poisoned rounds are skipped (with a note) in favor of
-    the most recent clean one.
+    The checked-in absolute anchor for the machine-speed canary — the
+    healthy band certified across rounds 12-16. Relative cal_pre/cal_prev
+    normalization can forgive drift between two runs but cannot notice
+    that BOTH ran slow; the absolute anchor can.
+    """
+    try:
+        d = json.loads((REPO / "CANARY.json").read_text())
+        return d.get("cal_healthy"), d.get("degraded_factor", 1.5)
+    except (OSError, json.JSONDecodeError):
+        return None, 1.5
+
+
+def machine_degraded(parsed):
+    """True when the artifact self-stamps degraded, or (for artifacts
+    predating the stamp) its cal_pre breaches the checked-in band."""
+    if parsed.get("machine_degraded"):
+        return True
+    healthy, factor = canary_band()
+    cal = parsed.get("cal_pre")
+    return bool(healthy and isinstance(cal, (int, float))
+                and cal > healthy * factor)
+
+
+def latest_baseline():
+    """Most recent BENCH_r*.json with a parseable, NON-POISONED,
+    NON-DEGRADED line.
+
+    A load-poisoned or machine-degraded artifact committed for the
+    record must not become the silent comparison baseline: its inflated
+    numbers would turn the next clean round into phantom improvements
+    and mask real regressions. Such rounds are skipped (with a note) in
+    favor of the most recent clean one.
     """
     for p in sorted(REPO.glob("BENCH_r*.json"), key=round_num, reverse=True):
         try:
@@ -81,6 +108,11 @@ def latest_baseline():
             if parsed.get("load_poisoned"):
                 print(f"bench_diff: skipping poisoned baseline {p.name} "
                       f"(load_poisoned=true)")
+                continue
+            if machine_degraded(parsed):
+                print(f"bench_diff: skipping machine-degraded baseline "
+                      f"{p.name} (cal_pre={parsed.get('cal_pre')} vs "
+                      f"healthy band {canary_band()[0]})")
                 continue
             return p.name, parsed
     return None, None
@@ -104,6 +136,15 @@ def main():
               f"(loadavg={cur.get('loadavg_preflight')}, "
               f"sibling_jvms={cur.get('sibling_jvms')}); per-query numbers "
               f"reflect ambient machine load, not plans")
+    cur_degraded = machine_degraded(cur)
+    if cur_degraded:
+        healthy, factor = canary_band()
+        print(f"bench_diff: MACHINE DEGRADED — cal_pre "
+              f"{cur.get('cal_pre')} breaches {factor}x the healthy "
+              f"anchor {healthy} (CANARY.json). Cross-round per-query "
+              f"conclusions REFUSED: these numbers measure the machine, "
+              f"not the plans. Re-run on a healthy machine; failed "
+              f"queries are still gated below.")
     if cur.get("warmup_failures"):
         print(f"bench_diff: WARNING warmup failures (query failed in the "
               f"untimed warmup pass): {', '.join(cur['warmup_failures'])}")
@@ -150,6 +191,13 @@ def main():
         sys.exit(f"bench_diff: queries FAILED in current run with no "
                  f"BASELINE.md bench-waiver line: {', '.join(hard_broken)}")
     shared = [q for q in cq if q in pq and cq[q] > 0 and pq[q] > 0]
+    if cur_degraded:
+        # Failed-query gate above still applies; everything per-query
+        # timing-wise is refused — no regression OR improvement verdicts
+        # from a machine the canary would not certify.
+        print(f"bench_diff: REFUSED per-query comparison of {len(shared)} "
+              f"shared queries (machine_degraded artifact)")
+        return
     regressions, improved = [], []
     for q in sorted(shared):
         ratio = cq[q] / pq[q] / cal_ratio
