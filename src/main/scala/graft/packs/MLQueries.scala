@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.QueryPack
 import graft.core.Tables
-import graft.mlops.{ClusterOps, Composition, LinearOps, ModelIO, NaiveBayesOps, Scoring}
+import graft.mlops.{ClusterOps, Composition, Eval, LinearOps, ModelIO, NaiveBayesOps, Scoring}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.functions._
 
@@ -640,6 +640,31 @@ object MLQueries extends QueryPack {
         .select(lit("kmeans_assign").as("estimator"), col("group"),
           col("kind"), col("n"), col("score"))
       reg.unionByName(clu).orderBy(col("estimator"), col("group"))
+    }),
+
+    // sklearn.metrics.classification_report as ONE confusion
+    // aggregation + class-cardinality arithmetic (Eval.scala): per-class
+    // precision/recall/F1/support of a deterministic quantity-tercile
+    // rule predicting l_returnflag. The metric is what's under test —
+    // the predictor is a fixed rule so the oracle states it verbatim.
+    "ml_eval_report" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("label"),
+        when(col("l_quantity") < 17, "A")
+          .when(col("l_quantity") < 34, "N").otherwise("R").as("pred"))
+      Eval.classificationReport(d, "label", "pred").orderBy(col("cls"))
+    }),
+
+    // Exact tie-aware AUC (Mann-Whitney average ranks) over the
+    // quantized-score histogram — the rank window runs on the BOUNDED
+    // distinct-score frame, never the corpus (Eval.aucExact scaladoc).
+    // discount+tax/10 has ~99 distinct values here: heavy ties, so the
+    // average-rank correction is load-bearing in the hash compare.
+    "ml_auc_exact" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        (col("l_discount") + col("l_tax") / 10).as("score"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Eval.aucExact(d, "score", "y", quantize = 6)
     })
   )
 
@@ -933,6 +958,61 @@ object MLQueries extends QueryPack {
       |     ELSE 'ing' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors Eval.classificationReport: one confusion CTE, per-class
+    // margins, P/R rounded BEFORE f1 (the engine computes f1 from the
+    // rounded columns). DuckDB sum() is HUGEINT -> cast BIGINT.
+    "ml_eval_report" ->
+      """WITH d AS (SELECT l_returnflag AS label,
+        |    CASE WHEN l_quantity < 17 THEN 'A'
+        |         WHEN l_quantity < 34 THEN 'N' ELSE 'R' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, count(*) AS n FROM d GROUP BY 1, 2),
+        |bl AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS support
+        |       FROM cm GROUP BY 1),
+        |bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS npred
+        |       FROM cm GROUP BY 1),
+        |tpos AS (SELECT label AS cls, CAST(n AS BIGINT) AS tp FROM cm
+        |         WHERE label = pred),
+        |base AS (SELECT coalesce(bl.cls, bp.cls) AS cls,
+        |    coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+        |    coalesce(npred, 0) AS npred
+        |  FROM bl FULL JOIN bp ON bl.cls = bp.cls
+        |  LEFT JOIN tpos ON coalesce(bl.cls, bp.cls) = tpos.cls),
+        |pr AS (SELECT cls, support, tp, npred,
+        |    round(CASE WHEN npred > 0 THEN tp * 1.0 / npred ELSE 0.0 END, 6)
+        |      AS "precision",
+        |    round(CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END, 6)
+        |      AS recall
+        |  FROM base)
+        |SELECT cls, support, tp, npred, "precision", recall,
+        |  round(CASE WHEN "precision" + recall > 0
+        |    THEN 2.0 * "precision" * recall / ("precision" + recall)
+        |    ELSE 0.0 END, 6) AS f1
+        |FROM pr
+        |ORDER BY cls""".stripMargin,
+
+    // Mirrors Eval.aucExact: quantized-score histogram, cumulative
+    // count window over the BOUNDED distinct-score frame, average-rank
+    // Mann-Whitney sum. All rank terms are integer-or-half values —
+    // exact in double on both engines regardless of sum order.
+    "ml_auc_exact" ->
+      """WITH d AS (SELECT round(l_discount + l_tax / 10, 6) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT s, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+        |      FROM d GROUP BY s),
+        |r AS (SELECT s, n, npos,
+        |    sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - n AS cum
+        |  FROM h)
+        |SELECT round((sum(npos * (cum + (n + 1.0) / 2.0))
+        |    - CAST(sum(npos) AS DOUBLE) * (CAST(sum(npos) AS DOUBLE) + 1.0) / 2.0)
+        |    / (CAST(sum(npos) AS DOUBLE) * CAST(sum(n - npos) AS DOUBLE)), 6)
+        |    AS auc,
+        |  CAST(sum(npos) AS BIGINT) AS npos,
+        |  CAST(sum(n - npos) AS BIGINT) AS nneg
+        |FROM r""".stripMargin,
+
     "c4_svd_power" -> powerIterOracle(8),
     "c4_svd_power2" -> powerComponentsOracle(2, 8),
     "c7_orth_iter2" -> orthIter2Oracle(8),

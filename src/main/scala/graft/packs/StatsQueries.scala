@@ -167,10 +167,33 @@ object StatsQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("q_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S17: weighted StandardScaler — sample_weight through the one-pass
+    // sufficient stats (SUM w, SUM wx, SUM wx^2); weights here are the
+    // integer line numbers so the oracle can state the same closed form.
+    "s17_weighted_scaler" -> ((s, dir) => {
+      Moments.standardScaleWeighted(Tables(s, dir).lineitem,
+          "l_quantity", "l_linenumber", "zw_qty")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("zw_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "s17_weighted_scaler" ->
+      """WITH m AS (SELECT sum(l_linenumber * l_quantity) / sum(l_linenumber) AS mu,
+        |  sqrt(sum(l_linenumber * l_quantity * l_quantity) / sum(l_linenumber)
+        |    - (sum(l_linenumber * l_quantity) / sum(l_linenumber))
+        |      * (sum(l_linenumber * l_quantity) / sum(l_linenumber))) AS sigma
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round((l_quantity - m.mu) / m.sigma, 6) AS zw_qty
+        |FROM lineitem, m
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s1_variance_threshold" -> {
       val branches = liFeatures.map { f =>
         s"""SELECT '$f' AS feature, round(var_pop($f), 4) AS variance,

@@ -47,6 +47,31 @@ object Moments {
       .drop("_mu", "_sigma")
   }
 
+  /** Weighted StandardScaler: z-score against WEIGHTED population
+    * moments (sklearn `StandardScaler.fit(X, sample_weight=w)`):
+    * mu = SUM(w*x)/SUM(w), var = SUM(w*x^2)/SUM(w) - mu^2 — the one-pass
+    * sufficient statistics (SUM w, SUM wx, SUM wx^2), so the fit stays a
+    * single map-side-combinable aggregation and the 1-row moment frame
+    * is broadcast. w == 1 everywhere reduces exactly to [[standardScale]]
+    * (spec-pinned); integer weights equal a row-replicated corpus.
+    * Closes the scaler leg of the r16 sample-weight item alongside
+    * `LinearOps.olsFitWeighted` / `NaiveBayesOps.multinomialFitWeighted`.
+    */
+  def standardScaleWeighted(df: DataFrame, valueCol: String,
+                            weightCol: String, outCol: String): DataFrame = {
+    val moments = df.agg(
+      sum(col(weightCol)).as("_sw"),
+      sum(col(weightCol) * col(valueCol)).as("_swx"),
+      sum(col(weightCol) * col(valueCol) * col(valueCol)).as("_swx2"))
+    df.crossJoin(broadcast(moments))
+      .withColumn("_mu", col("_swx") / col("_sw"))
+      .withColumn("_sigma",
+        sqrt(col("_swx2") / col("_sw") - col("_mu") * col("_mu")))
+      .withColumn(outCol,
+        round((col(valueCol) - col("_mu")) / nullif(col("_sigma"), lit(0.0)), 6))
+      .drop("_sw", "_swx", "_swx2", "_mu", "_sigma")
+  }
+
   /** spark.ml parity wrappers over a vector column assembled from numeric
     * features — the estimator-API face of the two relational ops above
     * (`ml.feature.VarianceThresholdSelector` / `ml.feature.StandardScaler`,

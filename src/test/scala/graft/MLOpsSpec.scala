@@ -411,6 +411,47 @@ class MLOpsSpec extends AnyFunSuite {
       math.abs(wFit._2 - rFit._2) < 1e-5)
   }
 
+  test("Eval: classification report margins and tie-aware exact AUC") {
+    import graft.mlops.Eval
+    // labels a,a,a,b,b; preds a,b,a,b,a -> class a: tp=2 npred=3 sup=3;
+    // class b: tp=1 npred=2 sup=2
+    val d = Seq(("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a"))
+      .toDF("label", "pred")
+    val rep = Eval.classificationReport(d, "label", "pred")
+      .orderBy("cls").collect()
+    assert(rep.map(_.getAs[Long]("tp")).toSeq == Seq(2L, 1L))
+    assert(math.abs(rep(0).getAs[Double]("precision") - 2.0 / 3) < 1e-5)
+    assert(math.abs(rep(1).getAs[Double]("recall") - 0.5) < 1e-5)
+    // scores: pos {0.9, 0.5}, neg {0.5, 0.1}. Pairs: (0.9>0.5), (0.9>0.1),
+    // (0.5=0.5 -> 0.5), (0.5>0.1) => AUC = 3.5/4 = 0.875
+    val s = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)).toDF("s", "y")
+    val auc = Eval.aucExact(s, "s", "y").head()
+    assert(math.abs(auc.getAs[Double]("auc") - 0.875) < 1e-9)
+    assert(auc.getAs[Long]("npos") == 2L && auc.getAs[Long]("nneg") == 2L)
+    // degenerate: single-class input -> NULL auc, not a crash
+    val one = Seq((0.9, 1), (0.5, 1)).toDF("s", "y")
+    assert(Eval.aucExact(one, "s", "y").head().isNullAt(0))
+  }
+
+  test("standardScaleWeighted: ones == unweighted; integer weights == replication") {
+    val df = Seq((1L, 2.5, 1), (2L, 4.0, 2), (3L, 7.5, 3),
+      (4L, 1.0, 1), (5L, 9.0, 2)).toDF("id", "v", "w")
+    val un = graft.stats.Moments.standardScale(df, "v", "z")
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    val ones = graft.stats.Moments.standardScaleWeighted(
+        df.withColumn("w1", lit(1)), "v", "w1", "z")
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    un.foreach { case (id, z) => assert(math.abs(ones(id) - z) < 1e-5) }
+    // integer weights == moments of the row-replicated corpus
+    val replicated = df.withColumn("_i",
+      explode(sequence(lit(1), col("w"))))
+    val repl = graft.stats.Moments.standardScale(replicated, "v", "z")
+      .select("id", "z").distinct().as[(Long, Double)].collect().toMap
+    val wScaled = graft.stats.Moments.standardScaleWeighted(df, "v", "w", "z")
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    repl.foreach { case (id, z) => assert(math.abs(wScaled(id) - z) < 1e-5) }
+  }
+
   test("multinomialFitWeighted: ones == unweighted; integer weights == replication") {
     val toks = Seq(("pos", "good", 2.0), ("pos", "bad", 1.0),
       ("neg", "bad", 3.0), ("neg", "good", 1.0)).toDF("cls", "term", "w")
