@@ -240,6 +240,30 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer persistence: the learned unigram vocabulary is a model
+    // DataFrame like any other — through the SAME ModelIO parquet
+    // bundle contract as the NB/OLS/PQ families (ml_model_roundtrip).
+    // Encode with the fitted vocab and with its saved->loaded twin;
+    // the oracle emits one encode twice, so the driver hash pins
+    // save -> load -> identical tokenization.
+    "tok_model_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val vocab = graft.text.Unigram.learn(docs, "text",
+        maxPieceLen = 4, seedMultiTopK = 24, emRounds = 2, vocabSize = 40)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_unigram"
+      graft.mlops.ModelIO.saveBundle(s, path, Map("unigram_vocab" -> vocab))
+      val loaded = graft.mlops.ModelIO.loadBundle(s, path)("unigram_vocab")
+      val a = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+        vocab, maxPieceLen = 4)
+      val b = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+          loaded, maxPieceLen = 4)
+        .select(col("doc_id"),
+          col("n_tokens_uni").as("n_tokens_loaded"),
+          col("score_mnat").as("score_loaded"))
+      a.join(b, "doc_id").orderBy(col("doc_id"))
+    }),
+
     // Exact-phrase search through the positional inverted index: the
     // 3-term phrase joins its three posting lists on (doc, pos−i) —
     // cost bounded by those lists, not the corpus (the regex-scan twin
@@ -544,9 +568,30 @@ object TextAnalysisQueries extends QueryPack {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  private def unigramRoundtripOracle(lmax: Int, seedK: Int, rounds: Int,
+                                     vocabSize: Int): String =
+    unigramChain(lmax, seedK, rounds, vocabSize) + s""",
+      |cdE AS (
+      |${unigramCandsSql(lmax, "fin")}),
+      |vtE AS MATERIALIZED (SELECT w, $unigramFoldSql AS best FROM cdE)
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(e.best.np) AS BIGINT) AS n_tokens_uni,
+      |  CAST(sum(e.best.m) AS BIGINT) AS score_mnat,
+      |  CAST(sum(e.best.np) AS BIGINT) AS n_tokens_loaded,
+      |  CAST(sum(e.best.m) AS BIGINT) AS score_loaded
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |      FROM documents) d
+      |JOIN vtE e ON d.w = e.w
+      |WHERE len(d.w) > 0
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "unigram_learn" -> unigramLearnOracle(4, 24, 2, 40),
     "unigram_encode_stats" -> unigramEncodeOracle(4, 24, 2, 40),
+    // One encode, emitted twice: parquet round-trips the vocab
+    // bit-exactly, so fitted and loaded tokenization are identical.
+    "tok_model_roundtrip" -> unigramRoundtripOracle(4, 24, 2, 40),
     "bpe_learn_merges" -> bpeOracle(6),
     "bpe_encode_stats" -> bpeEncodeOracle(6),
     "bpe_vocab_cap" -> bpeVocabCapOracle(4),

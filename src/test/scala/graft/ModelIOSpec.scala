@@ -15,6 +15,28 @@ class ModelIOSpec extends AnyFunSuite {
   private def tmp(name: String) =
     s"${System.getProperty("java.io.tmpdir")}/graft_modelio_spec/$name"
 
+  test("tokenizer models round-trip: BPE merge table and unigram vocab") {
+    val docs = Seq((1L, "low lower lowest low low"),
+      (2L, "new newer newest new")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", merges = 4)
+    val vocab = graft.text.Unigram.learn(docs, "text", maxPieceLen = 3,
+      seedMultiTopK = 8, emRounds = 1, vocabSize = 20)
+    val path = tmp("tokenizers")
+    ModelIO.saveBundle(spark, path,
+      Map("bpe_merges" -> merges, "unigram_vocab" -> vocab))
+    val loaded = ModelIO.loadBundle(spark, path)
+    assert(loaded("bpe_merges").collect().toSet ==
+      merges.collect().toSet)
+    assert(loaded("unigram_vocab").collect().toSet ==
+      vocab.collect().toSet)
+    // the loaded vocab drives encode identically to the fitted one
+    val a = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+      vocab, maxPieceLen = 3).collect().toSet
+    val b = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+      loaded("unigram_vocab"), maxPieceLen = 3).collect().toSet
+    assert(a == b)
+  }
+
   test("bundle round-trip is row-identical across model families") {
     val ols = Seq((2.513456, -1.000001)).toDF("slope", "intercept")
     val codebook = Seq(
