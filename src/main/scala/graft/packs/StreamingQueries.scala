@@ -394,6 +394,33 @@ object StreamingQueries extends QueryPack {
       s.table(sink).orderBy(col("doc_id"))
     }),
 
+    // Tokenize-online (the 15th real-stream artifact): the unigram-LM
+    // vocab is trained OFFLINE (batch Unigram.learn), then documents
+    // arrive as a file stream and are encoded by the IN-ROW Viterbi
+    // twin — the vocabulary rides as a bounded map literal, the DP is
+    // one stateless Column, so the stream holds ZERO state and runs in
+    // append mode (no aggregation at all; contrast the keyed-state
+    // artifacts above). Oracle = the batch encode oracle verbatim:
+    // stream tokenization must hash-equal batch tokenization.
+    "streaming_unigram_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vocab = graft.text.Unigram.learn(docs, "text",
+        maxPieceLen = 4, seedMultiTopK = 24, emRounds = 2, vocabSize = 40)
+      val vmap = graft.text.Unigram.vocabToMap(vocab)
+      val stream = s.readStream.schema(docs.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val sink = s"unienc_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_unienc_ckpt").toString
+      val q = graft.text.Unigram
+        .encodeStatsInRow(stream, "doc_id", "text", vmap, maxPieceLen = 4)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("doc_id"))
+    }),
+
     // The ANN tier's ingestion gate, as a real stream (the 10th
     // real-stream artifact): the static sign-LSH bucket index is built
     // from the even-id half of the embedding corpus; odd-id vectors
@@ -440,6 +467,11 @@ object StreamingQueries extends QueryPack {
         |SELECT doc_id, domain, url_ok, n_blocks, n_kept, n_words,
         |  quality_ok, is_exact_dup, survivor
         |FROM d3 ORDER BY doc_id""".stripMargin),
+
+    // The batch unigram-encode oracle verbatim — train-offline/
+    // tokenize-online must hash-equal the batch encode.
+    "streaming_unigram_encode" ->
+      TextAnalysisQueries.unigramEncodeOracle(4, 24, 2, 40),
 
     // The batch scored oracle verbatim — train-offline/score-online on
     // one AvailableNow batch must hash-equal the batch scored funnel.

@@ -552,7 +552,7 @@ object TextAnalysisQueries extends QueryPack {
     unigramChain(lmax, seedK, rounds, vocabSize) + """
       |SELECT piece, pcnt, lp FROM fin ORDER BY piece""".stripMargin
 
-  private def unigramEncodeOracle(lmax: Int, seedK: Int, rounds: Int,
+  private[packs] def unigramEncodeOracle(lmax: Int, seedK: Int, rounds: Int,
                                   vocabSize: Int): String =
     unigramChain(lmax, seedK, rounds, vocabSize) + s""",
       |cdE AS (

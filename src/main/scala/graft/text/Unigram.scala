@@ -48,14 +48,14 @@ object Unigram {
     * first. The candidate transform and the merge CASE are the SAME
     * text both engines' oracles replay.
     */
-  private val vitExpr: String =
-    """element_at(
-      |  aggregate(sequence(1, length(w)),
+  private def vitFold(w: String, cands: String): String =
+    s"""element_at(
+      |  aggregate(sequence(1, length($w)),
       |    array(named_struct('s', CAST(0.0 AS DOUBLE), 'np', 0,
       |      'seg', '', 'm', CAST(0 AS BIGINT))),
       |    (acc, i) -> concat(acc, array(
       |      aggregate(
-      |        transform(filter(cands, c -> c.e = i), c ->
+      |        transform(filter($cands, c -> c.e = i), c ->
       |          named_struct(
       |            's', element_at(acc, i - c.l + 1).s + c.lp,
       |            'np', element_at(acc, i - c.l + 1).np + 1,
@@ -69,6 +69,8 @@ object Unigram {
       |            (d.np < b.np OR (d.np = b.np AND d.seg < b.seg)))
       |          THEN d ELSE b END)))),
       |  -1)""".stripMargin
+
+  private val vitExpr: String = vitFold("w", "cands")
 
   /** Distinct-word frequency table — the one corpus-sized pass. */
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
@@ -191,6 +193,53 @@ object Unigram {
     * then join documents — per-doc (n_words, n_tokens_uni, score_mnat),
     * score in exact integer micro-nats (order-independent sums).
     */
+  /** In-row encode twin of [[encodeStats]]: the whole Viterbi DP as one
+    * stateless Column over the document row — no distinct-word dedup,
+    * no joins, no shuffle; the vocabulary rides along as a BOUNDED map
+    * literal (driver-held model params, the curation-weights pattern;
+    * the r16-ADVICE lesson: enforce the bound, don't state it). Same
+    * DP, same tie-break, same rounded log-probs => bit-identical stats
+    * to the batch path (spec-pinned). This is the STREAMING shape —
+    * zero stream state, append-mode safe — and the right batch shape
+    * when distinct-words ≈ corpus so dedup buys nothing. Docs with no
+    * words are dropped, matching the batch join semantics.
+    */
+  def encodeStatsInRow(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Map[String, Double],
+                       maxPieceLen: Int = 4): DataFrame = {
+    require(vocab.nonEmpty && vocab.size <= 65536,
+      s"vocab size ${vocab.size} outside (0, 65536] — the in-row map " +
+        "literal is for model-scale vocabularies")
+    val cands =
+      s"""filter(flatten(transform(sequence(1, length(wv)), e ->
+         |  transform(sequence(1, least($maxPieceLen, e)), l ->
+         |    named_struct('e', e, 'l', l,
+         |      'lp', _vmap[substring(wv, e - l + 1, l)],
+         |      'piece', substring(wv, e - l + 1, l))))),
+         |  k -> k.lp IS NOT NULL)""".stripMargin
+    docs
+      .withColumn("_vmap", typedLit(vocab))
+      .withColumn("_words",
+        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)"))
+      .where(size(col("_words")) > 0)
+      .select(col(idCol),
+        size(col("_words")).cast("long").as("n_words"),
+        expr(s"""aggregate(
+          |  transform(_words, wv -> ${vitFold("wv", cands)}),
+          |  named_struct('nt', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT)),
+          |  (a, bst) -> named_struct('nt', a.nt + bst.np,
+          |    'm', a.m + bst.m))""".stripMargin).as("_agg"))
+      .select(col(idCol), col("n_words"),
+        col("_agg.nt").as("n_tokens_uni"), col("_agg.m").as("score_mnat"))
+  }
+
+  /** Collect a learned vocab frame to the driver-held map
+    * [[encodeStatsInRow]] takes — model-scale by the [[learn]] contract.
+    */
+  def vocabToMap(vocab: DataFrame): Map[String, Double] =
+    vocab.select(col("piece"), col("lp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
                   vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
     val words = docs

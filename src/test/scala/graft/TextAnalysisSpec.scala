@@ -371,4 +371,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L, 6L), (2L, 1L, 3L)))
   }
 
+  test("unigram in-row encode == batch distinct-word encode (streaming shape)") {
+    import spark.implicits._
+    // repeated words (dedup-sensitive) + tie-heavy pieces
+    val docs = Seq((1L, "abab abab ab ba"), (2L, "abba ab abab"),
+      (3L, "ba ba ba")).toDF("doc_id", "text")
+    val vocab = graft.text.Unigram.learn(docs, "text", maxPieceLen = 2,
+      seedMultiTopK = 3, emRounds = 2, vocabSize = 5)
+    val batch = graft.text.Unigram.encodeStats(docs, "doc_id", "text",
+      vocab, maxPieceLen = 2).collect().toSet
+    val inRow = graft.text.Unigram.encodeStatsInRow(docs, "doc_id", "text",
+      graft.text.Unigram.vocabToMap(vocab), maxPieceLen = 2)
+      .collect().toSet
+    assert(inRow === batch)
+    // empty-text doc drops on both paths
+    val withEmpty = docs.union(Seq((4L, "")).toDF("doc_id", "text"))
+    assert(graft.text.Unigram.encodeStatsInRow(withEmpty, "doc_id", "text",
+      graft.text.Unigram.vocabToMap(vocab), maxPieceLen = 2)
+      .where($"doc_id" === 4L).isEmpty)
+    // bound enforced
+    intercept[IllegalArgumentException] {
+      graft.text.Unigram.encodeStatsInRow(docs, "doc_id", "text",
+        Map.empty[String, Double], maxPieceLen = 2)
+    }
+  }
+
 }
