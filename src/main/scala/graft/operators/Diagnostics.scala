@@ -21,7 +21,9 @@ object Diagnostics {
     * `countDistinct` for `approx_count_distinct` at 100 TB when exact
     * distincts aren't worth the expand), then one `stack` unpivots the
     * single row to a row per column. min/max are cast to string so
-    * heterogeneous column types share one schema.
+    * heterogeneous column types share one schema. Numeric moments
+    * (mean/stddev) live in the typed twin,
+    * [[graft.stats.Profile.profileNumeric]].
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")

@@ -169,6 +169,28 @@ object StatsQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Dataset profiling: ONE aggregation pass -> one row per column
+    // (n, nulls, exact distinct, extrema, moments) — the snapshot-health
+    // table a pipeline materializes per ingest. exactDistinct=true is
+    // the oracled contract; the approx_count_distinct switch is the
+    // documented petabyte-width path (same schema, HLL error bound).
+    "profile_numeric" -> ((s, dir) => {
+      graft.stats.Profile.profileNumeric(Tables(s, dir).lineitem,
+          liFeatures, exactDistinct = true)
+        .orderBy(col("column"))
+    }),
+
+    // Snapshot drift: PSI / KL / JS between the even- and odd-doc_id
+    // halves' token distributions, add-one smoothing over the union
+    // vocabulary (the finite-everywhere convention, stated identically
+    // on both engines). Work bounded by the union vocab, not the corpus.
+    "drift_token_psi" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.stats.Profile.tokenDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text")
+    }),
+
     // S17: weighted StandardScaler — sample_weight through the one-pass
     // sufficient stats (SUM w, SUM wx, SUM wx^2); weights here are the
     // integer line numbers so the oracle can state the same closed form.
@@ -182,7 +204,49 @@ object StatsQueries extends QueryPack {
     })
   )
 
+  private val profileOracle: String = {
+    val branches = liFeatures.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+         |  round(avg($c), 6) AS mean, round(stddev_pop($c), 6) AS stddev
+         |FROM lineitem""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val oracles: Map[String, String] = Map(
+    "profile_numeric" -> profileOracle,
+
+    // Same smoothing, same ln algebra; DuckDB FULL JOIN + coalesce
+    // mirrors the Spark full outer join on term.
+    "drift_token_psi" ->
+      """WITH ta AS (SELECT term, count(*) AS ca FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id % 2 = 0) z
+        |  WHERE len(term) > 0 GROUP BY term),
+        |tb AS (SELECT term, count(*) AS cb FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id % 2 = 1) z
+        |  WHERE len(term) > 0 GROUP BY term),
+        |j AS (SELECT coalesce(ta.term, tb.term) AS term,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ta FULL JOIN tb ON ta.term = tb.term),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM j),
+        |pq AS (SELECT v, na, nb,
+        |    (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q,
+        |    ((ca + 1.0) / (na + v) + (cb + 1.0) / (nb + v)) / 2.0 AS m
+        |  FROM j, t)
+        |SELECT max(v) AS n_terms, max(na) AS n_a, max(nb) AS n_b,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |  round(sum(p * ln(p / q)), 6) AS kl_pq,
+        |  round(sum(p * ln(p / m) / 2.0 + q * ln(q / m) / 2.0), 6) AS js
+        |FROM pq""".stripMargin,
+
     "s17_weighted_scaler" ->
       """WITH m AS (SELECT sum(l_linenumber * l_quantity) / sum(l_linenumber) AS mu,
         |  sqrt(sum(l_linenumber * l_quantity * l_quantity) / sum(l_linenumber)
