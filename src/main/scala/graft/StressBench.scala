@@ -1010,6 +1010,58 @@ object StressBench {
       require(n == expected, s"mixture ground truth: $n vs $expected")
       nDocs
     }
+    // Exact AUC over `rows` rows with ~1000 distinct quantized scores
+    // (heavy ties — the average-rank path is the whole computation).
+    // Ground truth by construction: labels independent of scores give
+    // EXACTLY 0.5 under average ranks (each tie group is half/half when
+    // rows % 2000 == 0); a perfectly separating threshold gives 1.0.
+    timed("eval_auc_exact") {
+      val n = (rows / 2000L) * 2000L
+      val d = spark.range(n).select(
+        (pmod(col("id"), lit(1000)) / lit(100.0)).as("s"),
+        // label from a DIFFERENT id bit-range than the score: each
+        // score group is exactly half/half (n/1000 is even), so the
+        // tie-averaged rank sum gives 0.5 exactly
+        pmod(col("id") / 1000L, lit(2)).cast("int").as("y"),
+        (pmod(col("id"), lit(1000)) >= 500).cast("int").as("ysep"))
+      val a = graft.mlops.Eval.aucExact(d, "s", "y", quantize = 6)
+        .head().getAs[Double]("auc")
+      require(a == 0.5, s"independent-label AUC ground truth: $a")
+      val b = graft.mlops.Eval.aucExact(d, "s", "ysep", quantize = 6)
+        .head().getAs[Double]("auc")
+      require(b == 1.0, s"separating AUC ground truth: $b")
+      n
+    }
+    // One-pass numeric profile at `rows` rows with distinct counts
+    // exact by construction (id % k has exactly k values).
+    timed("profile_numeric") {
+      val d = spark.range(rows).select(
+        pmod(col("id"), lit(97)).as("a"),
+        pmod(col("id"), lit(100003)).as("b"),
+        when(pmod(col("id"), lit(10)) === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("c"))
+      val p = graft.stats.Profile.profileNumeric(d, Seq("a", "b", "c"))
+        .orderBy("column").collect()
+      require(p(0).getAs[Long]("n_distinct") == 97L &&
+        p(1).getAs[Long]("n_distinct") == math.min(rows, 100003L) &&
+        p(2).getAs[Long]("n_null") == (rows + 9) / 10,
+        s"profile ground truth: ${p.mkString(";")}")
+      rows
+    }
+    // Token drift at rows tokens across two synthesized snapshots.
+    // Ground truth: identical snapshots -> PSI/KL/JS exactly 0 (the
+    // smoothed p and q are equal term-for-term regardless of scale).
+    timed("drift_token_psi") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 200), " +
+          "i -> concat('t', abs(hash(id, i)) % 50000))")).as("text"))
+      val d = graft.stats.Profile.tokenDrift(docs, docs, "text").head()
+      require(d.getAs[Double]("psi") == 0.0 &&
+        d.getAs[Double]("js") == 0.0,
+        s"identical-snapshot drift ground truth: $d")
+      nDocs * 200L
+    }
     spark.stop()
   }
 }
