@@ -1010,6 +1010,28 @@ object StressBench {
       require(n == expected, s"mixture ground truth: $n vs $expected")
       nDocs
     }
+    // Globally-exact sequence packing at `rows` tokens: ground truth by
+    // conservation — chunk count is exactly ceil(total/seqLen), token
+    // slices sum to the corpus total, every chunk but at most one is
+    // exactly full. No single-task window anywhere (two-phase prefix).
+    timed("pack_sequences") {
+      val nDocs = math.max(rows / 50L, 100000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        (pmod(col("id") * 7L + 3L, lit(99)) + 1L).as("tokens"))
+      val total = docs.agg(sum("tokens")).head().getLong(0)
+      val rep = graft.operators.Packing.chunkReport(
+        graft.operators.Packing.packSequences(docs, "doc_id", "tokens",
+          seqLen = 2048L))
+      val a = rep.agg(count(lit(1)).as("c"),
+        sum(col("n_tokens")).as("t"),
+        sum(when(col("n_tokens") === 2048L, 1L).otherwise(0L)).as("full"))
+        .head()
+      val nChunks = (total + 2047L) / 2048L
+      require(a.getLong(0) == nChunks && a.getLong(1) == total &&
+        a.getLong(2) >= nChunks - 1,
+        s"packing ground truth: $a vs total=$total chunks=$nChunks")
+      total
+    }
     // Exact AUC over `rows` rows with ~1000 distinct quantized scores
     // (heavy ties — the average-rank path is the whole computation).
     // Ground truth by construction: labels independent of scores give

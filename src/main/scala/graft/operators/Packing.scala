@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions.md5Long
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -12,14 +13,22 @@ import org.apache.spark.sql.functions._
   * the standard "pack then chunk" pretraining layout; the output tells a
   * writer exactly which windows each document feeds.
   *
-  * Scale: the running token offset is a window cumsum, so each packing
-  * group must stream through ONE task. `shards > 1` salts the group with
-  * a deterministic md5 gate on the id, giving `shards` independent
-  * packing streams per group — the knob that keeps partitions
-  * executor-sized at 100 TB (windows are per (group, shard), which is
-  * fine: context windows never span groups anyway, and training packs
-  * shard-local). Everything is exact integer arithmetic — engine-portable
-  * and retry-stable.
+  * Two scale shapes live here:
+  *  - [[packContextWindows]]: per-(group, shard) independent packing
+  *    streams — each shard's running offset is one task, and `shards`
+  *    is the knob that keeps partitions executor-sized. Right when
+  *    windows may be shard-local (training packs shard-local anyway).
+  *  - [[packSequences]]: ONE GLOBAL packing stream with NO single-task
+  *    window at all — the global token-offset prefix sum is the repo's
+  *    bucketed two-phase shape ([[Mixture]]'s discipline): docs order
+  *    by (md5 priority, id) — which IS the deterministic corpus
+  *    shuffle a training run wants — and the bucket id is the
+  *    priority's high bits, so buckets are contiguous runs of the
+  *    order. Phase 1 cumsums per-bucket masses on a frame bounded by
+  *    2^(60-bucketShift) rows; phase 2 cumsums within buckets in
+  *    parallel. BIT-IDENTICAL to the naive global window (the oracle
+  *    states the naive form; PackingSpec proves equality across
+  *    shifts).
   */
 object Packing {
 
@@ -47,4 +56,63 @@ object Packing {
         (col("last_window") - col("first_window") + 1).cast("long"))
       .drop("tok_end")
   }
+
+  private val BucketShift = 46 // 60-bit priority >> 46 = 14 bucket bits
+
+  /** Globally-exact sequence packing (see object scaladoc): one row per
+    * (doc, spanned chunk) — (idCol, chunk_id, tok_from, tok_to) with
+    * [tok_from, tok_to) the doc-local token slice landing in
+    * `chunk_id`. Every chunk except the last holds exactly `seqLen`
+    * tokens; per-doc slices are contiguous and cover [0, tokens).
+    * Zero-token docs are dropped.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long,
+                    bucketShift: Int = BucketShift): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen must be positive")
+    require(bucketShift >= 0 && bucketShift < 60,
+      s"bucketShift=$bucketShift must be in [0, 60)")
+    val withB = docs
+      .select(col(idCol), col(tokenCol).cast("long").as("_tk"))
+      .where(col("_tk") > 0)
+      .withColumn("_h",
+        GraftFunctions.md5Long(col(idCol).cast("string"), 15))
+      .withColumn("_b", shiftright(col("_h"), bucketShift))
+    // phase 1: per-bucket masses, cumsum on the BOUNDED bucket frame
+    val bmass = withB.groupBy(col("_b")).agg(sum(col("_tk")).as("_m"))
+    val wB = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bmass.withColumn("_cum", sum(col("_m")).over(wB))
+      .select(col("_b"), (col("_cum") - col("_m")).as("_bpre"))
+    // phase 2: within-bucket cumsum, all buckets in parallel
+    val wIn = Window.partitionBy(col("_b"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = withB.join(pre, "_b")
+      .withColumn("_run", sum(col("_tk")).over(wIn))
+      .withColumn("_start", col("_bpre") + col("_run") - col("_tk"))
+    offs
+      .select(col(idCol), col("_tk"), col("_start"),
+        explode(sequence(
+          expr(s"_start div CAST($seqLen AS BIGINT)"),
+          expr(s"(_start + _tk - 1) div CAST($seqLen AS BIGINT)")))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        greatest(lit(0L), col("chunk_id") * seqLen - col("_start"))
+          .as("tok_from"),
+        least(col("_tk"), (col("chunk_id") + 1L) * seqLen - col("_start"))
+          .as("tok_to"))
+  }
+
+  /** Per-chunk rollup of a [[packSequences]] result: (chunk_id, n_docs,
+    * n_tokens, n_clean_heads) — n_tokens == seqLen everywhere but the
+    * final chunk; n_clean_heads counts docs starting at their token 0
+    * in this chunk (the loss-masking statistic).
+    */
+  def chunkReport(spans: DataFrame): DataFrame =
+    spans.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_to") - col("tok_from")).as("n_tokens"),
+        sum(when(col("tok_from") === 0L, 1L).otherwise(0L))
+          .as("n_clean_heads"))
 }

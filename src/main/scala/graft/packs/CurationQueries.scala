@@ -112,6 +112,32 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing (concat-and-chunk): the corpus in deterministic
+    // md5-shuffled order, cut every 64 tokens, boundary docs split
+    // across neighboring chunks — Packing.packSequences' bucketed
+    // two-phase prefix sum, NO corpus-sized global window. The oracle
+    // is the naive running-total window, so the driver hash pins the
+    // bucketed path bit-identical per (doc, chunk) slice.
+    "pack_sequences" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      graft.operators.Packing.packSequences(d, "doc_id", "tokens",
+          seqLen = 64L)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // The packed corpus's chunk-health rollup: every chunk but the
+    // last carries exactly seqLen tokens; n_clean_heads is the
+    // loss-masking statistic (docs starting at token 0 in the chunk).
+    "pack_chunk_report" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      graft.operators.Packing.chunkReport(
+          graft.operators.Packing.packSequences(d, "doc_id", "tokens",
+            seqLen = 64L))
+        .orderBy(col("chunk_id"))
+    }),
+
     // The FULL CommonCrawl-shaped path: the same pages travel as WARC
     // archives (gzip members on even archive ids), records are
     // re-extracted, doc ids recovered from the record URLs, and the
@@ -244,7 +270,46 @@ object CurationQueries extends QueryPack {
         |    (survivor AND quality_margin > 0.0) AS survivor_scored
         |  FROM scored)""".stripMargin
 
+  /** Shared packing chain: naive global running-total window over the
+    * (md5-priority, id) order, then the chunk-span explode — the form
+    * the engine's bucketed two-phase prefix sum must equal bit for bit.
+    */
+  private val packSpansCte: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) > 0),
+      |r AS (
+      |  SELECT doc_id, tk,
+      |    sum(tk) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - tk
+      |      AS start
+      |  FROM d),
+      |e AS (
+      |  SELECT doc_id, tk, start,
+      |    unnest(range(CAST(start // 64 AS BIGINT),
+      |      CAST((start + tk - 1) // 64 + 1 AS BIGINT))) AS chunk_id
+      |  FROM r),
+      |spans AS (
+      |  SELECT doc_id, chunk_id,
+      |    greatest(0, chunk_id * 64 - start) AS tok_from,
+      |    least(tk, (chunk_id + 1) * 64 - start) AS tok_to
+      |  FROM e)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pack_sequences" -> (packSpansCte + """
+      |SELECT doc_id, chunk_id, tok_from, tok_to FROM spans
+      |ORDER BY doc_id, chunk_id""".stripMargin),
+
+    "pack_chunk_report" -> (packSpansCte + """
+      |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok_to - tok_from) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN tok_from = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clean_heads
+      |FROM spans GROUP BY chunk_id ORDER BY chunk_id""".stripMargin),
+
     // The NAIVE formulation the engine's bucketed two-phase threshold
     // must equal bit for bit: per-lang running token total in
     // (md5-priority, id) order, keep while ≤ the 40% budget.
