@@ -1010,6 +1010,34 @@ object StressBench {
       require(n == expected, s"mixture ground truth: $n vs $expected")
       nDocs
     }
+    // Per-fold vocabulary top-cap at >= 10M DISTINCT terms (the r16
+    // verdict's done-criterion for the cv-grid two-phase fix): no fold
+    // task ever sorts the whole vocabulary — phase 1 is salted, phase 2
+    // sees <= salts*maxCap rows. Ground truth exact by construction:
+    // unique per-fold counts (= id), so the top-500 per fold is the 500
+    // largest ids of that parity.
+    timed("vocab_topcap_fold") {
+      val nTerms = math.max(rows / 2L, 12000000L)
+      val tc = spark.range(nTerms).select(
+        concat(lit("t"), col("id")).as("term"),
+        pmod(col("id"), lit(2)).cast("int").as("fold"),
+        col("id").as("_train"))
+      val got = graft.mlops.Composition.topTermsPerFold(tc, maxCap = 500)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"), min(col("_train")).as("mn"),
+          max(col("_rk")).as("mr"))
+        .collect()
+      require(got.length == 2, s"folds: ${got.length}")
+      got.foreach { r =>
+        val p = r.getAs[Int]("fold").toLong
+        val top = if ((nTerms - 1) % 2 == p) nTerms - 1 else nTerms - 2
+        require(r.getAs[Long]("n") == 500L &&
+          r.getAs[Long]("mn") == top - 998L &&
+          r.getAs[Int]("mr") == 500,
+          s"topcap ground truth fold=$p: $r (expect mn=${top - 998})")
+      }
+      nTerms
+    }
     // Globally-exact sequence packing at `rows` tokens: ground truth by
     // conservation — chunk count is exactly ceil(total/seqLen), token
     // slices sum to the corpus total, every chunk but at most one is
