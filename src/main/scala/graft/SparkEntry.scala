@@ -100,5 +100,13 @@ object SparkEntry {
     // in-corpus logistic gate), the declarative pipeline grid (two
     // corpus passes independent of grid size), and the uniform
     // three-family score reduction
-    "curation_scored", "cv_grid_search_pipeline", "ml_score_uniform")
+    "curation_scored", "cv_grid_search_pipeline", "ml_score_uniform",
+    // r17 — the round's single-pass scale paths: globally-exact packing
+    // (two-phase prefix + span explode), exact tie-aware AUC (bounded
+    // histogram rank), snapshot drift (vocab-bounded full join), and
+    // the one-pass column profile (exact multi-distinct expand priced).
+    // The unigram tokenizer stays correctness-only by the
+    // iterative-job-overhead policy (2 EM rounds of vocabulary-scale
+    // jobs); StressBench prices it at 20M tokens.
+    "pack_sequences", "ml_auc_exact", "drift_token_psi", "profile_numeric")
 }

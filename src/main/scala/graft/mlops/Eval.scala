@@ -66,25 +66,38 @@ object Eval {
     * Returns one row: (auc, npos, nneg).
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
-               quantize: Int = 6): DataFrame = {
+               quantize: Int = 6): DataFrame =
+    aucExactBy(df.withColumn("_g", lit(0)), scoreCol, labelCol, "_g",
+      quantize).drop("_g")
+
+  /** Segmented exact AUC — one AUC per `groupCol` value (the
+    * model-monitoring view: which segment does the model underserve;
+    * the evaluation twin of `Scoring.scoreBy`). The rank window runs on
+    * the per-group quantized-score histogram — bounded per group by the
+    * quantization contract — and groups rank in parallel.
+    * Returns one row per group: (groupCol, auc, npos, nneg).
+    */
+  def aucExactBy(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCol: String, quantize: Int = 6): DataFrame = {
     val hist = df
-      .select(round(col(scoreCol), quantize).as("s"),
+      .select(col(groupCol), round(col(scoreCol), quantize).as("s"),
         col(labelCol).cast("long").as("y"))
-      .groupBy(col("s"))
+      .groupBy(col(groupCol), col("s"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
-    // bounded-cardinality frame (quantization contract) — the global
-    // ordering window here is the documented model-scale carve-out
-    val w = Window.orderBy(col("s"))
+    // bounded-cardinality frame per group (quantization contract) — the
+    // per-group ordering window is the documented model-scale carve-out
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = hist
       .withColumn("_cum", sum(col("n")).over(w) - col("n"))
       .withColumn("_avgrank",
         col("_cum") + (col("n").cast("double") + lit(1.0)) / lit(2.0))
-    ranked.agg(
+    ranked.groupBy(col(groupCol))
+      .agg(
         sum(col("npos") * col("_avgrank")).as("_rsum"),
         sum(col("npos")).as("npos"),
         sum(col("n") - col("npos")).as("nneg"))
-      .select(
+      .select(col(groupCol),
         // double arithmetic throughout: npos*(npos+1) and npos*nneg
         // overflow LONG beyond ~1e12 rows of one class
         round((col("_rsum") - col("npos").cast("double") *
@@ -92,5 +105,38 @@ object Eval {
           nullif(col("npos").cast("double") * col("nneg").cast("double"),
             lit(0.0)), 6).as("auc"),
         col("npos"), col("nneg"))
+  }
+
+  /** Probability-score quality in ONE map-side-combinable pass: Brier
+    * score and log-loss (scores clamped to [eps, 1-eps] — the sklearn
+    * convention, stated identically in the oracle) plus calibration
+    * deciles would each re-scan, so they live apart ([[calibrationBins]]).
+    * Returns one row: (n, brier, log_loss).
+    */
+  def probScores(df: DataFrame, scoreCol: String, labelCol: String,
+                 eps: Double = 1e-15): DataFrame = {
+    val p = least(lit(1.0 - eps), greatest(lit(eps), col(scoreCol)))
+    val y = col(labelCol).cast("double")
+    df.agg(count(lit(1)).as("n"),
+      round(avg((p - y) * (p - y)), 6).as("brier"),
+      round(-avg(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)), 6)
+        .as("log_loss"))
+  }
+
+  /** Reliability diagram: scores in [0, 1] bucketed into `bins`
+    * equal-width bins → (bin, n, mean_score, frac_pos). One hash
+    * aggregation; a calibrated model has mean_score ≈ frac_pos per bin.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins=$bins must be positive")
+    df.select(
+        least(lit(bins - 1L),
+          floor(col(scoreCol) * bins).cast("long")).as("bin"),
+        col(scoreCol).as("s"), col(labelCol).cast("double").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("s")), 6).as("mean_score"),
+        round(avg(col("y")), 6).as("frac_pos"))
   }
 }

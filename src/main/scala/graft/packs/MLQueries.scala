@@ -665,6 +665,37 @@ object MLQueries extends QueryPack {
         (col("l_discount") + col("l_tax") / 10).as("score"),
         (col("l_returnflag") === "R").cast("int").as("y"))
       Eval.aucExact(d, "score", "y", quantize = 6)
+    }),
+
+    // Segmented AUC — the model-monitoring view (which segment does the
+    // model underserve), Scoring.scoreBy's evaluation twin: per-group
+    // histograms rank in parallel, each bounded by the quantization.
+    "ml_auc_by_group" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        col("l_linestatus").as("grp"),
+        (col("l_discount") + col("l_tax") / 10).as("score"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Eval.aucExactBy(d, "score", "y", "grp", quantize = 6)
+        .orderBy(col("grp"))
+    }),
+
+    // Brier + log-loss in one pass (sklearn eps-clamp convention stated
+    // identically in the oracle); the probability is discount rescaled
+    // to [0, 1].
+    "ml_brier_logloss" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        (col("l_discount") * 10).as("p"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Eval.probScores(d, "p", "y")
+    }),
+
+    // Reliability diagram: 10 equal-width bins over the [0,1] score,
+    // per-bin mean score vs observed positive rate.
+    "ml_calibration_bins" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        (col("l_discount") * 10).as("p"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Eval.calibrationBins(d, "p", "y", bins = 10).orderBy(col("bin"))
     })
   )
 
@@ -1012,6 +1043,48 @@ object MLQueries extends QueryPack {
         |  CAST(sum(npos) AS BIGINT) AS npos,
         |  CAST(sum(n - npos) AS BIGINT) AS nneg
         |FROM r""".stripMargin,
+
+    // The ml_auc_exact chain with PARTITION BY grp on histogram, window
+    // and final reduction — per-group Mann-Whitney, same rank algebra.
+    "ml_auc_by_group" ->
+      """WITH d AS (SELECT l_linestatus AS grp,
+        |    round(l_discount + l_tax / 10, 6) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT grp, s, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+        |      FROM d GROUP BY grp, s),
+        |r AS (SELECT grp, s, n, npos,
+        |    sum(n) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum
+        |  FROM h)
+        |SELECT grp,
+        |  round((sum(npos * (cum + (n + 1.0) / 2.0))
+        |    - CAST(sum(npos) AS DOUBLE) * (CAST(sum(npos) AS DOUBLE) + 1.0) / 2.0)
+        |    / (CAST(sum(npos) AS DOUBLE) * CAST(sum(n - npos) AS DOUBLE)), 6)
+        |    AS auc,
+        |  CAST(sum(npos) AS BIGINT) AS npos,
+        |  CAST(sum(n - npos) AS BIGINT) AS nneg
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "ml_brier_logloss" ->
+      """WITH d AS (SELECT
+        |    least(1.0 - 1e-15, greatest(1e-15, l_discount * 10)) AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(avg((p - y) * (p - y)), 6) AS brier,
+        |  round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
+        |FROM d""".stripMargin,
+
+    "ml_calibration_bins" ->
+      """WITH d AS (SELECT l_discount * 10 AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem)
+        |SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p), 6) AS mean_score,
+        |  round(avg(y), 6) AS frac_pos
+        |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "c4_svd_power" -> powerIterOracle(8),
     "c4_svd_power2" -> powerComponentsOracle(2, 8),
