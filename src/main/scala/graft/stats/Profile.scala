@@ -71,6 +71,13 @@ object Profile {
       .select(explode(split(col(textCol), " ")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as(out))
+    // `joined` is referenced twice (totals + per-term pass) and the
+    // static plan shows 4 corpus scans — but AQE's runtime exchange
+    // reuse dedupes the identical term-aggregation subtrees, so the
+    // corpus is read once per side. Measured: a localCheckpoint here
+    // (the static-plan "fix") made the 100M-token stress 10.5s → 19.8s
+    // by splitting the work into two jobs and losing in-query reuse.
+    // Trust runtime reuse over the static formatted plan.
     val joined = tf(a, "ca").join(tf(b, "cb"), Seq("term"), "full")
       .select(col("term"),
         coalesce(col("ca"), lit(0L)).as("ca"),
