@@ -107,6 +107,37 @@ object Eval {
         col("npos"), col("nneg"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two labelings
+    * (annotator QA in a labeling pipeline; also model-vs-model drift).
+    * ONE confusion aggregation, then class-cardinality marginals:
+    * po = Σ diag / n, pe = Σ_c rowMarg_c·colMarg_c / n², kappa =
+    * (po − pe) / (1 − pe). Marginal products computed in double (long
+    * overflows past ~3e9 rows per class pair). Returns one row:
+    * (n, po, pe, kappa); perfect agreement with pe == 1 (a single
+    * shared class) is defined as kappa = 1.
+    */
+  def cohensKappa(df: DataFrame, col1: String, col2: String): DataFrame = {
+    val cm = confusion(df, col1, col2).localCheckpoint()
+    val n = cm.agg(sum(col("n")).as("_n"))
+    val diag = cm.where(col("label") === col("pred"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("_d"))
+    val marg = cm.groupBy(col("label").as("cls"))
+      .agg(sum(col("n")).as("_r"))
+      .join(cm.groupBy(col("pred").as("cls")).agg(sum(col("n")).as("_c")),
+        Seq("cls"), "full")
+      .agg(sum(coalesce(col("_r"), lit(0L)).cast("double") *
+        coalesce(col("_c"), lit(0L)).cast("double")).as("_rc"))
+    n.crossJoin(diag).crossJoin(marg)
+      .select(col("_n").as("n"),
+        round(col("_d").cast("double") / col("_n"), 6).as("po"),
+        round(col("_rc") / (col("_n").cast("double") * col("_n")), 6)
+          .as("pe"))
+      .withColumn("kappa",
+        round(when(col("pe") === 1.0,
+          when(col("po") === 1.0, 1.0).otherwise(0.0))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6))
+  }
+
   /** Probability-score quality in ONE map-side-combinable pass: Brier
     * score and log-loss (scores clamped to [eps, 1-eps] — the sklearn
     * convention, stated identically in the oracle) plus calibration
@@ -121,6 +152,41 @@ object Eval {
       round(avg((p - y) * (p - y)), 6).as("brier"),
       round(-avg(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)), 6)
         .as("log_loss"))
+  }
+
+  /** Per-query ranking metrics from a retriever's ranked candidate
+    * table (queryCol, rankCol 1-based, relCol 0/1 binary relevance):
+    * recall@k, MRR, nDCG@k. ONE map-side-combinable aggregation per
+    * query — the ranks come from the retriever (ANN / BM25 top-k), so
+    * no window runs here; IDCG is an in-row fold over the min(k, n_rel)
+    * ideal positions. Queries with zero relevant docs report 0 for all
+    * three (the information-retrieval convention, stated identically in
+    * oracles).
+    */
+  def rankingMetrics(df: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val rel = col(relCol).cast("long")
+    val rk = col(rankCol).cast("long")
+    df.groupBy(col(queryCol))
+      .agg(
+        sum(rel).as("n_rel"),
+        sum(when(rel === 1L && rk <= k, 1L).otherwise(0L)).as("_relk"),
+        min(when(rel === 1L, rk)).as("_first"),
+        sum(when(rel === 1L && rk <= k,
+          lit(1.0) / log2(rk.cast("double") + 1.0)).otherwise(0.0))
+          .as("_dcg"))
+      .withColumn("_idcg", when(col("n_rel") > 0, expr(
+        s"aggregate(sequence(1, least(CAST($k AS BIGINT), n_rel)), " +
+          "CAST(0.0 AS DOUBLE), (a, i) -> a + 1.0 / log2(i + 1))"))
+        .otherwise(lit(0.0)))
+      .select(col(queryCol), col("n_rel"),
+        round(when(col("n_rel") > 0,
+          col("_relk").cast("double") / col("n_rel")).otherwise(0.0), 6)
+          .as("recall_k"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("mrr"),
+        round(when(col("_idcg") > 0, col("_dcg") / col("_idcg"))
+          .otherwise(0.0), 6).as("ndcg_k"))
   }
 
   /** Reliability diagram: scores in [0, 1] bucketed into `bins`

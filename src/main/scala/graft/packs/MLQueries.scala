@@ -696,6 +696,44 @@ object MLQueries extends QueryPack {
         (col("l_discount") * 10).as("p"),
         (col("l_returnflag") === "R").cast("int").as("y"))
       Eval.calibrationBins(d, "p", "y", bins = 10).orderBy(col("bin"))
+    }),
+
+    // Cohen's kappa: chance-corrected agreement between the returnflag
+    // "annotator" and the quantity-tercile rule — one confusion pass +
+    // class-cardinality marginals; kappa computed from the ROUNDED
+    // po/pe (the oracle mirrors the convention).
+    "ml_cohens_kappa" -> ((s, dir) => {
+      val d = Tables(s, dir).lineitem.select(
+        col("l_returnflag").as("a1"),
+        when(col("l_quantity") < 17, "A")
+          .when(col("l_quantity") < 34, "N").otherwise("R").as("a2"))
+      Eval.cohensKappa(d, "a1", "a2")
+    }),
+
+    // Retrieval metrics over a deterministic ranked-candidate fixture
+    // (10 queries x 20 candidates, rel = doc_id % 7 == 0): recall@5,
+    // MRR, nDCG@5 — the metric is one groupBy over retriever-provided
+    // ranks; IDCG is an in-row fold over the ideal positions.
+    "ml_ranking_metrics" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q")).orderBy(col("doc_id"))
+      val cand = Tables(s, dir).documents.where(col("doc_id") < 200)
+        .select((col("doc_id") % 10).as("q"), col("doc_id"),
+          (col("doc_id") % 7 === 0).cast("int").as("rel"))
+        .withColumn("rank", row_number().over(w))
+      Eval.rankingMetrics(cand, "q", "rank", "rel", k = 5)
+        .orderBy(col("q"))
+    }),
+
+    // Numeric-column drift: PSI/KL/JS between the odd- and even-order
+    // halves' extendedprice distributions over 20 fixed-width bins —
+    // the numeric twin of drift_token_psi (reference defines the bins).
+    "drift_numeric_psi" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      graft.stats.Profile.numericDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice", bins = 20, lo = 0.0, hi = 110000.0)
     })
   )
 
@@ -1065,6 +1103,93 @@ object MLQueries extends QueryPack {
         |  CAST(sum(npos) AS BIGINT) AS npos,
         |  CAST(sum(n - npos) AS BIGINT) AS nneg
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // po/pe rounded BEFORE kappa (the engine convention); marginal
+    // products in double.
+    "ml_cohens_kappa" ->
+      """WITH d AS (SELECT l_returnflag AS a1,
+        |    CASE WHEN l_quantity < 17 THEN 'A'
+        |         WHEN l_quantity < 34 THEN 'N' ELSE 'R' END AS a2
+        |  FROM lineitem),
+        |cm AS (SELECT a1, a2, count(*) AS n FROM d GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cm),
+        |dg AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS d FROM cm
+        |       WHERE a1 = a2),
+        |rm AS (SELECT a1 AS cls, CAST(sum(n) AS BIGINT) AS r FROM cm
+        |       GROUP BY 1),
+        |cmg AS (SELECT a2 AS cls, CAST(sum(n) AS BIGINT) AS c FROM cm
+        |        GROUP BY 1),
+        |rc AS (SELECT sum(CAST(coalesce(r, 0) AS DOUBLE) *
+        |         CAST(coalesce(c, 0) AS DOUBLE)) AS rc
+        |       FROM rm FULL JOIN cmg ON rm.cls = cmg.cls),
+        |pp AS (SELECT tot.n AS n,
+        |    round(CAST(dg.d AS DOUBLE) / tot.n, 6) AS po,
+        |    round(rc.rc / (CAST(tot.n AS DOUBLE) * tot.n), 6) AS pe
+        |  FROM tot, dg, rc)
+        |SELECT n, po, pe,
+        |  round(CASE WHEN pe = 1.0 THEN
+        |      CASE WHEN po = 1.0 THEN 1.0 ELSE 0.0 END
+        |    ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+        |FROM pp""".stripMargin,
+
+    // Same per-query reductions; IDCG via a bounded list fold. Queries
+    // with no relevant docs report 0 across the board (stated both
+    // sides).
+    "ml_ranking_metrics" ->
+      """WITH cand AS (
+        |  SELECT doc_id % 10 AS q, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id)
+        |      AS rank
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT q, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    CAST(sum(CASE WHEN rel = 1 AND rank <= 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS relk,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS frst,
+        |    sum(CASE WHEN rel = 1 AND rank <= 5
+        |      THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg
+        |  FROM cand GROUP BY q),
+        |i AS (
+        |  SELECT q, n_rel, relk, frst, dcg,
+        |    CASE WHEN n_rel > 0 THEN coalesce(list_sum(list_transform(
+        |      range(1, CAST(least(5, n_rel) AS BIGINT) + 1),
+        |      x -> 1.0 / log2(x + 1.0))), 0.0) ELSE 0.0 END AS idcg
+        |  FROM g)
+        |SELECT q, n_rel,
+        |  round(CASE WHEN n_rel > 0 THEN CAST(relk AS DOUBLE) / n_rel
+        |    ELSE 0.0 END, 6) AS recall_k,
+        |  round(coalesce(1.0 / frst, 0.0), 6) AS mrr,
+        |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+        |    AS ndcg_k
+        |FROM i ORDER BY q""".stripMargin,
+
+    // The token-drift algebra over fixed-width value bins (the
+    // reference defines [0, 110000) x 20; values clamp to edge bins).
+    "drift_numeric_psi" ->
+      """WITH ha AS (SELECT least(19, greatest(0,
+        |      CAST(floor((l_extendedprice - 0.0) / 110000.0 * 20)
+        |        AS BIGINT))) AS bin, count(*) AS ca
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |hb AS (SELECT least(19, greatest(0,
+        |      CAST(floor((l_extendedprice - 0.0) / 110000.0 * 20)
+        |        AS BIGINT))) AS bin, count(*) AS cb
+        |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ha FULL JOIN hb ON ha.bin = hb.bin),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM j),
+        |pq AS (SELECT v, na, nb,
+        |    (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q,
+        |    ((ca + 1.0) / (na + v) + (cb + 1.0) / (nb + v)) / 2.0 AS m
+        |  FROM j, t)
+        |SELECT max(v) AS n_terms, max(na) AS n_a, max(nb) AS n_b,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |  round(sum(p * ln(p / q)), 6) AS kl_pq,
+        |  round(sum(p * ln(p / m) / 2.0 + q * ln(q / m) / 2.0), 6) AS js
+        |FROM pq""".stripMargin,
 
     "ml_brier_logloss" ->
       """WITH d AS (SELECT

@@ -58,30 +58,12 @@ object Profile {
         "(column, n, n_null, n_distinct, min, max, mean, stddev)"))
   }
 
-  /** Distribution drift between two corpus snapshots' token
-    * distributions: PSI, KL(p||q), and Jensen-Shannon divergence over
-    * the union vocabulary with add-one smoothing (so a term absent on
-    * one side contributes a finite, defined term — the convention both
-    * engines state identically). Returns ONE row:
-    * (n_terms, n_a, n_b, psi, kl_pq, js). All sums run over the union
-    * vocabulary — model-scale next to the corpus.
+  /** Shared drift reduction: given per-key counts of both snapshots
+    * (already full-outer-joined, zeros coalesced), add-one-smooth over
+    * the union key space and reduce to ONE row (n_terms, n_a, n_b,
+    * psi, kl_pq, js).
     */
-  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    def tf(df: DataFrame, out: String) = df
-      .select(explode(split(col(textCol), " ")).as("term"))
-      .where(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as(out))
-    // `joined` is referenced twice (totals + per-term pass) and the
-    // static plan shows 4 corpus scans — but AQE's runtime exchange
-    // reuse dedupes the identical term-aggregation subtrees, so the
-    // corpus is read once per side. Measured: a localCheckpoint here
-    // (the static-plan "fix") made the 100M-token stress 10.5s → 19.8s
-    // by splitting the work into two jobs and losing in-query reuse.
-    // Trust runtime reuse over the static formatted plan.
-    val joined = tf(a, "ca").join(tf(b, "cb"), Seq("term"), "full")
-      .select(col("term"),
-        coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+  private def driftOf(joined: DataFrame): DataFrame = {
     val tot = joined.agg(
       count(lit(1)).as("v"),
       sum(col("ca")).as("na"),
@@ -100,5 +82,53 @@ object Profile {
         round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_pq"),
         round(sum(col("p") * log(col("p") / col("m")) / 2.0 +
           col("q") * log(col("q") / col("m")) / 2.0), 6).as("js"))
+  }
+
+  /** Numeric-column drift between two snapshots: `bins` equal-width
+    * bins over [lo, hi) (values clamped into the edge bins), then the
+    * same smoothed PSI/KL/JS reduction as [[tokenDrift]]. ONE
+    * aggregation per side on the corpus; everything after is
+    * bins-scale. Fixed, caller-supplied edges keep the bin ids
+    * engine-portable and snapshot-independent (the monitoring
+    * convention: the reference defines the bins).
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                   bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0 and hi>lo: $bins, $lo, $hi")
+    def hist(df: DataFrame, out: String) = df
+      .select(least(lit(bins - 1L), greatest(lit(0L),
+        floor((col(valueCol) - lo) / lit(hi - lo) * bins).cast("long")))
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    driftOf(hist(a, "ca").join(hist(b, "cb"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  /** Distribution drift between two corpus snapshots' token
+    * distributions: PSI, KL(p||q), and Jensen-Shannon divergence over
+    * the union vocabulary with add-one smoothing (so a term absent on
+    * one side contributes a finite, defined term — the convention both
+    * engines state identically). Returns ONE row:
+    * (n_terms, n_a, n_b, psi, kl_pq, js). All sums run over the union
+    * vocabulary — model-scale next to the corpus.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def tf(df: DataFrame, out: String) = df
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    // `joined` is referenced twice inside driftOf (totals + per-term
+    // pass) and the static plan shows 4 corpus scans — but AQE's
+    // runtime exchange reuse dedupes the identical term-aggregation
+    // subtrees, so the corpus is read once per side. Measured: a
+    // localCheckpoint here (the static-plan "fix") made the 100M-token
+    // stress 10.5s → 19.8s by splitting the work into two jobs and
+    // losing in-query reuse. Trust runtime reuse over the static plan.
+    driftOf(tf(a, "ca").join(tf(b, "cb"), Seq("term"), "full")
+      .select(col("term"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
   }
 }

@@ -433,6 +433,37 @@ class MLOpsSpec extends AnyFunSuite {
     assert(Eval.aucExact(one, "s", "y").head().isNullAt(0))
   }
 
+  test("Eval: Cohen's kappa and ranking metrics on hand fixtures") {
+    import graft.mlops.Eval
+    // 2x2: agree on 6 of 10; marginals a: 7/3, b: 5/5
+    // po=0.6, pe=(7*5+3*5)/100=0.5, kappa=0.2
+    val d = (Seq.fill(4)(("x", "x")) ++ Seq.fill(2)(("y", "y")) ++
+      Seq.fill(3)(("x", "y")) ++ Seq(("y", "x"))).toDF("a1", "a2")
+    val k = Eval.cohensKappa(d, "a1", "a2").head()
+    assert(math.abs(k.getAs[Double]("po") - 0.6) < 1e-9)
+    assert(math.abs(k.getAs[Double]("pe") - 0.5) < 1e-9)
+    assert(math.abs(k.getAs[Double]("kappa") - 0.2) < 1e-9)
+    // perfect agreement, single class: pe=1 convention -> kappa=1
+    val p = Seq(("x", "x"), ("x", "x")).toDF("a1", "a2")
+    assert(Eval.cohensKappa(p, "a1", "a2").head()
+      .getAs[Double]("kappa") == 1.0)
+    // ranking: q0 rel at ranks 2,4 of 5 relevant... n_rel=2, k=3:
+    // recall@3=1/2, mrr=1/2, dcg=1/log2(3), idcg=1+1/log2(3)
+    val r = Seq((0, 1, 0), (0, 2, 1), (0, 3, 0), (0, 4, 1), (0, 5, 0),
+      (1, 1, 0), (1, 2, 0)).toDF("q", "rank", "rel")
+    val m = Eval.rankingMetrics(r, "q", "rank", "rel", k = 3)
+      .orderBy("q").collect()
+    assert(math.abs(m(0).getAs[Double]("recall_k") - 0.5) < 1e-6)
+    assert(math.abs(m(0).getAs[Double]("mrr") - 0.5) < 1e-6)
+    val dcg = 1.0 / (math.log(3) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(m(0).getAs[Double]("ndcg_k") - dcg / idcg) < 1e-6)
+    // zero-relevant query reports zeros
+    assert(m(1).getAs[Double]("recall_k") == 0.0 &&
+      m(1).getAs[Double]("mrr") == 0.0 &&
+      m(1).getAs[Double]("ndcg_k") == 0.0)
+  }
+
   test("standardScaleWeighted: ones == unweighted; integer weights == replication") {
     val df = Seq((1L, 2.5, 1), (2L, 4.0, 2), (3L, 7.5, 3),
       (4L, 1.0, 1), (5L, 9.0, 2)).toDF("id", "v", "w")

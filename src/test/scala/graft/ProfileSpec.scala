@@ -32,6 +32,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(a.getLong(3) >= 2L && a.getLong(3) <= 4L)
   }
 
+  test("numericDrift: identical zero, planted shift positive, clamping") {
+    val a = Seq(1.0, 2.0, 3.0, 9.5).toDF("v")
+    val same = Profile.numericDrift(a, a, "v", bins = 10, lo = 0, hi = 10)
+      .head()
+    assert(same.getAs[Double]("psi") == 0.0 &&
+      same.getAs[Double]("js") == 0.0)
+    // shifted snapshot drifts; out-of-range values clamp to edge bins
+    val b = Seq(7.0, 8.0, 9.0, -5.0, 25.0).toDF("v")
+    val d = Profile.numericDrift(a, b, "v", bins = 10, lo = 0, hi = 10)
+      .head()
+    assert(d.getAs[Double]("psi") > 0 && !d.getAs[Double]("psi").isNaN)
+    assert(d.getAs[Long]("n_b") == 5L) // clamped rows still counted
+  }
+
   test("tokenDrift: identical snapshots give zero; disjoint vocab stays finite") {
     val a = Seq("a b a", "c a").toDF("text")
     val same = Profile.tokenDrift(a, a, "text").head()
