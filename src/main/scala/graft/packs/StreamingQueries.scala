@@ -421,6 +421,39 @@ object StreamingQueries extends QueryPack {
       s.table(sink).orderBy(col("doc_id"))
     }),
 
+    // Drift-monitor online (the 16th real-stream artifact): the
+    // reference histogram is the even-doc batch corpus; odd docs arrive
+    // as a file stream whose per-term counts live in KEYED STREAM STATE
+    // (update mode — counts are monotone, so max per term == the final
+    // total once the stream drains, the l5 invariant). The PSI/KL/JS
+    // reduction is a BATCH read of the drained state vs the reference
+    // (Profile.countDrift) — the monitor pattern: state holds the
+    // sufficient statistics, reports are batch over state. Oracle =
+    // drift_token_psi's batch SQL verbatim.
+    "streaming_drift_monitor" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val refHist = docs.where(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("ca"))
+      val stream = s.readStream.schema(docs.schema)
+        .parquet(s"$dir/documents*.parquet")
+        .where(col("doc_id") % 2 === 1)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("cb"))
+      val sink = s"driftmon_${UUID.randomUUID().toString.replace("-", "")}"
+      val ckpt = Files.createTempDirectory("graft_driftmon_ckpt").toString
+      val q = stream.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val live = s.table(sink).groupBy(col("term"))
+        .agg(max(col("cb")).as("cb"))
+      graft.stats.Profile.countDrift(refHist, live, "term", "ca", "cb")
+    }),
+
     // The ANN tier's ingestion gate, as a real stream (the 10th
     // real-stream artifact): the static sign-LSH bucket index is built
     // from the even-id half of the embedding corpus; odd-id vectors
@@ -472,6 +505,10 @@ object StreamingQueries extends QueryPack {
     // tokenize-online must hash-equal the batch encode.
     "streaming_unigram_encode" ->
       TextAnalysisQueries.unigramEncodeOracle(4, 24, 2, 40),
+
+    // The batch drift oracle verbatim — a monitor whose histogram lived
+    // in stream state must report the identical PSI/KL/JS row.
+    "streaming_drift_monitor" -> StatsQueries.oracles("drift_token_psi"),
 
     // The batch scored oracle verbatim — train-offline/score-online on
     // one AvailableNow batch must hash-equal the batch scored funnel.

@@ -106,6 +106,21 @@ object Profile {
         coalesce(col("cb"), lit(0L)).as("cb")))
   }
 
+  /** Drift from two ALREADY-AGGREGATED count tables (key, count) — the
+    * entry point for monitors that maintain histograms elsewhere (e.g.
+    * the streaming drift monitor keeps the live histogram in stream
+    * state and reduces here batch-side). Same smoothing and reduction
+    * as [[tokenDrift]].
+    */
+  def countDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                 aCountCol: String, bCountCol: String): DataFrame =
+    driftOf(a.select(col(keyCol), col(aCountCol).cast("long").as("ca"))
+      .join(b.select(col(keyCol), col(bCountCol).cast("long").as("cb")),
+        Seq(keyCol), "full")
+      .select(col(keyCol),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+
   /** Distribution drift between two corpus snapshots' token
     * distributions: PSI, KL(p||q), and Jensen-Shannon divergence over
     * the union vocabulary with add-one smoothing (so a term absent on
