@@ -902,4 +902,69 @@ object Graft {
   /** Load a model bundle saved by [[saveModelBundle]]; refuses schema drift. */
   def loadModelBundle(spark: SparkSession, path: String): Map[String, DataFrame] =
     graft.mlops.ModelIO.loadBundle(spark, path)
+  /** Per-class precision/recall/F1/support from one confusion pass. */
+  def classificationReport(df: DataFrame, labelCol: String,
+                           predCol: String): DataFrame =
+    graft.mlops.Eval.classificationReport(df, labelCol, predCol)
+  /** Exact tie-aware AUC over the quantized-score histogram. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
+               quantize: Int = 6): DataFrame =
+    graft.mlops.Eval.aucExact(df, scoreCol, labelCol, quantize)
+  /** Segmented exact AUC — one row per group (model monitoring). */
+  def aucExactBy(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCol: String, quantize: Int = 6): DataFrame =
+    graft.mlops.Eval.aucExactBy(df, scoreCol, labelCol, groupCol, quantize)
+  /** Brier + eps-clamped log-loss in one pass. */
+  def probScores(df: DataFrame, scoreCol: String, labelCol: String,
+                 eps: Double = 1e-15): DataFrame =
+    graft.mlops.Eval.probScores(df, scoreCol, labelCol, eps)
+  /** Reliability-diagram bins (mean score vs observed positive rate). */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame =
+    graft.mlops.Eval.calibrationBins(df, scoreCol, labelCol, bins)
+  /** Chance-corrected agreement between two labelings (one row). */
+  def cohensKappa(df: DataFrame, col1: String, col2: String): DataFrame =
+    graft.mlops.Eval.cohensKappa(df, col1, col2)
+  /** Per-query recall@k / MRR / nDCG@k over retriever-provided ranks. */
+  def rankingMetrics(df: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, k: Int): DataFrame =
+    graft.mlops.Eval.rankingMetrics(df, queryCol, rankCol, relCol, k)
+  /** One-pass numeric profile (moments twin of [[profileColumns]]). */
+  def profileNumeric(df: DataFrame, cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame =
+    graft.stats.Profile.profileNumeric(df, cols, exactDistinct)
+  /** PSI/KL/JS token-distribution drift between two snapshots. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    graft.stats.Profile.tokenDrift(a, b, textCol)
+  /** PSI/KL/JS numeric drift over fixed caller-defined bins. */
+  def numericDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                   bins: Int, lo: Double, hi: Double): DataFrame =
+    graft.stats.Profile.numericDrift(a, b, valueCol, bins, lo, hi)
+  /** Drift from two already-aggregated (key, count) tables. */
+  def countDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                 aCountCol: String, bCountCol: String): DataFrame =
+    graft.stats.Profile.countDrift(a, b, keyCol, aCountCol, bCountCol)
+  /** Globally-exact sequence packing (per-(doc, chunk) token slices). */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long): DataFrame =
+    graft.operators.Packing.packSequences(docs, idCol, tokenCol, seqLen)
+  /** Per-chunk fullness / loss-masking rollup of [[packSequences]]. */
+  def packChunkReport(spans: DataFrame): DataFrame =
+    graft.operators.Packing.chunkReport(spans)
+  /** Unigram-LM tokenizer training (fixed Viterbi-EM rounds). */
+  def unigramLearn(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   seedMultiTopK: Int = 64, emRounds: Int = 2,
+                   vocabSize: Int = 4096): DataFrame =
+    graft.text.Unigram.learn(docs, textCol, maxPieceLen, seedMultiTopK,
+      emRounds, vocabSize)
+  /** Per-doc unigram encode stats (distinct-word Viterbi + doc join). */
+  def unigramEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame, maxPieceLen: Int = 4): DataFrame =
+    graft.text.Unigram.encodeStats(docs, idCol, textCol, vocab, maxPieceLen)
+  /** Stateless in-row unigram encode (the streaming shape). */
+  def unigramEncodeStatsInRow(docs: DataFrame, idCol: String,
+                              textCol: String, vocab: Map[String, Double],
+                              maxPieceLen: Int = 4): DataFrame =
+    graft.text.Unigram.encodeStatsInRow(docs, idCol, textCol, vocab,
+      maxPieceLen)
 }
