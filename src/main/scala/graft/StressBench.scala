@@ -32,6 +32,15 @@ object StressBench {
         val t0 = System.nanoTime()
         val n = f
         println(f"""{"stage":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        // Release persisted/localCheckpoint blocks between stages (the
+        // Bench hygiene): ~30 stages share ONE 8g JVM here, and after
+        // the r17 MEMORY_AND_DISK_SER sweep the leaked slim frames
+        // accumulate in HEAP (they used to leak harmlessly to disk) —
+        // the full-sweep run died broadcasting in a late stage from
+        // exactly this. Outside the timed region; every stage builds
+        // its own frames (the shared-graph group was split for this).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
 
     // synthetic fact table: skewed key, timestamp, value
@@ -432,16 +441,19 @@ object StressBench {
           emb, "vec_id", "embedding", coarse, "cell", k = 5, nProbe = 2)
         .localCheckpoint()
     }
-    // The initial graph is built ONCE, outside both timed regions (it
-    // is identical input to both loops and its cell self-join would
-    // otherwise dominate the k=5 round cost, hiding the loop delta the
-    // stages exist to price).
-    if (only.forall(s => s.contains("knn_refine_converged") ||
-        s.contains("knn_refine_fixed"))) {
-      // a generous ceiling, as a user who does NOT know the
-      // convergence round would set it — the knob's job is to find
-      // the real stopping point under it
-      val refineMaxRounds = 8
+    // The initial graph is built OUTSIDE each timed region (it is
+    // identical input to both loops — circleGraph is deterministic, so
+    // per-stage rebuilds see the same graph — and its cell self-join
+    // would otherwise dominate the k=5 round cost, hiding the loop
+    // delta the stages exist to price). Each stage builds its OWN copy
+    // so the between-stage block release in timed() stays safe: a
+    // shared localCheckpoint frame cannot survive an unpersist (its
+    // lineage is truncated).
+    // a generous ceiling, as a user who does NOT know the convergence
+    // round would set it — the knob's job is to find the real stopping
+    // point under it
+    val refineMaxRounds = 8
+    if (only.forall(_.contains("knn_refine_converged"))) {
       val n = math.max(rows / 40L, 100000L)
       // emb stays a cheap synthetic projection (recomputed per use) —
       // checkpointing 500k×64d vectors alongside the per-round edge
@@ -457,6 +469,11 @@ object StressBench {
           conv.changedPerRound.mkString(",")}]}""")
         conv.graph.count()
       }
+    }
+    if (only.forall(_.contains("knn_refine_fixed"))) {
+      val n = math.max(rows / 40L, 100000L)
+      val emb = circleVecs(n)
+      val g = circleGraph(emb)
       timed("knn_refine_fixed") {
         graft.similarity.Similarity.knnRefineIterated(
           emb, "vec_id", "embedding", g, k = 5,
