@@ -922,6 +922,10 @@ object Graft {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame =
     graft.mlops.Eval.calibrationBins(df, scoreCol, labelCol, bins)
+  /** One-pass regression error report (MAE/RMSE/MAPE/R²). */
+  def regressionReport(df: DataFrame, actualCol: String,
+                       predCol: String): DataFrame =
+    graft.mlops.Eval.regressionReport(df, actualCol, predCol)
   /** Chance-corrected agreement between two labelings (one row). */
   def cohensKappa(df: DataFrame, col1: String, col2: String): DataFrame =
     graft.mlops.Eval.cohensKappa(df, col1, col2)

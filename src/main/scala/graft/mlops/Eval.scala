@@ -107,6 +107,32 @@ object Eval {
         col("npos"), col("nneg"))
   }
 
+  /** Regression error report in ONE map-side-combinable pass: n, MAE,
+    * RMSE, MAPE (over rows with actual != 0 — the defined-everywhere
+    * convention, stated identically in oracles; mape_n counts the rows
+    * it covers) and R² (SStot = var_pop·n, the stable one-pass form;
+    * zero-variance target → 0.0, the `Scoring` convention).
+    */
+  def regressionReport(df: DataFrame, actualCol: String,
+                       predCol: String): DataFrame = {
+    val a = col(actualCol).cast("double")
+    val p = col(predCol).cast("double")
+    val e = p - a
+    df.agg(
+        count(lit(1)).as("n"),
+        round(avg(abs(e)), 6).as("mae"),
+        round(sqrt(avg(e * e)), 6).as("rmse"),
+        sum(when(a =!= 0.0, 1L).otherwise(0L)).as("mape_n"),
+        round(avg(when(a =!= 0.0, abs(e / a))), 6).as("mape"),
+        avg(e * e).as("_mse"),
+        var_pop(a).as("_var"))
+      .select(col("n"), col("mae"), col("rmse"), col("mape_n"),
+        col("mape"),
+        round(when(col("_var") > 0.0,
+          lit(1.0) - col("_mse") / col("_var")).otherwise(0.0), 6)
+          .as("r2"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two labelings
     * (annotator QA in a labeling pipeline; also model-vs-model drift).
     * ONE confusion aggregation, then class-cardinality marginals:

@@ -725,6 +725,19 @@ object MLQueries extends QueryPack {
         .orderBy(col("q"))
     }),
 
+    // Regression error report of the broadcast OLS fit: MAE/RMSE/MAPE/
+    // R² in one map-side-combinable pass (Eval.regressionReport) —
+    // completes the eval family's regression leg next to Scoring's R².
+    "ml_regression_report" -> ((s, dir) => {
+      val t = Tables(s, dir).lineitem
+      val fit = LinearOps.olsFit(t, "l_quantity", "l_extendedprice")
+      val preds = t.crossJoin(broadcast(fit))
+        .select(col("l_extendedprice").as("actual"),
+          (col("intercept") + col("slope") * col("l_quantity"))
+            .as("pred"))
+      Eval.regressionReport(preds, "actual", "pred")
+    }),
+
     // Numeric-column drift: PSI/KL/JS between the odd- and even-order
     // halves' extendedprice distributions over 20 fixed-width bins —
     // the numeric twin of drift_token_psi (reference defines the bins).
@@ -1103,6 +1116,32 @@ object MLQueries extends QueryPack {
         |  CAST(sum(npos) AS BIGINT) AS npos,
         |  CAST(sum(n - npos) AS BIGINT) AS nneg
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // Same closed-form fit as l2_ols_predict, then the one-pass error
+    // algebra; MAPE over a<>0 rows only (stated both sides), R² via
+    // 1 - mse/var_pop with the zero-variance -> 0 convention.
+    "ml_regression_report" ->
+      """WITH fit AS (
+        |  SELECT round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+        |    round(avg(l_extendedprice) -
+        |      covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 6)
+        |      AS intercept
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT l_extendedprice AS a,
+        |    fit.intercept + fit.slope * l_quantity AS p
+        |  FROM lineitem, fit)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(abs(p - a)), 6) AS mae,
+        |  round(sqrt(avg((p - a) * (p - a))), 6) AS rmse,
+        |  CAST(sum(CASE WHEN a <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mape_n,
+        |  round(avg(CASE WHEN a <> 0 THEN abs((p - a) / a) END), 6)
+        |    AS mape,
+        |  round(CASE WHEN var_pop(a) > 0
+        |    THEN 1.0 - avg((p - a) * (p - a)) / var_pop(a)
+        |    ELSE 0.0 END, 6) AS r2
+        |FROM d""".stripMargin,
 
     // po/pe rounded BEFORE kappa (the engine convention); marginal
     // products in double.

@@ -433,6 +433,25 @@ class MLOpsSpec extends AnyFunSuite {
     assert(Eval.aucExact(one, "s", "y").head().isNullAt(0))
   }
 
+  test("Eval: regression report hand values and conventions") {
+    import graft.mlops.Eval
+    // a = (2, 4, 0), p = (3, 2, 1): e = (1, -2, 1)
+    // mae = 4/3, rmse = sqrt(2), mape over a!=0 = (1/2 + 2/4)/2 = 0.5
+    // var_pop(a) = 8/3 - 4 = ... mean 2, var = (0+4+4)/3 = 8/3
+    // r2 = 1 - (6/3)/(8/3) = 0.25
+    val d = Seq((2.0, 3.0), (4.0, 2.0), (0.0, 1.0)).toDF("a", "p")
+    val r = graft.mlops.Eval.regressionReport(d, "a", "p").head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("mape_n") == 2L)
+    assert(math.abs(r.getAs[Double]("mae") - 4.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(2)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mape") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 0.25) < 1e-6)
+    // zero-variance target -> r2 = 0.0, not NULL/-inf
+    val z = Seq((5.0, 4.0), (5.0, 6.0)).toDF("a", "p")
+    assert(Eval.regressionReport(z, "a", "p").head()
+      .getAs[Double]("r2") == 0.0)
+  }
+
   test("Eval: Cohen's kappa and ranking metrics on hand fixtures") {
     import graft.mlops.Eval
     // 2x2: agree on 6 of 10; marginals a: 7/3, b: 5/5
