@@ -51,8 +51,12 @@ object Mixture {
   def mixToBudget(docs: DataFrame, idCol: String, componentCol: String,
                   tokenCol: String, budgets: DataFrame,
                   bucketShift: Int = BucketShift): DataFrame = {
-    require(bucketShift >= 0 && bucketShift < 60,
-      s"bucketShift=$bucketShift must be in [0, 60)")
+    // floor 36: phase 2's per-component bucket rollup is the window's
+    // frame — 2^(60-shift) rows; smaller shifts reintroduce the
+    // corpus-sized single-task sort this design exists to avoid
+    require(bucketShift >= 36 && bucketShift < 60,
+      s"bucketShift=$bucketShift must be in [36, 60): smaller shifts " +
+        "make the bucket rollup corpus-sized")
     val withB = docs.select(col(idCol), col(componentCol),
         col(tokenCol).cast("long").as("tokens"))
       .withColumn("_h",

@@ -59,6 +59,50 @@ object Packing {
 
   private val BucketShift = 46 // 60-bit priority >> 46 = 14 bucket bits
 
+  /** Floor on `bucketShift`: phase 1's unpartitioned window runs over
+    * the 2^(60-shift)-row bucket frame; a small shift silently
+    * reintroduces the corpus-sized single-task sort the two-phase
+    * design exists to avoid. 36 keeps the frame ≤ 2^24 rows —
+    * model-scale regardless of corpus size.
+    */
+  private val MinBucketShift = 36
+
+  /** The per-doc global token offsets underlying [[packSequences]]:
+    * one row per doc — (idCol, h, n_tokens, tok_start) where `h` is
+    * the 60-bit md5 shuffle priority and `tok_start` the doc's offset
+    * in the concatenated (h, id)-ordered token stream. Exposed both as
+    * the packing building block and as a directly-oracled diagnostic:
+    * a driver-side packing mismatch localizes here to either the hash
+    * (h differs) or the prefix sum (tok_start differs). Zero-token
+    * docs are dropped.
+    */
+  def docOffsets(docs: DataFrame, idCol: String, tokenCol: String,
+                 bucketShift: Int = BucketShift): DataFrame = {
+    require(bucketShift >= MinBucketShift && bucketShift < 60,
+      s"bucketShift=$bucketShift must be in [$MinBucketShift, 60): " +
+        "smaller shifts make phase 1's bucket frame corpus-sized")
+    val withB = docs
+      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("h",
+        GraftFunctions.md5Long(col(idCol).cast("string"), 15))
+      .withColumn("_b", shiftright(col("h"), bucketShift))
+    // phase 1: per-bucket masses, cumsum on the BOUNDED bucket frame
+    val bmass = withB.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_m"))
+    val wB = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bmass.withColumn("_cum", sum(col("_m")).over(wB))
+      .select(col("_b"), (col("_cum") - col("_m")).as("_bpre"))
+    // phase 2: within-bucket cumsum, all buckets in parallel
+    val wIn = Window.partitionBy(col("_b"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(pre, "_b")
+      .withColumn("_run", sum(col("n_tokens")).over(wIn))
+      .select(col(idCol), col("h"), col("n_tokens"),
+        (col("_bpre") + col("_run") - col("n_tokens")).as("tok_start"))
+  }
+
   /** Globally-exact sequence packing (see object scaladoc): one row per
     * (doc, spanned chunk) — (idCol, chunk_id, tok_from, tok_to) with
     * [tok_from, tok_to) the doc-local token slice landing in
@@ -70,27 +114,9 @@ object Packing {
                     seqLen: Long,
                     bucketShift: Int = BucketShift): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen must be positive")
-    require(bucketShift >= 0 && bucketShift < 60,
-      s"bucketShift=$bucketShift must be in [0, 60)")
-    val withB = docs
-      .select(col(idCol), col(tokenCol).cast("long").as("_tk"))
-      .where(col("_tk") > 0)
-      .withColumn("_h",
-        GraftFunctions.md5Long(col(idCol).cast("string"), 15))
-      .withColumn("_b", shiftright(col("_h"), bucketShift))
-    // phase 1: per-bucket masses, cumsum on the BOUNDED bucket frame
-    val bmass = withB.groupBy(col("_b")).agg(sum(col("_tk")).as("_m"))
-    val wB = Window.orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = bmass.withColumn("_cum", sum(col("_m")).over(wB))
-      .select(col("_b"), (col("_cum") - col("_m")).as("_bpre"))
-    // phase 2: within-bucket cumsum, all buckets in parallel
-    val wIn = Window.partitionBy(col("_b"))
-      .orderBy(col("_h"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = withB.join(pre, "_b")
-      .withColumn("_run", sum(col("_tk")).over(wIn))
-      .withColumn("_start", col("_bpre") + col("_run") - col("_tk"))
+    val offs = docOffsets(docs, idCol, tokenCol, bucketShift)
+      .withColumnRenamed("n_tokens", "_tk")
+      .withColumnRenamed("tok_start", "_start")
     offs
       .select(col(idCol), col("_tk"), col("_start"),
         explode(sequence(

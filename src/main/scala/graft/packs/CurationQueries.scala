@@ -138,6 +138,35 @@ object CurationQueries extends QueryPack {
         .orderBy(col("chunk_id"))
     }),
 
+    // Diagnostic twin #1 (r17 driver red-row instrumentation): the
+    // packing's per-doc (h, tok_start) table oracled DIRECTLY — a
+    // future pack_sequences mismatch localizes here to either the
+    // md5 priority (h differs) or the two-phase prefix sum
+    // (tok_start differs), vs diverging only in the span explode.
+    "pack_doc_offsets" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      graft.operators.Packing.docOffsets(d, "doc_id", "tokens")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Diagnostic twin #2: an ORDER-FREE per-doc digest of the span
+    // table (count, token mass, and a positional checksum) — hash
+    // mismatches localize to the owning doc ids instead of one
+    // opaque table digest.
+    "pack_sequences_digest" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      graft.operators.Packing.packSequences(d, "doc_id", "tokens",
+          seqLen = 64L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("tok_to") - col("tok_from")).as("n_tokens"),
+          sum(col("chunk_id") * lit(131071L)
+            + col("tok_from") * lit(8191L) + col("tok_to")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The FULL CommonCrawl-shaped path: the same pages travel as WARC
     // archives (gzip members on even archive ids), records are
     // re-extracted, doc ids recovered from the record URLs, and the
@@ -270,20 +299,32 @@ object CurationQueries extends QueryPack {
         |    (survivor AND quality_margin > 0.0) AS survivor_scored
         |  FROM scored)""".stripMargin
 
+  /** The 60-bit md5 shuffle priority, spelled as two ≤8-hex-digit
+    * casts combined with exact int64 arithmetic (first8 * 16^7 +
+    * next7) instead of one 15-hex cast. Bit-identical to
+    * `('0x'||substr(md5(x),1,15))::BIGINT` on a correct engine, but
+    * each cast stays ≤ 2^32 — immune to any driver-side DuckDB build
+    * that routes wide hex-string casts through a lossy intermediate
+    * (r17's pack_sequences red-row suspect; the ≤8-hex idiom is the
+    * one ~30 long-green dedup oracles already use).
+    */
+  private def md5h60(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 8))::BIGINT * 268435456" +
+      s" + ('0x' || substr(md5($x), 9, 7))::BIGINT)"
+
   /** Shared packing chain: naive global running-total window over the
     * (md5-priority, id) order, then the chunk-span explode — the form
     * the engine's bucketed two-phase prefix sum must equal bit for bit.
     */
   private val packSpansCte: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
-      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |      AS h
+      |    ${md5h60("CAST(doc_id AS VARCHAR)")} AS h
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) > 0),
       |r AS (
-      |  SELECT doc_id, tk,
+      |  SELECT doc_id, tk, h,
       |    sum(tk) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - tk
       |      AS start
       |  FROM d),
@@ -310,15 +351,25 @@ object CurationQueries extends QueryPack {
       |    AS n_clean_heads
       |FROM spans GROUP BY chunk_id ORDER BY chunk_id""".stripMargin),
 
+    "pack_doc_offsets" -> (packSpansCte + """
+      |SELECT doc_id, h, tk AS n_tokens, start AS tok_start
+      |FROM r ORDER BY doc_id""".stripMargin),
+
+    "pack_sequences_digest" -> (packSpansCte + """
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(tok_to - tok_from) AS BIGINT) AS n_tokens,
+      |  CAST(sum(chunk_id * 131071 + tok_from * 8191 + tok_to) AS BIGINT)
+      |    AS digest
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // The NAIVE formulation the engine's bucketed two-phase threshold
     // must equal bit for bit: per-lang running token total in
     // (md5-priority, id) order, keep while ≤ the 40% budget.
     "curation_mix_budget" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |      AS h
+        |    ${md5h60("CAST(doc_id AS VARCHAR)")} AS h
         |  FROM documents),
         |b AS (SELECT lang,
         |        CAST(floor(sum(tokens) * 0.4) AS BIGINT) AS budget

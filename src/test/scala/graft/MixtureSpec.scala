@@ -37,9 +37,11 @@ class MixtureSpec extends AnyFunSuite {
       .agg(floor(sum(col("tokens")) * lit(0.37)).cast("long").as("budget"))
     val expected = naive(budgets)
     // shift 58 → 4 buckets (every bucket multi-doc, boundary window hot);
-    // shift 0 → one doc per bucket (pure phase-2 classification);
+    // shift 36 → 2^24 bucket ids, so at fixture scale one doc per
+    //   bucket (pure phase-2 classification) — the floor of the allowed
+    //   range (smaller shifts would make the rollup corpus-sized);
     // shift 46 → the production default
-    Seq(58, 46, 0).foreach { shift =>
+    Seq(58, 46, 36).foreach { shift =>
       val got = Mixture.mixToBudget(fixture, "doc_id", "comp", "tokens",
           budgets, bucketShift = shift)
         .orderBy("doc_id").collect().toSeq
