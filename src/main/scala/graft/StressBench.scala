@@ -1077,6 +1077,30 @@ object StressBench {
         s"packing ground truth: $a vs total=$total chunks=$nChunks")
       total
     }
+    // Approx-quantile binning at `rows` rows: ONE mergeable sketch pass
+    // + broadcast cut points, no global sort (the 100 TB twin of the
+    // ntile discretizer). Ground truth: a uniform value column must
+    // land each of the 8 bins within the sketch's rank-error bound
+    // (eps = 1/accuracy -> per-bin deviation <= 2*eps*n plus the value
+    // granularity), and bin counts must conserve n.
+    timed("kbins_approx_sketch") {
+      val n = rows
+      val d = spark.range(n).select(
+        pmod(col("id") * 2654435761L, lit(100000L)).cast("double").as("v"))
+      val per = graft.stats.Moments
+        .kBinsApprox(d, "v", bins = 8, "bin", accuracy = 10000)
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("c"))
+        .toMap
+      require(per.keySet == (1 to 8).toSet, s"bins: ${per.keySet}")
+      require(per.values.sum == n, s"conservation: ${per.values.sum}")
+      val ideal = n / 8.0
+      per.foreach { case (b, c) =>
+        require(math.abs(c - ideal) <= ideal * 0.02 + n / 100000.0 * 2,
+          s"bin $b count $c vs ideal $ideal beyond sketch error")
+      }
+      n
+    }
     // Exact AUC over `rows` rows with ~1000 distinct quantized scores
     // (heavy ties — the average-rank path is the whole computation).
     // Ground truth by construction: labels independent of scores give

@@ -33,6 +33,29 @@ object Composition {
     new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(inputCols.toArray).setOutputCol(outputCol)
 
+  /** P2 with `transformer_weights` (upstream FeatureUnion supports a
+    * per-transformer scalar): each stacked block is scaled by its
+    * weight before the hstack — pure per-row arithmetic prepended to
+    * the assembler, zero shuffle. A zero weight zeroes its block (the
+    * block keeps its width; it does NOT drop), matching sklearn.
+    */
+  def featureUnionWeighted(df: DataFrame, inputCols: Seq[String],
+                           weights: Seq[Double],
+                           outputCol: String = "features"): DataFrame = {
+    require(inputCols.nonEmpty && inputCols.size == weights.size,
+      s"${inputCols.size} cols vs ${weights.size} weights")
+    val scaledNames = inputCols.map(c => s"_w_$c")
+    val scaled = inputCols.zip(weights).map { case (c, w) =>
+      (org.apache.spark.sql.functions.col(c) * w).as(s"_w_$c")
+    }
+    val withScaled = df.select(
+      df.columns.map(org.apache.spark.sql.functions.col).toSeq ++ scaled: _*)
+    new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(scaledNames.toArray).setOutputCol(outputCol)
+      .transform(withScaled)
+      .drop(scaledNames: _*)
+  }
+
   def fitPipeline(df: DataFrame, stages: PipelineStage*): PipelineModel =
     pipeline(stages: _*).fit(df)
 

@@ -222,9 +222,12 @@ object Eval {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins=$bins must be positive")
+    // clamp BOTH edges (mirrors numericDrift): a stray score outside
+    // [0, 1] — e.g. a raw margin handed in by mistake — lands in the
+    // edge bin instead of minting negative/overflow bin ids
     df.select(
-        least(lit(bins - 1L),
-          floor(col(scoreCol) * bins).cast("long")).as("bin"),
+        greatest(lit(0L), least(lit(bins - 1L),
+          floor(col(scoreCol) * bins).cast("long"))).as("bin"),
         col(scoreCol).as("s"), col(labelCol).cast("double").as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),

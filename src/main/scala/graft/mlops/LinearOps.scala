@@ -440,6 +440,29 @@ object LinearOps {
         (round(col("m"), roundTo) + lit(0.0)).as("margin"))
   }
 
+  /** OvR predict_proba (upstream `splearn/linear_model/logistic.py`
+    * exposes predict_proba on the logistic family): per-class sigmoid
+    * of the margin, normalized across classes — sklearn's
+    * OneVsRestClassifier convention. Long form (idCol, cls, proba);
+    * the normalizing sum is a per-id window over ≤ n_classes rows,
+    * never corpus-sized. Calibrated probabilities are what a scored
+    * curation gate thresholds — argmax alone loses the margin.
+    */
+  def logisticOvrProba(pointsLong: DataFrame, weights: DataFrame,
+                       idCol: String, roundTo: Int = 6): DataFrame = {
+    val margins = pointsLong
+      .join(broadcast(weights), "dim")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("v") * col("w")).as("m"))
+    val wid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    margins
+      .withColumn("_s", lit(1.0) / (lit(1.0) + exp(-col("m"))))
+      .select(col(idCol), col("cls"),
+        (round(col("_s") / sum(col("_s")).over(wid), roundTo) + lit(0.0))
+          .as("proba"))
+  }
+
   /** Weighted 1-D OLS — sklearn's `sample_weight` for the closed-form
     * family (upstream estimators pass it straight to sklearn per block;
     * `splearn/linear_model/base.py`). Weighted moments in ONE pass:

@@ -33,9 +33,33 @@ object ModelIO {
     df.schema.fields
       .map(f => s"${f.name} ${f.dataType.sql}").mkString(",")
 
-  /** Write a named bundle: each part under `path/parts/<name>`, plus a
-    * `path/_manifest` parquet of (part, schema_ddl). Overwrites any
-    * bundle already at `path`.
+  /** Order-free content fingerprint of a part: the sum of a 64-bit
+    * row hash over every row. Parquet preserves values bit-exactly,
+    * so the fingerprint computed on the frame handed to save equals
+    * the one recomputed from disk at load — unless the part's CONTENT
+    * drifted (the mixed-version hazard the versioned commit protects
+    * against).
+    */
+  private def fingerprint(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    // modular residues keep the ANSI-mode sum overflow-safe: each term
+    // < 2^30, so overflow would need 2^33 rows — far beyond any
+    // model-scale part
+    df.agg(coalesce(
+        sum(pmod(xxhash64(struct(df.columns.map(col): _*)),
+          lit(1000000007L))), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Write a named bundle ATOMICALLY: each part under
+    * `path/parts-<token>/<name>` (a fresh versioned directory per
+    * save), then commit by overwriting the single `path/_manifest`
+    * parquet of (part, schema_ddl, fingerprint, version) LAST. A crash
+    * mid-save leaves the previous manifest pointing at the previous
+    * version's intact parts — load never sees a mix of old and new
+    * parts (the manifest names exactly one version, and fingerprints
+    * are re-verified at load). Superseded version directories are
+    * best-effort deleted after the commit.
     */
   def saveBundle(spark: SparkSession, path: String,
                  parts: Map[String, DataFrame]): Unit = {
@@ -44,33 +68,54 @@ object ModelIO {
       require(PartName.matches(n),
         s"part name '$n' must match ${PartName.regex}")
     }
-    parts.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$path/parts/$n")
+    val version = "parts-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val rows = parts.toSeq.sortBy(_._1).map { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$version/$n")
+      (n, typeDdl(df), fingerprint(df), version)
     }
     import spark.implicits._
-    parts.toSeq.map { case (n, df) => (n, typeDdl(df)) }
-      .sortBy(_._1)
-      .toDF("part", "schema_ddl")
+    rows.toDF("part", "schema_ddl", "fingerprint", "version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    // post-commit GC of superseded versions; failure here never
+    // affects the committed bundle
+    try {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hPath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("parts-") && n != version)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () }
   }
 
   /** Load a bundle saved by [[saveBundle]]: reads the manifest, loads
-    * every part, and REQUIRES each part's on-disk schema to match the
-    * manifest's recorded DDL.
+    * every part from the manifest's committed version directory, and
+    * REQUIRES each part's on-disk schema DDL and content fingerprint
+    * to match the manifest — refusing both type drift and mixed-save
+    * content.
     */
   def loadBundle(spark: SparkSession, path: String)
       : Map[String, DataFrame] = {
     val manifest = spark.read.parquet(s"$path/_manifest")
-      .select("part", "schema_ddl").collect()
+      .select("part", "schema_ddl", "fingerprint", "version").collect()
     require(manifest.nonEmpty, s"empty model manifest at $path")
     manifest.map { r =>
       val n = r.getString(0)
       require(PartName.matches(n),
         s"manifest names invalid part '$n' — refusing to resolve a path")
-      val df = spark.read.parquet(s"$path/parts/$n")
+      val version = r.getString(3)
+      require(version.matches("^parts-[0-9a-f]{12}$"),
+        s"manifest names invalid version '$version'")
+      val df = spark.read.parquet(s"$path/$version/$n")
       require(typeDdl(df) == r.getString(1),
         s"schema drift for part '$n': saved <${r.getString(1)}> vs " +
           s"on-disk <${typeDdl(df)}>")
+      val fp = fingerprint(df)
+      require(fp == r.getLong(2),
+        s"content drift for part '$n': manifest fingerprint " +
+          s"${r.getLong(2)} vs on-disk $fp — refusing a mixed bundle")
       n -> df
     }.toMap
   }

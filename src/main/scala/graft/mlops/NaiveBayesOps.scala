@@ -121,8 +121,13 @@ object NaiveBayesOps {
     val counts = docTokens.groupBy(col(docCol), col(termCol))
       .agg(count(lit(1)).as("tf"))
     val nDocs = classDocCounts.agg(sum(col("n_docs")).as("_n"))
+    // degenerate-class guard (mirrors Composition's CV prior fix): a
+    // class row with n_docs=0 must score -inf-like, not NULL — a NULL
+    // prior would silently drop the class from every argmax
     val priors = classDocCounts.crossJoin(broadcast(nDocs))
-      .select(col(classCol), log(col("n_docs") / col("_n")).as("prior"))
+      .select(col(classCol),
+        when(col("n_docs") > 0, log(col("n_docs") / col("_n")))
+          .otherwise(lit(-1e9)).as("prior"))
     val scores = counts
       .join(model.select(col(classCol), col(termCol),
         col("log_prob").as("_lp")), Seq(termCol))

@@ -240,6 +240,21 @@ object MLQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // L10: predict_proba for the OvR GD family (upstream logistic
+    // exposes it; NB has the n5/n7 proba twins) — per-class sigmoid
+    // margins normalized across classes, long form. Same 2-step fit
+    // as l8; the proba window is per-id over <= 3 rows.
+    "l10_logreg_proba" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val pts = NaiveBayesOps.toLongForm(emb, Seq("vec_id"), "embedding")
+      val labels = emb.select(col("vec_id"),
+        (col("label") % 3).cast("int").as("y3"))
+      val w = LinearOps.logisticGdOvr(pts, labels, "vec_id", "y3",
+        iters = 2, lr = 0.1)
+      LinearOps.logisticOvrProba(pts, w, "vec_id")
+        .orderBy(col("vec_id"), col("cls"))
+    }),
+
     // sample_weight for the closed-form family (sklearn-wide fit
     // signature), cabled to the DSIR importance weights this library
     // already computes: weighted 1-D OLS of distinct-token count on
@@ -286,7 +301,10 @@ object MLQueries extends QueryPack {
       val fit = NaiveBayesOps.multinomialFit(
         toks.select(col("lang"), col("term")), "lang", "term")
       val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_nb"
+      // per-(sf, JVM) path: concurrent verify runs (e.g. both scale
+      // factors) must not cross-load each other's bundle
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_nb" +
+        s"_${dir.replaceAll("[^A-Za-z0-9]", "")}_${ProcessHandle.current().pid()}"
       ModelIO.saveBundle(s, path,
         Map("nb_log_prob" -> fit, "nb_class_docs" -> priors))
       val loaded = ModelIO.loadBundle(s, path)
@@ -454,6 +472,30 @@ object MLQueries extends QueryPack {
           col("l_tax").cast("double").as("f_tax"))
       Composition.featureUnion(Seq("f_qty", "f_disc", "f_tax"), "features")
         .transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          vector_to_array(col("features")).as("arr"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(col("arr")).as("dim"),
+          expr("size(filter(arr, x -> x != 0D))").as("nnz"),
+          (round(sqrt(expr(
+            "aggregate(arr, 0D, (acc, x) -> acc + x * x)")), 4) + lit(0.0))
+            .as("l2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P2b: FeatureUnion transformer_weights — blocks scaled before the
+    // hstack; powers-of-two weights keep the scaling FP-exact on both
+    // engines, and the ZERO weight pins sklearn's semantics (the block
+    // zeroes, it does not drop: dim stays 3, nnz excludes it).
+    "p7_feature_union_weighted" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .where(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("f_qty"),
+          col("l_discount").cast("double").as("f_disc"),
+          col("l_tax").cast("double").as("f_tax"))
+      Composition.featureUnionWeighted(li,
+          Seq("f_qty", "f_disc", "f_tax"), Seq(2.0, 0.5, 0.0), "features")
         .select(col("l_orderkey"), col("l_linenumber"),
           vector_to_array(col("features")).as("arr"))
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -1039,6 +1081,45 @@ object MLQueries extends QueryPack {
       |     WHEN 'es' THEN 'cion' WHEN 'zh' THEN 'xua'
       |     ELSE 'ing' END""".stripMargin
 
+  /** Shared OvR 2-step zero-init GD chain (mirrors LinearOps
+    * .logisticGdOvr at iters=2, lr=0.1): unrolled per-class binary GD,
+    * final margins in `mf` — consumed by the l8 argmax and the l10
+    * normalized-sigmoid proba oracles.
+    */
+  private val ovrGd2Cte: String =
+    """WITH pts AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |lab AS (SELECT vec_id, CAST(label % 3 AS INT) AS y3 FROM embeddings),
+      |classes AS (SELECT DISTINCT y3 AS cls FROM lab),
+      |bl AS (
+      |  SELECT l.vec_id, c.cls,
+      |    CASE WHEN l.y3 = c.cls THEN 1.0 ELSE 0.0 END AS y
+      |  FROM lab l CROSS JOIN classes c),
+      |w1 AS (
+      |  SELECT b.cls, p.dim, -0.1 * avg((0.5 - b.y) * p.v) AS w
+      |  FROM pts p JOIN bl b ON p.vec_id = b.vec_id
+      |  GROUP BY b.cls, p.dim),
+      |m2 AS (
+      |  SELECT w1.cls, p.vec_id, sum(p.v * w1.w) AS m
+      |  FROM pts p JOIN w1 ON p.dim = w1.dim
+      |  GROUP BY w1.cls, p.vec_id),
+      |e2 AS (
+      |  SELECT m2.cls, m2.vec_id, 1.0 / (1.0 + exp(-m2.m)) - b.y AS err
+      |  FROM m2 JOIN bl b ON b.vec_id = m2.vec_id AND b.cls = m2.cls),
+      |g2 AS (
+      |  SELECT e2.cls, p.dim, avg(e2.err * p.v) AS g
+      |  FROM pts p JOIN e2 ON p.vec_id = e2.vec_id
+      |  GROUP BY e2.cls, p.dim),
+      |w2 AS (
+      |  SELECT w1.cls, w1.dim, w1.w - 0.1 * g2.g AS w
+      |  FROM w1 JOIN g2 ON w1.cls = g2.cls AND w1.dim = g2.dim),
+      |mf AS (
+      |  SELECT w2.cls, p.vec_id, sum(p.v * w2.w) AS m
+      |  FROM pts p JOIN w2 ON p.dim = w2.dim
+      |  GROUP BY w2.cls, p.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Mirrors Eval.classificationReport: one confusion CTE, per-class
     // margins, P/R rounded BEFORE f1 (the engine computes f1 from the
@@ -1244,7 +1325,7 @@ object MLQueries extends QueryPack {
       """WITH d AS (SELECT l_discount * 10 AS p,
         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
         |  FROM lineitem)
-        |SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
+        |SELECT greatest(0, least(9, CAST(floor(p * 10) AS BIGINT))) AS bin,
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(avg(p), 6) AS mean_score,
         |  round(avg(y), 6) AS frac_pos
@@ -1830,6 +1911,21 @@ object MLQueries extends QueryPack {
         |WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Weighted blocks recomputed from raw columns; the 2.0/0.5 scale
+    // factors are powers of two (FP-exact), the 0.0 weight zeroes the
+    // tax block out of nnz and l2 while dim stays 3.
+    "p7_feature_union_weighted" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  3 AS dim,
+        |  (CASE WHEN 2.0 * l_quantity <> 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN 0.5 * l_discount <> 0 THEN 1 ELSE 0 END) AS nnz,
+        |  round(sqrt((2.0 * l_quantity) * (2.0 * l_quantity)
+        |             + (0.5 * l_discount) * (0.5 * l_discount)), 4) + 0.0
+        |    AS l2
+        |FROM lineitem
+        |WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // The composed SQLTransformer pipeline replayed as one expression.
     "p3_make_pipeline" ->
       """SELECT doc_id, lang,
@@ -1952,44 +2048,20 @@ object MLQueries extends QueryPack {
     // l4's two-step unroll with cls threaded through every CTE (binary
     // target y = 1 iff label%3 = cls), one extra margins pass with the
     // final weights, argmax window (m DESC, cls) — the OvR convention.
-    "l8_logreg_ovr" ->
-      """WITH pts AS (
-        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |lab AS (SELECT vec_id, CAST(label % 3 AS INT) AS y3 FROM embeddings),
-        |classes AS (SELECT DISTINCT y3 AS cls FROM lab),
-        |bl AS (
-        |  SELECT l.vec_id, c.cls,
-        |    CASE WHEN l.y3 = c.cls THEN 1.0 ELSE 0.0 END AS y
-        |  FROM lab l CROSS JOIN classes c),
-        |w1 AS (
-        |  SELECT b.cls, p.dim, -0.1 * avg((0.5 - b.y) * p.v) AS w
-        |  FROM pts p JOIN bl b ON p.vec_id = b.vec_id
-        |  GROUP BY b.cls, p.dim),
-        |m2 AS (
-        |  SELECT w1.cls, p.vec_id, sum(p.v * w1.w) AS m
-        |  FROM pts p JOIN w1 ON p.dim = w1.dim
-        |  GROUP BY w1.cls, p.vec_id),
-        |e2 AS (
-        |  SELECT m2.cls, m2.vec_id, 1.0 / (1.0 + exp(-m2.m)) - b.y AS err
-        |  FROM m2 JOIN bl b ON b.vec_id = m2.vec_id AND b.cls = m2.cls),
-        |g2 AS (
-        |  SELECT e2.cls, p.dim, avg(e2.err * p.v) AS g
-        |  FROM pts p JOIN e2 ON p.vec_id = e2.vec_id
-        |  GROUP BY e2.cls, p.dim),
-        |w2 AS (
-        |  SELECT w1.cls, w1.dim, w1.w - 0.1 * g2.g AS w
-        |  FROM w1 JOIN g2 ON w1.cls = g2.cls AND w1.dim = g2.dim),
-        |mf AS (
-        |  SELECT w2.cls, p.vec_id, sum(p.v * w2.w) AS m
-        |  FROM pts p JOIN w2 ON p.dim = w2.dim
-        |  GROUP BY w2.cls, p.vec_id)
+    "l8_logreg_ovr" -> (ovrGd2Cte + """
         |SELECT vec_id, cls AS pred, round(m, 4) + 0.0 AS margin
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
         |        ORDER BY m DESC, cls) AS rn FROM mf)
         |WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+        |ORDER BY vec_id""".stripMargin),
+
+    // Same fit chain; per-class sigmoid normalized across the <= 3
+    // per-id rows (sklearn OneVsRest predict_proba convention).
+    "l10_logreg_proba" -> (ovrGd2Cte + """
+        |SELECT vec_id, cls,
+        |  round(s / sum(s) OVER (PARTITION BY vec_id), 6) + 0.0 AS proba
+        |FROM (SELECT vec_id, cls, 1.0 / (1.0 + exp(-m)) AS s FROM mf)
+        |ORDER BY vec_id, cls""".stripMargin),
 
     // The DSIR chain of text_importance_weights feeding weighted OLS
     // moments: w = exp(sum_mnat / (n_bigrams * 1e6)); docs with < 2

@@ -112,6 +112,32 @@ object StatsQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // S18: the 100 TB twin of s10 — approx_percentile cut points (one
+    // mergeable sketch pass, NO global sort) with accuracy > the row
+    // count, where the sketch is exact; the oracle recomputes the same
+    // discrete quantiles. Cut points fit on the FULL table, output
+    // filtered for dump size.
+    "s18_kbins_approx" -> ((s, dir) => {
+      Moments.kBinsApprox(Tables(s, dir).lineitem, "l_extendedprice",
+          bins = 8, "price_bin", accuracy = 1000000)
+        .where(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("price_bin"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S19: the 100 TB twin of s15 — CDF position quantized to a
+    // 100-point exact-at-this-accuracy percentile grid.
+    "s19_quantile_transform_approx" -> ((s, dir) => {
+      Moments.quantileTransformApprox(Tables(s, dir).lineitem,
+          "l_extendedprice", "q_price", resolution = 100,
+          accuracy = 1000000)
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("q_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // S11: chi2 SelectKBest — most lang-discriminative terms. Fixed class
     // order keeps the float assembly engine-identical (see stats.Chi2).
     "s11_chi2_select" -> ((s, dir) => {
@@ -345,6 +371,31 @@ object StatsQueries extends QueryPack {
         |FROM lineitem
         |WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s18_kbins_approx" -> {
+      val probs = (1 until 8).map(i => i.toDouble / 8).mkString(", ")
+      s"""WITH c AS (SELECT quantile_disc(CAST(l_extendedprice AS DOUBLE),
+        |    [$probs]) AS cuts FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(1 + len(list_filter(c.cuts,
+        |    x -> x < CAST(l_extendedprice AS DOUBLE))) AS INT) AS price_bin
+        |FROM lineitem, c
+        |WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "s19_quantile_transform_approx" -> {
+      val probs = (1 until 100).map(i => i.toDouble / 100).mkString(", ")
+      s"""WITH c AS (SELECT quantile_disc(CAST(l_extendedprice AS DOUBLE),
+        |    [$probs]) AS cuts FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round(CAST(len(list_filter(c.cuts,
+        |    x -> x < CAST(l_extendedprice AS DOUBLE))) AS DOUBLE) / 100,
+        |    6) + 0.0 AS q_price
+        |FROM lineitem, c
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "s11_chi2_select" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")

@@ -250,8 +250,10 @@ object TextAnalysisQueries extends QueryPack {
       val docs = Tables(s, dir).documents
       val vocab = graft.text.Unigram.learn(docs, "text",
         maxPieceLen = 4, seedMultiTopK = 24, emRounds = 2, vocabSize = 40)
+      // per-(sf, JVM) path: concurrent verify runs must not cross-load
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_unigram"
+        s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_unigram" +
+          s"_${dir.replaceAll("[^A-Za-z0-9]", "")}_${ProcessHandle.current().pid()}"
       graft.mlops.ModelIO.saveBundle(s, path, Map("unigram_vocab" -> vocab))
       val loaded = graft.mlops.ModelIO.loadBundle(s, path)("unigram_vocab")
       val a = graft.text.Unigram.encodeStats(docs, "doc_id", "text",

@@ -185,6 +185,54 @@ object Moments {
       ntile(bins).over(Window.orderBy(col(valueCol) +: tieBreak: _*)))
   }
 
+  /** The 100 TB twin of [[kBinsDiscretize]]: bin by value against
+    * `bins-1` approx_percentile cut points — ONE mergeable one-pass
+    * sketch aggregation plus a broadcast, no global sort anywhere.
+    * bin(x) = 1 + |{cut points < x}| (ties land in the lower bin,
+    * and equal values always share a bin — the semantic difference
+    * from ntile, which splits ties to equalize populations). With
+    * `accuracy` ≥ the row count the sketch is EXACT, which is what
+    * the oracle pins on the sf fixtures; at scale, accuracy is the
+    * memory/error knob (error ≤ 1/accuracy in rank).
+    */
+  def kBinsApprox(df: DataFrame, valueCol: String, bins: Int,
+                  outCol: String, accuracy: Int = 10000): DataFrame = {
+    require(bins > 1, s"bins=$bins must be > 1")
+    val probs = (1 until bins).map(i => s"${i.toDouble / bins}D")
+      .mkString(", ")
+    val cuts = df.agg(expr(
+      s"approx_percentile(CAST($valueCol AS DOUBLE), array($probs), " +
+        s"$accuracy)").as("_cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        (lit(1) + size(filter(col("_cuts"),
+          c => c < col(valueCol).cast("double")))).cast("int"))
+      .drop("_cuts")
+  }
+
+  /** The 100 TB twin of [[quantileTransform]]: empirical CDF position
+    * quantized to a `resolution`-point approx_percentile grid —
+    * u(x) = |{grid cuts < x}| / resolution. Same sketch-and-broadcast
+    * shape as [[kBinsApprox]]; the exact transform's percent_rank is
+    * recovered up to 1/resolution as resolution grows.
+    */
+  def quantileTransformApprox(df: DataFrame, valueCol: String,
+                              outCol: String, resolution: Int = 100,
+                              accuracy: Int = 10000): DataFrame = {
+    require(resolution > 1, s"resolution=$resolution must be > 1")
+    val probs = (1 until resolution).map(i => s"${i.toDouble / resolution}D")
+      .mkString(", ")
+    val cuts = df.agg(expr(
+      s"approx_percentile(CAST($valueCol AS DOUBLE), array($probs), " +
+        s"$accuracy)").as("_cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol,
+        round(size(filter(col("_cuts"),
+            c => c < col(valueCol).cast("double")))
+          .cast("double") / resolution, 6) + lit(0.0))
+      .drop("_cuts")
+  }
+
   /** Pearson correlation matrix over a feature list, long form
     * (feat_a <= feat_b): ONE aggregation computing every pairwise
     * `corr` — no per-pair scans, upper triangle only. O(d²) result

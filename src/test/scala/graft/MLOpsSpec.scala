@@ -565,4 +565,37 @@ class MLOpsSpec extends AnyFunSuite {
       assert(two.toSeq === naive.toSeq, s"salts=$salts diverged")
     }
   }
+
+  test("calibrationBins clamps both edges: out-of-range scores land " +
+      "in the edge bins, never in negative/overflow bin ids") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((-0.2, 0), (0.05, 0), (0.95, 1), (1.3, 1))
+      .toDF("score", "label")
+    val bins = graft.mlops.Eval.calibrationBins(d, "score", "label", 10)
+      .orderBy(col("bin"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(bins.map(_._1) === Seq(0L, 9L))
+    assert(bins.map(_._2) === Seq(2L, 2L)) // -0.2 joins bin 0; 1.3 bin 9
+  }
+
+  test("multinomialPredictFromModel guards degenerate n_docs=0 class: " +
+      "scores stay non-NULL and the argmax ignores the empty class") {
+    import org.apache.spark.sql.functions.col
+    val toks = Seq((1L, "a", "x"), (1L, "a", "y"), (2L, "b", "x"))
+      .toDF("doc_id", "lang", "term")
+    val fit = graft.mlops.NaiveBayesOps.multinomialFit(
+      toks.select(col("lang"), col("term")), "lang", "term")
+    // a third class present in the prior table with zero mass
+    val priors = Seq(("a", 1L), ("b", 1L), ("ghost", 0L))
+      .toDF("lang", "n_docs")
+    // give the ghost class model rows too, so only the prior guards it
+    val ghost = fit.where(col("lang") === "a")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("ghost"))
+    val preds = graft.mlops.NaiveBayesOps.multinomialPredictFromModel(
+        toks.select(col("doc_id"), col("term")), "doc_id", "term",
+        fit.unionByName(ghost), "lang", priors)
+      .as[(Long, String)].collect().toMap
+    assert(preds.size === 2)
+    assert(!preds.values.exists(_ == "ghost"))
+  }
 }

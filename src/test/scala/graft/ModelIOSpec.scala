@@ -81,12 +81,46 @@ class ModelIOSpec extends AnyFunSuite {
     }
   }
 
+  private def committedVersion(path: String): String =
+    spark.read.parquet(s"$path/_manifest")
+      .select("version").head().getString(0)
+
   test("loadBundle refuses schema drift behind the manifest's back") {
     val path = tmp("drift")
     ModelIO.saveBundle(spark, path,
       Map("m" -> Seq((1L, 0.5)).toDF("a", "b")))
     Seq(("x", 1)).toDF("a", "c").write.mode("overwrite")
-      .parquet(s"$path/parts/m")
+      .parquet(s"$path/${committedVersion(path)}/m")
     intercept[IllegalArgumentException] { ModelIO.loadBundle(spark, path) }
+  }
+
+  test("loadBundle refuses content drift: same schema, different rows") {
+    val path = tmp("content_drift")
+    ModelIO.saveBundle(spark, path,
+      Map("m" -> Seq((1L, 0.5)).toDF("a", "b")))
+    // schema-identical tamper — the old DDL check alone would accept it
+    Seq((2L, 0.25)).toDF("a", "b").write.mode("overwrite")
+      .parquet(s"$path/${committedVersion(path)}/m")
+    intercept[IllegalArgumentException] { ModelIO.loadBundle(spark, path) }
+  }
+
+  test("crash mid-save leaves the previous bundle fully servable") {
+    val path = tmp("atomic")
+    ModelIO.saveBundle(spark, path,
+      Map("m" -> Seq((1L, 2L)).toDF("a", "b"),
+          "n" -> Seq((3L, 4L)).toDF("a", "b")))
+    // simulate a save that died after writing SOME new parts but
+    // before the manifest swap: a stray version dir with one part
+    Seq((9L, 9L)).toDF("a", "b").write.mode("overwrite")
+      .parquet(s"$path/parts-deadbeef0000/m")
+    val loaded = ModelIO.loadBundle(spark, path)
+    assert(loaded("m").as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+    assert(loaded("n").as[(Long, Long)].collect().toSeq === Seq((3L, 4L)))
+    // the next committed save GCs the stray version dir
+    ModelIO.saveBundle(spark, path,
+      Map("m" -> Seq((5L, 6L)).toDF("a", "b")))
+    assert(!new java.io.File(s"$path/parts-deadbeef0000").exists())
+    assert(ModelIO.loadBundle(spark, path)("m")
+      .as[(Long, Long)].collect().toSeq === Seq((5L, 6L)))
   }
 }
