@@ -511,17 +511,24 @@ object TextAnalysis {
     * (each join keyed and partial-pruned by the accumulating candidate
     * set), never the corpus; a LIKE/regex scan — the thing this
     * replaces — reads every byte of every document per query. The index
-    * is materialized once so the L lookups don't re-tokenize the corpus
-    * L times — DISK_ONLY persist, not localCheckpoint: the positional
-    * index is BIGGER than the corpus (one row per token) and the r9
-    * durability criterion applies. Only docs with ≥1 occurrence return
-    * (inner joins).
+    * is pruned to the PHRASE'S OWN TERMS before it is materialized: the
+    * L inner joins filter on term equality anyway, so rows for every
+    * other term in the corpus can never reach a join — persisting them
+    * (the r16 DISK_ONLY full-index materialization, the r17 bench
+    * regression) paid a bigger-than-corpus write + L re-reads for data
+    * that was then discarded. The pruned frame is the L posting lists
+    * only — occurrence-scale, not corpus-scale, so the r9 durability
+    * criterion for text-fat frames does not apply and MEMORY_AND_DISK
+    * is the right level. The corpus is still tokenized exactly once
+    * (the persist exists so the L lookups don't re-split the text L
+    * times). Only docs with ≥1 occurrence return (inner joins).
     */
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val idx = positionalIndex(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .where(col("term").isin(phrase.distinct: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = idx.where(col("term") === phrase.head)
       .select(col(idCol), col("pos"))
     phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
