@@ -200,9 +200,19 @@ object Curation {
     // become syntax (r16 advice; lit() is injection-free for all of
     // them)
     val stopArr = array(stopwords.map(lit): _*)
-    val stopRatio = tk.select(col(idCol),
-      (size(filter(col("_ts"), t => array_contains(stopArr, t))) *
-        lit(1.0) / size(col("_ts"))).as("_f3"))
+    // stop-word ratio is IN-ROW (r18): it was a corpus-sized projection
+    // of d3 joined back to d3 by id — a shuffle join of the corpus
+    // against itself to merge a value computable from the row it was
+    // derived from. The when-guard + coalesce reproduces the old
+    // left-join-then-coalesce semantics exactly (empty or NULL
+    // main_text → 0.0); only the lm join below remains, because per-doc
+    // LM mass genuinely aggregates across rows.
+    val stopRatioCol = coalesce(
+      when(col("main_text") =!= "",
+        size(filter(split(col("main_text"), "\\s+"),
+          t => array_contains(stopArr, t))) *
+          lit(1.0) / size(split(col("main_text"), "\\s+"))),
+      lit(0.0))
     // corpus bigram model over the extracted texts (micro-nat quantized
     // per transition — order-independent integer sums per doc)
     val grams = tk.where(size(col("_ts")) >= 2)
@@ -232,7 +242,6 @@ object Curation {
       .agg(sum(col("_ng")).as("_nb"),
         sum(col("_ng") * col("_m")).as("_sm"))
     val feats = d3
-      .join(stopRatio, Seq(idCol), "left")
       .join(lm, Seq(idCol), "left")
       .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
         col("n_kept"), col("n_words"), col("quality_ok"),
@@ -240,7 +249,7 @@ object Curation {
         (col("n_words") / lit(100.0)).as("f1"),
         (col("n_kept") * lit(1.0) / greatest(col("n_blocks"), lit(1)))
           .as("f2"),
-        coalesce(col("_f3"), lit(0.0)).as("f3"),
+        stopRatioCol.as("f3"),
         coalesce(col("_sm") * lit(1.0) / col("_nb") / lit(1e6), lit(0.0))
           .as("f4"))
       // read by the GD long form, the labels, AND the final margin
