@@ -469,6 +469,10 @@ object Graft {
     graft.operators.Sampling.sampleKPerGroup(df, group, key, k)
   def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame =
     Moments.robustScale(df, valueCol, outCol)
+  /** 100 TB RobustScaler twin: approx_percentile mergeable sketch. */
+  def robustScaleApprox(df: DataFrame, valueCol: String, outCol: String,
+                        accuracy: Int = 10000): DataFrame =
+    Moments.robustScaleApprox(df, valueCol, outCol, accuracy)
   /** One-way ANOVA F per feature (sklearn f_classif). */
   def anovaF(df: DataFrame, labelCol: String, features: Seq[String]): DataFrame =
     Moments.anovaF(df, labelCol, features)
@@ -658,6 +662,13 @@ object Graft {
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame =
     graft.text.TextAnalysis.phraseMatchCounts(docs, idCol, textCol, phrase)
+  /** A BATCH of phrases against one index build — one corpus scan per
+    * batch; output (phrase_id, doc, n_matches).
+    */
+  def phraseMatchCountsMany(docs: DataFrame, idCol: String, textCol: String,
+                            phrases: Seq[Seq[String]]): DataFrame =
+    graft.text.TextAnalysis.phraseMatchCountsMany(docs, idCol, textCol,
+      phrases)
   /** Perceptual 8×8 average-hash per image — pixel-level dedup signature. */
   def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =

@@ -184,6 +184,22 @@ object CurationQueries extends QueryPack {
       Curation.disposition(pages, "doc_id", "url_raw", "page",
           minTextWords = minWords)
         .orderBy(col("doc_id"))
+    }),
+
+    // The DEPLOYABLE bounded LM artifact (CCNet "ship a fixed LM"):
+    // the scored gate's bigram table cut to the 64 transitions with
+    // the largest corpus mass — salted two-phase top-N, ties broken by
+    // (w1, w2), scores computed from FULL-corpus counts before the
+    // cut. The streaming gate consumes this table unchanged (its
+    // mean-over-known-transitions contract is spec-pinned).
+    "curation_lm_topm" -> ((s, dir) => {
+      val (_, lm) = Curation.scoredGateModel(
+        Tables(s, dir).documents
+          .select(col("doc_id"), expr(UrlQueries.rawUrlSql).as("url_raw"),
+            expr(pageSql).as("page")),
+        "doc_id", "url_raw", "page", minTextWords = minWords,
+        lmTopM = 64)
+      lm.orderBy(col("w1"), col("w2"))
     })
   )
 
@@ -228,26 +244,33 @@ object CurationQueries extends QueryPack {
     * more than once is MATERIALIZED (the DuckDB inliner gotcha — d3
     * alone carries the whole HTML chain).
     */
+  /** Tokenize-through-bigram-counts CTE chain (d3 → tk → bg → bi2/un2):
+    * the shared base of the scored funnel AND the bounded-LM-table
+    * oracle. Appended after [[dispositionCte]].
+    */
+  private[packs] def lmBaseCte: String =
+    """,
+      |d3m AS MATERIALIZED (SELECT * FROM d3),
+      |tk AS MATERIALIZED (
+      |  SELECT doc_id, string_split_regex(main_text, '\s+') AS ts
+      |  FROM d3m WHERE main_text <> ''),
+      |bg AS MATERIALIZED (
+      |  SELECT doc_id, ts[CAST(s AS INT)] AS w1,
+      |    ts[CAST(s AS INT) + 1] AS w2
+      |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 1)))
+      |          AS s
+      |        FROM tk WHERE len(ts) >= 2) z),
+      |bi2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |un2 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)""".stripMargin
+
   private[packs] def scoredCte: String =
-    dispositionCte +
+    dispositionCte + lmBaseCte +
       """,
-        |d3m AS MATERIALIZED (SELECT * FROM d3),
-        |tk AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(main_text, '\s+') AS ts
-        |  FROM d3m WHERE main_text <> ''),
         |sr AS (SELECT doc_id,
         |    len(list_filter(ts, t ->
         |      t IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0
         |      / len(ts) AS f3
         |  FROM tk),
-        |bg AS MATERIALIZED (
-        |  SELECT doc_id, ts[CAST(s AS INT)] AS w1,
-        |    ts[CAST(s AS INT) + 1] AS w2
-        |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 1)))
-        |          AS s
-        |        FROM tk WHERE len(ts) >= 2) z),
-        |bi2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |un2 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
         |lmx AS (SELECT g.doc_id,
         |    CAST(round(ln(b.c12 * 1.0 / u.c1) * 1e6, 0) AS BIGINT) AS m
         |  FROM bg g JOIN bi2 b ON g.w1 = b.w1 AND g.w2 = b.w2
@@ -421,6 +444,23 @@ object CurationQueries extends QueryPack {
         |UNION ALL SELECT 'c_quality_ok', c_quality_ok FROM f
         |UNION ALL SELECT 'd_survivor', d_survivor FROM f
         |UNION ALL SELECT 'e_scored', e_scored FROM f
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin),
+
+    // Same disposition + bigram-count base, then the naive global
+    // top-64 (row_number over (mass DESC, w1, w2)) — the oracle pins
+    // the engine's salted two-phase cut bit-identical to the total
+    // order, and the m values to the full-corpus scores.
+    "curation_lm_topm" ->
+      (dispositionCte + lmBaseCte +
+        """,
+        |ltab AS (SELECT b.w1, b.w2,
+        |    CAST(round(ln(b.c12 * 1.0 / u.c1) * 1e6, 0) AS BIGINT) AS m,
+        |    b.c12 AS c12
+        |  FROM bi2 b JOIN un2 u ON b.w1 = u.w1),
+        |rk AS (SELECT w1, w2, m,
+        |    row_number() OVER (ORDER BY c12 DESC, w1, w2) AS r
+        |  FROM ltab)
+        |SELECT w1, w2, m FROM rk WHERE r <= 64
+        |ORDER BY w1, w2""".stripMargin)
   )
 }

@@ -13,6 +13,12 @@ object TextAnalysisQueries extends QueryPack {
   private val stopPred =
     TextAnalysis.DefaultStopwords.map(w => s"t = '$w'").mkString(" OR ")
 
+  /** Shared phrase batch for text_phrase_search_multi — one list, used
+    * verbatim by the engine call and the generated oracle.
+    */
+  private val multiPhrases: Seq[Seq[String]] = Seq(
+    Seq("slow", "hash", "batch"), Seq("fast", "table"), Seq("sort", "agg"))
+
   val queries: Map[String, Q] = Map(
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(Tables(s, dir).documents, "doc_id", "text")
@@ -274,6 +280,17 @@ object TextAnalysisQueries extends QueryPack {
       TextAnalysis.phraseMatchCounts(Tables(s, dir).documents,
           "doc_id", "text", Seq("slow", "hash", "batch"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The production search shape: a BATCH of phrases against ONE
+    // index build — the corpus is tokenized once, the materialized
+    // frame is the union of the phrases' posting lists, each phrase
+    // adds only its own (doc, pos−i) joins. At 100 TB: one corpus scan
+    // per query batch, not per query.
+    "text_phrase_search_multi" -> ((s, dir) => {
+      TextAnalysis.phraseMatchCountsMany(Tables(s, dir).documents,
+          "doc_id", "text", multiPhrases)
+        .orderBy(col("phrase_id"), col("doc_id"))
     }),
 
     // Markdown -> plain text over a fixture wrapping each doc in the
@@ -919,6 +936,31 @@ object TextAnalysisQueries extends QueryPack {
         |  USING (doc_id, pos)
         |GROUP BY d0.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+
+    // Same index CTE, one SELECT block per phrase generated from the
+    // SHARED multiPhrases list (engine and oracle can never disagree
+    // on the batch), UNION ALL'd with the phrase's position as its id.
+    "text_phrase_search_multi" -> {
+      val blocks = multiPhrases.zipWithIndex.map { case (p, pid) =>
+        val joins = p.zipWithIndex.drop(1).map { case (t, i) =>
+          s"JOIN (SELECT doc_id, pos - $i AS pos FROM idx " +
+            s"WHERE term = '$t') d$i\n  USING (doc_id, pos)"
+        }.mkString("\n")
+        s"SELECT $pid AS phrase_id, d0.doc_id, count(*) AS n_matches\n" +
+          s"FROM (SELECT doc_id, pos FROM idx WHERE term = '${p.head}') d0\n" +
+          joins + "\nGROUP BY d0.doc_id"
+      }
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS ts FROM documents),
+        |idx AS MATERIALIZED (
+        |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS INT) - 1 AS pos,
+        |    unnest(ts) AS term
+        |  FROM toks)
+        |""".stripMargin +
+        blocks.mkString("\nUNION ALL\n") +
+        "\nORDER BY phrase_id, doc_id"
+    },
 
     // The SAME rule chain (graft.text.Markdown.steps) folded into
     // nested DuckDB regexp_replace: patterns are written to the

@@ -146,9 +146,14 @@ object Curation {
     * (w1..w4) frame the batch margin broadcasts, UNROUNDED so a deploy
     * path multiplies the identical doubles; bigram LM score table —
     * one (w1, w2, m) row per distinct transition, m the same micro-nat
-    * long the batch per-doc sums use). The LM table is corpus-bigram-
-    * sized here; a production deployment bounds it (top-M by count —
-    * the CCNet pattern of shipping a fixed LM), which
+    * long the batch per-doc sums use). `lmTopM` bounds the shipped
+    * table to the M transitions with the largest corpus mass (the
+    * CCNet pattern of shipping a fixed LM) — ties broken by (w1, w2)
+    * so the cut is a total order; selection is the salted two-phase
+    * top-N ([[graft.text.Urls.perDomainCap]] under a constant group),
+    * so no task ever sorts the full transition vocabulary. Scores `m`
+    * are computed BEFORE the cut from full-corpus counts: the bound
+    * selects rows, never changes values — which is what
     * [[graft.streaming.EventStreams.scoredCurationGate]]'s mean-over-
     * known-transitions degrades to gracefully.
     */
@@ -158,16 +163,24 @@ object Curation {
                       blockMaxLinkDensity: Double = 0.33,
                       stopwords: Seq[String] =
                         TextAnalysis.DefaultStopwords,
-                      iters: Int = 2, lr: Double = 0.1)
+                      iters: Int = 2, lr: Double = 0.1,
+                      lmTopM: Int = Int.MaxValue, lmSalts: Int = 32)
       : (DataFrame, DataFrame) = {
+    require(lmTopM >= 1, s"lmTopM=$lmTopM must be positive")
     val parts = scoredCore(docs, idCol, urlCol, htmlCol,
       minTextWords, blockMinWords, blockMaxLinkDensity, stopwords, iters,
       lr)
+    val capped =
+      if (lmTopM == Int.MaxValue) parts.lmTable
+      else Urls.perDomainCap(parts.lmMass, lit(1),
+          Seq(col("c12").desc, col("w1"), col("w2")),
+          concat_ws(" ", col("w1"), col("w2")), lmTopM, lmSalts)
+        .select(col("w1"), col("w2"), col("m"))
     // Materialize the deployable LM artifact, then release every
     // training intermediate: the returned lmTable is the ONE persisted
     // frame a model-export invocation leaves behind (it IS the shipped
     // artifact; callers done with it should unpersist()).
-    val lmT = parts.lmTable
+    val lmT = capped
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     lmT.count()
     Seq(parts.d0, parts.d3, parts.g3, parts.feats)
@@ -176,11 +189,14 @@ object Curation {
   }
 
   /** The scored-gate training intermediates: the persisted frames a
-    * caller must release once its outputs are materialized.
+    * caller must release once its outputs are materialized. `lmMass`
+    * is `lmTable` plus the per-transition corpus mass `c12` — the
+    * rank key a top-M bound orders by (same lineage, zero extra cost).
     */
   private case class ScoredParts(feats: DataFrame, wRow: DataFrame,
-                                 lmTable: DataFrame, d0: DataFrame,
-                                 d3: DataFrame, g3: DataFrame)
+                                 lmTable: DataFrame, lmMass: DataFrame,
+                                 d0: DataFrame, d3: DataFrame,
+                                 g3: DataFrame)
 
   private def scoredCore(docs: DataFrame, idCol: String, urlCol: String,
                          htmlCol: String, minTextWords: Int,
@@ -272,12 +288,15 @@ object Curation {
       max(when(col("dim") === 3, col("w"))).as("w3"),
       max(when(col("dim") === 4, col("w"))).as("w4"))
     // the distinct-transition score table (the deployable LM artifact):
-    // the same micro-nat long the per-doc sums above weight by _ng
-    val lmTable = bi.join(uni, Seq("w1"))
+    // the same micro-nat long the per-doc sums above weight by _ng;
+    // lmMass keeps the transition's corpus mass as the top-M rank key
+    val lmMass = bi.join(uni, Seq("w1"))
       .select(col("w1"), col("w2"),
         round(log(col("c12") / col("c1")) * lit(1e6), 0).cast("long")
-          .as("m"))
-    ScoredParts(feats, wRow, lmTable, d0, d3, g3)
+          .as("m"),
+        col("c12"))
+    val lmTable = lmMass.select(col("w1"), col("w2"), col("m"))
+    ScoredParts(feats, wRow, lmTable, lmMass, d0, d3, g3)
   }
 
   /** Funnel rollup of [[disposition]] (or [[scoredDisposition]] — the

@@ -529,11 +529,46 @@ object TextAnalysis {
     val idx = positionalIndex(docs, idCol, textCol)
       .where(col("term").isin(phrase.distinct: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phraseCountsFromIndex(idx, idCol, phrase)
+  }
+
+  /** The (doc, pos − i) posting-list join chain of [[phraseMatchCounts]]
+    * over an ALREADY-BUILT (and term-pruned) positional index.
+    */
+  private def phraseCountsFromIndex(idx: DataFrame, idCol: String,
+                                    phrase: Seq[String]): DataFrame = {
     val first = idx.where(col("term") === phrase.head)
       .select(col(idCol), col("pos"))
     phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
       acc.join(idx.where(col("term") === t)
         .select(col(idCol), (col("pos") - i).as("pos")), Seq(idCol, "pos"))
     }.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** MANY phrases against ONE positional-index build — the production
+    * search shape: the index is the amortized asset, each additional
+    * phrase costs only its own posting-list joins. The corpus is
+    * tokenized exactly once; the materialized frame is pruned to the
+    * UNION of all phrases' terms (the per-phrase pruning argument of
+    * [[phraseMatchCounts]], applied to the batch), and every phrase's
+    * (doc, pos − i) chain runs off that shared frame. At 100 TB this is
+    * the difference between one corpus scan per query and one corpus
+    * scan per BATCH of queries. Output: (phrase_id, doc, n_matches),
+    * phrase_id = position in `phrases`; docs with zero occurrences of a
+    * phrase emit no row (inner joins, as in the single-phrase path).
+    */
+  def phraseMatchCountsMany(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be non-empty and every phrase needs at least one term")
+    val allTerms = phrases.flatten.distinct
+    val idx = positionalIndex(docs, idCol, textCol)
+      .where(col("term").isin(allTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phrases.zipWithIndex.map { case (p, pid) =>
+      phraseCountsFromIndex(idx, idCol, p)
+        .select(lit(pid).as("phrase_id"), col(idCol), col("n_matches"))
+    }.reduce(_.unionByName(_))
   }
 }

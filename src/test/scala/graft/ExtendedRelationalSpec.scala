@@ -101,6 +101,38 @@ class ExtendedRelationalSpec extends AnyFunSuite {
       .select("rs").collect().forall(_.isNullAt(0)))
   }
 
+  test("robustScaleApprox: within rank-error tolerance of the exact " +
+    "twin, exact on small data, constant column NULL") {
+    import graft.stats.Moments
+    // odd n with p*(n-1) integral at 0.25/0.5/0.75: the exact twin's
+    // linear interpolation degenerates to sample values, so at full
+    // accuracy the sketch must agree EXACTLY here
+    val df = (1 to 101).map(_.toDouble).toDF("v")
+    val exact = Moments.robustScale(df, "v", "rs")
+      .select("v", "rs").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val approx = Moments.robustScaleApprox(df, "v", "rs", accuracy = 100000)
+      .select("v", "rs").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(approx === exact)
+    // larger data, values quantized so neighboring ranks differ by ≤ 1:
+    // rank-±1 sketch drift can move each quartile by at most one
+    // neighboring sample step ⇒ |approx − exact| ≤ (3 steps)/IQR
+    val big = (1 to 20000).map(i => (i % 997).toDouble).toDF("v")
+    val a = Moments.robustScaleApprox(big, "v", "rs", accuracy = 100000)
+      .select("v", "rs").dropDuplicates("v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val e = Moments.robustScale(big, "v", "rs")
+      .select("v", "rs").dropDuplicates("v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val iqr = 997.0 / 2 // ~uniform over 0..996: IQR ≈ 498
+    e.foreach { case (v, ev) =>
+      assert(math.abs(a(v) - ev) <= 3.0 / iqr + 1e-9,
+        s"v=$v approx=${a(v)} exact=$ev")
+    }
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    assert(Moments.robustScaleApprox(const, "v", "rs")
+      .select("rs").collect().forall(_.isNullAt(0)))
+  }
+
   test("stratified sample: per-stratum rates, zero-rate stratum empty") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val strat = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),

@@ -562,6 +562,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(!none.isNullAt(0))
   }
 
+  test("scoredGateModel lmTopM: exactly M max-mass transitions, " +
+    "deterministic, subset of the full table") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://ok.example.com/a",
+        "<p>the one two three four five six seven eight nine of</p>"),
+      (2L, "https://ok.example.com/b",
+        "<p>the one two the one two the one two three four five</p>")
+    ).toDF("doc_id", "url", "html")
+    val (_, full) = graft.text.Curation.scoredGateModel(docs, "doc_id",
+      "url", "html")
+    val fullRows = full.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    full.unpersist()
+    val (_, top) = graft.text.Curation.scoredGateModel(docs, "doc_id",
+      "url", "html", lmTopM = 3)
+    val topRows = top.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    top.unpersist()
+    assert(topRows.length === 3)
+    // same (w1, w2, m) values as the unbounded table — the bound
+    // selects rows, never changes scores
+    assert(topRows.toSet.subsetOf(fullRows))
+    // doc 2 repeats "the one two" 3x: those transitions dominate the
+    // corpus mass and MUST survive any top-3 cut
+    val kept = topRows.map(t => (t._1, t._2)).toSet
+    assert(kept.contains(("the", "one")) && kept.contains(("one", "two")))
+    // deterministic: a second invocation returns the identical rows
+    val (_, again) = graft.text.Curation.scoredGateModel(docs, "doc_id",
+      "url", "html", lmTopM = 3)
+    val againRows = again.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    again.unpersist()
+    assert(topRows.sortBy(t => (t._1, t._2)) ===
+      againRows.sortBy(t => (t._1, t._2)))
+  }
+
   test("curationGate: cross-batch keeper is first-epoch-wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

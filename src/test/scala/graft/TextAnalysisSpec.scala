@@ -181,6 +181,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(single === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 4L))
   }
 
+  test("phraseMatchCountsMany: one index build, per-phrase counts equal " +
+    "the single-phrase runs") {
+    val docs = Seq(
+      (0L, "a b c a b c"),
+      (1L, "a b a b"),
+      (2L, "c b a"),
+      (3L, "a a a a"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val phrases = Seq(Seq("a", "b", "c"), Seq("a", "a"), Seq("a"),
+      Seq("q", "r")) // last phrase absent — contributes zero rows
+    val many = TextAnalysis
+      .phraseMatchCountsMany(docs, "doc_id", "text", phrases)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val singles = phrases.zipWithIndex.flatMap { case (p, i) =>
+      TextAnalysis.phraseMatchCounts(docs, "doc_id", "text", p)
+        .as[(Long, Long)].collect().map { case (d, n) => (i, d, n) }
+    }.toSet
+    assert(many === singles)
+    assert(!many.exists(_._1 == 3)) // absent phrase yields no rows
+  }
+
   test("BPE learnMerges: frequency argmax, greedy non-overlap, lexicographic ties") {
     import graft.text.Bpe
     // ab(2) + abc(1): round 1 merges "a b" (count 3), round 2 "ab c" (1)
