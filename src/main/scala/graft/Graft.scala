@@ -384,6 +384,12 @@ object Graft {
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     TextAnalysis.importanceWeights(docs, target, idCol, textCol)
+  /** CCNet head/middle/tail perplexity buckets — tercile cuts over the
+    * mean bigram LM score via one approx_percentile sketch pass.
+    */
+  def pplBuckets(docs: DataFrame, idCol: String, textCol: String,
+                 accuracy: Int = 10000): DataFrame =
+    TextAnalysis.pplBuckets(docs, idCol, textCol, accuracy)
   /** End-to-end crawl-curation disposition: URL gate -> HTML main
     * content -> quality gate -> exact dedup -> survivor, one row per
     * page (text.Curation). Pair with [[curationFunnel]] for the rollup.

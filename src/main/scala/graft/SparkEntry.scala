@@ -108,5 +108,13 @@ object SparkEntry {
     // The unigram tokenizer stays correctness-only by the
     // iterative-job-overhead policy (2 EM rounds of vocabulary-scale
     // jobs); StressBench prices it at 20M tokens.
-    "pack_sequences", "ml_auc_exact", "drift_token_psi", "profile_numeric")
+    "pack_sequences", "ml_auc_exact", "drift_token_psi", "profile_numeric",
+    // r18 — the round's single-pass scale paths: batch phrase search
+    // (one index build amortized across the phrase set — at 20M tokens
+    // the 8-phrase batch costs LESS than one pre-fix single-phrase
+    // query) and CCNet perplexity bucketing (two corpus aggregations +
+    // one sketch pass, no global sort). curation_lm_topm stays
+    // correctness-only: it re-runs the whole scored funnel already
+    // priced by curation_scored.
+    "text_phrase_search_multi", "text_ppl_buckets")
 }

@@ -844,6 +844,33 @@ object StressBench {
       graft.text.TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
         Seq("alpha", "beta", "gamma")).count()
     }
+    // The batch-amortization twin: EIGHT phrases against ONE index
+    // build over the same corpus shape (the planted 3-term phrase, its
+    // sub-phrases, and five vocabulary bigrams). Compare to 8x the
+    // single-phrase stage: the corpus tokenize+prune happens once, so
+    // the marginal phrase costs only its posting-list joins. Ground
+    // truth: the planted phrase (id 0) still hits every 100th doc.
+    timed("phrase_search_batch8") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          concat(concat_ws(" ", expr("transform(sequence(1, 197), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))")),
+            lit(" alpha beta gamma")))
+          .otherwise(concat_ws(" ", expr("transform(sequence(1, 200), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))"))).as("text"))
+      val phrases = Seq(
+        Seq("alpha", "beta", "gamma"), Seq("alpha", "beta"),
+        Seq("beta", "gamma"),
+        Seq("t1", "t2"), Seq("t3", "t4"), Seq("t5", "t6"),
+        Seq("t7", "t8"), Seq("t9", "t10"))
+      val out = graft.text.TextAnalysis
+        .phraseMatchCountsMany(docs, "doc_id", "text", phrases)
+      val planted = out.where(col("phrase_id") === 0).count()
+      require(planted == (nDocs + 99) / 100,
+        s"planted phrase hit $planted docs, expected ${(nDocs + 99) / 100}")
+      out.count()
+    }
     // rows/20 docs x 20 lines: 2 lines shared by EVERY doc (the hot-key
     // stressor — one line hash carrying nDocs occurrences through the
     // keeper join), 3 lines shared per doc_id%1000 group, 15 unique.

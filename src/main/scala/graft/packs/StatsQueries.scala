@@ -119,7 +119,7 @@ object StatsQueries extends QueryPack {
     // filtered for dump size.
     "s18_kbins_approx" -> ((s, dir) => {
       Moments.kBinsApprox(Tables(s, dir).lineitem, "l_extendedprice",
-          bins = 8, "price_bin", accuracy = 1000000)
+          bins = 8, "price_bin", accuracy = 10000000)
         .where(col("l_orderkey") < 200)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("price_bin"))
@@ -131,7 +131,7 @@ object StatsQueries extends QueryPack {
     "s19_quantile_transform_approx" -> ((s, dir) => {
       Moments.quantileTransformApprox(Tables(s, dir).lineitem,
           "l_extendedprice", "q_price", resolution = 100,
-          accuracy = 1000000)
+          accuracy = 10000000)
         .where(col("l_orderkey") < 100)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("q_price"))

@@ -121,6 +121,16 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet head/middle/tail: tercile cut points over the mean bigram
+    // LM score via ONE approx_percentile sketch pass (no global sort),
+    // strict-comparison bucketing — rank-insensitive by construction
+    // (a cut moving one sample flips only boundary-value docs).
+    "text_ppl_buckets" -> ((s, dir) => {
+      TextAnalysis.pplBuckets(Tables(s, dir).documents, "doc_id", "text",
+          accuracy = 1000000)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: lang='en' is the in-domain target.
     "text_importance_weights" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -828,6 +838,41 @@ object TextAnalysisQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(mnat) AS BIGINT) AS sum_mnat
         |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // text_lm_score's per-doc sums extended with quantile_disc tercile
+    // cuts (== approx_percentile's discrete element at this accuracy)
+    // and the same strict-comparison CASE as the engine.
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |    CAST(round(ln(CAST(c12 AS DOUBLE) / c1) * 1e6, 0) AS BIGINT)
+        |      AS mnat
+        |  FROM flat f JOIN bi USING (w1, w2) JOIN uni USING (w1)),
+        |sc AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(mnat) AS BIGINT) AS sum_mnat,
+        |    CAST(sum(mnat) AS DOUBLE) / count(*) AS mean_mnat
+        |  FROM scored GROUP BY doc_id),
+        |q AS (
+        |  SELECT quantile_disc(mean_mnat, 0.3333333333333333) AS c1,
+        |    quantile_disc(mean_mnat, 0.6666666666666666) AS c2
+        |  FROM sc)
+        |SELECT doc_id, n_bigrams, sum_mnat,
+        |  CASE WHEN mean_mnat > q.c2 THEN 'a_head'
+        |       WHEN mean_mnat > q.c1 THEN 'b_middle'
+        |       ELSE 'c_tail' END AS ppl_bucket
+        |FROM sc, q
         |ORDER BY doc_id""".stripMargin,
 
     "text_importance_weights" ->

@@ -344,6 +344,39 @@ object TextAnalysis {
         sum(col("_mnat")).as("sum_mnat"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", §4.4: corpora are split into head/middle/tail thirds by
+    * LM perplexity and consumers pick buckets): per-document mean
+    * bigram LM score ([[bigramLmScore]] micro-nats over n_bigrams),
+    * tercile cut points via `approx_percentile`'s ONE mergeable sketch
+    * pass (no global sort — the [[graft.stats.Moments.kBinsApprox]]
+    * shape), bucket by strict comparison against the cuts. Higher
+    * mean log-prob = lower perplexity = `a_head` (prefixed for a
+    * stable sort, the curation-funnel naming convention). Docs with
+    * < 2 tokens have no bigrams and are dropped (the [[bigramLmScore]]
+    * contract). Bucketing is rank-insensitive by design — the
+    * robustScaleApprox lesson: a cut moving one sample flips only
+    * docs AT the boundary value, not every output value.
+    */
+  def pplBuckets(docs: DataFrame, idCol: String, textCol: String,
+                 accuracy: Int = 10000): DataFrame = {
+    val scores = bigramLmScore(docs, idCol, textCol)
+      .withColumn("_mean",
+        col("sum_mnat").cast("double") / col("n_bigrams"))
+    val cuts = scores.agg(expr(
+      "approx_percentile(_mean, array(0.3333333333333333D, " +
+        s"0.6666666666666666D), $accuracy)").as("_cuts"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(col("_mean") > element_at(col("_cuts"), 2), lit("a_head"))
+          .when(col("_mean") > element_at(col("_cuts"), 1),
+            lit("b_middle"))
+          .otherwise(lit("c_tail")))
+      .select(col(idCol), col("n_bigrams"), col("sum_mnat"),
+        col("ppl_bucket"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * log-likelihood RATIO between a smoothed bigram model of an

@@ -203,6 +203,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!many.exists(_._1 == 3)) // absent phrase yields no rows
   }
 
+  test("pplBuckets: thirds ordered by mean LM score, head = highest, " +
+    "short docs dropped") {
+    val docs = (1L to 9L).map { i =>
+      // doc i: i copies of the shared bigram "a b" + a unique tail pair;
+      // more shared mass = higher mean log-prob = closer to head
+      (i, (Seq.fill(i.toInt)("a b") :+ s"u$i v$i").mkString(" "))
+    } :+ ((10L, "solo")) // single token: no bigrams, must be dropped
+    val out = TextAnalysis
+      .pplBuckets(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length === 9 && !out.exists(_._1 == 10L))
+    val byMean = out.sortBy(t => t._3.toDouble / t._2)
+    assert(byMean.take(3).forall(_._4 == "c_tail"))
+    assert(byMean.slice(3, 6).forall(_._4 == "b_middle"))
+    assert(byMean.drop(6).forall(_._4 == "a_head"))
+  }
+
   test("BPE learnMerges: frequency argmax, greedy non-overlap, lexicographic ties") {
     import graft.text.Bpe
     // ab(2) + abc(1): round 1 merges "a b" (count 3), round 2 "ab c" (1)
