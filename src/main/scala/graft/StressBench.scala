@@ -850,6 +850,43 @@ object StressBench {
     // single-phrase stage: the corpus tokenize+prune happens once, so
     // the marginal phrase costs only its posting-list joins. Ground
     // truth: the planted phrase (id 0) still hits every 100th doc.
+    // CCNet perplexity bucketing at scale with EXACT ground truth:
+    // three planted quality tiers (identical text within a tier, so
+    // every tier doc has the identical mean LM score; branching factor
+    // 1/2/4 after the pivot word separates the tiers' scores as
+    // 0 / ln(1/2)-ish / ln(1/4)-ish). Tier sizes 40/30/30 so the
+    // tercile target ranks land WELL INSIDE a tier (margin ~0.07n >>
+    // the sketch's n/accuracy rank error): the cut VALUE is exact by
+    // construction and every tier maps to exactly one bucket —
+    // C (40%, most branching = lowest likelihood) -> c_tail,
+    // B (30%) -> b_middle, A (30%, deterministic bigrams) -> a_head.
+    timed("ppl_buckets_sketch") {
+      val nDocs = math.max(rows / 200L, 10000L) / 10L * 10L
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 4,
+          concat_ws(" ", expr(
+            "transform(sequence(1, 25), i -> 's t s u s v s w')")))
+          .when(pmod(col("id"), lit(10)) < 7,
+            concat_ws(" ", expr(
+              "transform(sequence(1, 50), i -> 'p q p r')")))
+          .otherwise(concat_ws(" ", expr(
+            "transform(sequence(1, 100), i -> 'u v')"))).as("text"))
+      val out = graft.text.TextAnalysis
+        .pplBuckets(docs, "doc_id", "text", accuracy = 10000)
+      val cells = out.groupBy(
+          when(pmod(col("doc_id"), lit(10)) < 4, lit("C"))
+            .when(pmod(col("doc_id"), lit(10)) < 7, lit("B"))
+            .otherwise(lit("A")).as("tier"),
+          col("ppl_bucket"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      require(cells.size == 3 &&
+        cells.get(("C", "c_tail")).contains(nDocs * 4 / 10) &&
+        cells.get(("B", "b_middle")).contains(nDocs * 3 / 10) &&
+        cells.get(("A", "a_head")).contains(nDocs * 3 / 10),
+        s"tier-bucket cells wrong: $cells")
+      out.count()
+    }
     timed("phrase_search_batch8") {
       val nDocs = math.max(rows / 200L, 10000L)
       val docs = spark.range(nDocs).select(col("id").as("doc_id"),
