@@ -860,9 +860,12 @@ object StressBench {
     // construction and every tier maps to exactly one bucket —
     // C (40%, most branching = lowest likelihood) -> c_tail,
     // B (30%) -> b_middle, A (30%, deterministic bigrams) -> a_head.
-    timed("ppl_buckets_sketch") {
-      val nDocs = math.max(rows / 200L, 10000L) / 10L * 10L
-      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+    // shared three-tier corpus for the LM-family stages: identical
+    // text within a tier, branching factor 4/2/1 after the pivot word
+    // separates tier likelihoods; 40/30/30 sizes keep tercile ranks
+    // far from tier edges
+    def tierCorpus(nDocs: Long) = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
         when(pmod(col("id"), lit(10)) < 4,
           concat_ws(" ", expr(
             "transform(sequence(1, 25), i -> 's t s u s v s w')")))
@@ -871,6 +874,9 @@ object StressBench {
               "transform(sequence(1, 50), i -> 'p q p r')")))
           .otherwise(concat_ws(" ", expr(
             "transform(sequence(1, 100), i -> 'u v')"))).as("text"))
+    timed("ppl_buckets_sketch") {
+      val nDocs = math.max(rows / 200L, 10000L) / 10L * 10L
+      val docs = tierCorpus(nDocs)
       val out = graft.text.TextAnalysis
         .pplBuckets(docs, "doc_id", "text", accuracy = 10000)
       val cells = out.groupBy(
@@ -886,6 +892,33 @@ object StressBench {
         cells.get(("A", "a_head")).contains(nDocs * 3 / 10),
         s"tier-bucket cells wrong: $cells")
       out.count()
+    }
+    // DSIR importance weights at scale with exact ground truth: the
+    // target is a small pure tier-A corpus ("u v" docs), so tier-A
+    // documents' transitions are all in-target while tiers B/C see
+    // only the add-one floor from the target model — EVERY in-domain
+    // doc must out-score every out-of-domain doc on the per-bigram
+    // mean log-ratio.
+    timed("dsir_weights_tiered") {
+      val nDocs = math.max(rows / 200L, 10000L) / 10L * 10L
+      val docs = tierCorpus(nDocs)
+      val target = spark.range(200L).select(col("id").as("doc_id"),
+        concat_ws(" ", expr(
+          "transform(sequence(1, 100), i -> 'u v')")).as("text"))
+      val w = graft.text.TextAnalysis
+        .importanceWeights(docs, target, "doc_id", "text")
+      val stats = w.groupBy(
+          (pmod(col("doc_id"), lit(10)) >= 7).as("in_domain"))
+        .agg(min(col("sum_mnat") * lit(1.0) / col("n_bigrams")).as("lo"),
+          max(col("sum_mnat") * lit(1.0) / col("n_bigrams")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+      require(stats(true)._3 == nDocs * 3 / 10 &&
+        stats(false)._3 == nDocs * 7 / 10 &&
+        stats(true)._1 > stats(false)._2,
+        s"in-domain weights must dominate: $stats")
+      w.count()
     }
     timed("phrase_search_batch8") {
       val nDocs = math.max(rows / 200L, 10000L)

@@ -414,36 +414,48 @@ object TextAnalysis {
     */
   def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val grams = docBigrams(docs, idCol, textCol)
-    val tgtGrams = docBigrams(target, idCol, textCol)
-    def model(g: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = (
-      g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as(s"c12_$tag")),
-      g.groupBy(col("w1")).agg(count(lit(1)).as(s"c1_$tag")),
-      g.agg(countDistinct(col("w2")).cast("double").as(s"v_$tag")))
-    val (biT, uniT, vT) = model(tgtGrams, "t")
-    val (biC, uniC, vC) = model(grams, "c")
+    // ONE corpus explode aggregated to the (doc, transition)
+    // multiplicity frame (the bigramLmScore/scoredCore g3 discipline —
+    // it previously re-ran for each of biC, uniC, vC AND the scoring
+    // join: four corpus passes). Corpus-sized, re-read 4× ⇒ DISK_ONLY.
+    val g3C = docBigrams(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_ng"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // target model: transition-count table (no doc key needed — only
+    // totals feed the model), small by definition and broadcast
+    val g3T = docBigrams(target, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12_t"))
+    val uniT = g3T.groupBy(col("w1")).agg(sum(col("c12_t")).as("c1_t"))
+    val vT = g3T.agg(countDistinct(col("w2")).cast("double").as("v_t"))
+    val biC = g3C.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("_ng")).as("c12_c"))
+    val uniC = g3C.groupBy(col("w1")).agg(sum(col("_ng")).as("c1_c"))
+    val vC = g3C.agg(countDistinct(col("w2")).cast("double").as("v_c"))
     def mnat(c12: Column, c1: Column, v: Column): Column =
       round(log((c12 + lit(1.0)) / (c1 + v)) * lit(1e6), 0).cast("long")
-    grams
-      .join(broadcast(biT), Seq("w1", "w2"), "left")
+    g3C
+      .join(broadcast(g3T), Seq("w1", "w2"), "left")
       .join(broadcast(uniT), Seq("w1"), "left")
       .join(biC, Seq("w1", "w2"))
       .join(uniC, Seq("w1"))
       .crossJoin(broadcast(vT))
       .crossJoin(broadcast(vC))
-      .select(col(idCol),
+      .select(col(idCol), col("_ng"),
         (mnat(coalesce(col("c12_t"), lit(0L)), coalesce(col("c1_t"), lit(0L)),
           col("v_t")) -
           mnat(col("c12_c"), col("c1_c"), col("v_c"))).as("_d"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
+        sum(col("_ng")).as("n_bigrams"),
         // EXACT integer sum — the mean stays un-divided on purpose: an
         // integer/integer quotient rounded to 6 decimals lands on .5
         // ties that engines break differently (observed at sf0.1).
         // Consumers compute sum_mnat / (n_bigrams * 1e6) when they want
-        // the per-bigram mean log-ratio in nats.
-        sum(col("_d")).as("sum_mnat"))
+        // the per-bigram mean log-ratio in nats. Weighting the
+        // per-transition delta by its repeat count is the same exact
+        // long arithmetic as summing per occurrence.
+        sum(col("_ng") * col("_d")).as("sum_mnat"))
   }
 
   /** Document fingerprints: full-content md5 plus an order-sensitive
