@@ -675,6 +675,19 @@ object Graft {
                             phrases: Seq[Seq[String]]): DataFrame =
     graft.text.TextAnalysis.phraseMatchCountsMany(docs, idCol, textCol,
       phrases)
+  /** Tokenize ONCE into a durable bucket-partitioned index asset. */
+  def writePositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String, buckets: Int = 64): Unit =
+    graft.text.TextAnalysis.writePositionalIndex(docs, idCol, textCol,
+      path, buckets)
+  /** Phrase query against a [[writePositionalIndex]] asset: partition
+    * pruning reads ≤L term buckets — the corpus is never touched.
+    */
+  def phraseMatchCountsIndexed(spark: SparkSession, path: String,
+                               idCol: String, phrase: Seq[String],
+                               buckets: Int = 64): DataFrame =
+    graft.text.TextAnalysis.phraseMatchCountsIndexed(spark, path, idCol,
+      phrase, buckets)
   /** Perceptual 8×8 average-hash per image — pixel-level dedup signature. */
   def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =

@@ -19,6 +19,26 @@ object TextAnalysisQueries extends QueryPack {
   private val multiPhrases: Seq[Seq[String]] = Seq(
     Seq("slow", "hash", "batch"), Seq("fast", "table"), Seq("sort", "agg"))
 
+  /** Shared by text_phrase_search AND text_phrase_search_indexed — the
+    * in-memory and durable-index paths return identical rows.
+    */
+  private val phraseSearchOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS ts FROM documents),
+      |idx AS MATERIALIZED (
+      |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS INT) - 1 AS pos,
+      |    unnest(ts) AS term
+      |  FROM toks)
+      |SELECT d0.doc_id, count(*) AS n_matches
+      |FROM (SELECT doc_id, pos FROM idx WHERE term = 'slow') d0
+      |JOIN (SELECT doc_id, pos - 1 AS pos FROM idx WHERE term = 'hash') d1
+      |  USING (doc_id, pos)
+      |JOIN (SELECT doc_id, pos - 2 AS pos FROM idx WHERE term = 'batch') d2
+      |  USING (doc_id, pos)
+      |GROUP BY d0.doc_id
+      |ORDER BY d0.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(Tables(s, dir).documents, "doc_id", "text")
@@ -301,6 +321,23 @@ object TextAnalysisQueries extends QueryPack {
       TextAnalysis.phraseMatchCountsMany(Tables(s, dir).documents,
           "doc_id", "text", multiPhrases)
         .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+
+    // The index-as-asset shape: tokenize ONCE into a bucket-partitioned
+    // parquet index, then query with driver-computed partition filters
+    // — the scan reads ≤L term buckets, never the corpus. Same oracle
+    // as text_phrase_search (identical results by construction); the
+    // PartitionFilters plan property is spec-pinned.
+    "text_phrase_search_indexed" -> ((s, dir) => {
+      // per-(sf, JVM) path: concurrent verify runs must not cross-read
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
+          s"_${dir.replaceAll("[^A-Za-z0-9]", "")}_${ProcessHandle.current().pid()}"
+      TextAnalysis.writePositionalIndex(Tables(s, dir).documents,
+        "doc_id", "text", path)
+      TextAnalysis.phraseMatchCountsIndexed(s, path, "doc_id",
+          Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
     }),
 
     // Markdown -> plain text over a fixture wrapping each doc in the
@@ -965,22 +1002,11 @@ object TextAnalysisQueries extends QueryPack {
     // (doc, pos−i) joins.
     // tokenization mirrors positionalIndex: empty tokens filtered in
     // the array before positions are assigned
-    "text_phrase_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
-        |    AS ts FROM documents),
-        |idx AS MATERIALIZED (
-        |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS INT) - 1 AS pos,
-        |    unnest(ts) AS term
-        |  FROM toks)
-        |SELECT d0.doc_id, count(*) AS n_matches
-        |FROM (SELECT doc_id, pos FROM idx WHERE term = 'slow') d0
-        |JOIN (SELECT doc_id, pos - 1 AS pos FROM idx WHERE term = 'hash') d1
-        |  USING (doc_id, pos)
-        |JOIN (SELECT doc_id, pos - 2 AS pos FROM idx WHERE term = 'batch') d2
-        |  USING (doc_id, pos)
-        |GROUP BY d0.doc_id
-        |ORDER BY d0.doc_id""".stripMargin,
+    "text_phrase_search" -> phraseSearchOracle,
+
+    // identical results by construction: the partitioned-index path
+    // reads the same (doc, pos, term) rows through partition pruning
+    "text_phrase_search_indexed" -> phraseSearchOracle,
 
     // Same index CTE, one SELECT block per phrase generated from the
     // SHARED multiPhrases list (engine and oracle can never disagree

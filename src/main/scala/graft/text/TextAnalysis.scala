@@ -608,6 +608,56 @@ object TextAnalysis {
     }.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Write the positional index as a DURABLE bucket-partitioned table —
+    * the production shape at 100 TB: the corpus is tokenized ONCE into
+    * an index asset partitioned by `term_bucket = md5(term) % buckets`,
+    * and every later phrase query prunes to its ≤L terms' partitions AT
+    * THE SCAN (PartitionFilters — no corpus scan, no re-tokenize, no
+    * full-index read, ever). Bucket count trades partition-pruning
+    * selectivity against small-file count: 64 buckets ≈ 1/64 of the
+    * index read per term worst-case, with hot terms amortized across
+    * the bucket's row groups.
+    */
+  def writePositionalIndex(docs: DataFrame, idCol: String,
+                           textCol: String, path: String,
+                           buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets=$buckets must be positive")
+    positionalIndex(docs, idCol, textCol)
+      .withColumn("term_bucket", pmod(md5Long(col("term"), 8), lit(buckets)))
+      .write.partitionBy("term_bucket").mode("overwrite").parquet(path)
+  }
+
+  /** Driver-side twin of `md5Long(term, 8) % buckets` — the lookup side
+    * of [[writePositionalIndex]]'s partitioning (first 4 md5 bytes as
+    * an unsigned int, exactly the 8-hex conv the Column form computes).
+    */
+  private[graft] def termBucket(term: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(h, 16) % buckets
+  }
+
+  /** Exact-phrase counts against a [[writePositionalIndex]] asset: the
+    * phrase's term buckets are computed driver-side and pushed as
+    * partition filters, so the scan reads ≤L partitions of posting
+    * lists — no persist needed (the pruned read IS posting-list-sized
+    * IO) and the corpus itself is never touched.
+    */
+  def phraseMatchCountsIndexed(spark: org.apache.spark.sql.SparkSession,
+                               path: String, idCol: String,
+                               phrase: Seq[String],
+                               buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val wanted = phrase.distinct
+    val bs = wanted.map(termBucket(_, buckets)).distinct
+    val idx = spark.read.parquet(path)
+      .where(col("term_bucket").isin(bs: _*) &&
+        col("term").isin(wanted: _*))
+      .select(col(idCol), col("pos"), col("term"))
+    phraseCountsFromIndex(idx, idCol, phrase)
+  }
+
   /** MANY phrases against ONE positional-index build — the production
     * search shape: the index is the amortized asset, each additional
     * phrase costs only its own posting-list joins. The corpus is

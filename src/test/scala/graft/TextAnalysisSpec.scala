@@ -203,6 +203,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!many.exists(_._1 == 3)) // absent phrase yields no rows
   }
 
+  test("phraseMatchCountsIndexed: equals the in-memory path, scan is " +
+    "partition-pruned, driver bucket == Column bucket") {
+    import org.apache.spark.sql.functions.{explode, lit, pmod, split}
+    val docs = Seq(
+      (0L, "a b c a b c"), (1L, "a b a b"), (2L, "c b a"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec").toString
+    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", path,
+      buckets = 8)
+    val idxed = TextAnalysis.phraseMatchCountsIndexed(spark, path,
+      "doc_id", Seq("a", "b"), buckets = 8)
+    val mem = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+      Seq("a", "b"))
+    assert(idxed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      mem.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the pruning is IN THE PLAN: partition filters on term_bucket
+    val plan = idxed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"),
+      s"expected term_bucket partition filters in:\n$plan")
+    // the driver-side lookup hash must equal the write-side Column hash
+    // for every term, or pruning silently reads the wrong bucket
+    docs.select(explode(split(col("text"), " ")).as("t")).distinct()
+      .select(col("t"),
+        pmod(graft.functions.GraftFunctions.md5Long(col("t"), 8),
+          lit(8)).as("b"))
+      .collect().foreach { r =>
+        assert(TextAnalysis.termBucket(r.getString(0), 8) === r.getLong(1),
+          s"bucket mismatch for term ${r.getString(0)}")
+      }
+  }
+
   test("pplBuckets: thirds ordered by mean LM score, head = highest, " +
     "short docs dropped") {
     val docs = (1L to 9L).map { i =>
