@@ -10,6 +10,19 @@ rows sorted canonically, then values compared. Floats are compared exactly
 (our queries round on both sides, so bits should match); on mismatch the
 first few differing rows are printed for diagnosis.
 
+TYPE-FAITHFUL (r19): the driver materializes DuckDB results through a
+typed pandas/arrow path, where HUGEINT (the result type of DuckDB
+sum(BIGINT), plain or windowed) degrades to float64 — so `448` renders
+`448.0` and hash-mismatches an int64 Spark column even when arithmetic
+is exact (the r18 `pack_sequences`/`pack_doc_offsets` reds). Earlier
+revisions of this script compared via `fetchall()` Python ints, which
+is type-INsensitive and could never reproduce that class. We now
+(a) fetch the oracle through `.df()` — the same degradation the driver
+sees — and (b) DESCRIBE every oracle and hard-fail any HUGEINT or
+DECIMAL output column, so the class is caught even before values drift.
+Rule: every oracle output column whose lineage includes sum() or //
+must be CAST(... AS BIGINT) at the final projection.
+
 Dev tool only — not part of the shipped library.
 """
 import glob
@@ -35,6 +48,7 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
+                v = float(v)  # numpy.float64 → float: stable repr
                 if math.isnan(v):
                     v = "NaN"
                 else:
@@ -66,17 +80,28 @@ def main():
             n_fail += 1
             continue
         try:
-            oc = con.execute(sql)
-            o_cols = [d[0] for d in oc.description]
-            o_rows = oc.fetchall()
+            # Hard gate on oracle result types: HUGEINT/DECIMAL output
+            # columns degrade to float64 under the driver's typed path
+            # and will always hash-mismatch an int64 Spark column.
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            bad = [(c, t) for c, t, *_ in desc
+                   if t == "HUGEINT" or t.startswith("DECIMAL")]
+            if bad:
+                print(f"TYPEFAIL {name}: un-CAST wide-integer oracle "
+                      f"columns {bad} (add CAST(... AS BIGINT))")
+                n_fail += 1
+                continue
+            odf = con.execute(sql).df()
+            o_cols = list(odf.columns)
+            o_rows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"ORAFAIL  {name}: {str(e).splitlines()[0][:160]}")
             n_fail += 1
             continue
-        sc = con.execute(
-            f"SELECT * FROM read_parquet({res_glob!r})")
-        s_cols = [d[0] for d in sc.description]
-        s_rows = sc.fetchall()
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet({res_glob!r})").df()
+        s_cols = list(sdf.columns)
+        s_rows = list(sdf.itertuples(index=False, name=None))
 
         if sorted(o_cols) != sorted(s_cols):
             print(f"SCHEMA   {name}: spark={sorted(s_cols)} oracle={sorted(o_cols)}")

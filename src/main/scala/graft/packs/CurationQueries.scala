@@ -335,6 +335,19 @@ object CurationQueries extends QueryPack {
     s"(('0x' || substr(md5($x), 1, 8))::BIGINT * 268435456" +
       s" + ('0x' || substr(md5($x), 9, 7))::BIGINT)"
 
+  /** Oracle result-type rule (r18 root cause, proven on DuckDB 1.0.0):
+    * DuckDB's `sum(BIGINT)` — plain or windowed — returns HUGEINT, and
+    * integer `//` on HUGEINT stays HUGEINT. A HUGEINT output column
+    * materializes as float64 through the driver's typed (arrow/pandas)
+    * path, so `448` renders `448.0` and the value-hash mismatches even
+    * though the arithmetic is exact. EVERY oracle output column whose
+    * lineage includes a sum() or // must be wrapped `CAST(... AS
+    * BIGINT)` at (or before) the final projection. The r18 red rows
+    * (`pack_sequences`, `pack_doc_offsets`) were exactly the two
+    * queries projecting un-cast sum-derived columns; their CAST-ed
+    * digest twins stayed green.
+    */
+
   /** Shared packing chain: naive global running-total window over the
     * (md5-priority, id) order, then the chunk-span explode — the form
     * the engine's bucketed two-phase prefix sum must equal bit for bit.
@@ -348,8 +361,8 @@ object CurationQueries extends QueryPack {
       |  WHERE len(string_split(text, ' ')) > 0),
       |r AS (
       |  SELECT doc_id, tk, h,
-      |    sum(tk) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - tk
-      |      AS start
+      |    CAST(sum(tk) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+      |      - tk AS BIGINT) AS start
       |  FROM d),
       |e AS (
       |  SELECT doc_id, tk, start,
@@ -358,8 +371,8 @@ object CurationQueries extends QueryPack {
       |  FROM r),
       |spans AS (
       |  SELECT doc_id, chunk_id,
-      |    greatest(0, chunk_id * 64 - start) AS tok_from,
-      |    least(tk, (chunk_id + 1) * 64 - start) AS tok_to
+      |    CAST(greatest(0, chunk_id * 64 - start) AS BIGINT) AS tok_from,
+      |    CAST(least(tk, (chunk_id + 1) * 64 - start) AS BIGINT) AS tok_to
       |  FROM e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -375,7 +388,8 @@ object CurationQueries extends QueryPack {
       |FROM spans GROUP BY chunk_id ORDER BY chunk_id""".stripMargin),
 
     "pack_doc_offsets" -> (packSpansCte + """
-      |SELECT doc_id, h, tk AS n_tokens, start AS tok_start
+      |SELECT doc_id, h, tk AS n_tokens,
+      |  CAST(start AS BIGINT) AS tok_start
       |FROM r ORDER BY doc_id""".stripMargin),
 
     "pack_sequences_digest" -> (packSpansCte + """

@@ -790,7 +790,8 @@ object ExtendedRelationalQueries extends QueryPack {
         |    round(CASE WHEN right(a.c_name, 1) = b.d_tail
         |        THEN 3.25 ELSE -4.17 END +
         |      CASE WHEN abs(a.c_acctbal - b.d_bal) <= 5
-        |        THEN 2.29 ELSE -2.5 END, 6) + 0.0 AS fs_score
+        |        THEN 2.29 ELSE -2.5 END, 6) + CAST(0.0 AS DOUBLE)
+        |      AS fs_score
         |  FROM a JOIN b USING (c_nationkey, c_mktsegment, bal_kb)),
         |m AS (
         |  SELECT d_custkey, c_custkey, fs_score, row_number() OVER (
@@ -872,7 +873,8 @@ object ExtendedRelationalQueries extends QueryPack {
         |    round(CASE WHEN right(a.c_name, 1) = b.d_tail
         |        THEN 3.25 ELSE -4.17 END +
         |      CASE WHEN abs(a.c_acctbal - b.d_bal) <= 5
-        |        THEN 2.29 ELSE -2.5 END, 6) + 0.0 AS fs_score
+        |        THEN 2.29 ELSE -2.5 END, 6) + CAST(0.0 AS DOUBLE)
+        |      AS fs_score
         |  FROM a JOIN b USING (c_nationkey, c_mktsegment, bal_kb)),
         |m AS (
         |  SELECT d_custkey, c_custkey, fs_score, row_number() OVER (

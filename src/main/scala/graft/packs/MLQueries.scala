@@ -1355,7 +1355,8 @@ object MLQueries extends QueryPack {
         |  SELECT CAST(count(*) AS DOUBLE) AS tn, sum(x) AS tsx, sum(y) AS tsy,
         |    sum(x*x) AS tsxx, sum(x*y) AS tsxy
         |  FROM r),
-        |grid AS (SELECT * FROM (VALUES (0, 0.0), (1, 100.0), (2, 10000.0))
+        |grid AS (SELECT grid_idx, CAST(lambda AS DOUBLE) AS lambda
+        |  FROM (VALUES (0, 0.0), (1, 100.0), (2, 10000.0))
         |  g(grid_idx, lambda)),
         |tr AS (
         |  SELECT fold, tn - fn AS n, tsx - fsx AS sx, tsy - fsy AS sy,
@@ -1405,7 +1406,8 @@ object MLQueries extends QueryPack {
         |  SELECT feature, CAST(count(*) AS DOUBLE) AS tn, sum(x) AS tsx,
         |    sum(y) AS tsy, sum(x*x) AS tsxx, sum(x*y) AS tsxy
         |  FROM r GROUP BY feature),
-        |grid AS (SELECT * FROM (VALUES (0, 0.0), (1, 100.0), (2, 10000.0))
+        |grid AS (SELECT grid_idx, CAST(lambda AS DOUBLE) AS lambda
+        |  FROM (VALUES (0, 0.0), (1, 100.0), (2, 10000.0))
         |  g(grid_idx, lambda)),
         |tr AS (
         |  SELECT fs.feature, fold, tn - fn AS n, tsx - fsx AS sx,
@@ -2010,7 +2012,7 @@ object MLQueries extends QueryPack {
     // of that perfect outcome directly from the band rule.
     "ml_logreg_predict" ->
       """WITH banded AS (
-        |  SELECT CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END AS y
+        |  SELECT CAST(CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
         |  FROM (SELECT CAST(embedding[1] AS DOUBLE) +
         |               CAST(embedding[2] AS DOUBLE) AS m
         |        FROM embeddings)
