@@ -225,9 +225,56 @@ object Bench {
     // memoized across queries-fn invocations — every query rebuilds its
     // frames per call, so unpersisting everything between executions can
     // never invalidate state a later execution still needs.
-    def releaseAllBlocks(): Unit =
+    // r19: block-level RDD unpersist alone left the Catalyst
+    // CacheManager's CachedData PLAN entries behind — every df.persist()
+    // registers one, rdd.unpersist() does not remove it, and each later
+    // query's planning then canonicalizes its plan against every
+    // accumulated entry (the r18 driver artifact's suite-state
+    // signature: late-slot queries 2.5–5× their isolated anchors while
+    // 47 others summed to 0.97×). Policy (documented in BASELINE.md):
+    // between every execution release (a) operator-tracked internal
+    // persists, (b) ALL CacheManager entries + blocks via
+    // catalog.clearCache, (c) localCheckpoint/raw-RDD blocks, and
+    // (d) the corpus-scale tmp positional-index parquet the indexed
+    // phrase query writes (disk residue competes with DISK_ONLY spill).
+    def sweepTmpIndexes(): Unit = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val pid = ProcessHandle.current().pid()
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith("graft_posidx") &&
+          f.getName.endsWith(s"_$pid"))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+    }
+    // Ordering matters: the BLOCKING RDD-level drop runs FIRST so every
+    // cached/checkpointed block is gone before the next timed region
+    // starts — catalog.clearCache()'s block removal is asynchronous, and
+    // letting it overlap the next query taxes the number being measured
+    // (the original releaseAllBlocks comment's async-unpersist lesson).
+    // The entry-level releases after it find their blocks already
+    // dropped, so their async removal is a no-op.
+    def releaseAllBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      graft.core.Caches.release(spark)
+      spark.catalog.clearCache()
+      sweepTmpIndexes()
+      // Shuffle files and broadcasts are only reclaimed when Spark's
+      // ContextCleaner sees their referencing objects garbage-collected
+      // — across a 50-query suite the dead shuffle directories pile up
+      // under spark.local.dir and starve the DISK_ONLY persists of the
+      // late-slot queries (measured: curation_scored 17.2s in-suite vs
+      // ~8s isolated under otherwise-identical hygiene). An explicit gc
+      // between executions lets the cleaner reclaim them; it runs
+      // outside every timed region.
+      System.gc()
+    }
 
     // In-suite regression retry: the r11 driver artifact shipped a 3.58×
     // reading for one query (sim_ivf_topk) with zero code change — the

@@ -24,6 +24,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Release every cache an operator persisted internally for `spark`
+    * (the frames [[graft.core.Caches]] tracks because their lazy
+    * results could not unpersist before returning). Call at job
+    * boundaries in a long-lived session — a query service, a bench
+    * loop, a notebook — AFTER materializing the results you need;
+    * released frames recompute from lineage, so this is always safe
+    * for correctness. Returns the number of frames released.
+    */
+  def releaseCaches(spark: SparkSession): Int =
+    graft.core.Caches.release(spark)
+
   // ---- dataflow (reference BlockRDD surface) ----
   def block(df: DataFrame, bsize: Int, orderCols: Seq[Column]): DataFrame =
     Blocking.withBlockId(df, bsize, orderCols)
@@ -680,14 +691,21 @@ object Graft {
                            path: String, buckets: Int = 64): Unit =
     graft.text.TextAnalysis.writePositionalIndex(docs, idCol, textCol,
       path, buckets)
+  /** Append NEW docs' postings into a [[writePositionalIndex]] asset
+    * (bucket modulus read from the asset's metadata; merge ≡ rebuild).
+    */
+  def mergePositionalIndex(docs: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit =
+    graft.text.TextAnalysis.mergePositionalIndex(docs, idCol, textCol,
+      path)
   /** Phrase query against a [[writePositionalIndex]] asset: partition
-    * pruning reads ≤L term buckets — the corpus is never touched.
+    * pruning reads ≤L term buckets — the corpus is never touched. The
+    * bucket modulus comes from the asset's own metadata.
     */
   def phraseMatchCountsIndexed(spark: SparkSession, path: String,
-                               idCol: String, phrase: Seq[String],
-                               buckets: Int = 64): DataFrame =
+                               idCol: String, phrase: Seq[String]): DataFrame =
     graft.text.TextAnalysis.phraseMatchCountsIndexed(spark, path, idCol,
-      phrase, buckets)
+      phrase)
   /** Perceptual 8×8 average-hash per image — pixel-level dedup signature. */
   def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =

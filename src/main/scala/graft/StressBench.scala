@@ -41,6 +41,15 @@ object StressBench {
         // its own frames (the shared-graph group was split for this).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // r19: also drop the CacheManager PLAN entries (RDD-level
+        // unpersist never removes them — they accumulate across ~60
+        // stages and every later stage's planning compares against
+        // each) and let the ContextCleaner reclaim dead shuffle
+        // files/broadcasts (only happens when their references are
+        // GC'd). Same policy as Bench (BASELINE.md r19).
+        graft.core.Caches.release(spark)
+        spark.catalog.clearCache()
+        System.gc()
       }
 
     // synthetic fact table: skewed key, timestamp, value
@@ -940,6 +949,40 @@ object StressBench {
       require(planted == (nDocs + 99) / 100,
         s"planted phrase hit $planted docs, expected ${(nDocs + 99) / 100}")
       out.count()
+    }
+    // Daily-increment index maintenance at stress scale: build the
+    // durable asset on 90% of the corpus, append the remaining 10% with
+    // mergePositionalIndex (modulus from the asset's metadata), then
+    // phrase-query the merged asset. Ground truth exact: the planted
+    // 3-gram lands in every id%100==0 doc across BOTH halves, so a
+    // wrong-modulus append or a missed partition shows as a count miss.
+    timed("phrase_index_merge") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          concat(concat_ws(" ", expr("transform(sequence(1, 197), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))")),
+            lit(" alpha beta gamma")))
+          .otherwise(concat_ws(" ", expr("transform(sequence(1, 200), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))"))).as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
+        s"_stress_${ProcessHandle.current().pid()}"
+      graft.text.TextAnalysis.writePositionalIndex(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", path)
+      graft.text.TextAnalysis.mergePositionalIndex(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", path)
+      val hits = graft.text.TextAnalysis.phraseMatchCountsIndexed(
+        spark, path, "doc_id", Seq("alpha", "beta", "gamma")).count()
+      require(hits == (nDocs + 99) / 100,
+        s"merged-index phrase hit $hits docs, expected ${(nDocs + 99) / 100}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      hits
     }
     // rows/20 docs x 20 lines: 2 lines shared by EVERY doc (the hot-key
     // stressor — one line hash carrying nDocs occurrences through the

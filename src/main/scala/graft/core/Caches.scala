@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Session-scoped registry of DataFrames an operator persisted
+  * INTERNALLY and could not release itself.
+  *
+  * Why it exists: several operators return a LAZY result whose lineage
+  * reads an internally-persisted intermediate more than once (the
+  * multi-consumer-explode discipline — e.g. the LM family's
+  * (doc, transition) multiplicity frame, or a phrase query's pruned
+  * posting lists). The operator cannot unpersist before returning (the
+  * caller has not materialized yet, so the persist would be wasted) and
+  * the caller holds no reference to the intermediate — so without a
+  * registry each call pins corpus-scale cache entries for the session
+  * lifetime. Spark's `CacheManager` holds strong references to every
+  * `persist()`ed plan, and — the r18 bench lesson — unpersisting the
+  * underlying RDD blocks (`sparkContext.getPersistentRDDs`) does NOT
+  * remove the `CachedData` plan entry: entries accumulate and every
+  * later query's planning pays a canonicalized-plan comparison against
+  * each of them.
+  *
+  * Contract: operators register internal persists with [[track]]; a
+  * long-lived session (a query service, a bench/verify harness, a
+  * notebook) calls [[release]] between independent jobs, AFTER
+  * materializing the results it needs. Releasing is always safe for
+  * correctness — persist is an optimization, a released frame
+  * recomputes from lineage — it only forfeits reuse within a job that
+  * is still running, so release at job boundaries.
+  *
+  * Frames that an operator CAN release itself (it runs an internal
+  * action before returning, e.g. GD training or an eager index build)
+  * follow the materialize-then-unpersist discipline at the call site
+  * instead ([[graft.text.Curation]] scoredDisposition) and never land
+  * here.
+  */
+object Caches {
+
+  private val frames =
+    scala.collection.mutable.Map.empty[
+      SparkSession, scala.collection.mutable.ArrayBuffer[Dataset[_]]]
+
+  /** Register an internally-persisted frame for later [[release]];
+    * returns it unchanged so call sites stay expression-shaped.
+    */
+  def track[A](df: Dataset[A]): Dataset[A] = synchronized {
+    frames.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.ArrayBuffer.empty) += df
+    df
+  }
+
+  /** Unpersist every frame tracked against `spark` (removing both the
+    * storage blocks and the CacheManager plan entry — `df.unpersist`,
+    * unlike RDD-level unpersist, drops the `CachedData` record).
+    * Non-blocking: block removal overlaps the caller's next job.
+    * Returns the number of frames released. Idempotent; a frame the
+    * caller already unpersisted is a no-op.
+    */
+  def release(spark: SparkSession): Int = {
+    val fs = synchronized { frames.remove(spark) }
+      .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+    fs.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.size
+  }
+
+  /** Frames currently tracked for `spark` (diagnostics / specs). */
+  def trackedCount(spark: SparkSession): Int = synchronized {
+    frames.get(spark).map(_.size).getOrElse(0)
+  }
+}

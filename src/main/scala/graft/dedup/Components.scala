@@ -249,7 +249,8 @@ object Components {
     // provenance aggregation — materialize it once or every detector
     // (minhash banding, simhash blocking, cosine pairs) runs twice.
     // Corpus-proportional → DISK_ONLY persist (r9 criterion).
-    val edges = edgesProv.persist(StorageLevel.DISK_ONLY)
+    val edges = graft.core.Caches.track(
+      edgesProv.persist(StorageLevel.DISK_ONLY))
     val comp = dedupClusters(
       edges.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
     val clusterSrc = edges

@@ -265,7 +265,8 @@ object Dedup {
     graft.plans.GraftExpressions.register(spark)
     // feeds df-counts AND doc arrays; corpus-sized → DISK_ONLY persist
     // (r9 durability criterion)
-    val sh = shingleDf.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = graft.core.Caches.track(shingleDf
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     // Vocabulary RANK-RECODING: dense global rank in rarest-first
     // (df, shingle) order via range-sort + zipWithIndex — a scalable
@@ -282,21 +283,22 @@ object Dedup {
     // sort is a TOTAL order, so zipWithIndex is deterministic and a
     // lost block recomputes to the identical rank assignment — the
     // retry-pinning localCheckpoint once bought is no longer needed.
-    val vocab = dfreq.orderBy(col("_df"), col("shingle"))
-      .select(col("shingle")).as[String]
-      .rdd.zipWithIndex.toDF("shingle", "_rk")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val vocab = graft.core.Caches.track(
+      dfreq.orderBy(col("_df"), col("shingle"))
+        .select(col("shingle")).as[String]
+        .rdd.zipWithIndex.toDF("shingle", "_rk")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // collect_set, not collect_list: the contract takes ANY shingleDf,
     // and a duplicate (id, shingle) row must not double-count in the
     // sorted-merge overlap the way it would in a list (set-Jaccard is
     // the published semantics; array_intersect's old path deduped too)
-    val ordered = sh.join(vocab, "shingle")
+    val ordered = graft.core.Caches.track(sh.join(vocab, "shingle")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("_rk"))).as("_toks"))
       // feeds prefix explode AND both verify sides; one array row per
       // doc carrying every shingle rank = corpus-sized → DISK_ONLY
       // persist (r9 criterion)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // prefix with POSITIONS: the positional filter (PPJoin, Xiao et
     // al. WWW 2008) bounds the overlap reachable from a shared token
     // at (pa, pb) by 1 + min(|a|−pa−1, |b|−pb−1); rows under the
@@ -876,9 +878,9 @@ object Dedup {
     // and the corpus would sit duplicated in storage memory. persist
     // keeps the lineage (lost blocks recompute from the scan) while
     // still materializing the split exactly once for both consumers.
-    val toks = docs
+    val toks = graft.core.Caches.track(docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val base = toks.select(col(idCol), size(col("_toks")).as("n_tokens"))
     val grams = toks
       .where(size(col("_toks")) >= L)
@@ -948,9 +950,9 @@ object Dedup {
     // Corpus-sized relation: DISK_ONLY persist, not localCheckpoint —
     // lineage retained so executor loss recomputes instead of failing
     // the job (see repeatedSpanStats).
-    val toks = docs
+    val toks = graft.core.Caches.track(docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val grams = toks
       .where(size(col("_toks")) >= L)
       .select(col(idCol), posexplode(expr(
@@ -1019,9 +1021,9 @@ object Dedup {
          Option[org.apache.spark.rdd.RDD[_]]) = {
     // Corpus-sized: DISK_ONLY persist, lineage kept for recovery (see
     // repeatedSpanStats).
-    val toks = docs
+    val toks = graft.core.Caches.track(docs
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val base = toks.select(col(idCol), size(col("_toks")).as("n_tokens"))
     val (offsets, pin) = SuffixRank.prefixOffsets(
       base.select(col(idCol), (col("n_tokens") + 1).cast("long").as("_cnt")),
@@ -1133,7 +1135,8 @@ object Dedup {
     // Same five-reference shape as the ungated [[jaccardPairs]] branch —
     // materialize once so the upstream shingle explode runs once.
     // DISK_ONLY persist (corpus-sized; lineage kept for recovery).
-    val sh = shingleDf.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = graft.core.Caches.track(shingleDf
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val kept = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
@@ -1165,9 +1168,9 @@ object Dedup {
         // 2.0× on the driver bench (r5→r6 regression). One row per doc
         // but each row carries ALL the doc's shingles — corpus-sized,
         // so DISK_ONLY persist per the r9 durability criterion.
-        val arrs = shingleDf.groupBy(col(idCol))
+        val arrs = graft.core.Caches.track(shingleDf.groupBy(col(idCol))
           .agg(collect_list(col("shingle")).as("_arr"))
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         c.join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa")), "id_a")
           .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab")), "id_b")
           .withColumn("inter", size(array_intersect(col("_aa"), col("_ab"))))
@@ -1183,8 +1186,8 @@ object Dedup {
         // the df-count guard added references. DISK_ONLY persist
         // (corpus-sized; lineage kept for executor-loss recovery), every
         // downstream reference reads the cached blocks.
-        val sh = shingleDf.persist(
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val sh = graft.core.Caches.track(shingleDf.persist(
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
         val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
         // Hot-shingle guard: the postings join is quadratic PER POSTING
         // LIST — one boilerplate shingle shared by m docs contributes

@@ -246,10 +246,10 @@ object Composition {
     // aggregation (measured 13.2s at sf0.1; the derived re-aggs over
     // the persisted frame are a fraction of a corpus pass each).
     // Corpus-sized and re-read five times → DISK_ONLY (r9 criterion).
-    val tfFull = toks.groupBy(col("fold"), col("id"), col("label"),
-        col("term"))
-      .agg(count(lit(1)).as("_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val tfFull = graft.core.Caches.track(
+      toks.groupBy(col("fold"), col("id"), col("label"), col("term"))
+        .agg(count(lit(1)).as("_tf"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val folds = (0 until k).toDF("fold")
     val classes = base.select(col("label")).distinct()
     val capsDf = caps.toDF("vocab_cap")

@@ -56,8 +56,9 @@ object Diagnostics {
   def keySkewReport(df: DataFrame, key: Column): DataFrame = {
     // key-cardinality-sized — with high-cardinality keys (URLs, hashes)
     // that is corpus-scale, so DISK_ONLY persist per the r9 criterion
-    val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val counts = graft.core.Caches.track(
+      df.groupBy(key.as("_k")).agg(count(lit(1)).as("_n"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // Zero groups would make every ratio below a null-over-null row that
     // reads like a (garbage) salt recommendation — fail loudly instead.
     require(!counts.isEmpty, "keySkewReport: input has no rows to profile")

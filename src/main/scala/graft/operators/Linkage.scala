@@ -175,6 +175,10 @@ object Linkage {
           row.getAs[Double](s"_sga_$nm")) / (n - sg), eps, 1 - eps))
       p = clamp(sg / n, eps, 1 - eps)
     }
+    // the result below is built from DRIVER scalars — a served only the
+    // (already-run) EM rounds, so it releases here instead of leaking
+    // for the session (the Curation materialize-then-unpersist pattern)
+    a.unpersist(blocking = false)
     val spark = pairs.sparkSession
     import spark.implicits._
     names.zip(ms.zip(us)).map { case (nm, (m, u)) =>

@@ -138,6 +138,28 @@ object StatsQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // S20: robustScaleApprox under a FULL VALUE oracle (it was
+    // spec-pinned only): the input is floor-quantized to 5000-wide
+    // buckets, so each quartile position sits deep inside a run of
+    // thousands of equal values — the sketch's rank-±1 freedom (and
+    // any engine disagreement about WHICH neighboring sample a
+    // discrete quantile picks) cannot change the VALUE. Audited, not
+    // hoped: at both SFs the values at ranks ⌈p·n⌉±3 are identical for
+    // all three probs (the s18/s19 boundary-collision technique;
+    // SCALE.md r19). accuracy > row count ⇒ the sketch itself is exact.
+    "s20_robust_scale_approx" -> ((s, dir) => {
+      Moments.robustScaleApprox(
+          Tables(s, dir).lineitem.withColumn("q_price",
+            // cast: Spark floor yields LONG, DuckDB floor DOUBLE — the
+            // driver compare is type-faithful (r19), so align explicitly
+            (floor(col("l_extendedprice") / 5000) * 5000).cast("double")),
+          "q_price", "rs", accuracy = 10000000)
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("q_price"),
+          col("rs"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // S11: chi2 SelectKBest — most lang-discriminative terms. Fixed class
     // order keeps the float assembly engine-identical (see stats.Chi2).
     "s11_chi2_select" -> ((s, dir) => {
@@ -396,6 +418,17 @@ object StatsQueries extends QueryPack {
         |WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    "s20_robust_scale_approx" ->
+      """WITH c AS (SELECT quantile_disc(floor(l_extendedprice/5000)*5000,
+        |    [0.25, 0.5, 0.75]) AS cuts FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice/5000)*5000 AS q_price,
+        |  round((floor(l_extendedprice/5000)*5000 - c.cuts[2])
+        |    / nullif(c.cuts[3] - c.cuts[1], 0.0), 6) + 0.0 AS rs
+        |FROM lineitem, c
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "s11_chi2_select" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")

@@ -13,6 +13,32 @@ object TextAnalysisQueries extends QueryPack {
   private val stopPred =
     TextAnalysis.DefaultStopwords.map(w => s"t = '$w'").mkString(" OR ")
 
+  /** Per-(sf, JVM, suffix) tmp path for a positional-index asset —
+    * concurrent verify runs must not cross-read, and the asset is
+    * BIGGER than the corpus (one row per token), so leaking it per JVM
+    * filled /tmp across verify/bench invocations (r18 advice). Each
+    * path registers ONE shutdown hook that removes it; the bench
+    * harness additionally sweeps between timed queries (disk residue
+    * competes with DISK_ONLY spill).
+    */
+  private val hookedIndexPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tmpIndexPath(dir: String, suffix: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_posidx$suffix" +
+        s"_${dir.replaceAll("[^A-Za-z0-9]", "")}" +
+        s"_${ProcessHandle.current().pid()}"
+    if (hookedIndexPaths.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    path
+  }
+
   /** Shared phrase batch for text_phrase_search_multi — one list, used
     * verbatim by the engine call and the generated oracle.
     */
@@ -329,12 +355,29 @@ object TextAnalysisQueries extends QueryPack {
     // as text_phrase_search (identical results by construction); the
     // PartitionFilters plan property is spec-pinned.
     "text_phrase_search_indexed" -> ((s, dir) => {
-      // per-(sf, JVM) path: concurrent verify runs must not cross-read
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
-          s"_${dir.replaceAll("[^A-Za-z0-9]", "")}_${ProcessHandle.current().pid()}"
+      val path = tmpIndexPath(dir, "")
       TextAnalysis.writePositionalIndex(Tables(s, dir).documents,
         "doc_id", "text", path)
+      TextAnalysis.phraseMatchCountsIndexed(s, path, "doc_id",
+          Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental index maintenance, merge ≡ rebuild: build the asset
+    // on HALF the corpus, append the other half's postings with
+    // mergePositionalIndex (bucket modulus from the asset's own
+    // metadata), query the same phrase — identical rows to the
+    // full-corpus build/scan by the append contract, pinned by sharing
+    // text_phrase_search's oracle. The daily-increment shape at 100 TB:
+    // one tokenize pass over the NEW docs, appended files in ≤buckets
+    // partitions, existing index bytes never read or rewritten.
+    "text_phrase_index_merge" -> ((s, dir) => {
+      val path = tmpIndexPath(dir, "m")
+      val docs = Tables(s, dir).documents
+      TextAnalysis.writePositionalIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      TextAnalysis.mergePositionalIndex(
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text", path)
       TextAnalysis.phraseMatchCountsIndexed(s, path, "doc_id",
           Seq("slow", "hash", "batch"))
         .orderBy(col("doc_id"))
@@ -1007,6 +1050,11 @@ object TextAnalysisQueries extends QueryPack {
     // identical results by construction: the partitioned-index path
     // reads the same (doc, pos, term) rows through partition pruning
     "text_phrase_search_indexed" -> phraseSearchOracle,
+
+    // merge ≡ rebuild: half-build + increment append returns the same
+    // (doc, pos, term) rows as one full build, so the full-corpus
+    // phrase oracle pins the merged asset row-for-row
+    "text_phrase_index_merge" -> phraseSearchOracle,
 
     // Same index CTE, one SELECT block per phrase generated from the
     // SHARED multiPhrases list (engine and oracle can never disagree

@@ -123,12 +123,13 @@ object Similarity {
       .withColumn("_pr", row_number().over(wProbe))
       .where(col("_pr") <= nProbe)
       .select(col(idCol).as("query_id"), col(centerCol))
-    val cand = probes.join(cells, centerCol)
+    val cand = graft.core.Caches.track(probes.join(cells, centerCol)
       .where(col("query_id") =!= col("neighbor_id"))
       // feeds the gate AND the gated branch; workload-sized (queries ×
       // probed candidates), so DISK_ONLY persist per the r9 durability
-      // criterion — lineage stays, a lost block recomputes from the scan
-      .persist(StorageLevel.DISK_ONLY)
+      // criterion — lineage stays, a lost block recomputes from the scan.
+      // Session-tracked: the result is lazy, release at job boundaries.
+      .persist(StorageLevel.DISK_ONLY))
     // the gate: queries under minCand probed candidates fall back
     val under = queries.select(col(idCol).as("query_id"))
       .join(cand.groupBy(col("query_id")).agg(count(lit(1)).as("_nc")),
@@ -387,8 +388,9 @@ object Similarity {
     // explode. Re-read twice (cell probes + distance tables) and sized
     // by the query workload — which in self-query/backfill runs IS the
     // corpus — so DISK_ONLY persist per the r9 durability criterion.
-    val qLong = pqLongForm(queries, idCol, arrCol, dsub)
-      .persist(StorageLevel.DISK_ONLY)
+    val qLong = graft.core.Caches.track(
+      pqLongForm(queries, idCol, arrCol, dsub)
+        .persist(StorageLevel.DISK_ONLY))
     val qDists = qLong
       .join(broadcast(coarseLong.select(col(centerCol), col("dim"), col("c"))),
         "dim")
@@ -617,7 +619,7 @@ object Similarity {
       .agg(count(lit(1)).as("_cn"))
       .where(col("_cn").between(2, maxCell.toLong))
       .select(col(centerCol))
-    val withVec = cells
+    val withVec = graft.core.Caches.track(cells
       .join(okCells, Seq(centerCol), "left_semi")
       .join(emb.select(col(idCol), col(arrCol).as("_v")), idCol)
       .select(col(centerCol), col(idCol), col("_v"))
@@ -630,7 +632,8 @@ object Similarity {
       // competes with the Σ|cell|² self-join's execution memory, the
       // exact pressure DISK_ONLY avoids (SCALE.md r17). The slim
       // edge frames in knnRefine are where memory caching is safe.
-      .persist(StorageLevel.DISK_ONLY)
+      // Session-tracked (Caches): lazy result, release at job boundaries.
+      .persist(StorageLevel.DISK_ONLY))
     // the self-join runs through the shared per-key salted join: a
     // cell at the maxCell cap still means |cell|² pairs, and without
     // salting they all land on ONE task (AQE can't split inside a key)
@@ -789,15 +792,16 @@ object Similarity {
     // identical under any persist level, and the r16 sweep's DISK_ONLY
     // forced every re-read through disk for a ~33% wall cost
     // (5.98s→ the r15 band; SCALE.md r17 A/B).
-    val edges = graph
+    val edges = graft.core.Caches.track(graph
       .select(col("src_id").cast("long").as("a"),
         col("neighbor_id").cast("long").as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val und = edges
+      .persist(StorageLevel.MEMORY_AND_DISK_SER))
+    val und = graft.core.Caches.track(edges
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      // feeds the degree count and all three legs — same treatment
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // feeds the degree count and all three legs — same treatment;
+      // session-tracked like edges (lazy result, release at job end)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER))
     // hub-intermediate guard on the ID-SIZED edge list (degree in the
     // symmetric closure = out-degree + reciprocated in-degree)
     val okMid = und.groupBy(col("b")).agg(count(lit(1)).as("_d"))
@@ -954,8 +958,9 @@ object Similarity {
                      nProbe: Int = 1, rounds: Int = 4): DataFrame = {
     // both sides of the mutuality join read this; corpus-proportional
     // edge list — DISK_ONLY persist per the r9 durability criterion
-    val g = knnGraphCells(emb, idCol, arrCol, centersLong, centerCol,
-      k, nProbe).persist(StorageLevel.DISK_ONLY)
+    val g = graft.core.Caches.track(
+      knnGraphCells(emb, idCol, arrCol, centersLong, centerCol,
+        k, nProbe).persist(StorageLevel.DISK_ONLY))
     val mutual = g.as("a").join(g.as("b"),
         col("a.src_id") === col("b.neighbor_id") &&
           col("a.neighbor_id") === col("b.src_id"), "left_semi")
@@ -1026,6 +1031,15 @@ object Similarity {
       .select(col("id"), col("_v"),
         graft.plans.GraftExpressions.l2sq(col("_v"), col("_sv")).as("_mind"))
       .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
+    // The round's checkpoint supersedes the previous one the moment it
+    // is (eagerly) materialized — without this release the traversal
+    // keeps k CORPUS-SIZED block sets alive at once (k=32 ⇒ 32× the
+    // corpus on executor disks; the Components prevRound discipline).
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    var prevCur = checkpointRdd(cur)
     for (r <- 2 to k) {
       // argmax mind, ties to lowest id, over not-yet-selected points
       val next = cur
@@ -1045,7 +1059,14 @@ object Similarity {
             graft.plans.GraftExpressions.l2sq(col("_v"), col("_sv")))
             .as("_mind"))
         .localCheckpoint(eager = true, storageLevel = StorageLevel.DISK_ONLY)
+      prevCur.foreach(_.unpersist(blocking = false))
+      prevCur = checkpointRdd(cur)
     }
+    // sel is (eagerly) checkpointed ≤k rows — the result no longer reads
+    // pts or cur, so both release NOW instead of leaking for the session
+    // (the Curation materialize-then-unpersist discipline).
+    prevCur.foreach(_.unpersist(blocking = false))
+    pts.unpersist(blocking = false)
     sel.select(col("sel_rank"), col("id"),
       (round(sqrt(col("_rad")), 6) + lit(0.0)).as("radius"))
   }

@@ -37,7 +37,15 @@ object Chi2 {
     val obsCols = classes.zipWithIndex.map { case (c, i) =>
       sum(when(col("cls") === c, 1L).otherwise(0L)).as(s"o_$i")
     }
-    val observed = toks.groupBy(col("term")).agg(obsCols.head, obsCols.tail: _*)
+    // observed feeds BOTH the class-total aggregate and the final chi2
+    // projection — without a materialization the corpus explode+groupBy
+    // subtree evaluates twice (the r18 multi-consumer-explode audit;
+    // totals is then a re-sum of the persisted vocab table, a fraction
+    // of a corpus pass). Distinct-term-sized = corpus-scale at 100 TB →
+    // DISK_ONLY (r9 criterion); lazy result → session-tracked.
+    val observed = graft.core.Caches.track(
+      toks.groupBy(col("term")).agg(obsCols.head, obsCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val totCols = classes.indices.map(i => sum(col(s"o_$i")).as(s"n_$i"))
     val totals = observed.agg(totCols.head, totCols.tail: _*)
       .withColumn("n", classes.indices.map(i => col(s"n_$i")).reduce(_ + _))

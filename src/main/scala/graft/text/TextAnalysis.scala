@@ -75,12 +75,19 @@ object TextAnalysis {
   def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 2, s"topK=$topK must be >= 2")
+    // top-K first via orderBy+limit (TakeOrdered — per-partition heaps,
+    // no global sort, no single-partition exchange), THEN rank with a
+    // window over the K surviving rows. The old shape ran the
+    // unpartitioned row_number window over the ENTIRE vocabulary — a
+    // distinct-term-sized (corpus-scale at 100 TB) single-partition
+    // sort to keep 100 rows. Same rows/ranks: the window ordering
+    // equals the limit ordering and (freq desc, term) is a total order.
     val ranked = docs
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("term"))))
-      .where(col("rank") <= topK)
       .select(log(col("rank").cast("double")).as("lr"),
         log(col("freq").cast("double")).as("lf"))
     ranked.agg(
@@ -336,10 +343,12 @@ object TextAnalysis {
     // ⇒ DISK_ONLY (the r9 criterion). Weighting the (identical,
     // rounded) per-transition score by its repeat count is exact long
     // arithmetic either way, so oracles are unaffected.
-    val g3 = docBigrams(docs, idCol, textCol)
+    // session-tracked (Caches): the result is lazy, so this frame can't
+    // unpersist here — harnesses/services release it at job boundaries
+    val g3 = graft.core.Caches.track(docBigrams(docs, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("_ng"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val bi = g3.groupBy(col("w1"), col("w2"))
       .agg(sum(col("_ng")).as("c12"))
     val uni = g3.groupBy(col("w1")).agg(sum(col("_ng")).as("c1"))
@@ -378,10 +387,10 @@ object TextAnalysis {
     // (4 scalar columns per doc) but its lineage is the whole corpus
     // bigram pass ⇒ materialize once (MEMORY_AND_DISK: docs-count-
     // sized, not text-fat — the r9 criterion doesn't force disk)
-    val scores = bigramLmScore(docs, idCol, textCol)
+    val scores = graft.core.Caches.track(bigramLmScore(docs, idCol, textCol)
       .withColumn("_mean",
         col("sum_mnat").cast("double") / col("n_bigrams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cuts = scores.agg(expr(
       "approx_percentile(_mean, array(0.3333333333333333D, " +
         s"0.6666666666666666D), $accuracy)").as("_cuts"))
@@ -418,10 +427,10 @@ object TextAnalysis {
     // multiplicity frame (the bigramLmScore/scoredCore g3 discipline —
     // it previously re-ran for each of biC, uniC, vC AND the scoring
     // join: four corpus passes). Corpus-sized, re-read 4× ⇒ DISK_ONLY.
-    val g3C = docBigrams(docs, idCol, textCol)
+    val g3C = graft.core.Caches.track(docBigrams(docs, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("_ng"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // target model: transition-count table (no doc key needed — only
     // totals feed the model), small by definition and broadcast
     val g3T = docBigrams(target, idCol, textCol)
@@ -589,9 +598,9 @@ object TextAnalysis {
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val idx = positionalIndex(docs, idCol, textCol)
+    val idx = graft.core.Caches.track(positionalIndex(docs, idCol, textCol)
       .where(col("term").isin(phrase.distinct: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     phraseCountsFromIndex(idx, idCol, phrase)
   }
 
@@ -625,6 +634,64 @@ object TextAnalysis {
     positionalIndex(docs, idCol, textCol)
       .withColumn("term_bucket", pmod(md5Long(col("term"), 8), lit(buckets)))
       .write.partitionBy("term_bucket").mode("overwrite").parquet(path)
+    // The bucket MODULUS is part of the asset, not a parameter readers
+    // must re-supply: a read-side bucket count that differed from the
+    // write-side one would prune to the WRONG partitions and silently
+    // return empty/wrong counts (r18 advice). Underscore-prefixed files
+    // are invisible to Spark's parquet file index, so the sidecar rides
+    // inside the table directory; written AFTER the parquet commit so a
+    // failed write never leaves metadata pointing at a partial table.
+    writeBucketMeta(docs.sparkSession, path, buckets)
+  }
+
+  private def bucketMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+
+  private def writeBucketMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String, buckets: Int): Unit = {
+    val p = bucketMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The bucket modulus a [[writePositionalIndex]] asset was built
+    * with — the read side derives it from the asset instead of taking
+    * a parameter that could disagree with the layout.
+    */
+  def indexBuckets(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Int = {
+    val p = bucketMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _graft_buckets metadata - not a writePositionalIndex asset")
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    finally in.close()
+  }
+
+  /** Incremental maintenance for a [[writePositionalIndex]] asset: the
+    * increment's postings are bucketed with the ASSET'S OWN modulus
+    * (read from the `_graft_buckets` sidecar — never a caller
+    * parameter) and appended into the same term_bucket partitions, so
+    * merge ≡ rebuild row-for-row (the mergeBandIndex contract, oracled
+    * by `text_phrase_index_merge`). Contract: increment doc ids must be
+    * NEW — postings are per-document facts, so re-appending an existing
+    * doc would double its occurrences; dedup the increment against the
+    * corpus upstream (the streaming near-dup gate shape). A daily
+    * increment costs one tokenize pass over the NEW docs plus appended
+    * parquet files in ≤buckets partitions — the existing index bytes
+    * are never read or rewritten.
+    */
+  def mergePositionalIndex(docs: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit = {
+    val buckets = indexBuckets(docs.sparkSession, path)
+    positionalIndex(docs, idCol, textCol)
+      .withColumn("term_bucket", pmod(md5Long(col("term"), 8), lit(buckets)))
+      .write.partitionBy("term_bucket").mode("append").parquet(path)
   }
 
   /** Driver-side twin of `md5Long(term, 8) % buckets` — the lookup side
@@ -646,9 +713,12 @@ object TextAnalysis {
     */
   def phraseMatchCountsIndexed(spark: org.apache.spark.sql.SparkSession,
                                path: String, idCol: String,
-                               phrase: Seq[String],
-                               buckets: Int = 64): DataFrame = {
+                               phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
+    // the modulus comes from the asset's own metadata — a caller-
+    // supplied count that disagreed with the layout would prune to the
+    // wrong partitions and silently return wrong counts (r18 advice)
+    val buckets = indexBuckets(spark, path)
     val wanted = phrase.distinct
     val bs = wanted.map(termBucket(_, buckets)).distinct
     val idx = spark.read.parquet(path)
@@ -676,9 +746,9 @@ object TextAnalysis {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phrases must be non-empty and every phrase needs at least one term")
     val allTerms = phrases.flatten.distinct
-    val idx = positionalIndex(docs, idCol, textCol)
+    val idx = graft.core.Caches.track(positionalIndex(docs, idCol, textCol)
       .where(col("term").isin(allTerms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     phrases.zipWithIndex.map { case (p, pid) =>
       phraseCountsFromIndex(idx, idCol, p)
         .select(lit(pid).as("phrase_id"), col(idCol), col("n_matches"))

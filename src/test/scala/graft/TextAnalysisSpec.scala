@@ -213,8 +213,12 @@ class TextAnalysisSpec extends AnyFunSuite {
       .createTempDirectory("graft_posidx_spec").toString
     TextAnalysis.writePositionalIndex(docs, "doc_id", "text", path,
       buckets = 8)
+    // no read-side bucket parameter: the modulus comes from the asset's
+    // _graft_buckets metadata (a disagreeing parameter used to prune to
+    // the wrong partitions silently — r18 advice)
+    assert(TextAnalysis.indexBuckets(spark, path) === 8)
     val idxed = TextAnalysis.phraseMatchCountsIndexed(spark, path,
-      "doc_id", Seq("a", "b"), buckets = 8)
+      "doc_id", Seq("a", "b"))
     val mem = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
       Seq("a", "b"))
     assert(idxed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
@@ -233,6 +237,59 @@ class TextAnalysisSpec extends AnyFunSuite {
         assert(TextAnalysis.termBucket(r.getString(0), 8) === r.getLong(1),
           s"bucket mismatch for term ${r.getString(0)}")
       }
+  }
+
+  test("mergePositionalIndex: merge equals rebuild, modulus from asset " +
+    "metadata, non-asset path fails loudly") {
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "b c a"), (2L, "a b a b"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec_full").toString
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec_inc").toString
+    TextAnalysis.writePositionalIndex(docs, "doc_id", "text", full,
+      buckets = 8)
+    TextAnalysis.writePositionalIndex(
+      docs.where(col("doc_id") < 2), "doc_id", "text", inc, buckets = 8)
+    TextAnalysis.mergePositionalIndex(
+      docs.where(col("doc_id") >= 2), "doc_id", "text", inc)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("pos"), col("term"),
+        col("term_bucket").cast("long"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows(inc) === rows(full)) // merge ≡ rebuild, row for row
+    // queries over the merged asset match the in-memory path
+    val merged = TextAnalysis.phraseMatchCountsIndexed(spark, inc,
+      "doc_id", Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+      Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === mem)
+    // a directory without _graft_buckets is not an asset: both the
+    // merge and the indexed query must fail loudly, never prune wrong
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec_bare").toString
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mergePositionalIndex(docs, "doc_id", "text", bare)
+    }
+  }
+
+  test("Caches: lazy internal persists are tracked, release drops them " +
+    "and results still recompute") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a b")).toDF("doc_id", "text")
+    val before = graft.core.Caches.trackedCount(spark)
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    assert(graft.core.Caches.trackedCount(spark) === before + 1)
+    val first = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val released = Graft.releaseCaches(spark)
+    assert(released >= 1)
+    assert(graft.core.Caches.trackedCount(spark) === 0)
+    // release forfeits reuse, never correctness: recompute matches
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      === first)
   }
 
   test("pplBuckets: thirds ordered by mean LM score, head = highest, " +
