@@ -17,6 +17,34 @@ object SimilarityQueries extends QueryPack {
       s"CASE WHEN $arr[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** The per-label-mean centroid fixture every IVF query shares. */
+  private def labelCenters(emb: org.apache.spark.sql.DataFrame) =
+    NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+
+  /** Per-(sf, JVM, suffix) tmp path for an IVF index asset, shutdown-
+    * hook-removed (the TextAnalysisQueries tmpIndexPath pattern; the
+    * graft_posidx prefix keeps it under Bench's between-query sweep).
+    */
+  private val hookedIvfPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tmpIvfPath(dir: String, suffix: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_posidx_ivf$suffix" +
+        s"_${dir.replaceAll("[^A-Za-z0-9]", "")}" +
+        s"_${ProcessHandle.current().pid()}"
+    if (hookedIvfPaths.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    path
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact top-5 neighbors for the first 10 query vectors.
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -38,11 +66,40 @@ object SimilarityQueries extends QueryPack {
     // exact cosine re-rank — the inverted-file scale path, fully oracled.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
-        .groupBy(col("label").as("cell"), col("dim"))
-        .agg(avg(col("v")).as("c"))
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
-        "vec_id", "embedding", centers, "cell", nProbe = 2, k = 3)
+        "vec_id", "embedding", labelCenters(emb), "cell", nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // The index-as-asset shape for vectors (the text positional index's
+    // twin): build ONCE into a cell-partitioned parquet asset carrying
+    // its own centroids, query with driver-pushed partition filters on
+    // the probed cells — the corpus embedding table is never rescanned.
+    // Identical results to sim_ivf_topk by construction (same centroids,
+    // nProbe, k) — shares its oracle verbatim.
+    "sim_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = tmpIvfPath(dir, "")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        labelCenters(emb), "cell", path)
+      Similarity.queryIvfIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Incremental IVF maintenance, merge ≡ rebuild: build the asset on
+    // half the corpus, append the other half with the ASSET'S OWN
+    // centroids (sidecar), query — identical rows to the full build, so
+    // the full-corpus oracle pins the merged asset.
+    "sim_ivf_index_merge" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = tmpIvfPath(dir, "m")
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", labelCenters(emb), "cell", path)
+      Similarity.mergeIvfIndex(emb.where(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", path)
+      Similarity.queryIvfIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", nProbe = 2, k = 3)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -540,6 +597,53 @@ object SimilarityQueries extends QueryPack {
       |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Shared by sim_ivf_topk AND its durable-asset twins — in-memory,
+    * indexed, and merged-index paths return identical rows.
+    */
+  private val ivfTopkOracle: String =
+    """WITH pts AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ptsl AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
+      |assign AS (
+      |  SELECT vec_id, cell, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+      |  FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+      |        FROM pts p JOIN ctr c ON p.dim = c.dim
+      |        GROUP BY p.vec_id, c.cell) d),
+      |cells AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
+      |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
+      |          FROM pts p JOIN ctr c ON p.dim = c.dim
+      |          WHERE p.vec_id < 10
+      |          GROUP BY p.vec_id, c.cell) d) r
+      |  WHERE pr <= 2),
+      |cand AS (
+      |  SELECT pr.query_id, ce.neighbor_id
+      |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
+      |  WHERE pr.query_id <> ce.neighbor_id),
+      |scored AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
+      |  FROM cand cd
+      |  JOIN embeddings q ON q.vec_id = cd.query_id
+      |  JOIN embeddings n ON n.vec_id = cd.neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cs, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_graph_search_topk" ->
       graphSearchOracle("q.vec_id < 10", beam = 8, k = 3),
@@ -558,49 +662,16 @@ object SimilarityQueries extends QueryPack {
         |FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
 
-    "sim_ivf_topk" ->
-      """WITH pts AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |ptsl AS (
-        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |ctr AS (SELECT label AS cell, dim, avg(v) AS c FROM ptsl GROUP BY label, dim),
-        |assign AS (
-        |  SELECT vec_id, cell, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-        |  FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
-        |        FROM pts p JOIN ctr c ON p.dim = c.dim
-        |        GROUP BY p.vec_id, c.cell) d),
-        |cells AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
-        |    FROM (SELECT p.vec_id, c.cell, sum((p.v - c.c) * (p.v - c.c)) AS dist2
-        |          FROM pts p JOIN ctr c ON p.dim = c.dim
-        |          WHERE p.vec_id < 10
-        |          GROUP BY p.vec_id, c.cell) d) r
-        |  WHERE pr <= 2),
-        |cand AS (
-        |  SELECT pr.query_id, ce.neighbor_id
-        |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
-        |  WHERE pr.query_id <> ce.neighbor_id),
-        |scored AS (
-        |  SELECT cd.query_id, cd.neighbor_id,
-        |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cs
-        |  FROM cand cd
-        |  JOIN embeddings q ON q.vec_id = cd.query_id
-        |  JOIN embeddings n ON n.vec_id = cd.neighbor_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, cs, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(cs, 4) AS cos
-        |FROM r WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin,
+    "sim_ivf_topk" -> ivfTopkOracle,
+
+    // identical results by construction: the durable asset's read path
+    // assigns/probes with the SAME centroids, nProbe, and k — partition
+    // pruning changes the plan, never the rows
+    "sim_ivf_indexed" -> ivfTopkOracle,
+
+    // merge ≡ rebuild: half-build + centroid-faithful append returns
+    // the same (vector, cell) rows as one full build
+    "sim_ivf_index_merge" -> ivfTopkOracle,
 
     // The ivf replay with pr <= 1, plus the gate: LEFT JOIN candidate
     // counts (0 for empty probes), under-50 queries swap to the

@@ -513,6 +513,152 @@ object Similarity {
         .select(col(idCol), col(centerCol))
   }
 
+  // ---- durable IVF index asset (the positional-index ladder, for
+  // vectors): build ONCE into a cell-partitioned parquet asset carrying
+  // its own centroids, then every ANN query partition-prunes to its
+  // probed cells — the corpus embedding table is never rescanned. ----
+
+  /** In-row nearest-cell assignment keeping the vector column — the
+    * asset build's one map pass (broadcast packed centroids + the
+    * native `graft_nearest_cell` argmin; no join, no shuffle before
+    * the partitioned write). Ties break by lowest cell id, matching
+    * [[ivfTopK]]'s assignment and the SQL oracles' ORDER BY dist2, cell.
+    */
+  private def cellAssignInRow(emb: DataFrame, idCol: String,
+                              arrCol: String,
+                              centersNorm: DataFrame): DataFrame = {
+    graft.plans.GraftExpressions.register(emb.sparkSession)
+    val packed = centersNorm
+      .groupBy(col("cell"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cv"))
+      .agg(expr("sort_array(collect_list(struct(CAST(cell AS BIGINT)" +
+        " AS cell, cv)))").as("_cells"))
+    emb.crossJoin(broadcast(packed))
+      .select(col(idCol), col(arrCol),
+        expr(s"graft_nearest_cell(CAST($arrCol AS ARRAY<DOUBLE>), _cells)")
+          .as("cell"))
+  }
+
+  private def centroidSidecarPath(path: String) = s"$path/_graft_centroids"
+
+  /** Build the durable IVF asset: every vector lands in its nearest
+    * cell's partition (`cell=<id>` parquet layout), and the CENTROIDS
+    * ride inside the asset as an underscore-hidden `_graft_centroids`
+    * parquet sidecar (invisible to the data read, like the positional
+    * index's `_graft_buckets`). The centroids are part of the asset,
+    * not a read-side parameter: probing with different centroids would
+    * prune to the wrong partitions and silently return low-recall
+    * results. Sidecar written AFTER the data commit — a failed build
+    * never leaves metadata pointing at a partial table. `centersLong`
+    * is the usual (centerCol, dim, c) long form.
+    */
+  def writeIvfIndex(emb: DataFrame, idCol: String, arrCol: String,
+                    centersLong: DataFrame, centerCol: String,
+                    path: String): Unit = {
+    val centersNorm = centersLong.select(
+      col(centerCol).cast("long").as("cell"),
+      col("dim").cast("int").as("dim"), col("c").cast("double").as("c"))
+    cellAssignInRow(emb, idCol, arrCol, centersNorm)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    // plain-text sidecar (one "cell,dim,c" line per row, Double.toString
+    // — roundtrips exactly), not a nested parquet dir: Spark's file
+    // index special-cases hidden FILES cleanly (the _graft_buckets
+    // pattern) but reading a parquet dir whose name starts with "_"
+    // leans on path-filter internals. Centroid count is metadata-scale
+    // by definition (they broadcast everywhere), so driver-side text is
+    // free.
+    val rows = centersNorm.collect().map(r =>
+      s"${r.getLong(0)},${r.getInt(1)},${r.getDouble(2)}")
+    val p = new org.apache.hadoop.fs.Path(centroidSidecarPath(path))
+    val fs = p.getFileSystem(
+      emb.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(rows.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The centroids a [[writeIvfIndex]] asset was built with — the read
+    * side derives them from the asset itself. Fails loudly on a
+    * directory that is not an IVF asset.
+    */
+  def ivfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(centroidSidecarPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _graft_centroids sidecar - not a writeIvfIndex asset")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val rows = txt.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val Array(cell, dim, c) = l.split(",")
+      (cell.toLong, dim.toInt, c.toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("cell", "dim", "c")
+  }
+
+  /** Incremental maintenance: assign NEW vectors with the ASSET'S OWN
+    * centroids and append into the same cell partitions — merge ≡
+    * rebuild row-for-row (the mergePositionalIndex contract; oracled by
+    * `sim_ivf_index_merge`). Increment ids must be new; existing index
+    * bytes are never read or rewritten.
+    */
+  def mergeIvfIndex(emb: DataFrame, idCol: String, arrCol: String,
+                    path: String): Unit = {
+    val centers = ivfIndexCentroids(emb.sparkSession, path)
+    cellAssignInRow(emb, idCol, arrCol, centers)
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
+  /** IVF ANN against a [[writeIvfIndex]] asset: probe cells are ranked
+    * per query against the sidecar centroids (broadcast — centroid
+    * count is metadata-scale by definition), the DISTINCT probed-cell
+    * set is collected driver-side (bounded by the centroid count, never
+    * the corpus or the query count) and pushed as partition filters, so
+    * the scan reads only the probed cells' partitions. Exact cosine
+    * re-rank within candidates — identical results to [[ivfTopK]] with
+    * the same centroids/nProbe/k by construction (shared oracle).
+    */
+  def queryIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: DataFrame, idCol: String,
+                      arrCol: String, nProbe: Int, k: Int): DataFrame = {
+    import graft.mlops.NaiveBayesOps
+    graft.plans.GraftExpressions.register(spark)
+    val centers = ivfIndexCentroids(spark, path)
+    val qLong = NaiveBayesOps.toLongForm(queries, Seq(idCol), arrCol)
+    val qDists = qLong.join(broadcast(centers), "dim")
+      .groupBy(col(idCol), col("cell"))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("qdist"))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("qdist").asc, col("cell"))
+    val probes = qDists
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= nProbe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val probedCells = probes.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col(arrCol).as("_c"))
+    val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    probes.join(idx, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(qU, "query_id")
+      .withColumn("_cos",
+        graft.plans.GraftExpressions.cosine(col("_q"), col("_c")))
+      .withColumn("rnk", row_number().over(wK))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("_cos"), 4).as("cos"))
+  }
+
   /** Cell-load histogram with a cumulative pair-cost ledger — the
     * tuning table for [[knnGraphCells]]'s `maxCell` knob. One row per
     * DISTINCT cell size s: how many cells have exactly s members

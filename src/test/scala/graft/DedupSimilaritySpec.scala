@@ -1144,4 +1144,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) === 3)   // "one" -> "two": o->t, n->w, e->o
   }
 
+  test("durable IVF asset: indexed query equals ivfTopK, plan is " +
+    "partition-pruned, merge equals rebuild, non-asset fails loudly") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val mem = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      centers, "cell", nProbe = 2, k = 3))
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_full").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centers, "cell",
+      full)
+    val idxed = Similarity.queryIvfIndexed(spark, full, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3)
+    assert(rows(idxed) === mem)
+    // pruning is IN THE PLAN: partition filters on the probed cells
+    val plan = idxed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition filters in:\n$plan")
+    // merge ≡ rebuild: half-build + centroid-faithful append, row-level
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_inc").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", centers, "cell", inc)
+    Similarity.mergeIvfIndex(emb.where(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", inc)
+    def assignRows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assignRows(inc) === assignRows(full))
+    assert(rows(Similarity.queryIvfIndexed(spark, inc, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3)) === mem)
+    // a directory without the centroid sidecar is not an asset
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_bare").toString
+    intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndex(emb, "vec_id", "embedding", bare)
+    }
+  }
+
 }
