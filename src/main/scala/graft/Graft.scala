@@ -1003,6 +1003,11 @@ object Graft {
   /** Per-chunk fullness / loss-masking rollup of [[packSequences]]. */
   def packChunkReport(spans: DataFrame): DataFrame =
     graft.operators.Packing.chunkReport(spans)
+  /** Deterministic global training-order shuffle rank (the order
+    * [[packSequences]] packs in, as an explicit 0-based position).
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String): DataFrame =
+    graft.operators.Packing.shuffleOrder(docs, idCol)
   /** Unigram-LM tokenizer training (fixed Viterbi-EM rounds). */
   def unigramLearn(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                    seedMultiTopK: Int = 64, emRounds: Int = 2,

@@ -116,5 +116,10 @@ object SparkEntry {
     // one sketch pass, no global sort). curation_lm_topm stays
     // correctness-only: it re-runs the whole scored funnel already
     // priced by curation_scored.
-    "text_phrase_search_multi", "text_ppl_buckets")
+    "text_phrase_search_multi", "text_ppl_buckets",
+    // r19: the durable-asset paths (build + partition-pruned query in
+    // one timed region — the amortize-the-index production shape); new
+    // entries have no prior-round baseline, so the retry gate arms at
+    // r20
+    "text_phrase_search_indexed", "sim_ivf_indexed")
 }

@@ -103,6 +103,23 @@ object Packing {
         (col("_bpre") + col("_run") - col("n_tokens")).as("tok_start"))
   }
 
+  /** Deterministic global training-order shuffle: every doc's position
+    * in the (md5 priority, id) permutation — the order [[packSequences]]
+    * packs in, exposed as an explicit 0-based rank so writers, samplers,
+    * and resume logic can address it. A pure function of the ids (no
+    * RNG, no partition dependence), so it replays identically across
+    * runs, engines, and retries. Scale shape: the rank is the unit-mass
+    * case of [[docOffsets]]' bucketed two-phase prefix sum — no global
+    * window, no zipWithIndex barrier; phase 1 is bounded by
+    * 2^(60-bucketShift) rows, phase 2 runs per-bucket in parallel.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String,
+                   bucketShift: Int = BucketShift): DataFrame =
+    docOffsets(docs.select(col(idCol), lit(1L).as("_one")), idCol, "_one",
+      bucketShift)
+      .select(col(idCol), col("h").as("shuffle_key"),
+        col("tok_start").as("shuffle_pos"))
+
   /** Globally-exact sequence packing (see object scaladoc): one row per
     * (doc, spanned chunk) — (idCol, chunk_id, tok_from, tok_to) with
     * [tok_from, tok_to) the doc-local token slice landing in

@@ -126,6 +126,18 @@ object CurationQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // The explicit global training-order shuffle: each doc's 0-based
+    // position in the (md5 priority, id) permutation packSequences
+    // packs in — unit-mass docOffsets, i.e. the bucketed two-phase
+    // prefix sum, never a corpus-sized global window. The oracle is
+    // the naive row_number over the same total order.
+    "pack_shuffle_order" -> ((s, dir) => {
+      graft.operators.Packing.shuffleOrder(
+          Tables(s, dir).documents.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The packed corpus's chunk-health rollup: every chunk but the
     // last carries exactly seqLen tokens; n_clean_heads is the
     // loss-masking statistic (docs starting at token 0 in the chunk).
@@ -376,6 +388,20 @@ object CurationQueries extends QueryPack {
       |  FROM e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // naive total-order rank over the same (md5 priority, id)
+    // permutation; row_number is BIGINT in DuckDB but CAST anyway per
+    // the wide-integer rule above
+    "pack_shuffle_order" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    ${md5h60("CAST(doc_id AS VARCHAR)")} AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+
     "pack_sequences" -> (packSpansCte + """
       |SELECT doc_id, chunk_id, tok_from, tok_to FROM spans
       |ORDER BY doc_id, chunk_id""".stripMargin),

@@ -48,6 +48,26 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleOrder: bijection onto 0..n-1, equals the naive rank, " +
+    "invariant across bucket shifts") {
+    val d = fixture.select(col("doc_id"))
+    val h = graft.functions.GraftFunctions
+      .md5Long(col("doc_id").cast("string"), 15)
+    val naive = d.withColumn("_h", h)
+      .withColumn("_r", row_number().over(
+        Window.orderBy(col("_h"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("_r").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    for (shift <- Seq(40, 50, 59)) {
+      val got = Packing.shuffleOrder(d, "doc_id", bucketShift = shift)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === naive, s"shift=$shift rank drift")
+      assert(got.values.toSeq.sorted === (0L until 200L),
+        s"shift=$shift not a bijection onto 0..n-1")
+    }
+  }
+
   test("packing invariants: chunk fullness, coverage, contiguity") {
     val d = fixture
     val spans = Packing.packSequences(d, "doc_id", "tokens", seqLen = 16L)
