@@ -121,5 +121,10 @@ object SparkEntry {
     // one timed region — the amortize-the-index production shape); new
     // entries have no prior-round baseline, so the retry gate arms at
     // r20
-    "text_phrase_search_indexed", "sim_ivf_indexed")
+    "text_phrase_search_indexed", "sim_ivf_indexed",
+    // r20: the asset-maintenance paths — build + append + compacting
+    // rewrite + pruned query (the small-file lifecycle priced end to
+    // end), and the drift report (two bounded corpus passes + a
+    // bins-scale reduction). New entries, gate arms at r21.
+    "text_phrase_index_compact", "sim_ivf_drift")
 }

@@ -103,6 +103,45 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF asset COMPACTION, compact ≡ no-op: build on half, append the
+    // other half (one extra file per touched cell), rewrite to one
+    // file per cell, query — identical rows to the never-compacted
+    // asset, so sim_ivf_topk's oracle pins the compacted asset. The
+    // file-count drop is pinned in DedupSimilaritySpec and at stress
+    // scale in StressBench.
+    "sim_ivf_index_compact" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = tmpIvfPath(dir, "c")
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", labelCenters(emb), "cell", path)
+      Similarity.mergeIvfIndex(emb.where(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", path)
+      Similarity.compactIvfIndex(s, path)
+      Similarity.queryIvfIndexed(s, path, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // IVF centroid-drift report — the recall early-warning on the
+    // asset's maintenance path: asset rows' distance to their OWN cell
+    // vs an increment's distance to its NEAREST cell, reduced to one
+    // smoothed PSI/KL/JS row. Fixture: the increment is the corpus
+    // shifted in DOUBLE (x*1.5 + 0.25 — double on both engines, so the
+    // arithmetic is bit-identical), which must flag (psi >= 0.2, the
+    // documented retrain band); the same-distribution non-flagging twin
+    // is spec-pinned in DedupSimilaritySpec.
+    "sim_ivf_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = tmpIvfPath(dir, "d")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        labelCenters(emb), "cell", path)
+      val shifted = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5d + 0.25d)")
+          .as("embedding"))
+      Similarity.ivfDriftReport(s, path, shifted, "vec_id", "embedding",
+        bins = 32, lo = 0.0, hi = 2.0)
+    }),
+
     // IVF with the exhaustive-fallback recall floor: nProbe=1 gating,
     // but any query whose probed cell holds fewer than 50 candidates
     // re-runs against the whole corpus (FAISS nprobe-escalation made
@@ -672,6 +711,66 @@ object SimilarityQueries extends QueryPack {
     // merge ≡ rebuild: half-build + centroid-faithful append returns
     // the same (vector, cell) rows as one full build
     "sim_ivf_index_merge" -> ivfTopkOracle,
+
+    // compact ≡ no-op: the rewrite changes files, never rows or cells,
+    // so the same oracle pins the compacted asset
+    "sim_ivf_index_compact" -> ivfTopkOracle,
+
+    // Asset side: each stored vector's distance to its own (= nearest)
+    // cell; increment side: the shifted corpus' distance to its nearest
+    // cell — both rounded to 1e-6 BEFORE the hard bin thresholds (the
+    // engine-portability convention), binned over [0, 2) x 32, then the
+    // drift_token_psi smoothing verbatim on bin counts.
+    "sim_ivf_drift" ->
+      """WITH pts AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c
+        |  FROM pts GROUP BY label, dim),
+        |ad AS (
+        |  SELECT vec_id, round(min(dist2), 6) AS dist2 FROM (
+        |    SELECT p.vec_id, c.cell,
+        |      sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |    FROM pts p JOIN ctr c ON p.dim = c.dim
+        |    GROUP BY p.vec_id, c.cell) d
+        |  GROUP BY vec_id),
+        |ipts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) * 1.5 + 0.25 AS v
+        |  FROM embeddings),
+        |id2 AS (
+        |  SELECT vec_id, round(min(dist2), 6) AS dist2 FROM (
+        |    SELECT p.vec_id, c.cell,
+        |      sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |    FROM ipts p JOIN ctr c ON p.dim = c.dim
+        |    GROUP BY p.vec_id, c.cell) d
+        |  GROUP BY vec_id),
+        |ha AS (
+        |  SELECT least(31, greatest(0,
+        |      CAST(floor((dist2 - 0.0) / 2.0 * 32) AS BIGINT))) AS bin,
+        |    count(*) AS ca
+        |  FROM ad GROUP BY 1),
+        |hb AS (
+        |  SELECT least(31, greatest(0,
+        |      CAST(floor((dist2 - 0.0) / 2.0 * 32) AS BIGINT))) AS bin,
+        |    count(*) AS cb
+        |  FROM id2 GROUP BY 1),
+        |j AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ha FULL JOIN hb ON ha.bin = hb.bin),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM j),
+        |pq AS (SELECT v, na, nb,
+        |    (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q,
+        |    ((ca + 1.0) / (na + v) + (cb + 1.0) / (nb + v)) / 2.0 AS m
+        |  FROM j, t)
+        |SELECT max(v) AS n_terms, max(na) AS n_a, max(nb) AS n_b,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |  round(sum(p * ln(p / q)), 6) AS kl_pq,
+        |  round(sum(p * ln(p / m) / 2.0 + q * ln(q / m) / 2.0), 6) AS js
+        |FROM pq""".stripMargin,
 
     // The ivf replay with pr <= 1, plus the gate: LEFT JOIN candidate
     // counts (0 for empty probes), under-50 queries swap to the

@@ -383,6 +383,28 @@ object TextAnalysisQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Index-asset COMPACTION, compact ≡ no-op: build on half the
+    // corpus, append the other half (one extra file per touched
+    // bucket — the small-file accumulation every daily-increment year
+    // multiplies ~365x), rewrite to one file per bucket, query the
+    // same phrase — identical rows to the never-compacted asset, so
+    // text_phrase_search's oracle pins the compacted asset verbatim.
+    // The file-count drop itself (and the hot-partition
+    // maxRecordsPerFile split) is pinned in TextAnalysisSpec and at
+    // stress scale in StressBench.
+    "text_phrase_index_compact" -> ((s, dir) => {
+      val path = tmpIndexPath(dir, "c")
+      val docs = Tables(s, dir).documents
+      TextAnalysis.writePositionalIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      TextAnalysis.mergePositionalIndex(
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text", path)
+      TextAnalysis.compactPositionalIndex(s, path)
+      TextAnalysis.phraseMatchCountsIndexed(s, path, "doc_id",
+          Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Markdown -> plain text over a fixture wrapping each doc in the
     // common syntax (headers, emphasis, links/images, fenced + inline
     // code, lists, blockquotes, rules). Map-side regex chain only.
@@ -1055,6 +1077,10 @@ object TextAnalysisQueries extends QueryPack {
     // (doc, pos, term) rows as one full build, so the full-corpus
     // phrase oracle pins the merged asset row-for-row
     "text_phrase_index_merge" -> phraseSearchOracle,
+
+    // compact ≡ no-op: the rewrite changes files, never rows, so the
+    // same full-corpus phrase oracle pins the compacted asset
+    "text_phrase_index_compact" -> phraseSearchOracle,
 
     // Same index CTE, one SELECT block per phrase generated from the
     // SHARED multiPhrases list (engine and oracle can never disagree

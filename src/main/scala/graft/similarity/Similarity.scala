@@ -553,6 +553,16 @@ object Similarity {
     * results. Sidecar written AFTER the data commit — a failed build
     * never leaves metadata pointing at a partial table. `centersLong`
     * is the usual (centerCol, dim, c) long form.
+    *
+    * Floating-point near-tie caveat: the build assigns cells with the
+    * in-row `graft_nearest_cell` kernel (dim-ordered summation — the
+    * scale path: one broadcast, no |corpus|·|cells|·d explode), while
+    * [[ivfTopK]]'s build side sums the long form through an unordered
+    * hash aggregate. The two orderings agree except when a vector is
+    * an exact fp near-tie between two cells, where associativity can
+    * flip the argmin — so "identical results to ivfTopK" holds up to
+    * that measure-zero tie set (none exist in the oracle fixtures;
+    * both paths are pinned to one DuckDB oracle at two SFs).
     */
   def writeIvfIndex(emb: DataFrame, idCol: String, arrCol: String,
                     centersLong: DataFrame, centerCol: String,
@@ -560,7 +570,13 @@ object Similarity {
     val centersNorm = centersLong.select(
       col(centerCol).cast("long").as("cell"),
       col("dim").cast("int").as("dim"), col("c").cast("double").as("c"))
+    // Clustered write — one task (so one file) per cell per write; an
+    // unclustered partitionBy lands a file per (task x cell). Write
+    // parallelism = cell count, which grows with the corpus (centroid
+    // counts scale as ~sqrt(n)); oversized cells split via
+    // compactIvfIndex(maxRecordsPerFile). See writePositionalIndex.
     cellAssignInRow(emb, idCol, arrCol, centersNorm)
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     // plain-text sidecar (one "cell,dim,c" line per row, Double.toString
     // — roundtrips exactly), not a nested parquet dir: Spark's file
@@ -611,7 +627,78 @@ object Similarity {
                     path: String): Unit = {
     val centers = ivfIndexCentroids(emb.sparkSession, path)
     cellAssignInRow(emb, idCol, arrCol, centers)
+      .repartition(col("cell")) // one file per cell per append
       .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
+  /** Rewrite an IVF asset's accumulated per-increment small files into
+    * one file per cell (see [[graft.sources.AssetMaintenance]] — each
+    * [[mergeIvfIndex]] appends a file per touched cell, so N daily
+    * increments make N-file cells). Rows, cells, and the centroid
+    * sidecar are unchanged — compact ≡ no-op, pinned by running
+    * [[queryIvfIndexed]]'s own oracle over the compacted asset
+    * (`sim_ivf_index_compact` shares `sim_ivf_topk`'s oracle verbatim).
+    * Returns (dataFilesBefore, dataFilesAfter).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      maxRecordsPerFile: Long = 0L): (Long, Long) = {
+    ivfIndexCentroids(spark, path) // fail loudly on a non-asset dir
+    graft.sources.AssetMaintenance.compactPartitionedAsset(
+      spark, path, "cell", maxRecordsPerFile)
+  }
+
+  /** Centroid-drift report for a [[writeIvfIndex]] asset against a
+    * candidate increment — the recall early-warning [[mergeIvfIndex]]
+    * cannot give by itself: the merge path correctly refuses FOREIGN
+    * centroids, but a corpus that drifts under the ASSET'S OWN
+    * centroids degrades probe recall with no signal (vectors land ever
+    * farther from every centroid, so nProbe cells cover an ever-smaller
+    * fraction of each query's true neighbors).
+    *
+    * Signal: the distribution of squared assignment distance — for the
+    * asset, each stored row's distance to its OWN cell's centroid (one
+    * pruned-scan pass, join on (cell, dim) against the broadcast
+    * sidecar); for the increment, each new vector's distance to its
+    * NEAREST centroid (the assignment the merge would perform). The two
+    * distributions reduce through [[graft.stats.Profile.numericDrift]]
+    * (`bins` equal-width bins over [lo, hi), add-one-smoothed PSI / KL /
+    * JS) — one row out, everything after the two corpus passes is
+    * bins-scale. Distances are rounded to 1e-6 before binning: bin
+    * edges are hard thresholds, and a last-ulp fp-associativity
+    * difference between plans (or engines — the DuckDB oracle) must not
+    * flip a boundary value's bin; monitoring artifacts are
+    * engine-portable by the same convention as numericDrift's fixed
+    * caller-supplied edges.
+    *
+    * Retrain contract (the standard PSI bands, stated here so the knob
+    * has a documented decision rule): psi < 0.1 — append freely;
+    * 0.1 ≤ psi < 0.2 — append but raise nProbe by one until the next
+    * rebuild (recall insurance costs one extra cell scan per query);
+    * psi ≥ 0.2 — retrain centroids on asset+increment and rebuild
+    * (one full rewrite, vs. serving permanently degraded recall).
+    * Spec-pinned: a same-distribution increment stays under 0.1, a
+    * shifted increment lands over 0.2 (DedupSimilaritySpec).
+    */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+                     path: String, increment: DataFrame, idCol: String,
+                     arrCol: String, bins: Int, lo: Double,
+                     hi: Double): DataFrame = {
+    import graft.mlops.{ClusterOps, NaiveBayesOps}
+    val centers = ivfIndexCentroids(spark, path)
+    val assetDists = NaiveBayesOps.toLongForm(
+        spark.read.parquet(path).select(col(idCol), col("cell"),
+          col(arrCol)),
+        Seq(idCol, "cell"), arrCol)
+      .join(broadcast(centers), Seq("cell", "dim"))
+      .groupBy(col(idCol))
+      .agg(round(sum(pow(col("v") - col("c"), 2)), 6).as("dist2"))
+    val incDists = ClusterOps.assignToCenters(
+        NaiveBayesOps.toLongForm(increment, Seq(idCol), arrCol),
+        centers, idCol, "cell")
+      .select(col(idCol), round(col("dist2"), 6).as("dist2"))
+    graft.stats.Profile.numericDrift(
+      assetDists, incDists, "dist2", bins, lo, hi)
   }
 
   /** IVF ANN against a [[writeIvfIndex]] asset: probe cells are ranked
@@ -621,7 +708,17 @@ object Similarity {
     * the corpus or the query count) and pushed as partition filters, so
     * the scan reads only the probed cells' partitions. Exact cosine
     * re-rank within candidates — identical results to [[ivfTopK]] with
-    * the same centroids/nProbe/k by construction (shared oracle).
+    * the same centroids/nProbe/k by construction (shared oracle), up to
+    * floating-point associativity of the two assignment kernels (see
+    * the [[writeIvfIndex]] near-tie caveat).
+    *
+    * The probes frame is persisted before the driver-side distinct-cell
+    * collect: it is consumed twice (the collect AND the candidate
+    * join), and for self-query/backfill workloads where `queries` is
+    * corpus-sized an unpersisted subtree would run the qDists aggregate
+    * and probe window twice — a second corpus-scale pass for nothing.
+    * Tracked in [[graft.core.Caches]] (the result is lazy, so the
+    * operator cannot unpersist before returning).
     */
   def queryIvfIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: DataFrame, idCol: String,
@@ -635,14 +732,19 @@ object Similarity {
       .agg(sum(pow(col("v") - col("c"), 2)).as("qdist"))
     val wProbe = Window.partitionBy(col(idCol))
       .orderBy(col("qdist").asc, col("cell"))
-    val probes = qDists
+    val probes = graft.core.Caches.track(qDists
       .withColumn("_pr", row_number().over(wProbe))
       .where(col("_pr") <= nProbe)
       .select(col(idCol).as("query_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val probedCells = probes.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // isInCollection, not isin(varargs): at ~64k cells x high nProbe the
+    // varargs form inlines a giant In literal into the plan; the
+    // collection form converts to InSet past the optimizer threshold
+    // and still prunes partitions at the scan.
     val idx = spark.read.parquet(path)
-      .where(col("cell").isin(probedCells: _*))
+      .where(col("cell").isInCollection(probedCells))
       .select(col(idCol).as("neighbor_id"), col("cell"),
         col(arrCol).as("_c"))
     val qU = queries.select(col(idCol).as("query_id"), col(arrCol).as("_q"))

@@ -1190,4 +1190,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("compactIvfIndex: one file per cell after append, rows/sidecar/" +
+    "query unchanged, maxRecordsPerFile splits hot cells") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_cpt").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", centers, "cell", path)
+    Similarity.mergeIvfIndex(emb.where(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", path)
+    def assetRows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = emb.where(col("vec_id") < 5)
+    def hits() = Similarity.queryIvfIndexed(spark, path, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val (rowsBefore, hitsBefore) = (assetRows(path), hits())
+    val nCells = spark.read.parquet(path)
+      .select(col("cell")).distinct().count()
+    val (b, a) = Similarity.compactIvfIndex(spark, path)
+    assert(b > nCells, s"append should leave >1 file in touched cells: $b")
+    assert(a === nCells, s"compacted asset must hold one file per cell: $a")
+    // compact ≡ no-op: rows, centroid sidecar, and query results survive
+    assert(assetRows(path) === rowsBefore)
+    assert(Similarity.ivfIndexCentroids(spark, path).count()
+      === centers.count())
+    assert(hits() === hitsBefore)
+    // the giant-partition guard: a tiny per-file row bound splits cells
+    val (_, a2) = Similarity.compactIvfIndex(spark, path,
+      maxRecordsPerFile = 3)
+    assert(a2 > a, s"maxRecordsPerFile must split hot cells: $a2 vs $a")
+    assert(assetRows(path) === rowsBefore)
+    // a non-asset dir fails loudly before any rewrite
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_cpt_bare").toString
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, bare)
+    }
+  }
+
+  test("ivfDriftReport: same-distribution increment stays in the append " +
+    "band, shifted increment lands in the retrain band") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_drift").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", centers, "cell", path)
+    def psiOf(inc: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfDriftReport(spark, path, inc, "vec_id", "embedding",
+        bins = 32, lo = 0.0, hi = 2.0)
+        .select(col("psi")).head().getDouble(0)
+    // the other half of the SAME corpus: no drift signal
+    val same = psiOf(emb.where(col("vec_id") % 2 =!= 0))
+    assert(same < 0.1, s"same-distribution increment must not flag: $same")
+    // the shifted corpus: far from every centroid, must flag retrain
+    val drifted = psiOf(emb.where(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5d + 0.25d)")
+          .as("embedding")))
+    assert(drifted >= 0.2, s"shifted increment must flag retrain: $drifted")
+  }
+
 }

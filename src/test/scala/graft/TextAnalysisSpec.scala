@@ -277,6 +277,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("compactPositionalIndex: one file per bucket after appends, rows " +
+    "and modulus sidecar unchanged, query identical") {
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "b c a"), (2L, "a b a b"),
+      (3L, "c c c"), (4L, "a c b"), (5L, "b b c a")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec_cpt").toString
+    TextAnalysis.writePositionalIndex(
+      docs.where(col("doc_id") < 2), "doc_id", "text", path, buckets = 4)
+    TextAnalysis.mergePositionalIndex(
+      docs.where(col("doc_id") >= 2 && col("doc_id") < 4),
+      "doc_id", "text", path)
+    TextAnalysis.mergePositionalIndex(
+      docs.where(col("doc_id") >= 4), "doc_id", "text", path)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("pos"), col("term"),
+        col("term_bucket").cast("long"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val before = rows(path)
+    val nBuckets = spark.read.parquet(path)
+      .select(col("term_bucket")).distinct().count()
+    val (b, a) = TextAnalysis.compactPositionalIndex(spark, path)
+    assert(b > nBuckets,
+      s"three builds/appends should leave >1 file in touched buckets: $b")
+    assert(a === nBuckets,
+      s"compacted asset must hold one file per bucket: $a")
+    // compact ≡ no-op: rows, the modulus sidecar, and queries survive
+    assert(rows(path) === before)
+    assert(TextAnalysis.indexBuckets(spark, path) === 4)
+    val got = TextAnalysis.phraseMatchCountsIndexed(spark, path,
+      "doc_id", Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = TextAnalysis.phraseMatchCounts(docs, "doc_id", "text",
+      Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === mem)
+  }
+
   test("Caches: lazy internal persists are tracked, release drops them " +
     "and results still recompute") {
     val docs = Seq((1L, "a b a b"), (2L, "b a b")).toDF("doc_id", "text")
