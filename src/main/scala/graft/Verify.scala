@@ -25,17 +25,29 @@ object Verify {
     // Pool size 4 ≈ the verify session's core count; each failure is
     // per-query, never aborting the batch.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Each query runs in its OWN child session (shared SparkContext /
+    // CacheManager, isolated session state) and releases its tracked
+    // internal persists right after materializing — mid-pool release on
+    // the SHARED session would drop frames a concurrently-running query
+    // still reuses, while per-session release is exact (Caches is keyed
+    // by session). Without this the 303-query pool accumulates every
+    // lazy operator's tracked cache for the whole JVM (SCALE.md r19
+    // note 5).
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        override def run(): Unit = {
+          val sess = spark.newSession()
+          try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
+          } finally {
+            graft.core.Caches.release(sess): Unit
           }
+        }
       })
     }
     tasks.foreach(_.get())

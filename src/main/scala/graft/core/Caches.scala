@@ -40,10 +40,23 @@ object Caches {
     scala.collection.mutable.Map.empty[
       SparkSession, scala.collection.mutable.ArrayBuffer[Dataset[_]]]
 
+  /** Drop entries whose SparkContext has stopped — their blocks died
+    * with the executors, so only the Map's strong references (session +
+    * plan trees) remain, and a service that cycles sessions without
+    * calling release() would otherwise pin every dead session's tracked
+    * plans for the JVM lifetime. Callers never see this: it runs inside
+    * every [[track]]/[[release]], so the registry is bounded by LIVE
+    * sessions' tracked frames. Must be called while synchronized.
+    */
+  private def sweepStopped(): Unit =
+    frames.keys.filter(_.sparkContext.isStopped).toSeq
+      .foreach(frames.remove)
+
   /** Register an internally-persisted frame for later [[release]];
     * returns it unchanged so call sites stay expression-shaped.
     */
   def track[A](df: Dataset[A]): Dataset[A] = synchronized {
+    sweepStopped()
     frames.getOrElseUpdate(df.sparkSession,
       scala.collection.mutable.ArrayBuffer.empty) += df
     df
@@ -57,7 +70,7 @@ object Caches {
     * caller already unpersisted is a no-op.
     */
   def release(spark: SparkSession): Int = {
-    val fs = synchronized { frames.remove(spark) }
+    val fs = synchronized { sweepStopped(); frames.remove(spark) }
       .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
     fs.foreach { df =>
       try df.unpersist(blocking = false)
@@ -70,4 +83,9 @@ object Caches {
   def trackedCount(spark: SparkSession): Int = synchronized {
     frames.get(spark).map(_.size).getOrElse(0)
   }
+
+  /** Sessions currently holding tracked frames (diagnostics / specs) —
+    * bounded by LIVE sessions thanks to the stopped-session sweep.
+    */
+  def sessionCount: Int = synchronized { sweepStopped(); frames.size }
 }
