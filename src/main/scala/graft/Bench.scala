@@ -158,7 +158,6 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val calPre = cpuCalibrate(cpus.toInt)
     // Absolute canary anchor (r17): the RELATIVE pre/post canary can
     // only compare a run against ITSELF or another round — a whole
     // artifact produced on a uniformly slow machine carried no
@@ -178,13 +177,42 @@ object Bench {
         (num(t, "cal_healthy"), num(t, "degraded_factor").getOrElse(1.5))
       } catch { case scala.util.control.NonFatal(_) => (None, 1.5) }
     }
-    val machineDegraded =
+    // Thermal settle (r19 lesson, SCALE.md note 3): the pre-canary reads
+    // 2-3.5x healthy for several MINUTES after sustained load (the
+    // just-finished compile/test/verify stages) and decays back on its
+    // own — a run certified at that moment wastes a whole timed suite on
+    // a transient. So when a healthy anchor exists and the first reading
+    // exceeds settleRatio x healthy, wait and re-measure (bounded) before
+    // adopting cal_pre; a genuinely degraded box stays hot through every
+    // wait and still gets stamped. The final machine_degraded stamp
+    // additionally anchors on min(cal_pre, cal_post): a pre-canary
+    // artifact that decayed mid-run self-identifies as thermal, while a
+    // box slow at BOTH ends is genuinely degraded.
+    val settleRatio =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_RATIO", "1.2").toDouble
+    val settleWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_WAIT", "60").toInt
+    val settleRetries =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_RETRIES", "6").toInt
+    var calPre = cpuCalibrate(cpus.toInt)
+    var settles = 0
+    while (calHealthy.exists(h => h > 0 && calPre > h * settleRatio) &&
+      settles < settleRetries) {
+      settles += 1
+      System.err.println(f"[bench] pre-canary $calPre%.3fs above " +
+        f"${settleRatio}x healthy ${calHealthy.getOrElse(0.0)}%.3fs - " +
+        f"thermal settle $settles/$settleRetries of ${settleWaitSec}s")
+      Thread.sleep(settleWaitSec * 1000L)
+      calPre = cpuCalibrate(cpus.toInt)
+    }
+    val machineDegradedPre =
       calHealthy.exists(h => h > 0 && calPre > h * degradedFactor)
-    if (machineDegraded)
+    if (machineDegradedPre)
       System.err.println(f"[bench] MACHINE DEGRADED: cal_pre $calPre%.3fs " +
         f"exceeds ${degradedFactor}x healthy anchor " +
-        f"${calHealthy.getOrElse(0.0)}%.3fs - artifact will be stamped " +
-        "machine_degraded; numbers reflect machine state, not plans")
+        f"${calHealthy.getOrElse(0.0)}%.3fs after settle - artifact will " +
+        "be stamped machine_degraded unless the post-canary certifies; " +
+        "numbers reflect machine state, not plans")
     // Retry certification must anchor on the HEALTHY reading when one
     // is known: certifying against calPre alone re-blesses retries on a
     // machine that was ALREADY degraded at suite start (the r16 hole —
@@ -385,6 +413,10 @@ object Bench {
     }
     val poisonedFinal = poisoned || siblingsPost.nonEmpty
     val calPost = cpuCalibrate(cpus.toInt)
+    // min(pre, post): a pre-canary that was thermal decays by suite end
+    // (post certifies the run); a genuinely slow box fails both.
+    val machineDegraded = calHealthy.exists(h =>
+      h > 0 && math.min(calPre, calPost) > h * degradedFactor)
     val qs = results.map { case (k, v, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
@@ -397,8 +429,19 @@ object Bench {
     val retryUntrusted = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"retry_untrusted":$retryUntrusted,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"cal_healthy":${calHealthy.map(h => f"$h%.3f").getOrElse("null")},"machine_degraded":$machineDegraded}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"retry_untrusted":$retryUntrusted,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"cal_healthy":${calHealthy.map(h => f"$h%.3f").getOrElse("null")},"machine_degraded":$machineDegraded}"""
+    println(jsonLine)
+    // Self-contained artifact twin: the driver wraps stdout's tail in
+    // BENCH_r{N}.json, and the r19 artifact's tail window was SHORTER
+    // than the (now 50+-query) JSON line — the first three per-query
+    // timings were cut mid-stream. The full line is also written to
+    // BENCH_LAST.json in cwd so every number survives regardless of how
+    // wide the capture window is.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }
