@@ -808,6 +808,51 @@ object StressBench {
         "vec_id", "embedding", coarse, "cell", cb, dsub = 16,
         nProbe = 16, m = 50, k = 10).count()
     }
+    // Durable IVF asset lifecycle at stress scale: build on a quarter
+    // of the corpus, append the other three quarters as increments
+    // (each landing one more file per touched cell), query, compact,
+    // query again — the ANN results are IDENTICAL before and after the
+    // rewrite (asserted row-for-row on the bounded 32-query top-10 set)
+    // while the file count drops to one per cell. Prices both the merge
+    // path and the compaction rewrite at corpus scale.
+    timed("ivf_index_compact") {
+      val n = math.max(rows / 20L, 100000L)
+      val emb = stressVecs(n)
+      val coarse = graft.mlops.NaiveBayesOps.toLongForm(
+          emb.withColumn("cell", pmod(col("vec_id"), lit(256))),
+          Seq("cell"), "embedding")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
+        s"_stress_ivfcpt_${ProcessHandle.current().pid()}"
+      graft.similarity.Similarity.writeIvfIndex(
+        emb.where(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", coarse, "cell", path)
+      (1 to 3).foreach { q =>
+        graft.similarity.Similarity.mergeIvfIndex(
+          emb.where(pmod(col("vec_id"), lit(4)) === q),
+          "vec_id", "embedding", path)
+      }
+      def topk() = graft.similarity.Similarity.queryIvfIndexed(
+          spark, path, emb.where(col("vec_id") < 32),
+          "vec_id", "embedding", nProbe = 16, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val pre = topk()
+      require(pre.nonEmpty, "pre-compact ANN query returned no rows")
+      val nCells = spark.read.parquet(path)
+        .select(col("cell")).distinct().count()
+      val (before, after) =
+        graft.similarity.Similarity.compactIvfIndex(spark, path)
+      require(after == nCells && before > after,
+        s"compaction file counts: $before -> $after, cells $nCells")
+      require(topk() == pre, "ANN results changed across compaction")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      before - after
+    }
     // rows/200 distinct 8-char words: 6 BPE merge rounds, each a pair
     // count + argmax + in-row greedy fold over the VOCABULARY — this
     // stage prices the rounds at 100k words (the corpus-sized pass is
@@ -951,11 +996,16 @@ object StressBench {
       out.count()
     }
     // Daily-increment index maintenance at stress scale: build the
-    // durable asset on 90% of the corpus, append the remaining 10% with
-    // mergePositionalIndex (modulus from the asset's metadata), then
-    // phrase-query the merged asset. Ground truth exact: the planted
-    // 3-gram lands in every id%100==0 doc across BOTH halves, so a
-    // wrong-modulus append or a missed partition shows as a count miss.
+    // durable asset on the doc_id%7!=0 slice (~86%), append the
+    // doc_id%7==0 slice with mergePositionalIndex (modulus from the
+    // asset's metadata), then phrase-query the merged asset. The
+    // increment modulus (7) is COPRIME to the planting modulus (100),
+    // so planted docs land in BOTH halves (base: id%100==0 ∧ id%7!=0;
+    // increment: id%700==0) — and the per-half assertions below pin
+    // that the merge PRESERVED the base's postings and ADDED the
+    // increment's: an append that overwrote the base, or a
+    // wrong-modulus append that missed partitions, fails its half's
+    // exact count, not just the total.
     timed("phrase_index_merge") {
       val nDocs = math.max(rows / 200L, 10000L)
       val docs = spark.range(nDocs).select(col("id").as("doc_id"),
@@ -968,21 +1018,76 @@ object StressBench {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
         s"_stress_${ProcessHandle.current().pid()}"
       graft.text.TextAnalysis.writePositionalIndex(
-        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
         "doc_id", "text", path)
       graft.text.TextAnalysis.mergePositionalIndex(
-        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        docs.where(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", "text", path)
-      val hits = graft.text.TextAnalysis.phraseMatchCountsIndexed(
-        spark, path, "doc_id", Seq("alpha", "beta", "gamma")).count()
-      require(hits == (nDocs + 99) / 100,
-        s"merged-index phrase hit $hits docs, expected ${(nDocs + 99) / 100}")
+      val hitDocs = graft.text.TextAnalysis.phraseMatchCountsIndexed(
+          spark, path, "doc_id", Seq("alpha", "beta", "gamma"))
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      // exact ground truth per half: planted ids are 0,100,...; the
+      // increment's are those also divisible by 7 (i.e. by 700)
+      val expTotal = (nDocs + 99) / 100
+      val expInc = (nDocs + 699) / 700
+      val gotInc = hitDocs.count(_ % 7 == 0)
+      val gotBase = hitDocs.length - gotInc
+      require(gotBase == expTotal - expInc && gotInc == expInc,
+        s"merged-index phrase hits base=$gotBase inc=$gotInc, expected " +
+          s"base=${expTotal - expInc} inc=$expInc of $expTotal")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
       }
       rm(new java.io.File(path))
-      hits
+      hitDocs.length.toLong
+    }
+    // Compaction after a simulated 10-day append cycle: build on slice
+    // 0 (doc_id%11==0), append slices 1..10 — each append lands one
+    // more parquet file in every touched term_bucket, the small-file
+    // accumulation that kills scan planning at 100 TB — then rewrite to
+    // one file per bucket. Ground truth exact on BOTH axes: the planted
+    // phrase count is identical before and after the rewrite (compact ≡
+    // no-op at row level), and the data-file count drops to exactly the
+    // bucket count (the whole point of the op, measured, not assumed).
+    timed("phrase_index_compact") {
+      val nDocs = math.max(rows / 200L, 10000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          concat(concat_ws(" ", expr("transform(sequence(1, 197), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))")),
+            lit(" alpha beta gamma")))
+          .otherwise(concat_ws(" ", expr("transform(sequence(1, 200), " +
+            "i -> concat('t', abs(hash(id, i)) % 500))"))).as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
+        s"_stress_cpt_${ProcessHandle.current().pid()}"
+      graft.text.TextAnalysis.writePositionalIndex(
+        docs.where(pmod(col("doc_id"), lit(11)) === 0),
+        "doc_id", "text", path)
+      (1 to 10).foreach { day =>
+        graft.text.TextAnalysis.mergePositionalIndex(
+          docs.where(pmod(col("doc_id"), lit(11)) === day),
+          "doc_id", "text", path)
+      }
+      def hits() = graft.text.TextAnalysis.phraseMatchCountsIndexed(
+        spark, path, "doc_id", Seq("alpha", "beta", "gamma")).count()
+      val expTotal = (nDocs + 99) / 100
+      require(hits() == expTotal,
+        s"pre-compact phrase hits ${hits()}, expected $expTotal")
+      val nBuckets = spark.read.parquet(path)
+        .select(col("term_bucket")).distinct().count()
+      val (before, after) =
+        graft.text.TextAnalysis.compactPositionalIndex(spark, path)
+      require(after == nBuckets && before > after,
+        s"compaction file counts: $before -> $after, buckets $nBuckets")
+      require(hits() == expTotal,
+        s"post-compact phrase hits ${hits()}, expected $expTotal")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      before - after
     }
     // rows/20 docs x 20 lines: 2 lines shared by EVERY doc (the hot-key
     // stressor — one line hash carrying nDocs occurrences through the
