@@ -58,7 +58,7 @@ def extract(text):
 
 def round_num(p):
     """Numeric round index from a BENCH_rN.json path (r2 < r10 < r100)."""
-    m = re.search(r"BENCH_r0*(\d+)\.json$", p.name)
+    m = re.search(r"BENCH_(?:LOCAL_)?r0*(\d+)\.json$", p.name)
     return int(m.group(1)) if m else -1
 
 
@@ -98,12 +98,25 @@ def latest_baseline():
     and mask real regressions. Such rounds are skipped (with a note) in
     favor of the most recent clean one.
     """
-    for p in sorted(REPO.glob("BENCH_r*.json"), key=round_num, reverse=True):
+    # Baselines: the driver's BENCH_r{N}.json artifacts PLUS committed
+    # BENCH_LOCAL_r{N}.json twins (a copy of Bench's BENCH_LAST.json,
+    # checked in at round close). The driver artifact wraps Bench's
+    # stdout tail, and a tail window narrower than the (50+-query) JSON
+    # line truncates it mid-stream (BENCH_r19): without the local twin,
+    # an unparseable newest round silently slid the gate back a whole
+    # round. Within a round the driver artifact wins; the twin only
+    # fills holes.
+    cands = sorted(
+        list(REPO.glob("BENCH_r*.json")) + list(REPO.glob(
+            "BENCH_LOCAL_r*.json")),
+        key=lambda p: (round_num(p), "LOCAL" not in p.name), reverse=True)
+    for p in cands:
         try:
             d = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
-        parsed = d.get("parsed") or extract(d.get("tail", ""))
+        parsed = (d if "LOCAL" in p.name else None) \
+            or d.get("parsed") or extract(d.get("tail", ""))
         if parsed and parsed.get("queries"):
             if parsed.get("load_poisoned"):
                 print(f"bench_diff: skipping poisoned baseline {p.name} "
@@ -113,6 +126,10 @@ def latest_baseline():
                 print(f"bench_diff: skipping machine-degraded baseline "
                       f"{p.name} (cal_pre={parsed.get('cal_pre')} vs "
                       f"healthy band {canary_band()[0]})")
+                continue
+            if parsed.get("release_skipped"):
+                print(f"bench_diff: skipping diagnostic baseline {p.name} "
+                      f"(release_skipped=true - flattered reuse regime)")
                 continue
             return p.name, parsed
     return None, None
@@ -136,6 +153,10 @@ def main():
               f"(loadavg={cur.get('loadavg_preflight')}, "
               f"sibling_jvms={cur.get('sibling_jvms')}); per-query numbers "
               f"reflect ambient machine load, not plans")
+    if cur.get("release_skipped"):
+        print("bench_diff: WARNING current run was taken with "
+              "SPARK_GRAFT_SKIP_RELEASE=1 (flattered reuse regime) - "
+              "diagnostic only, do not publish or baseline")
     cur_degraded = machine_degraded(cur)
     if cur_degraded:
         healthy, factor = canary_band()

@@ -142,6 +142,35 @@ object SimilarityQueries extends QueryPack {
         bins = 32, lo = 0.0, hi = 2.0)
     }),
 
+    // The retrain branch of the drift contract end to end: build on the
+    // even half, let the odd half drift (the same double-exact shift as
+    // sim_ivf_drift — which flags psi >= 0.2 for it), retrain with one
+    // warm-started Lloyd round over asset ∪ increment, rebuild, and
+    // query the swapped-in asset. The oracle replays the warm-start
+    // assignment, the re-centering, and the full IVF probe/re-rank over
+    // the drifted corpus — every centroid coordinate and rank pinned.
+    // Correctness-only (not in benchNames): retrain is the RARE
+    // maintenance op the drift report gates; compaction is the frequent
+    // one and is priced in the bench.
+    "sim_ivf_retrain" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val path = tmpIvfPath(dir, "rt")
+      val even = emb.where(col("vec_id") % 2 === 0).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+          .as("embedding"))
+      val shifted = emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5d + 0.25d)")
+          .as("embedding"))
+      Similarity.writeIvfIndex(even, "vec_id", "embedding",
+        labelCenters(emb.where(col("vec_id") % 2 === 0)), "cell", path)
+      Similarity.retrainIvfIndex(s, path, shifted, "vec_id", "embedding",
+        iters = 1)
+      Similarity.queryIvfIndexed(s, path,
+          even.unionByName(shifted).where(col("vec_id") < 10),
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // IVF with the exhaustive-fallback recall floor: nProbe=1 gating,
     // but any query whose probed cell holds fewer than 50 candidates
     // re-runs against the whole corpus (FAISS nprobe-escalation made
@@ -715,6 +744,82 @@ object SimilarityQueries extends QueryPack {
     // compact ≡ no-op: the rewrite changes files, never rows or cells,
     // so the same oracle pins the compacted asset
     "sim_ivf_index_compact" -> ivfTopkOracle,
+
+    // Warm-start retrain replay: ctr0 = even-half label means, a1 =
+    // nearest-ctr0 assignment of the drifted union, c1 = per-cell means
+    // under a1 (the one Lloyd round), then the standard IVF
+    // probe/re-rank with c1 over the union corpus. Multiply-referenced
+    // corpus CTEs MATERIALIZED (the DuckDB inliner gotcha).
+    "sim_ivf_retrain" ->
+      """WITH pe AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |po AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) * 1.5 + 0.25 AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |ap AS MATERIALIZED (
+        |  SELECT * FROM pe UNION ALL SELECT * FROM po),
+        |pl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |c0 AS (SELECT label AS cell, dim, avg(v) AS c
+        |  FROM pl GROUP BY label, dim),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell,
+        |        sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |      FROM ap p JOIN c0 c ON p.dim = c.dim
+        |      GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT a1.cell, p.dim, avg(p.v) AS c
+        |  FROM ap p JOIN a1 ON p.vec_id = a1.vec_id
+        |  GROUP BY a1.cell, p.dim),
+        |cells AS (
+        |  SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell,
+        |        sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |      FROM ap p JOIN c1 c ON p.dim = c.dim
+        |      GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
+        |    FROM (SELECT p.vec_id, c.cell,
+        |        sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |      FROM ap p JOIN c1 c ON p.dim = c.dim
+        |      WHERE p.vec_id < 10
+        |      GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE pr <= 2),
+        |cand AS (
+        |  SELECT pr.query_id, ce.neighbor_id
+        |  FROM probes pr JOIN cells ce ON pr.cell = ce.cell
+        |  WHERE pr.query_id <> ce.neighbor_id),
+        |av AS MATERIALIZED (
+        |  SELECT vec_id, list(v ORDER BY dim) AS emb
+        |  FROM ap GROUP BY vec_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    list_cosine_similarity(q.emb, n.emb) AS cs
+        |  FROM cand cd
+        |  JOIN av q ON q.vec_id = cd.query_id
+        |  JOIN av n ON n.vec_id = cd.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cs, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+        |  round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
 
     // Asset side: each stored vector's distance to its own (= nearest)
     // cell; increment side: the shifted corpus' distance to its nearest

@@ -701,6 +701,55 @@ object Similarity {
       assetDists, incDists, "dist2", bins, lo, hi)
   }
 
+  /** The psi ≥ 0.2 branch of [[ivfDriftReport]]'s retrain contract:
+    * re-center the asset's centroids on the DRIFTED corpus (asset rows
+    * ∪ increment) with `iters` deterministic Lloyd rounds warm-started
+    * FROM THE ASSET'S OWN CENTROIDS — warm start preserves cell
+    * identity where the corpus hasn't moved (a cold lowest-id reseed
+    * would arbitrarily renumber every cell), and one round is usually
+    * enough because the start is the previous optimum — then rebuild
+    * the whole asset with the retrained centroids into a sibling tmp
+    * dir and atomically swap it in ([[graft.sources.AssetMaintenance
+    * .installAsset]] — readers see the old asset or the new one, never
+    * a mix). Cost contract (why the drift report gates this): `iters`+1
+    * full passes over asset+increment plus one clustered rewrite —
+    * versus [[mergeIvfIndex]]'s one pass over the increment alone; you
+    * pay it when the report says recall is already decaying. Cells
+    * that end a round empty drop out (the [[graft.mlops.ClusterOps
+    * .lloydIterations]] convention — their vectors re-home to the
+    * surviving cells' partitions).
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, increment: DataFrame, idCol: String,
+                      arrCol: String, iters: Int = 1): Unit = {
+    import graft.mlops.{ClusterOps, NaiveBayesOps}
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val all = spark.read.parquet(path).select(col(idCol), col(arrCol))
+      .unionByName(increment.select(col(idCol), col(arrCol)))
+    val allLong = NaiveBayesOps.toLongForm(all, Seq(idCol), arrCol)
+    var centers = ivfIndexCentroids(spark, path)
+    (1 to iters).foreach { _ =>
+      val assign = ClusterOps.assignToCenters(
+        allLong, centers, idCol, "cell").select(col(idCol), col("cell"))
+      centers = allLong.join(assign, idCol)
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("c"))
+    }
+    // centers feeds BOTH writeIvfIndex consumers (the sidecar collect
+    // and the assignment broadcast) and its lineage is `iters` corpus
+    // passes — materialize once, unpersist after the rebuild (the
+    // eager-action carve-out: this operator runs actions before
+    // returning, so it cleans up itself; nothing lands in Caches).
+    val trained = centers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trained.count()
+    try {
+      val tmp = path + ".retrain.tmp"
+      writeIvfIndex(all, idCol, arrCol, trained, "cell", tmp)
+      graft.sources.AssetMaintenance.installAsset(spark, tmp, path)
+    } finally trained.unpersist(): Unit
+  }
+
   /** IVF ANN against a [[writeIvfIndex]] asset: probe cells are ranked
     * per query against the sidecar centroids (broadcast — centroid
     * count is metadata-scale by definition), the DISTINCT probed-cell

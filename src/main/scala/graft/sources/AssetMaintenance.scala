@@ -63,9 +63,7 @@ object AssetMaintenance {
     require(fs.exists(root), s"no asset at $path")
     val before = dataFileCount(spark, path)
     val tmp = new Path(path + ".compact.tmp")
-    val old = new Path(path + ".compact.old")
     fs.delete(tmp, true)
-    fs.delete(old, true)
     val w = spark.read.parquet(path)
       .repartition(col(partitionCol))
       .write.partitionBy(partitionCol).mode("overwrite")
@@ -80,13 +78,30 @@ object AssetMaintenance {
         fs, s.getPath, fs, new Path(tmp, s.getPath.getName),
         false, spark.sparkContext.hadoopConfiguration)
     }
-    require(fs.rename(root, old), s"compact: could not move $path aside")
+    installAsset(spark, tmp.toString, path)
+    (before, dataFileCount(spark, path))
+  }
+
+  /** Atomically replace the live asset at `path` with the fully-built
+    * one at `tmpPath`: two renames (metadata ops on HDFS-compatible
+    * stores) with restore-on-failure — a reader caught mid-swap sees
+    * the old asset or the new one, never a mix or a hole. Shared by
+    * the compaction and retrain-rebuild maintenance paths.
+    */
+  def installAsset(spark: SparkSession, tmpPath: String,
+                   path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tmpPath)
+    require(fs.exists(tmp), s"no rebuilt asset at $tmpPath")
+    val old = new Path(path + ".swap.old")
+    fs.delete(old, true)
+    require(fs.rename(root, old), s"install: could not move $path aside")
     if (!fs.rename(tmp, root)) {
       // restore the live asset before failing — never leave a hole
       fs.rename(old, root)
-      throw new IllegalStateException(s"compact: could not install $tmp")
+      throw new IllegalStateException(s"install: could not install $tmpPath")
     }
-    fs.delete(old, true)
-    (before, dataFileCount(spark, path))
+    fs.delete(old, true): Unit
   }
 }

@@ -1237,6 +1237,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("retrainIvfIndex: rebuilt asset holds the union, centroids " +
+    "re-center (drift drops), queries equal the in-memory twin") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val even = emb.where(col("vec_id") % 2 === 0).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val shifted = emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5d + 0.25d)")
+        .as("embedding"))
+    val centers0 = graft.mlops.NaiveBayesOps
+      .toLongForm(emb.where(col("vec_id") % 2 === 0), Seq("label"),
+        "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec_rt").toString
+    Similarity.writeIvfIndex(even, "vec_id", "embedding", centers0,
+      "cell", path)
+    def psi() = Similarity.ivfDriftReport(spark, path, shifted, "vec_id",
+        "embedding", bins = 32, lo = 0.0, hi = 2.0)
+      .select(col("psi")).head().getDouble(0)
+    val psiBefore = psi()
+    assert(psiBefore >= 0.2, s"fixture must start in the retrain band: " +
+      s"$psiBefore")
+    Similarity.retrainIvfIndex(spark, path, shifted, "vec_id",
+      "embedding", iters = 1)
+    // the rebuilt asset holds asset ∪ increment, swapped in atomically
+    // with a fresh centroid sidecar
+    assert(spark.read.parquet(path).count() === even.count() +
+      shifted.count())
+    // re-centering absorbed the drifted mass: the SAME increment's
+    // report falls out of the retrain band (it is now half the asset)
+    val psiAfter = psi()
+    assert(psiAfter < psiBefore / 2,
+      s"retrain must absorb the drift: $psiBefore -> $psiAfter")
+    // query path equals the in-memory ivfTopK twin with independently
+    // recomputed warm-start centroids — the merge≡rebuild-style pin
+    val all = even.unionByName(shifted)
+    val allLong = graft.mlops.NaiveBayesOps
+      .toLongForm(all, Seq("vec_id"), "embedding")
+    val assign = graft.mlops.ClusterOps
+      .assignToCenters(allLong, centers0, "vec_id", "cell")
+      .select(col("vec_id"), col("cell"))
+    val centers1 = allLong.join(assign, "vec_id")
+      .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("c"))
+    val queries = all.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(rows(Similarity.queryIvfIndexed(spark, path, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3))
+      === rows(Similarity.ivfTopK(all, queries, "vec_id", "embedding",
+        centers1, "cell", nProbe = 2, k = 3)))
+  }
+
   test("ivfDriftReport: same-distribution increment stays in the append " +
     "band, shifted increment lands in the retrain band") {
     val emb = spark.read
