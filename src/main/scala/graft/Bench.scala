@@ -70,17 +70,13 @@ object Bench {
     * before matching.
     */
   private def baselineTimes(): Map[String, Double] = {
-    val path: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
-      .orElse {
-        Option(new java.io.File(".").listFiles()).flatMap(
-          _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-            .sortBy(_.getName).lastOption.map(_.getPath))
-      }
-    path.flatMap { p =>
+    def parse(p: String): Option[Map[String, Double]] =
       try {
         val src = scala.io.Source.fromFile(p)
         val txt = try src.mkString finally src.close()
-        "\"queries\":\\{([^}]*)\\}".r
+        // a diagnostic run (hygiene off) must never arm the gate
+        if (txt.contains("\"release_skipped\":true")) None
+        else "\"queries\":\\{([^}]*)\\}".r
           .findFirstMatchIn(txt.replace("\\\"", "\""))
           .map(_.group(1).split(",").flatMap { kv =>
             kv.split(":") match {
@@ -89,9 +85,24 @@ object Bench {
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
-          }.toMap)
+          }.toMap).filter(_.nonEmpty)
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.getOrElse(Map.empty)
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").flatMap(parse).getOrElse {
+      // Highest PARSEABLE round wins, driver artifact before the
+      // committed BENCH_LOCAL twin within a round; a truncated tail
+      // (BENCH_r19) falls through to the twin — or, failing that, to
+      // the next round down — instead of silently disarming the gate.
+      val rx = "BENCH_(?:LOCAL_)?r0*(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap { f =>
+          rx.findFirstMatchIn(f.getName)
+            .map(m => (m.group(1).toInt, !f.getName.contains("LOCAL"), f))
+        }
+        .sortBy { case (n, isDriver, _) => (-n, !isDriver) }
+        .iterator.map { case (_, _, f) => parse(f.getPath) }
+        .collectFirst { case Some(m) => m }
+        .getOrElse(Map.empty)
+    }
   }
 
   /** Machine-speed canary: wall seconds for a fixed deterministic LCG

@@ -638,14 +638,18 @@ object Similarity {
     * sidecar are unchanged — compact ≡ no-op, pinned by running
     * [[queryIvfIndexed]]'s own oracle over the compacted asset
     * (`sim_ivf_index_compact` shares `sim_ivf_topk`'s oracle verbatim).
-    * Returns (dataFilesBefore, dataFilesAfter).
+    * `minFilesPerPartition` > 1 makes the pass selective — only cells
+    * the appends actually bloated are rewritten (the daily-maintenance
+    * shape; see AssetMaintenance). Returns
+    * (dataFilesBefore, dataFilesAfter).
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String,
-                      maxRecordsPerFile: Long = 0L): (Long, Long) = {
+                      maxRecordsPerFile: Long = 0L,
+                      minFilesPerPartition: Int = 1): (Long, Long) = {
     ivfIndexCentroids(spark, path) // fail loudly on a non-asset dir
     graft.sources.AssetMaintenance.compactPartitionedAsset(
-      spark, path, "cell", maxRecordsPerFile)
+      spark, path, "cell", maxRecordsPerFile, minFilesPerPartition)
   }
 
   /** Centroid-drift report for a [[writeIvfIndex]] asset against a

@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions.col
   * accumulates ~365 small files per partition — at 100 TB that kills
   * scan planning (file listing + footer reads scale with file COUNT)
   * and read throughput (row groups too small to amortize IO). Compaction
-  * rewrites every partition's files into one file per partition value
+  * rewrites a partition's files into one file per partition value
   * (bounded by `maxRecordsPerFile` when set, so a skewed hot partition
-  * still splits into full-size files) and atomically swaps the rewrite
-  * in. The contract mirrors the merge ops': compaction changes FILES,
-  * never rows — compact ≡ no-op row-for-row, pinned by running the
-  * asset's own query oracle over the compacted asset
-  * (`text_phrase_index_compact`, `sim_ivf_index_compact`).
+  * still splits into full-size files) and swaps each rewritten
+  * partition in atomically. The contract mirrors the merge ops':
+  * compaction changes FILES, never rows — compact ≡ no-op row-for-row,
+  * pinned by running the asset's own query oracle over the compacted
+  * asset (`text_phrase_index_compact`, `sim_ivf_index_compact`).
   */
 object AssetMaintenance {
 
@@ -40,53 +40,100 @@ object AssetMaintenance {
   }
 
   /** Rewrite a `partitionBy(partitionCol)` parquet asset so each
-    * partition value holds one file (or ⌈rows/maxRecordsPerFile⌉ files
-    * when that bound is set — the giant-partition guard). Top-level
-    * `_`-prefixed sidecar FILES (the `_graft_buckets` / `_graft_centroids`
-    * metadata) are carried into the rewrite, so the compacted asset is
-    * a full drop-in.
+    * SELECTED partition value holds one file (or
+    * ⌈rows/maxRecordsPerFile⌉ files when that bound is set — the
+    * giant-partition guard). `minFilesPerPartition` makes the pass
+    * SELECTIVE — the production daily-maintenance shape: only
+    * partitions whose data-file count has reached the threshold are
+    * read, rewritten, and swapped, so the cost of a maintenance run is
+    * proportional to the partitions the appends actually bloated, never
+    * the whole asset. The default (1) selects every non-empty partition
+    * — a full compaction.
     *
-    * Shape: one shuffle hash-partitioned on the partition column (each
-    * value lands in exactly one task, so the dynamic-partition write
-    * emits exactly one file per value), then a directory swap — the
-    * rewrite goes to a sibling tmp dir and replaces the asset with two
-    * renames (metadata ops on HDFS-compatible stores). A reader caught
-    * mid-swap sees the old asset or the new one, never a mix; a failed
-    * rewrite leaves the live asset untouched (the tmp dir is orphaned,
-    * not installed). Returns (dataFilesBefore, dataFilesAfter).
+    * Shape: ONE job over the selected partitions (partition-pruned
+    * scan — the predicate references only the partition column, so
+    * unselected partitions are never listed into the scan), shuffle
+    * hash-partitioned on the partition column (each value lands in
+    * exactly one task, so the dynamic-partition write emits exactly one
+    * file per value), written to a sibling tmp dir; then each selected
+    * partition DIRECTORY is swapped in with two renames (metadata ops
+    * on HDFS-compatible stores, restore-on-failure). Swaps are atomic
+    * per partition, not across the asset — which is exactly enough:
+    * compaction never changes rows, so a reader overlapping the swap
+    * window sees every row of every partition in either its old or its
+    * new file layout, both correct; root-level `_graft_*` sidecars are
+    * never touched. Returns (dataFilesBefore, dataFilesAfter) over the
+    * whole asset.
+    *
+    * Partition values are matched between directory names and the scan
+    * through their string form — the assets this maintains partition on
+    * numeric columns (term_bucket, cell), whose parquet dir names
+    * roundtrip exactly.
     */
   def compactPartitionedAsset(spark: SparkSession, path: String,
                               partitionCol: String,
-                              maxRecordsPerFile: Long = 0L): (Long, Long) = {
+                              maxRecordsPerFile: Long = 0L,
+                              minFilesPerPartition: Int = 1): (Long, Long) = {
+    require(minFilesPerPartition >= 1,
+      s"minFilesPerPartition=$minFilesPerPartition must be >= 1")
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
     require(fs.exists(root), s"no asset at $path")
     val before = dataFileCount(spark, path)
+    def filesIn(d: Path): Long = {
+      val it = fs.listFiles(d, true)
+      var n = 0L
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+    val selected = fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partitionCol + "="))
+      .map(_.getPath)
+      .filter(d => filesIn(d) >= minFilesPerPartition)
+    if (selected.isEmpty) return (before, before)
+    val values = selected.toSeq
+      .map(_.getName.substring(partitionCol.length + 1))
     val tmp = new Path(path + ".compact.tmp")
     fs.delete(tmp, true)
     val w = spark.read.parquet(path)
+      .where(col(partitionCol).cast("string").isInCollection(values))
       .repartition(col(partitionCol))
       .write.partitionBy(partitionCol).mode("overwrite")
     (if (maxRecordsPerFile > 0)
       w.option("maxRecordsPerFile", maxRecordsPerFile)
     else w).parquet(tmp.toString)
-    // sidecars AFTER the data commit (the writePositionalIndex ordering:
-    // a failed rewrite never yields a tmp dir that looks like an asset)
-    fs.listStatus(root).filter(s => s.isFile &&
-      s.getPath.getName.startsWith("_graft_")).foreach { s =>
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, s.getPath, fs, new Path(tmp, s.getPath.getName),
-        false, spark.sparkContext.hadoopConfiguration)
+    values.foreach { v =>
+      val live = new Path(root, s"$partitionCol=$v")
+      val fresh = new Path(tmp, s"$partitionCol=$v")
+      require(fs.exists(fresh),
+        s"compact: rewrite produced no partition for $partitionCol=$v")
+      // dot-prefixed: a crash between the renames leaves a directory
+      // the parquet file index ignores, never a duplicate partition
+      val old = new Path(root, s".$partitionCol=$v.compact.old")
+      fs.delete(old, true)
+      require(fs.rename(live, old),
+        s"compact: could not move $live aside")
+      if (!fs.rename(fresh, live)) {
+        fs.rename(old, live) // restore before failing — never a hole
+        throw new IllegalStateException(s"compact: could not install $fresh")
+      }
+      fs.delete(old, true)
     }
-    installAsset(spark, tmp.toString, path)
+    fs.delete(tmp, true)
     (before, dataFileCount(spark, path))
   }
 
   /** Atomically replace the live asset at `path` with the fully-built
     * one at `tmpPath`: two renames (metadata ops on HDFS-compatible
     * stores) with restore-on-failure — a reader caught mid-swap sees
-    * the old asset or the new one, never a mix or a hole. Shared by
-    * the compaction and retrain-rebuild maintenance paths.
+    * the old asset or the new one, never a mix or a hole. Used by the
+    * retrain-rebuild maintenance path (which DOES change rows, so
+    * unlike compaction it needs whole-asset atomicity).
     */
   def installAsset(spark: SparkSession, tmpPath: String,
                    path: String): Unit = {

@@ -715,14 +715,18 @@ object TextAnalysis {
     * modulus sidecar are unchanged — compact ≡ no-op, pinned by running
     * the phrase oracle over the compacted asset
     * (`text_phrase_index_compact` shares `text_phrase_search`'s oracle
-    * verbatim). Returns (dataFilesBefore, dataFilesAfter).
+    * verbatim). `minFilesPerPartition` > 1 makes the pass selective —
+    * only buckets the appends actually bloated are rewritten (the
+    * daily-maintenance shape; see AssetMaintenance). Returns
+    * (dataFilesBefore, dataFilesAfter).
     */
   def compactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String,
-                             maxRecordsPerFile: Long = 0L): (Long, Long) = {
+                             maxRecordsPerFile: Long = 0L,
+                             minFilesPerPartition: Int = 1): (Long, Long) = {
     indexBuckets(spark, path) // fail loudly on a non-asset dir
     graft.sources.AssetMaintenance.compactPartitionedAsset(
-      spark, path, "term_bucket", maxRecordsPerFile)
+      spark, path, "term_bucket", maxRecordsPerFile, minFilesPerPartition)
   }
 
   /** Driver-side twin of `md5Long(term, 8) % buckets` — the lookup side

@@ -316,6 +316,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === mem)
   }
 
+  test("compactPositionalIndex selective: only buckets at the file " +
+    "threshold are rewritten, untouched buckets keep their exact files") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "b c a"), (2L, "a b"), (3L, "a a")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec_sel").toString
+    // build + one full append: every touched bucket holds 2 files;
+    // a second append of an "a"-only doc puts a 3rd file in a's bucket
+    TextAnalysis.writePositionalIndex(
+      docs.where(col("doc_id") < 2), "doc_id", "text", path, buckets = 4)
+    TextAnalysis.mergePositionalIndex(
+      docs.where(col("doc_id") === 2), "doc_id", "text", path)
+    TextAnalysis.mergePositionalIndex(
+      docs.where(col("doc_id") === 3), "doc_id", "text", path)
+    val hotBucket = TextAnalysis.termBucket("a", 4)
+    def bucketFiles(b: Long): Set[String] = {
+      val d = new java.io.File(s"$path/term_bucket=$b")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filterNot(n => n.startsWith("_") ||
+          n.startsWith(".")).toSet
+    }
+    val coldBuckets = (0L until 4L).filter(_ != hotBucket)
+      .filter(bucketFiles(_).nonEmpty)
+    val coldBefore = coldBuckets.map(b => b -> bucketFiles(b)).toMap
+    assert(bucketFiles(hotBucket).size >= 3)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("pos"), col("term"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val before = rows(path)
+    val (_, _) = TextAnalysis.compactPositionalIndex(spark, path,
+      minFilesPerPartition = 3)
+    // the hot bucket collapsed to one file; cold buckets were NOT
+    // rewritten — their exact file names survive (cost ∝ bloated
+    // partitions, the selective-maintenance contract)
+    assert(bucketFiles(hotBucket).size === 1)
+    coldBuckets.foreach { b =>
+      assert(bucketFiles(b) === coldBefore(b),
+        s"untouched bucket $b must keep its exact files")
+    }
+    assert(rows(path) === before) // compact ≡ no-op at row level
+  }
+
   test("Caches: lazy internal persists are tracked, release drops them " +
     "and results still recompute") {
     val docs = Seq((1L, "a b a b"), (2L, "b a b")).toDF("doc_id", "text")
