@@ -128,6 +128,42 @@ object AssetMaintenance {
     (before, dataFileCount(spark, path))
   }
 
+  /** Per-partition file/byte ledger for a partitioned asset — the
+    * observability [[compactPartitionedAsset]]'s `minFilesPerPartition`
+    * knob is tuned by (and the ops dashboard for append-heavy assets:
+    * file counts grow with APPENDS, bytes with data — a partition with
+    * many files and few bytes is the compaction target). Driver-side
+    * listing: one row per partition directory, so the frame is
+    * partition-count-sized — metadata-scale by definition (partitions
+    * broadcast everywhere as pruning units).
+    */
+  def partitionFileStats(spark: SparkSession, path: String,
+                         partitionCol: String): org.apache.spark.sql
+    .DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no asset at $path")
+    val rows = fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(partitionCol + "="))
+      .map { s =>
+        val it = fs.listFiles(s.getPath, true)
+        var files = 0L
+        var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            files += 1; bytes += f.getLen
+          }
+        }
+        (s.getPath.getName.substring(partitionCol.length + 1),
+          files, bytes)
+      }.toSeq
+    import spark.implicits._
+    rows.toDF("partition", "n_files", "n_bytes")
+  }
+
   /** Atomically replace the live asset at `path` with the fully-built
     * one at `tmpPath`: two renames (metadata ops on HDFS-compatible
     * stores) with restore-on-failure — a reader caught mid-swap sees

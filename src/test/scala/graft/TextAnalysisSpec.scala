@@ -358,6 +358,14 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"untouched bucket $b must keep its exact files")
     }
     assert(rows(path) === before) // compact ≡ no-op at row level
+    // the ledger the threshold is tuned by agrees with the filesystem
+    val stats = graft.sources.AssetMaintenance
+      .partitionFileStats(spark, path, "term_bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(stats(hotBucket.toString) === 1L)
+    coldBuckets.foreach { b =>
+      assert(stats(b.toString) === coldBefore(b).size.toLong)
+    }
   }
 
   test("Caches: lazy internal persists are tracked, release drops them " +
