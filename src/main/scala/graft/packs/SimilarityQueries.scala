@@ -171,6 +171,18 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // The nProbe tuning table: exact recall@3 vs brute-force truth for
+    // every nProbe in 1..4, computed as join arithmetic (no per-nProbe
+    // search — a truth neighbor is in IVF's top-k iff its cell is
+    // probed, because the re-rank is exact). The measurable behind the
+    // drift report's "raise nProbe" band.
+    "sim_ivf_recall_curve" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity.ivfRecallCurve(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", labelCenters(emb), "cell",
+        maxProbe = 4, k = 3)
+    }),
+
     // IVF with the exhaustive-fallback recall floor: nProbe=1 gating,
     // but any query whose probed cell holds fewer than 50 candidates
     // re-runs against the whole corpus (FAISS nprobe-escalation made
@@ -744,6 +756,65 @@ object SimilarityQueries extends QueryPack {
     // compact ≡ no-op: the rewrite changes files, never rows or cells,
     // so the same oracle pins the compacted asset
     "sim_ivf_index_compact" -> ivfTopkOracle,
+
+    // Truth = brute-force top-3 (cos desc, id ties); a truth pair is
+    // found at nProbe p iff its neighbor's nearest cell ranks <= p
+    // among the query's probes; the curve is a cross join of the
+    // bounded truth-pair frame with generate_series(1, 4).
+    "sim_ivf_recall_curve" ->
+      """WITH truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(q.embedding::DOUBLE[],
+        |          c.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+        |  WHERE rnk <= 3),
+        |pts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ptsl AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |ctr AS (SELECT label AS cell, dim, avg(v) AS c
+        |  FROM ptsl GROUP BY label, dim),
+        |cells AS (
+        |  SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM (SELECT p.vec_id, c.cell,
+        |        sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |      FROM pts p JOIN ctr c ON p.dim = c.dim
+        |      GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell, pr FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cell) AS pr
+        |    FROM (SELECT p.vec_id, c.cell,
+        |        sum((p.v - c.c) * (p.v - c.c)) AS dist2
+        |      FROM pts p JOIN ctr c ON p.dim = c.dim
+        |      WHERE p.vec_id < 10
+        |      GROUP BY p.vec_id, c.cell) d) r
+        |  WHERE pr <= 4),
+        |f AS (
+        |  SELECT coalesce(p.pr, 2147483647) AS found_at
+        |  FROM truth t
+        |  JOIN cells ce ON ce.neighbor_id = t.neighbor_id
+        |  LEFT JOIN probes p
+        |    ON p.query_id = t.query_id AND p.cell = ce.cell)
+        |SELECT CAST(g.n_probe AS INT) AS n_probe,
+        |  CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(sum(CASE WHEN f.found_at <= g.n_probe THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_found,
+        |  round(CAST(sum(CASE WHEN f.found_at <= g.n_probe THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
+        |FROM f, generate_series(1, 4) g(n_probe)
+        |GROUP BY g.n_probe
+        |ORDER BY n_probe""".stripMargin,
 
     // Warm-start retrain replay: ctr0 = even-half label means, a1 =
     // nearest-ctr0 assignment of the drifted union, c1 = per-cell means

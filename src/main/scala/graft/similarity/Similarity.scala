@@ -814,6 +814,61 @@ object Similarity {
         round(col("_cos"), 4).as("cos"))
   }
 
+  /** nProbe tuning table: exact recall@k of IVF search vs brute-force
+    * ground truth, one row per candidate nProbe in 1..maxProbe — the
+    * measurable behind [[ivfDriftReport]]'s 0.1–0.2 "raise nProbe"
+    * band (and the [[cellLoadHistogram]] twin for the OTHER search
+    * knob). Exactness without per-nProbe searches: the IVF re-rank is
+    * exact cosine within candidates, so a ground-truth top-k neighbor
+    * appears in IVF's top-k IFF its cell is among the query's first
+    * nProbe probes (anything outranking it among candidates outranks
+    * it globally, and fewer than k such rows exist for a global top-k
+    * member — so membership survives). Recall@k(p) is therefore a
+    * JOIN COUNT: truth pairs whose neighbor-cell probe rank ≤ p.
+    *
+    * Cost: one brute-force pass over |queries|×|corpus| (the ground
+    * truth — tune on a query SAMPLE; this is the one quadratic leg and
+    * it is bounded by the sample), one corpus assignment pass, one
+    * probe ranking over queries×cells; the curve itself is arithmetic
+    * over the |queries|·k truth pairs × maxProbe — bounded, never
+    * corpus-scale.
+    */
+  def ivfRecallCurve(emb: DataFrame, queries: DataFrame, idCol: String,
+                     arrCol: String, centersLong: DataFrame,
+                     centerCol: String, maxProbe: Int, k: Int): DataFrame = {
+    import graft.mlops.{ClusterOps, NaiveBayesOps}
+    require(maxProbe >= 1, s"maxProbe=$maxProbe must be >= 1")
+    val truth = bruteForceTopK(emb, queries, idCol, arrCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cells = ClusterOps.assignToCenters(
+      NaiveBayesOps.toLongForm(emb, Seq(idCol), arrCol),
+      centersLong, idCol, centerCol)
+      .select(col(idCol).as("neighbor_id"), col(centerCol))
+    val qLong = NaiveBayesOps.toLongForm(queries, Seq(idCol), arrCol)
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("qdist").asc, col(centerCol))
+    val probes = qLong.join(broadcast(centersLong), "dim")
+      .groupBy(col(idCol), col(centerCol))
+      .agg(sum(pow(col("v") - col("c"), 2)).as("qdist"))
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= maxProbe)
+      .select(col(idCol).as("query_id"), col(centerCol), col("_pr"))
+    truth
+      .join(cells, "neighbor_id")
+      .join(probes, Seq("query_id", centerCol), "left")
+      .select(coalesce(col("_pr"), lit(Int.MaxValue)).as("_found_at"))
+      .crossJoin(
+        emb.sparkSession.range(1, maxProbe + 1L)
+          .select(col("id").cast("int").as("n_probe")))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("_found_at") <= col("n_probe"), 1L).otherwise(0L))
+          .as("n_found"))
+      .withColumn("recall",
+        round(col("n_found") / col("n_truth"), 4) + lit(0.0))
+      .orderBy(col("n_probe"))
+  }
+
   /** Cell-load histogram with a cumulative pair-cost ledger — the
     * tuning table for [[knnGraphCells]]'s `maxCell` knob. One row per
     * DISTINCT cell size s: how many cells have exactly s members

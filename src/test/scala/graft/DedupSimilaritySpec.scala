@@ -1292,6 +1292,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
         centers1, "cell", nProbe = 2, k = 3)))
   }
 
+  test("ivfRecallCurve: recall monotone in nProbe, exactly 1.0 at full " +
+    "probe coverage") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val nCells = centers.select(col("cell")).distinct().count().toInt
+    val curve = Similarity.ivfRecallCurve(emb,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", centers,
+        "cell", maxProbe = nCells, k = 3)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    assert(curve.length === nCells)
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b >= a, s"recall must be monotone in nProbe: $a -> $b")
+    }
+    // probing EVERY cell means every truth neighbor's cell is probed —
+    // recall is exactly 1.0 (candidates = corpus; the re-rank is exact)
+    assert(curve.last._2 === 1.0)
+  }
+
   test("ivfDriftReport: same-distribution increment stays in the append " +
     "band, shifted increment lands in the retrain band") {
     val emb = spark.read
