@@ -268,6 +268,35 @@ object StreamingQueries extends QueryPack {
     // (no aggregation state) band and stream-static semi-join against
     // the index — stateless per micro-batch except the final per-id
     // dedup. Oracle recomputes both sides' md5 minhash families in SQL.
+    // Durable positional-index maintenance as an INGEST STREAM (17th
+    // real-stream artifact): the even half is the standing asset (one
+    // batch build), the odd half arrives as a stream whose foreachBatch
+    // sink appends each micro-batch with the asset's own modulus under
+    // the exactly-once batchId gate. Once drained, merge ≡ rebuild —
+    // the phrase query over the streamed-into asset shares the batch
+    // full-corpus oracle verbatim (batch/stream unification of index
+    // maintenance, the daily-increment pipeline made continuous).
+    "streaming_index_merge" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = TextAnalysisQueries.tmpIndexPath(dir, "strm")
+      graft.text.TextAnalysis.writePositionalIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/documents*.parquet")
+        .where(col("doc_id") % 2 =!= 0)
+      val ckpt = Files.createTempDirectory("graft_idxmerge_ckpt").toString
+      val q = stream.writeStream
+        .foreachBatch(EventStreams.positionalIndexSink(
+          "doc_id", "text", path))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.text.TextAnalysis.phraseMatchCountsIndexed(s, path,
+          "doc_id", Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     "streaming_near_dup_gate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val index = Dedup.bandSignatures(
@@ -492,6 +521,11 @@ object StreamingQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // merge ≡ rebuild survives the stream: a batch-built even half plus
+    // stream-appended odd batches equals one full build, so the batch
+    // full-corpus phrase oracle pins the streamed-into asset verbatim
+    "streaming_index_merge" -> TextAnalysisQueries.phraseSearchOracle,
+
     // The batch disposition oracle verbatim — single-batch stream
     // verdicts must hash-equal the batch funnel.
     "streaming_curation_gate" ->

@@ -23,7 +23,7 @@ object TextAnalysisQueries extends QueryPack {
     */
   private val hookedIndexPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def tmpIndexPath(dir: String, suffix: String): String = {
+  private[packs] def tmpIndexPath(dir: String, suffix: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_posidx$suffix" +
         s"_${dir.replaceAll("[^A-Za-z0-9]", "")}" +
@@ -48,7 +48,7 @@ object TextAnalysisQueries extends QueryPack {
   /** Shared by text_phrase_search AND text_phrase_search_indexed — the
     * in-memory and durable-index paths return identical rows.
     */
-  private val phraseSearchOracle: String =
+  private[packs] val phraseSearchOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
       |    AS ts FROM documents),

@@ -193,6 +193,38 @@ object EventStreams {
     }
   }
 
+  /** Durable positional-index maintenance as a streaming sink (17th
+    * real-stream artifact): each micro-batch of NEW documents appends
+    * into the [[graft.text.TextAnalysis.writePositionalIndex]] asset at
+    * `path` with the asset's OWN modulus (mergePositionalIndex); the
+    * first batch bootstraps the asset when none exists. Wrapped in
+    * [[idempotentForeachBatch]] because the merge contract REQUIRES new
+    * doc ids: foreachBatch is at-least-once with a stable batchId, and
+    * a retried append would double that batch's postings — the
+    * committed-id gate upgrades the append to effectively-exactly-once
+    * (in production the id rides the asset's own commit metadata).
+    * Batch ≡ stream: once the stream drains, the asset equals one batch
+    * build over the union of all batches (the merge ≡ rebuild
+    * contract), so phrase queries against it are pinned by the batch
+    * oracle verbatim (`streaming_index_merge`). Upstream contract as in
+    * every dedup-before-index pipeline: batches must carry each doc id
+    * at most once across the stream (gate with the streaming dedup ops
+    * first).
+    */
+  def positionalIndexSink(idCol: String, textCol: String, path: String,
+                          buckets: Int = 64): (DataFrame, Long) => Unit =
+    idempotentForeachBatch { (batch, _) =>
+      if (!batch.isEmpty) {
+        if (graft.text.TextAnalysis.isPositionalIndex(
+            batch.sparkSession, path))
+          graft.text.TextAnalysis.mergePositionalIndex(
+            batch, idCol, textCol, path)
+        else
+          graft.text.TextAnalysis.writePositionalIndex(
+            batch, idCol, textCol, path, buckets)
+      }
+    }
+
   /** Distributed incremental NB sufficient stats — the production path
     * (a driver-side count-table demo of the same merge contract lives in
     * test scope as `NbCountStore`): running (class, term) counts

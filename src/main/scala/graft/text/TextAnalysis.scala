@@ -668,6 +668,17 @@ object TextAnalysis {
     finally out.close()
   }
 
+  /** Whether `path` is a [[writePositionalIndex]] asset (carries the
+    * `_graft_buckets` modulus sidecar) — the bootstrap-vs-merge branch
+    * for maintenance paths that may see the asset's first increment
+    * ([[graft.streaming.EventStreams.positionalIndexSink]]).
+    */
+  def isPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Boolean = {
+    val p = bucketMetaPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The bucket modulus a [[writePositionalIndex]] asset was built
     * with — the read side derives it from the asset instead of taking
     * a parameter that could disagree with the layout.

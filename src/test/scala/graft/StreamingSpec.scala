@@ -626,4 +626,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("positionalIndexSink: bootstrap then per-batch merge, a replayed " +
+    "batchId is ignored, drained asset equals one batch build") {
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "b c a"), (2L, "a b a b"),
+      (3L, "c c c"), (4L, "a c b"), (5L, "b b c a")).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft_idx_sink_spec").toString + "/idx"
+    val sink = EventStreams.positionalIndexSink("doc_id", "text", path,
+      buckets = 4)
+    sink(docs.where(col("doc_id") < 2), 0L)            // bootstraps
+    assert(graft.text.TextAnalysis.isPositionalIndex(spark, path))
+    sink(docs.where(col("doc_id") >= 2 && col("doc_id") < 4), 1L)
+    // at-least-once delivery: the SAME batchId arrives again — the
+    // exactly-once gate must drop it or batch 1's postings double
+    sink(docs.where(col("doc_id") >= 2 && col("doc_id") < 4), 1L)
+    sink(docs.where(col("doc_id") >= 4), 2L)
+    val full = Files.createTempDirectory("graft_idx_sink_full").toString
+    graft.text.TextAnalysis.writePositionalIndex(docs, "doc_id", "text",
+      full, buckets = 4)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("pos"), col("term"),
+        col("term_bucket").cast("long"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows(path) === rows(full)) // stream-merged == one batch build
+    // row COUNT too: a doubled batch would keep the set equal but not
+    // the multiset
+    assert(spark.read.parquet(path).count()
+      === spark.read.parquet(full).count())
+    // and the query path agrees with the in-memory twin
+    val got = graft.text.TextAnalysis.phraseMatchCountsIndexed(spark,
+      path, "doc_id", Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = graft.text.TextAnalysis.phraseMatchCounts(docs, "doc_id",
+      "text", Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === mem)
+  }
 }
