@@ -18,7 +18,7 @@ object SimilarityQueries extends QueryPack {
       .mkString("(", " + ", ")")
 
   /** The per-label-mean centroid fixture every IVF query shares. */
-  private def labelCenters(emb: org.apache.spark.sql.DataFrame) =
+  private[packs] def labelCenters(emb: org.apache.spark.sql.DataFrame) =
     NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
       .groupBy(col("label").as("cell"), col("dim"))
       .agg(avg(col("v")).as("c"))
@@ -29,7 +29,7 @@ object SimilarityQueries extends QueryPack {
     */
   private val hookedIvfPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def tmpIvfPath(dir: String, suffix: String): String = {
+  private[packs] def tmpIvfPath(dir: String, suffix: String): String = {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_posidx_ivf$suffix" +
         s"_${dir.replaceAll("[^A-Za-z0-9]", "")}" +
@@ -680,7 +680,7 @@ object SimilarityQueries extends QueryPack {
   /** Shared by sim_ivf_topk AND its durable-asset twins — in-memory,
     * indexed, and merged-index paths return identical rows.
     */
-  private val ivfTopkOracle: String =
+  private[packs] val ivfTopkOracle: String =
     """WITH pts AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |    CAST(unnest(embedding) AS DOUBLE) AS v

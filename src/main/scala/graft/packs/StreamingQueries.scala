@@ -297,6 +297,35 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The vector twin (18th real-stream artifact): even-half IVF asset
+    // batch-built with full-corpus label centroids, odd half streamed
+    // through ivfIndexSink (appends with the asset's OWN sidecar
+    // centroids — the bootstrap parameter is never consulted again),
+    // then the partition-pruned ANN query. merge ≡ rebuild survives the
+    // stream, so sim_ivf_topk's oracle pins the streamed-into asset.
+    "streaming_ivf_merge" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = SimilarityQueries.tmpIvfPath(dir, "strm")
+      graft.similarity.Similarity.writeIvfIndex(
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        SimilarityQueries.labelCenters(emb), "cell", path)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/embeddings*.parquet")
+        .where(col("vec_id") % 2 =!= 0)
+      val ckpt = Files.createTempDirectory("graft_ivfmerge_ckpt").toString
+      val q = stream.writeStream
+        .foreachBatch(EventStreams.ivfIndexSink("vec_id", "embedding",
+          path, SimilarityQueries.labelCenters(emb), "cell"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.similarity.Similarity.queryIvfIndexed(s, path,
+          emb.where(col("vec_id") < 10), "vec_id", "embedding",
+          nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "streaming_near_dup_gate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val index = Dedup.bandSignatures(
@@ -525,6 +554,9 @@ object StreamingQueries extends QueryPack {
     // stream-appended odd batches equals one full build, so the batch
     // full-corpus phrase oracle pins the streamed-into asset verbatim
     "streaming_index_merge" -> TextAnalysisQueries.phraseSearchOracle,
+
+    // the vector twin: same argument, sim_ivf_topk's oracle verbatim
+    "streaming_ivf_merge" -> SimilarityQueries.ivfTopkOracle,
 
     // The batch disposition oracle verbatim — single-batch stream
     // verdicts must hash-equal the batch funnel.

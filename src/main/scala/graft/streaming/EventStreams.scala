@@ -225,6 +225,33 @@ object EventStreams {
       }
     }
 
+  /** [[positionalIndexSink]]'s vector twin (18th real-stream artifact):
+    * each micro-batch of NEW vectors is appended into the
+    * [[graft.similarity.Similarity.writeIvfIndex]] asset with the
+    * ASSET'S OWN sidecar centroids; the first batch bootstraps the
+    * asset with `centersLong` (after bootstrap the parameter is never
+    * consulted again — the sidecar rules, the foreign-centroid guard).
+    * Same exactly-once batchId gate and batch ≡ stream contract as the
+    * text twin; pair with [[graft.similarity.Similarity.ivfDriftReport]]
+    * on a cadence to know when the streamed corpus has drifted off the
+    * bootstrap centroids (the retrain contract).
+    */
+  def ivfIndexSink(idCol: String, arrCol: String, path: String,
+                   centersLong: DataFrame,
+                   centerCol: String): (DataFrame, Long) => Unit =
+    idempotentForeachBatch { (batch, _) =>
+      if (!batch.isEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          graft.similarity.Similarity.mergeIvfIndex(
+            batch, idCol, arrCol, path)
+        else
+          graft.similarity.Similarity.writeIvfIndex(
+            batch, idCol, arrCol, centersLong, centerCol, path)
+      }
+    }
+
   /** Distributed incremental NB sufficient stats — the production path
     * (a driver-side count-table demo of the same merge contract lives in
     * test scope as `NbCountStore`): running (class, term) counts

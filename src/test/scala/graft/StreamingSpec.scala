@@ -664,4 +664,32 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === mem)
   }
+
+  test("ivfIndexSink: bootstrap uses the given centroids, merges use the " +
+    "asset's own sidecar, replayed batchId ignored") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centers = graft.mlops.NaiveBayesOps
+      .toLongForm(emb, Seq("label"), "embedding")
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val path = Files.createTempDirectory("graft_ivf_sink_spec").toString +
+      "/idx"
+    val sink = graft.streaming.EventStreams.ivfIndexSink(
+      "vec_id", "embedding", path, centers, "cell")
+    sink(emb.where(col("vec_id") % 2 === 0), 0L)  // bootstraps
+    assert(graft.similarity.Similarity
+      .ivfIndexCentroids(spark, path).count() === centers.count())
+    sink(emb.where(col("vec_id") % 2 =!= 0), 1L)
+    sink(emb.where(col("vec_id") % 2 =!= 0), 1L)  // at-least-once replay
+    val full = Files.createTempDirectory("graft_ivf_sink_full").toString
+    graft.similarity.Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+      centers, "cell", full)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(path) === rows(full))
+    assert(spark.read.parquet(path).count()
+      === spark.read.parquet(full).count()) // replay would double this
+  }
 }
