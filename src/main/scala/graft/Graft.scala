@@ -706,6 +706,72 @@ object Graft {
                                idCol: String, phrase: Seq[String]): DataFrame =
     graft.text.TextAnalysis.phraseMatchCountsIndexed(spark, path, idCol,
       phrase)
+
+  // ---- durable index-asset lifecycle (build → merge → compact →
+  //      drift → retrain; both assets carry their own metadata) ----
+  /** Build the cell-partitioned IVF ANN asset (centroids ride inside
+    * as a sidecar — never a read-side parameter).
+    */
+  def writeIvfIndex(emb: DataFrame, idCol: String, arrCol: String,
+                    centersLong: DataFrame, centerCol: String,
+                    path: String): Unit =
+    Similarity.writeIvfIndex(emb, idCol, arrCol, centersLong, centerCol,
+      path)
+  /** Append NEW vectors with the asset's OWN centroids (merge ≡ rebuild). */
+  def mergeIvfIndex(emb: DataFrame, idCol: String, arrCol: String,
+                    path: String): Unit =
+    Similarity.mergeIvfIndex(emb, idCol, arrCol, path)
+  /** Partition-pruned ANN against a [[writeIvfIndex]] asset. */
+  def queryIvfIndexed(spark: SparkSession, path: String,
+                      queries: DataFrame, idCol: String, arrCol: String,
+                      nProbe: Int, k: Int): DataFrame =
+    Similarity.queryIvfIndexed(spark, path, queries, idCol, arrCol,
+      nProbe, k)
+  /** Rewrite bloated term buckets to one file each (selective when
+    * minFilesPerPartition > 1 — maintenance cost ∝ bloated buckets).
+    */
+  def compactPositionalIndex(spark: SparkSession, path: String,
+                             maxRecordsPerFile: Long = 0L,
+                             minFilesPerPartition: Int = 1): (Long, Long) =
+    graft.text.TextAnalysis.compactPositionalIndex(spark, path,
+      maxRecordsPerFile, minFilesPerPartition)
+  /** [[compactPositionalIndex]]'s IVF-asset twin. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      maxRecordsPerFile: Long = 0L,
+                      minFilesPerPartition: Int = 1): (Long, Long) =
+    Similarity.compactIvfIndex(spark, path, maxRecordsPerFile,
+      minFilesPerPartition)
+  /** Assignment-distance drift of an increment vs the asset (PSI bands:
+    * <0.1 append, 0.1–0.2 append + raise nProbe, ≥0.2 retrain).
+    */
+  def ivfDriftReport(spark: SparkSession, path: String,
+                     increment: DataFrame, idCol: String, arrCol: String,
+                     bins: Int, lo: Double, hi: Double): DataFrame =
+    Similarity.ivfDriftReport(spark, path, increment, idCol, arrCol,
+      bins, lo, hi)
+  /** The ≥0.2 branch: warm-started re-centering over asset ∪ increment,
+    * rebuild, atomic swap.
+    */
+  def retrainIvfIndex(spark: SparkSession, path: String,
+                      increment: DataFrame, idCol: String, arrCol: String,
+                      iters: Int = 1): Unit =
+    Similarity.retrainIvfIndex(spark, path, increment, idCol, arrCol,
+      iters)
+  /** Exact recall@k per nProbe vs brute-force truth — the tuning table
+    * behind the drift report's raise-nProbe band.
+    */
+  def ivfRecallCurve(emb: DataFrame, queries: DataFrame, idCol: String,
+                     arrCol: String, centersLong: DataFrame,
+                     centerCol: String, maxProbe: Int, k: Int): DataFrame =
+    Similarity.ivfRecallCurve(emb, queries, idCol, arrCol, centersLong,
+      centerCol, maxProbe, k)
+  /** Per-partition file/byte ledger — what minFilesPerPartition is
+    * tuned by.
+    */
+  def assetFileStats(spark: SparkSession, path: String,
+                     partitionCol: String): DataFrame =
+    graft.sources.AssetMaintenance.partitionFileStats(spark, path,
+      partitionCol)
   /** Perceptual 8×8 average-hash per image — pixel-level dedup signature. */
   def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =
