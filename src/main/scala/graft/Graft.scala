@@ -772,6 +772,30 @@ object Graft {
                      partitionCol: String): DataFrame =
     graft.sources.AssetMaintenance.partitionFileStats(spark, path,
       partitionCol)
+  /** Build the durable LSH band-index asset (banding knobs ride in the
+    * asset's own sidecar).
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, n: Int = 3, numHashes: Int = 8,
+                     rowsPerBand: Int = 2, buckets: Int = 64): Unit =
+    Dedup.writeBandIndex(docs, idCol, textCol, path, n, numHashes,
+      rowsPerBand, buckets)
+  /** Append NEW docs with the asset's own banding knobs (merge ≡ rebuild). */
+  def mergeBandIndexAsset(docs: DataFrame, idCol: String,
+                          textCol: String, path: String): Unit =
+    Dedup.mergeBandIndexAsset(docs, idCol, textCol, path)
+  /** Near-dup candidate pairs of a batch against a [[writeBandIndex]]
+    * asset (bucket-pruned scan).
+    */
+  def queryBandIndex(spark: SparkSession, path: String, docs: DataFrame,
+                     idCol: String, textCol: String): DataFrame =
+    Dedup.queryBandIndex(spark, path, docs, idCol, textCol)
+  /** [[compactPositionalIndex]]'s band-index twin. */
+  def compactBandIndex(spark: SparkSession, path: String,
+                       maxRecordsPerFile: Long = 0L,
+                       minFilesPerPartition: Int = 1): (Long, Long) =
+    Dedup.compactBandIndex(spark, path, maxRecordsPerFile,
+      minFilesPerPartition)
   /** Perceptual 8×8 average-hash per image — pixel-level dedup signature. */
   def aHashImages(media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[graft.multimodal.ImageAHash] =

@@ -363,16 +363,140 @@ object Dedup {
                      idCol: String, textCol: String, n: Int = 3,
                      numHashes: Int = 8,
                      rowsPerBand: Int = 2): DataFrame = {
+    indexBands.select(col(idCol), col("band"), col("band_sig"))
+      .unionByName(
+        bandRowsInRow(docs, idCol, textCol, n, numHashes, rowsPerBand))
+  }
+
+  /** (id, band, band_sig) rows from in-row signatures — the shared
+    * construction of [[mergeBandIndex]] / [[nearDupPairsAgainstIndex]]
+    * and the durable asset below.
+    */
+  private def bandRowsInRow(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int, numHashes: Int,
+                            rowsPerBand: Int): DataFrame = {
     val nb = numHashes / rowsPerBand
-    val sig = inRowSignature(docs, idCol, textCol, n, numHashes)
     val bandCols = s"transform(sequence(0, ${nb - 1}), " +
       s"b -> concat_ws('-', transform(sequence(0, ${rowsPerBand - 1}), " +
       s"j -> cast(sig[b * $rowsPerBand + j] as string))))"
-    val newRows = sig
+    inRowSignature(docs, idCol, textCol, n, numHashes)
       .select(col(idCol),
         posexplode(expr(bandCols)).as(Seq("band", "band_sig")))
-    indexBands.select(col(idCol), col("band"), col("band_sig"))
-      .unionByName(newRows)
+  }
+
+  private def bandMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_banding")
+
+  private def bandBucket(buckets: Int): Column =
+    pmod(md5Long(concat_ws("|", col("band"), col("band_sig")), 8),
+      lit(buckets))
+
+  /** Durable LSH band-index asset — the third durable index (the
+    * positional index's and IVF asset's dedup sibling): (id, band,
+    * band_sig) rows bucket-partitioned by `sig_bucket =
+    * md5(band|band_sig) % buckets`, with the FOUR banding knobs
+    * (shingle n, numHashes, rowsPerBand, buckets) riding inside the
+    * asset as the `_graft_banding` sidecar. They are asset facts, not
+    * read-side parameters: a query that signed its docs with a
+    * different n/numHashes/rowsPerBand would hash into disjoint
+    * (band, band_sig) keys and silently return ZERO candidates — the
+    * `_graft_buckets` lesson applied to four knobs at once. Clustered
+    * write (one file per bucket per write); sidecar written after the
+    * data commit.
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, n: Int = 3, numHashes: Int = 8,
+                     rowsPerBand: Int = 2, buckets: Int = 64): Unit = {
+    require(numHashes % rowsPerBand == 0 && buckets >= 1,
+      s"need rowsPerBand | numHashes and buckets >= 1: " +
+        s"$numHashes/$rowsPerBand, $buckets")
+    bandRowsInRow(docs, idCol, textCol, n, numHashes, rowsPerBand)
+      .withColumn("sig_bucket", bandBucket(buckets))
+      .repartition(col("sig_bucket"))
+      .write.partitionBy("sig_bucket").mode("overwrite").parquet(path)
+    val p = bandMetaPath(path)
+    val fs = p.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$n,$numHashes,$rowsPerBand,$buckets"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The banding knobs a [[writeBandIndex]] asset was built with:
+    * (n, numHashes, rowsPerBand, buckets). Fails loudly on a directory
+    * that is not a band-index asset.
+    */
+  def bandIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Int, Int, Int, Int) = {
+    val p = bandMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _graft_banding metadata - not a writeBandIndex asset")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+    val Array(n, h, r, b) = txt.split(",").map(_.toInt)
+    (n, h, r, b)
+  }
+
+  /** Incremental maintenance for a [[writeBandIndex]] asset: the NEW
+    * docs' band rows are computed with the ASSET'S OWN banding knobs
+    * and appended into the same sig_bucket partitions — merge ≡ rebuild
+    * row-for-row (the mergePositionalIndex contract; `dedup_band_index`
+    * shares `dedup_incremental_pairs`' oracle verbatim). Increment doc
+    * ids must be NEW — the [[mergeBandIndex]] caller invariant.
+    */
+  def mergeBandIndexAsset(docs: DataFrame, idCol: String,
+                          textCol: String, path: String): Unit = {
+    val (n, h, r, buckets) = bandIndexMeta(docs.sparkSession, path)
+    bandRowsInRow(docs, idCol, textCol, n, h, r)
+      .withColumn("sig_bucket", bandBucket(buckets))
+      .repartition(col("sig_bucket")) // one file per bucket per append
+      .write.partitionBy("sig_bucket").mode("append").parquet(path)
+  }
+
+  /** Candidate near-dup pairs of a query/increment batch against a
+    * [[writeBandIndex]] asset — [[nearDupPairsAgainstIndex]] with the
+    * index read from its durable form: the batch's band rows are
+    * computed with the asset's own knobs, their DISTINCT sig_buckets
+    * (bounded by the bucket modulus, never the batch) are pushed as
+    * partition filters, and the pruned asset joins on
+    * (band, band_sig). The batch band-row frame feeds BOTH the probe
+    * collect and the join, so it is persisted and tracked
+    * ([[graft.core.Caches]] — the queryIvfIndexed discipline). Output
+    * (new_id, index_id, n_shared_bands), self-matches dropped.
+    */
+  def queryBandIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val (n, h, r, buckets) = bandIndexMeta(spark, path)
+    val qRows = graft.core.Caches.track(
+      bandRowsInRow(docs, idCol, textCol, n, h, r)
+        .withColumn("sig_bucket", bandBucket(buckets))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val probed = qRows.select(col("sig_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    spark.read.parquet(path)
+      .where(col("sig_bucket").isInCollection(probed))
+      .select(col(idCol).as("index_id"), col("band"), col("band_sig"))
+      .join(qRows.select(col(idCol).as("new_id"), col("band"),
+        col("band_sig")), Seq("band", "band_sig"))
+      .where(col("new_id") =!= col("index_id"))
+      .groupBy(col("new_id"), col("index_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Rewrite a band-index asset's accumulated per-increment small files
+    * to one per bucket (selective when `minFilesPerPartition` > 1 — see
+    * [[graft.sources.AssetMaintenance]]). compact ≡ no-op at row level.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, maxRecordsPerFile: Long = 0L,
+                       minFilesPerPartition: Int = 1): (Long, Long) = {
+    bandIndexMeta(spark, path) // fail loudly on a non-asset dir
+    graft.sources.AssetMaintenance.compactPartitionedAsset(
+      spark, path, "sig_bucket", maxRecordsPerFile, minFilesPerPartition)
   }
 
   /** LSH banding: group `rowsPerBand` consecutive hashes into a band

@@ -60,6 +60,52 @@ object DedupQueries extends QueryPack {
       |  JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
       |  JOIN toks c ON a.doc_id = c.doc_id AND c.p = a.p + 2)""".stripMargin
 
+  /** Shared by dedup_incremental_pairs AND the durable band-index asset
+    * queries — both compute the odd(new) × even(index) banded pair set,
+    * in-memory or through the asset.
+    */
+  private val incrementalPairsOracle: String =
+    s"""WITH $shingleCte,
+       |sig AS (
+       |  SELECT doc_id, CAST(g.h AS INT) AS h,
+       |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
+       |      AS minhash
+       |  FROM sh, generate_series(0, 7) g(h)
+       |  GROUP BY doc_id, g.h),
+       |bands AS (
+       |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+       |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
+       |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT))
+       |SELECT s.doc_id AS new_id, i.doc_id AS index_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared_bands
+       |FROM bands s JOIN bands i
+       |  ON s.band = i.band AND s.band_sig = i.band_sig
+       |WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+       |GROUP BY s.doc_id, i.doc_id
+       |ORDER BY new_id, index_id""".stripMargin
+
+  /** Per-(sf, JVM, suffix) tmp path for a band-index asset, shutdown-
+    * hook-removed (the TextAnalysisQueries tmpIndexPath pattern; the
+    * graft_posidx prefix keeps it under Bench's between-query sweep).
+    */
+  private val hookedBandPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tmpBandPath(dir: String, suffix: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_posidx_band$suffix" +
+        s"_${dir.replaceAll("[^A-Za-z0-9]", "")}" +
+        s"_${ProcessHandle.current().pid()}"
+    if (hookedBandPaths.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    path
+  }
+
   /** The suffix-family input: the first 40 documents' texts concatenated
     * (in doc_id order) into one 0-based contiguous token stream. Doc
     * offsets come from per-doc token counts — the offset window runs
@@ -233,6 +279,39 @@ object DedupQueries extends QueryPack {
         "doc_id")
       Dedup.nearDupPairsAgainstIndex(docs.where(col("doc_id") % 2 === 1),
           index, "doc_id", "text", indexIdCol = "doc_id")
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
+    // The DURABLE form of the band index (the third index asset): a
+    // quarter-built asset plus an appended quarter equals the even-half
+    // index (merge ≡ rebuild — the banding knobs ride in the asset's
+    // _graft_banding sidecar, never re-supplied), and the odd half
+    // queried against it returns the same pair set as the in-memory
+    // path — dedup_incremental_pairs' oracle pins it verbatim.
+    "dedup_band_index" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = tmpBandPath(dir, "")
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", path)
+      Dedup.mergeBandIndexAsset(docs.where(col("doc_id") % 4 === 2),
+        "doc_id", "text", path)
+      Dedup.queryBandIndex(s, path, docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
+    // And compact ≡ no-op on the same lifecycle: rewrite the
+    // twice-written buckets to one file each, query — identical pairs.
+    "dedup_band_index_compact" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val path = tmpBandPath(dir, "c")
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", path)
+      Dedup.mergeBandIndexAsset(docs.where(col("doc_id") % 4 === 2),
+        "doc_id", "text", path)
+      Dedup.compactBandIndex(s, path)
+      Dedup.queryBandIndex(s, path, docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
         .orderBy(col("new_id"), col("index_id"))
     }),
 
@@ -1036,25 +1115,15 @@ object DedupQueries extends QueryPack {
     // Both halves' md5 minhash families recomputed from scratch; the
     // pair set is the band equi-join filtered to odd(new) × even(index),
     // counting agreeing bands.
-    "dedup_incremental_pairs" ->
-      s"""WITH $shingleCte,
-         |sig AS (
-         |  SELECT doc_id, CAST(g.h AS INT) AS h,
-         |    min(('0x' || substr(md5('s' || CAST(g.h AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)
-         |      AS minhash
-         |  FROM sh, generate_series(0, 7) g(h)
-         |  GROUP BY doc_id, g.h),
-         |bands AS (
-         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
-         |    string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY h) AS band_sig
-         |  FROM sig GROUP BY doc_id, CAST(h // 2 AS INT))
-         |SELECT s.doc_id AS new_id, i.doc_id AS index_id,
-         |  CAST(count(*) AS BIGINT) AS n_shared_bands
-         |FROM bands s JOIN bands i
-         |  ON s.band = i.band AND s.band_sig = i.band_sig
-         |WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
-         |GROUP BY s.doc_id, i.doc_id
-         |ORDER BY new_id, index_id""".stripMargin,
+    "dedup_incremental_pairs" -> incrementalPairsOracle,
+
+    // merge ≡ rebuild survives the durable form: a quarter-built asset
+    // plus an appended quarter equals the even-half index, so the SAME
+    // odd-vs-even pair oracle pins the asset path verbatim
+    "dedup_band_index" -> incrementalPairsOracle,
+
+    // and compact ≡ no-op on top of it
+    "dedup_band_index_compact" -> incrementalPairsOracle,
 
     // Same banded edge set symmetrized; 4 unrolled propagation rounds,
     // each one neighbor-label count + a (count DESC, label) argmax —

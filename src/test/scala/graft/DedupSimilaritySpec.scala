@@ -1190,6 +1190,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("durable band index: meta roundtrip, merge equals rebuild, query " +
+    "equals the in-memory pair path, plan is bucket-pruned, non-asset " +
+    "fails loudly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_band_spec_full").toString
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_band_spec_inc").toString
+    Dedup.writeBandIndex(docs, "doc_id", "text", full)
+    Dedup.writeBandIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", inc)
+    Dedup.mergeBandIndexAsset(docs.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", inc)
+    assert(Dedup.bandIndexMeta(spark, inc) === ((3, 8, 2, 64)))
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("band"), col("band_sig"),
+        col("sig_bucket").cast("long"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows(inc) === rows(full)) // merge ≡ rebuild, row for row
+    // query path equals the in-memory incremental-pairs path
+    val queries = docs.where(col("doc_id") % 7 === 0)
+    val viaAsset = Dedup.queryBandIndex(spark, full, queries,
+      "doc_id", "text")
+    val plan = viaAsset.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("sig_bucket"),
+      s"expected sig_bucket partition filters in:\n$plan")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val index = Dedup.bandSignatures(
+      Dedup.minhashSignatures(
+        Dedup.shingles(docs, "doc_id", "text"), "doc_id"),
+      "doc_id")
+    assert(pairs(viaAsset) === pairs(
+      Dedup.nearDupPairsAgainstIndex(queries, index, "doc_id", "text",
+        indexIdCol = "doc_id")))
+    // a directory without the banding sidecar is not an asset
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_band_spec_bare").toString
+    intercept[IllegalArgumentException] {
+      Dedup.mergeBandIndexAsset(docs, "doc_id", "text", bare)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.queryBandIndex(spark, bare, queries, "doc_id", "text")
+    }
+  }
+
   test("compactIvfIndex: one file per cell after append, rows/sidecar/" +
     "query unchanged, maxRecordsPerFile splits hot cells") {
     val emb = spark.read
