@@ -1089,6 +1089,43 @@ object StressBench {
       rm(new java.io.File(path))
       before - after
     }
+    // Durable band-index lifecycle at stress scale: plant an EXACT
+    // duplicate (doc id, text of doc id−1) at every id%50==0 — exact
+    // dups share ALL 4 bands deterministically, so ground truth is
+    // exact even though banding is probabilistic for near-dups. Build
+    // the asset on one even quarter, append the other (sidecar knobs,
+    // merge ≡ rebuild), then query the whole ODD half against it: every
+    // planted odd doc must pair with its even twin at n_shared_bands=4.
+    timed("band_index_lifecycle") {
+      val nDocs = math.max(rows / 200L, 20000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(1, 50), i -> concat('t', " +
+          "abs(hash(CASE WHEN id % 50 = 0 AND id > 0 THEN id - 1 " +
+          "ELSE id END, i)) % 1000))")).as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_posidx" +
+        s"_stress_band_${ProcessHandle.current().pid()}"
+      graft.dedup.Dedup.writeBandIndex(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", path)
+      graft.dedup.Dedup.mergeBandIndexAsset(
+        docs.where(pmod(col("doc_id"), lit(4)) === 2),
+        "doc_id", "text", path)
+      val pairs = graft.dedup.Dedup.queryBandIndex(spark, path,
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+      val planted = pairs.where(col("new_id") === col("index_id") - 1 &&
+        pmod(col("index_id"), lit(50)) === 0 &&
+        col("n_shared_bands") === 4).count()
+      val expected = (nDocs - 1) / 50
+      require(planted == expected,
+        s"planted exact-dup pairs $planted, expected $expected")
+      val total = pairs.count()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      total
+    }
     // rows/20 docs x 20 lines: 2 lines shared by EVERY doc (the hot-key
     // stressor — one line hash carrying nDocs occurrences through the
     // keeper join), 3 lines shared per doc_id%1000 group, 15 unique.
