@@ -73,7 +73,8 @@ object AssetMaintenance {
   def compactPartitionedAsset(spark: SparkSession, path: String,
                               partitionCol: String,
                               maxRecordsPerFile: Long = 0L,
-                              minFilesPerPartition: Int = 1): (Long, Long) = {
+                              minFilesPerPartition: Int = 1,
+                              sortCols: Seq[String] = Nil): (Long, Long) = {
     require(minFilesPerPartition >= 1,
       s"minFilesPerPartition=$minFilesPerPartition must be >= 1")
     val root = new Path(path)
@@ -100,9 +101,20 @@ object AssetMaintenance {
       .map(_.getName.substring(partitionCol.length + 1))
     val tmp = new Path(path + ".compact.tmp")
     fs.delete(tmp, true)
-    val w = spark.read.parquet(path)
+    // `sortCols` preserves a value-clustered row-group layout through
+    // the rewrite (e.g. the positional index's term-sorted buckets,
+    // whose min/max stats row-group-skip pushed term filters) — a
+    // compaction that merged files in arrival order would silently
+    // destroy the stats locality the write path paid for. Leads with
+    // the partition column so the dynamic-partition writer keeps the
+    // ordering instead of inserting its own sort.
+    val clustered = spark.read.parquet(path)
       .where(col(partitionCol).cast("string").isInCollection(values))
       .repartition(col(partitionCol))
+    val w = (if (sortCols.nonEmpty)
+      clustered.sortWithinPartitions(
+        (partitionCol +: sortCols).map(col): _*)
+    else clustered)
       .write.partitionBy(partitionCol).mode("overwrite")
     (if (maxRecordsPerFile > 0)
       w.option("maxRecordsPerFile", maxRecordsPerFile)

@@ -641,9 +641,20 @@ object TextAnalysis {
     // Write parallelism = bucket count — the SAME knob as pruning
     // selectivity, raised together at scale; oversized single files
     // split via compactPositionalIndex(maxRecordsPerFile).
+    //
+    // sortWithinPartitions(term_bucket, term, ...): term-clustered row
+    // groups, so a phrase query's `term IN (...)` pushed filter skips
+    // row groups by parquet min/max stats INSIDE the pruned bucket —
+    // partition pruning cuts the scan to 1/buckets, the sort cuts the
+    // remainder to the terms' own postings. The sort MUST lead with the
+    // partition column: the dynamic-partition writer requires ordering
+    // by it and would otherwise insert its own (term-order-destroying)
+    // sort on term_bucket alone.
     positionalIndex(docs, idCol, textCol)
       .withColumn("term_bucket", pmod(md5Long(col("term"), 8), lit(buckets)))
       .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term_bucket"), col("term"), col(idCol),
+        col("pos"))
       .write.partitionBy("term_bucket").mode("overwrite").parquet(path)
     // The bucket MODULUS is part of the asset, not a parameter readers
     // must re-supply: a read-side bucket count that differed from the
@@ -714,6 +725,8 @@ object TextAnalysis {
     positionalIndex(docs, idCol, textCol)
       .withColumn("term_bucket", pmod(md5Long(col("term"), 8), lit(buckets)))
       .repartition(col("term_bucket")) // one file per bucket per append
+      .sortWithinPartitions(col("term_bucket"), col("term"), col(idCol),
+        col("pos")) // term-clustered row groups (see writePositionalIndex)
       .write.partitionBy("term_bucket").mode("append").parquet(path)
   }
 
@@ -737,7 +750,8 @@ object TextAnalysis {
                              minFilesPerPartition: Int = 1): (Long, Long) = {
     indexBuckets(spark, path) // fail loudly on a non-asset dir
     graft.sources.AssetMaintenance.compactPartitionedAsset(
-      spark, path, "term_bucket", maxRecordsPerFile, minFilesPerPartition)
+      spark, path, "term_bucket", maxRecordsPerFile, minFilesPerPartition,
+      sortCols = Seq("term")) // keep the term-clustered row groups
   }
 
   /** Driver-side twin of `md5Long(term, 8) % buckets` — the lookup side

@@ -316,6 +316,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === mem)
   }
 
+  test("positional index files are term-clustered and compaction " +
+    "preserves the layout (row-group-stats locality)") {
+    val docs = Seq(
+      (0L, "zeta alpha mid zeta beta"), (1L, "beta mid alpha"),
+      (2L, "alpha zeta beta mid"), (3L, "mid beta zeta alpha")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_posidx_spec_sorted").toString
+    TextAnalysis.writePositionalIndex(
+      docs.where(col("doc_id") < 2), "doc_id", "text", path, buckets = 2)
+    TextAnalysis.mergePositionalIndex(
+      docs.where(col("doc_id") >= 2), "doc_id", "text", path)
+    def dataFiles(): Seq[java.io.File] =
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap(d =>
+          Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toSeq
+    def assertSorted(): Unit = dataFiles().foreach { f =>
+      val terms = spark.read.parquet(f.getPath)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      assert(terms === terms.sorted,
+        s"file ${f.getName} is not term-clustered: $terms")
+    }
+    assertSorted() // every build/append file is term-sorted
+    TextAnalysis.compactPositionalIndex(spark, path)
+    assertSorted() // the rewrite keeps the clustering
+  }
+
   test("compactPositionalIndex selective: only buckets at the file " +
     "threshold are rewritten, untouched buckets keep their exact files") {
     val docs = Seq(
