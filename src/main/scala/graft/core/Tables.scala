@@ -26,20 +26,39 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.normalizeTs(t("events"))
   }
-  def documents: DataFrame  = t("documents")
-
-  /** `documents` hash-spread over the cluster for CPU-heavy text pipelines
-    * (shingling, per-term hashing, tokenization) — see
-    * [[graft.sources.Sources.spread]] for why the explicit partition count
-    * matters. Plain `documents` remains the right scan for cheap
-    * projections/filters where an extra exchange buys nothing.
+  /** Raw single-scan read — the bytes-on-disk view with no added
+    * exchange. Kept for callers that must see the scan exactly as
+    * planned (partitioning experiments, layout diagnostics).
     */
-  def documentsSpread: DataFrame =
-    graft.sources.Sources.spread(documents,
+  def documentsRaw: DataFrame = t("documents")
+
+  /** `documents`, hash-spread over the cluster WHEN the scan plans fewer
+    * partitions than the spread target (r21 — see
+    * [[graft.sources.Sources.spreadIfNarrow]]). The corpus files at the
+    * test scale factors are single row groups, so every text pipeline's
+    * CPU-heavy map side (HTML extraction, tokenization, shingling,
+    * codec synthesis) otherwise runs in ONE task regardless of core
+    * count; on a production multi-row-group corpus the condition is
+    * false and this is exactly the raw scan — no exchange, pushdown and
+    * pruning intact (predicates push through RepartitionByExpression).
+    */
+  def documents: DataFrame =
+    graft.sources.Sources.spreadIfNarrow(documentsRaw,
       org.apache.spark.sql.functions.col("doc_id"),
       partitions = math.max(2, spark.sparkContext.defaultParallelism / 4))
 
-  def embeddings: DataFrame = t("embeddings")
+  /** Pre-r21 alias: [[documents]] now spreads conditionally itself. */
+  def documentsSpread: DataFrame = documents
+
+  /** `embeddings` with the same conditional spread as [[documents]] —
+    * the vector-corpus consumers (cell assignment, long-form explode,
+    * the self-join exchange feeding the pair families) otherwise run
+    * their whole map side in the single task a one-row-group scan plans.
+    */
+  def embeddings: DataFrame =
+    graft.sources.Sources.spreadIfNarrow(t("embeddings"),
+      org.apache.spark.sql.functions.col("vec_id"),
+      partitions = math.max(2, spark.sparkContext.defaultParallelism / 4))
 }
 
 object Tables {

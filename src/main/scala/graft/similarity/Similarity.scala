@@ -997,12 +997,23 @@ object Similarity {
       col("_v").as("_va"))
     val bSide = withVec.select(col(centerCol),
       col(idCol).as("neighbor_id"), col("_v").as("_vb"))
+    // Score each UNORDERED pair once (src < neighbor halves the join
+    // output and the cosine work — r21), then mirror both directions
+    // in-row: graft_cosine is bit-symmetric (the dot terms and the norm
+    // product commute), so the emitted rows are identical to the old
+    // ordered enumeration's, per shared cell.
     val scored = graft.operators.SkewJoin
       .saltedInnerJoin(aSide, col("src_id"), bSide, Seq(centerCol))
-      .where(col("src_id") =!= col("neighbor_id"))
-      .select(col("src_id"), col("neighbor_id"),
+      .where(col("src_id") < col("neighbor_id"))
+      .select(
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
-          .as("_cos"))
+          .as("_cos"),
+        explode(array(
+          struct(col("src_id"), col("neighbor_id")),
+          struct(col("neighbor_id").as("src_id"),
+            col("src_id").as("neighbor_id")))).as("_e"))
+      .select(col("_e.src_id").as("src_id"),
+        col("_e.neighbor_id").as("neighbor_id"), col("_cos"))
     // multi-probe enumerates a pair once per shared cell — identical
     // (src, neighbor, cos) rows, deduped on the slim scored triple
     val pairs = if (nProbe == 1) scored else scored.distinct()
@@ -1172,23 +1183,37 @@ object Similarity {
       .join(vecs, col("b") === col("_vid"))
       .select(col("a").as("_m"), col("b").as("neighbor_id"),
         col("_v").as("_vb"))
-    val expanded = graft.operators.SkewJoin
-      .saltedInnerJoin(left, col("src_id"), right, Seq("_m"))
-      .where(col("src_id") =!= col("neighbor_id"))
-      .select(col("src_id"), col("neighbor_id"),
+    // Both legs score each UNORDERED pair once and mirror the two
+    // directions in-row (r21): the ordered enumeration is symmetric —
+    // und holds both directions of every edge, so (x,y) and (y,x) both
+    // arise, each with a bit-identical cosine (graft_cosine's dot terms
+    // and norm product commute). Filtering to src < neighbor before the
+    // cosine halves the scoring work and the pre-mirror row mass; the
+    // explode re-emits the same multiset the old shape produced.
+    def mirrored(pairs: DataFrame): DataFrame = pairs
+      .select(
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
-          .as("_cos"))
+          .as("_cos"),
+        explode(array(
+          struct(col("src_id"), col("neighbor_id")),
+          struct(col("neighbor_id").as("src_id"),
+            col("src_id").as("neighbor_id")))).as("_e"))
+      .select(col("_e.src_id").as("src_id"),
+        col("_e.neighbor_id").as("neighbor_id"), col("_cos"))
+    val expanded = mirrored(graft.operators.SkewJoin
+      .saltedInnerJoin(left, col("src_id"), right, Seq("_m"))
+      .where(col("src_id") < col("neighbor_id")))
     // direct edges union in explicitly: two endpoints need not share a
     // third neighbor, and the refinement must never score WORSE than
     // the input graph
-    val direct = und
+    val direct = mirrored(und
+      .where(col("a") < col("b"))
       .join(vecs, col("a") === col("_vid"))
       .select(col("a").as("src_id"), col("b").as("neighbor_id"),
         col("_v").as("_va"))
       .join(vecs, col("neighbor_id") === col("_vid"))
-      .select(col("src_id"), col("neighbor_id"),
-        graft.plans.GraftExpressions.cosine(col("_va"), col("_v"))
-          .as("_cos"))
+      .select(col("src_id"), col("neighbor_id"), col("_va"),
+        col("_v").as("_vb")))
     // the same pair arrives once per shared intermediate — identical
     // scored triples, deduped slim (the knnGraphCells nProbe pattern)
     val wK = Window.partitionBy(col("src_id"))

@@ -38,6 +38,26 @@ object Sources {
     df.repartition(n, key)
   }
 
+  /** [[spread]] only when the scan actually plans FEWER partitions than
+    * requested (r21): the conditional makes the exchange scale-adaptive —
+    * on the bench's single-row-group files it buys the missing
+    * parallelism for CPU-heavy per-row work, while on a production
+    * multi-file/multi-row-group input (where the scan already splits at
+    * least `partitions` ways) it is the identity and costs nothing. The
+    * partition check is driver-side physical planning, no job.
+    */
+  def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column,
+                     partitions: Int = 0): DataFrame = {
+    // Diagnostic A/B knob (r21): GRAFT_NO_SPREAD=1 disables the
+    // conditional spread so a single binary can measure spread-vs-raw in
+    // adjacent runs on the same session settings. Never set in the
+    // driver contract.
+    if (sys.env.get("GRAFT_NO_SPREAD").contains("1")) return df
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -205,10 +205,13 @@ object Curation {
       : ScoredParts = {
     val (dispo, d0) = dispositionFull(docs, idCol, urlCol, htmlCol,
       minTextWords, blockMinWords, blockMaxLinkDensity)
+    // d3 deliberately NOT persisted (r21): its two readers (the gram
+    // explode and the feature projection) replay only the keeper
+    // aggregation + join on top of the persisted d0 — a 16-byte-key
+    // shuffle per replay — where persisting d3 wrote the whole corpus
+    // (main_text included) to disk a SECOND time next to d0. One fewer
+    // corpus-sized materialization at every scale; values unchanged.
     val d3 = dispo
-      // read by features, the bigram model, and the final join —
-      // corpus-sized (carries main_text) ⇒ DISK_ONLY (r9 criterion)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val tk = d3.where(col("main_text") =!= "")
       .select(col(idCol), split(col("main_text"), "\\s+").as("_ts"))
     // stopwords ride as literal Columns, never spliced SQL text — a
@@ -273,20 +276,37 @@ object Curation {
       // frame is 13 scalar columns per doc (main_text stays behind in
       // d3) — corpus-proportional and re-read → DISK_ONLY (r9 criterion)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val pts = feats.select(col(idCol), explode(expr(
-        """array(struct(1 AS dim, f1 AS v), struct(2 AS dim, f2 AS v),
-          |      struct(3 AS dim, f3 AS v), struct(4 AS dim, f4 AS v))"""
-          .stripMargin)).as("_p"))
-      .select(col(idCol), col("_p.dim").as("dim"), col("_p.v").as("v"))
-    val labels = feats.select(col(idCol),
-      (col("url_ok") && col("quality_ok")).cast("double").as("y"))
-    val w = graft.mlops.LinearOps
-      .logisticGdIterations(pts, labels, idCol, "y", iters, lr)
-    val wRow = w.agg(
-      max(when(col("dim") === 1, col("w"))).as("w1"),
-      max(when(col("dim") === 2, col("w"))).as("w2"),
-      max(when(col("dim") === 3, col("w"))).as("w3"),
-      max(when(col("dim") === 4, col("w"))).as("w4"))
+    // Wide-form GD (r21): at 4 fixed features the long-form explode +
+    // per-step join chain (weights⋈dim, margins groupBy id, errs⋈labels,
+    // grad groupBy dim — ~4 shuffles per step) collapses into ONE
+    // map-side-combinable aggregation per step over the persisted scalar
+    // feature frame, weights riding a broadcast 1-row frame. The margin
+    // accumulates in the same dim order the long-form hash aggregate
+    // used (f1·w1 + f2·w2 + f3·w3 + f4·w4, left to right) and the
+    // gradient is the same avg(err·f_j), so the fit replays the
+    // identical GD the SQL oracle unrolls. The generic long-form
+    // operator ([[graft.mlops.LinearOps.logisticGdIterations]]) remains
+    // the public surface for arbitrary-dimensional fits.
+    var wRow = feats.sparkSession.range(1).select(
+      lit(0.0).as("w1"), lit(0.0).as("w2"),
+      lit(0.0).as("w3"), lit(0.0).as("w4"))
+    (1 to iters).foreach { _ =>
+      val m = col("f1") * col("w1") + col("f2") * col("w2") +
+        col("f3") * col("w3") + col("f4") * col("w4")
+      val err = lit(1.0) / (lit(1.0) + exp(-m)) -
+        (col("url_ok") && col("quality_ok")).cast("double")
+      wRow = feats.crossJoin(broadcast(wRow))
+        .select(err.as("_err"), col("f1"), col("f2"), col("f3"),
+          col("f4"), col("w1"), col("w2"), col("w3"), col("w4"))
+        .agg(
+          (max(col("w1")) - lit(lr) * avg(col("_err") * col("f1"))).as("w1"),
+          (max(col("w2")) - lit(lr) * avg(col("_err") * col("f2"))).as("w2"),
+          (max(col("w3")) - lit(lr) * avg(col("_err") * col("f3"))).as("w3"),
+          (max(col("w4")) - lit(lr) * avg(col("_err") * col("f4"))).as("w4"))
+        // O(1)-row weight state, materialized per step — the same 2^i
+        // re-execution rationale as logisticGdIterations
+        .localCheckpoint()
+    }
     // the distinct-transition score table (the deployable LM artifact):
     // the same micro-nat long the per-doc sums above weight by _ng;
     // lmMass keeps the transition's corpus mass as the top-M rank key
