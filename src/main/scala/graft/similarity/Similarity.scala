@@ -1002,13 +1002,20 @@ object Similarity {
     // in-row: graft_cosine is bit-symmetric (the dot terms and the norm
     // product commute), so the emitted rows are identical to the old
     // ordered enumeration's, per shared cell.
+    // The cosine is computed in its OWN projection below the mirror
+    // explode: `select(cos, explode(...))` would analyze to
+    // Project(cos) ABOVE the Generate — one cosine per MIRRORED row,
+    // i.e. the 2x work the a<b filter exists to avoid. Split this way
+    // the Generate passes the scored column through and the mirror
+    // costs only the row copy (plan-checked: graft_cosine sits below
+    // Generate in plans/r21/sim_knn_graph_after.txt).
     val scored = graft.operators.SkewJoin
       .saltedInnerJoin(aSide, col("src_id"), bSide, Seq(centerCol))
       .where(col("src_id") < col("neighbor_id"))
-      .select(
+      .select(col("src_id"), col("neighbor_id"),
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
-          .as("_cos"),
-        explode(array(
+          .as("_cos"))
+      .select(col("_cos"), explode(array(
           struct(col("src_id"), col("neighbor_id")),
           struct(col("neighbor_id").as("src_id"),
             col("src_id").as("neighbor_id")))).as("_e"))
@@ -1190,11 +1197,14 @@ object Similarity {
     // and norm product commute). Filtering to src < neighbor before the
     // cosine halves the scoring work and the pre-mirror row mass; the
     // explode re-emits the same multiset the old shape produced.
+    // cosine in its OWN projection below the mirror explode — a single
+    // select(cos, explode(...)) analyzes to Project(cos) ABOVE the
+    // Generate and re-scores every mirrored row (see knnGraphCells)
     def mirrored(pairs: DataFrame): DataFrame = pairs
-      .select(
+      .select(col("src_id"), col("neighbor_id"),
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
-          .as("_cos"),
-        explode(array(
+          .as("_cos"))
+      .select(col("_cos"), explode(array(
           struct(col("src_id"), col("neighbor_id")),
           struct(col("neighbor_id").as("src_id"),
             col("src_id").as("neighbor_id")))).as("_e"))
