@@ -451,19 +451,33 @@ object Bench {
     val retryUntrusted = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
-    val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"warmup_failures":$warmupFailures,"retried":$retried,"retry_untrusted":$retryUntrusted,"sf":"$sfDir","loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"cal_healthy":${calHealthy.map(h => f"$h%.3f").getOrElse("null")},"machine_degraded":$machineDegraded,"release_skipped":$skipRelease}"""
-    println(jsonLine)
-    // Self-contained artifact twin: the driver wraps stdout's tail in
-    // BENCH_r{N}.json, and the r19 artifact's tail window was SHORTER
-    // than the (now 50+-query) JSON line — the first three per-query
-    // timings were cut mid-stream. The full line is also written to
-    // BENCH_LAST.json in cwd so every number survives regardless of how
-    // wide the capture window is.
+    // Hygiene/diagnostic fields ride only in BENCH_LAST.json (below):
+    // the driver wraps a bounded TAIL of stdout into BENCH_r{N}.json,
+    // and by r20/r21 the full line (56 queries + hygiene) had outgrown
+    // that window — the line's FRONT was cut mid-stream and the driver
+    // parsed neither round ("parsed": null, empty PERF per_query). The
+    // stdout line is therefore the CONTRACT fields only (metric, value,
+    // unit, queries, failed, sf) so it fits a narrow capture; nothing
+    // about the timing methodology changes. Exception: a diagnostic
+    // run's release_skipped stamp stays on stdout too — a flattered
+    // hygiene-off line must self-identify wherever it is read from.
+    val hygiene =
+      s""","warmup_failures":$warmupFailures,"retried":$retried,"retry_untrusted":$retryUntrusted,"loadavg_preflight":${f"$loadavg%.2f"},"sibling_jvms":${siblings.size},"sibling_jvms_post":${siblingsPost.size},"load_poisoned":$poisonedFinal,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"cal_healthy":${calHealthy.map(h => f"$h%.3f").getOrElse("null")},"machine_degraded":$machineDegraded,"release_skipped":$skipRelease"""
+    val slimTail = if (skipRelease) s""","release_skipped":true}""" else "}"
+    val slimLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$slimTail"""
+    val fullLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$hygiene}"""
+    // Self-contained artifact twin: the FULL line (hygiene included) is
+    // written to BENCH_LAST.json in cwd so every number survives
+    // regardless of how wide the driver's capture window is.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
+    // stop() BEFORE the println so the contract line is the program's
+    // last stdout — nothing can land after it in the driver's tail.
     spark.stop()
+    println(slimLine)
   }
 }

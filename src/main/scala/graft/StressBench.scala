@@ -18,8 +18,16 @@ object StressBench {
     // paying for every other stage at that row count.
     val only: Option[Set[String]] =
       args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
+    // Core count env-driven (r22, VERDICT item 8): sf0.1 is too small
+    // for wall-clock to show parallelism (the c8 suite matched the c32
+    // suite), so scale claims are measured HERE — the same stage at
+    // SPARK_GRAFT_CPUS=8 vs 32 at stress row counts gives the
+    // cores-ratio evidence. Shuffle partitions stay fixed at 64 so the
+    // plans (and work per stage) are identical across core counts —
+    // only the executor slots change.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

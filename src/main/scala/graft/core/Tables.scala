@@ -32,36 +32,74 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def documentsRaw: DataFrame = t("documents")
 
-  /** `documents`, hash-spread over the cluster WHEN the scan plans fewer
-    * partitions than the spread target (r21 — see
-    * [[graft.sources.Sources.spreadIfNarrow]]). The corpus files at the
-    * test scale factors are single row groups, so every text pipeline's
-    * CPU-heavy map side (HTML extraction, tokenization, shingling,
-    * codec synthesis) otherwise runs in ONE task regardless of core
-    * count; on a production multi-row-group corpus the condition is
-    * false and this is exactly the raw scan — no exchange, pushdown and
-    * pruning intact (predicates push through RepartitionByExpression).
+  /** Default corpus accessor = the RAW scan (r22). r21 routed every
+    * read through the conditional spread and the driver's numbers
+    * split cleanly by consumer: CPU-heavy map sides (HTML extraction,
+    * tokenize/explode, shingling, GD feature synthesis) won 1.2–2.9×,
+    * while scan-bound consumers (projections, counts, one cheap agg)
+    * paid 20–35% for an exchange they never amortize — 14 plan-
+    * verified regressions. Two tiers again: cheap consumers read this,
+    * CPU-heavy pipelines opt into [[documentsSpread]].
     */
-  def documents: DataFrame =
-    graft.sources.Sources.spreadIfNarrow(documentsRaw,
-      org.apache.spark.sql.functions.col("doc_id"),
-      partitions = math.max(2, spark.sparkContext.defaultParallelism / 4))
+  def documents: DataFrame = documentsRaw
 
-  /** Pre-r21 alias: [[documents]] now spreads conditionally itself. */
-  def documentsSpread: DataFrame = documents
-
-  /** `embeddings` with the same conditional spread as [[documents]] —
-    * the vector-corpus consumers (cell assignment, long-form explode,
-    * the self-join exchange feeding the pair families) otherwise run
-    * their whole map side in the single task a one-row-group scan plans.
+  /** `documents`, hash-spread over the cluster WHEN the scan plans
+    * fewer partitions than the spread target (r21 — see
+    * [[graft.sources.Sources.spreadIfNarrow]]). The corpus files at
+    * the test scale factors are single row groups, so a CPU-heavy map
+    * side otherwise runs in ONE task regardless of core count; on a
+    * production multi-row-group corpus the condition is false and this
+    * is exactly the raw scan — no exchange, pushdown and pruning
+    * intact (predicates push through RepartitionByExpression). The
+    * narrow-scan decision is memoized per (path, target) — it is
+    * driver-side physical planning, identical for every call against
+    * the same files (r21 ADVICE: the unmemoized check re-planned the
+    * scan on every accessor call).
     */
-  def embeddings: DataFrame =
-    graft.sources.Sources.spreadIfNarrow(t("embeddings"),
-      org.apache.spark.sql.functions.col("vec_id"),
-      partitions = math.max(2, spark.sparkContext.defaultParallelism / 4))
+  def documentsSpread: DataFrame =
+    Tables.spreadCached(documentsRaw, "doc_id", s"$dir/documents")
+
+  /** Default vector-corpus accessor = the RAW scan (r22) — same
+    * two-tier reasoning as [[documents]]: the sim_ivf asset family,
+    * cosine-cells consumers and k-means assignment are scan-bound and
+    * regressed under the unconditional r21 spread.
+    */
+  def embeddings: DataFrame = t("embeddings")
+
+  /** `embeddings` with the same conditional spread as
+    * [[documentsSpread]] — for the pair-enumeration families whose map
+    * side (cell assignment + self-join exchange write) is CPU-heavy.
+    */
+  def embeddingsSpread: DataFrame =
+    Tables.spreadCached(t("embeddings"), "vec_id", s"$dir/embeddings")
 }
 
 object Tables {
+
+  /** Memoized narrow-scan verdicts for [[Tables.spreadCached]], keyed
+    * by (table path, spread target): the planned partition count of a
+    * parquet scan is a pure function of the files and the session's
+    * split config, so one physical-planning pass per (path, target)
+    * per JVM is enough. The test/bench data never changes mid-run;
+    * a long-lived production session appending to a corpus would
+    * re-plan per path only after restart — acceptable for a heuristic
+    * whose false negative is just a missing repartition.
+    */
+  private val narrowVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** [[graft.sources.Sources.spreadIfNarrow]] with the narrow-scan
+    * check memoized per (path, target) — see [[narrowVerdicts]].
+    */
+  private[core] def spreadCached(df: DataFrame, key: String,
+                                 path: String): DataFrame = {
+    if (sys.env.get("GRAFT_NO_SPREAD").contains("1")) return df
+    val n = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
+    val narrow = narrowVerdicts.computeIfAbsent(s"$path#$n",
+      _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < n))
+    if (narrow) df.repartition(n, org.apache.spark.sql.functions.col(key))
+    else df
+  }
 
   /** Normalize `events.ts` to the engine's µs TimestampType across testdata
     * generations. The generator has written it as TIMESTAMP(NANOS) (which

@@ -62,6 +62,67 @@ object Components {
       .orElse(sys.env.get("GRAFT_ADJ_PARTITION_THRESHOLD"))
       .map(_.toLong).getOrElse(1000000L)
 
+  /** Adjacency-row count (2×edges after dedup) BELOW which the label
+    * loop is replaced by a driver-side union-find over the collected
+    * edge list (r22, the r21-deferred rung): a bench-scale graph
+    * (thousands of edges) pays ~25 SEQUENTIAL 1-task barrier stages —
+    * join + groupBy + 2 joins + observe + eager checkpoint per round —
+    * where the same fixpoint is microseconds of driver CPU on a
+    * ≤32 MB collect. Above the threshold the checkpointed loop (the
+    * 100 TB path) runs unchanged — StressBench's 20M-edge stage never
+    * sees the driver path. The collect is bounded by construction:
+    * threshold × 16 bytes ≤ ~32 MB against the 8g driver heap.
+    * Tunable via -Dgraft.components.driverUfThreshold (tests pin both
+    * paths against each other through it).
+    */
+  private def driverUfThreshold: Long =
+    sys.props.get("graft.components.driverUfThreshold")
+      .orElse(sys.env.get("GRAFT_DRIVER_UF_THRESHOLD"))
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** Driver-side min-label union-find over a collected (src, dst)
+    * adjacency — the exact fixpoint [[connectedComponents]]'s loop
+    * reaches: comp(id) = min node id reachable from id. Path-halving
+    * find + union by min root keeps the forest shallow; the final pass
+    * maps every node to its root's minimum member, which IS the root
+    * (roots are always the minimum of their tree by the union rule).
+    */
+  private def driverUnionFind(adj: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](adj.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    var i = 0
+    while (i < adj.length) {
+      val (a, b) = adj(i)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // min id becomes the root → root = min of its tree
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    // node set = every endpoint (adjacency carries both directions, so
+    // every node appears as src; dst included for safety at zero cost)
+    val seen = new java.util.HashSet[Long](adj.length * 2)
+    val out = Array.newBuilder[(Long, Long)]
+    i = 0
+    while (i < adj.length) {
+      val (a, b) = adj(i)
+      if (seen.add(a)) out += ((a, find(a)))
+      if (seen.add(b)) out += ((b, find(b)))
+      i += 1
+    }
+    out.result()
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           onRounds: Int => Unit = _ => ()): DataFrame = {
@@ -96,6 +157,25 @@ object Components {
     // truncated the lineage above it): 2× the adjacency on disk, zero
     // extra memory, freed together at the end.
     val nAdjRows = adjBase.count()
+    // Small-graph rung (r22): the fixpoint of min-label propagation is
+    // plain connected components, so below the threshold compute it
+    // driver-side from the already-materialized checkpoint (one collect
+    // of slim long pairs) instead of paying the loop's per-round
+    // barrier stages. Identical output by definition of the fixpoint
+    // (comp = min reachable id, the label loop's invariant);
+    // ComponentsSpec pins both paths against each other.
+    if (nAdjRows < driverUfThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val labels = driverUnionFind(
+        adjBase.select(col("src"), col("dst")).as[(Long, Long)].collect())
+      checkpointRdd(adjBase).foreach(_.unpersist(blocking = true))
+      onRounds(0) // no distributed rounds ran
+      return spark.createDataset(
+        spark.sparkContext.parallelize(labels.toIndexedSeq,
+          math.max(1, spark.sparkContext.defaultParallelism / 4)))
+        .toDF("id", "comp")
+    }
     val adj =
       if (nAdjRows < adjPartitionThreshold) adjBase
       else adjBase

@@ -256,11 +256,24 @@ object Composition {
     val alphasDf = alphas.toDF("alpha")
 
     // ---- CountVectorizer stage: per-fold training vocabulary ----
-    // training count for held-out fold f = total − f's
-    val tCounts = tfFull.groupBy(col("term"))
-      .agg(sum(col("_tf")).as("_ct"))
-    val ftCounts = tfFull.groupBy(col("fold"), col("term"))
-      .agg(sum(col("_tf")).as("_cft"))
+    // ONE aggregation over the finest-grain frame (r22): the four term
+    // statistics below — global (_ct), per-fold (_cft), per-class
+    // (_clt), per-(fold,class) (_cflt) — previously each ran a full
+    // HashAggregate pass over the corpus-sized tfFull. They are all
+    // exact integer re-sums of the (fold, label, term) rollup, whose
+    // cardinality is vocabulary-scale (folds × classes × terms), so
+    // aggregate tfFull ONCE to that grain, persist the slim result, and
+    // re-sum it three ways. Every number is still the same exact
+    // integer sum of _tf (long addition is associative) — the oracle's
+    // re-sum contract is unchanged.
+    val fltCounts = graft.core.Caches.track(
+      tfFull.groupBy(col("fold"), col("label"), col("term"))
+        .agg(sum(col("_tf")).as("_cflt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tCounts = fltCounts.groupBy(col("term"))
+      .agg(sum(col("_cflt")).as("_ct"))
+    val ftCounts = fltCounts.groupBy(col("fold"), col("term"))
+      .agg(sum(col("_cflt")).as("_cft"))
     val maxCap = caps.max
     val trainCounts = broadcast(folds).crossJoin(tCounts)
       .join(ftCounts, Seq("fold", "term"), "left")
@@ -274,10 +287,9 @@ object Composition {
       .agg(count(lit(1)).as("_vsz"))
 
     // ---- NB stage: smoothed log-likelihoods on training counts ----
-    val ltCounts = tfFull.groupBy(col("label"), col("term"))
-      .agg(sum(col("_tf")).as("_clt"))
-    val fltCounts = tfFull.groupBy(col("fold"), col("label"), col("term"))
-      .agg(sum(col("_tf")).as("_cflt"))
+    // (fltCounts computed once above; per-class counts are its re-sum)
+    val ltCounts = fltCounts.groupBy(col("label"), col("term"))
+      .agg(sum(col("_cflt")).as("_clt"))
     val vlc = vocab.crossJoin(broadcast(classes.select(col("label").as("cls"))))
       .join(ltCounts.withColumnRenamed("label", "cls"), Seq("cls", "term"), "left")
       .join(fltCounts.withColumnRenamed("label", "cls"),
@@ -304,11 +316,17 @@ object Composition {
     // null score rows. Pin the prior to -1e9: finite, never wins the
     // argmax, identical doubles on both sides (the oracle mirrors the
     // same CASE).
-    val labelDocs = base.groupBy(col("label")).agg(count(lit(1)).as("_ndl"))
-    val flDocs = base.groupBy(col("fold"), col("label"))
-      .agg(count(lit(1)).as("_ndfl"))
-    val foldDocs = base.groupBy(col("fold")).agg(count(lit(1)).as("_ndf"))
-    val nDocs = base.agg(count(lit(1)).as("_nd"))
+    // One doc-count pass (r22): the (fold, label) doc rollup is k×|C|
+    // rows and every coarser count is its exact integer re-sum — the
+    // same collapse as fltCounts above (was four separate base scans).
+    // Tiny frame, four readers → MEMORY_AND_DISK, session-tracked.
+    val flDocs = graft.core.Caches.track(
+      base.groupBy(col("fold"), col("label"))
+        .agg(count(lit(1)).as("_ndfl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val labelDocs = flDocs.groupBy(col("label")).agg(sum(col("_ndfl")).as("_ndl"))
+    val foldDocs = flDocs.groupBy(col("fold")).agg(sum(col("_ndfl")).as("_ndf"))
+    val nDocs = flDocs.agg(sum(col("_ndfl")).as("_nd"))
     val priors = broadcast(folds).crossJoin(classes)
       .join(labelDocs, "label")
       .join(flDocs, Seq("fold", "label"), "left")

@@ -56,7 +56,7 @@ object CurationQueries extends QueryPack {
     */
   private def disposition(s: SparkSession, dir: String): DataFrame =
     Curation.disposition(
-      Tables(s, dir).documents
+      Tables(s, dir).documentsSpread
         .select(col("doc_id"), expr(UrlQueries.rawUrlSql).as("url_raw"),
           expr(pageSql).as("page")),
       "doc_id", "url_raw", "page", minTextWords = minWords)
@@ -67,7 +67,7 @@ object CurationQueries extends QueryPack {
     */
   private def scored(s: SparkSession, dir: String): DataFrame =
     Curation.scoredDisposition(
-      Tables(s, dir).documents
+      Tables(s, dir).documentsSpread
         .select(col("doc_id"), expr(UrlQueries.rawUrlSql).as("url_raw"),
           expr(pageSql).as("page")),
       "doc_id", "url_raw", "page", minTextWords = minWords)
@@ -119,7 +119,7 @@ object CurationQueries extends QueryPack {
     // is the naive running-total window, so the driver hash pins the
     // bucketed path bit-identical per (doc, chunk) slice.
     "pack_sequences" -> ((s, dir) => {
-      val d = Tables(s, dir).documents.select(col("doc_id"),
+      val d = Tables(s, dir).documentsSpread.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tokens"))
       graft.operators.Packing.packSequences(d, "doc_id", "tokens",
           seqLen = 64L)
@@ -187,7 +187,7 @@ object CurationQueries extends QueryPack {
     // transport invariance end to end.
     "curation_warc_pipeline" -> ((s, dir) => {
       val archives = graft.multimodal.Multimodal.encodeWarcCorpus(
-        Tables(s, dir).documents
+        Tables(s, dir).documentsSpread
           .select(col("doc_id"), expr(pageSql).as("text")))
       val pages = graft.multimodal.Multimodal.warcBodies(archives)
         .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
@@ -206,7 +206,7 @@ object CurationQueries extends QueryPack {
     // mean-over-known-transitions contract is spec-pinned).
     "curation_lm_topm" -> ((s, dir) => {
       val (_, lm) = Curation.scoredGateModel(
-        Tables(s, dir).documents
+        Tables(s, dir).documentsSpread
           .select(col("doc_id"), expr(UrlQueries.rawUrlSql).as("url_raw"),
             expr(pageSql).as("page")),
         "doc_id", "url_raw", "page", minTextWords = minWords,

@@ -270,7 +270,7 @@ object DedupQueries extends QueryPack {
     // + one bucket join. Output is keeper-policy provenance — which
     // index doc each new doc collides with and across how many bands.
     "dedup_incremental_pairs" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       val index = Dedup.bandSignatures(
         Dedup.minhashSignatures(
           Dedup.shingles(docs.where(col("doc_id") % 2 === 0),
@@ -289,7 +289,7 @@ object DedupQueries extends QueryPack {
     // queried against it returns the same pair set as the in-memory
     // path — dedup_incremental_pairs' oracle pins it verbatim.
     "dedup_band_index" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       val path = tmpBandPath(dir, "")
       Dedup.writeBandIndex(docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text", path)
@@ -303,7 +303,7 @@ object DedupQueries extends QueryPack {
     // And compact ≡ no-op on the same lifecycle: rewrite the
     // twice-written buckets to one file each, query — identical pairs.
     "dedup_band_index_compact" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       val path = tmpBandPath(dir, "c")
       Dedup.writeBandIndex(docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text", path)
@@ -541,7 +541,7 @@ object DedupQueries extends QueryPack {
     // 8-token window occurring more than once in the corpus; overlapping
     // windows merge (gaps-and-islands), so coverage never double-counts.
     "dedup_repeated_spans" -> ((s, dir) => {
-      Dedup.repeatedSpanStats(Tables(s, dir).documents, "doc_id", "text",
+      Dedup.repeatedSpanStats(Tables(s, dir).documentsSpread, "doc_id", "text",
           windowTokens = 8)
         .orderBy(col("doc_id"))
     }),
@@ -551,7 +551,7 @@ object DedupQueries extends QueryPack {
     // positions covered only by non-canonical duplicated windows are
     // stripped, docs reassemble in order (hash-compared).
     "dedup_repeated_spans_clean" -> ((s, dir) => {
-      Dedup.removeRepeatedSpans(Tables(s, dir).documents, "doc_id", "text",
+      Dedup.removeRepeatedSpans(Tables(s, dir).documentsSpread, "doc_id", "text",
           windowTokens = 8)
         .select(col("doc_id"), col("n_kept"),
           md5(col("cleaned_text")).as("cleaned_hash"))
@@ -565,7 +565,7 @@ object DedupQueries extends QueryPack {
     // multiplicity. Shares dedup_repeated_spans' oracle verbatim — the
     // two paths must agree exactly.
     "dedup_sa_spans" -> ((s, dir) => {
-      Dedup.saRepeatedSpanStats(Tables(s, dir).documents, "doc_id", "text",
+      Dedup.saRepeatedSpanStats(Tables(s, dir).documentsSpread, "doc_id", "text",
           windowTokens = 8)
         .orderBy(col("doc_id"))
     }),
@@ -574,7 +574,7 @@ object DedupQueries extends QueryPack {
     // oracle) as dedup_repeated_spans_clean, detection via the suffix
     // array — closes the SA→removal integration gap.
     "dedup_sa_spans_clean" -> ((s, dir) => {
-      Dedup.saRemoveRepeatedSpans(Tables(s, dir).documents, "doc_id", "text",
+      Dedup.saRemoveRepeatedSpans(Tables(s, dir).documentsSpread, "doc_id", "text",
           windowTokens = 8)
         .select(col("doc_id"), col("n_kept"),
           md5(col("cleaned_text")).as("cleaned_hash"))
@@ -598,7 +598,7 @@ object DedupQueries extends QueryPack {
       // token stream and LCP frame are corpus-sized and re-read —
       // DISK_ONLY persist per the r9 durability criterion
       val stream = Dedup.corpusTokenStream(
-          Tables(s, dir).documents, "doc_id", "text")
+          Tables(s, dir).documentsSpread, "doc_id", "text")
         .persist(StorageLevel.DISK_ONLY)
       val lcp = SuffixRank.lcpArray(stream, "pos", "tok")
         .persist(StorageLevel.DISK_ONLY)

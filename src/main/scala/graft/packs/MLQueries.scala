@@ -597,7 +597,7 @@ object MLQueries extends QueryPack {
     // the whole grid in SQL — the estimator-agnostic surface upstream's
     // SparkGridSearchCV wrapped with a driver loop.
     "cv_grid_search_pipeline" -> ((s, dir) => {
-      Composition.cvNbPipelineGrid(Tables(s, dir).documents, "doc_id",
+      Composition.cvNbPipelineGrid(Tables(s, dir).documentsSpread, "doc_id",
           "text", "lang", caps = Seq(8, 32), alphas = Seq(0.5, 1.0), k = 2)
         .orderBy(col("vocab_cap"), col("alpha"))
     }),

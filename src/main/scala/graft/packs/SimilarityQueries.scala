@@ -229,7 +229,7 @@ object SimilarityQueries extends QueryPack {
 
     // ANN top-3 within the query's bucket — the linear-cost search path.
     "sim_lsh_topk" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsSpread
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rnk"))
@@ -255,7 +255,7 @@ object SimilarityQueries extends QueryPack {
     // graph clustering consume. Cost one cell-pair family, never the
     // n² cross join.
     "sim_knn_graph" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsSpread
       val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
         .groupBy(col("label").as("cell"), col("dim"))
         .agg(avg(col("v")).as("c"))
@@ -270,7 +270,7 @@ object SimilarityQueries extends QueryPack {
     // oracle unrolls the graph build, the entry probe, and both beam
     // rounds; recall >= adaptive IVF's is pinned in DedupSimilaritySpec.
     "sim_graph_search_topk" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsSpread
       val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
         .groupBy(col("label").as("cell"), col("dim"))
         .agg(avg(col("v")).as("c"))
@@ -287,7 +287,7 @@ object SimilarityQueries extends QueryPack {
     // reciprocates few of its appearances), 4 label-propagation
     // rounds, full-universe disposition with singletons kept.
     "sim_knn_communities" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsSpread
       val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
         .groupBy(col("label").as("cell"), col("dim"))
         .agg(avg(col("v")).as("c"))
@@ -302,7 +302,7 @@ object SimilarityQueries extends QueryPack {
     // neighbors without raising nProbe. Deterministic: one fixed
     // round, pure function of the input graph.
     "sim_knn_refine" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsSpread
       val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
         .groupBy(col("label").as("cell"), col("dim"))
         .agg(avg(col("v")).as("c"))
@@ -318,7 +318,7 @@ object SimilarityQueries extends QueryPack {
     // is idempotent under further rounds — whether the loop ran 1 or
     // 2 rounds, the result equals the unrolled 2-round twin.
     "sim_knn_refine_converged" -> ((s, dir) => {
-      val emb = Tables(s, dir).embeddings
+      val emb = Tables(s, dir).embeddingsSpread
       val centers = NaiveBayesOps.toLongForm(emb, Seq("label"), "embedding")
         .groupBy(col("label").as("cell"), col("dim"))
         .agg(avg(col("v")).as("c"))

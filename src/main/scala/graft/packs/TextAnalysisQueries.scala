@@ -172,7 +172,7 @@ object TextAnalysisQueries extends QueryPack {
     // strict-comparison bucketing — rank-insensitive by construction
     // (a cut moving one sample flips only boundary-value docs).
     "text_ppl_buckets" -> ((s, dir) => {
-      TextAnalysis.pplBuckets(Tables(s, dir).documents, "doc_id", "text",
+      TextAnalysis.pplBuckets(Tables(s, dir).documentsSpread, "doc_id", "text",
           accuracy = 1000000)
         .orderBy(col("doc_id"))
     }),
@@ -333,7 +333,7 @@ object TextAnalysisQueries extends QueryPack {
     // cost bounded by those lists, not the corpus (the regex-scan twin
     // this replaces reads every byte per query).
     "text_phrase_search" -> ((s, dir) => {
-      TextAnalysis.phraseMatchCounts(Tables(s, dir).documents,
+      TextAnalysis.phraseMatchCounts(Tables(s, dir).documentsSpread,
           "doc_id", "text", Seq("slow", "hash", "batch"))
         .orderBy(col("doc_id"))
     }),
@@ -344,7 +344,7 @@ object TextAnalysisQueries extends QueryPack {
     // adds only its own (doc, pos−i) joins. At 100 TB: one corpus scan
     // per query batch, not per query.
     "text_phrase_search_multi" -> ((s, dir) => {
-      TextAnalysis.phraseMatchCountsMany(Tables(s, dir).documents,
+      TextAnalysis.phraseMatchCountsMany(Tables(s, dir).documentsSpread,
           "doc_id", "text", multiPhrases)
         .orderBy(col("phrase_id"), col("doc_id"))
     }),
@@ -356,7 +356,7 @@ object TextAnalysisQueries extends QueryPack {
     // PartitionFilters plan property is spec-pinned.
     "text_phrase_search_indexed" -> ((s, dir) => {
       val path = tmpIndexPath(dir, "")
-      TextAnalysis.writePositionalIndex(Tables(s, dir).documents,
+      TextAnalysis.writePositionalIndex(Tables(s, dir).documentsSpread,
         "doc_id", "text", path)
       TextAnalysis.phraseMatchCountsIndexed(s, path, "doc_id",
           Seq("slow", "hash", "batch"))
@@ -373,7 +373,7 @@ object TextAnalysisQueries extends QueryPack {
     // partitions, existing index bytes never read or rewritten.
     "text_phrase_index_merge" -> ((s, dir) => {
       val path = tmpIndexPath(dir, "m")
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       TextAnalysis.writePositionalIndex(
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
       TextAnalysis.mergePositionalIndex(
@@ -394,7 +394,7 @@ object TextAnalysisQueries extends QueryPack {
     // stress scale in StressBench.
     "text_phrase_index_compact" -> ((s, dir) => {
       val path = tmpIndexPath(dir, "c")
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       TextAnalysis.writePositionalIndex(
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
       TextAnalysis.mergePositionalIndex(

@@ -1015,18 +1015,23 @@ object Similarity {
       .select(col("src_id"), col("neighbor_id"),
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
           .as("_cos"))
+    // multi-probe enumerates a pair once per shared cell — identical
+    // (src, neighbor, cos) rows, deduped on the slim scored triple
+    // BEFORE the mirror explode (r22): every pre-mirror row has
+    // src < neighbor and the mirror is injective on ordered pairs, so
+    // distinct-then-mirror emits exactly the rows mirror-then-distinct
+    // did, through a dedup exchange carrying HALF the rows.
+    val pairs = if (nProbe == 1) scored else scored.distinct()
+    val mirrored = pairs
       .select(col("_cos"), explode(array(
           struct(col("src_id"), col("neighbor_id")),
           struct(col("neighbor_id").as("src_id"),
             col("src_id").as("neighbor_id")))).as("_e"))
       .select(col("_e.src_id").as("src_id"),
         col("_e.neighbor_id").as("neighbor_id"), col("_cos"))
-    // multi-probe enumerates a pair once per shared cell — identical
-    // (src, neighbor, cos) rows, deduped on the slim scored triple
-    val pairs = if (nProbe == 1) scored else scored.distinct()
     val wK = Window.partitionBy(col("src_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
-    pairs
+    mirrored
       .withColumn("rnk", row_number().over(wK))
       .where(col("rnk") <= k)
       .select(col("src_id"), col("neighbor_id"), col("rnk"),
@@ -1183,52 +1188,69 @@ object Similarity {
       .select(col("b").as("_mid"))
     val vecs = emb.select(col(idCol).cast("long").as("_vid"),
       col(arrCol).as("_v"))
-    val left = und.join(okMid, col("b") === col("_mid"), "left_semi")
+    // ONE vector-attach shared by every leg (r22): attachedAll =
+    // und ⋈ vecs on the source endpoint — (a, b, v_a) for every
+    // directed edge of the symmetric closure. Because und is symmetric,
+    // this one relation read as (m = b, point = a, v_point) IS both
+    // sides of the mid-keyed self-join (the r21 shape's `left` and
+    // `right` are the same multiset modulo column names — substitute
+    // (a,b) ↦ (b,a) and use closure symmetry), and its a < b slice is
+    // the direct leg's source-vector attach. The r21 shape paid FOUR
+    // vecs joins (two per expansion side + two direct); this pays the
+    // attach once plus one join for the direct leg's second vector.
+    // Vector-fat (edge-proportional rows × the embedding array) →
+    // DISK_ONLY, the knnGraphCells withVec precedent (a fat frame
+    // cached in-heap competes with the self-join's execution memory;
+    // r17 A/B). Session-tracked: released at job boundaries.
+    val attachedAll = graft.core.Caches.track(und
       .join(vecs, col("a") === col("_vid"))
-      .select(col("b").as("_m"), col("a").as("src_id"), col("_v").as("_va"))
-    val right = und.join(okMid, col("a") === col("_mid"), "left_semi")
-      .join(vecs, col("b") === col("_vid"))
-      .select(col("a").as("_m"), col("b").as("neighbor_id"),
+      .select(col("a"), col("b"), col("_v"))
+      .persist(StorageLevel.DISK_ONLY))
+    val filtered = attachedAll
+      .join(okMid, col("b") === col("_mid"), "left_semi")
+    val left = filtered
+      .select(col("b").as("_m"), col("a").as("src_id"),
+        col("_v").as("_va"))
+    val right = filtered
+      .select(col("b").as("_m"), col("a").as("neighbor_id"),
         col("_v").as("_vb"))
-    // Both legs score each UNORDERED pair once and mirror the two
-    // directions in-row (r21): the ordered enumeration is symmetric —
-    // und holds both directions of every edge, so (x,y) and (y,x) both
-    // arise, each with a bit-identical cosine (graft_cosine's dot terms
-    // and norm product commute). Filtering to src < neighbor before the
-    // cosine halves the scoring work and the pre-mirror row mass; the
-    // explode re-emits the same multiset the old shape produced.
-    // cosine in its OWN projection below the mirror explode — a single
-    // select(cos, explode(...)) analyzes to Project(cos) ABOVE the
-    // Generate and re-scores every mirrored row (see knnGraphCells)
-    def mirrored(pairs: DataFrame): DataFrame = pairs
+    // Both legs score each UNORDERED pair once (src < neighbor before
+    // the cosine — r21): graft_cosine is bit-symmetric, so one score
+    // per unordered pair reproduces the ordered enumeration exactly.
+    def scoredPairs(pairs: DataFrame): DataFrame = pairs
       .select(col("src_id"), col("neighbor_id"),
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
           .as("_cos"))
-      .select(col("_cos"), explode(array(
-          struct(col("src_id"), col("neighbor_id")),
-          struct(col("neighbor_id").as("src_id"),
-            col("src_id").as("neighbor_id")))).as("_e"))
-      .select(col("_e.src_id").as("src_id"),
-        col("_e.neighbor_id").as("neighbor_id"), col("_cos"))
-    val expanded = mirrored(graft.operators.SkewJoin
+    val expanded = scoredPairs(graft.operators.SkewJoin
       .saltedInnerJoin(left, col("src_id"), right, Seq("_m"))
       .where(col("src_id") < col("neighbor_id")))
     // direct edges union in explicitly: two endpoints need not share a
     // third neighbor, and the refinement must never score WORSE than
     // the input graph
-    val direct = mirrored(und
+    val direct = scoredPairs(attachedAll
       .where(col("a") < col("b"))
-      .join(vecs, col("a") === col("_vid"))
       .select(col("a").as("src_id"), col("b").as("neighbor_id"),
         col("_v").as("_va"))
       .join(vecs, col("neighbor_id") === col("_vid"))
       .select(col("src_id"), col("neighbor_id"), col("_va"),
         col("_v").as("_vb")))
     // the same pair arrives once per shared intermediate — identical
-    // scored triples, deduped slim (the knnGraphCells nProbe pattern)
+    // scored triples, deduped slim (the knnGraphCells nProbe pattern),
+    // and deduped BEFORE the mirror explode (r22): every scored row has
+    // src < neighbor and the mirror is injective on ordered pairs, so
+    // distinct-then-mirror emits exactly what mirror-then-distinct did,
+    // through a dedup exchange carrying HALF the rows.
+    val deduped = expanded.unionAll(direct).distinct()
+    val mirroredAll = deduped
+      .select(col("_cos"), explode(array(
+          struct(col("src_id"), col("neighbor_id")),
+          struct(col("neighbor_id").as("src_id"),
+            col("src_id").as("neighbor_id")))).as("_e"))
+      .select(col("_e.src_id").as("src_id"),
+        col("_e.neighbor_id").as("neighbor_id"), col("_cos"))
     val wK = Window.partitionBy(col("src_id"))
       .orderBy(col("_cos").desc, col("neighbor_id"))
-    expanded.unionAll(direct).distinct()
+    mirroredAll
       .withColumn("rnk", row_number().over(wK))
       .where(col("rnk") <= k)
       .select(col("src_id"), col("neighbor_id"), col("rnk"),

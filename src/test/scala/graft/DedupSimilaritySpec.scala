@@ -533,6 +533,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(2)._2 === 9L)
   }
 
+  test("connectedComponents: driver union-find rung ≡ distributed label loop") {
+    // r22: below the adjacency threshold the fixpoint is computed by a
+    // driver-side union-find instead of the checkpointed label loop.
+    // Pin the two paths against each other on a graph with real depth
+    // (a 40-chain needs pointer jumping), a star (min id is a leaf,
+    // not the hub), a cycle, and value-level expectations.
+    import graft.dedup.Components
+    val edgeSeq =
+      (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+        (51L to 60L).map(i => (100L, i)) ++ // star hub=100, min=51
+        Seq((200L, 201L), (201L, 202L), (202L, 200L)) // cycle
+    val edges = edgeSeq.toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Components.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    val viaDriver = run() // default threshold >> |edges|: driver path
+    val key = "graft.components.driverUfThreshold"
+    val prev = sys.props.put(key, "0") // force the distributed loop
+    val viaLoop =
+      try run()
+      finally prev match {
+        case Some(v) => sys.props.put(key, v): Unit
+        case None => sys.props.remove(key): Unit
+      }
+    assert(viaDriver === viaLoop)
+    assert((1L to 40L).forall(viaDriver(_) == 1L))
+    assert(viaDriver(100L) == 51L && (51L to 60L).forall(viaDriver(_) == 51L))
+    assert(Seq(200L, 201L, 202L).forall(viaDriver(_) == 200L))
+  }
+
   test("connectedComponentsAll gives isolated nodes singleton components") {
     import graft.dedup.Components
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
