@@ -30,7 +30,8 @@ object Drill {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     case class StageRow(id: Int, name: String, wallMs: Long, runMs: Long,
-                        cpuMs: Long, shufReadMb: Double, shufWriteMb: Double,
+                        cpuMs: Long, gcMs: Long, deserMs: Long,
+                        shufReadMb: Double, shufWriteMb: Double,
                         inputMb: Double, tasks: Int, maxTaskMs: Long,
                         medTaskMs: Long, spillMb: Double)
     val stages = mutable.ArrayBuffer.empty[StageRow]
@@ -43,8 +44,15 @@ object Drill {
           yield a - b).getOrElse(-1L)
         val tt = taskTimes.getOrElse(si.stageId, mutable.ArrayBuffer.empty)
         val sortedTt = tt.sorted
-        stages += StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+        // RDD scope names beat the job-callsite stage name (every AQE
+        // subquery job reports withThreadLocalCaptured): the scopes are
+        // the physical operators whose RDDs the stage computes.
+        val scopes = si.rddInfos.sortBy(_.id).map(_.name)
+          .filter(n => n != null && n.nonEmpty).distinct.take(6)
+          .mkString(">")
+        stages += StageRow(si.stageId, scopes.take(110),
           wall, m.executorRunTime, m.executorCpuTime / 1000000L,
+          m.jvmGCTime, m.executorDeserializeTime,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.bytesRead / 1e6, si.numTasks,
@@ -95,14 +103,26 @@ object Drill {
           val df = fn(spark, sfDir)
           df.count()
           val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(400) // let the listener bus drain
+          // drain the listener bus for real instead of a fixed sleep —
+          // on a slow bus late stage/task events were silently dropped
+          // (listenerBus is private[spark]; reflection keeps this dev
+          // tool out of Spark's package namespace)
+          try {
+            val sc = spark.sparkContext
+            val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+              .invoke(bus, java.lang.Long.valueOf(10000L))
+          } catch { case scala.util.control.NonFatal(_) =>
+            Thread.sleep(1000) }
           spark.sparkContext.removeSparkListener(listener)
           println(f"\n===== $name wall=$wall%.3fs =====")
           println(f"${"stage"}%6s ${"wall"}%7s ${"run"}%8s ${"cpu"}%8s " +
+            f"${"gc"}%6s ${"deser"}%6s " +
             f"${"sread"}%8s ${"swrite"}%8s ${"input"}%8s ${"tasks"}%6s " +
             f"${"maxT"}%7s ${"medT"}%7s ${"spill"}%7s  name")
           stages.sortBy(-_.runMs).foreach { s =>
             println(f"${s.id}%6d ${s.wallMs}%7d ${s.runMs}%8d ${s.cpuMs}%8d " +
+              f"${s.gcMs}%6d ${s.deserMs}%6d " +
               f"${s.shufReadMb}%8.1f ${s.shufWriteMb}%8.1f ${s.inputMb}%8.1f " +
               f"${s.tasks}%6d ${s.maxTaskMs}%7d ${s.medTaskMs}%7d " +
               f"${s.spillMb}%7.1f  ${s.name}")

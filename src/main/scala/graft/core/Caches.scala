@@ -75,6 +75,15 @@ object Caches {
     fs.foreach { df =>
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
+      // localCheckpointed frames (r22): their blocks live on the plan's
+      // LogicalRDD leaf, not in the CacheManager — df.unpersist alone
+      // would leak them across a long verify session. Extracted from
+      // the tracked frame's OWN plan, so this can never free another
+      // query's storage; unpersist is idempotent.
+      try df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(false))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     fs.size
   }

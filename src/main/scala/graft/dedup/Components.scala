@@ -328,9 +328,20 @@ object Components {
     // The tagged edge set fans out to BOTH the components loop and the
     // provenance aggregation — materialize it once or every detector
     // (minhash banding, simhash blocking, cosine pairs) runs twice.
-    // Corpus-proportional → DISK_ONLY persist (r9 criterion).
+    // Corpus-proportional → DISK_ONLY blocks (r9 criterion).
+    // localCheckpoint(eager), not a lazy persist (r22, Drill-measured):
+    // the consumers launch several jobs whose subtrees all reference
+    // this frame, and racing a lazy persist they re-ran the whole
+    // four-detector union up to 5x (the 97-task union map stage
+    // appeared five times per execution, each dragging a multi-second
+    // task-binary deserialization of the giant detector plan). Eager =
+    // one detector pass; the truncated lineage also shrinks every
+    // later consumer's task binary to a LogicalRDD scan. Blocks land
+    // at the AQE-coalesced width and Caches.release frees them via the
+    // plan's LogicalRDD leaf.
     val edges = graft.core.Caches.track(
-      edgesProv.persist(StorageLevel.DISK_ONLY))
+      edgesProv.localCheckpoint(eager = true,
+        storageLevel = StorageLevel.DISK_ONLY))
     val comp = dedupClusters(
       edges.select(col("id_a"), col("id_b")).distinct(), "id_a", "id_b")
     val clusterSrc = edges

@@ -246,10 +246,19 @@ object Composition {
     // aggregation (measured 13.2s at sf0.1; the derived re-aggs over
     // the persisted frame are a fraction of a corpus pass each).
     // Corpus-sized and re-read five times → DISK_ONLY (r9 criterion).
+    // localCheckpoint(eager), not a lazy persist (r22): materializes
+    // the pass exactly once (no concurrent-subquery recompute race) at
+    // the AQE-coalesced width — bytes-derived, so a handful of blocks
+    // at bench scale and full width at corpus scale — where a cached
+    // plan would keep the session's fixed shuffle width however small
+    // the data. Lineage truncation is the established trade for these
+    // fan-in frames (Components adjacency discipline); Caches.release
+    // frees checkpoint blocks through the plan's LogicalRDD.
     val tfFull = graft.core.Caches.track(
       toks.groupBy(col("fold"), col("id"), col("label"), col("term"))
         .agg(count(lit(1)).as("_tf"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        .localCheckpoint(eager = true, storageLevel =
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val folds = (0 until k).toDF("fold")
     val classes = base.select(col("label")).distinct()
     val capsDf = caps.toDF("vocab_cap")
@@ -266,10 +275,15 @@ object Composition {
     // re-sum it three ways. Every number is still the same exact
     // integer sum of _tf (long addition is associative) — the oracle's
     // re-sum contract is unchanged.
+    // Same eager/AQE-width materialization as tfFull (r22, Drill-
+    // measured): the rollup is referenced by ~6 consumers below; lazily
+    // persisted it was recomputed by racing AQE subquery jobs AND read
+    // through full-width task waves of near-empty tasks.
     val fltCounts = graft.core.Caches.track(
       tfFull.groupBy(col("fold"), col("label"), col("term"))
         .agg(sum(col("_tf")).as("_cflt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(eager = true, storageLevel =
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tCounts = fltCounts.groupBy(col("term"))
       .agg(sum(col("_cflt")).as("_ct"))
     val ftCounts = fltCounts.groupBy(col("fold"), col("term"))
@@ -320,10 +334,14 @@ object Composition {
     // rows and every coarser count is its exact integer re-sum — the
     // same collapse as fltCounts above (was four separate base scans).
     // Tiny frame, four readers → MEMORY_AND_DISK, session-tracked.
+    // k×|C| rows AT ANY CORPUS SCALE (folds × classes) — the AQE-sized
+    // eager checkpoint lands it in one block everywhere, and the eager
+    // pass prevents the same concurrent-materialization race as above.
     val flDocs = graft.core.Caches.track(
       base.groupBy(col("fold"), col("label"))
         .agg(count(lit(1)).as("_ndfl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(eager = true, storageLevel =
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val labelDocs = flDocs.groupBy(col("label")).agg(sum(col("_ndfl")).as("_ndl"))
     val foldDocs = flDocs.groupBy(col("fold")).agg(sum(col("_ndfl")).as("_ndf"))
     val nDocs = flDocs.agg(sum(col("_ndfl")).as("_nd"))

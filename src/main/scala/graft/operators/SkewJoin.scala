@@ -32,10 +32,20 @@ object SkewJoin {
     */
   def saltedInnerJoin(a: DataFrame, aSplitCol: Column, b: DataFrame,
                       keyCols: Seq[String], maxSalt: Int = 64,
-                      hotThreshold: Long = 4096L): DataFrame = {
+                      hotThreshold: Long = 4096L,
+                      aKeyRowBound: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "at least one join key required")
     require(maxSalt >= 2, s"maxSalt=$maxSalt: salting needs >= 2 sub-blocks")
     require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be positive")
+    // Proven-cold fast path (r22): when the caller KNOWS no a-side key
+    // can exceed `hotThreshold` rows (e.g. an upstream degree cap
+    // already bounds rows-per-key), the hot-key frame is empty by
+    // construction and the machinery below — a full a-side aggregation,
+    // a broadcast, and per-row salt columns on both sides — buys
+    // nothing at ANY scale. Same output by the bit-identical contract
+    // (salting with an empty hot set IS the plain join).
+    if (aKeyRowBound.exists(_ <= hotThreshold))
+      return a.join(b, keyCols)
     // the bit-identical-to-plain-join contract depends on the temp
     // columns being OURS: withColumn would silently overwrite a user
     // column of the same name and the final drop would remove it from

@@ -484,9 +484,16 @@ object DedupQueries extends QueryPack {
     // candidate set. This is the form the bench measures; the ungated
     // all-pairs twin is dedup_ngram_jaccard_exact below.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // shingle relation is corpus-sized → DISK_ONLY persist (r9
-      // durability criterion), still materialized once for all readers
-      val sh = docShingles(s, dir).persist(StorageLevel.DISK_ONLY)
+      // shingle relation is corpus-sized → DISK_ONLY blocks (r9
+      // durability criterion). localCheckpoint(eager), not a lazy
+      // persist (r22): the signature/candidate subtree and the gated
+      // jaccard join both reference it from concurrently-materialized
+      // stages — racing a lazy persist re-ran the shingle explode; the
+      // eager checkpoint materializes it exactly once at the
+      // AQE-coalesced width (tracked: released by the harness sweep).
+      val sh = graft.core.Caches.track(docShingles(s, dir)
+        .localCheckpoint(eager = true,
+          storageLevel = StorageLevel.DISK_ONLY))
       val sig = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
       val cand = Dedup.minhashBandCandidates(sig, "doc_id", rowsPerBand = 2)
       Dedup.jaccardPairs(sh, "doc_id", threshold = 0.05,

@@ -986,16 +986,37 @@ object Similarity {
       // tried MEMORY_AND_DISK_SER here and the 500k-vector StressBench
       // graph build OOM'd the 8g heap — a FAT frame cached in-heap
       // competes with the Σ|cell|² self-join's execution memory, the
-      // exact pressure DISK_ONLY avoids (SCALE.md r17). The slim
-      // edge frames in knnRefine are where memory caching is safe.
-      // Session-tracked (Caches): lazy result, release at job boundaries.
-      .persist(StorageLevel.DISK_ONLY))
+      // exact pressure DISK_ONLY avoids (SCALE.md r17).
+      // localCheckpoint(eager), not a lazy persist (r22, Drill): the
+      // self-join's two sides plus the salted join's hot-key broadcast
+      // reference this frame from AQE subquery jobs that run
+      // CONCURRENTLY — racing a lazy persist, each recomputed the
+      // assignment subtree before any block landed (the projection
+      // stage executed ~5x per graph build; at 100 TB that race
+      // re-runs corpus-scale passes). Eager = exactly one pass, and
+      // the blocks land at the AQE-coalesced width (bytes-derived:
+      // ~1 block at bench scale, full width at corpus scale) instead
+      // of the session's fixed shuffle width. Lineage truncation is
+      // the established trade (Components adjacency discipline);
+      // Caches.release frees checkpoint blocks via the LogicalRDD.
+      .localCheckpoint(eager = true,
+        storageLevel = StorageLevel.DISK_ONLY))
+    // Re-spread the checkpointed frame for its CPU-heavy consumers
+    // (r22): the eager checkpoint lands at the AQE-coalesced width — at
+    // bench scale ONE block, which serialized the self-join's exchange
+    // write into a single task (Drill: one 0.8s single-task map stage).
+    // spreadIfNarrow is condition-guarded: on a corpus-scale checkpoint
+    // (width ≥ target) it is the identity; at bench scale it is one
+    // ~10 MB exchange that buys back the map-side parallelism.
+    val withVecW = graft.sources.Sources.spreadIfNarrow(withVec,
+      col(idCol), math.max(2,
+        emb.sparkSession.sparkContext.defaultParallelism / 4))
     // the self-join runs through the shared per-key salted join: a
     // cell at the maxCell cap still means |cell|² pairs, and without
     // salting they all land on ONE task (AQE can't split inside a key)
-    val aSide = withVec.select(col(centerCol), col(idCol).as("src_id"),
+    val aSide = withVecW.select(col(centerCol), col(idCol).as("src_id"),
       col("_v").as("_va"))
-    val bSide = withVec.select(col(centerCol),
+    val bSide = withVecW.select(col(centerCol),
       col(idCol).as("neighbor_id"), col("_v").as("_vb"))
     // Score each UNORDERED pair once (src < neighbor halves the join
     // output and the cosine work — r21), then mirror both directions
@@ -1155,6 +1176,15 @@ object Similarity {
     * knnGraphCells lesson: enumerate pairs with both vectors already
     * in-row; id-only pairs re-joined to vectors shuffled the corpus
     * twice and measured 12.5× slower at stress scale).
+    *
+    * Degenerate input note (r21 change, documented r22): SELF-LOOP
+    * edges (src_id == neighbor_id) in the input graph are IGNORED —
+    * the unordered-pair enumeration scores only src < neighbor, so a
+    * self-loop neither occupies a top-k slot (pre-r21 it scored
+    * cos = 1.0 and could) nor contributes expansion candidates beyond
+    * the node's own real edges. k-NN builders never emit self-loops
+    * ([[knnGraphCells]] filters src = neighbor); only hand-built
+    * graphs could observe the difference.
     */
   def knnRefine(emb: DataFrame, idCol: String, arrCol: String,
                 graph: DataFrame, k: Int,
@@ -1171,16 +1201,34 @@ object Similarity {
     // identical under any persist level, and the r16 sweep's DISK_ONLY
     // forced every re-read through disk for a ~33% wall cost
     // (5.98s→ the r15 band; SCALE.md r17 A/B).
+    // EAGER, AQE-width-sized materialization of the shared slim frames
+    // (r22, Drill-measured). Two problems with the r21 lazy persists:
+    // (1) a lazy persist does NOT stop the symmetric union's two
+    // branches — or AQE's CONCURRENT broadcast-subquery jobs — from
+    // each re-evaluating the caller's whole graph-build subtree before
+    // any block lands in the cache (Drill: the distinct's reduce stage
+    // executed 4x per refine, ~40s of the 110s executor total at bench
+    // scale; at 100 TB the same race re-runs a corpus-scale subtree);
+    // (2) a cached plan keeps the session's shuffle width however
+    // small the data (AQE cannot re-shape cached plans), so every
+    // consumer paid a full-width task wave to read kilobytes.
+    // localCheckpoint(eager) fixes both: it materializes ONCE, at the
+    // AQE-coalesced width — bytes-derived, so ~1 block at bench scale
+    // and full width at corpus scale. Lineage truncation is the
+    // established trade for these loop/fan-in frames (the Components
+    // adjacency discipline). Session-tracked: Caches.release frees
+    // checkpoint blocks through the plan's LogicalRDD.
     val edges = graft.core.Caches.track(graph
       .select(col("src_id").cast("long").as("a"),
         col("neighbor_id").cast("long").as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER))
+      .localCheckpoint(eager = true,
+        storageLevel = StorageLevel.MEMORY_AND_DISK_SER))
     val und = graft.core.Caches.track(edges
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      // feeds the degree count and all three legs — same treatment;
-      // session-tracked like edges (lazy result, release at job end)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER))
+      // feeds the degree count and all three legs — same treatment
+      .localCheckpoint(eager = true,
+        storageLevel = StorageLevel.MEMORY_AND_DISK_SER))
     // hub-intermediate guard on the ID-SIZED edge list (degree in the
     // symmetric closure = out-degree + reciprocated in-degree)
     val okMid = und.groupBy(col("b")).agg(count(lit(1)).as("_d"))
@@ -1202,10 +1250,21 @@ object Similarity {
     // DISK_ONLY, the knnGraphCells withVec precedent (a fat frame
     // cached in-heap competes with the self-join's execution memory;
     // r17 A/B). Session-tracked: released at job boundaries.
-    val attachedAll = graft.core.Caches.track(und
+    // Vector-fat (edge-proportional rows × the embedding array) →
+    // DISK_ONLY blocks, the knnGraphCells withVec precedent (a fat
+    // frame held in-heap competes with the self-join's execution
+    // memory; r17 A/B). Same eager/AQE-width reasoning as edges/und.
+    val attachedAllCk = graft.core.Caches.track(und
       .join(vecs, col("a") === col("_vid"))
       .select(col("a"), col("b"), col("_v"))
-      .persist(StorageLevel.DISK_ONLY))
+      .localCheckpoint(eager = true,
+        storageLevel = StorageLevel.DISK_ONLY))
+    // re-spread for the CPU-heavy mid-join map sides — identity at
+    // corpus width, one small exchange at bench width (see
+    // knnGraphCells' withVecW note)
+    val attachedAll = graft.sources.Sources.spreadIfNarrow(attachedAllCk,
+      col("a"), math.max(2,
+        emb.sparkSession.sparkContext.defaultParallelism / 4))
     val filtered = attachedAll
       .join(okMid, col("b") === col("_mid"), "left_semi")
     val left = filtered
@@ -1221,8 +1280,14 @@ object Similarity {
       .select(col("src_id"), col("neighbor_id"),
         graft.plans.GraftExpressions.cosine(col("_va"), col("_vb"))
           .as("_cos"))
+    // okMid already bounds every mid key to ≤ maxDegree rows per side,
+    // so when maxDegree ≤ the join's hotThreshold the hot-key set is
+    // empty BY CONSTRUCTION — pass the bound so the join skips the
+    // salting machinery (aggregate + broadcast + per-row salt) it could
+    // never use (r22; SkewJoin's proven-cold fast path).
     val expanded = scoredPairs(graft.operators.SkewJoin
-      .saltedInnerJoin(left, col("src_id"), right, Seq("_m"))
+      .saltedInnerJoin(left, col("src_id"), right, Seq("_m"),
+        aKeyRowBound = Some(maxDegree.toLong))
       .where(col("src_id") < col("neighbor_id")))
     // direct edges union in explicitly: two endpoints need not share a
     // third neighbor, and the refinement must never score WORSE than

@@ -81,21 +81,35 @@ object AssetMaintenance {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     require(fs.exists(root), s"no asset at $path")
-    val before = dataFileCount(spark, path)
-    def filesIn(d: Path): Long = {
-      val it = fs.listFiles(d, true)
-      var n = 0L
-      while (it.hasNext) {
-        val name = it.next().getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    // ONE recursive listing serves both the before-count and the
+    // per-partition selection (r22): the old shape listed the asset
+    // twice over — a whole-tree dataFileCount plus one recursive
+    // listFiles per partition directory, ~65 listing round-trips on a
+    // 64-bucket asset. Listings are driver-side metadata ops that
+    // dominate maintenance cost on object stores; count once, group by
+    // top-level partition directory.
+    val perDir = scala.collection.mutable.Map.empty[String, Long]
+    var before = 0L
+    val rootStr = root.toUri.getPath
+    val it0 = fs.listFiles(root, true)
+    while (it0.hasNext) {
+      val f = it0.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        before += 1
+        // first path segment under the asset root = the partition dir
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootStr)
+          .stripPrefix("/")
+        val seg = rel.takeWhile(_ != '/')
+        if (seg.startsWith(partitionCol + "="))
+          perDir.update(seg, perDir.getOrElse(seg, 0L) + 1L)
       }
-      n
     }
     val selected = fs.listStatus(root)
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(partitionCol + "="))
       .map(_.getPath)
-      .filter(d => filesIn(d) >= minFilesPerPartition)
+      .filter(d => perDir.getOrElse(d.getName, 0L) >= minFilesPerPartition)
     if (selected.isEmpty) return (before, before)
     val values = selected.toSeq
       .map(_.getName.substring(partitionCol.length + 1))
@@ -119,23 +133,45 @@ object AssetMaintenance {
     (if (maxRecordsPerFile > 0)
       w.option("maxRecordsPerFile", maxRecordsPerFile)
     else w).parquet(tmp.toString)
-    values.foreach { v =>
-      val live = new Path(root, s"$partitionCol=$v")
-      val fresh = new Path(tmp, s"$partitionCol=$v")
-      require(fs.exists(fresh),
-        s"compact: rewrite produced no partition for $partitionCol=$v")
-      // dot-prefixed: a crash between the renames leaves a directory
-      // the parquet file index ignores, never a duplicate partition
-      val old = new Path(root, s".$partitionCol=$v.compact.old")
-      fs.delete(old, true)
-      require(fs.rename(live, old),
-        s"compact: could not move $live aside")
-      if (!fs.rename(fresh, live)) {
-        fs.rename(old, live) // restore before failing — never a hole
-        throw new IllegalStateException(s"compact: could not install $fresh")
-      }
-      fs.delete(old, true)
-    }
+    // Swaps run on a bounded driver pool (r22): each partition's swap
+    // is independent (its own live/old/fresh paths, atomicity is per
+    // partition by design), and the ~4 metadata ops per partition were
+    // serialized on the driver — at 64+ partitions the loop itself was
+    // a measurable driver gap locally and is minutes of round-trips on
+    // an object store. Failure behavior is unchanged: every partition
+    // still restores itself on its own failure, and the first failure
+    // is rethrown after the batch (no new partial states — the
+    // sequential loop also left prior swaps installed on failure).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, values.size)))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      values.map { v =>
+        pool.submit(new Runnable {
+          override def run(): Unit = try {
+            val live = new Path(root, s"$partitionCol=$v")
+            val fresh = new Path(tmp, s"$partitionCol=$v")
+            require(fs.exists(fresh),
+              s"compact: rewrite produced no partition for $partitionCol=$v")
+            // dot-prefixed: a crash between the renames leaves a
+            // directory the parquet file index ignores, never a
+            // duplicate partition
+            val old = new Path(root, s".$partitionCol=$v.compact.old")
+            fs.delete(old, true)
+            require(fs.rename(live, old),
+              s"compact: could not move $live aside")
+            if (!fs.rename(fresh, live)) {
+              fs.rename(old, live) // restore before failing — never a hole
+              throw new IllegalStateException(
+                s"compact: could not install $fresh")
+            }
+            fs.delete(old, true): Unit
+          } catch { case scala.util.control.NonFatal(e) =>
+            failures.add(e): Unit }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) throw failures.peek()
     fs.delete(tmp, true)
     (before, dataFileCount(spark, path))
   }

@@ -265,17 +265,31 @@ object Curation {
       .select(col(idCol), col("domain"), col("url_ok"), col("n_blocks"),
         col("n_kept"), col("n_words"), col("quality_ok"),
         col("is_exact_dup"), col("survivor"),
-        (col("n_words") / lit(100.0)).as("f1"),
-        (col("n_kept") * lit(1.0) / greatest(col("n_blocks"), lit(1)))
-          .as("f2"),
+        // f1/f2 coalesced like f3/f4 (r22, advisory): the wide-form GD
+        // aggregate below carries weights through max() next to the
+        // avg() gradients, so ONE null feature would silently drop the
+        // doc from ALL FOUR gradient denominators (the long form only
+        // skipped the null dim). Unreachable today (both derive from
+        // non-null aggregation outputs), but the wide/long equivalence
+        // must not depend on upstream null-freedom.
+        coalesce(col("n_words") / lit(100.0), lit(0.0)).as("f1"),
+        coalesce(col("n_kept") * lit(1.0) / greatest(col("n_blocks"), lit(1)),
+          lit(0.0)).as("f2"),
         stopRatioCol.as("f3"),
         coalesce(col("_sm") * lit(1.0) / col("_nb") / lit(1e6), lit(0.0))
           .as("f4"))
       // read by the GD long form, the labels, AND the final margin
-      // projection; persisted AFTER the projection so the materialized
-      // frame is 13 scalar columns per doc (main_text stays behind in
-      // d3) — corpus-proportional and re-read → DISK_ONLY (r9 criterion)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // projection; materialized AFTER the projection so the frame is
+      // 13 scalar columns per doc (main_text stays behind in d3) —
+      // corpus-proportional and re-read → DISK_ONLY blocks (r9
+      // criterion). localCheckpoint(eager), not a lazy persist (r22):
+      // every GD step's aggregation job re-references this frame, and
+      // the eager checkpoint both guarantees a single materialization
+      // pass and lands blocks at the AQE-coalesced width instead of the
+      // session's fixed shuffle width (near-empty full-width task waves
+      // per step at bench scale).
+      .localCheckpoint(eager = true, storageLevel =
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Wide-form GD (r21): at 4 fixed features the long-form explode +
     // per-step join chain (weights⋈dim, margins groupBy id, errs⋈labels,
     // grad groupBy dim — ~4 shuffles per step) collapses into ONE

@@ -598,9 +598,16 @@ object TextAnalysis {
   def phraseMatchCounts(docs: DataFrame, idCol: String, textCol: String,
                         phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
+    // localCheckpoint(eager), not a lazy persist (r22): the L
+    // posting-list joins reference this frame from stages AQE
+    // materializes concurrently — racing a lazy persist, each could
+    // re-tokenize the corpus before a block landed. Eager = exactly one
+    // tokenize pass, blocks at the AQE-coalesced width (occurrence-
+    // scale frame, so usually a handful). Tracked for release.
     val idx = graft.core.Caches.track(positionalIndex(docs, idCol, textCol)
       .where(col("term").isin(phrase.distinct: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint(eager = true, storageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     phraseCountsFromIndex(idx, idCol, phrase)
   }
 
@@ -806,9 +813,11 @@ object TextAnalysis {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phrases must be non-empty and every phrase needs at least one term")
     val allTerms = phrases.flatten.distinct
+    // same eager/AQE-width materialization as phraseMatchCounts (r22)
     val idx = graft.core.Caches.track(positionalIndex(docs, idCol, textCol)
       .where(col("term").isin(allTerms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint(eager = true, storageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     phrases.zipWithIndex.map { case (p, pid) =>
       phraseCountsFromIndex(idx, idCol, p)
         .select(lit(pid).as("phrase_id"), col(idCol), col("n_matches"))
