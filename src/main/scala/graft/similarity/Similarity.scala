@@ -987,36 +987,29 @@ object Similarity {
       // graph build OOM'd the 8g heap — a FAT frame cached in-heap
       // competes with the Σ|cell|² self-join's execution memory, the
       // exact pressure DISK_ONLY avoids (SCALE.md r17).
-      // localCheckpoint(eager), not a lazy persist (r22, Drill): the
-      // self-join's two sides plus the salted join's hot-key broadcast
-      // reference this frame from AQE subquery jobs that run
-      // CONCURRENTLY — racing a lazy persist, each recomputed the
-      // assignment subtree before any block landed (the projection
-      // stage executed ~5x per graph build; at 100 TB that race
-      // re-runs corpus-scale passes). Eager = exactly one pass, and
-      // the blocks land at the AQE-coalesced width (bytes-derived:
-      // ~1 block at bench scale, full width at corpus scale) instead
-      // of the session's fixed shuffle width. Lineage truncation is
-      // the established trade (Components adjacency discipline);
-      // Caches.release frees checkpoint blocks via the LogicalRDD.
-      .localCheckpoint(eager = true,
-        storageLevel = StorageLevel.DISK_ONLY))
-    // Re-spread the checkpointed frame for its CPU-heavy consumers
-    // (r22): the eager checkpoint lands at the AQE-coalesced width — at
-    // bench scale ONE block, which serialized the self-join's exchange
-    // write into a single task (Drill: one 0.8s single-task map stage).
-    // spreadIfNarrow is condition-guarded: on a corpus-scale checkpoint
-    // (width ≥ target) it is the identity; at bench scale it is one
-    // ~10 MB exchange that buys back the map-side parallelism.
-    val withVecW = graft.sources.Sources.spreadIfNarrow(withVec,
-      col(idCol), math.max(2,
-        emb.sparkSession.sparkContext.defaultParallelism / 4))
+      // LAZY persist KEPT here (r22): the eager-checkpoint conversion
+      // the other shared frames got this round (see knnRefine) was
+      // built, measured at BOTH scales for this frame, and REJECTED —
+      // at stress (500k×64d) the eager checkpoint + re-spread read
+      // 87.7s vs 53.9s for this lazy shape (the ~270 MB frame lands at
+      // ~4 AQE blocks, just under the spread target, so the guard
+      // FIRES and re-shuffles the fat frame; without the re-spread the
+      // narrow width starves the self-join's map side for 64.3s), and
+      // at bench SF the eager barrier serialized ~0.7s that the lazy
+      // race pays in overlapped executor time. The race's duplicate
+      // work is bounded here: the expensive references sit inside ONE
+      // stage's task set (per-block cache locks dedupe within it),
+      // unlike knnRefine's closure, whose consumers are separate
+      // concurrent AQE subquery JOBS.
+      // Session-tracked (Caches): lazy result, release at job
+      // boundaries.
+      .persist(StorageLevel.DISK_ONLY))
     // the self-join runs through the shared per-key salted join: a
     // cell at the maxCell cap still means |cell|² pairs, and without
     // salting they all land on ONE task (AQE can't split inside a key)
-    val aSide = withVecW.select(col(centerCol), col(idCol).as("src_id"),
+    val aSide = withVec.select(col(centerCol), col(idCol).as("src_id"),
       col("_v").as("_va"))
-    val bSide = withVecW.select(col(centerCol),
+    val bSide = withVec.select(col(centerCol),
       col(idCol).as("neighbor_id"), col("_v").as("_vb"))
     // Score each UNORDERED pair once (src < neighbor halves the join
     // output and the cosine work — r21), then mirror both directions

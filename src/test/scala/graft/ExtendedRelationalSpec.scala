@@ -472,6 +472,16 @@ class ExtendedRelationalSpec extends AnyFunSuite {
     val cold = canon(SkewJoin.saltedInnerJoin(a, col("ida"), b, Seq("k"),
       maxSalt = 4, hotThreshold = 100))
     assert(cold === plain)
+    // r22 proven-cold fast path: a caller-supplied per-key row bound at
+    // or below hotThreshold skips the salting machinery outright —
+    // output must still be the plain join's multiset; a bound ABOVE the
+    // threshold must leave the salted path (and its output) intact
+    val bounded = canon(SkewJoin.saltedInnerJoin(a, col("ida"), b, Seq("k"),
+      maxSalt = 4, hotThreshold = 8, aKeyRowBound = Some(8L)))
+    assert(bounded === plain)
+    val boundedHot = canon(SkewJoin.saltedInnerJoin(a, col("ida"), b,
+      Seq("k"), maxSalt = 4, hotThreshold = 3, aKeyRowBound = Some(8L)))
+    assert(boundedHot === plain)
   }
 
   test("saltedInnerJoin: reserved temp column names are rejected, not clobbered") {
